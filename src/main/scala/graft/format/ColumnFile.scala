@@ -1,0 +1,241 @@
+package graft.format
+
+import java.io.{InputStream, OutputStream}
+import scala.collection.mutable
+
+/** Chunked columnar file writer.
+  *
+  * Layout (reference: src/columnfile.h "Chunk encoding",
+  * src/columnfile-writer.cc:44-80): 4-byte magic `\n\t"\0`, then chunks.
+  * Each chunk = 4-byte big-endian header length, varint compression,
+  * varint field count, per-field (varint columnIndex, varint byteSize)
+  * pairs, then the concatenated compressed column blocks. Chunks are the
+  * atomic split unit — prefix decoding is stateful within a chunk, so
+  * readers parallelize per chunk, never by byte range.
+  */
+object ColumnFile {
+  val Magic: Array[Byte] = Array('\n'.toByte, '\t'.toByte, '"'.toByte, 0.toByte)
+
+  /** Per-chunk metadata discovered by walking headers. `dataOffset` points
+    * at the first column block; `fields` are (columnIndex, byteSize) in
+    * file order.
+    */
+  final case class ChunkInfo(
+      headerOffset: Long,
+      dataOffset: Long,
+      compression: Int,
+      fields: Array[(Int, Long)]) {
+    def dataSize: Long = fields.iterator.map(_._2).sum
+    def endOffset: Long = dataOffset + dataSize
+  }
+}
+
+final class ColumnFileWriter(
+    out: OutputStream,
+    private var compression: Int = Compression.Default,
+    writeMagic: Boolean = true) {
+  import ColumnFile._
+
+  private val fields = mutable.SortedMap.empty[Int, ColumnWriter]
+  private var finished = false
+  if (writeMagic) out.write(Magic)
+
+  def setCompression(codec: Int): Unit = compression = codec
+
+  private def field(col: Int): ColumnWriter =
+    fields.getOrElseUpdate(col, new ColumnWriter)
+
+  def put(col: Int, value: Array[Byte]): Unit = field(col).put(value)
+  def putNull(col: Int): Unit = field(col).putNull()
+
+  /** Write one (possibly ragged) row: sorted (columnIndex, value|null). */
+  def putRow(row: Iterable[(Int, Option[Array[Byte]])]): Unit =
+    row.foreach {
+      case (c, Some(v)) => put(c, v)
+      case (c, None)    => putNull(c)
+    }
+
+  /** Approximate buffered encoded bytes; callers flush when this crosses a
+    * target chunk size (16 MiB in the reference cat tool, 128 MiB in sort).
+    */
+  def pendingSize: Long = fields.valuesIterator.map(_.pendingSize.toLong).sum
+
+  /** Emit all buffered values as one chunk. No-op when nothing is buffered. */
+  def flush(): Unit = {
+    if (fields.isEmpty) return
+    val blocks = fields.toSeq.map { case (col, w) =>
+      val encoded = w.finishChunk()
+      (col, Compression.compress(compression, encoded, 0, encoded.length))
+    }
+    val header = new ByteBuf(64)
+    Varint.put(header, compression.toLong)
+    Varint.put(header, blocks.size.toLong)
+    blocks.foreach { case (col, block) =>
+      Varint.put(header, col.toLong)
+      Varint.put(header, block.length.toLong)
+    }
+    val n = header.size
+    out.write(Array[Byte](
+      (n >>> 24).toByte, (n >>> 16).toByte, (n >>> 8).toByte, n.toByte))
+    out.write(header.buf, 0, n)
+    blocks.foreach { case (_, block) => out.write(block) }
+    fields.clear()
+  }
+
+  def finish(): Unit = if (!finished) {
+    flush()
+    out.flush()
+    finished = true
+  }
+
+  def close(): Unit = { finish(); out.close() }
+}
+
+/** Random-access input abstraction: local byte arrays for tests, Hadoop
+  * streams for Spark (reference analog: ColumnFileInput SPI,
+  * src/columnfile.h:154-208).
+  */
+trait SeekableInput extends AutoCloseable {
+  def size: Long
+  def readFully(offset: Long, length: Int): Array[Byte]
+  override def close(): Unit = ()
+}
+
+final class BytesInput(bytes: Array[Byte]) extends SeekableInput {
+  def size: Long = bytes.length.toLong
+  def readFully(offset: Long, length: Int): Array[Byte] = {
+    if (offset + length > bytes.length)
+      throw new CorruptColumnFileException("short read")
+    java.util.Arrays.copyOfRange(bytes, offset.toInt, offset.toInt + length)
+  }
+}
+
+object ColumnFileReader {
+  import ColumnFile._
+
+  /** Validate the magic and walk all chunk headers without touching column
+    * data. Cheap (headers are tiny); Spark runs this once on the driver for
+    * partition planning.
+    */
+  def scanChunks(in: SeekableInput): Seq[ChunkInfo] = {
+    val total = in.size
+    if (total < Magic.length.toLong ||
+        !java.util.Arrays.equals(in.readFully(0, Magic.length), Magic))
+      throw new CorruptColumnFileException("bad or missing magic bytes")
+    val chunks = Seq.newBuilder[ChunkInfo]
+    var off = Magic.length.toLong
+    while (off < total) {
+      val info = readChunkHeader(in, off, total)
+      chunks += info
+      off = info.endOffset
+    }
+    chunks.result()
+  }
+
+  def readChunkHeader(in: SeekableInput, offset: Long, total: Long): ChunkInfo = {
+    if (offset + 4 > total)
+      throw new CorruptColumnFileException("truncated chunk header length")
+    val lenBytes = in.readFully(offset, 4)
+    val headerLen = ((lenBytes(0) & 0xff) << 24) | ((lenBytes(1) & 0xff) << 16) |
+      ((lenBytes(2) & 0xff) << 8) | (lenBytes(3) & 0xff)
+    if (headerLen < 0 || offset + 4 + headerLen > total)
+      throw new CorruptColumnFileException("truncated chunk header")
+    val header = in.readFully(offset + 4, headerLen)
+    val cur = new Cursor(0)
+    val compression = Varint.get(header, cur)
+    val fieldCount = Varint.get(header, cur)
+    if (fieldCount > Int.MaxValue)
+      throw new CorruptColumnFileException("unreasonable field count")
+    val fields = new Array[(Int, Long)](fieldCount.toInt)
+    var i = 0
+    while (i < fieldCount) {
+      val col = Varint.get(header, cur)
+      val size = Varint.get(header, cur)
+      fields(i) = (col.toInt, size)
+      i += 1
+    }
+    val info = ChunkInfo(offset, offset + 4 + headerLen, compression.toInt, fields)
+    if (info.endOffset > total)
+      throw new CorruptColumnFileException("chunk data extends past end of file")
+    info
+  }
+
+  /** Decode the selected columns of one chunk into per-column decoders.
+    * Unselected column blocks are never read (projection pushdown,
+    * reference: src/columnfile-reader.cc:148-198). `columns == null`
+    * selects everything.
+    */
+  def openChunk(
+      in: SeekableInput,
+      chunk: ChunkInfo,
+      columns: java.util.Set[Integer]): mutable.LinkedHashMap[Int, ColumnDecoder] = {
+    val decoders = mutable.LinkedHashMap.empty[Int, ColumnDecoder]
+    var off = chunk.dataOffset
+    chunk.fields.foreach { case (col, size) =>
+      if (columns == null || columns.contains(Integer.valueOf(col))) {
+        if (size > Int.MaxValue)
+          throw new CorruptColumnFileException("unreasonable column block size")
+        val block = in.readFully(off, size.toInt)
+        decoders(col) = new ColumnDecoder(
+          Compression.decompress(chunk.compression, block))
+      }
+      off += size
+    }
+    decoders
+  }
+
+  def open(bytes: Array[Byte]): ColumnFileReader =
+    new ColumnFileReader(new BytesInput(bytes))
+
+  def open(in: InputStream): ColumnFileReader = {
+    val bytes = in.readAllBytes()
+    new ColumnFileReader(new BytesInput(bytes))
+  }
+}
+
+/** Row-oriented reader over a whole file: iterates chunks, reassembling
+  * rows by zipping whichever columns exist in each chunk (reference:
+  * src/columnfile-reader.cc:416-445 — absent columns read as NULL).
+  */
+final class ColumnFileReader(in: SeekableInput) extends AutoCloseable {
+  import ColumnFile._
+
+  private val chunks: Seq[ChunkInfo] = ColumnFileReader.scanChunks(in)
+  private var chunkIdx = 0
+  private var decoders: mutable.LinkedHashMap[Int, ColumnDecoder] = _
+  private var columnFilter: java.util.Set[Integer] = null
+
+  def setColumnFilter(columns: Iterable[Int]): Unit = {
+    val s = new java.util.HashSet[Integer]()
+    columns.foreach(c => s.add(Integer.valueOf(c)))
+    columnFilter = s
+  }
+
+  def chunkInfos: Seq[ChunkInfo] = chunks
+
+  private def advance(): Boolean = {
+    while (decoders == null || decoders.valuesIterator.forall(!_.hasNext)) {
+      if (chunkIdx >= chunks.length) return false
+      decoders = ColumnFileReader.openChunk(in, chunks(chunkIdx), columnFilter)
+      chunkIdx += 1
+    }
+    true
+  }
+
+  def end: Boolean = !advance()
+
+  /** Next row as sorted (columnIndex, value|null) pairs. */
+  def getRow(): Seq[(Int, Option[Array[Byte]])] = {
+    if (!advance())
+      throw new CorruptColumnFileException("read past end of file")
+    decoders.iterator.collect {
+      case (col, d) if d.hasNext =>
+        val v = d.next()
+        (col, Option(v))
+    }.toSeq.sortBy(_._1)
+  }
+
+  def seekToStart(): Unit = { chunkIdx = 0; decoders = null }
+
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,150 @@
+package graft.format
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip coverage mirroring the reference's canonical fixture
+  * (reference: src/columnfile_test.cc:52-211): 3 columns, a mid-stream
+  * flush creating two chunks, a NULL row, a 0xfff-byte value, all codecs.
+  */
+class RoundTripSpec extends AnyFunSuite {
+  private def b(s: String): Array[Byte] = s.getBytes(UTF_8)
+
+  private val allCodecs = Seq(
+    Compression.None, Compression.Snappy, Compression.LZ4,
+    Compression.LZMA, Compression.ZLIB)
+
+  /** The A1 fixture: sorted dates (prefix coding), repeated months (RLE),
+    * mixed strings, one NULL row, one 4095-byte value.
+    */
+  private def writeFixture(codec: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val w = new ColumnFileWriter(bos, codec)
+    val longString = "x" * 0xfff
+    w.put(0, b("2000-01-01")); w.put(1, b("January")); w.put(2, b("First"))
+    w.put(0, b("2000-01-02")); w.put(1, b("January")); w.put(2, b("Second"))
+    w.put(0, b("2000-01-03")); w.put(1, b("January")); w.put(2, b("Third"))
+    w.flush() // explicit mid-stream flush ⇒ two chunks
+    w.put(0, b("2000-02-01")); w.put(1, b("February")); w.put(2, b(longString))
+    w.put(0, b("2000-02-02")); w.putNull(1); w.putNull(2)
+    w.finish()
+    bos.toByteArray
+  }
+
+  private def readAll(bytes: Array[Byte]): Seq[Seq[(Int, Option[String])]] = {
+    val r = ColumnFileReader.open(bytes)
+    val rows = Seq.newBuilder[Seq[(Int, Option[String])]]
+    while (!r.end) rows += r.getRow().map { case (c, v) =>
+      (c, v.map(new String(_, UTF_8)))
+    }
+    rows.result()
+  }
+
+  test("fixture round-trips exactly under every codec") {
+    val longString = "x" * 0xfff
+    val expected = Seq(
+      Seq(0 -> Some("2000-01-01"), 1 -> Some("January"), 2 -> Some("First")),
+      Seq(0 -> Some("2000-01-02"), 1 -> Some("January"), 2 -> Some("Second")),
+      Seq(0 -> Some("2000-01-03"), 1 -> Some("January"), 2 -> Some("Third")),
+      Seq(0 -> Some("2000-02-01"), 1 -> Some("February"), 2 -> Some(longString)),
+      Seq(0 -> Some("2000-02-02"), 1 -> None, 2 -> None))
+    allCodecs.foreach { codec =>
+      assert(readAll(writeFixture(codec)) === expected,
+        s"codec ${Compression.name(codec)}")
+    }
+  }
+
+  test("file has the reference magic and two chunks") {
+    val bytes = writeFixture(Compression.LZ4)
+    assert(bytes.take(4).toSeq === ColumnFile.Magic.toSeq)
+    val chunks = ColumnFileReader.scanChunks(new BytesInput(bytes))
+    assert(chunks.length === 2)
+    assert(chunks.head.fields.map(_._1).toSeq === Seq(0, 1, 2))
+  }
+
+  test("column filter reads only selected columns") {
+    val bytes = writeFixture(Compression.LZ4)
+    val r = ColumnFileReader.open(bytes)
+    r.setColumnFilter(Seq(1))
+    val rows = Seq.newBuilder[Seq[(Int, Option[String])]]
+    while (!r.end) rows += r.getRow().map { case (c, v) =>
+      (c, v.map(new String(_, UTF_8)))
+    }
+    assert(rows.result() === Seq(
+      Seq(1 -> Some("January")), Seq(1 -> Some("January")),
+      Seq(1 -> Some("January")), Seq(1 -> Some("February")),
+      Seq(1 -> None)))
+  }
+
+  test("RLE collapses repeats; prefix coding shrinks sorted strings") {
+    // 10k identical values must encode to a handful of bytes.
+    val w = new ColumnWriter
+    (1 to 10000).foreach(_ => w.put(b("same-value")))
+    val rle = w.finishChunk()
+    assert(rle.length < 32, s"RLE block unexpectedly large: ${rle.length}")
+
+    // Sorted URLs: front-coded block must be much smaller than raw.
+    val urls = (1 to 1000).map(i => f"http://www.example.org/page-$i%08d.html")
+    val w2 = new ColumnWriter
+    urls.foreach(u => w2.put(b(u)))
+    val coded = w2.finishChunk()
+    val rawSize = urls.map(_.length + 3).sum
+    assert(coded.length < rawSize / 2,
+      s"prefix coding ineffective: ${coded.length} vs raw $rawSize")
+  }
+
+  test("property: arbitrary nullable binary rows round-trip (all codecs)") {
+    val rnd = new scala.util.Random(42)
+    def randomCell(): Option[Array[Byte]] =
+      if (rnd.nextInt(5) == 0) None
+      else {
+        val n = rnd.nextInt(64)
+        val arr = new Array[Byte](n); rnd.nextBytes(arr); Some(arr)
+      }
+    (1 to 60).foreach { trial =>
+      val codec = allCodecs(trial % allCodecs.length)
+      val rows = List.fill(rnd.nextInt(30) + 1)(List.fill(3)(randomCell()))
+      val bos = new ByteArrayOutputStream()
+      val w = new ColumnFileWriter(bos, codec)
+      rows.foreach { r =>
+        r.zipWithIndex.foreach {
+          case (Some(v), c) => w.put(c, v)
+          case (None, c)    => w.putNull(c)
+        }
+      }
+      w.finish()
+      val got = {
+        val r = ColumnFileReader.open(bos.toByteArray)
+        val out = Seq.newBuilder[Seq[Option[Seq[Byte]]]]
+        while (!r.end) out += r.getRow().map(_._2.map(_.toSeq))
+        out.result()
+      }
+      val expected = rows.map(_.map(_.map(_.toSeq)))
+      assert(got === expected, s"trial $trial codec ${Compression.name(codec)}")
+    }
+  }
+
+  test("ragged rows: columns absent from a chunk are simply not returned") {
+    val bos = new ByteArrayOutputStream()
+    val w = new ColumnFileWriter(bos, Compression.None)
+    w.put(0, b("a")); w.put(1, b("b"))
+    w.flush()
+    w.put(0, b("c")) // second chunk has only column 0
+    w.finish()
+    assert(readAll(bos.toByteArray) === Seq(
+      Seq(0 -> Some("a"), 1 -> Some("b")),
+      Seq(0 -> Some("c"))))
+  }
+
+  test("appending to existing output skips magic") {
+    val bos = new ByteArrayOutputStream()
+    val w1 = new ColumnFileWriter(bos, Compression.None)
+    w1.put(0, b("one")); w1.finish()
+    val w2 = new ColumnFileWriter(bos, Compression.None, writeMagic = false)
+    w2.put(0, b("two")); w2.finish()
+    assert(readAll(bos.toByteArray) ===
+      Seq(Seq(0 -> Some("one")), Seq(0 -> Some("two"))))
+  }
+}
