@@ -1,0 +1,145 @@
+package graft.spark
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.format.ColumnFileReader
+
+/** Hadoop-Configuration holder that survives task serialization (the
+  * standard trick: Configuration is Writable but not Serializable).
+  */
+final class SerializableHadoopConf(@transient var conf: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
+object ColumnFileDataSource {
+  val ShortName = "columnfile"
+  val FileExtension = ".cf"
+  val SchemaSidecar = "_schema.json"
+
+  def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).toSeq.flatMap { json =>
+      // minimal JSON string-array parse: ["a","b"]
+      json.trim.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    }
+    val single = Option(options.get("path")).toSeq
+    val paths = multi ++ single
+    if (paths.isEmpty)
+      throw new IllegalArgumentException("columnfile: no path specified")
+    paths.distinct
+  }
+
+  /** All data files under the given paths (ignores dotfiles/_sidecars). */
+  def listDataFiles(conf: Configuration, paths: Seq[String]): Seq[FileStatus] =
+    paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      if (!fs.exists(path)) Seq.empty
+      else if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path).toSeq.filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+      else Seq(fs.getFileStatus(path))
+    }.sortBy(_.getPath.toString)
+
+  /** Schema resolution: sidecar JSON if present, else untyped binary
+    * columns c0..cN discovered from the first file's first chunk (the
+    * storage truth: cells are byte strings, reference columnfile.h:63).
+    */
+  def inferSchema(conf: Configuration, paths: Seq[String]): StructType = {
+    val sidecar = paths.iterator.flatMap { p =>
+      val dir = new Path(p)
+      val fs = dir.getFileSystem(conf)
+      val candidate =
+        if (fs.exists(dir) && fs.getFileStatus(dir).isDirectory)
+          new Path(dir, SchemaSidecar)
+        else new Path(dir.getParent, SchemaSidecar)
+      if (fs.exists(candidate)) {
+        val in = fs.open(candidate)
+        try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      } else None
+    }.toSeq.headOption
+    sidecar match {
+      case Some(json) => StructType.fromString(json)
+      case None =>
+        val files = listDataFiles(conf, paths)
+        if (files.isEmpty)
+          throw new IllegalArgumentException(
+            s"columnfile: no files found under ${paths.mkString(", ")}")
+        val f = files.head
+        val in = new HadoopSeekableInput(
+          f.getPath.getFileSystem(conf), f.getPath, f.getLen)
+        try {
+          val chunks = ColumnFileReader.scanChunks(in)
+          val maxCol = chunks.flatMap(_.fields.map(_._1)).maxOption.getOrElse(-1)
+          StructType((0 to maxCol).map(i =>
+            StructField(s"c$i", BinaryType, nullable = true)))
+        } finally in.close()
+    }
+  }
+}
+
+/** `spark.read.format("columnfile")` / `df.write.format("columnfile")`. */
+class ColumnFileDataSource extends TableProvider with DataSourceRegister {
+  import ColumnFileDataSource._
+
+  override def shortName(): String = ShortName
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def hadoopConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ColumnFileDataSource.inferSchema(hadoopConf(), resolvePaths(options))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new ColumnFileTable(resolvePaths(options), schema, hadoopConf())
+  }
+}
+
+class ColumnFileTable(
+    paths: Seq[String],
+    tableSchema: StructType,
+    conf: Configuration)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"columnfile ${paths.mkString(",")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ColumnFileScanBuilder(paths, tableSchema, conf, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ColumnFileWriteBuilder(paths, info, conf)
+}

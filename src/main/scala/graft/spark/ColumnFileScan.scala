@@ -1,0 +1,314 @@
+package graft.spark
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.format.{ColumnDecoder, ColumnFileReader, CorruptColumnFileException, SeekableInput}
+
+/** Range-read input over a Hadoop file (covers local, HDFS, S3A…). */
+final class HadoopSeekableInput(fs: FileSystem, path: Path, len: Long)
+    extends SeekableInput {
+  private val stream = fs.open(path)
+  override def size: Long = len
+  override def readFully(offset: Long, length: Int): Array[Byte] = {
+    val buf = new Array[Byte](length)
+    try stream.readFully(offset, buf, 0, length)
+    catch {
+      case e: java.io.EOFException =>
+        throw new CorruptColumnFileException(s"short read at $offset in $path")
+    }
+    buf
+  }
+  override def close(): Unit = stream.close()
+}
+
+/** One task's slice of work: a run of chunks within one file. Chunks are
+  * the atomic unit (prefix decoding is stateful within a chunk), so
+  * planning never splits mid-chunk — the Spark analog of the reference's
+  * chunk-sequential reader (src/columnfile-reader.cc:279-651).
+  */
+final case class ColumnFilePartition(
+    filePath: String,
+    fileLen: Long,
+    chunkOffsets: Array[Long]) extends InputPartition
+
+class ColumnFileScanBuilder(
+    paths: Seq[String],
+    tableSchema: StructType,
+    conf: Configuration,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var requiredSchema: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
+  /** Record the filters we can evaluate inside the scan (for chunk
+    * skipping / late materialization — reference semantics:
+    * src/columnfile-select.cc:79-211). All filters are also returned as
+    * residuals so Catalyst re-checks them — the scan-side evaluation is a
+    * safe over-approximation used only to skip data.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => FilterEval.evaluable(f, tableSchema))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new ColumnFileScan(paths, tableSchema, requiredSchema, pushed, conf, options)
+}
+
+class ColumnFileScan(
+    paths: Seq[String],
+    tableSchema: StructType,
+    requiredSchema: StructType,
+    filters: Array[Filter],
+    conf: Configuration,
+    options: CaseInsensitiveStringMap)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val f = if (filters.isEmpty) "" else filters.mkString(", ")
+    s"columnfile ${paths.mkString(",")} PushedFilters: [$f], " +
+      s"ReadSchema: ${requiredSchema.catalogString}"
+  }
+
+  /** Driver-side planning: walk chunk headers of every file (headers are a
+    * few bytes per column — reading them is cheap and embarrassingly
+    * parallel across files) and pack consecutive chunks into partitions of
+    * ~`maxPartitionBytes`. At 100 TB this yields one task per ~128 MB of
+    * chunk data, the same granularity Spark uses for Parquet row groups.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val maxBytes = Option(options.get("maxPartitionBytes"))
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val files = ColumnFileDataSource.listDataFiles(conf, paths)
+    val parts = mutable.ArrayBuffer.empty[InputPartition]
+    files.foreach { st =>
+      val fs = st.getPath.getFileSystem(conf)
+      val in = new HadoopSeekableInput(fs, st.getPath, st.getLen)
+      try {
+        val chunks = ColumnFileReader.scanChunks(in)
+        var acc = mutable.ArrayBuffer.empty[Long]
+        var accBytes = 0L
+        chunks.foreach { c =>
+          if (acc.nonEmpty && accBytes + c.dataSize > maxBytes) {
+            parts += ColumnFilePartition(st.getPath.toString, st.getLen, acc.toArray)
+            acc = mutable.ArrayBuffer.empty[Long]
+            accBytes = 0L
+          }
+          acc += c.headerOffset
+          accBytes += c.dataSize
+        }
+        if (acc.nonEmpty)
+          parts += ColumnFilePartition(st.getPath.toString, st.getLen, acc.toArray)
+      } finally in.close()
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ColumnFileReaderFactory(
+      tableSchema.json, requiredSchema.json, filters,
+      new SerializableHadoopConf(conf))
+}
+
+class ColumnFileReaderFactory(
+    tableSchemaJson: String,
+    requiredSchemaJson: String,
+    filters: Array[Filter],
+    conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ColumnFilePartition]
+    new ColumnFilePartitionReader(
+      p,
+      StructType.fromString(tableSchemaJson),
+      StructType.fromString(requiredSchemaJson),
+      filters,
+      conf.conf)
+  }
+}
+
+/** Reads the chunks of one partition with projection pushdown, filter
+  * evaluation, and chunk skipping:
+  *
+  *  1. decode only the filter columns of a chunk;
+  *  2. if no row survives, the remaining selected columns of that chunk
+  *     are never read or decompressed (late materialization — reference:
+  *     src/columnfile-select.cc:90-176);
+  *  3. otherwise decode the selected columns, skipping non-survivor runs.
+  */
+class ColumnFilePartitionReader(
+    partition: ColumnFilePartition,
+    tableSchema: StructType,
+    requiredSchema: StructType,
+    filters: Array[Filter],
+    conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val allLeaves = CellCodec.flatten(tableSchema)
+  private val leafIndexByName: Map[String, Int] =
+    allLeaves.zipWithIndex.map { case (l, i) => (l.name, i) }.toMap
+
+  // Physical columns needed for output (in required-schema leaf order).
+  private val outLeaves: IndexedSeq[(Int, CellCodec.Leaf)] =
+    CellCodec.flatten(requiredSchema).map { l =>
+      val idx = leafIndexByName.getOrElse(l.name,
+        throw new IllegalArgumentException(s"unknown column ${l.name}"))
+      (idx, allLeaves(idx))
+    }
+
+  // Filter evaluators, grouped by the physical column they touch.
+  private val filterEvals: Array[FilterEval.Bound] =
+    filters.flatMap(f => FilterEval.bind(f, tableSchema, leafIndexByName))
+  private val filterCols: Array[Int] = filterEvals.map(_.col).distinct.sorted
+
+  private val path = new Path(partition.filePath)
+  private val input = new HadoopSeekableInput(
+    path.getFileSystem(conf), path, partition.fileLen)
+
+  private var chunkIdx = 0
+  private var rows: Iterator[InternalRow] = Iterator.empty
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (!rows.hasNext) {
+      if (chunkIdx >= partition.chunkOffsets.length) return false
+      rows = openChunk(partition.chunkOffsets(chunkIdx))
+      chunkIdx += 1
+    }
+    current = rows.next()
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = input.close()
+
+  private def openChunk(offset: Long): Iterator[InternalRow] = {
+    val info = ColumnFileReader.readChunkHeader(input, offset, partition.fileLen)
+
+    // Pass 1: decode filter columns only; build the survivor bitmap.
+    var survivors: java.util.BitSet = null
+    var rowCount = -1
+    if (filterCols.nonEmpty) {
+      val wanted = new java.util.HashSet[Integer]()
+      filterCols.foreach(c => wanted.add(c))
+      val decoders = ColumnFileReader.openChunk(input, info, wanted)
+      val colValues: Map[Int, mutable.ArrayBuffer[Array[Byte]]] =
+        filterCols.map { c =>
+          val buf = mutable.ArrayBuffer.empty[Array[Byte]]
+          decoders.get(c).foreach { d =>
+            while (d.hasNext) buf += d.next()
+          }
+          c -> buf
+        }.toMap
+      rowCount = colValues.values.map(_.length).maxOption.getOrElse(0)
+      survivors = new java.util.BitSet(rowCount)
+      var r = 0
+      while (r < rowCount) {
+        var ok = true
+        var i = 0
+        while (ok && i < filterEvals.length) {
+          val fe = filterEvals(i)
+          val vals = colValues(fe.col)
+          val cell = if (r < vals.length) vals(r) else null
+          ok = fe.eval(cell)
+          i += 1
+        }
+        if (ok) survivors.set(r)
+        r += 1
+      }
+      if (survivors.isEmpty) return Iterator.empty // chunk skipped
+    }
+
+    // Pass 2: decode the output columns.
+    val neededCols = outLeaves.map(_._1)
+    val wanted = new java.util.HashSet[Integer]()
+    neededCols.foreach(c => wanted.add(c))
+    val decoders = ColumnFileReader.openChunk(input, info, wanted)
+    val decoderByCol: Map[Int, ColumnDecoder] = decoders.toMap
+
+    if (neededCols.isEmpty) {
+      // Projection is empty (e.g. count(*)): row count from the smallest
+      // column block if filters didn't already establish it.
+      val n =
+        if (rowCount >= 0) survivors.cardinality()
+        else {
+          val smallest = info.fields.minByOption(_._2)
+          smallest match {
+            case None => 0
+            case Some((col, _)) =>
+              val w = new java.util.HashSet[Integer]()
+              w.add(col)
+              val d = ColumnFileReader.openChunk(input, info, w)(col)
+              var c = 0
+              while (d.hasNext) { d.next(); c += 1 }
+              c
+          }
+        }
+      return Iterator.fill(n)(InternalRow.empty)
+    }
+
+    val colDecoders: IndexedSeq[ColumnDecoder] =
+      outLeaves.map { case (c, _) => decoderByCol.getOrElse(c, null) }
+
+    // Cells arrive in required-schema leaf order, which is exactly the
+    // order CellCodec.assemble consumes them in.
+    def assembleRow(): InternalRow = {
+      val reqCells = new Array[Array[Byte]](outLeaves.length)
+      var i = 0
+      while (i < outLeaves.length) {
+        val dec = colDecoders(i)
+        reqCells(i) = if (dec != null && dec.hasNext) dec.next() else null
+        i += 1
+      }
+      CellCodec.assemble(requiredSchema, reqCells)
+    }
+
+    if (survivors == null) {
+      // Unfiltered scan: stream rows until the columns are exhausted.
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = colDecoders.exists(d => d != null && d.hasNext)
+        override def next(): InternalRow = assembleRow()
+      }
+    } else {
+      val bitmap = survivors
+      val total = rowCount
+      new Iterator[InternalRow] {
+        private var row = 0
+        private def advanceToSurvivor(): Unit = {
+          val nxt = bitmap.nextSetBit(row)
+          val target = if (nxt < 0) total else nxt
+          if (target > row) {
+            val skip = (target - row).toLong
+            colDecoders.foreach(d => if (d != null && d.hasNext) d.skip(skip))
+            row = target
+          }
+        }
+        override def hasNext: Boolean = { advanceToSurvivor(); row < total }
+        override def next(): InternalRow = {
+          advanceToSurvivor()
+          row += 1
+          assembleRow()
+        }
+      }
+    }
+  }
+}
