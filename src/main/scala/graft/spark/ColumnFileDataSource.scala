@@ -84,7 +84,8 @@ object ColumnFileDataSource {
       } else None
     }.toSeq.headOption
     sidecar match {
-      case Some(json) => StructType.fromString(json)
+      case Some(json) =>
+        org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
       case None =>
         val files = listDataFiles(conf, paths)
         if (files.isEmpty)

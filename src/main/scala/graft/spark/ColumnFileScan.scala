@@ -139,8 +139,8 @@ class ColumnFileReaderFactory(
     val p = partition.asInstanceOf[ColumnFilePartition]
     new ColumnFilePartitionReader(
       p,
-      StructType.fromString(tableSchemaJson),
-      StructType.fromString(requiredSchemaJson),
+      DataType.fromJson(tableSchemaJson).asInstanceOf[StructType],
+      DataType.fromJson(requiredSchemaJson).asInstanceOf[StructType],
       filters,
       conf.conf)
   }

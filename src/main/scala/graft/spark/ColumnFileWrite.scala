@@ -1,0 +1,137 @@
+package graft.spark
+
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.format.{ColumnFileWriter, Compression}
+
+/** DataSource V2 write path: `df.write.format("columnfile").save(path)`.
+  *
+  * Each task streams its rows into one `.cf` file, flushing a chunk
+  * whenever the buffered encoded size crosses `targetChunkBytes`
+  * (reference analog: callers polling `PendingSize()` against a flush
+  * limit — tools/columnfile-cat.cc:49, tools/columnfile-sort.cc:34).
+  * Commit publishes a `_schema.json` sidecar (the storage itself is
+  * untyped; the sidecar is the typed view) and `_SUCCESS`.
+  *
+  * Scale note: tasks write directly to their final unique filenames, so
+  * there is no O(files) driver-side rename storm at commit — on a
+  * 1000-executor job each task does one file create + close.
+  */
+class ColumnFileWriteBuilder(
+    paths: Seq[String],
+    info: LogicalWriteInfo,
+    conf: Configuration)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write =
+    new ColumnFileWrite(paths.head, info.schema(), info.options(), conf, truncateFirst)
+}
+
+class ColumnFileWrite(
+    path: String,
+    schema: StructType,
+    options: CaseInsensitiveStringMap,
+    conf: Configuration,
+    truncateFirst: Boolean)
+    extends Write with BatchWrite {
+
+  private val compression: Int =
+    Compression.fromName(Option(options.get("compression")).getOrElse("lz4"))
+  private val targetChunkBytes: Long =
+    Option(options.get("targetChunkBytes")).map(_.toLong)
+      .getOrElse(16L * 1024 * 1024) // reference cat default: 16 MiB
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (truncateFirst && fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    new ColumnFileWriterFactory(
+      path, schema.json, compression, targetChunkBytes,
+      UUID.randomUUID().toString, new SerializableHadoopConf(conf))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val sidecar = fs.create(new Path(dir, ColumnFileDataSource.SchemaSidecar), true)
+    try sidecar.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally sidecar.close()
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf)
+    messages.foreach {
+      case ColumnFileCommitMessage(file) =>
+        try fs.delete(new Path(file), false) catch { case _: Exception => }
+      case _ =>
+    }
+  }
+}
+
+final case class ColumnFileCommitMessage(file: String) extends WriterCommitMessage
+
+class ColumnFileWriterFactory(
+    dir: String,
+    schemaJson: String,
+    compression: Int,
+    targetChunkBytes: Long,
+    jobId: String,
+    conf: SerializableHadoopConf)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val file = new Path(dir, f"part-$partitionId%05d-$jobId$taskId%d${ColumnFileDataSource.FileExtension}")
+    new ColumnFileDataWriter(file, schema, compression, targetChunkBytes, conf.conf)
+  }
+}
+
+class ColumnFileDataWriter(
+    file: Path,
+    schema: StructType,
+    compression: Int,
+    targetChunkBytes: Long,
+    conf: Configuration)
+    extends DataWriter[InternalRow] {
+
+  private val leaves = CellCodec.flatten(schema)
+  private val fs = file.getFileSystem(conf)
+  private val stream = fs.create(file, true)
+  private val writer = new ColumnFileWriter(stream, compression)
+
+  override def write(row: InternalRow): Unit = {
+    val cells = CellCodec.shred(schema, leaves, row)
+    var i = 0
+    while (i < cells.length) {
+      if (cells(i) == null) writer.putNull(i) else writer.put(i, cells(i))
+      i += 1
+    }
+    if (writer.pendingSize >= targetChunkBytes) writer.flush()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.finish()
+    stream.close()
+    ColumnFileCommitMessage(file.toString)
+  }
+
+  override def abort(): Unit = {
+    try stream.close() catch { case _: Exception => }
+    try fs.delete(file, false) catch { case _: Exception => }
+  }
+
+  override def close(): Unit = ()
+}

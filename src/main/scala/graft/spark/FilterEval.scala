@@ -1,0 +1,220 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Binds Catalyst `sources.Filter`s to predicates over raw cell bytes, so
+  * the scan can evaluate pushed filters per chunk and skip data (the Spark
+  * analog of the reference's filter cascade + chunk skip,
+  * src/columnfile-select.cc:90-176).
+  *
+  * Every pushed filter is also returned to Catalyst as a residual, so the
+  * only correctness obligation here is: never drop a row the filter would
+  * keep. Evaluation therefore follows SQL three-valued logic exactly
+  * (`Tri`: TRUE / FALSE / UNKNOWN), and a row survives only when the
+  * bound predicate is TRUE — matching `FilterExec` semantics.
+  */
+object FilterEval {
+
+  final case class Bound(col: Int, eval: Array[Byte] => Boolean)
+
+  // Tri-state encoding for SQL three-valued logic.
+  private final val TRUE = 1
+  private final val FALSE = 0
+  private final val UNKNOWN = -1
+
+  /** Tri-state predicate over one physical column's cell bytes. */
+  private final case class TriBound(col: Int, eval: Array[Byte] => Int)
+
+  def evaluable(f: Filter, schema: StructType): Boolean = {
+    val leaves = CellCodec.flatten(schema)
+    val idx = leaves.zipWithIndex.map { case (l, i) => (l.name, i) }.toMap
+    bind(f, schema, idx).nonEmpty
+  }
+
+  /** Bind a filter to per-column predicates. A top-level `And` splits into
+    * independent bounds (all bounds are intersected by the reader); any
+    * unbindable sub-filter simply contributes nothing — the result is a
+    * safe over-approximation of the filter.
+    */
+  def bind(f: Filter, schema: StructType, leafIndex: Map[String, Int]): Seq[Bound] = {
+    val leaves = CellCodec.flatten(schema)
+    def leafType(name: String): Option[DataType] =
+      leafIndex.get(name).map(i => leaves(i).dataType)
+    f match {
+      case And(l, r) =>
+        bind(l, schema, leafIndex) ++ bind(r, schema, leafIndex)
+      case other =>
+        bindTri(other, leafType, leafIndex).map(tb =>
+          Bound(tb.col, cell => tb.eval(cell) == TRUE)).toSeq
+    }
+  }
+
+  private def bindTri(
+      f: Filter,
+      leafType: String => Option[DataType],
+      leafIndex: Map[String, Int]): Option[TriBound] = {
+
+    def cmpBound(attr: String, lit: Any)(accept: Int => Boolean): Option[TriBound] =
+      for {
+        col <- leafIndex.get(attr)
+        dt <- leafType(attr)
+        cmp <- comparator(dt, lit)
+      } yield TriBound(col, cell =>
+        if (cell == null) UNKNOWN
+        else if (accept(cmp(cell))) TRUE else FALSE)
+
+    def strBound(attr: String, test: UTF8String => Boolean): Option[TriBound] =
+      for {
+        col <- leafIndex.get(attr)
+        dt <- leafType(attr) if dt == StringType
+      } yield TriBound(col, cell =>
+        if (cell == null) UNKNOWN
+        else if (test(UTF8String.fromBytes(cell))) TRUE else FALSE)
+
+    f match {
+      case EqualTo(a, v)            => cmpBound(a, v)(_ == 0)
+      case GreaterThan(a, v)        => cmpBound(a, v)(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmpBound(a, v)(_ >= 0)
+      case LessThan(a, v)           => cmpBound(a, v)(_ < 0)
+      case LessThanOrEqual(a, v)    => cmpBound(a, v)(_ <= 0)
+
+      case EqualNullSafe(a, v) =>
+        if (v == null)
+          leafIndex.get(a).map(col =>
+            TriBound(col, cell => if (cell == null) TRUE else FALSE))
+        else
+          for {
+            col <- leafIndex.get(a)
+            dt <- leafType(a)
+            cmp <- comparator(dt, v)
+          } yield TriBound(col, cell =>
+            if (cell == null) FALSE
+            else if (cmp(cell) == 0) TRUE else FALSE)
+
+      case In(a, values) =>
+        for {
+          col <- leafIndex.get(a)
+          dt <- leafType(a)
+          nonNull = values.filter(_ != null)
+          cmps <- sequence(nonNull.toSeq.map(v => comparator(dt, v)))
+        } yield {
+          val hasNullLiteral = values.exists(_ == null)
+          TriBound(col, cell =>
+            if (cell == null) UNKNOWN
+            else if (cmps.exists(c => c(cell) == 0)) TRUE
+            else if (hasNullLiteral) UNKNOWN
+            else FALSE)
+        }
+
+      case IsNull(a) =>
+        leafIndex.get(a).map(col =>
+          TriBound(col, cell => if (cell == null) TRUE else FALSE))
+      case IsNotNull(a) =>
+        leafIndex.get(a).map(col =>
+          TriBound(col, cell => if (cell == null) FALSE else TRUE))
+
+      case StringStartsWith(a, p) =>
+        val pfx = UTF8String.fromString(p)
+        strBound(a, s => s.startsWith(pfx))
+      case StringEndsWith(a, p) =>
+        val sfx = UTF8String.fromString(p)
+        strBound(a, s => s.endsWith(sfx))
+      case StringContains(a, p) =>
+        val sub = UTF8String.fromString(p)
+        strBound(a, s => s.contains(sub))
+
+      case Not(inner) =>
+        bindTri(inner, leafType, leafIndex).map(tb =>
+          TriBound(tb.col, cell => tb.eval(cell) match {
+            case TRUE    => FALSE
+            case FALSE   => TRUE
+            case UNKNOWN => UNKNOWN
+          }))
+
+      case Or(l, r) =>
+        for {
+          lb <- bindTri(l, leafType, leafIndex)
+          rb <- bindTri(r, leafType, leafIndex)
+          if lb.col == rb.col // single-column bound only
+        } yield TriBound(lb.col, cell => {
+          val a = lb.eval(cell); val b = rb.eval(cell)
+          if (a == TRUE || b == TRUE) TRUE
+          else if (a == UNKNOWN || b == UNKNOWN) UNKNOWN
+          else FALSE
+        })
+
+      case _ => None
+    }
+  }
+
+  private def sequence[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  /** cell-bytes => sign of (cellValue compare literal), per data type.
+    * None when the type/literal pairing isn't supported (filter then just
+    * isn't evaluated scan-side).
+    */
+  private def comparator(dt: DataType, lit: Any): Option[Array[Byte] => Int] = {
+    def longCmp(target: Long): Array[Byte] => Int =
+      cell => java.lang.Long.compare(CellCodec.decode(dt, cell).asInstanceOf[Long], target)
+    def intCmp(target: Int): Array[Byte] => Int =
+      cell => Integer.compare(CellCodec.decode(dt, cell).asInstanceOf[Int], target)
+    (dt, lit) match {
+      case (StringType, s: String) =>
+        val t = UTF8String.fromString(s)
+        Some(cell => UTF8String.fromBytes(cell).compareTo(t))
+      case (StringType, s: UTF8String) =>
+        Some(cell => UTF8String.fromBytes(cell).compareTo(s))
+      case (IntegerType, v: java.lang.Integer) => Some(intCmp(v))
+      case (LongType, v: java.lang.Long)       => Some(longCmp(v))
+      case (LongType, v: java.lang.Integer)    => Some(longCmp(v.longValue()))
+      case (ShortType, v: java.lang.Short) =>
+        Some(cell => java.lang.Short.compare(
+          CellCodec.decode(dt, cell).asInstanceOf[Short], v))
+      case (ByteType, v: java.lang.Byte) =>
+        Some(cell => java.lang.Byte.compare(
+          CellCodec.decode(dt, cell).asInstanceOf[Byte], v))
+      case (DoubleType, v: java.lang.Double) =>
+        Some(cell => java.lang.Double.compare(
+          CellCodec.decode(dt, cell).asInstanceOf[Double], v))
+      case (FloatType, v: java.lang.Float) =>
+        Some(cell => java.lang.Float.compare(
+          CellCodec.decode(dt, cell).asInstanceOf[Float], v))
+      case (BooleanType, v: java.lang.Boolean) =>
+        Some(cell => java.lang.Boolean.compare(
+          CellCodec.decode(dt, cell).asInstanceOf[Boolean], v))
+      case (DateType, v: java.sql.Date) =>
+        Some(intCmp(DateTimeUtils.fromJavaDate(v)))
+      case (DateType, v: java.time.LocalDate) =>
+        Some(intCmp(DateTimeUtils.localDateToDays(v)))
+      case (TimestampType, v: java.sql.Timestamp) =>
+        Some(longCmp(DateTimeUtils.fromJavaTimestamp(v)))
+      case (TimestampType, v: java.time.Instant) =>
+        Some(longCmp(DateTimeUtils.instantToMicros(v)))
+      case (d: DecimalType, v: java.math.BigDecimal) =>
+        Some(cell => CellCodec.decode(d, cell).asInstanceOf[Decimal]
+          .toJavaBigDecimal.compareTo(v))
+      case (d: DecimalType, v: Decimal) =>
+        Some(cell => CellCodec.decode(d, cell).asInstanceOf[Decimal]
+          .toJavaBigDecimal.compareTo(v.toJavaBigDecimal))
+      case (BinaryType, v: Array[Byte]) =>
+        Some(cell => compareBytes(cell, v))
+      case _ => None
+    }
+  }
+
+  /** Unsigned lexicographic byte compare (matches Spark's BinaryType ordering). */
+  private def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+}
