@@ -1,0 +1,285 @@
+package graft.queries
+
+/** Relational + storage-parity query inventory (SURVEY.md §2).
+  *
+  * Float discipline for the DuckDB hash-match: monetary aggregates go
+  * through exact integer cents (`ROUND(x*100) → BIGINT`), averages are
+  * exposed as IEEE-deterministic divisions of exact integers, and every
+  * ordered output carries a unique tiebreak column.
+  */
+object CoreQueries {
+
+  /** `ROUND(x*100)` as exact integer cents. */
+  private def cents(col: String) = s"CAST(ROUND(($col) * 100) AS BIGINT)"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- relational surface over the engine (stock Catalyst operators) ----
+
+    // TPC-H Q1-style scan + hash aggregate with map-side partials.
+    Q.shared("q01_agg_pricing",
+      s"""SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+         |  CAST(SUM(${cents("l_quantity")}) AS BIGINT) AS sum_qty_c,
+         |  CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS sum_price_c,
+         |  CAST(SUM(${cents("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS sum_disc_price_c,
+         |  COUNT(*) AS cnt
+         |FROM lineitem
+         |WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+
+    // Broadcast hash join against a small dimension.
+    Q.shared("q02_join_broadcast",
+      s"""SELECT p_brand AS brand,
+         |  COUNT(*) AS cnt,
+         |  CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS sum_price_c
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_type = 'ECONOMY'
+         |GROUP BY p_brand""".stripMargin),
+
+    // Multi-way join through the star schema (TPC-H Q5 shape).
+    Q.shared("q03_join_star_revenue",
+      s"""SELECT n_name AS nation,
+         |  CAST(SUM(${cents("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c,
+         |  COUNT(*) AS cnt
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin),
+
+    // Left-semi join (EXISTS).
+    Q.shared("q04_join_semi",
+      """SELECT o_orderstatus AS status, COUNT(*) AS cnt
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |GROUP BY o_orderstatus""".stripMargin),
+
+    // Left-anti join (NOT EXISTS).
+    Q.shared("q05_join_anti",
+      """SELECT c_mktsegment AS seg, COUNT(*) AS cnt
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 300000)
+        |GROUP BY c_mktsegment""".stripMargin),
+
+    // Window function: rank within partition.
+    Q.shared("q06_window_rank",
+      """SELECT cust, okey, rn FROM (
+        |  SELECT o_custkey AS cust, o_orderkey AS okey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) x
+        |WHERE rn <= 3""".stripMargin),
+
+    // Global top-k with unique tiebreak.
+    Q.shared("q07_topk",
+      s"""SELECT o_orderkey AS okey, ${cents("o_totalprice")} AS price_c
+         |FROM orders
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 10""".stripMargin),
+
+    // Distinct.
+    Q.shared("q08_distinct",
+      "SELECT DISTINCT l_returnflag AS rflag, l_linestatus AS lstatus FROM lineitem"),
+
+    // Set operations.
+    Q.shared("q09_intersect",
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders""".stripMargin),
+    Q.shared("q10_except",
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000""".stripMargin),
+
+    // Scalar string functions.
+    Q.shared("q11_scalar_string",
+      """SELECT p_partkey AS k,
+        |  UPPER(SUBSTRING(p_name, 1, 4)) AS pfx,
+        |  LENGTH(p_name) AS len,
+        |  CONCAT(p_brand, ':', p_type) AS bt
+        |FROM part
+        |WHERE p_name LIKE '%gear%'""".stripMargin),
+
+    // Scalar date functions + aggregate.
+    Q.shared("q12_scalar_date",
+      s"""SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+         |  COUNT(*) AS cnt, CAST(SUM(${cents("o_totalprice")}) AS BIGINT) AS sum_c
+         |FROM orders
+         |GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)""".stripMargin),
+
+    // Scalar math functions (IEEE-deterministic only: sqrt/floor/ceil/abs).
+    Q.shared("q13_scalar_math",
+      """SELECT l_orderkey AS k, l_linenumber AS ln,
+        |  CAST(FLOOR(l_quantity) AS BIGINT) AS fq,
+        |  CAST(CEIL(l_quantity) AS BIGINT) AS cq,
+        |  ABS(l_discount - 0.05) AS ad, SQRT(l_quantity) AS sq
+        |FROM lineitem
+        |WHERE l_orderkey % 500 = 0""".stripMargin),
+
+    // Rollup (hierarchical grouping sets).
+    Q.shared("q14_rollup",
+      s"""SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+         |  COUNT(*) AS cnt, CAST(SUM(${cents("l_quantity")}) AS BIGINT) AS qty_c
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin),
+
+    // Exact distinct-count + min/max aggregates.
+    Q.shared("q15_agg_stats",
+      """SELECT COUNT(*) AS n, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  MIN(YEAR(l_shipdate) * 10000 + MONTH(l_shipdate) * 100
+        |      + DAY(l_shipdate)) AS d_min,
+        |  MAX(YEAR(l_shipdate) * 10000 + MONTH(l_shipdate) * 100
+        |      + DAY(l_shipdate)) AS d_max
+        |FROM lineitem""".stripMargin),
+
+    // Correlated scalar subquery (per-customer order count vs average).
+    Q.shared("q16_subquery_agg",
+      """SELECT seg, COUNT(*) AS cnt FROM (
+        |  SELECT c_mktsegment AS seg, c_custkey,
+        |    (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+        |  FROM customer) x
+        |WHERE n_orders >= 12
+        |GROUP BY seg""".stripMargin),
+
+    // Time-series: hourly tumbling aggregation over the events stream table.
+    Q.shared("q17_events_hourly",
+      s"""SELECT date_trunc('hour', ts) AS h, event_type AS etype,
+         |  COUNT(*) AS cnt, CAST(SUM(${cents("value")}) AS BIGINT) AS val_c
+         |FROM events
+         |GROUP BY date_trunc('hour', ts), event_type""".stripMargin),
+
+    // Sessionization: 30-minute-gap sessions via window functions.
+    Q.shared("q18_events_sessionize",
+      """SELECT user_id AS uid, CAST(1 + SUM(new_sess) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id)
+        |              > INTERVAL '30' MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM events) x
+        |GROUP BY user_id""".stripMargin),
+
+    // ---- storage parity: the same queries routed through our format ----
+
+    // Write sink + chunked scan source (SURVEY §2.1 #1, #5).
+    Q.viaCF("q20_cf_scan_agg", Seq("lineitem"),
+      s"""SELECT l_returnflag AS rflag, COUNT(*) AS cnt,
+         |  CAST(SUM(${cents("l_quantity")}) AS BIGINT) AS qty_c
+         |FROM cf_lineitem GROUP BY l_returnflag""".stripMargin,
+      s"""SELECT l_returnflag AS rflag, COUNT(*) AS cnt,
+         |  CAST(SUM(${cents("l_quantity")}) AS BIGINT) AS qty_c
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+
+    // Projection pushdown: scan reads only 3 of 11 columns (#7, #10).
+    Q.viaCF("q21_cf_projection", Seq("lineitem"),
+      """SELECT l_orderkey AS okey, l_linenumber AS ln, l_quantity AS qty
+        |FROM cf_lineitem WHERE l_orderkey % 97 = 0""".stripMargin,
+      """SELECT l_orderkey AS okey, l_linenumber AS ln, l_quantity AS qty
+        |FROM lineitem WHERE l_orderkey % 97 = 0""".stripMargin),
+
+    // Predicate pushdown + chunk skipping (#8, #9: AND of per-column filters).
+    Q.viaCF("q22_cf_filter_pushdown", Seq("lineitem"),
+      s"""SELECT COUNT(*) AS cnt, CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS sum_c
+         |FROM cf_lineitem
+         |WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin,
+      s"""SELECT COUNT(*) AS cnt, CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS sum_c
+         |FROM lineitem
+         |WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin),
+
+    // Row-level substring filter (#11: cat --filter COL:PATTERN).
+    Q.viaCF("q23_cf_filter_contains", Seq("part"),
+      """SELECT p_brand AS brand, COUNT(*) AS cnt
+        |FROM cf_part WHERE p_name LIKE '%gear%'
+        |GROUP BY p_brand""".stripMargin,
+      """SELECT p_brand AS brand, COUNT(*) AS cnt
+        |FROM part WHERE p_name LIKE '%gear%'
+        |GROUP BY p_brand""".stripMargin),
+
+    // Concatenation / UNION ALL of files (#12).
+    Q.viaCF("q24_cf_union_concat", Seq("orders"),
+      """SELECT status, COUNT(*) AS cnt FROM (
+        |  SELECT o_orderstatus AS status FROM cf_orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus AS status FROM cf_orders WHERE o_orderkey % 2 = 1
+        |) u GROUP BY status""".stripMargin,
+      """SELECT status, COUNT(*) AS cnt FROM (
+        |  SELECT o_orderstatus AS status FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus AS status FROM orders WHERE o_orderkey % 2 = 1
+        |) u GROUP BY status""".stripMargin),
+
+    // Recompression / ETL copy (#13): zlib-compressed roundtrip.
+    Q.viaCF("q25_cf_recompress_zlib", Seq("supplier"),
+      s"""SELECT COUNT(*) AS cnt,
+         |  CAST(SUM(${cents("s_acctbal")}) AS BIGINT) AS bal_c,
+         |  MIN(s_name) AS first_name, MAX(s_name) AS last_name
+         |FROM cf_supplier""".stripMargin,
+      s"""SELECT COUNT(*) AS cnt,
+         |  CAST(SUM(${cents("s_acctbal")}) AS BIGINT) AS bal_c,
+         |  MIN(s_name) AS first_name, MAX(s_name) AS last_name
+         |FROM supplier""".stripMargin,
+      compression = "zlib"),
+
+    // External sort semantics (#14, #15): whole-row ordering exposed via
+    // row_number so the hash check is order-sensitive.
+    Q.viaCF("q26_cf_sort", Seq("lineitem"),
+      """SELECT okey, ln, rn FROM (
+        |  SELECT l_orderkey AS okey, l_linenumber AS ln,
+        |    ROW_NUMBER() OVER (ORDER BY l_returnflag, l_linestatus,
+        |                       l_orderkey, l_linenumber) AS rn
+        |  FROM cf_lineitem) x
+        |WHERE rn <= 1000""".stripMargin,
+      """SELECT okey, ln, rn FROM (
+        |  SELECT l_orderkey AS okey, l_linenumber AS ln,
+        |    ROW_NUMBER() OVER (ORDER BY l_returnflag, l_linestatus,
+        |                       l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) x
+        |WHERE rn <= 1000""".stripMargin),
+
+    // Nested shredding + assembly (#17, #18): struct/array columns survive
+    // the columnfile roundtrip and project back out flat.
+    nestedRoundtrip
+  )
+
+  /** q27: build nested rows, roundtrip through columnfile, project flat.
+    * Oracle: the same flat projection straight from parquet.
+    */
+  private def nestedRoundtrip: Q = {
+    val oracle =
+      """SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  YEAR(o_orderdate) AS y
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin
+    Q("q27_cf_nested_roundtrip", (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val nested = Tables.t(spark, dir, "orders")
+        .where(expr("o_orderkey % 10 = 0"))
+        .select(
+          col("o_orderkey").as("okey"),
+          struct(
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").as("price"),
+            struct(year(col("o_orderdate")).as("y")).as("dates")
+          ).as("info"),
+          array(col("o_custkey"), col("o_orderkey")).as("keys"))
+      val out = s"${sys.props("java.io.tmpdir")}/graft_cf_cache/" +
+        s"${java.lang.Integer.toHexString(dir.hashCode)}/nested_orders"
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        nested.write.format("columnfile").mode("overwrite").save(out)
+      }
+      spark.read.format("columnfile").load(out)
+        .select(
+          col("okey"),
+          col("info.status").as("status"),
+          expr("CAST(ROUND(info.price * 100) AS BIGINT)").as("price_c"),
+          col("info.dates.y").as("y"))
+    }, Some(oracle))
+  }
+}

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table access for the query inventory.
+  *
+  * `t` reads the driver's parquet; `viaCF` routes a table through our
+  * columnfile format (write once to a local cache, then read through the
+  * DataSource V2 connector) so the storage-parity queries actually
+  * exercise the engine's own scan/sink path end to end.
+  */
+object Tables {
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
+    * default; read nanos as long and convert to a micros timestamp.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Route a table through the columnfile format (cached per dir/codec). */
+  def viaCF(spark: SparkSession, dir: String, name: String,
+            compression: String = "lz4"): DataFrame = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val out = s"${sys.props("java.io.tmpdir")}/graft_cf_cache/$key/$name-$compression"
+    val done = new java.io.File(out, "_SUCCESS")
+    if (!done.exists()) {
+      t(spark, dir, name).write.format("columnfile")
+        .option("compression", compression).mode("overwrite").save(out)
+    }
+    spark.read.format("columnfile").load(out)
+  }
+
+  /** Register the standard views used by the shared-SQL queries. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    Seq("lineitem", "orders", "customer", "part", "supplier",
+      "nation", "region", "documents", "embeddings")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
+
+  /** Register columnfile-backed views (cf_<name>). */
+  def registerCF(spark: SparkSession, dir: String, names: Seq[String],
+                 compression: String = "lz4"): Unit =
+    names.foreach(n =>
+      viaCF(spark, dir, n, compression).createOrReplaceTempView(s"cf_$n"))
+}
