@@ -12,7 +12,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def inventory: Seq[Q] = CoreQueries.all
+  private def inventory: Seq[Q] = CoreQueries.all ++ ExtQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Routes lineitem through the columnfile format (write + scan) and

@@ -1,0 +1,348 @@
+package graft.queries
+
+/** Training-data-pipeline operators: dedup (exact, MinHash-LSH, SimHash,
+  * n-gram Jaccard), similarity search (brute-force + sign-LSH ANN), text
+  * analysis (language-ID, quality, tokens, fingerprints), multimodal
+  * metadata. Each query is written once against a tiny two-dialect SQL
+  * DSL so the Spark text and the DuckDB oracle compute the *identical*
+  * deterministic result (integer hashing; IEEE-deterministic left-fold
+  * float reductions in fixed index order).
+  */
+object ExtQueries {
+
+  /** Mersenne prime 2^31-1: modulus for all integer hashing. */
+  private val P = 2147483647L
+
+  /** 16 fixed MinHash permutations (a*x + b) % P. */
+  private val AB: Seq[(Long, Long)] = Seq(
+    (1299721L, 1299827L), (2750161L, 2750357L), (4256233L, 4256249L),
+    (5800079L, 5800129L), (7368787L, 7368791L), (8960453L, 8960467L),
+    (10570841L, 10570849L), (12195257L, 12195263L), (13834103L, 13834109L),
+    (15485863L, 15485867L), (17144507L, 17144521L), (18815231L, 18815233L),
+    (20495843L, 20495857L), (22182343L, 22182349L), (23879519L, 23879539L),
+    (25582153L, 25582171L))
+
+  /** SQL dialect abstraction: only the constructs that differ. */
+  sealed trait Dial {
+    def split(s: String): String
+    def size(l: String): String
+    def transform(l: String, v: String, body: String): String
+    def filter(l: String, v: String, body: String): String
+    def fold0(l: String, acc: String, v: String, body: String): String
+    def arrayMin(l: String): String
+    def distinct(l: String): String
+    def intersect(a: String, b: String): String
+    def concatArr(a: String, b: String): String
+    def substr(s: String, i: String, n: String): String
+    def intDiv(a: String, b: String): String
+    def xor(a: String, b: String): String
+    def str(x: String): String
+    def explode(arr: String, as: String): String // FROM-clause fragment
+    def regexpExtractAll(s: String, p: String): String
+    def toBlob(s: String): String
+    /** 3-word shingles of word array `w` (guarded size >= 3). */
+    def shingles3(w: String): String
+    /** char codes of string expr `s`, in index order, as BIGINTs */
+    def charCodes(s: String): String
+    /** element i (0-based logical index) of array */
+    def at(l: String, i0: Int): String
+    /** per-dimension products of two float vectors, in index order */
+    def dims(a: String, b: String): String
+
+    /** left fold with DOUBLE-zero seed. */
+    def fold0d(l: String, acc: String, v: String, body: String): String
+
+    /** polynomial rolling hash of a string expression, mod P. */
+    def polyhash(s: String): String =
+      fold0(charCodes(s), "acc", "c", s"(acc * 31 + c) % $P")
+    /** deterministic left-fold dot product of two float vectors. */
+    def dot(a: String, b: String): String =
+      fold0d(dims(a, b), "acc", "v", "acc + v")
+  }
+
+  object SparkD extends Dial {
+    def split(s: String) = s"split($s, ' ')"
+    def size(l: String) = s"size($l)"
+    def transform(l: String, v: String, body: String) = s"transform($l, $v -> $body)"
+    def filter(l: String, v: String, body: String) = s"filter($l, $v -> $body)"
+    def fold0(l: String, acc: String, v: String, body: String) =
+      s"aggregate($l, CAST(0 AS BIGINT), ($acc, $v) -> $body)"
+    def fold0d(l: String, acc: String, v: String, body: String) =
+      s"aggregate($l, CAST(0 AS DOUBLE), ($acc, $v) -> $body)"
+    def arrayMin(l: String) = s"array_min($l)"
+    def distinct(l: String) = s"array_distinct($l)"
+    def intersect(a: String, b: String) = s"array_intersect($a, $b)"
+    def concatArr(a: String, b: String) = s"concat($a, $b)"
+    def substr(s: String, i: String, n: String) = s"substring($s, $i, $n)"
+    def intDiv(a: String, b: String) = s"($a div $b)"
+    def xor(a: String, b: String) = s"($a ^ $b)"
+    def str(x: String) = s"CAST($x AS STRING)"
+    def explode(arr: String, as: String) = s"LATERAL VIEW explode($arr) _ex AS $as"
+    def regexpExtractAll(s: String, p: String) = s"regexp_extract_all($s, '$p', 0)"
+    def toBlob(s: String) = s"CAST($s AS BINARY)"
+    def shingles3(w: String) =
+      s"transform(sequence(0, size($w) - 3), i -> concat($w[i], ' ', $w[i+1], ' ', $w[i+2]))"
+    def charCodes(s: String) =
+      s"transform(sequence(1, length($s)), i -> CAST(ascii(substring($s, i, 1)) AS BIGINT))"
+    def at(l: String, i0: Int) = s"$l[$i0]"
+    def dims(a: String, b: String) =
+      s"zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+  }
+
+  object DuckD extends Dial {
+    def split(s: String) = s"string_split($s, ' ')"
+    def size(l: String) = s"len($l)"
+    def transform(l: String, v: String, body: String) = s"list_transform($l, $v -> $body)"
+    def filter(l: String, v: String, body: String) = s"list_filter($l, $v -> $body)"
+    // DuckDB list_reduce seeds with the first element; equal to Spark's
+    // 0-seeded fold for ops f with f(0, x1) = x1 (ours: *31+c, +v).
+    def fold0(l: String, acc: String, v: String, body: String) =
+      s"list_reduce($l, ($acc, $v) -> $body)"
+    def fold0d(l: String, acc: String, v: String, body: String) =
+      s"list_reduce($l, ($acc, $v) -> $body)"
+    def arrayMin(l: String) = s"list_min($l)"
+    def distinct(l: String) = s"list_distinct($l)"
+    def intersect(a: String, b: String) = s"list_intersect($a, $b)"
+    def concatArr(a: String, b: String) = s"list_concat($a, $b)"
+    def substr(s: String, i: String, n: String) = s"substr($s, $i, $n)"
+    def intDiv(a: String, b: String) = s"($a // $b)"
+    def xor(a: String, b: String) = s"xor($a, $b)"
+    def str(x: String) = s"CAST($x AS VARCHAR)"
+    def explode(arr: String, as: String) = s", unnest($arr) AS _ex($as)"
+    def regexpExtractAll(s: String, p: String) = s"regexp_extract_all($s, '$p')"
+    def toBlob(s: String) = s"CAST($s AS BLOB)"
+    def shingles3(w: String) =
+      s"list_transform(range(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])"
+    def charCodes(s: String) =
+      s"list_transform(range(1, length($s) + 1), i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))"
+    def at(l: String, i0: Int) = s"$l[${i0 + 1}]"
+    def dims(a: String, b: String) =
+      s"list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))"
+  }
+
+  // ---------------------------------------------------------------- dedup
+
+  /** MinHash(16) + LSH(4 bands x 4 rows) near-dup pairs, Jaccard-verified
+    * on the candidate set only (the 100 TB path: candidates come from a
+    * shuffle on band keys, never from an all-pairs product).
+    */
+  private def minhashSql(d: Dial): String = {
+    val minExprs = AB.zipWithIndex.map { case ((a, b), k) =>
+      s"${d.arrayMin(d.transform("hset", "x", s"($a * x + $b) % $P"))} AS m$k"
+    }.mkString(",\n    ")
+    val bandExprs = (0 until 4).map { k =>
+      val ms = (0 until 4).map(r => d.str(s"m${4 * k + r}"))
+      s"concat('$k:', ${ms.mkString(", ',', ")})"
+    }
+    val bandsArr = s"array(${bandExprs.mkString(", ")})"
+    val bandsArrD = s"[${bandExprs.mkString(", ")}]"
+    val fromEx = d match {
+      case SparkD => s"FROM sig ${d.explode(bandsArr, "bk")}"
+      case DuckD  => s"FROM sig ${d.explode(bandsArrD, "bk")}"
+    }
+    s"""WITH tok AS (SELECT doc_id, ${d.split("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, ${d.distinct(d.shingles3("w"))} AS shingles
+       |       FROM tok WHERE ${d.size("w")} >= 3),
+       |hs AS (SELECT doc_id, ${d.distinct(d.transform("shingles", "s", d.polyhash("s")))} AS hset
+       |       FROM sh),
+       |sig AS (SELECT doc_id, hset,
+       |    ${minExprs}
+       |  FROM hs),
+       |ex AS (SELECT doc_id, bk $fromEx),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |         FROM ex a JOIN ex b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |jac AS (SELECT i, j,
+       |          CAST(${d.size(d.intersect("x.hset", "y.hset"))} AS DOUBLE) /
+       |          ${d.size(d.distinct(d.concatArr("x.hset", "y.hset")))} AS jaccard
+       |        FROM cand JOIN hs x ON x.doc_id = i JOIN hs y ON y.doc_id = j)
+       |SELECT i, j, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  /** Shingle-level 31-bit SimHash signature per document. */
+  private def simhashSql(d: Dial): String = {
+    val bits = (0 until 31).map { j =>
+      val pow = 1L << j
+      val sign = d.transform("hs", "h",
+        s"CASE WHEN ${d.intDiv("h", pow.toString)} % 2 = 1 THEN 1 ELSE -1 END")
+      s"(CASE WHEN ${d.fold0(sign, "a", "b", "a + b")} >= 0 THEN $pow ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, ${d.split("text")} AS w FROM documents),
+       |hh AS (SELECT doc_id, ${d.transform(d.shingles3("w"), "s", d.polyhash("s"))} AS hs
+       |       FROM tok WHERE ${d.size("w")} >= 3)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hh""".stripMargin
+  }
+
+  private def simhashPairsSql(d: Dial): String =
+    s"""WITH s AS (${simhashSql(d)})
+       |SELECT a.doc_id AS i, b.doc_id AS j,
+       |  bit_count(${d.xor("a.simhash", "b.simhash")}) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(${d.xor("a.simhash", "b.simhash")}) <= 3""".stripMargin
+
+  /** Character 5-gram Jaccard near-dup with (lang, |len diff|<=50)
+    * blocking — the brute-force baseline the LSH variants approximate.
+    */
+  private def ngramJaccardSql(d: Dial): String = {
+    val grams = d match {
+      case SparkD => "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"
+      case DuckD  => "list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))"
+    }
+    s"""WITH g AS (SELECT doc_id, lang, n_chars,
+       |    ${d.distinct(d.transform(grams, "s", d.polyhash("s")))} AS gset
+       |  FROM documents WHERE length(text) >= 5),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+       |    CAST(${d.size(d.intersect("a.gset", "b.gset"))} AS DOUBLE) /
+       |    ${d.size(d.distinct(d.concatArr("a.gset", "b.gset")))} AS jaccard
+       |  FROM g a JOIN g b
+       |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |   AND abs(a.n_chars - b.n_chars) <= 50)
+       |SELECT i, j, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- text
+
+  private val stop = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "a", "is", "that", "for", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"))
+
+  private def inList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Stopword-profile language ID (n-gram heuristic family). */
+  private def langidSql(d: Dial): String = {
+    val scores = stop.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      s"${d.size(d.filter("w", "t", s"t IN ${inList(ws)}"))} AS s_$lang"
+    }.mkString(",\n    ")
+    s"""WITH tok AS (SELECT doc_id, lang, ${d.split("lower(text)")} AS w FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |    $scores
+       |  FROM tok)
+       |SELECT doc_id, lang AS actual,
+       |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS predicted,
+       |  s_de, s_en, s_es, s_fr
+       |FROM sc""".stripMargin
+  }
+
+  /** Quality scoring: token stats, punctuation/stopword ratios, composite
+    * score from IEEE-deterministic per-row arithmetic.
+    */
+  private def qualitySql(d: Dial): String = {
+    val nTok = d.size("w")
+    val nStop = d.size(d.filter("w", "t", s"t IN ${inList(stop("en"))}"))
+    s"""WITH tok AS (SELECT doc_id, text, n_chars,
+       |    ${d.split("lower(text)")} AS w FROM documents)
+       |SELECT doc_id,
+       |  $nTok AS n_tokens,
+       |  CAST(n_chars AS DOUBLE) / $nTok AS avg_token_len,
+       |  CAST($nStop AS DOUBLE) / $nTok AS stopword_ratio,
+       |  CAST(length(text) - ${d.size(d.regexpExtractAll("text", "[a-z0-9 ]"))} AS DOUBLE)
+       |    / n_chars AS punct_ratio,
+       |  CASE WHEN $nTok >= 10 AND $nTok <= 1000 THEN 1 ELSE 0 END AS len_ok
+       |FROM tok""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens + regex word/number tokens. */
+  private def tokenCountSql(d: Dial): String =
+    s"""SELECT doc_id,
+       |  ${d.size(d.split("text"))} AS n_ws_tokens,
+       |  ${d.size(d.regexpExtractAll("text", "[a-z]+|[0-9]+"))} AS n_re_tokens,
+       |  n_chars
+       |FROM documents""".stripMargin
+
+  /** Document fingerprinting: md5 + polynomial rolling hash. */
+  private def fingerprintSql(d: Dial): String =
+    s"""SELECT doc_id,
+       |  md5(lower(text)) AS fp_md5,
+       |  ${d.polyhash("lower(text)")} AS fp_roll
+       |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- vectors
+
+  private def knnBruteSql(d: Dial): String = {
+    val cos =
+      s"""${d.dot("qe", "e.embedding")} /
+         |    (sqrt(${d.dot("qe", "qe")}) * sqrt(${d.dot("e.embedding", "e.embedding")}))""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT qid, e.vec_id AS nid,
+       |    $cos AS cos
+       |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid)
+       |SELECT qid, nid, cos FROM (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |  FROM c) x
+       |WHERE rn <= 10""".stripMargin
+  }
+
+  /** Sign-LSH bucketed ANN: bucket on the sign pattern of the first 8
+    * dimensions (deterministic hyperplanes), search within bucket only.
+    * The 100 TB path: bucket is the shuffle key; each bucket is a tiny
+    * local top-k instead of an all-pairs product.
+    */
+  private def knnSignLshSql(d: Dial): String = {
+    val bucket = (0 until 8).map { i =>
+      s"(CASE WHEN ${d.at("embedding", i)} > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val cos =
+      s"""${d.dot("q.embedding", "e.embedding")} /
+         |    (sqrt(${d.dot("q.embedding", "q.embedding")}) * sqrt(${d.dot("e.embedding", "e.embedding")}))""".stripMargin
+    s"""WITH b AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |c AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |    $cos AS cos
+       |  FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+       |  WHERE q.vec_id < 50)
+       |SELECT qid, nid, cos FROM (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |  FROM c) x
+       |WHERE rn <= 5""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- multimodal
+
+  /** Multimodal columns: opaque binary payload + typed metadata, with a
+    * deterministic stub "decode" (real decoders are Pandas-UDF-shaped
+    * black boxes; the Spark-side schema/plumbing is what's exercised).
+    */
+  private def multimodalSql(d: Dial): String =
+    s"""SELECT doc_id,
+       |  octet_length(${d.toBlob("text")}) AS n_bytes,
+       |  CAST(octet_length(${d.toBlob("text")}) % 640 AS BIGINT) AS fake_width,
+       |  CAST(octet_length(${d.toBlob("text")}) % 480 AS BIGINT) AS fake_height,
+       |  CASE WHEN octet_length(${d.toBlob("text")}) % 3 = 0 THEN 'image'
+       |       WHEN octet_length(${d.toBlob("text")}) % 3 = 1 THEN 'audio'
+       |       ELSE 'video' END AS modality
+       |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  private def dialect(name: String, gen: Dial => String): Q =
+    Q.dialect(name, gen(SparkD), gen(DuckD))
+
+  val all: Seq[Q] = Seq(
+    Q.shared("d01_dedup_exact",
+      """SELECT lang AS l, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY lang""".stripMargin),
+    Q.shared("d02_dedup_keyed",
+      """SELECT lang AS l, source AS src, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS group_size
+        |FROM documents GROUP BY lang, source""".stripMargin),
+    dialect("d03_dedup_minhash_lsh", minhashSql),
+    dialect("d04_dedup_simhash", simhashSql),
+    dialect("d05_dedup_simhash_pairs", simhashPairsSql),
+    dialect("d06_dedup_ngram_jaccard", ngramJaccardSql),
+    dialect("t01_text_langid", langidSql),
+    dialect("t02_text_quality", qualitySql),
+    dialect("t03_text_tokencount", tokenCountSql),
+    dialect("t04_text_fingerprint", fingerprintSql),
+    dialect("v01_knn_brute", knnBruteSql),
+    dialect("v02_knn_sign_lsh", knnSignLshSql),
+    dialect("m01_multimodal_meta", multimodalSql)
+  )
+}
