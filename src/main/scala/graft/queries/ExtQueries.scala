@@ -179,23 +179,35 @@ object ExtQueries {
        |FROM s a JOIN s b ON a.doc_id < b.doc_id
        |WHERE bit_count(${d.xor("a.simhash", "b.simhash")}) <= 3""".stripMargin
 
-  /** Character 5-gram Jaccard near-dup with (lang, |len diff|<=50)
-    * blocking — the brute-force baseline the LSH variants approximate.
+  /** Character 5-gram Jaccard near-dup via an inverted gram index with
+    * document-frequency pruning: candidate pairs come from co-occurrence
+    * on *rare* grams (df in [2, 20]) — a shuffle join on the gram key —
+    * and exact Jaccard is computed only on candidates. This is the
+    * 100 TB shape: no all-pairs product anywhere; the df cap bounds the
+    * per-gram pair fan-out at C(20,2).
     */
   private def ngramJaccardSql(d: Dial): String = {
     val grams = d match {
       case SparkD => "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"
       case DuckD  => "list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))"
     }
-    s"""WITH g AS (SELECT doc_id, lang, n_chars,
+    val fromEx = d match {
+      case SparkD => s"FROM g ${d.explode("gset", "gr")}"
+      case DuckD  => s"FROM g ${d.explode("gset", "gr")}"
+    }
+    s"""WITH g AS (SELECT doc_id,
        |    ${d.distinct(d.transform(grams, "s", d.polyhash("s")))} AS gset
        |  FROM documents WHERE length(text) >= 5),
-       |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
-       |    CAST(${d.size(d.intersect("a.gset", "b.gset"))} AS DOUBLE) /
-       |    ${d.size(d.distinct(d.concatArr("a.gset", "b.gset")))} AS jaccard
-       |  FROM g a JOIN g b
-       |    ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |   AND abs(a.n_chars - b.n_chars) <= 50)
+       |ex AS (SELECT doc_id, gr $fromEx),
+       |df AS (SELECT gr, COUNT(*) AS df FROM ex GROUP BY gr),
+       |rare AS (SELECT ex.doc_id, ex.gr FROM ex JOIN df ON ex.gr = df.gr
+       |         WHERE df.df BETWEEN 2 AND 20),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |         FROM rare a JOIN rare b ON a.gr = b.gr AND a.doc_id < b.doc_id),
+       |p AS (SELECT i, j,
+       |    CAST(${d.size(d.intersect("x.gset", "y.gset"))} AS DOUBLE) /
+       |    ${d.size(d.distinct(d.concatArr("x.gset", "y.gset")))} AS jaccard
+       |  FROM cand JOIN g x ON x.doc_id = i JOIN g y ON y.doc_id = j)
        |SELECT i, j, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin
   }
 
