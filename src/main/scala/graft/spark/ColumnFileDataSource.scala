@@ -70,7 +70,7 @@ object ColumnFileDataSource {
     * storage truth: cells are byte strings, reference columnfile.h:63).
     */
   def inferSchema(conf: Configuration, paths: Seq[String]): StructType = {
-    val sidecar = paths.iterator.flatMap { p =>
+    val sidecars = paths.flatMap { p =>
       val dir = new Path(p)
       val fs = dir.getFileSystem(conf)
       val candidate =
@@ -82,11 +82,26 @@ object ColumnFileDataSource {
         try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
         finally in.close()
       } else None
-    }.toSeq.headOption
-    sidecar match {
-      case Some(json) =>
-        org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
-      case None =>
+    }.distinct.map(json =>
+      org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType])
+    sidecars match {
+      case Seq(one) => one
+      case many if many.nonEmpty =>
+        // Multi-path read: merge sidecars field-by-field. Fields must
+        // agree on name+type; a field nullable in ANY input is nullable
+        // in the merged view (a non-nullable merged schema over a file
+        // holding NULLs would read garbage).
+        many.reduce { (a, b) =>
+          if (a.fields.map(f => (f.name, f.dataType)).toSeq !=
+              b.fields.map(f => (f.name, f.dataType)).toSeq)
+            throw new IllegalArgumentException(
+              s"columnfile: mismatched schemas across paths: " +
+                s"${a.catalogString} vs ${b.catalogString}")
+          StructType(a.fields.zip(b.fields).map { case (fa, fb) =>
+            fa.copy(nullable = fa.nullable || fb.nullable)
+          })
+        }
+      case _ =>
         val files = listDataFiles(conf, paths)
         if (files.isEmpty)
           throw new IllegalArgumentException(

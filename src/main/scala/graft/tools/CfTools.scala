@@ -1,0 +1,129 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-native ports of the reference CLI tools.
+  *
+  * The reference implements these as single-process C++ programs; here
+  * each is a DataFrame program, so the same invocation scales from one
+  * file to a cluster (scan parallelism = chunks, sort = SortExec with
+  * spilling — the reference's run-generation + k-way merge is exactly
+  * what Tungsten's UnsafeExternalSorter does under `orderBy`).
+  */
+object CfTools {
+
+  /** columnfile-cat (reference: tools/columnfile-cat.cc): scan -> AND of
+    * per-column contains-filters -> projection -> TSV or columnfile out.
+    *
+    * @param filters  (column, pattern): keep rows where column's string
+    *                 form contains pattern (cat's `--filter COL:PATTERN`,
+    *                 columnfile-cat.cc:244-264)
+    * @param select   column subset in output order (cat's `--format`)
+    * @param compression output codec when writing columnfile
+    *                 (cat's `--compression`, recompression path)
+    */
+  def cat(
+      spark: SparkSession,
+      inputs: Seq[String],
+      filters: Seq[(String, String)] = Nil,
+      select: Seq[String] = Nil,
+      inputFormat: String = "columnfile"): DataFrame = {
+    var df = spark.read.format(inputFormat).load(inputs: _*)
+    filters.foreach { case (c, pattern) =>
+      df = df.filter(col(c).cast("string").contains(pattern))
+    }
+    if (select.nonEmpty) df = df.select(select.map(col): _*)
+    df
+  }
+
+  /** Write a cat result as TSV (cat's text output path) or columnfile
+    * (recompress/concat path).
+    */
+  def writeCat(df: DataFrame, output: String, outputFormat: String,
+               compression: String = "lz4"): Unit = outputFormat match {
+    case "text" | "tsv" =>
+      df.write.mode("overwrite")
+        .option("sep", "\t").option("header", "false").csv(output)
+    case "columnfile" =>
+      df.write.mode("overwrite").format("columnfile")
+        .option("compression", compression).save(output)
+    case other =>
+      throw new IllegalArgumentException(s"unknown output format: $other")
+  }
+
+  /** columnfile-sort (reference: tools/columnfile-sort.cc): whole-row
+    * lexicographic sort, NULLS FIRST (std::optional `<` puts nullopt
+    * before any value — columnfile-sort.cc:112). With no keys given,
+    * sorts by all columns in index order, matching the reference's
+    * column-0-then-column-1 row comparison. Multiple inputs are merged
+    * (the `--merge` mode) because the scan unions them before the sort.
+    */
+  def sort(
+      spark: SparkSession,
+      inputs: Seq[String],
+      keys: Seq[String] = Nil,
+      inputFormat: String = "columnfile"): DataFrame = {
+    val df = spark.read.format(inputFormat).load(inputs: _*)
+    val sortCols: Seq[Column] =
+      (if (keys.nonEmpty) keys else df.columns.toSeq).map(col(_).asc_nulls_first)
+    df.orderBy(sortCols: _*)
+  }
+
+  def writeSorted(df: DataFrame, output: String, compression: String = "lz4"): Unit =
+    df.write.mode("overwrite").format("columnfile")
+      .option("compression", compression)
+      // reference sort uses 128 MiB chunks (columnfile-sort.cc:34)
+      .option("targetChunkBytes", (128L * 1024 * 1024).toString)
+      .save(output)
+
+  /** CLI: cat [--filter C:P]... [--select a,b] [--compression c]
+    *          [--output-format text|columnfile] --output DIR INPUT...
+    *      sort [--keys a,b] [--compression c] --output DIR INPUT...
+    */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toList) finally spark.stop()
+  }
+
+  private def run(spark: SparkSession, args: List[String]): Unit = args match {
+    case "cat" :: rest =>
+      val (opts, inputs) = parse(rest)
+      val df = cat(spark, inputs,
+        filters = opts.collect { case ("filter", v) =>
+          val Array(c, p) = v.split(":", 2); (c, p) },
+        select = opts.collect { case ("select", v) => v.split(",").toSeq }.flatten)
+      writeCat(df,
+        opts.collectFirst { case ("output", v) => v }
+          .getOrElse(throw new IllegalArgumentException("--output required")),
+        opts.collectFirst { case ("output-format", v) => v }.getOrElse("columnfile"),
+        opts.collectFirst { case ("compression", v) => v }.getOrElse("lz4"))
+    case "sort" :: rest =>
+      val (opts, inputs) = parse(rest)
+      val df = sort(spark, inputs,
+        keys = opts.collect { case ("keys", v) => v.split(",").toSeq }.flatten)
+      writeSorted(df,
+        opts.collectFirst { case ("output", v) => v }
+          .getOrElse(throw new IllegalArgumentException("--output required")),
+        opts.collectFirst { case ("compression", v) => v }.getOrElse("lz4"))
+    case other =>
+      throw new IllegalArgumentException(s"usage: cat|sort ... (got $other)")
+  }
+
+  private def parse(args: List[String]): (List[(String, String)], List[String]) =
+    args match {
+      case opt :: value :: rest if opt.startsWith("--") =>
+        val (o, i) = parse(rest)
+        ((opt.stripPrefix("--"), value) :: o, i)
+      case path :: rest =>
+        val (o, i) = parse(rest)
+        (o, path :: i)
+      case Nil => (Nil, Nil)
+    }
+}

@@ -1,0 +1,99 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.MultimodalOps
+
+class ToolsAndMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("tools-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmp(): String = Files.createTempDirectory("cf-tools").toString
+
+  test("cfCat: filter + select + recompress parity") {
+    val sp = spark; import sp.implicits._
+    val src = tmp()
+    (0 until 100).map(i => (i.toLong, s"name_$i", i % 7))
+      .toDF("id", "name", "grp")
+      .write.format("columnfile").mode("overwrite").save(src)
+
+    val out = CfTools.cat(spark, Seq(src),
+      filters = Seq(("name", "name_1")), select = Seq("id", "name"))
+    val got = out.collect().map(_.getLong(0)).sorted
+    val want = (0 until 100).filter(i => s"name_$i".contains("name_1")).map(_.toLong)
+    assert(got.toSeq == want)
+
+    // recompress to zlib and read back
+    val dst = tmp()
+    CfTools.writeCat(out, dst, "columnfile", "zlib")
+    assert(spark.read.format("columnfile").load(dst).count() == want.size)
+
+    // tsv output path
+    val tsvDir = tmp()
+    CfTools.writeCat(out, tsvDir, "tsv")
+    val lines = spark.read.option("sep", "\t").csv(tsvDir).count()
+    assert(lines == want.size)
+  }
+
+  test("cfSort: whole-row sort, NULLS FIRST, multi-input merge") {
+    val sp = spark; import sp.implicits._
+    val a = tmp(); val b = tmp()
+    Seq((3L, "c"), (1L, "a")).toDF("k", "v")
+      .write.format("columnfile").mode("overwrite").save(a)
+    sp.sql("SELECT CAST(NULL AS BIGINT) AS k, 'n' AS v UNION ALL SELECT 2, 'b'")
+      .write.format("columnfile").mode("overwrite").save(b)
+
+    val sorted = CfTools.sort(spark, Seq(a, b))
+    val got = sorted.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((-1L, "n"), (1L, "a"), (2L, "b"), (3L, "c")))
+
+    val out = tmp()
+    CfTools.writeSorted(sorted, out)
+    assert(spark.read.format("columnfile").load(out).count() == 4)
+  }
+
+  test("multimodal: stub decode adds typed meta, deterministic") {
+    val sp = spark; import sp.implicits._
+    val df = sp.sql(
+      "SELECT id, CAST(concat('payload_', id) AS BINARY) AS payload FROM range(50)")
+    val dec = MultimodalOps.decode(df, "payload")
+    assert(dec.schema.fieldNames.contains("meta"))
+    val rows = dec.select("id", "meta.width", "meta.height", "meta.modality", "meta.ok")
+      .collect()
+    assert(rows.length == 50 && rows.forall(_.getBoolean(4)))
+    // deterministic: same input -> same meta
+    val again = MultimodalOps.decode(df, "payload")
+      .select("id", "meta.width").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getInt(1)))
+  }
+
+  test("multimodal: frame sampling and resize stubs") {
+    val sp = spark
+    val df = sp.sql(
+      "SELECT id, CAST(repeat('x', 100) AS BINARY) AS payload FROM range(5)")
+    val frames = MultimodalOps.frameSample(df, "payload", 4)
+      .select(size(col("frames"))).collect()
+    assert(frames.forall(_.getInt(0) == 4))
+    val resized = MultimodalOps.resize(df, "payload", 10)
+      .select(octet_length(col("payload_resized"))).collect()
+    assert(resized.forall(_.getInt(0) == 10))
+  }
+}
