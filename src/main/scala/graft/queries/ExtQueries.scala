@@ -315,6 +315,25 @@ object ExtQueries {
        |WHERE rn <= 5""".stripMargin
   }
 
+  /** Embedding-cosine near-dup: candidate pairs from sign-LSH buckets
+    * (shuffle on the bucket key — no all-pairs product), exact cosine on
+    * candidates only. Threshold tuned to this corpus (no planted
+    * near-identical vectors; max pairwise cosine ~0.51).
+    */
+  private def embeddingDedupSql(d: Dial): String = {
+    val bucket = (0 until 8).map { i =>
+      s"(CASE WHEN ${d.at("embedding", i)} > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val cos =
+      s"""${d.dot("a.embedding", "b.embedding")} /
+         |    (sqrt(${d.dot("a.embedding", "a.embedding")}) * sqrt(${d.dot("b.embedding", "b.embedding")}))""".stripMargin
+    s"""WITH b AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |c AS (SELECT a.vec_id AS i, b.vec_id AS j, $cos AS cos
+       |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT i, j, cos FROM c WHERE cos >= 0.5""".stripMargin
+  }
+
   // ---------------------------------------------------------------- multimodal
 
   /** Multimodal columns: opaque binary payload + typed metadata, with a
@@ -349,12 +368,45 @@ object ExtQueries {
     dialect("d04_dedup_simhash", simhashSql),
     dialect("d05_dedup_simhash_pairs", simhashPairsSql),
     dialect("d06_dedup_ngram_jaccard", ngramJaccardSql),
+    dialect("d07_dedup_embedding_cosine", embeddingDedupSql),
     dialect("t01_text_langid", langidSql),
     dialect("t02_text_quality", qualitySql),
     dialect("t03_text_tokencount", tokenCountSql),
     dialect("t04_text_fingerprint", fingerprintSql),
     dialect("v01_knn_brute", knnBruteSql),
     dialect("v02_knn_sign_lsh", knnSignLshSql),
+    ivfAssign,
     dialect("m01_multimodal_meta", multimodalSql)
   )
+
+  /** IVF-style coarse quantization (rows-only check: float centroid sums
+    * are reduction-order-dependent, so no cross-engine oracle): centroids
+    * from the label partitions, each vector assigned to its
+    * nearest-by-cosine centroid, output = label x assigned confusion
+    * counts. The 100 TB shape: centroids are a tiny broadcast table; the
+    * scan-side cost is one pass over the vectors.
+    */
+  private def ivfAssign: Q = Q.rowsOnly("v03_knn_ivf_assign", (spark, dir) => {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.t(spark, dir, "embeddings")
+    val dims = emb.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+    val centroids = dims.groupBy("label", "pos")
+      .agg(avg("x").as("cx"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s("cx")).as("centroid"))
+      .withColumnRenamed("label", "clabel")
+    val dot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val scored = emb.crossJoin(broadcast(centroids))
+      .withColumn("cos",
+        dot("embedding", "centroid") /
+          (sqrt(dot("embedding", "embedding")) * sqrt(dot("centroid", "centroid"))))
+    scored.groupBy("vec_id", "label")
+      .agg(max(struct(col("cos"), col("clabel"))).as("best"))
+      .select(col("label"), col("best.clabel").as("assigned"))
+      .groupBy("label", "assigned").count()
+      .orderBy("label", "assigned")
+  })
 }

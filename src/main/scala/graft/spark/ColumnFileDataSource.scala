@@ -65,11 +65,40 @@ object ColumnFileDataSource {
       else Seq(fs.getFileStatus(path))
     }.sortBy(_.getPath.toString)
 
-  /** Schema resolution: sidecar JSON if present, else untyped binary
-    * columns c0..cN discovered from the first file's first chunk (the
-    * storage truth: cells are byte strings, reference columnfile.h:63).
+  /** Typed view from the reference cat tool's per-column format chars
+    * ("Based on Python's 'struct' module format characters",
+    * tools/columnfile-cat.cc:296-319): each char types one positional
+    * column; '_' keeps the column untyped binary. Takes precedence over
+    * any sidecar — the caller-declared view always wins, like `--format`.
     */
-  def inferSchema(conf: Configuration, paths: Seq[String]): StructType = {
+  def schemaFromFormatChars(chars: String): StructType = {
+    import org.apache.spark.sql.types._
+    val fields = chars.trim.zipWithIndex.map { case (c, i) =>
+      val dt: DataType = c match {
+        case 'h' | 'H' => ShortType
+        case 'i' | 'I' => IntegerType
+        case 'q' | 'Q' => LongType
+        case 'f'       => FloatType
+        case 'd'       => DoubleType
+        case 's'       => StringType
+        case 'x' | '_' => BinaryType
+        case other =>
+          throw new IllegalArgumentException(
+            s"columnfile: unknown format char '$other'")
+      }
+      StructField(s"c$i", dt, nullable = true)
+    }
+    StructType(fields)
+  }
+
+  /** Schema resolution: `formatChars` option first, then sidecar JSON,
+    * else untyped binary columns c0..cN discovered from the first file's
+    * chunk headers (the storage truth: cells are byte strings, reference
+    * columnfile.h:63).
+    */
+  def inferSchema(conf: Configuration, paths: Seq[String],
+                  formatChars: Option[String] = None): StructType = {
+    formatChars.foreach(fc => return schemaFromFormatChars(fc))
     val sidecars = paths.flatMap { p =>
       val dir = new Path(p)
       val fs = dir.getFileSystem(conf)
@@ -130,7 +159,8 @@ class ColumnFileDataSource extends TableProvider with DataSourceRegister {
     SparkSession.active.sessionState.newHadoopConf()
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ColumnFileDataSource.inferSchema(hadoopConf(), resolvePaths(options))
+    ColumnFileDataSource.inferSchema(hadoopConf(), resolvePaths(options),
+      Option(options.get("formatChars")))
 
   override def getTable(
       schema: StructType,

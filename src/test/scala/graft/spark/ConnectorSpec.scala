@@ -146,6 +146,22 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.agg(sum("id")).head.getLong(0) == (0 until 1000).sum.toLong)
   }
 
+  test("formatChars option types positional columns (cat --format parity)") {
+    val sp = spark; import sp.implicits._
+    val df = (0 until 20).map(i => (i.toLong, s"fmt_$i", i * 0.25)).toDF("a", "b", "c")
+    val dir = tmpDir()
+    df.write.format("columnfile").mode("overwrite").save(dir)
+    new java.io.File(dir, "_schema.json").delete()
+    val back = spark.read.format("columnfile").option("formatChars", "qsd").load(dir)
+    assert(back.schema.map(_.dataType) == Seq(LongType, StringType, DoubleType))
+    val rows = back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.sortBy(_._1).toSeq ==
+      (0 until 20).map(i => (i.toLong, s"fmt_$i", i * 0.25)))
+    // '_' keeps a column binary
+    val part = spark.read.format("columnfile").option("formatChars", "q_d").load(dir)
+    assert(part.schema.map(_.dataType) == Seq(LongType, BinaryType, DoubleType))
+  }
+
   test("untyped fallback: no sidecar yields binary c0..cN columns") {
     val sp = spark; import sp.implicits._
     val df = (0 until 10).map(i => (i, s"u$i")).toDF("id", "v")
