@@ -321,17 +321,25 @@ object ExtQueries {
     * near-identical vectors; max pairwise cosine ~0.51).
     */
   private def embeddingDedupSql(d: Dial): String = {
-    val bucket = (0 until 8).map { i =>
-      s"(CASE WHEN ${d.at("embedding", i)} > 0 THEN ${1 << i} ELSE 0 END)"
+    def bucket(off: Int) = (0 until 8).map { i =>
+      s"(CASE WHEN ${d.at("embedding", off + i)} > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
+    // 4 hash tables over disjoint dimension groups (multi-probe recall).
+    val probes = (0 until 4).map { t =>
+      s"SELECT vec_id, $t AS tbl, CAST(${bucket(8 * t)} AS BIGINT) AS bk FROM embeddings"
+    }.mkString("\n  UNION ALL ")
     val cos =
-      s"""${d.dot("a.embedding", "b.embedding")} /
-         |    (sqrt(${d.dot("a.embedding", "a.embedding")}) * sqrt(${d.dot("b.embedding", "b.embedding")}))""".stripMargin
-    s"""WITH b AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
-       |  FROM embeddings),
-       |c AS (SELECT a.vec_id AS i, b.vec_id AS j, $cos AS cos
-       |  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-       |SELECT i, j, cos FROM c WHERE cos >= 0.5""".stripMargin
+      s"""${d.dot("x.embedding", "y.embedding")} /
+         |    (sqrt(${d.dot("x.embedding", "x.embedding")}) * sqrt(${d.dot("y.embedding", "y.embedding")}))""".stripMargin
+    s"""WITH ex AS (
+       |  $probes),
+       |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       |         FROM ex a JOIN ex b ON a.tbl = b.tbl AND a.bk = b.bk
+       |          AND a.vec_id < b.vec_id),
+       |c AS (SELECT i, j, $cos AS cos
+       |  FROM cand JOIN embeddings x ON x.vec_id = i
+       |            JOIN embeddings y ON y.vec_id = j)
+       |SELECT i, j, cos FROM c WHERE cos >= 0.4""".stripMargin
   }
 
   // ---------------------------------------------------------------- multimodal
