@@ -1,0 +1,402 @@
+package graft.spark
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-chunk min/max/null-count statistics.
+  *
+  * The reference format has no footer or index, so its chunk skipping is
+  * evaluate-then-skip (decode the filter columns, drop the chunk if no
+  * row matches — src/columnfile-select.cc:90-176). This sidecar index is
+  * the scale extension SURVEY.md §4 calls out: Parquet-row-group-style
+  * min/max pruning, evaluated on the DRIVER during partition planning, so
+  * provably-empty chunks never even become task work. At 100 TB with a
+  * selective predicate over sorted data this is the difference between
+  * scheduling a handful of tasks and scheduling tens of thousands.
+  *
+  * Values are normalized to three total orders: integer family (ints,
+  * date days, timestamp micros, booleans) as Long, float family as
+  * Double, strings as String. Binary/nested columns carry no stats.
+  */
+object ChunkStatsIndex {
+
+  val Suffix = ".stats.json"
+
+  /** One column's accumulated stats within one chunk. */
+  final class ColAcc(val dataType: DataType) {
+    var nulls: Long = 0L
+    var loL: Long = Long.MaxValue
+    var hiL: Long = Long.MinValue
+    var loD: Double = Double.PositiveInfinity
+    var hiD: Double = Double.NegativeInfinity
+    var loS: String = null
+    var hiS: String = null
+    var seen: Boolean = false
+  }
+
+  sealed trait Range
+  final case class LongRange(lo: Long, hi: Long) extends Range
+  final case class DoubleRange(lo: Double, hi: Double) extends Range
+  final case class StringRange(lo: String, hi: String) extends Range
+
+  /** (rows, per-leaf (range, nulls)); leaves keyed by flatten() ordinal. */
+  final case class ChunkStats(rows: Long, cols: Map[Int, (Option[Range], Long)])
+    extends Serializable
+
+  /** Which leaf types carry stats, and the normalized family. */
+  private def family(dt: DataType): Option[Char] = dt match {
+    case IntegerType | LongType | ShortType | ByteType | DateType |
+         TimestampType | TimestampNTZType | BooleanType => Some('l')
+    case DoubleType | FloatType => Some('d')
+    case StringType => Some('s')
+    case _ => None
+  }
+
+  /** Accumulator for one chunk across all leaves of the write schema. */
+  final class Collector(leaves: IndexedSeq[CellCodec.Leaf]) {
+    private var rows = 0L
+    private var accs: Array[ColAcc] =
+      leaves.map(l => new ColAcc(l.dataType)).toArray
+
+    def observe(cells: Array[Array[Byte]]): Unit = {
+      rows += 1
+      var i = 0
+      while (i < cells.length) {
+        val acc = accs(i)
+        val cell = cells(i)
+        if (cell == null) acc.nulls += 1
+        else family(acc.dataType).foreach { fam =>
+          acc.seen = true
+          fam match {
+            case 'l' =>
+              val v = acc.dataType match {
+                case LongType | TimestampType | TimestampNTZType =>
+                  CellCodec.decode(acc.dataType, cell).asInstanceOf[Long]
+                case IntegerType | DateType =>
+                  CellCodec.decode(acc.dataType, cell).asInstanceOf[Int].toLong
+                case ShortType =>
+                  CellCodec.decode(acc.dataType, cell).asInstanceOf[Short].toLong
+                case ByteType =>
+                  CellCodec.decode(acc.dataType, cell).asInstanceOf[Byte].toLong
+                case BooleanType =>
+                  if (CellCodec.decode(acc.dataType, cell).asInstanceOf[Boolean]) 1L else 0L
+                case _ => 0L
+              }
+              if (v < acc.loL) acc.loL = v
+              if (v > acc.hiL) acc.hiL = v
+            case 'd' =>
+              val v = acc.dataType match {
+                case DoubleType => CellCodec.decode(acc.dataType, cell).asInstanceOf[Double]
+                case FloatType  => CellCodec.decode(acc.dataType, cell).asInstanceOf[Float].toDouble
+                case _          => 0.0
+              }
+              if (v < acc.loD) acc.loD = v
+              if (v > acc.hiD) acc.hiD = v
+            case 's' =>
+              val v = UTF8String.fromBytes(cell).toString
+              if (acc.loS == null || v < acc.loS) acc.loS = v
+              if (acc.hiS == null || v > acc.hiS) acc.hiS = v
+          }
+        }
+        i += 1
+      }
+    }
+
+    /** Snapshot the current chunk's stats and reset for the next chunk. */
+    def finishChunk(): ChunkStats = {
+      val cols = accs.zipWithIndex.flatMap { case (a, i) =>
+        if (!a.seen && a.nulls == 0) None
+        else {
+          val range: Option[Range] =
+            if (!a.seen) None
+            else family(a.dataType).map {
+              case 'l' => LongRange(a.loL, a.hiL)
+              case 'd' => DoubleRange(a.loD, a.hiD)
+              case 's' => StringRange(a.loS, a.hiS)
+            }
+          Some(i -> (range, a.nulls))
+        }
+      }.toMap
+      val out = ChunkStats(rows, cols)
+      rows = 0L
+      accs = accs.map(a => new ColAcc(a.dataType))
+      out
+    }
+
+    def hasRows: Boolean = rows > 0
+  }
+
+  // ---- JSON (hand-rolled: flat, typed, no deps beyond stdlib) ----
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case '\r' => "\\r"; case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  def toJson(chunks: Seq[ChunkStats]): String =
+    chunks.map { c =>
+      val cols = c.cols.toSeq.sortBy(_._1).map { case (i, (r, nulls)) =>
+        val range = r match {
+          case Some(LongRange(lo, hi))   => s""""t":"l","lo":$lo,"hi":$hi"""
+          case Some(DoubleRange(lo, hi)) =>
+            if (lo.isInfinite || hi.isInfinite || lo.isNaN || hi.isNaN) """"t":"n""""
+            else s""""t":"d","lo":$lo,"hi":$hi"""
+          case Some(StringRange(lo, hi)) =>
+            s""""t":"s","lo":"${esc(lo)}","hi":"${esc(hi)}""""
+          case None => """"t":"n""""
+        }
+        s""""$i":{$range,"nulls":${nulls}}"""
+      }.mkString("{", ",", "}")
+      s"""{"rows":${c.rows},"cols":$cols}"""
+    }.mkString("[", ",", "]")
+
+  /** Tiny recursive-descent parser for exactly the JSON toJson emits. */
+  def fromJson(s: String): Seq[ChunkStats] = {
+    val p = new P(s)
+    p.ws(); p.expect('[')
+    val out = mutable.ArrayBuffer.empty[ChunkStats]
+    p.ws()
+    if (p.peek != ']') {
+      var more = true
+      while (more) {
+        out += parseChunk(p)
+        p.ws()
+        if (p.peek == ',') { p.next(); () } else more = false
+      }
+    }
+    p.expect(']')
+    out.toSeq
+  }
+
+  private def parseChunk(p: P): ChunkStats = {
+    p.ws(); p.expect('{')
+    var rows = 0L
+    var cols = Map.empty[Int, (Option[Range], Long)]
+    var more = true
+    while (more) {
+      p.ws()
+      val key = p.string()
+      p.ws(); p.expect(':')
+      key match {
+        case "rows" => rows = p.long()
+        case "cols" =>
+          p.ws(); p.expect('{'); p.ws()
+          if (p.peek != '}') {
+            var m2 = true
+            while (m2) {
+              p.ws()
+              val idx = p.string().toInt
+              p.ws(); p.expect(':')
+              cols += idx -> parseCol(p)
+              p.ws()
+              if (p.peek == ',') { p.next(); () } else m2 = false
+            }
+          }
+          p.expect('}')
+        case _ => throw new IllegalArgumentException(s"stats: unknown key $key")
+      }
+      p.ws()
+      if (p.peek == ',') { p.next(); () } else more = false
+    }
+    p.expect('}')
+    ChunkStats(rows, cols)
+  }
+
+  private def parseCol(p: P): (Option[Range], Long) = {
+    p.ws(); p.expect('{')
+    var t = 'n'; var loL = 0L; var hiL = 0L; var loD = 0.0; var hiD = 0.0
+    var loS = ""; var hiS = ""; var nulls = 0L
+    var loStr = ""; var hiStr = ""
+    var more = true
+    while (more) {
+      p.ws()
+      val key = p.string()
+      p.ws(); p.expect(':')
+      key match {
+        case "t"     => t = p.string().head
+        case "nulls" => nulls = p.long()
+        case "lo" => t match {
+          case 's' => loS = p.string()
+          case _   => loStr = p.numberToken()
+        }
+        case "hi" => t match {
+          case 's' => hiS = p.string()
+          case _   => hiStr = p.numberToken()
+        }
+        case _ => throw new IllegalArgumentException(s"stats: unknown key $key")
+      }
+      p.ws()
+      if (p.peek == ',') { p.next(); () } else more = false
+    }
+    p.expect('}')
+    val range = t match {
+      case 'l' => Some(LongRange(loStr.toLong, hiStr.toLong))
+      case 'd' => Some(DoubleRange(loStr.toDouble, hiStr.toDouble))
+      case 's' => Some(StringRange(loS, hiS))
+      case _   => None
+    }
+    (range, nulls)
+  }
+
+  private final class P(s: String) {
+    private var i = 0
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def peek: Char = if (i < s.length) s.charAt(i) else ' '
+    def next(): Char = { val c = s.charAt(i); i += 1; c }
+    def expect(c: Char): Unit = {
+      ws()
+      if (i >= s.length || s.charAt(i) != c)
+        throw new IllegalArgumentException(s"stats: expected '$c' at $i")
+      i += 1
+    }
+    def string(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s.charAt(i) != '"') {
+        val c = next()
+        if (c == '\\') next() match {
+          case '"' => sb += '"'; case '\\' => sb += '\\'; case 'n' => sb += '\n'
+          case 'r' => sb += '\r'; case 't' => sb += '\t'
+          case 'u' => sb += Integer.parseInt(s.substring(i, i + 4), 16).toChar; i += 4
+          case o   => sb += o
+        } else sb += c
+      }
+      i += 1
+      sb.toString
+    }
+    def numberToken(): String = {
+      ws()
+      val start = i
+      while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+      s.substring(start, i)
+    }
+    def long(): Long = numberToken().toLong
+  }
+
+  // ---- IO ----
+
+  def write(conf: Configuration, dataFile: Path, chunks: Seq[ChunkStats]): Unit = {
+    val fs = dataFile.getFileSystem(conf)
+    val out = fs.create(new Path(dataFile.getParent,
+      "." + dataFile.getName + Suffix), true)
+    try out.write(toJson(chunks).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def read(conf: Configuration, dataFile: Path): Option[Seq[ChunkStats]] = {
+    val fs = dataFile.getFileSystem(conf)
+    val p = new Path(dataFile.getParent, "." + dataFile.getName + Suffix)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(fromJson(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)))
+      catch { case _: Exception => None } // corrupt stats: just don't prune
+      finally in.close()
+    }
+  }
+
+  // ---- pruning ----
+
+  /** Normalize a pushdown literal into the column's stats family. */
+  private def lit(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (_, null) => None
+    case (IntegerType, x: java.lang.Integer) => Some(x.longValue())
+    case (LongType, x: java.lang.Long)       => Some(x.longValue())
+    case (LongType, x: java.lang.Integer)    => Some(x.longValue())
+    case (ShortType, x: java.lang.Short)     => Some(x.longValue())
+    case (ByteType, x: java.lang.Byte)       => Some(x.longValue())
+    case (BooleanType, x: java.lang.Boolean) => Some(if (x) 1L else 0L)
+    case (DateType, x: java.sql.Date)        => Some(DateTimeUtils.fromJavaDate(x).toLong)
+    case (DateType, x: java.time.LocalDate)  => Some(DateTimeUtils.localDateToDays(x).toLong)
+    case (TimestampType, x: java.sql.Timestamp) => Some(DateTimeUtils.fromJavaTimestamp(x))
+    case (TimestampType, x: java.time.Instant)  => Some(DateTimeUtils.instantToMicros(x))
+    case (DoubleType, x: java.lang.Double)   => Some(x.doubleValue())
+    case (FloatType, x: java.lang.Float)     => Some(x.floatValue().toDouble)
+    case (StringType, x: String)             => Some(x)
+    case (StringType, x: UTF8String)         => Some(x.toString)
+    case _ => None
+  }
+
+  private def cmp(range: Range, v: Any): Option[(Int, Int)] = (range, v) match {
+    // returns (sign(lo compare v), sign(hi compare v))
+    case (LongRange(lo, hi), x: Long)     => Some((lo.compare(x), hi.compare(x)))
+    case (DoubleRange(lo, hi), x: Double) => Some((lo.compare(x), hi.compare(x)))
+    case (StringRange(lo, hi), x: String) => Some((lo.compare(x).sign, hi.compare(x).sign))
+    case _ => None
+  }
+
+  /** True iff `filter` provably matches no row of a chunk with `stats`.
+    * Conservative: anything unknown returns false (don't prune).
+    */
+  def provesEmpty(
+      filter: Filter,
+      stats: ChunkStats,
+      leafIndex: Map[String, Int],
+      leafType: Map[String, DataType]): Boolean = {
+
+    def colInfo(attr: String): Option[(Option[Range], Long)] =
+      leafIndex.get(attr).flatMap(stats.cols.get)
+
+    def allNull(attr: String): Boolean =
+      colInfo(attr).exists { case (r, nulls) => r.isEmpty && nulls == stats.rows }
+
+    def rangeCmp(attr: String, v: Any): Option[(Int, Int)] =
+      for {
+        dt <- leafType.get(attr)
+        l <- lit(dt, v)
+        (rOpt, _) <- colInfo(attr)
+        r <- rOpt
+        c <- cmp(r, l)
+      } yield c
+
+    filter match {
+      case And(l, r) =>
+        provesEmpty(l, stats, leafIndex, leafType) ||
+          provesEmpty(r, stats, leafIndex, leafType)
+      case Or(l, r) =>
+        provesEmpty(l, stats, leafIndex, leafType) &&
+          provesEmpty(r, stats, leafIndex, leafType)
+      case EqualTo(a, v) =>
+        allNull(a) || rangeCmp(a, v).exists { case (lo, hi) => lo > 0 || hi < 0 }
+      case EqualNullSafe(a, v) if v != null =>
+        allNull(a) || rangeCmp(a, v).exists { case (lo, hi) => lo > 0 || hi < 0 }
+      case GreaterThan(a, v) =>
+        allNull(a) || rangeCmp(a, v).exists { case (_, hi) => hi <= 0 }
+      case GreaterThanOrEqual(a, v) =>
+        allNull(a) || rangeCmp(a, v).exists { case (_, hi) => hi < 0 }
+      case LessThan(a, v) =>
+        allNull(a) || rangeCmp(a, v).exists { case (lo, _) => lo >= 0 }
+      case LessThanOrEqual(a, v) =>
+        allNull(a) || rangeCmp(a, v).exists { case (lo, _) => lo > 0 }
+      case In(a, vs) =>
+        allNull(a) || (vs.nonEmpty && vs.forall(v =>
+          rangeCmp(a, v).exists { case (lo, hi) => lo > 0 || hi < 0 }))
+      case IsNotNull(a) => allNull(a)
+      case IsNull(a) =>
+        colInfo(a).exists { case (_, nulls) => nulls == 0 } &&
+          leafIndex.contains(a)
+      case StringStartsWith(a, p) =>
+        rangeCmp(a, p).exists { case (lo, _) => lo > 0 } || {
+          // hi < p and hi doesn't start with p => no value can start with p
+          (for {
+            (rOpt, _) <- colInfo(a)
+            r <- rOpt
+          } yield r match {
+            case StringRange(_, hi) => hi < p && !p.startsWith(hi)
+            case _ => false
+          }).getOrElse(false)
+        }
+      case _ => false
+    }
+  }
+}

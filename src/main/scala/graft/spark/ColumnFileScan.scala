@@ -91,13 +91,19 @@ class ColumnFileScan(
 
   /** Driver-side planning: walk chunk headers of every file (headers are a
     * few bytes per column — reading them is cheap and embarrassingly
-    * parallel across files) and pack consecutive chunks into partitions of
-    * ~`maxPartitionBytes`. At 100 TB this yields one task per ~128 MB of
-    * chunk data, the same granularity Spark uses for Parquet row groups.
+    * parallel across files), prune chunks whose min/max stats prove the
+    * pushed filters match nothing (Parquet row-group pruning analog —
+    * see ChunkStatsIndex), and pack surviving consecutive chunks into
+    * partitions of ~`maxPartitionBytes`. At 100 TB this yields one task
+    * per ~128 MB of *surviving* chunk data; a selective predicate over
+    * sorted data schedules a handful of tasks instead of thousands.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val maxBytes = Option(options.get("maxPartitionBytes"))
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val leaves = CellCodec.flatten(tableSchema)
+    val leafIndex = leaves.zipWithIndex.map { case (l, i) => (l.name, i) }.toMap
+    val leafType = leaves.map(l => (l.name, l.dataType)).toMap
     val files = ColumnFileDataSource.listDataFiles(conf, paths)
     val parts = mutable.ArrayBuffer.empty[InputPartition]
     files.foreach { st =>
@@ -105,16 +111,25 @@ class ColumnFileScan(
       val in = new HadoopSeekableInput(fs, st.getPath, st.getLen)
       try {
         val chunks = ColumnFileReader.scanChunks(in)
+        // stats align with chunks by ordinal; size mismatch => no pruning
+        val stats: Option[Seq[ChunkStatsIndex.ChunkStats]] =
+          if (filters.isEmpty) None
+          else ChunkStatsIndex.read(conf, st.getPath)
+            .filter(_.length == chunks.length)
         var acc = mutable.ArrayBuffer.empty[Long]
         var accBytes = 0L
-        chunks.foreach { c =>
-          if (acc.nonEmpty && accBytes + c.dataSize > maxBytes) {
-            parts += ColumnFilePartition(st.getPath.toString, st.getLen, acc.toArray)
-            acc = mutable.ArrayBuffer.empty[Long]
-            accBytes = 0L
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          val pruned = stats.exists(ss => filters.exists(f =>
+            ChunkStatsIndex.provesEmpty(f, ss(i), leafIndex, leafType)))
+          if (!pruned) {
+            if (acc.nonEmpty && accBytes + c.dataSize > maxBytes) {
+              parts += ColumnFilePartition(st.getPath.toString, st.getLen, acc.toArray)
+              acc = mutable.ArrayBuffer.empty[Long]
+              accBytes = 0L
+            }
+            acc += c.headerOffset
+            accBytes += c.dataSize
           }
-          acc += c.headerOffset
-          accBytes += c.dataSize
         }
         if (acc.nonEmpty)
           parts += ColumnFilePartition(st.getPath.toString, st.getLen, acc.toArray)

@@ -111,6 +111,9 @@ class ColumnFileDataWriter(
   private val fs = file.getFileSystem(conf)
   private val stream = fs.create(file, true)
   private val writer = new ColumnFileWriter(stream, compression)
+  private val stats = new ChunkStatsIndex.Collector(leaves)
+  private val chunkStats = scala.collection.mutable.ArrayBuffer
+    .empty[ChunkStatsIndex.ChunkStats]
 
   override def write(row: InternalRow): Unit = {
     val cells = CellCodec.shred(schema, leaves, row)
@@ -119,12 +122,18 @@ class ColumnFileDataWriter(
       if (cells(i) == null) writer.putNull(i) else writer.put(i, cells(i))
       i += 1
     }
-    if (writer.pendingSize >= targetChunkBytes) writer.flush()
+    stats.observe(cells)
+    if (writer.pendingSize >= targetChunkBytes) {
+      writer.flush()
+      chunkStats += stats.finishChunk()
+    }
   }
 
   override def commit(): WriterCommitMessage = {
     writer.finish()
     stream.close()
+    if (stats.hasRows) chunkStats += stats.finishChunk()
+    ChunkStatsIndex.write(conf, file, chunkStats.toSeq)
     ColumnFileCommitMessage(file.toString)
   }
 

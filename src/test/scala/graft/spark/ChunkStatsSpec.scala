@@ -1,0 +1,99 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("chunk-stats-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  import ChunkStatsIndex._
+
+  test("stats JSON round-trip") {
+    val chunks = Seq(
+      ChunkStats(100, Map(
+        0 -> (Some(LongRange(-5, 99)), 3L),
+        1 -> (Some(StringRange("a\"b", "z\nx")), 0L),
+        2 -> (Some(DoubleRange(0.25, 1e9)), 10L),
+        3 -> (None, 100L))),
+      ChunkStats(1, Map.empty))
+    assert(fromJson(toJson(chunks)) == chunks)
+  }
+
+  test("provesEmpty: range, null, and In pruning") {
+    val leafIndex = Map("id" -> 0, "name" -> 1)
+    val leafType: Map[String, DataType] = Map("id" -> LongType, "name" -> StringType)
+    val s = ChunkStats(50, Map(
+      0 -> (Some(LongRange(100, 200)), 0L),
+      1 -> (Some(StringRange("alpha", "beta")), 0L)))
+    def empty(f: Filter) = provesEmpty(f, s, leafIndex, leafType)
+
+    assert(empty(EqualTo("id", 99L)))
+    assert(!empty(EqualTo("id", 150L)))
+    assert(empty(GreaterThan("id", 200L)))
+    assert(!empty(GreaterThan("id", 199L)))
+    assert(empty(GreaterThanOrEqual("id", 201L)))
+    assert(empty(LessThan("id", 100L)))
+    assert(!empty(LessThanOrEqual("id", 100L)))
+    assert(empty(In("id", Array(1L, 2L, 300L))))
+    assert(!empty(In("id", Array(1L, 150L))))
+    assert(empty(IsNull("id")))
+    assert(!empty(IsNotNull("id")))
+    assert(empty(And(EqualTo("id", 150L), EqualTo("name", "zzz"))))
+    assert(empty(Or(EqualTo("id", 99L), EqualTo("name", "zzz"))))
+    assert(!empty(Or(EqualTo("id", 99L), EqualTo("name", "beta"))))
+    assert(empty(StringStartsWith("name", "c")))
+    assert(!empty(StringStartsWith("name", "be")))
+
+    val allNull = ChunkStats(50, Map(0 -> (None, 50L)))
+    assert(provesEmpty(IsNotNull("id"), allNull, leafIndex, leafType))
+    assert(provesEmpty(EqualTo("id", 1L), allNull, leafIndex, leafType))
+  }
+
+  test("driver-side chunk pruning: selective filter plans fewer partitions") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-stats").toString
+    (0 until 20000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("columnfile").option("targetChunkBytes", "8192")
+      .mode("overwrite").save(dir)
+    // stats sidecar exists
+    val f = new java.io.File(dir)
+    assert(f.listFiles().exists(_.getName.endsWith(ChunkStatsIndex.Suffix)))
+
+    // one partition per chunk so the partition count shows pruning
+    def scan(cond: org.apache.spark.sql.Column) =
+      spark.read.format("columnfile").option("maxPartitionBytes", "1").load(dir)
+        .filter(cond)
+
+    val all = scan(col("id") >= 0)
+    val few = scan(col("id") >= 19900)
+    val allParts = all.rdd.getNumPartitions
+    val fewParts = few.rdd.getNumPartitions
+    assert(allParts > 10, s"expected many chunks, got $allParts")
+    assert(fewParts < allParts / 5,
+      s"pruning ineffective: $fewParts of $allParts partitions remain")
+    // correctness unaffected
+    assert(few.collect().map(_.getLong(0)).sorted.toSeq ==
+      (19900L until 20000L))
+    assert(scan(col("v") === "v12345").count() == 1)
+  }
+}
