@@ -166,6 +166,25 @@ object CoreQueries {
         |  FROM events) x
         |GROUP BY user_id""".stripMargin),
 
+    // As-of join (composed from window functions, SURVEY §2.2 extension):
+    // for each event, the timestamp of the user's most recent *prior*
+    // 'purchase' event. Monotone ORDER BY makes MAX == most recent, so
+    // the whole as-of semantics stays inside one window pass — no
+    // self-join, no shuffle beyond the window's partitioning.
+    Q.dialect("q19_asof_prior_purchase",
+      """SELECT event_id AS eid, user_id AS uid,
+        |  MAX(CASE WHEN event_type = 'purchase' THEN unix_micros(ts) END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prior_purchase_us
+        |FROM events""".stripMargin,
+      """SELECT event_id AS eid, user_id AS uid,
+        |  MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(date_trunc('microseconds', ts)) END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prior_purchase_us
+        |FROM events""".stripMargin),
+
     // ---- storage parity: the same queries routed through our format ----
 
     // Write sink + chunked scan source (SURVEY §2.1 #1, #5).
