@@ -58,6 +58,30 @@ object ExtQueries {
     /** deterministic left-fold dot product of two float vectors. */
     def dot(a: String, b: String): String =
       fold0d(dims(a, b), "acc", "v", "acc + v")
+
+    // Composite text-hash pipelines. The Spark dialect overrides these
+    // with native codegen expressions (graft.functions.*); the DuckDB
+    // oracle keeps the equivalent lambda formulation.
+    /** distinct polyhashes of the 3-word shingles of a text column */
+    def shingleHashSet(text: String): String =
+      distinct(transform(shingles3(split(text)), "s", polyhash("s")))
+    /** multiplicity-preserving shingle polyhashes */
+    def shingleHashList(text: String): String =
+      transform(shingles3(split(text)), "s", polyhash("s"))
+    /** distinct polyhashes of the char 5-grams of a text column */
+    def gramHashSet(text: String): String
+    /** 31-bit SimHash of a hash-list expression */
+    def simhashOf(hs: String): String = {
+      val bits = (0 until 31).map { j =>
+        val pow = 1L << j
+        val sign = transform(hs, "h",
+          s"CASE WHEN ${intDiv("h", pow.toString)} % 2 = 1 THEN 1 ELSE -1 END")
+        s"(CASE WHEN ${fold0(sign, "a", "b", "a + b")} >= 0 THEN $pow ELSE 0 END)"
+      }.mkString(" + ")
+      s"CAST($bits AS BIGINT)"
+    }
+    /** rolling-hash of a whole string column */
+    def rollHash(s: String): String = polyhash(s)
   }
 
   object SparkD extends Dial {
@@ -87,6 +111,12 @@ object ExtQueries {
     def at(l: String, i0: Int) = s"$l[$i0]"
     def dims(a: String, b: String) =
       s"zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+    // native codegen expressions for the hashing hot path
+    override def shingleHashSet(text: String) = s"graft_shingle_hashes($text)"
+    override def shingleHashList(text: String) = s"graft_shingle_hashes_all($text)"
+    def gramHashSet(text: String) = s"graft_gram_hashes($text)"
+    override def simhashOf(hs: String) = s"graft_simhash31($hs)"
+    override def rollHash(s: String) = s"graft_polyhash($s)"
   }
 
   object DuckD extends Dial {
@@ -118,6 +148,10 @@ object ExtQueries {
     def at(l: String, i0: Int) = s"$l[${i0 + 1}]"
     def dims(a: String, b: String) =
       s"list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))"
+    def gramHashSet(text: String) =
+      distinct(transform(
+        s"list_transform(range(1, length($text) - 3), i -> substr($text, i, 5))",
+        "s", polyhash("s")))
   }
 
   // ---------------------------------------------------------------- dedup
@@ -127,27 +161,31 @@ object ExtQueries {
     * shuffle on band keys, never from an all-pairs product).
     */
   private def minhashSql(d: Dial): String = {
-    val minExprs = AB.zipWithIndex.map { case ((a, b), k) =>
-      s"${d.arrayMin(d.transform("hset", "x", s"($a * x + $b) % $P"))} AS m$k"
-    }.mkString(",\n    ")
+    // signature: native expression on the Spark side, 16 list_min
+    // permutation scans on the oracle side
+    val (sigSelect, mRef) = d match {
+      case SparkD =>
+        (s"SELECT doc_id, hset, graft_minhash_sig(hset) AS sg FROM hs",
+          (k: Int) => s"sg[$k]")
+      case DuckD =>
+        val minExprs = AB.zipWithIndex.map { case ((a, b), k) =>
+          s"${d.arrayMin(d.transform("hset", "x", s"($a * x + $b) % $P"))} AS m$k"
+        }.mkString(",\n    ")
+        (s"SELECT doc_id, hset,\n    $minExprs\n  FROM hs",
+          (k: Int) => s"m$k")
+    }
     val bandExprs = (0 until 4).map { k =>
-      val ms = (0 until 4).map(r => d.str(s"m${4 * k + r}"))
+      val ms = (0 until 4).map(r => d.str(mRef(4 * k + r)))
       s"concat('$k:', ${ms.mkString(", ',', ")})"
     }
-    val bandsArr = s"array(${bandExprs.mkString(", ")})"
-    val bandsArrD = s"[${bandExprs.mkString(", ")}]"
-    val fromEx = d match {
-      case SparkD => s"FROM sig ${d.explode(bandsArr, "bk")}"
-      case DuckD  => s"FROM sig ${d.explode(bandsArrD, "bk")}"
+    val bandsArr = d match {
+      case SparkD => s"array(${bandExprs.mkString(", ")})"
+      case DuckD  => s"[${bandExprs.mkString(", ")}]"
     }
-    s"""WITH tok AS (SELECT doc_id, ${d.split("text")} AS w FROM documents),
-       |sh AS (SELECT doc_id, ${d.distinct(d.shingles3("w"))} AS shingles
-       |       FROM tok WHERE ${d.size("w")} >= 3),
-       |hs AS (SELECT doc_id, ${d.distinct(d.transform("shingles", "s", d.polyhash("s")))} AS hset
-       |       FROM sh),
-       |sig AS (SELECT doc_id, hset,
-       |    ${minExprs}
-       |  FROM hs),
+    val fromEx = s"FROM sig ${d.explode(bandsArr, "bk")}"
+    s"""WITH hs AS (SELECT doc_id, ${d.shingleHashSet("text")} AS hset
+       |       FROM documents WHERE ${d.size(d.split("text"))} >= 3),
+       |sig AS ($sigSelect),
        |ex AS (SELECT doc_id, bk $fromEx),
        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |         FROM ex a JOIN ex b ON a.bk = b.bk AND a.doc_id < b.doc_id),
@@ -159,18 +197,10 @@ object ExtQueries {
   }
 
   /** Shingle-level 31-bit SimHash signature per document. */
-  private def simhashSql(d: Dial): String = {
-    val bits = (0 until 31).map { j =>
-      val pow = 1L << j
-      val sign = d.transform("hs", "h",
-        s"CASE WHEN ${d.intDiv("h", pow.toString)} % 2 = 1 THEN 1 ELSE -1 END")
-      s"(CASE WHEN ${d.fold0(sign, "a", "b", "a + b")} >= 0 THEN $pow ELSE 0 END)"
-    }.mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, ${d.split("text")} AS w FROM documents),
-       |hh AS (SELECT doc_id, ${d.transform(d.shingles3("w"), "s", d.polyhash("s"))} AS hs
-       |       FROM tok WHERE ${d.size("w")} >= 3)
-       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hh""".stripMargin
-  }
+  private def simhashSql(d: Dial): String =
+    s"""WITH hh AS (SELECT doc_id, ${d.shingleHashList("text")} AS hs
+       |       FROM documents WHERE ${d.size(d.split("text"))} >= 3)
+       |SELECT doc_id, ${d.simhashOf("hs")} AS simhash FROM hh""".stripMargin
 
   private def simhashPairsSql(d: Dial): String =
     s"""WITH s AS (${simhashSql(d)})
@@ -187,16 +217,9 @@ object ExtQueries {
     * per-gram pair fan-out at C(20,2).
     */
   private def ngramJaccardSql(d: Dial): String = {
-    val grams = d match {
-      case SparkD => "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"
-      case DuckD  => "list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))"
-    }
-    val fromEx = d match {
-      case SparkD => s"FROM g ${d.explode("gset", "gr")}"
-      case DuckD  => s"FROM g ${d.explode("gset", "gr")}"
-    }
+    val fromEx = s"FROM g ${d.explode("gset", "gr")}"
     s"""WITH g AS (SELECT doc_id,
-       |    ${d.distinct(d.transform(grams, "s", d.polyhash("s")))} AS gset
+       |    ${d.gramHashSet("text")} AS gset
        |  FROM documents WHERE length(text) >= 5),
        |ex AS (SELECT doc_id, gr $fromEx),
        |df AS (SELECT gr, COUNT(*) AS df FROM ex GROUP BY gr),
@@ -270,7 +293,7 @@ object ExtQueries {
   private def fingerprintSql(d: Dial): String =
     s"""SELECT doc_id,
        |  md5(lower(text)) AS fp_md5,
-       |  ${d.polyhash("lower(text)")} AS fp_roll
+       |  ${d.rollHash("lower(text)")} AS fp_roll
        |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------- vectors

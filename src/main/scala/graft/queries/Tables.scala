@@ -36,12 +36,16 @@ object Tables {
     spark.read.format("columnfile").load(out)
   }
 
-  /** Register the standard views used by the shared-SQL queries. */
+  /** Register the standard views used by the shared-SQL queries, plus
+    * the native text-hash functions (graft_*).
+    */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     Seq("lineitem", "orders", "customer", "part", "supplier",
       "nation", "region", "documents", "embeddings")
       .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
     events(spark, dir).createOrReplaceTempView("events")
+    graft.functions.TextHashFunctions.register(
+      spark.sessionState.functionRegistry)
   }
 
   /** Register columnfile-backed views (cf_<name>). */
