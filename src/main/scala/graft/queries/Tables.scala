@@ -36,10 +36,19 @@ object Tables {
     spark.read.format("columnfile").load(out)
   }
 
+  // last-registered dir per session: views are session-global, so a dir
+  // switch must re-register (keying by (session, dir) would wrongly skip
+  // after an A -> B -> A sequence).
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Register the standard views used by the shared-SQL queries, plus
-    * the native text-hash functions (graft_*).
+    * the native text-hash functions (graft_*). Idempotent per
+    * (session, dir): repeated calls (one per inventory query) skip the
+    * re-listing/re-registration.
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
+    if (registered.put(spark, dir) == dir) return
     Seq("lineitem", "orders", "customer", "part", "supplier",
       "nation", "region", "documents", "embeddings")
       .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))

@@ -1,0 +1,230 @@
+package graft.spark
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+import graft.format.{ColumnDecoder, ColumnFileReader}
+
+/** Vectorized scan path: decodes chunk columns straight into on-heap
+  * column vectors (Parquet-vectorized-reader parity). Eligible when the
+  * projected schema is flat atomic types — the factory falls back to the
+  * row reader otherwise. Filters still evaluate in pass 1 over the raw
+  * cells (late materialization + chunk skip preserved); survivors are
+  * then written batch-at-a-time, so whole-stage codegen above the scan
+  * consumes columnar input without per-row boxing or UnsafeRow copies.
+  */
+object ColumnFileColumnarReader {
+
+  /** Batch granularity: bounded vector memory per task. */
+  val RowsPerBatch = 4096
+
+  def vectorizable(schema: StructType): Boolean =
+    schema.fields.forall(f => f.dataType match {
+      case IntegerType | LongType | ShortType | ByteType | BooleanType |
+           FloatType | DoubleType | DateType | TimestampType |
+           TimestampNTZType | StringType | BinaryType => true
+      case _ => false
+    })
+}
+
+class ColumnFileColumnarPartitionReader(
+    partition: ColumnFilePartition,
+    tableSchema: StructType,
+    requiredSchema: StructType,
+    filters: Array[Filter],
+    conf: Configuration)
+    extends PartitionReader[ColumnarBatch] {
+
+  import ColumnFileColumnarReader._
+
+  private val allLeaves = CellCodec.flatten(tableSchema)
+  private val leafIndexByName: Map[String, Int] =
+    allLeaves.zipWithIndex.map { case (l, i) => (l.name, i) }.toMap
+  private val outCols: Array[Int] =
+    requiredSchema.fields.map(f => leafIndexByName(f.name))
+  private val outTypes: Array[DataType] = requiredSchema.fields.map(_.dataType)
+
+  private val filterEvals: Array[FilterEval.Bound] =
+    filters.flatMap(f => FilterEval.bind(f, tableSchema, leafIndexByName))
+  private val filterCols: Array[Int] = filterEvals.map(_.col).distinct.sorted
+
+  private val path = new Path(partition.filePath)
+  private val input = new HadoopSeekableInput(
+    path.getFileSystem(conf), path, partition.fileLen)
+
+  private var chunkIdx = 0
+  // current chunk state
+  private var decoders: Array[ColumnDecoder] = _
+  private var survivors: java.util.BitSet = _
+  private var rowCount = -1 // -1: unknown (no filter pass), stream to end
+  private var row = 0
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (decoders == null) {
+        if (chunkIdx >= partition.chunkOffsets.length) return false
+        openChunk(partition.chunkOffsets(chunkIdx))
+        chunkIdx += 1
+      }
+      if (decoders != null) {
+        if (fillBatch()) return true
+        decoders = null // chunk exhausted; try next
+      }
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    if (batch != null) batch.close()
+    input.close()
+  }
+
+  private def openChunk(offset: Long): Unit = {
+    val info = ColumnFileReader.readChunkHeader(input, offset, partition.fileLen)
+    survivors = null
+    rowCount = -1
+    row = 0
+
+    if (filterCols.nonEmpty) {
+      val wanted = new java.util.HashSet[Integer]()
+      filterCols.foreach(c => wanted.add(c))
+      val filterDecoders = ColumnFileReader.openChunk(input, info, wanted)
+      val colValues: Map[Int, mutable.ArrayBuffer[Array[Byte]]] =
+        filterCols.map { c =>
+          val buf = mutable.ArrayBuffer.empty[Array[Byte]]
+          filterDecoders.get(c).foreach { d =>
+            while (d.hasNext) buf += d.next()
+          }
+          c -> buf
+        }.toMap
+      rowCount = colValues.values.map(_.length).maxOption.getOrElse(0)
+      survivors = new java.util.BitSet(rowCount)
+      var r = 0
+      while (r < rowCount) {
+        var ok = true
+        var i = 0
+        while (ok && i < filterEvals.length) {
+          val fe = filterEvals(i)
+          val vals = colValues(fe.col)
+          val cell = if (r < vals.length) vals(r) else null
+          ok = fe.eval(cell)
+          i += 1
+        }
+        if (ok) survivors.set(r)
+        r += 1
+      }
+      if (survivors.isEmpty) { decoders = null; return } // chunk skipped
+    }
+
+    if (outCols.isEmpty) {
+      // empty projection (count(*)): row count only
+      emptyProjRows =
+        if (rowCount >= 0) survivors.cardinality().toLong
+        else {
+          info.fields.minByOption(_._2) match {
+            case None => 0L
+            case Some((col, _)) =>
+              val w = new java.util.HashSet[Integer]()
+              w.add(col)
+              val d = ColumnFileReader.openChunk(input, info, w)(col)
+              var c = 0L
+              while (d.hasNext) { d.next(); c += 1 }
+              c
+          }
+        }
+      decoders = Array.empty
+      return
+    }
+    val wanted = new java.util.HashSet[Integer]()
+    outCols.foreach(c => wanted.add(c))
+    val byCol = ColumnFileReader.openChunk(input, info, wanted)
+    decoders = outCols.map(c => byCol.getOrElse(c, null))
+  }
+
+  private var emptyProjRows = 0L
+
+  /** Fill the next batch from the current chunk; false when exhausted. */
+  private def fillBatch(): Boolean = {
+    if (outCols.isEmpty) {
+      if (emptyProjRows <= 0) return false
+      val n = math.min(RowsPerBatch.toLong, emptyProjRows).toInt
+      emptyProjRows -= n
+      if (batch != null) batch.close()
+      batch = new ColumnarBatch(Array.empty[ColumnVector], n)
+      return true
+    }
+    val vectors: Array[OnHeapColumnVector] =
+      OnHeapColumnVector.allocateColumns(RowsPerBatch, requiredSchema)
+    var n = 0
+    if (survivors == null) {
+      // unfiltered: stream until decoders dry or batch full
+      while (n < RowsPerBatch && decoders.exists(d => d != null && d.hasNext)) {
+        writeRow(vectors, n)
+        n += 1
+      }
+    } else {
+      while (n < RowsPerBatch && row < rowCount) {
+        val nxt = survivors.nextSetBit(row)
+        if (nxt < 0) { row = rowCount }
+        else {
+          if (nxt > row) {
+            val skip = (nxt - row).toLong
+            decoders.foreach(d => if (d != null && d.hasNext) d.skip(skip))
+            row = nxt
+          }
+          writeRow(vectors, n)
+          row += 1
+          n += 1
+        }
+      }
+    }
+    if (n == 0) {
+      vectors.foreach(_.close())
+      false
+    } else {
+      if (batch != null) batch.close()
+      batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]], n)
+      true
+    }
+  }
+
+  private def writeRow(vectors: Array[OnHeapColumnVector], pos: Int): Unit = {
+    var i = 0
+    while (i < decoders.length) {
+      val d = decoders(i)
+      val cell = if (d != null && d.hasNext) d.next() else null
+      if (cell == null) vectors(i).putNull(pos)
+      else putCell(vectors(i), outTypes(i), cell, pos)
+      i += 1
+    }
+  }
+
+  private def putCell(v: OnHeapColumnVector, dt: DataType,
+                      cell: Array[Byte], pos: Int): Unit = dt match {
+    case StringType | BinaryType =>
+      v.putByteArray(pos, cell, 0, cell.length)
+      ()
+    case _ =>
+      CellCodec.decode(dt, cell) match {
+        case x: Long    => v.putLong(pos, x)
+        case x: Int     => v.putInt(pos, x)
+        case x: Double  => v.putDouble(pos, x)
+        case x: Float   => v.putFloat(pos, x)
+        case x: Short   => v.putShort(pos, x)
+        case x: Byte    => v.putByte(pos, x)
+        case x: Boolean => v.putBoolean(pos, x)
+        case other =>
+          throw new IllegalStateException(s"unexpected vector value $other")
+      }
+  }
+}

@@ -150,6 +150,27 @@ class ColumnFileReaderFactory(
     filters: Array[Filter],
     conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
+
+  @transient private lazy val requiredSchema =
+    DataType.fromJson(requiredSchemaJson).asInstanceOf[StructType]
+
+  /** Vectorized when the projection is flat atomic columns (the common
+    * analytic case); nested/decimal projections use the row reader.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    ColumnFileColumnarReader.vectorizable(requiredSchema)
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[ColumnFilePartition]
+    new ColumnFileColumnarPartitionReader(
+      p,
+      DataType.fromJson(tableSchemaJson).asInstanceOf[StructType],
+      DataType.fromJson(requiredSchemaJson).asInstanceOf[StructType],
+      filters,
+      conf.conf)
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ColumnFilePartition]
     new ColumnFilePartitionReader(
