@@ -288,8 +288,7 @@ object CoreQueries {
             struct(year(col("o_orderdate")).as("y")).as("dates")
           ).as("info"),
           array(col("o_custkey"), col("o_orderkey")).as("keys"))
-      val out = s"${sys.props("java.io.tmpdir")}/graft_cf_cache/" +
-        s"${java.lang.Integer.toHexString(dir.hashCode)}/nested_orders"
+      val out = Tables.cachePath(dir, "nested_orders")
       if (!new java.io.File(out, "_SUCCESS").exists()) {
         nested.write.format("columnfile").mode("overwrite").save(out)
       }

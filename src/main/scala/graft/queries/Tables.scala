@@ -23,11 +23,21 @@ object Tables {
     t(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Cache-format version: bump when the on-disk format or the writer
+    * changes so stale caches from older code can't poison results.
+    */
+  private val CacheVersion = "v2"
+
+  /** Cache location for a columnfile copy of `dir`'s `name` table. */
+  def cachePath(dir: String, name: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    s"${sys.props("java.io.tmpdir")}/graft_cf_cache/$CacheVersion/$key/$name"
+  }
+
   /** Route a table through the columnfile format (cached per dir/codec). */
   def viaCF(spark: SparkSession, dir: String, name: String,
             compression: String = "lz4"): DataFrame = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
-    val out = s"${sys.props("java.io.tmpdir")}/graft_cf_cache/$key/$name-$compression"
+    val out = cachePath(dir, s"$name-$compression")
     val done = new java.io.File(out, "_SUCCESS")
     if (!done.exists()) {
       t(spark, dir, name).write.format("columnfile")
