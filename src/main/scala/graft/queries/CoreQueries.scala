@@ -166,6 +166,26 @@ object CoreQueries {
         |  FROM events) x
         |GROUP BY user_id""".stripMargin),
 
+    // Full cube over two dimensions (all grouping sets).
+    Q.shared("q28_cube",
+      s"""SELECT l_returnflag AS rflag, YEAR(l_shipdate) AS y,
+         |  COUNT(*) AS cnt, CAST(SUM(${cents("l_quantity")}) AS BIGINT) AS qty_c
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, YEAR(l_shipdate))""".stripMargin),
+
+    // Exact interpolated percentiles (sort-based aggregate).
+    Q.dialect("q29_percentile",
+      """SELECT l_returnflag AS rflag,
+        |  percentile(l_quantity, 0.5) AS med_qty,
+        |  percentile(l_extendedprice, 0.25) AS p25_price,
+        |  percentile(l_extendedprice, 0.75) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag AS rflag,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+
     // As-of join (composed from window functions, SURVEY §2.2 extension):
     // for each event, the timestamp of the user's most recent *prior*
     // 'purchase' event. Monotone ORDER BY makes MAX == most recent, so

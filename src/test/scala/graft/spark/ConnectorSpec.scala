@@ -146,6 +146,18 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.agg(sum("id")).head.getLong(0) == (0 until 1000).sum.toLong)
   }
 
+  test("append mode adds files without touching existing data") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir()
+    (0 until 50).map(i => (i.toLong, s"a$i")).toDF("id", "v")
+      .write.format("columnfile").mode("overwrite").save(dir)
+    (50 until 80).map(i => (i.toLong, s"b$i")).toDF("id", "v")
+      .write.format("columnfile").mode("append").save(dir)
+    val back = spark.read.format("columnfile").load(dir)
+    assert(back.count() == 80)
+    assert(back.agg(min("id"), max("id")).head.toSeq == Seq(0L, 79L))
+  }
+
   test("formatChars option types positional columns (cat --format parity)") {
     val sp = spark; import sp.implicits._
     val df = (0 until 20).map(i => (i.toLong, s"fmt_$i", i * 0.25)).toDF("a", "b", "c")
