@@ -1,0 +1,207 @@
+package graft.spark
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expression => VExpr, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate._
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** COUNT / COUNT(col) / MIN / MAX answered entirely from the chunk-stats
+  * sidecars at planning time — no data file is opened. `SELECT count(*)
+  * FROM cf_table` is O(stats sidecar bytes) regardless of table size:
+  * the Parquet-metadata-only-query analog for our format.
+  *
+  * Pushed only when: no filters, no GROUP BY, every file has a stats
+  * sidecar aligned with its chunks, and (for MIN/MAX) the column carries
+  * range stats in every chunk where it has non-null values. Anything
+  * else falls back to the normal scan — `pushAggregation` does the full
+  * feasibility check (reading the sidecars) before committing.
+  */
+object AggregatePushdown {
+
+  final case class Result(schema: StructType, row: Seq[Any])
+
+  /** Try to answer `agg` from stats; None = not answerable. */
+  def tryCompute(
+      agg: Aggregation,
+      tableSchema: StructType,
+      conf: Configuration,
+      paths: Seq[String]): Option[Result] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    val leaves = CellCodec.flatten(tableSchema)
+    val leafIdx = leaves.zipWithIndex.map { case (l, i) => (l.name, i) }.toMap
+
+    def fieldOf(e: VExpr): Option[(Int, DataType)] = e match {
+      case f: NamedReference if f.fieldNames().length == 1 =>
+        leafIdx.get(f.fieldNames()(0)).map(i => (i, leaves(i).dataType))
+      case _ => None
+    }
+
+    // Parse the aggregate list first — cheap rejection before I/O.
+    sealed trait Spec
+    case object CS extends Spec
+    final case class C(col: Int) extends Spec
+    final case class MinS(col: Int, dt: DataType) extends Spec
+    final case class MaxS(col: Int, dt: DataType) extends Spec
+    val specs: Array[Option[(Spec, StructField)]] =
+      agg.aggregateExpressions().map {
+        case _: CountStar => Some((CS, StructField("count(*)", LongType, nullable = false)))
+        case c: Count if !c.isDistinct =>
+          fieldOf(c.column()).map { case (i, _) =>
+            (C(i), StructField(s"count", LongType, nullable = false)) }
+        case m: Min =>
+          fieldOf(m.column()).collect { case (i, dt) if statsCapable(dt) =>
+            (MinS(i, dt), StructField("min", dt, nullable = true)) }
+        case m: Max =>
+          fieldOf(m.column()).collect { case (i, dt) if statsCapable(dt) =>
+            (MaxS(i, dt), StructField("max", dt, nullable = true)) }
+        case _ => None
+      }
+    if (specs.exists(_.isEmpty)) return None
+    val parsed = specs.map(_.get)
+
+    // Load stats for every file; every chunk must be covered.
+    val files = ColumnFileDataSource.listDataFiles(conf, paths)
+    val allStats = scala.collection.mutable.ArrayBuffer.empty[ChunkStatsIndex.ChunkStats]
+    files.foreach { st =>
+      val in = new HadoopSeekableInput(
+        st.getPath.getFileSystem(conf), st.getPath, st.getLen)
+      val chunks = try graft.format.ColumnFileReader.scanChunks(in) finally in.close()
+      ChunkStatsIndex.read(conf, st.getPath) match {
+        case Some(ss) if ss.length == chunks.length => allStats ++= ss
+        case _ => return None // missing/misaligned stats: no pushdown
+      }
+    }
+
+    val totalRows = allStats.iterator.map(_.rows).sum
+    val values: Seq[Any] = parsed.toSeq.map {
+      case (CS, _) => totalRows
+      case (C(i), _) =>
+        // columns absent from a chunk's stats map have zero nulls there
+        totalRows - allStats.iterator.map(_.cols.get(i).map(_._2).getOrElse(0L)).sum
+      case (MinS(i, dt), _) => foldRange(allStats.toSeq, i, dt, isMin = true) match {
+        case Left(()) => return None
+        case Right(v) => v
+      }
+      case (MaxS(i, dt), _) => foldRange(allStats.toSeq, i, dt, isMin = false) match {
+        case Left(()) => return None
+        case Right(v) => v
+      }
+    }
+    val schema = StructType(parsed.toSeq.zipWithIndex.map { case ((_, f), i) =>
+      f.copy(name = s"agg_$i")
+    })
+    Some(Result(schema, values))
+  }
+
+  private def statsCapable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | ByteType | DateType |
+         TimestampType | TimestampNTZType | BooleanType |
+         DoubleType | FloatType | StringType => true
+    case _ => false
+  }
+
+  /** Fold chunk ranges into a global min/max Catalyst value.
+    * Left(()) = a chunk has non-null values for the column but no range
+    * stats (can't answer exactly). Right(null) = column is all NULL.
+    */
+  private def foldRange(
+      stats: Seq[ChunkStatsIndex.ChunkStats],
+      col: Int, dt: DataType, isMin: Boolean): Either[Unit, Any] = {
+    import ChunkStatsIndex._
+    var accL = if (isMin) Long.MaxValue else Long.MinValue
+    var accD = if (isMin) Double.PositiveInfinity else Double.NegativeInfinity
+    var accS: String = null
+    var sawValue = false
+    stats.foreach { s =>
+      s.cols.get(col) match {
+        case Some((Some(r), _)) =>
+          sawValue = true
+          r match {
+            case LongRange(lo, hi) =>
+              val v = if (isMin) lo else hi
+              accL = if (isMin) math.min(accL, v) else math.max(accL, v)
+            case DoubleRange(lo, hi) =>
+              val v = if (isMin) lo else hi
+              accD = if (isMin) math.min(accD, v) else math.max(accD, v)
+            case StringRange(lo, hi) =>
+              val v = if (isMin) lo else hi
+              if (accS == null) accS = v
+              else if (isMin) { if (v < accS) accS = v }
+              else { if (v > accS) accS = v }
+          }
+        case Some((None, nulls)) =>
+          // nulls only in this chunk for this col — contributes nothing,
+          // UNLESS the chunk also had untracked values (impossible: range
+          // None with seen values can't happen for statsCapable types)
+          if (nulls < s.rows && s.rows > 0) {
+            // values existed but weren't tracked => bail
+            // (only possible for non-capable types, defensive)
+            return Left(())
+          }
+        case None => // column fully present with zero nulls but no stats
+          // => only possible for non-capable types; for capable types a
+          // chunk with values always has a range. But a chunk where this
+          // column is entirely ABSENT (ragged) also lands here and reads
+          // as all-NULL — contributes nothing.
+          ()
+      }
+    }
+    if (!sawValue) Right(null)
+    else Right(dt match {
+      case LongType | TimestampType | TimestampNTZType => accL
+      case IntegerType | DateType => accL.toInt
+      case ShortType => accL.toShort
+      case ByteType => accL.toByte
+      case BooleanType => accL != 0L
+      case DoubleType => accD
+      case FloatType => accD.toFloat
+      case StringType => UTF8String.fromString(accS)
+      case _ => return Left(())
+    })
+  }
+}
+
+/** Single-partition scan that emits one precomputed row. */
+final case class PrecomputedPartition(values: Array[Byte]) extends InputPartition
+
+class PrecomputedAggScan(schema: StructType, row: Seq[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"columnfile stats-only aggregate ${schema.catalogString}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(row.map {
+      case u: UTF8String => ("u", u.toString)
+      case other         => ("v", other)
+    })
+    oos.close()
+    Array(PrecomputedPartition(bos.toByteArray))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var done = false
+          private val values = {
+            val ois = new java.io.ObjectInputStream(
+              new java.io.ByteArrayInputStream(
+                p.asInstanceOf[PrecomputedPartition].values))
+            ois.readObject().asInstanceOf[Seq[(String, Any)]].map {
+              case ("u", s: String) => UTF8String.fromString(s)
+              case (_, v)           => v
+            }
+          }
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(values.toArray)
+          override def close(): Unit = ()
+        }
+    }
+}

@@ -47,10 +47,33 @@ class ColumnFileScanBuilder(
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var requiredSchema: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggResult: Option[AggregatePushdown.Result] = None
+
+  /** COUNT/MIN/MAX answered from the stats sidecars without opening any
+    * data file (see AggregatePushdown). Feasibility — including reading
+    * the sidecars — is fully checked here; returning true commits to
+    * exact final results, so supportCompletePushDown is uncondition-
+    * ally true once pushAggregation succeeded.
+    */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (pushed.nonEmpty) return false
+    aggResult = AggregatePushdown.tryCompute(agg, tableSchema, conf, paths)
+    aggResult.isDefined
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (pushed.nonEmpty) return false
+    if (aggResult.isEmpty) {
+      aggResult = AggregatePushdown.tryCompute(agg, tableSchema, conf, paths)
+    }
+    aggResult.isDefined
+  }
 
   override def pruneColumns(required: StructType): Unit =
     requiredSchema = required
@@ -67,8 +90,11 @@ class ColumnFileScanBuilder(
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new ColumnFileScan(paths, tableSchema, requiredSchema, pushed, conf, options)
+  override def build(): Scan = aggResult match {
+    case Some(r) => new PrecomputedAggScan(r.schema, r.row)
+    case None =>
+      new ColumnFileScan(paths, tableSchema, requiredSchema, pushed, conf, options)
+  }
 }
 
 class ColumnFileScan(

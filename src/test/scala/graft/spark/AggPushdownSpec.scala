@@ -1,0 +1,88 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("agg-pushdown-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("count/min/max answered from stats sidecars, plan shows stats-only scan") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-agg").toString
+    sp.sql(
+      """SELECT id,
+        |  CASE WHEN id % 4 = 0 THEN NULL ELSE id * 2 END AS v,
+        |  concat('s', lpad(CAST(id AS STRING), 5, '0')) AS s,
+        |  CAST(id AS DOUBLE) / 8 AS d
+        |FROM range(10000)""".stripMargin)
+      .repartition(3)
+      .write.format("columnfile").option("targetChunkBytes", "16384")
+      .mode("overwrite").save(dir)
+
+    val t = spark.read.format("columnfile").load(dir)
+    val agg = t.agg(
+      count(lit(1)), count(col("v")), min(col("id")), max(col("id")),
+      min(col("s")), max(col("s")), min(col("d")), max(col("d")))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("stats-only aggregate"),
+      s"expected stats-only scan in plan:\n$plan")
+    val r = agg.head
+    assert(r.getLong(0) == 10000)
+    assert(r.getLong(1) == 7500) // 2500 ids with id%4==0 are null
+    assert(r.getLong(2) == 0 && r.getLong(3) == 9999)
+    assert(r.getString(4) == "s00000" && r.getString(5) == "s09999")
+    assert(r.getDouble(6) == 0.0 && r.getDouble(7) == 9999.0 / 8)
+  }
+
+  test("no pushdown with filters or group-by; results still correct") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-agg2").toString
+    (0 until 1000).map(i => (i.toLong, i % 5)).toDF("id", "g")
+      .write.format("columnfile").mode("overwrite").save(dir)
+    val t = spark.read.format("columnfile").load(dir)
+
+    val filtered = t.filter(col("id") >= 500).agg(count(lit(1)), max(col("id")))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("stats-only"))
+    assert(filtered.head.toSeq == Seq(500L, 999L))
+
+    val grouped = t.groupBy("g").agg(count(lit(1)).as("n")).orderBy("g")
+    assert(!grouped.queryExecution.executedPlan.toString.contains("stats-only"))
+    assert(grouped.collect().map(_.getLong(1)).forall(_ == 200L))
+  }
+
+  test("all-null column min/max is null; missing sidecar disables pushdown") {
+    val sp = spark
+    val dir = Files.createTempDirectory("cf-agg3").toString
+    sp.sql("SELECT id, CAST(NULL AS BIGINT) AS nv FROM range(100)")
+      .write.format("columnfile").mode("overwrite").save(dir)
+    val t = spark.read.format("columnfile").load(dir)
+    val r = t.agg(min(col("nv")), max(col("nv")), count(col("nv"))).head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) == 0L)
+
+    // remove sidecars: falls back to real scan, same answers
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(ChunkStatsIndex.Suffix)).foreach(_.delete())
+    val t2 = spark.read.format("columnfile").load(dir)
+    val agg2 = t2.agg(count(lit(1)), min(col("id")))
+    assert(!agg2.queryExecution.executedPlan.toString.contains("stats-only"))
+    assert(agg2.head.toSeq == Seq(100L, 0L))
+  }
+}
