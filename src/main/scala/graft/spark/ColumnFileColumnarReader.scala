@@ -39,10 +39,13 @@ class ColumnFileColumnarPartitionReader(
     tableSchema: StructType,
     requiredSchema: StructType,
     filters: Array[Filter],
-    conf: Configuration)
+    conf: Configuration,
+    limit: Int = -1)
     extends PartitionReader[ColumnarBatch] {
 
   import ColumnFileColumnarReader._
+
+  private var emitted = 0L
 
   private val allLeaves = CellCodec.flatten(tableSchema)
   private val leafIndexByName: Map[String, Int] =
@@ -68,6 +71,7 @@ class ColumnFileColumnarPartitionReader(
   private var batch: ColumnarBatch = _
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     while (true) {
       if (decoders == null) {
         if (chunkIdx >= partition.chunkOffsets.length) return false
@@ -75,7 +79,7 @@ class ColumnFileColumnarPartitionReader(
         chunkIdx += 1
       }
       if (decoders != null) {
-        if (fillBatch()) return true
+        if (fillBatch()) { emitted += batch.numRows(); return true }
         decoders = null // chunk exhausted; try next
       }
     }

@@ -48,11 +48,18 @@ class ColumnFileScanBuilder(
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var requiredSchema: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggResult: Option[AggregatePushdown.Result] = None
+  private var limit: Int = -1
+
+  /** Partial limit: each partition reader stops after `limit` rows
+    * (Spark still applies the global limit above the scan).
+    */
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
 
   /** COUNT/MIN/MAX answered from the stats sidecars without opening any
     * data file (see AggregatePushdown). Feasibility — including reading
@@ -93,7 +100,8 @@ class ColumnFileScanBuilder(
   override def build(): Scan = aggResult match {
     case Some(r) => new PrecomputedAggScan(r.schema, r.row)
     case None =>
-      new ColumnFileScan(paths, tableSchema, requiredSchema, pushed, conf, options)
+      new ColumnFileScan(paths, tableSchema, requiredSchema, pushed, conf,
+        options, limit)
   }
 }
 
@@ -103,7 +111,8 @@ class ColumnFileScan(
     requiredSchema: StructType,
     filters: Array[Filter],
     conf: Configuration,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    limit: Int = -1)
     extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
@@ -111,7 +120,8 @@ class ColumnFileScan(
 
   override def description(): String = {
     val f = if (filters.isEmpty) "" else filters.mkString(", ")
-    s"columnfile ${paths.mkString(",")} PushedFilters: [$f], " +
+    val l = if (limit >= 0) s", PushedLimit: $limit" else ""
+    s"columnfile ${paths.mkString(",")} PushedFilters: [$f]$l, " +
       s"ReadSchema: ${requiredSchema.catalogString}"
   }
 
@@ -167,14 +177,15 @@ class ColumnFileScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new ColumnFileReaderFactory(
       tableSchema.json, requiredSchema.json, filters,
-      new SerializableHadoopConf(conf))
+      new SerializableHadoopConf(conf), limit)
 }
 
 class ColumnFileReaderFactory(
     tableSchemaJson: String,
     requiredSchemaJson: String,
     filters: Array[Filter],
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    limit: Int = -1)
     extends PartitionReaderFactory {
 
   @transient private lazy val requiredSchema =
@@ -194,7 +205,7 @@ class ColumnFileReaderFactory(
       DataType.fromJson(tableSchemaJson).asInstanceOf[StructType],
       DataType.fromJson(requiredSchemaJson).asInstanceOf[StructType],
       filters,
-      conf.conf)
+      conf.conf, limit)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -204,7 +215,7 @@ class ColumnFileReaderFactory(
       DataType.fromJson(tableSchemaJson).asInstanceOf[StructType],
       DataType.fromJson(requiredSchemaJson).asInstanceOf[StructType],
       filters,
-      conf.conf)
+      conf.conf, limit)
   }
 }
 
@@ -222,8 +233,11 @@ class ColumnFilePartitionReader(
     tableSchema: StructType,
     requiredSchema: StructType,
     filters: Array[Filter],
-    conf: Configuration)
+    conf: Configuration,
+    limit: Int = -1)
     extends PartitionReader[InternalRow] {
+
+  private var emitted = 0L
 
   private val allLeaves = CellCodec.flatten(tableSchema)
   private val leafIndexByName: Map[String, Int] =
@@ -251,12 +265,14 @@ class ColumnFilePartitionReader(
   private var current: InternalRow = _
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     while (!rows.hasNext) {
       if (chunkIdx >= partition.chunkOffsets.length) return false
       rows = openChunk(partition.chunkOffsets(chunkIdx))
       chunkIdx += 1
     }
     current = rows.next()
+    emitted += 1
     true
   }
 

@@ -146,6 +146,22 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.agg(sum("id")).head.getLong(0) == (0 until 1000).sum.toLong)
   }
 
+  test("limit pushdown caps per-partition reads") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir()
+    (0 until 5000).map(i => (i.toLong, s"l$i")).toDF("id", "v")
+      .write.format("columnfile").option("targetChunkBytes", "4096")
+      .mode("overwrite").save(dir)
+    val limited = spark.read.format("columnfile").load(dir).limit(7)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 7"), s"no pushed limit in:\n$plan")
+    assert(limited.collect().length == 7)
+    // limit + filter still correct
+    val lf = spark.read.format("columnfile").load(dir)
+      .filter(col("id") >= 4000).limit(5)
+    assert(lf.collect().forall(_.getLong(0) >= 4000) && lf.count() == 5)
+  }
+
   test("append mode adds files without touching existing data") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir()
@@ -172,6 +188,22 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // '_' keeps a column binary
     val part = spark.read.format("columnfile").option("formatChars", "q_d").load(dir)
     assert(part.schema.map(_.dataType) == Seq(LongType, BinaryType, DoubleType))
+  }
+
+  test("SQL DDL: CREATE TABLE USING columnfile + INSERT INTO") {
+    val dir = tmpDir()
+    spark.sql("DROP TABLE IF EXISTS cft_spec")
+    spark.sql(
+      s"CREATE TABLE cft_spec (id BIGINT, v STRING) USING columnfile " +
+        s"OPTIONS (path '$dir')")
+    try {
+      spark.sql("INSERT INTO cft_spec SELECT id, concat('x', id) FROM range(100)")
+      assert(spark.sql("SELECT count(*) FROM cft_spec").head.getLong(0) == 100)
+      assert(spark.sql("SELECT count(*) FROM cft_spec WHERE id >= 90")
+        .head.getLong(0) == 10)
+      spark.sql("INSERT INTO cft_spec VALUES (1000, 'appended')")
+      assert(spark.sql("SELECT count(*) FROM cft_spec").head.getLong(0) == 101)
+    } finally spark.sql("DROP TABLE cft_spec")
   }
 
   test("untyped fallback: no sidecar yields binary c0..cN columns") {
