@@ -118,6 +118,11 @@ class ColumnFileScan(
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
 
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ColumnFileMicroBatchStream(
+      paths, tableSchema, filters, conf, checkpointLocation)
+
   override def description(): String = {
     val f = if (filters.isEmpty) "" else filters.mkString(", ")
     val l = if (limit >= 0) s", PushedLimit: $limit" else ""
