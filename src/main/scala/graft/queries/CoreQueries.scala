@@ -186,6 +186,36 @@ object CoreQueries {
         |  quantile_cont(l_extendedprice, 0.75) AS p75_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin),
 
+    // Wider scalar string-function coverage.
+    Q.shared("q30_string_funcs",
+      """SELECT p_partkey AS k,
+        |  replace(p_name, 'e', 'E') AS rep,
+        |  lpad(p_brand, 12, '.') AS lp,
+        |  rpad(p_type, 10, '_') AS rp,
+        |  reverse(p_name) AS rev,
+        |  trim(concat('  ', p_name, '  ')) AS trm,
+        |  lower(p_type) AS lo, upper(p_name) AS up
+        |FROM part WHERE p_partkey % 20 = 0""".stripMargin),
+
+    // Conditional expressions: CASE, COALESCE, NULLIF, LEAST/GREATEST.
+    Q.shared("q31_conditionals",
+      """SELECT l_orderkey AS k, l_linenumber AS ln,
+        |  CASE WHEN l_quantity < 10 THEN 'low'
+        |       WHEN l_quantity < 40 THEN 'mid' ELSE 'high' END AS band,
+        |  COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag,
+        |  LEAST(l_quantity, 25.0) AS lq,
+        |  GREATEST(l_discount, 0.02) AS gd
+        |FROM lineitem WHERE l_orderkey % 400 = 0""".stripMargin),
+
+    // Stream-dimension enrichment: events joined to a dimension keyed on
+    // the event's user, aggregated by segment.
+    Q.shared("q32_events_enrich",
+      s"""SELECT c_mktsegment AS seg, event_type AS etype,
+         |  COUNT(*) AS cnt,
+         |  CAST(SUM(${cents("value")}) AS BIGINT) AS val_c
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment, event_type""".stripMargin),
+
     // As-of join (composed from window functions, SURVEY §2.2 extension):
     // for each event, the timestamp of the user's most recent *prior*
     // 'purchase' event. Monotone ORDER BY makes MAX == most recent, so
