@@ -222,10 +222,19 @@ final class ColumnFileReader(in: SeekableInput) extends AutoCloseable {
     true
   }
 
-  def end: Boolean = !advance()
+  def end: Boolean = peeked.isEmpty && !advance()
 
-  /** Next row as sorted (columnIndex, value|null) pairs. */
-  def getRow(): Seq[(Int, Option[Array[Byte]])] = {
+  /** True when the current segment (chunk) has no rows left — the next
+    * row, if any, starts a new segment (reference: EndOfSegment,
+    * columnfile.h:227-229).
+    */
+  def endOfSegment: Boolean =
+    peeked.isEmpty &&
+      (decoders == null || decoders.valuesIterator.forall(!_.hasNext))
+
+  private var peeked: Option[Seq[(Int, Option[Array[Byte]])]] = None
+
+  private def readRow(): Seq[(Int, Option[Array[Byte]])] = {
     if (!advance())
       throw new CorruptColumnFileException("read past end of file")
     decoders.iterator.collect {
@@ -235,7 +244,43 @@ final class ColumnFileReader(in: SeekableInput) extends AutoCloseable {
     }.toSeq.sortBy(_._1)
   }
 
-  def seekToStart(): Unit = { chunkIdx = 0; decoders = null }
+  /** Next row as sorted (columnIndex, value|null) pairs. */
+  def getRow(): Seq[(Int, Option[Array[Byte]])] = peeked match {
+    case Some(row) => peeked = None; row
+    case None      => readRow()
+  }
+
+  /** Look at the next row without consuming it (reference: Peek,
+    * columnfile.h:240-244 — there per-column; row-level here since our
+    * decoders advance row-wise).
+    */
+  def peekRow(): Seq[(Int, Option[Array[Byte]])] = peeked match {
+    case Some(row) => row
+    case None =>
+      val row = readRow()
+      peeked = Some(row)
+      row
+  }
+
+  /** Next value of one column, NULL as None; the row's other columns are
+    * consumed too (reference Get reads one field of the current row,
+    * columnfile.h:246-251).
+    */
+  def get(column: Int): Option[Array[Byte]] =
+    getRow().collectFirst { case (c, v) if c == column => v }.flatten
+
+  def seekToStart(): Unit = { chunkIdx = 0; decoders = null; peeked = None }
+
+  /** Rewind to the start of the current segment and re-decode it
+    * (reference: SeekToStartOfSegment, columnfile.h:263-267 — used by
+    * the select path to make multiple per-column passes over one chunk).
+    */
+  def seekToStartOfSegment(): Unit = {
+    peeked = None
+    if (chunkIdx > 0) {
+      decoders = ColumnFileReader.openChunk(in, chunks(chunkIdx - 1), columnFilter)
+    }
+  }
 
   override def close(): Unit = in.close()
 }

@@ -148,3 +148,55 @@ class RoundTripSpec extends AnyFunSuite {
       Seq(Seq(0 -> Some("one")), Seq(0 -> Some("two"))))
   }
 }
+
+class ReaderCursorSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.format._
+
+  private def sample(): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new ColumnFileWriter(bos)
+    for (i <- 0 until 3) { w.put(0, s"a$i".getBytes); w.put(1, s"b$i".getBytes) }
+    w.flush() // chunk 1
+    for (i <- 3 until 5) { w.put(0, s"a$i".getBytes); w.putNull(1) }
+    w.close() // chunk 2
+    bos.toByteArray
+  }
+
+  test("peekRow does not consume; getRow returns the peeked row") {
+    val r = ColumnFileReader.open(sample())
+    val p = r.peekRow()
+    assert(p == r.peekRow())        // stable
+    assert(p == r.getRow())         // consumed once
+    assert(r.getRow() != p)
+  }
+
+  test("endOfSegment flips at chunk boundaries") {
+    val r = ColumnFileReader.open(sample())
+    assert(!r.end)
+    r.getRow(); r.getRow()
+    assert(!r.endOfSegment)
+    r.getRow()                      // last row of chunk 1
+    assert(r.endOfSegment)
+    r.getRow()                      // first row of chunk 2
+    assert(!r.endOfSegment)
+  }
+
+  test("seekToStartOfSegment re-decodes the current chunk") {
+    def render(row: Seq[(Int, Option[Array[Byte]])]): String =
+      row.map { case (c, v) => s"$c=${v.map(new String(_))}" }.mkString(",")
+    val r = ColumnFileReader.open(sample())
+    val first = render(r.getRow())
+    r.getRow()
+    r.seekToStartOfSegment()
+    assert(render(r.getRow()) == first)
+  }
+
+  test("get(column) returns one column's next value, consuming the row") {
+    val r = ColumnFileReader.open(sample())
+    assert(r.get(1).map(new String(_)) == Some("b0"))
+    assert(r.get(0).map(new String(_)) == Some("a1"))
+    // chunk 2 has NULLs in column 1
+    r.getRow()
+    assert(r.get(1).isEmpty)
+  }
+}
