@@ -46,6 +46,9 @@ class ColumnFileColumnarPartitionReader(
   import ColumnFileColumnarReader._
 
   private var emitted = 0L
+  private[spark] val metrics = new ScanMetrics.Task
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    metrics.current
 
   private val allLeaves = CellCodec.flatten(tableSchema)
   private val leafIndexByName: Map[String, Int] =
@@ -127,9 +130,15 @@ class ColumnFileColumnarPartitionReader(
         if (ok) survivors.set(r)
         r += 1
       }
-      if (survivors.isEmpty) { decoders = null; return } // chunk skipped
+      if (survivors.isEmpty) {
+        metrics.chunksSkipped += 1
+        decoders = null
+        return // chunk skipped
+      }
     }
 
+    metrics.chunksRead += 1
+    metrics.decodedBytes += info.fields.iterator.map(_._2).sum
     if (outCols.isEmpty) {
       // empty projection (count(*)): row count only
       emptyProjRows =

@@ -179,6 +179,9 @@ class ColumnFileScan(
     parts.toArray
   }
 
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    ScanMetrics.all
+
   override def createReaderFactory(): PartitionReaderFactory =
     new ColumnFileReaderFactory(
       tableSchema.json, requiredSchema.json, filters,
@@ -243,6 +246,9 @@ class ColumnFilePartitionReader(
     extends PartitionReader[InternalRow] {
 
   private var emitted = 0L
+  private[spark] val metrics = new ScanMetrics.Task
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    metrics.current
 
   private val allLeaves = CellCodec.flatten(tableSchema)
   private val leafIndexByName: Map[String, Int] =
@@ -318,10 +324,15 @@ class ColumnFilePartitionReader(
         if (ok) survivors.set(r)
         r += 1
       }
-      if (survivors.isEmpty) return Iterator.empty // chunk skipped
+      if (survivors.isEmpty) {
+        metrics.chunksSkipped += 1
+        return Iterator.empty // chunk skipped
+      }
     }
 
     // Pass 2: decode the output columns.
+    metrics.chunksRead += 1
+    metrics.decodedBytes += info.fields.iterator.map(_._2).sum
     val neededCols = outLeaves.map(_._1)
     val wanted = new java.util.HashSet[Integer]()
     neededCols.foreach(c => wanted.add(c))
