@@ -113,7 +113,41 @@ class ColumnFileScan(
     conf: Configuration,
     options: CaseInsensitiveStringMap,
     limit: Int = -1)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
+
+  /** Size/row estimates for the planner (drives broadcast-join choice
+    * for columnfile tables): compressed bytes from chunk headers, rows
+    * from the stats sidecars when present. Costs one header walk — the
+    * same walk planInputPartitions does anyway.
+    */
+  override def estimateStatistics(): Statistics = {
+    var bytes = 0L
+    var rows = 0L
+    var rowsKnown = true
+    val files = ColumnFileDataSource.listDataFiles(conf, paths)
+    files.foreach { st =>
+      val in = new HadoopSeekableInput(
+        st.getPath.getFileSystem(conf), st.getPath, st.getLen)
+      try {
+        val chunks = ColumnFileReader.scanChunks(in)
+        bytes += chunks.iterator.map(_.dataSize).sum
+        ChunkStatsIndex.read(conf, st.getPath) match {
+          case Some(ss) if ss.length == chunks.length =>
+            rows += ss.iterator.map(_.rows).sum
+          case _ => rowsKnown = false
+        }
+      } finally in.close()
+    }
+    val sizeEst = bytes
+    val rowEst = rows
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(sizeEst)
+      override def numRows(): java.util.OptionalLong =
+        if (rowsKnown) java.util.OptionalLong.of(rowEst)
+        else java.util.OptionalLong.empty()
+    }
+  }
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
