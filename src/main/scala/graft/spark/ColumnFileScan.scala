@@ -113,7 +113,29 @@ class ColumnFileScan(
     conf: Configuration,
     options: CaseInsensitiveStringMap,
     limit: Int = -1)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Runtime (dynamic) filtering: Spark hands us join-key filters (e.g.
+    * the In-set of dimension keys that survived the build side) after
+    * the build side executes and before our partitions are planned. They
+    * join the static filters for stats-based chunk pruning AND task-side
+    * evaluation — at 100 TB a selective dimension filter prunes fact
+    * chunks without any manual partitioning scheme.
+    */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  // only output columns are valid runtime-filter attributes (Spark
+  // resolves them against the scan's pruned output)
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    requiredSchema.fields.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeFilters = filters.filter(f => FilterEval.evaluable(f, tableSchema))
+  }
+
+  private def allFilters: Array[Filter] = filters ++ runtimeFilters
 
   /** Size/row estimates for the planner (drives broadcast-join choice
     * for columnfile tables): compressed bytes from chunk headers, rows
@@ -188,13 +210,13 @@ class ColumnFileScan(
         val chunks = ColumnFileReader.scanChunks(in)
         // stats align with chunks by ordinal; size mismatch => no pruning
         val stats: Option[Seq[ChunkStatsIndex.ChunkStats]] =
-          if (filters.isEmpty) None
+          if (allFilters.isEmpty) None
           else ChunkStatsIndex.read(conf, st.getPath)
             .filter(_.length == chunks.length)
         var acc = mutable.ArrayBuffer.empty[Long]
         var accBytes = 0L
         chunks.zipWithIndex.foreach { case (c, i) =>
-          val pruned = stats.exists(ss => filters.exists(f =>
+          val pruned = stats.exists(ss => allFilters.exists(f =>
             ChunkStatsIndex.provesEmpty(f, ss(i), leafIndex, leafType)))
           if (!pruned) {
             if (acc.nonEmpty && accBytes + c.dataSize > maxBytes) {
@@ -218,7 +240,7 @@ class ColumnFileScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ColumnFileReaderFactory(
-      tableSchema.json, requiredSchema.json, filters,
+      tableSchema.json, requiredSchema.json, allFilters,
       new SerializableHadoopConf(conf), limit)
 }
 
