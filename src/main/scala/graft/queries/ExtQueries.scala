@@ -234,6 +234,33 @@ object ExtQueries {
        |SELECT i, j, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin
   }
 
+  /** Keep-best dedup over the MinHash-LSH pair graph: connected
+    * components would need iteration, so (standard practice) each doc's
+    * group key is min(doc_id over its direct near-dups + itself) — one
+    * shuffle — and the kept doc per group maximizes (tokens, -doc_id).
+    */
+  private def keepBestSql(d: Dial): String =
+    s"""WITH pairs AS (${minhashSql(d)}),
+       |grp AS (
+       |  SELECT doc_id, MIN(other) AS gkey FROM (
+       |    SELECT i AS doc_id, i AS other FROM pairs
+       |    UNION ALL SELECT i, j FROM pairs
+       |    UNION ALL SELECT j, i FROM pairs
+       |    UNION ALL SELECT j, j FROM pairs
+       |    UNION ALL SELECT doc_id, doc_id FROM documents
+       |  ) g GROUP BY doc_id),
+       |scored AS (
+       |  SELECT g.gkey, d2.doc_id,
+       |    ${d.size(d.split("d2.text"))} AS n_tokens
+       |  FROM grp g JOIN documents d2 ON g.doc_id = d2.doc_id),
+       |best AS (
+       |  SELECT gkey, doc_id, n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY gkey
+       |                       ORDER BY n_tokens DESC, doc_id) AS rn
+       |  FROM scored)
+       |SELECT gkey, doc_id AS kept, n_tokens
+       |FROM best WHERE rn = 1 AND gkey IN (SELECT i FROM pairs)""".stripMargin
+
   // ---------------------------------------------------------------- text
 
   private val stop = Map(
@@ -295,6 +322,29 @@ object ExtQueries {
        |  md5(lower(text)) AS fp_md5,
        |  ${d.rollHash("lower(text)")} AS fp_roll
        |FROM documents""".stripMargin
+
+  /** Quality-filter → md5 exact-dedup (keep min doc_id) → per-language
+    * token/char stats of the surviving corpus.
+    */
+  private def curateSql(d: Dial): String = {
+    val nTok = d.size("w")
+    val nStop = d.size(d.filter("w", "t", s"t IN ${inList(stop("en"))}"))
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, n_chars, md5(text) AS fp, $nTok AS n_tokens
+       |  FROM (SELECT doc_id, lang, n_chars, text,
+       |          ${d.split("lower(text)")} AS w FROM documents) t
+       |  WHERE $nTok >= 10 AND $nTok <= 1000
+       |    AND CAST($nStop AS DOUBLE) / $nTok < 0.9),
+       |kept AS (
+       |  SELECT * FROM (
+       |    SELECT q.*, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |    FROM q) x WHERE rn = 1)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  MIN(doc_id) AS first_doc
+       |FROM kept GROUP BY lang""".stripMargin
+  }
 
   // ---------------------------------------------------------------- vectors
 
@@ -400,10 +450,17 @@ object ExtQueries {
     dialect("d05_dedup_simhash_pairs", simhashPairsSql),
     dialect("d06_dedup_ngram_jaccard", ngramJaccardSql),
     dialect("d07_dedup_embedding_cosine", embeddingDedupSql),
+    // Keep-best dedup: one representative per near-dup group (MinHash
+    // band grouping), chosen by quality score with doc_id tiebreak —
+    // the full LLM-pipeline dedup shape: group -> score -> keep-1.
+    dialect("d08_dedup_keep_best", keepBestSql),
     dialect("t01_text_langid", langidSql),
     dialect("t02_text_quality", qualitySql),
     dialect("t03_text_tokencount", tokenCountSql),
     dialect("t04_text_fingerprint", fingerprintSql),
+    // End-to-end corpus curation: quality filter -> exact dedup ->
+    // per-language corpus stats; the composed pipeline in one plan.
+    dialect("p01_pipeline_curate", curateSql),
     dialect("v01_knn_brute", knnBruteSql),
     dialect("v02_knn_sign_lsh", knnSignLshSql),
     ivfAssign,
