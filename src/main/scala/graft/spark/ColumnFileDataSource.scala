@@ -51,19 +51,38 @@ object ColumnFileDataSource {
     paths.distinct
   }
 
-  /** All data files under the given paths (ignores dotfiles/_sidecars). */
-  def listDataFiles(conf: Configuration, paths: Seq[String]): Seq[FileStatus] =
+  /** All data files under the given paths, recursing into partition
+    * subdirectories (ignores dotfiles/_sidecars). Returned with the root
+    * each file was found under (partition values parse relative to it).
+    */
+  def listDataFilesWithRoots(
+      conf: Configuration, paths: Seq[String]): Seq[(Path, FileStatus)] = {
+    def walk(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[FileStatus] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (st.isDirectory) walk(fs, st.getPath)
+        else Seq(st)
+      }
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
       if (!fs.exists(path)) Seq.empty
       else if (fs.getFileStatus(path).isDirectory)
-        fs.listStatus(path).toSeq.filter { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }
-      else Seq(fs.getFileStatus(path))
-    }.sortBy(_.getPath.toString)
+        walk(fs, path).map(st => (path, st))
+      else Seq((path.getParent, fs.getFileStatus(path)))
+    }.sortBy(_._2.getPath.toString)
+  }
+
+  def listDataFiles(conf: Configuration, paths: Seq[String]): Seq[FileStatus] =
+    listDataFilesWithRoots(conf, paths).map(_._2)
+
+  /** Partition column names recorded at the first root that has the
+    * sidecar (all roots of one logical table share a layout).
+    */
+  def partitionCols(conf: Configuration, paths: Seq[String]): Seq[String] =
+    paths.iterator.map(p => PartitionLayout.read(conf, new Path(p)))
+      .find(_.nonEmpty).getOrElse(Seq.empty)
 
   /** Typed view from the reference cat tool's per-column format chars
     * ("Based on Python's 'struct' module format characters",
@@ -167,26 +186,44 @@ class ColumnFileDataSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new ColumnFileTable(resolvePaths(options), schema, hadoopConf())
+    val paths = resolvePaths(options)
+    val conf = hadoopConf()
+    // writes declare identity transforms via partitionBy; reads discover
+    // the layout from the _partition.json sidecar
+    val requested = partitioning.toSeq.map { t =>
+      if (t.name() == "identity" && t.references().length == 1)
+        t.references()(0).fieldNames().mkString(".")
+      else throw new IllegalArgumentException(
+        s"columnfile: only identity partitioning is supported, got $t")
+    }
+    val cols =
+      if (requested.nonEmpty) requested
+      else ColumnFileDataSource.partitionCols(conf, paths)
+    new ColumnFileTable(paths, schema, conf, cols)
   }
 }
 
 class ColumnFileTable(
     paths: Seq[String],
     tableSchema: StructType,
-    conf: Configuration)
+    conf: Configuration,
+    partitionCols: Seq[String] = Seq.empty)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"columnfile ${paths.mkString(",")}"
   override def schema(): StructType = tableSchema
+
+  override def partitioning(): Array[Transform] =
+    partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ColumnFileScanBuilder(paths, tableSchema, conf, options)
+    new ColumnFileScanBuilder(paths, tableSchema, conf, options, partitionCols)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ColumnFileWriteBuilder(paths, info, conf)
+    new ColumnFileWriteBuilder(paths, info, conf, partitionCols)
 }

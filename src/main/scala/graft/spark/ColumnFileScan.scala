@@ -38,13 +38,15 @@ final class HadoopSeekableInput(fs: FileSystem, path: Path, len: Long)
 final case class ColumnFilePartition(
     filePath: String,
     fileLen: Long,
-    chunkOffsets: Array[Long]) extends InputPartition
+    chunkOffsets: Array[Long],
+    partitionValues: Array[String] = Array.empty) extends InputPartition
 
 class ColumnFileScanBuilder(
     paths: Seq[String],
     tableSchema: StructType,
     conf: Configuration,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    partitionCols: Seq[String] = Seq.empty)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -68,14 +70,14 @@ class ColumnFileScanBuilder(
     * ally true once pushAggregation succeeded.
     */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (pushed.nonEmpty) return false
+    if (pushed.nonEmpty || partitionCols.nonEmpty) return false
     aggResult = AggregatePushdown.tryCompute(agg, tableSchema, conf, paths)
     aggResult.isDefined
   }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (pushed.nonEmpty) return false
+    if (pushed.nonEmpty || partitionCols.nonEmpty) return false
     if (aggResult.isEmpty) {
       aggResult = AggregatePushdown.tryCompute(agg, tableSchema, conf, paths)
     }
@@ -101,7 +103,7 @@ class ColumnFileScanBuilder(
     case Some(r) => new PrecomputedAggScan(r.schema, r.row)
     case None =>
       new ColumnFileScan(paths, tableSchema, requiredSchema, pushed, conf,
-        options, limit)
+        options, limit, partitionCols)
   }
 }
 
@@ -112,7 +114,8 @@ class ColumnFileScan(
     filters: Array[Filter],
     conf: Configuration,
     options: CaseInsensitiveStringMap,
-    limit: Int = -1)
+    limit: Int = -1,
+    partitionCols: Seq[String] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -198,12 +201,41 @@ class ColumnFileScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val maxBytes = Option(options.get("maxPartitionBytes"))
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
-    val leaves = CellCodec.flatten(tableSchema)
+    val partSet = partitionCols.toSet
+    val partSchema = StructType(
+      partitionCols.map(c => tableSchema(tableSchema.fieldIndex(c))))
+    val dataSchema = StructType(tableSchema.fields.filterNot(f => partSet(f.name)))
+    val leaves = CellCodec.flatten(dataSchema)
     val leafIndex = leaves.zipWithIndex.map { case (l, i) => (l.name, i) }.toMap
     val leafType = leaves.map(l => (l.name, l.dataType)).toMap
-    val files = ColumnFileDataSource.listDataFiles(conf, paths)
+    // bounds over partition columns: constant per file => directory prune
+    val partLeafIndex = partitionCols.zipWithIndex.toMap
+    val partBounds = allFilters.flatMap(f =>
+      FilterEval.bind(f, partSchema, partLeafIndex))
+    val files = ColumnFileDataSource.listDataFilesWithRoots(conf, paths)
     val parts = mutable.ArrayBuffer.empty[InputPartition]
-    files.foreach { st =>
+    files.foreach { case (root, st) =>
+      val rawVals: Seq[String] =
+        PartitionLayout.valuesFor(root, st.getPath, partitionCols)
+      val partCells: Array[Array[Byte]] = partitionCols.indices.map { i =>
+        val dt = partSchema.fields(i).dataType
+        val v = PartitionLayout.parse(dt, rawVals(i))
+        if (v == null) null else CellCodec.encode(dt, v)
+      }.toArray
+      val dirPruned = partBounds.exists(b => !b.eval(partCells(b.col)))
+      if (!dirPruned) planFile(st, rawVals, maxBytes, leafIndex, leafType, parts)
+    }
+    parts.toArray
+  }
+
+  private def planFile(
+      st: org.apache.hadoop.fs.FileStatus,
+      rawVals: Seq[String],
+      maxBytes: Long,
+      leafIndex: Map[String, Int],
+      leafType: Map[String, DataType],
+      parts: mutable.ArrayBuffer[InputPartition]): Unit = {
+    {
       val fs = st.getPath.getFileSystem(conf)
       val in = new HadoopSeekableInput(fs, st.getPath, st.getLen)
       try {
@@ -220,7 +252,8 @@ class ColumnFileScan(
             ChunkStatsIndex.provesEmpty(f, ss(i), leafIndex, leafType)))
           if (!pruned) {
             if (acc.nonEmpty && accBytes + c.dataSize > maxBytes) {
-              parts += ColumnFilePartition(st.getPath.toString, st.getLen, acc.toArray)
+              parts += ColumnFilePartition(st.getPath.toString, st.getLen,
+                acc.toArray, rawVals.toArray)
               acc = mutable.ArrayBuffer.empty[Long]
               accBytes = 0L
             }
@@ -229,10 +262,10 @@ class ColumnFileScan(
           }
         }
         if (acc.nonEmpty)
-          parts += ColumnFilePartition(st.getPath.toString, st.getLen, acc.toArray)
+          parts += ColumnFilePartition(st.getPath.toString, st.getLen,
+            acc.toArray, rawVals.toArray)
       } finally in.close()
     }
-    parts.toArray
   }
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -241,7 +274,7 @@ class ColumnFileScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new ColumnFileReaderFactory(
       tableSchema.json, requiredSchema.json, allFilters,
-      new SerializableHadoopConf(conf), limit)
+      new SerializableHadoopConf(conf), limit, partitionCols)
 }
 
 class ColumnFileReaderFactory(
@@ -249,11 +282,20 @@ class ColumnFileReaderFactory(
     requiredSchemaJson: String,
     filters: Array[Filter],
     conf: SerializableHadoopConf,
-    limit: Int = -1)
+    limit: Int = -1,
+    partitionCols: Seq[String] = Seq.empty)
     extends PartitionReaderFactory {
 
+  @transient private lazy val tableSchema =
+    DataType.fromJson(tableSchemaJson).asInstanceOf[StructType]
   @transient private lazy val requiredSchema =
     DataType.fromJson(requiredSchemaJson).asInstanceOf[StructType]
+  @transient private lazy val partSet = partitionCols.toSet
+  // physical (stored) schemas: partition columns live in dir names only
+  @transient private lazy val dataTableSchema =
+    StructType(tableSchema.fields.filterNot(f => partSet(f.name)))
+  @transient private lazy val dataRequiredSchema =
+    StructType(requiredSchema.fields.filterNot(f => partSet(f.name)))
 
   /** Vectorized when the projection is flat atomic columns (the common
     * analytic case); nested/decimal projections use the row reader.
@@ -261,26 +303,119 @@ class ColumnFileReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean =
     ColumnFileColumnarReader.vectorizable(requiredSchema)
 
+  /** Per-required-field source: Right(dataOrdinal) or Left(constant
+    * Catalyst value parsed from the partition's directory values).
+    */
+  private def fieldSources(p: ColumnFilePartition): Array[Either[Any, Int]] = {
+    val dataIdx = dataRequiredSchema.fields.map(_.name).zipWithIndex.toMap
+    val partIdx = partitionCols.zipWithIndex.toMap
+    requiredSchema.fields.map { f =>
+      dataIdx.get(f.name) match {
+        case Some(i) => Right(i)
+        case None =>
+          val raw = p.partitionValues(partIdx(f.name))
+          Left(PartitionLayout.parse(f.dataType, raw))
+      }
+    }
+  }
+
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[ColumnFilePartition]
-    new ColumnFileColumnarPartitionReader(
-      p,
-      DataType.fromJson(tableSchemaJson).asInstanceOf[StructType],
-      DataType.fromJson(requiredSchemaJson).asInstanceOf[StructType],
-      filters,
-      conf.conf, limit)
+    val inner = new ColumnFileColumnarPartitionReader(
+      p, dataTableSchema, dataRequiredSchema, filters, conf.conf, limit)
+    if (partitionCols.isEmpty ||
+        requiredSchema.fields.forall(f => !partSet(f.name))) inner
+    else new PartitionConstantColumnarReader(
+      inner, requiredSchema, fieldSources(p))
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ColumnFilePartition]
-    new ColumnFilePartitionReader(
-      p,
-      DataType.fromJson(tableSchemaJson).asInstanceOf[StructType],
-      DataType.fromJson(requiredSchemaJson).asInstanceOf[StructType],
-      filters,
-      conf.conf, limit)
+    val inner = new ColumnFilePartitionReader(
+      p, dataTableSchema, dataRequiredSchema, filters, conf.conf, limit)
+    if (partitionCols.isEmpty ||
+        requiredSchema.fields.forall(f => !partSet(f.name))) inner
+    else new PartitionConstantRowReader(inner, fieldSources(p),
+      dataRequiredSchema.fields.map(_.dataType))
   }
+}
+
+/** Merges constant partition values into each row at their required
+  * ordinals (values parse once per task, not per row).
+  */
+class PartitionConstantRowReader(
+    inner: PartitionReader[InternalRow],
+    sources: Array[Either[Any, Int]],
+    dataTypes: Array[DataType])
+    extends PartitionReader[InternalRow] {
+  override def next(): Boolean = inner.next()
+  override def get(): InternalRow = {
+    val dataRow = inner.get()
+    val out = new Array[Any](sources.length)
+    var i = 0
+    while (i < sources.length) {
+      out(i) = sources(i) match {
+        case Right(o) =>
+          if (dataRow.isNullAt(o)) null else dataRow.get(o, dataTypes(o))
+        case Left(c) => c
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+  override def close(): Unit = inner.close()
+  override def currentMetricsValues() = inner.currentMetricsValues()
+}
+
+/** Wraps data batches with constant partition-column vectors. */
+class PartitionConstantColumnarReader(
+    inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
+    requiredSchema: StructType,
+    sources: Array[Either[Any, Int]])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val cap = ColumnFileColumnarReader.RowsPerBatch
+  // constant vectors filled once to full capacity and reused per batch
+  private val constVectors: Array[ColumnVector] = sources.zipWithIndex.map {
+    case (Left(c), i) =>
+      val v = new OnHeapColumnVector(cap, requiredSchema.fields(i).dataType)
+      var r = 0
+      while (r < cap) {
+        if (c == null) v.putNull(r)
+        else requiredSchema.fields(i).dataType match {
+          case LongType    => v.putLong(r, c.asInstanceOf[Long])
+          case IntegerType | DateType => v.putInt(r, c.asInstanceOf[Int])
+          case ShortType   => v.putShort(r, c.asInstanceOf[Short])
+          case ByteType    => v.putByte(r, c.asInstanceOf[Byte])
+          case BooleanType => v.putBoolean(r, c.asInstanceOf[Boolean])
+          case StringType  =>
+            val b = c.asInstanceOf[UTF8String].getBytes
+            v.putByteArray(r, b, 0, b.length)
+          case other => throw new IllegalStateException(s"partition type $other")
+        }
+        r += 1
+      }
+      v: ColumnVector
+    case (Right(_), _) => null
+  }
+
+  override def next(): Boolean = inner.next()
+  override def get(): ColumnarBatch = {
+    val dataBatch = inner.get()
+    val cols = sources.zipWithIndex.map {
+      case (Right(o), _) => dataBatch.column(o)
+      case (Left(_), i)  => constVectors(i)
+    }
+    new ColumnarBatch(cols, dataBatch.numRows())
+  }
+  override def close(): Unit = {
+    constVectors.foreach(v => if (v != null) v.close())
+    inner.close()
+  }
+  override def currentMetricsValues() = inner.currentMetricsValues()
 }
 
 /** Reads the chunks of one partition with projection pushdown, filter

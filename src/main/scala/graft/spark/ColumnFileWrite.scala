@@ -27,14 +27,16 @@ import graft.format.{ColumnFileWriter, Compression}
 class ColumnFileWriteBuilder(
     paths: Seq[String],
     info: LogicalWriteInfo,
-    conf: Configuration)
+    conf: Configuration,
+    partitionCols: Seq[String] = Seq.empty)
     extends WriteBuilder with SupportsTruncate {
 
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
   override def build(): Write =
-    new ColumnFileWrite(paths.head, info.schema(), info.options(), conf, truncateFirst)
+    new ColumnFileWrite(paths.head, info.schema(), info.options(), conf,
+      truncateFirst, partitionCols)
 }
 
 class ColumnFileWrite(
@@ -42,8 +44,17 @@ class ColumnFileWrite(
     schema: StructType,
     options: CaseInsensitiveStringMap,
     conf: Configuration,
-    truncateFirst: Boolean)
+    truncateFirst: Boolean,
+    partitionCols: Seq[String] = Seq.empty)
     extends Write with BatchWrite {
+
+  partitionCols.foreach { c =>
+    val f = schema.fields.find(_.name == c).getOrElse(
+      throw new IllegalArgumentException(s"columnfile: partition column $c not in schema"))
+    if (!PartitionLayout.supported(f.dataType))
+      throw new IllegalArgumentException(
+        s"columnfile: unsupported partition column type ${f.dataType} for $c")
+  }
 
   private val compression: Int =
     Compression.fromName(Option(options.get("compression")).getOrElse("lz4"))
@@ -60,7 +71,8 @@ class ColumnFileWrite(
     fs.mkdirs(dir)
     new ColumnFileWriterFactory(
       path, schema.json, compression, targetChunkBytes,
-      UUID.randomUUID().toString, new SerializableHadoopConf(conf))
+      UUID.randomUUID().toString, new SerializableHadoopConf(conf),
+      partitionCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -69,6 +81,7 @@ class ColumnFileWrite(
     val sidecar = fs.create(new Path(dir, ColumnFileDataSource.SchemaSidecar), true)
     try sidecar.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally sidecar.close()
+    if (partitionCols.nonEmpty) PartitionLayout.write(conf, dir, partitionCols)
     fs.create(new Path(dir, "_SUCCESS"), true).close()
   }
 
@@ -90,14 +103,81 @@ class ColumnFileWriterFactory(
     compression: Int,
     targetChunkBytes: Long,
     jobId: String,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    partitionCols: Seq[String] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val file = new Path(dir, f"part-$partitionId%05d-$jobId$taskId%d${ColumnFileDataSource.FileExtension}")
-    new ColumnFileDataWriter(file, schema, compression, targetChunkBytes, conf.conf)
+    val fileName = f"part-$partitionId%05d-$jobId$taskId%d${ColumnFileDataSource.FileExtension}"
+    if (partitionCols.isEmpty) {
+      new ColumnFileDataWriter(new Path(dir, fileName), schema, compression,
+        targetChunkBytes, conf.conf)
+    } else {
+      new ColumnFilePartitionedDataWriter(new Path(dir), fileName, schema,
+        partitionCols, compression, targetChunkBytes, conf.conf)
+    }
   }
 }
+
+/** Routes each row to the writer of its partition directory
+  * (`root/col=value/...`), creating writers lazily; partition columns
+  * are stripped from the stored data (their values live in the path).
+  * Memory per task = one open chunk buffer per distinct partition value
+  * seen — repartition by the partition columns upstream for strict
+  * bounds (standard practice, same as Parquet dynamic partitioning).
+  */
+class ColumnFilePartitionedDataWriter(
+    root: Path,
+    fileName: String,
+    schema: StructType,
+    partitionCols: Seq[String],
+    compression: Int,
+    targetChunkBytes: Long,
+    conf: Configuration)
+    extends DataWriter[InternalRow] {
+
+  private val partFields: Seq[(Int, org.apache.spark.sql.types.StructField)] =
+    partitionCols.map(c => (schema.fieldIndex(c), schema(c)))
+  private val dataOrdinals: Array[Int] =
+    schema.fields.indices.filterNot(partFields.map(_._1).toSet).toArray
+  private val dataSchema = StructType(dataOrdinals.map(schema.fields))
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[String, ColumnFileDataWriter]
+
+  override def write(row: InternalRow): Unit = {
+    val rel = partFields.map { case (i, f) =>
+      val v = if (row.isNullAt(i)) null else row.get(i, f.dataType)
+      s"${f.name}=${PartitionLayout.render(f.dataType, v)}"
+    }.mkString("/")
+    val w = writers.getOrElseUpdate(rel, {
+      new ColumnFileDataWriter(
+        new Path(new Path(root, rel), fileName), dataSchema, compression,
+        targetChunkBytes, conf)
+    })
+    val values = new Array[Any](dataOrdinals.length)
+    var i = 0
+    while (i < dataOrdinals.length) {
+      val o = dataOrdinals(i)
+      values(i) =
+        if (row.isNullAt(o)) null else row.get(o, schema.fields(o).dataType)
+      i += 1
+    }
+    w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val files = writers.values.map(_.commit() match {
+      case ColumnFileCommitMessage(f) => f
+    })
+    ColumnFilePartitionedCommitMessage(files.toSeq)
+  }
+
+  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def close(): Unit = ()
+}
+
+final case class ColumnFilePartitionedCommitMessage(files: Seq[String])
+  extends WriterCommitMessage
 
 class ColumnFileDataWriter(
     file: Path,
