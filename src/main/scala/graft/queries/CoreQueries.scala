@@ -314,8 +314,37 @@ object CoreQueries {
 
     // Nested shredding + assembly (#17, #18): struct/array columns survive
     // the columnfile roundtrip and project back out flat.
-    nestedRoundtrip
+    nestedRoundtrip,
+
+    // Partitioned storage: lineitem partitioned by l_returnflag; the
+    // partition predicate prunes two of three directories before I/O.
+    partitionedScan
   )
+
+  /** q33: lineitem stored partitioned by return flag; query filters on
+    * the partition column (directory pruning) and aggregates.
+    */
+  private def partitionedScan: Q = {
+    val oracle =
+      s"""SELECT l_linestatus AS lstatus, COUNT(*) AS cnt,
+         |  CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS sum_c
+         |FROM lineitem WHERE l_returnflag = 'R'
+         |GROUP BY l_linestatus""".stripMargin
+    Q("q33_cf_partitioned", (spark, dir) => {
+      val out = Tables.cachePath(dir, "lineitem_by_flag")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "lineitem").write.format("columnfile")
+          .partitionBy("l_returnflag").mode("overwrite").save(out)
+      }
+      spark.read.format("columnfile").load(out)
+        .createOrReplaceTempView("cf_lineitem_part")
+      spark.sql(
+        s"""SELECT l_linestatus AS lstatus, COUNT(*) AS cnt,
+           |  CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS sum_c
+           |FROM cf_lineitem_part WHERE l_returnflag = 'R'
+           |GROUP BY l_linestatus""".stripMargin)
+    }, Some(oracle))
+  }
 
   /** q27: build nested rows, roundtrip through columnfile, project flat.
     * Oracle: the same flat projection straight from parquet.
