@@ -186,7 +186,10 @@ object ExtQueries {
     s"""WITH hs AS (SELECT doc_id, ${d.shingleHashSet("text")} AS hset
        |       FROM documents WHERE ${d.size(d.split("text"))} >= 3),
        |sig AS ($sigSelect),
-       |ex AS (SELECT doc_id, bk $fromEx),
+       |ex0 AS (SELECT doc_id, bk $fromEx),
+       |bsz AS (SELECT bk, COUNT(*) AS n FROM ex0 GROUP BY bk),
+       |ex AS (SELECT ex0.doc_id, ex0.bk FROM ex0 JOIN bsz ON ex0.bk = bsz.bk
+       |       WHERE bsz.n <= 1000),
        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |         FROM ex a JOIN ex b ON a.bk = b.bk AND a.doc_id < b.doc_id),
        |jac AS (SELECT i, j,
@@ -202,12 +205,29 @@ object ExtQueries {
        |       FROM documents WHERE ${d.size(d.split("text"))} >= 3)
        |SELECT doc_id, ${d.simhashOf("hs")} AS simhash FROM hh""".stripMargin
 
-  private def simhashPairsSql(d: Dial): String =
-    s"""WITH s AS (${simhashSql(d)})
-       |SELECT a.doc_id AS i, b.doc_id AS j,
-       |  bit_count(${d.xor("a.simhash", "b.simhash")}) AS hamming
-       |FROM s a JOIN s b ON a.doc_id < b.doc_id
-       |WHERE bit_count(${d.xor("a.simhash", "b.simhash")}) <= 3""".stripMargin
+  /** Hamming<=3 SimHash pairs WITHOUT an all-pairs product: the 31-bit
+    * signature splits into 4 bands (8/8/8/7 bits); <=3 differing bits
+    * can touch at most 3 bands, so every qualifying pair shares at least
+    * one band verbatim (pigeonhole — zero recall loss). Candidates come
+    * from a self-join on (band index, band value); exact hamming runs on
+    * candidates only. The shuffle key is a small int pair — the same
+    * query shape at 100 TB.
+    */
+  private def simhashPairsSql(d: Dial): String = {
+    // band k = bits [8k, 8k+8) (band 3 gets the top 7 bits)
+    val bandExprs = (0 until 4).map { k =>
+      s"SELECT doc_id, simhash, $k AS band, ${d.intDiv(s"(simhash % ${1L << math.min(8 * (k + 1), 31)})", (1L << (8 * k)).toString)} AS bv FROM s"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH s AS (${simhashSql(d)}),
+       |ex AS (
+       |  $bandExprs),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM ex a JOIN ex b ON a.band = b.band AND a.bv = b.bv
+       |   AND a.doc_id < b.doc_id)
+       |SELECT i, j, bit_count(${d.xor("sa", "sb")}) AS hamming
+       |FROM cand WHERE bit_count(${d.xor("sa", "sb")}) <= 3""".stripMargin
+  }
 
   /** Character 5-gram Jaccard near-dup via an inverted gram index with
     * document-frequency pruning: candidate pairs come from co-occurrence
