@@ -258,28 +258,38 @@ object ExtQueries {
     * components would need iteration, so (standard practice) each doc's
     * group key is min(doc_id over its direct near-dups + itself) — one
     * shuffle — and the kept doc per group maximizes (tokens, -doc_id).
+    *
+    * The Spark side materializes the pair graph once (cached view):
+    * Spark inlines WITH subqueries, so the 5 references would otherwise
+    * recompute the whole MinHash pipeline 5x. (At 100 TB the equivalent
+    * is checkpointing signatures/pairs to storage between stages.)
     */
-  private def keepBestSql(d: Dial): String =
-    s"""WITH pairs AS (${minhashSql(d)}),
-       |grp AS (
-       |  SELECT doc_id, MIN(other) AS gkey FROM (
-       |    SELECT i AS doc_id, i AS other FROM pairs
-       |    UNION ALL SELECT i, j FROM pairs
-       |    UNION ALL SELECT j, i FROM pairs
-       |    UNION ALL SELECT j, j FROM pairs
-       |    UNION ALL SELECT doc_id, doc_id FROM documents
-       |  ) g GROUP BY doc_id),
-       |scored AS (
-       |  SELECT g.gkey, d2.doc_id,
-       |    ${d.size(d.split("d2.text"))} AS n_tokens
-       |  FROM grp g JOIN documents d2 ON g.doc_id = d2.doc_id),
-       |best AS (
+  private def keepBest: Q = Q("d08_dedup_keep_best", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    val pairs = spark.sql(minhashSql(SparkD))
+    pairs.cache().createOrReplaceTempView("mh_pairs")
+    spark.sql(keepBestBody("mh_pairs", SparkD))
+  }, Some(s"WITH mh_pairs AS (${minhashSql(DuckD)})\n" +
+    keepBestBody("mh_pairs", DuckD)))
+
+  private def keepBestBody(pairs: String, d: Dial): String =
+    s"""SELECT gkey, doc_id AS kept, n_tokens FROM (
        |  SELECT gkey, doc_id, n_tokens,
        |    ROW_NUMBER() OVER (PARTITION BY gkey
        |                       ORDER BY n_tokens DESC, doc_id) AS rn
-       |  FROM scored)
-       |SELECT gkey, doc_id AS kept, n_tokens
-       |FROM best WHERE rn = 1 AND gkey IN (SELECT i FROM pairs)""".stripMargin
+       |  FROM (
+       |    SELECT g.gkey, d2.doc_id,
+       |      ${d.size(d.split("d2.text"))} AS n_tokens
+       |    FROM (
+       |      SELECT doc_id, MIN(other) AS gkey FROM (
+       |        SELECT i AS doc_id, i AS other FROM $pairs
+       |        UNION ALL SELECT i, j FROM $pairs
+       |        UNION ALL SELECT j, i FROM $pairs
+       |        UNION ALL SELECT j, j FROM $pairs
+       |        UNION ALL SELECT doc_id, doc_id FROM documents
+       |      ) e GROUP BY doc_id) g
+       |    JOIN documents d2 ON g.doc_id = d2.doc_id) scored) best
+       |WHERE rn = 1 AND gkey IN (SELECT i FROM $pairs)""".stripMargin
 
   // ---------------------------------------------------------------- text
 
@@ -473,7 +483,7 @@ object ExtQueries {
     // Keep-best dedup: one representative per near-dup group (MinHash
     // band grouping), chosen by quality score with doc_id tiebreak —
     // the full LLM-pipeline dedup shape: group -> score -> keep-1.
-    dialect("d08_dedup_keep_best", keepBestSql),
+    keepBest,
     dialect("t01_text_langid", langidSql),
     dialect("t02_text_quality", qualitySql),
     dialect("t03_text_tokencount", tokenCountSql),
