@@ -160,18 +160,31 @@ object ExtQueries {
     * on the candidate set only (the 100 TB path: candidates come from a
     * shuffle on band keys, never from an all-pairs product).
     */
-  private def minhashSql(d: Dial): String = {
+  /** The shingle-hash-set projection (the expensive scan). */
+  private def minhashHsSql(d: Dial): String =
+    s"""SELECT doc_id, ${d.shingleHashSet("text")} AS hset
+       |FROM documents WHERE ${d.size(d.split("text"))} >= 3""".stripMargin
+
+  private def minhashSql(d: Dial): String =
+    s"WITH hs AS (${minhashHsSql(d)}),\n" + minhashBody(d, "hs")
+
+  /** Pipeline after the hash-set scan; `hs` names the (possibly
+    * materialized) hash-set relation. Spark inlines WITH subqueries, so
+    * the Spark-side queries cache `hs` as a temp view to avoid
+    * recomputing the scan for each of its 3 references.
+    */
+  private def minhashBody(d: Dial, hs: String): String = {
     // signature: native expression on the Spark side, 16 list_min
     // permutation scans on the oracle side
     val (sigSelect, mRef) = d match {
       case SparkD =>
-        (s"SELECT doc_id, hset, graft_minhash_sig(hset) AS sg FROM hs",
+        (s"SELECT doc_id, hset, graft_minhash_sig(hset) AS sg FROM $hs",
           (k: Int) => s"sg[$k]")
       case DuckD =>
         val minExprs = AB.zipWithIndex.map { case ((a, b), k) =>
           s"${d.arrayMin(d.transform("hset", "x", s"($a * x + $b) % $P"))} AS m$k"
         }.mkString(",\n    ")
-        (s"SELECT doc_id, hset,\n    $minExprs\n  FROM hs",
+        (s"SELECT doc_id, hset,\n    $minExprs\n  FROM $hs",
           (k: Int) => s"m$k")
     }
     val bandExprs = (0 until 4).map { k =>
@@ -183,9 +196,7 @@ object ExtQueries {
       case DuckD  => s"[${bandExprs.mkString(", ")}]"
     }
     val fromEx = s"FROM sig ${d.explode(bandsArr, "bk")}"
-    s"""WITH hs AS (SELECT doc_id, ${d.shingleHashSet("text")} AS hset
-       |       FROM documents WHERE ${d.size(d.split("text"))} >= 3),
-       |sig AS ($sigSelect),
+    s"""sig AS ($sigSelect),
        |ex0 AS (SELECT doc_id, bk $fromEx),
        |bsz AS (SELECT bk, COUNT(*) AS n FROM ex0 GROUP BY bk),
        |ex AS (SELECT ex0.doc_id, ex0.bk FROM ex0 JOIN bsz ON ex0.bk = bsz.bk
@@ -195,9 +206,22 @@ object ExtQueries {
        |jac AS (SELECT i, j,
        |          CAST(${d.size(d.intersect("x.hset", "y.hset"))} AS DOUBLE) /
        |          ${d.size(d.distinct(d.concatArr("x.hset", "y.hset")))} AS jaccard
-       |        FROM cand JOIN hs x ON x.doc_id = i JOIN hs y ON y.doc_id = j)
+       |        FROM cand JOIN $hs x ON x.doc_id = i JOIN $hs y ON y.doc_id = j)
        |SELECT i, j, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin
   }
+
+  /** Spark-side MinHash pairs with the hash-set scan materialized once. */
+  private def minhashPairsDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val hs = spark.sql(minhashHsSql(SparkD))
+    hs.cache().createOrReplaceTempView("mh_hs")
+    spark.sql("WITH " + minhashBody(SparkD, "mh_hs"))
+  }
+
+  private def minhashLsh: Q = Q("d03_dedup_minhash_lsh", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    minhashPairsDF(spark)
+  }, Some(minhashSql(DuckD)))
 
   /** Shingle-level 31-bit SimHash signature per document. */
   private def simhashSql(d: Dial): String =
@@ -236,12 +260,13 @@ object ExtQueries {
     * 100 TB shape: no all-pairs product anywhere; the df cap bounds the
     * per-gram pair fan-out at C(20,2).
     */
-  private def ngramJaccardSql(d: Dial): String = {
-    val fromEx = s"FROM g ${d.explode("gset", "gr")}"
-    s"""WITH g AS (SELECT doc_id,
-       |    ${d.gramHashSet("text")} AS gset
-       |  FROM documents WHERE length(text) >= 5),
-       |ex AS (SELECT doc_id, gr $fromEx),
+  private def gramSetSql(d: Dial): String =
+    s"""SELECT doc_id, ${d.gramHashSet("text")} AS gset
+       |FROM documents WHERE length(text) >= 5""".stripMargin
+
+  private def ngramJaccardBody(d: Dial, g: String): String = {
+    val fromEx = s"FROM $g ${d.explode("gset", "gr")}"
+    s"""ex AS (SELECT doc_id, gr $fromEx),
        |df AS (SELECT gr, COUNT(*) AS df FROM ex GROUP BY gr),
        |rare AS (SELECT ex.doc_id, ex.gr FROM ex JOIN df ON ex.gr = df.gr
        |         WHERE df.df BETWEEN 2 AND 20),
@@ -250,9 +275,19 @@ object ExtQueries {
        |p AS (SELECT i, j,
        |    CAST(${d.size(d.intersect("x.gset", "y.gset"))} AS DOUBLE) /
        |    ${d.size(d.distinct(d.concatArr("x.gset", "y.gset")))} AS jaccard
-       |  FROM cand JOIN g x ON x.doc_id = i JOIN g y ON y.doc_id = j)
+       |  FROM cand JOIN $g x ON x.doc_id = i JOIN $g y ON y.doc_id = j)
        |SELECT i, j, jaccard FROM p WHERE jaccard >= 0.5""".stripMargin
   }
+
+  private def ngramJaccardSql(d: Dial): String =
+    s"WITH g AS (${gramSetSql(d)}),\n" + ngramJaccardBody(d, "g")
+
+  private def ngramJaccard: Q = Q("d06_dedup_ngram_jaccard", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    val g = spark.sql(gramSetSql(SparkD))
+    g.cache().createOrReplaceTempView("ng_g")
+    spark.sql("WITH " + ngramJaccardBody(SparkD, "ng_g"))
+  }, Some(ngramJaccardSql(DuckD)))
 
   /** Keep-best dedup over the MinHash-LSH pair graph: connected
     * components would need iteration, so (standard practice) each doc's
@@ -266,7 +301,7 @@ object ExtQueries {
     */
   private def keepBest: Q = Q("d08_dedup_keep_best", (spark, dir) => {
     Tables.registerAll(spark, dir)
-    val pairs = spark.sql(minhashSql(SparkD))
+    val pairs = minhashPairsDF(spark)
     pairs.cache().createOrReplaceTempView("mh_pairs")
     spark.sql(keepBestBody("mh_pairs", SparkD))
   }, Some(s"WITH mh_pairs AS (${minhashSql(DuckD)})\n" +
@@ -475,10 +510,10 @@ object ExtQueries {
       """SELECT lang AS l, source AS src, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS group_size
         |FROM documents GROUP BY lang, source""".stripMargin),
-    dialect("d03_dedup_minhash_lsh", minhashSql),
+    minhashLsh,
     dialect("d04_dedup_simhash", simhashSql),
     dialect("d05_dedup_simhash_pairs", simhashPairsSql),
-    dialect("d06_dedup_ngram_jaccard", ngramJaccardSql),
+    ngramJaccard,
     dialect("d07_dedup_embedding_cosine", embeddingDedupSql),
     // Keep-best dedup: one representative per near-dup group (MinHash
     // band grouping), chosen by quality score with doc_id tiebreak —
