@@ -184,6 +184,23 @@ object ColumnFileReader {
     decoders
   }
 
+  /** Row count of a chunk, counted from its smallest column block (the
+    * cheapest decode). Used when a scan needs the count but decoded no
+    * data column — empty projections and all-filter-columns-absent
+    * ragged chunks.
+    */
+  def countRows(in: SeekableInput, chunk: ChunkInfo): Int =
+    chunk.fields.minByOption(_._2) match {
+      case None => 0
+      case Some((col, _)) =>
+        val w = new java.util.HashSet[Integer]()
+        w.add(col)
+        val d = openChunk(in, chunk, w)(col)
+        var c = 0
+        while (d.hasNext) { d.next(); c += 1 }
+        c
+    }
+
   def open(bytes: Array[Byte]): ColumnFileReader =
     new ColumnFileReader(new BytesInput(bytes))
 

@@ -297,14 +297,23 @@ object CoreQueries {
       compression = "zlib"),
 
     // External sort semantics (#14, #15): whole-row ordering exposed via
-    // row_number so the hash check is order-sensitive.
+    // an order-sensitive row number. Scale shape: the global sort + limit
+    // compiles to TakeOrderedAndProject (per-partition top-k, then one
+    // bounded merge — no global WindowExec moving the whole table to a
+    // single task); only the <=1000 survivors are renumbered, inside a
+    // window whose partition spec is non-empty so nothing warns or
+    // degenerates at 100x the data.
     Q.viaCF("q26_cf_sort", Seq("lineitem"),
-      """SELECT okey, ln, rn FROM (
+      """SELECT okey, ln,
+        |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY rflag, lstatus,
+        |                     okey, ln) AS rn
+        |FROM (
         |  SELECT l_orderkey AS okey, l_linenumber AS ln,
-        |    ROW_NUMBER() OVER (ORDER BY l_returnflag, l_linestatus,
-        |                       l_orderkey, l_linenumber) AS rn
-        |  FROM cf_lineitem) x
-        |WHERE rn <= 1000""".stripMargin,
+        |    l_returnflag AS rflag, l_linestatus AS lstatus,
+        |    l_orderkey - l_orderkey AS g
+        |  FROM cf_lineitem
+        |  ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber
+        |  LIMIT 1000) x""".stripMargin,
       """SELECT okey, ln, rn FROM (
         |  SELECT l_orderkey AS okey, l_linenumber AS ln,
         |    ROW_NUMBER() OVER (ORDER BY l_returnflag, l_linestatus,
@@ -318,8 +327,39 @@ object CoreQueries {
 
     // Partitioned storage: lineitem partitioned by l_returnflag; the
     // partition predicate prunes two of three directories before I/O.
-    partitionedScan
+    partitionedScan,
+
+    // Prefix-LIKE pushdown through a sorted cf table (stats pruning live).
+    prefixPushdown
   )
+
+  /** q34: prefix LIKE pushed into a cf scan whose file is SORTED by the
+    * filtered column, so the driver-side StringStartsWith min/max pruning
+    * is actually live — including the round-2 wrong-results shape where a
+    * chunk's min string extends the prefix (e.g. min "small bolt" vs
+    * filter LIKE 'small %').
+    */
+  private def prefixPushdown: Q = {
+    val oracle =
+      """SELECT p_brand AS brand, COUNT(*) AS cnt
+        |FROM part WHERE p_name LIKE 'small %'
+        |GROUP BY p_brand""".stripMargin
+    Q("q34_cf_prefix_pushdown", (spark, dir) => {
+      val out = Tables.cachePath(dir, "part_by_name")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "part")
+          .orderBy("p_name") // range-partitioned sorted chunks
+          .write.format("columnfile").option("targetChunkBytes", "65536")
+          .mode("overwrite").save(out)
+      }
+      spark.read.format("columnfile").load(out)
+        .createOrReplaceTempView("cf_part_sorted")
+      spark.sql(
+        """SELECT p_brand AS brand, COUNT(*) AS cnt
+          |FROM cf_part_sorted WHERE p_name LIKE 'small %'
+          |GROUP BY p_brand""".stripMargin)
+    }, Some(oracle))
+  }
 
   /** q33: lineitem stored partitioned by return flag; query filters on
     * the partition column (directory pruning) and aggregates.

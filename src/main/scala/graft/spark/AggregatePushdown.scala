@@ -80,8 +80,20 @@ object AggregatePushdown {
     val values: Seq[Any] = parsed.toSeq.map {
       case (CS, _) => totalRows
       case (C(i), _) =>
-        // columns absent from a chunk's stats map have zero nulls there
-        totalRows - allStats.iterator.map(_.cols.get(i).map(_._2).getOrElse(0L)).sum
+        // Our writer records an entry for every column that was touched in
+        // a chunk (presence OR nulls), so a missing entry in a non-empty
+        // chunk means either the column was entirely absent there (ragged
+        // rows — reads back as all NULL) or the sidecar came from a
+        // foreign writer with weaker guarantees. Either way we cannot
+        // prove the non-null count, so bail rather than overcount.
+        var nonNull = 0L
+        allStats.foreach { s =>
+          s.cols.get(i) match {
+            case Some((_, nulls)) => nonNull += s.rows - nulls
+            case None             => if (s.rows > 0) return None
+          }
+        }
+        nonNull
       case (MinS(i, dt), _) => foldRange(allStats.toSeq, i, dt, isMin = true) match {
         case Left(()) => return None
         case Right(v) => v
@@ -128,18 +140,18 @@ object AggregatePushdown {
               val v = if (isMin) lo else hi
               accD = if (isMin) math.min(accD, v) else math.max(accD, v)
             case StringRange(lo, hi) =>
+              // UTF-8 byte order, matching the engine's string comparison
               val v = if (isMin) lo else hi
               if (accS == null) accS = v
-              else if (isMin) { if (v < accS) accS = v }
-              else { if (v > accS) accS = v }
+              else if (isMin) { if (ChunkStatsIndex.utf8Cmp(v, accS) < 0) accS = v }
+              else { if (ChunkStatsIndex.utf8Cmp(v, accS) > 0) accS = v }
           }
         case Some((None, nulls)) =>
-          // nulls only in this chunk for this col — contributes nothing,
-          // UNLESS the chunk also had untracked values (impossible: range
-          // None with seen values can't happen for statsCapable types)
+          // Range-less entry with non-null values present: either a
+          // NaN-containing float/double chunk (ranges are withheld so the
+          // NaN-greatest total order can't be misrepresented) or a
+          // non-capable type. MIN/MAX can't be answered exactly — bail.
           if (nulls < s.rows && s.rows > 0) {
-            // values existed but weren't tracked => bail
-            // (only possible for non-capable types, defensive)
             return Left(())
           }
         case None => // column fully present with zero nulls but no stats

@@ -39,7 +39,16 @@ object ChunkStatsIndex {
     var loS: String = null
     var hiS: String = null
     var seen: Boolean = false
+    var hasNaN: Boolean = false
   }
+
+  /** Spark compares strings by UTF-8 byte order (code points), which
+    * diverges from Java's UTF-16 `String.compareTo` for supplementary
+    * characters vs U+E000..U+FFFF. All stats ordering goes through this
+    * so pruning and MIN/MAX pushdown match engine semantics.
+    */
+  def utf8Cmp(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
 
   sealed trait Range
   final case class LongRange(lo: Long, hi: Long) extends Range
@@ -72,8 +81,12 @@ object ChunkStatsIndex {
         val acc = accs(i)
         val cell = cells(i)
         if (cell == null) acc.nulls += 1
-        else family(acc.dataType).foreach { fam =>
+        else {
+          // presence is tracked for EVERY type (so COUNT(col) pushdown can
+          // distinguish "no nulls" from "column absent in this chunk");
+          // ranges only for the stats families below.
           acc.seen = true
+          family(acc.dataType).foreach { fam =>
           fam match {
             case 'l' =>
               val v = acc.dataType match {
@@ -92,17 +105,24 @@ object ChunkStatsIndex {
               if (v < acc.loL) acc.loL = v
               if (v > acc.hiL) acc.hiL = v
             case 'd' =>
-              val v = acc.dataType match {
+              val raw = acc.dataType match {
                 case DoubleType => CellCodec.decode(acc.dataType, cell).asInstanceOf[Double]
                 case FloatType  => CellCodec.decode(acc.dataType, cell).asInstanceOf[Float].toDouble
                 case _          => 0.0
               }
-              if (v < acc.loD) acc.loD = v
-              if (v > acc.hiD) acc.hiD = v
+              if (raw.isNaN) acc.hasNaN = true
+              else {
+                // -0.0 == 0.0 in the engine; normalize so a [-0.0] chunk
+                // isn't pruned for `x = 0.0`.
+                val v = if (raw == 0.0) 0.0 else raw
+                if (v < acc.loD) acc.loD = v
+                if (v > acc.hiD) acc.hiD = v
+              }
             case 's' =>
               val v = UTF8String.fromBytes(cell).toString
-              if (acc.loS == null || v < acc.loS) acc.loS = v
-              if (acc.hiS == null || v > acc.hiS) acc.hiS = v
+              if (acc.loS == null || utf8Cmp(v, acc.loS) < 0) acc.loS = v
+              if (acc.hiS == null || utf8Cmp(v, acc.hiS) > 0) acc.hiS = v
+          }
           }
         }
         i += 1
@@ -116,10 +136,16 @@ object ChunkStatsIndex {
         else {
           val range: Option[Range] =
             if (!a.seen) None
-            else family(a.dataType).map {
-              case 'l' => LongRange(a.loL, a.hiL)
-              case 'd' => DoubleRange(a.loD, a.hiD)
-              case 's' => StringRange(a.loS, a.hiS)
+            else family(a.dataType).flatMap {
+              case 'l' => Some(LongRange(a.loL, a.hiL))
+              // NaN is unordered in IEEE but GREATEST in the engine's total
+              // order: a chunk containing NaN gets no range at all (the
+              // Parquet convention), so it is never pruned and MIN/MAX
+              // pushdown bails instead of answering without the NaN.
+              case 'd' => if (a.hasNaN || a.loD.isInfinite && a.hiD.isInfinite && a.loD > a.hiD)
+                            None
+                          else Some(DoubleRange(a.loD, a.hiD))
+              case 's' => Some(StringRange(a.loS, a.hiS))
             }
           Some(i -> (range, a.nulls))
         }
@@ -320,18 +346,22 @@ object ChunkStatsIndex {
     case (DateType, x: java.time.LocalDate)  => Some(DateTimeUtils.localDateToDays(x).toLong)
     case (TimestampType, x: java.sql.Timestamp) => Some(DateTimeUtils.fromJavaTimestamp(x))
     case (TimestampType, x: java.time.Instant)  => Some(DateTimeUtils.instantToMicros(x))
-    case (DoubleType, x: java.lang.Double)   => Some(x.doubleValue())
-    case (FloatType, x: java.lang.Float)     => Some(x.floatValue().toDouble)
+    case (DoubleType, x: java.lang.Double)   =>
+      val d = x.doubleValue(); Some(if (d == 0.0) 0.0 else d)
+    case (FloatType, x: java.lang.Float)     =>
+      val d = x.floatValue().toDouble; Some(if (d == 0.0) 0.0 else d)
     case (StringType, x: String)             => Some(x)
     case (StringType, x: UTF8String)         => Some(x.toString)
     case _ => None
   }
 
   private def cmp(range: Range, v: Any): Option[(Int, Int)] = (range, v) match {
-    // returns (sign(lo compare v), sign(hi compare v))
+    // returns (sign(lo compare v), sign(hi compare v)); doubles via
+    // java.lang.Double.compare = the engine's total order (NaN greatest),
+    // strings via UTF-8 byte order = the engine's string order.
     case (LongRange(lo, hi), x: Long)     => Some((lo.compare(x), hi.compare(x)))
     case (DoubleRange(lo, hi), x: Double) => Some((lo.compare(x), hi.compare(x)))
-    case (StringRange(lo, hi), x: String) => Some((lo.compare(x).sign, hi.compare(x).sign))
+    case (StringRange(lo, hi), x: String) => Some((utf8Cmp(lo, x).sign, utf8Cmp(hi, x).sign))
     case _ => None
   }
 
@@ -386,16 +416,20 @@ object ChunkStatsIndex {
         colInfo(a).exists { case (_, nulls) => nulls == 0 } &&
           leafIndex.contains(a)
       case StringStartsWith(a, p) =>
-        rangeCmp(a, p).exists { case (lo, _) => lo > 0 } || {
-          // hi < p and hi doesn't start with p => no value can start with p
-          (for {
-            (rOpt, _) <- colInfo(a)
-            r <- rOpt
-          } yield r match {
-            case StringRange(_, hi) => hi < p && !p.startsWith(hi)
-            case _ => false
-          }).getOrElse(false)
-        }
+        // UTF-8 byte order makes prefix reasoning exact: every string
+        // starting with p sorts in [p, p-with-last-byte-bumped). Prune on
+        // the low side only when lo > p AND lo does not itself extend p
+        // (lo = "applz" > p = "appl" still matches LIKE 'appl%'); prune on
+        // the high side whenever hi < p (no extension of p can sort below
+        // p, so hi < p proves nothing in the chunk reaches the prefix).
+        (for {
+          (rOpt, _) <- colInfo(a)
+          r <- rOpt
+        } yield r match {
+          case StringRange(lo, hi) =>
+            (utf8Cmp(lo, p) > 0 && !lo.startsWith(p)) || utf8Cmp(hi, p) < 0
+          case _ => false
+        }).getOrElse(false)
       case _ => false
     }
   }

@@ -115,6 +115,12 @@ class ColumnFileColumnarPartitionReader(
           c -> buf
         }.toMap
       rowCount = colValues.values.map(_.length).maxOption.getOrElse(0)
+      if (rowCount == 0) {
+        // Ragged chunk with every filter column absent: cells are NULL
+        // for all rows (a `c IS NULL` filter matches) — recover the row
+        // count from another column block instead of skipping the chunk.
+        rowCount = ColumnFileReader.countRows(input, info)
+      }
       survivors = new java.util.BitSet(rowCount)
       var r = 0
       while (r < rowCount) {
@@ -143,18 +149,7 @@ class ColumnFileColumnarPartitionReader(
       // empty projection (count(*)): row count only
       emptyProjRows =
         if (rowCount >= 0) survivors.cardinality().toLong
-        else {
-          info.fields.minByOption(_._2) match {
-            case None => 0L
-            case Some((col, _)) =>
-              val w = new java.util.HashSet[Integer]()
-              w.add(col)
-              val d = ColumnFileReader.openChunk(input, info, w)(col)
-              var c = 0L
-              while (d.hasNext) { d.next(); c += 1 }
-              c
-          }
-        }
+        else ColumnFileReader.countRows(input, info).toLong
       decoders = Array.empty
       return
     }

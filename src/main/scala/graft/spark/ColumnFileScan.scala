@@ -500,6 +500,14 @@ class ColumnFilePartitionReader(
           c -> buf
         }.toMap
       rowCount = colValues.values.map(_.length).maxOption.getOrElse(0)
+      if (rowCount == 0) {
+        // Every bound filter column is absent from this chunk (ragged
+        // file): those cells read back as NULL for every row, which
+        // filters like `c IS NULL` can match. Recover the true row count
+        // from another column block and evaluate against all-null cells
+        // instead of silently skipping the chunk.
+        rowCount = ColumnFileReader.countRows(input, info)
+      }
       survivors = new java.util.BitSet(rowCount)
       var r = 0
       while (r < rowCount) {
@@ -535,19 +543,7 @@ class ColumnFilePartitionReader(
       // column block if filters didn't already establish it.
       val n =
         if (rowCount >= 0) survivors.cardinality()
-        else {
-          val smallest = info.fields.minByOption(_._2)
-          smallest match {
-            case None => 0
-            case Some((col, _)) =>
-              val w = new java.util.HashSet[Integer]()
-              w.add(col)
-              val d = ColumnFileReader.openChunk(input, info, w)(col)
-              var c = 0
-              while (d.hasNext) { d.next(); c += 1 }
-              c
-          }
-        }
+        else ColumnFileReader.countRows(input, info)
       return Iterator.fill(n)(InternalRow.empty)
     }
 

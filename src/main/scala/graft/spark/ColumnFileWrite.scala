@@ -86,10 +86,19 @@ class ColumnFileWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // Tasks that committed before the job failed have durable data files
+    // AND stats sidecars on disk; readers list files without consulting
+    // _SUCCESS, so anything left behind becomes visible — delete both.
     val fs = new Path(path).getFileSystem(conf)
+    def del(file: String): Unit = {
+      val p = new Path(file)
+      try fs.delete(p, false) catch { case _: Exception => }
+      val sidecar = new Path(p.getParent, "." + p.getName + ChunkStatsIndex.Suffix)
+      try fs.delete(sidecar, false) catch { case _: Exception => }
+    }
     messages.foreach {
-      case ColumnFileCommitMessage(file) =>
-        try fs.delete(new Path(file), false) catch { case _: Exception => }
+      case ColumnFileCommitMessage(file)             => del(file)
+      case ColumnFilePartitionedCommitMessage(files) => files.foreach(del)
       case _ =>
     }
   }

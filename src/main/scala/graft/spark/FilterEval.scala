@@ -177,11 +177,14 @@ object FilterEval {
       case (ByteType, v: java.lang.Byte) =>
         Some(cell => java.lang.Byte.compare(
           CellCodec.decode(dt, cell).asInstanceOf[Byte], v))
+      // SQLOrderingUtil = the engine's float semantics: -0.0 == 0.0 and
+      // NaN = NaN, NaN greatest. java.lang.Double.compare would order
+      // -0.0 < 0.0 and silently drop rows `= 0.0` should keep.
       case (DoubleType, v: java.lang.Double) =>
-        Some(cell => java.lang.Double.compare(
+        Some(cell => org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(
           CellCodec.decode(dt, cell).asInstanceOf[Double], v))
       case (FloatType, v: java.lang.Float) =>
-        Some(cell => java.lang.Float.compare(
+        Some(cell => org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareFloats(
           CellCodec.decode(dt, cell).asInstanceOf[Float], v))
       case (BooleanType, v: java.lang.Boolean) =>
         Some(cell => java.lang.Boolean.compare(

@@ -68,6 +68,83 @@ class ChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(provesEmpty(EqualTo("id", 1L), allNull, leafIndex, leafType))
   }
 
+  test("StringStartsWith pruning: min extending the prefix is NOT pruned") {
+    val leafIndex = Map("name" -> 0)
+    val leafType: Map[String, DataType] = Map("name" -> StringType)
+    def s(lo: String, hi: String) =
+      ChunkStats(10, Map(0 -> (Some(StringRange(lo, hi)), 0L)))
+    def empty(p: String, lo: String, hi: String) =
+      provesEmpty(StringStartsWith("name", p), s(lo, hi), leafIndex, leafType)
+
+    // the round-2 wrong-results case: lo > p but lo still starts with p
+    assert(!empty("appl", "applz", "applz"))
+    assert(!empty("a", "alpha", "beta"))
+    // lo beyond the prefix range without extending it: prune
+    assert(empty("appl", "appm", "apzz"))
+    // hi below the prefix: prune (hi < p alone is sound)
+    assert(empty("c", "alpha", "beta"))
+    assert(empty("appl", "aa", "ap"))
+    // straddling range: keep
+    assert(!empty("appl", "aaa", "zzz"))
+  }
+
+  test("float stats: NaN chunk carries no range; -0.0 normalized to 0.0") {
+    val schema = StructType(Seq(StructField("d", DoubleType)))
+    val leaves = CellCodec.flatten(schema)
+    val leafIndex = Map("d" -> 0)
+    val leafType: Map[String, DataType] = Map("d" -> DoubleType)
+
+    val coll = new Collector(leaves)
+    Seq(1.0, 2.0, Double.NaN).foreach(v =>
+      coll.observe(Array(CellCodec.encode(DoubleType, v))))
+    val st = coll.finishChunk()
+    // no range => never pruned (NaN sorts greatest, so x > 5 matches it)
+    assert(st.cols(0)._1.isEmpty)
+    assert(!provesEmpty(GreaterThan("d", java.lang.Double.valueOf(5.0)),
+      st, leafIndex, leafType))
+
+    val c2 = new Collector(leaves)
+    c2.observe(Array(CellCodec.encode(DoubleType, -0.0)))
+    val st2 = c2.finishChunk()
+    // -0.0 == 0.0 in the engine: a [-0.0] chunk must survive `= 0.0`
+    assert(!provesEmpty(EqualTo("d", java.lang.Double.valueOf(0.0)),
+      st2, leafIndex, leafType))
+    assert(!provesEmpty(EqualTo("d", java.lang.Double.valueOf(-0.0)),
+      st2, leafIndex, leafType))
+  }
+
+  test("string stats use UTF-8 code-point order, not UTF-16") {
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val leaves = CellCodec.flatten(schema)
+    val supp = new String(Character.toChars(0x10000)) // U+10000
+    val pua = "\uE000"
+    // Java UTF-16 order disagrees with Spark's UTF-8 order on this pair
+    assert(supp.compareTo(pua) < 0)
+    assert(ChunkStatsIndex.utf8Cmp(supp, pua) > 0)
+    val coll = new Collector(leaves)
+    Seq(supp, pua).foreach(v => coll.observe(Array(
+      CellCodec.encode(StringType, org.apache.spark.unsafe.types.UTF8String.fromString(v)))))
+    val st = coll.finishChunk()
+    assert(st.cols(0)._1.contains(StringRange(pua, supp)))
+  }
+
+  test("prefix filter end-to-end: chunks with mins extending the prefix survive") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-prefix").toString
+    // sorted so every chunk's min is an extension of "appl" — the round-2
+    // bug pruned every chunk and returned zero rows
+    (0 until 2000).map(i => f"applz$i%04d").toDF("s")
+      .repartition(1).sortWithinPartitions("s")
+      .write.format("columnfile").option("targetChunkBytes", "2048")
+      .mode("overwrite").save(dir)
+    val f = new java.io.File(dir)
+    assert(f.listFiles().exists(_.getName.endsWith(ChunkStatsIndex.Suffix)))
+    val t = spark.read.format("columnfile").load(dir)
+    assert(t.filter(col("s").startsWith("appl")).count() == 2000)
+    assert(t.filter(col("s").startsWith("applz00")).count() == 100)
+    assert(t.filter(col("s").startsWith("xyz")).count() == 0)
+  }
+
   test("driver-side chunk pruning: selective filter plans fewer partitions") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-stats").toString

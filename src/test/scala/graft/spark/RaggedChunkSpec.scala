@@ -1,0 +1,132 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.format.ColumnFileWriter
+
+/** Ragged files — chunks where some columns are entirely absent (the
+  * format allows it: rows are sparse (column, value) lists, reference
+  * src/columnfile.h:63, and absent columns read back as NULL,
+  * src/columnfile-reader.cc:416-445). Our own writer always writes every
+  * leaf, but format-level writers and foreign files can be ragged, and
+  * the scan must not lose rows or overcount on them.
+  */
+class RaggedChunkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("ragged-chunk-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = true),
+    StructField("s", StringType, nullable = true)))
+
+  /** chunk 1: both columns (ids 1-3); chunk 2: only id (ids 4-6). */
+  private def writeRaggedTable(): String = {
+    val dir = Files.createTempDirectory("cf-ragged").toString
+    val f = new java.io.File(dir, "data.cf")
+    val out = new java.io.FileOutputStream(f)
+    val w = new ColumnFileWriter(out)
+    (1L to 3L).foreach { i =>
+      w.put(0, CellCodec.encode(LongType, i))
+      w.put(1, UTF8String.fromString(s"v$i").getBytes)
+    }
+    w.flush()
+    (4L to 6L).foreach(i => w.put(0, CellCodec.encode(LongType, i)))
+    w.finish()
+    out.close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ColumnFileDataSource.SchemaSidecar),
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    dir
+  }
+
+  test("IS NULL filter matches rows of a chunk missing the filter column") {
+    val dir = writeRaggedTable()
+    val t = spark.read.format("columnfile").load(dir)
+    assert(t.count() == 6)
+    // the round-3 fix: chunk 2 has no 's' block at all, but its rows read
+    // as s = NULL — the scan must not skip the chunk
+    val gotNull = t.filter(col("s").isNull).collect()
+    assert(gotNull.map(_.getLong(0)).sorted.toSeq == Seq(4L, 5L, 6L))
+    assert(gotNull.forall(_.isNullAt(1)))
+    val gotNotNull = t.filter(col("s").isNotNull).collect()
+    assert(gotNotNull.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // value filters on the absent column still match nothing in chunk 2
+    assert(t.filter(col("s") === "v2").count() == 1)
+  }
+
+  test("COUNT(col) pushdown bails when a non-empty chunk lacks a stats entry") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-raggedcount").toString
+    (1L to 100L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(1)
+      .write.format("columnfile").mode("overwrite").save(dir)
+    val conf = new Configuration()
+    val dataFile = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(ColumnFileDataSource.FileExtension)).head
+    val p = new Path(dataFile.getAbsolutePath)
+    // simulate a foreign/ragged sidecar: drop column 1's entry entirely
+    val chunks = ChunkStatsIndex.read(conf, p).get
+    ChunkStatsIndex.write(conf, p,
+      chunks.map(c => c.copy(cols = c.cols - 1)))
+
+    val t = spark.read.format("columnfile").load(dir)
+    val agg = t.agg(count(col("s")), count(lit(1)))
+    // without the entry we cannot prove the non-null count: no stats-only
+    // plan, but the real scan still answers correctly
+    assert(!agg.queryExecution.executedPlan.toString.contains("stats-only"))
+    assert(agg.head.toSeq == Seq(100L, 100L))
+  }
+
+  test("job-level abort deletes partitioned task files and stats sidecars") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-abort").toString
+    (1L to 10L).map(i => (i, s"g${i % 2}")).toDF("id", "g")
+      .repartition(1)
+      .write.format("columnfile").partitionBy("g").mode("overwrite").save(dir)
+    // collect the files a committed partitioned write produced, then
+    // drive the Write's abort path directly with its commit messages
+    def allFiles(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).toSeq.flatten.flatMap(c =>
+        if (c.isDirectory) allFiles(c) else Seq(c))
+    val dataFiles = allFiles(new java.io.File(dir))
+      .filter(_.getName.endsWith(ColumnFileDataSource.FileExtension))
+    assert(dataFiles.nonEmpty)
+    val sidecars = allFiles(new java.io.File(dir))
+      .filter(_.getName.endsWith(ChunkStatsIndex.Suffix))
+    assert(sidecars.nonEmpty)
+
+    val write = new ColumnFileWrite(dir,
+      StructType(Seq(StructField("id", LongType), StructField("g", StringType))),
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of()),
+      new Configuration(), truncateFirst = false, Seq("g"))
+    write.abort(Array(
+      ColumnFilePartitionedCommitMessage(dataFiles.map(_.getAbsolutePath).toSeq)))
+
+    val remaining = allFiles(new java.io.File(dir)).map(_.getName)
+    assert(!remaining.exists(_.endsWith(ColumnFileDataSource.FileExtension)),
+      s"data files survived abort: $remaining")
+    assert(!remaining.exists(_.endsWith(ChunkStatsIndex.Suffix)),
+      s"stats sidecars survived abort: $remaining")
+  }
+}
