@@ -38,9 +38,21 @@ final class ColumnFileWriter(
 
   private val fields = mutable.SortedMap.empty[Int, ColumnWriter]
   private var finished = false
+  private var written: Long = if (writeMagic) Magic.length.toLong else 0L
+  private val chunkRangesBuf = mutable.ArrayBuffer.empty[(Long, Long)]
   if (writeMagic) out.write(Magic)
 
   def setCompression(codec: Int): Unit = compression = codec
+
+  /** (headerOffset, dataSize) of every chunk emitted so far. Offsets are
+    * stream-relative — absolute file offsets when this writer wrote the
+    * magic. Lets the commit path persist chunk locations in the stats
+    * sidecar so planners never need to walk headers.
+    */
+  def chunkRanges: Seq[(Long, Long)] = chunkRangesBuf.toSeq
+
+  /** Total bytes emitted (== final file length after finish()). */
+  def bytesWritten: Long = written
 
   private def field(col: Int): ColumnWriter =
     fields.getOrElseUpdate(col, new ColumnWriter)
@@ -79,6 +91,9 @@ final class ColumnFileWriter(
       (n >>> 24).toByte, (n >>> 16).toByte, (n >>> 8).toByte, n.toByte))
     out.write(header.buf, 0, n)
     blocks.foreach { case (_, block) => out.write(block) }
+    val dataSize = blocks.iterator.map(_._2.length.toLong).sum
+    chunkRangesBuf += ((written, dataSize))
+    written += 4L + n + dataSize
     fields.clear()
   }
 

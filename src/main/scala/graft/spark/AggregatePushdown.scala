@@ -63,18 +63,29 @@ object AggregatePushdown {
     if (specs.exists(_.isEmpty)) return None
     val parsed = specs.map(_.get)
 
-    // Load stats for every file; every chunk must be covered.
+    // Load stats for every file; every chunk must be covered. Sidecars
+    // that record chunk offsets + a matching file length are trusted
+    // without opening the data file (the aggregate then costs one small
+    // sidecar read per file); legacy sidecars are verified against a
+    // header walk. Parallel across files.
     val files = ColumnFileDataSource.listDataFiles(conf, paths)
-    val allStats = scala.collection.mutable.ArrayBuffer.empty[ChunkStatsIndex.ChunkStats]
-    files.foreach { st =>
-      val in = new HadoopSeekableInput(
-        st.getPath.getFileSystem(conf), st.getPath, st.getLen)
-      val chunks = try graft.format.ColumnFileReader.scanChunks(in) finally in.close()
-      ChunkStatsIndex.read(conf, st.getPath) match {
-        case Some(ss) if ss.length == chunks.length => allStats ++= ss
-        case _ => return None // missing/misaligned stats: no pushdown
+    val perFile: Seq[Option[Seq[ChunkStatsIndex.ChunkStats]]] =
+      ColumnFileDataSource.mapFilesParallel(files) { st =>
+        ChunkStatsIndex.readWithLen(conf, st.getPath) match {
+          case Some((len, ss)) if len == st.getLen &&
+              ss.forall(c => c.off >= 0 && c.bytes >= 0) =>
+            Some(ss)
+          case Some((_, ss)) =>
+            val in = new HadoopSeekableInput(
+              st.getPath.getFileSystem(conf), st.getPath, st.getLen)
+            val chunks =
+              try graft.format.ColumnFileReader.scanChunks(in) finally in.close()
+            if (ss.length == chunks.length) Some(ss) else None
+          case None => None // missing stats: no pushdown
+        }
       }
-    }
+    if (perFile.exists(_.isEmpty)) return None
+    val allStats = perFile.flatten.flatten
 
     val totalRows = allStats.iterator.map(_.rows).sum
     val values: Seq[Any] = parsed.toSeq.map {

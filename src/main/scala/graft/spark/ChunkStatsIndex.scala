@@ -55,8 +55,17 @@ object ChunkStatsIndex {
   final case class DoubleRange(lo: Double, hi: Double) extends Range
   final case class StringRange(lo: String, hi: String) extends Range
 
-  /** (rows, per-leaf (range, nulls)); leaves keyed by flatten() ordinal. */
-  final case class ChunkStats(rows: Long, cols: Map[Int, (Option[Range], Long)])
+  /** (rows, per-leaf (range, nulls)); leaves keyed by flatten() ordinal.
+    * `off`/`bytes` locate the chunk inside the data file (header offset /
+    * column-block byte size) — when present, the driver plans partitions
+    * from the sidecar alone, without ever opening the data file. -1 in
+    * sidecars written before offsets existed.
+    */
+  final case class ChunkStats(
+      rows: Long,
+      cols: Map[Int, (Option[Range], Long)],
+      off: Long = -1L,
+      bytes: Long = -1L)
     extends Serializable
 
   /** Which leaf types carry stats, and the normalized family. */
@@ -168,8 +177,14 @@ object ChunkStatsIndex {
     case c => c.toString
   }
 
-  def toJson(chunks: Seq[ChunkStats]): String =
-    chunks.map { c =>
+  def toJson(chunks: Seq[ChunkStats]): String = toJson(-1L, chunks)
+
+  /** Object form `{"len":fileLen,"chunks":[…]}` when fileLen >= 0 — the
+    * planner uses `len` as a cheap staleness check (sidecar vs listed
+    * file length) before trusting chunk offsets; bare array otherwise.
+    */
+  def toJson(fileLen: Long, chunks: Seq[ChunkStats]): String = {
+    val arr = chunks.map { c =>
       val cols = c.cols.toSeq.sortBy(_._1).map { case (i, (r, nulls)) =>
         val range = r match {
           case Some(LongRange(lo, hi))   => s""""t":"l","lo":$lo,"hi":$hi"""
@@ -182,12 +197,42 @@ object ChunkStatsIndex {
         }
         s""""$i":{$range,"nulls":${nulls}}"""
       }.mkString("{", ",", "}")
-      s"""{"rows":${c.rows},"cols":$cols}"""
+      val loc = if (c.off >= 0) s""""off":${c.off},"bytes":${c.bytes},""" else ""
+      s"""{${loc}"rows":${c.rows},"cols":$cols}"""
     }.mkString("[", ",", "]")
+    if (fileLen < 0) arr else s"""{"len":$fileLen,"chunks":$arr}"""
+  }
 
   /** Tiny recursive-descent parser for exactly the JSON toJson emits. */
-  def fromJson(s: String): Seq[ChunkStats] = {
+  def fromJson(s: String): Seq[ChunkStats] = fromJsonWithLen(s)._2
+
+  /** (fileLen, chunks); fileLen = -1 for legacy bare-array sidecars. */
+  def fromJsonWithLen(s: String): (Long, Seq[ChunkStats]) = {
     val p = new P(s)
+    p.ws()
+    var fileLen = -1L
+    if (p.peek == '{') {
+      p.expect('{')
+      var chunks: Seq[ChunkStats] = Seq.empty
+      var more = true
+      while (more) {
+        p.ws()
+        val key = p.string()
+        p.ws(); p.expect(':')
+        key match {
+          case "len"    => fileLen = p.long()
+          case "chunks" => chunks = parseChunkArray(p)
+          case other => throw new IllegalArgumentException(s"stats: unknown key $other")
+        }
+        p.ws()
+        if (p.peek == ',') { p.next(); () } else more = false
+      }
+      p.expect('}')
+      (fileLen, chunks)
+    } else (fileLen, parseChunkArray(p))
+  }
+
+  private def parseChunkArray(p: P): Seq[ChunkStats] = {
     p.ws(); p.expect('[')
     val out = mutable.ArrayBuffer.empty[ChunkStats]
     p.ws()
@@ -206,6 +251,8 @@ object ChunkStatsIndex {
   private def parseChunk(p: P): ChunkStats = {
     p.ws(); p.expect('{')
     var rows = 0L
+    var off = -1L
+    var bytes = -1L
     var cols = Map.empty[Int, (Option[Range], Long)]
     var more = true
     while (more) {
@@ -213,7 +260,9 @@ object ChunkStatsIndex {
       val key = p.string()
       p.ws(); p.expect(':')
       key match {
-        case "rows" => rows = p.long()
+        case "rows"  => rows = p.long()
+        case "off"   => off = p.long()
+        case "bytes" => bytes = p.long()
         case "cols" =>
           p.ws(); p.expect('{'); p.ws()
           if (p.peek != '}') {
@@ -234,7 +283,7 @@ object ChunkStatsIndex {
       if (p.peek == ',') { p.next(); () } else more = false
     }
     p.expect('}')
-    ChunkStats(rows, cols)
+    ChunkStats(rows, cols, off, bytes)
   }
 
   private def parseCol(p: P): (Option[Range], Long) = {
@@ -310,21 +359,30 @@ object ChunkStatsIndex {
 
   // ---- IO ----
 
-  def write(conf: Configuration, dataFile: Path, chunks: Seq[ChunkStats]): Unit = {
+  def write(conf: Configuration, dataFile: Path, chunks: Seq[ChunkStats],
+            fileLen: Long = -1L): Unit = {
     val fs = dataFile.getFileSystem(conf)
     val out = fs.create(new Path(dataFile.getParent,
       "." + dataFile.getName + Suffix), true)
-    try out.write(toJson(chunks).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(toJson(fileLen, chunks)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  def read(conf: Configuration, dataFile: Path): Option[Seq[ChunkStats]] = {
+  def read(conf: Configuration, dataFile: Path): Option[Seq[ChunkStats]] =
+    readWithLen(conf, dataFile).map(_._2)
+
+  /** (recorded fileLen, chunks); fileLen -1 when the sidecar predates
+    * offsets. Callers trust chunk offsets only when fileLen matches the
+    * listed file's length (cheap staleness guard, no data-file open).
+    */
+  def readWithLen(conf: Configuration, dataFile: Path): Option[(Long, Seq[ChunkStats])] = {
     val fs = dataFile.getFileSystem(conf)
     val p = new Path(dataFile.getParent, "." + dataFile.getName + Suffix)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(fromJson(new String(in.readAllBytes(),
+      try Some(fromJsonWithLen(new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)))
       catch { case _: Exception => None } // corrupt stats: just don't prune
       finally in.close()

@@ -77,6 +77,26 @@ object ColumnFileDataSource {
   def listDataFiles(conf: Configuration, paths: Seq[String]): Seq[FileStatus] =
     listDataFilesWithRoots(conf, paths).map(_._2)
 
+  /** Driver-side per-file metadata work (sidecar reads, header walks) run
+    * on a bounded pool — at large file counts a sequential walk is the
+    * planning bottleneck; results keep input order.
+    */
+  def mapFilesParallel[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.lengthCompare(2) < 0) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, xs.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = xs.map(a =>
+          new java.util.concurrent.Callable[B] { def call(): B = f(a) }).asJava
+        try pool.invokeAll(tasks).asScala.toSeq.map(_.get())
+        catch { // surface the real failure, not the pool wrapper
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      } finally pool.shutdown()
+    }
+
   /** Partition column names recorded at the first root that has the
     * sidecar (all roots of one logical table share a layout).
     */

@@ -140,36 +140,49 @@ class ColumnFileScan(
 
   private def allFilters: Array[Filter] = filters ++ runtimeFilters
 
+  /** Per-chunk layout of one file: (headerOffset, dataSize, stats).
+    * Planned from the stats sidecar ALONE when it records chunk offsets
+    * and a file length matching the listing (one tiny sidecar read, no
+    * data-file open — the staleness guard costs nothing because the
+    * FileStatus is already in hand); otherwise falls back to the
+    * reference-style chunk-header walk.
+    */
+  private def chunkLayout(
+      st: org.apache.hadoop.fs.FileStatus): Seq[(Long, Long, Option[ChunkStatsIndex.ChunkStats])] = {
+    val sidecar = ChunkStatsIndex.readWithLen(conf, st.getPath)
+    sidecar match {
+      case Some((len, ss)) if len == st.getLen &&
+          ss.forall(c => c.off >= 0 && c.bytes >= 0) =>
+        ss.map(c => (c.off, c.bytes, Some(c)))
+      case _ =>
+        val in = new HadoopSeekableInput(
+          st.getPath.getFileSystem(conf), st.getPath, st.getLen)
+        try {
+          val chunks = ColumnFileReader.scanChunks(in)
+          val stats = sidecar.map(_._2).filter(_.length == chunks.length)
+          chunks.zipWithIndex.map { case (c, i) =>
+            (c.headerOffset, c.dataSize, stats.map(_(i)))
+          }
+        } finally in.close()
+    }
+  }
+
   /** Size/row estimates for the planner (drives broadcast-join choice
-    * for columnfile tables): compressed bytes from chunk headers, rows
-    * from the stats sidecars when present. Costs one header walk — the
-    * same walk planInputPartitions does anyway.
+    * for columnfile tables): compressed bytes + rows from the stats
+    * sidecars (header walk only for sidecar-less files, parallel across
+    * files).
     */
   override def estimateStatistics(): Statistics = {
-    var bytes = 0L
-    var rows = 0L
-    var rowsKnown = true
     val files = ColumnFileDataSource.listDataFiles(conf, paths)
-    files.foreach { st =>
-      val in = new HadoopSeekableInput(
-        st.getPath.getFileSystem(conf), st.getPath, st.getLen)
-      try {
-        val chunks = ColumnFileReader.scanChunks(in)
-        bytes += chunks.iterator.map(_.dataSize).sum
-        ChunkStatsIndex.read(conf, st.getPath) match {
-          case Some(ss) if ss.length == chunks.length =>
-            rows += ss.iterator.map(_.rows).sum
-          case _ => rowsKnown = false
-        }
-      } finally in.close()
-    }
-    val sizeEst = bytes
-    val rowEst = rows
+    val layouts = ColumnFileDataSource.mapFilesParallel(files)(chunkLayout)
+    val bytes = layouts.iterator.flatten.map(_._2).sum
+    val rowsKnown = layouts.iterator.flatten.forall(_._3.isDefined)
+    val rows = layouts.iterator.flatten.flatMap(_._3).map(_.rows).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(sizeEst)
+        java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
-        if (rowsKnown) java.util.OptionalLong.of(rowEst)
+        if (rowsKnown) java.util.OptionalLong.of(rows)
         else java.util.OptionalLong.empty()
     }
   }
@@ -189,14 +202,16 @@ class ColumnFileScan(
       s"ReadSchema: ${requiredSchema.catalogString}"
   }
 
-  /** Driver-side planning: walk chunk headers of every file (headers are a
-    * few bytes per column — reading them is cheap and embarrassingly
-    * parallel across files), prune chunks whose min/max stats prove the
-    * pushed filters match nothing (Parquet row-group pruning analog —
-    * see ChunkStatsIndex), and pack surviving consecutive chunks into
-    * partitions of ~`maxPartitionBytes`. At 100 TB this yields one task
-    * per ~128 MB of *surviving* chunk data; a selective predicate over
-    * sorted data schedules a handful of tasks instead of thousands.
+  /** Driver-side planning: resolve each file's chunk layout (from the
+    * stats sidecar alone when it carries offsets — no data-file opens —
+    * else a header walk; parallel across files either way), prune chunks
+    * whose min/max stats prove the pushed filters match nothing (Parquet
+    * row-group pruning analog — see ChunkStatsIndex), and pack surviving
+    * consecutive chunks into partitions of ~`maxPartitionBytes`. At
+    * 100 TB this yields one task per ~128 MB of *surviving* chunk data;
+    * a selective predicate over sorted data schedules a handful of tasks
+    * instead of thousands, and the driver does one small metadata read
+    * per file instead of thousands of sequential chunk-header walks.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val maxBytes = Option(options.get("maxPartitionBytes"))
@@ -213,59 +228,50 @@ class ColumnFileScan(
     val partBounds = allFilters.flatMap(f =>
       FilterEval.bind(f, partSchema, partLeafIndex))
     val files = ColumnFileDataSource.listDataFilesWithRoots(conf, paths)
-    val parts = mutable.ArrayBuffer.empty[InputPartition]
-    files.foreach { case (root, st) =>
-      val rawVals: Seq[String] =
-        PartitionLayout.valuesFor(root, st.getPath, partitionCols)
-      val partCells: Array[Array[Byte]] = partitionCols.indices.map { i =>
-        val dt = partSchema.fields(i).dataType
-        val v = PartitionLayout.parse(dt, rawVals(i))
-        if (v == null) null else CellCodec.encode(dt, v)
-      }.toArray
-      val dirPruned = partBounds.exists(b => !b.eval(partCells(b.col)))
-      if (!dirPruned) planFile(st, rawVals, maxBytes, leafIndex, leafType, parts)
-    }
-    parts.toArray
-  }
-
-  private def planFile(
-      st: org.apache.hadoop.fs.FileStatus,
-      rawVals: Seq[String],
-      maxBytes: Long,
-      leafIndex: Map[String, Int],
-      leafType: Map[String, DataType],
-      parts: mutable.ArrayBuffer[InputPartition]): Unit = {
-    {
-      val fs = st.getPath.getFileSystem(conf)
-      val in = new HadoopSeekableInput(fs, st.getPath, st.getLen)
-      try {
-        val chunks = ColumnFileReader.scanChunks(in)
-        // stats align with chunks by ordinal; size mismatch => no pruning
-        val stats: Option[Seq[ChunkStatsIndex.ChunkStats]] =
-          if (allFilters.isEmpty) None
-          else ChunkStatsIndex.read(conf, st.getPath)
-            .filter(_.length == chunks.length)
-        var acc = mutable.ArrayBuffer.empty[Long]
-        var accBytes = 0L
-        chunks.zipWithIndex.foreach { case (c, i) =>
-          val pruned = stats.exists(ss => allFilters.exists(f =>
-            ChunkStatsIndex.provesEmpty(f, ss(i), leafIndex, leafType)))
-          if (!pruned) {
-            if (acc.nonEmpty && accBytes + c.dataSize > maxBytes) {
-              parts += ColumnFilePartition(st.getPath.toString, st.getLen,
-                acc.toArray, rawVals.toArray)
-              acc = mutable.ArrayBuffer.empty[Long]
-              accBytes = 0L
-            }
-            acc += c.headerOffset
-            accBytes += c.dataSize
+    // Per-file metadata resolution + chunk pruning runs on the parallel
+    // pool; the final packing is sequential so partition order stays
+    // deterministic.
+    val planned: Seq[Option[(org.apache.hadoop.fs.FileStatus, Seq[String], Seq[(Long, Long)])]] =
+      ColumnFileDataSource.mapFilesParallel(files) { case (root, st) =>
+        val rawVals: Seq[String] =
+          PartitionLayout.valuesFor(root, st.getPath, partitionCols)
+        val partCells: Array[Array[Byte]] = partitionCols.indices.map { i =>
+          val dt = partSchema.fields(i).dataType
+          val v = PartitionLayout.parse(dt, rawVals(i))
+          if (v == null) null else CellCodec.encode(dt, v)
+        }.toArray
+        val dirPruned = partBounds.exists(b => !b.eval(partCells(b.col)))
+        if (dirPruned) None
+        else {
+          val surviving = chunkLayout(st).collect {
+            case (off, size, stOpt)
+                if !(allFilters.nonEmpty && stOpt.exists(ss =>
+                  allFilters.exists(f =>
+                    ChunkStatsIndex.provesEmpty(f, ss, leafIndex, leafType)))) =>
+              (off, size)
           }
+          Some((st, rawVals, surviving))
         }
-        if (acc.nonEmpty)
+      }
+    val parts = mutable.ArrayBuffer.empty[InputPartition]
+    planned.flatten.foreach { case (st, rawVals, chunks) =>
+      var acc = mutable.ArrayBuffer.empty[Long]
+      var accBytes = 0L
+      chunks.foreach { case (off, size) =>
+        if (acc.nonEmpty && accBytes + size > maxBytes) {
           parts += ColumnFilePartition(st.getPath.toString, st.getLen,
             acc.toArray, rawVals.toArray)
-      } finally in.close()
+          acc = mutable.ArrayBuffer.empty[Long]
+          accBytes = 0L
+        }
+        acc += off
+        accBytes += size
+      }
+      if (acc.nonEmpty)
+        parts += ColumnFilePartition(st.getPath.toString, st.getLen,
+          acc.toArray, rawVals.toArray)
     }
+    parts.toArray
   }
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =

@@ -60,16 +60,25 @@ class ColumnFileMicroBatchStream(
     val lo = start.asInstanceOf[ColumnFileOffset].frontier
     val hi = end.asInstanceOf[ColumnFileOffset].frontier
     val files = listAll().filter(st => key(st) > lo && key(st) <= hi)
-    files.flatMap { st =>
-      val in = new HadoopSeekableInput(
-        st.getPath.getFileSystem(conf), st.getPath, st.getLen)
-      try {
-        val chunks = graft.format.ColumnFileReader.scanChunks(in)
-        if (chunks.isEmpty) None
-        else Some(ColumnFilePartition(
-          st.getPath.toString, st.getLen, chunks.map(_.headerOffset).toArray))
-      } finally in.close()
-    }.toArray
+    // chunk offsets from the stats sidecar when present (no data-file
+    // open per micro-batch), header walk otherwise; parallel across the
+    // batch's new files
+    ColumnFileDataSource.mapFilesParallel(files) { st =>
+      val offsets: Array[Long] =
+        ChunkStatsIndex.readWithLen(conf, st.getPath) match {
+          case Some((len, ss)) if len == st.getLen &&
+              ss.forall(c => c.off >= 0 && c.bytes >= 0) =>
+            ss.map(_.off).toArray
+          case _ =>
+            val in = new HadoopSeekableInput(
+              st.getPath.getFileSystem(conf), st.getPath, st.getLen)
+            try graft.format.ColumnFileReader.scanChunks(in)
+              .map(_.headerOffset).toArray
+            finally in.close()
+        }
+      if (offsets.isEmpty) None
+      else Some(ColumnFilePartition(st.getPath.toString, st.getLen, offsets))
+    }.flatten.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -222,7 +222,18 @@ class ColumnFileDataWriter(
     writer.finish()
     stream.close()
     if (stats.hasRows) chunkStats += stats.finishChunk()
-    ChunkStatsIndex.write(conf, file, chunkStats.toSeq)
+    // Stamp each chunk's (headerOffset, dataSize) and the final file
+    // length into the sidecar: the driver then plans partitions, row
+    // counts, and aggregate pushdown from one tiny sidecar read per file
+    // instead of walking every chunk header of every data file.
+    val ranges = writer.chunkRanges
+    val withLoc =
+      if (ranges.length == chunkStats.length)
+        chunkStats.toSeq.zip(ranges).map { case (cs, (off, bytes)) =>
+          cs.copy(off = off, bytes = bytes)
+        }
+      else chunkStats.toSeq
+    ChunkStatsIndex.write(conf, file, withLoc, writer.bytesWritten)
     ColumnFileCommitMessage(file.toString)
   }
 

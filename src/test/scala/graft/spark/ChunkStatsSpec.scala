@@ -145,6 +145,45 @@ class ChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.filter(col("s").startsWith("xyz")).count() == 0)
   }
 
+  test("planning runs from the sidecar alone: no data-file opens on the driver") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-sidecar-plan").toString
+    (0 until 20000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("columnfile").option("targetChunkBytes", "8192")
+      .mode("overwrite").save(dir)
+
+    // sidecar records chunk offsets and the file length
+    val dataFile = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(ColumnFileDataSource.FileExtension)).head
+    val ss = ChunkStatsIndex.readWithLen(new org.apache.hadoop.conf.Configuration(),
+      new org.apache.hadoop.fs.Path(dataFile.getAbsolutePath)).get
+    assert(ss._1 == dataFile.length())
+    assert(ss._2.nonEmpty && ss._2.forall(c => c.off >= 0 && c.bytes > 0))
+    assert(ss._2.head.off == 4) // first chunk right after the magic
+
+    // overwrite the data file with garbage of the SAME length: any
+    // driver-side header walk would now throw, so successful partition
+    // planning (and stats estimation) proves the sidecar was the only
+    // metadata source
+    java.nio.file.Files.write(dataFile.toPath,
+      Array.fill[Byte](dataFile.length().toInt)(0x5a))
+    def planned(cond: org.apache.spark.sql.Column): Int =
+      spark.read.format("columnfile").option("maxPartitionBytes", "1").load(dir)
+        .filter(cond).rdd.getNumPartitions
+    val all = planned(col("id") >= 0)
+    val few = planned(col("id") >= 19900)
+    assert(all > 10, s"expected many chunk partitions, got $all")
+    assert(few < all / 5, s"sidecar pruning ineffective: $few of $all")
+
+    // stale sidecar (length mismatch after append/rewrite) falls back to
+    // the header walk — which on this garbage file must throw, not
+    // silently mis-plan
+    java.nio.file.Files.write(dataFile.toPath,
+      Array.fill[Byte](dataFile.length().toInt + 1)(0x5a))
+    intercept[Exception] { planned(col("id") >= 0) }
+  }
+
   test("driver-side chunk pruning: selective filter plans fewer partitions") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-stats").toString
