@@ -528,38 +528,48 @@ object ExtQueries {
     dialect("p01_pipeline_curate", curateSql),
     dialect("v01_knn_brute", knnBruteSql),
     dialect("v02_knn_sign_lsh", knnSignLshSql),
-    ivfAssign,
+    dialect("v03_knn_ivf_assign", ivfAssignSql),
     dialect("m01_multimodal_meta", multimodalSql)
   )
 
-  /** IVF-style coarse quantization (rows-only check: float centroid sums
-    * are reduction-order-dependent, so no cross-engine oracle): centroids
-    * from the label partitions, each vector assigned to its
-    * nearest-by-cosine centroid, output = label x assigned confusion
-    * counts. The 100 TB shape: centroids are a tiny broadcast table; the
-    * scan-side cost is one pass over the vectors.
+  /** IVF-style coarse quantization, oracle-checked: per-label centroids,
+    * each vector assigned to its nearest-by-cosine centroid, output =
+    * label x assigned confusion counts.
+    *
+    * Cross-engine determinism: centroid components are EXACT integer
+    * micro-unit sums (SUM of ROUND(x*1e6) as BIGINT — addition order
+    * can't matter), turned into doubles by one IEEE division; cosines
+    * are the fixed-index-order array folds shared with v01/v02; argmax
+    * breaks cosine ties by centroid label. The 100 TB shape: centroids
+    * are a tiny broadcast relation (labels x dims); assignment is one
+    * scan pass over the vectors, counts shuffle only (label, assigned).
     */
-  private def ivfAssign: Q = Q.rowsOnly("v03_knn_ivf_assign", (spark, dir) => {
-    import org.apache.spark.sql.functions._
-    val emb = Tables.t(spark, dir, "embeddings")
-    val dims = emb.select(col("vec_id"), col("label"),
-      posexplode(col("embedding")).as(Seq("pos", "x")))
-    val centroids = dims.groupBy("label", "pos")
-      .agg(avg("x").as("cx"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-        s => s("cx")).as("centroid"))
-      .withColumnRenamed("label", "clabel")
-    val dot = (a: String, b: String) =>
-      expr(s"aggregate(zip_with($a, $b, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-    val scored = emb.crossJoin(broadcast(centroids))
-      .withColumn("cos",
-        dot("embedding", "centroid") /
-          (sqrt(dot("embedding", "embedding")) * sqrt(dot("centroid", "centroid"))))
-    scored.groupBy("vec_id", "label")
-      .agg(max(struct(col("cos"), col("clabel"))).as("best"))
-      .select(col("label"), col("best.clabel").as("assigned"))
-      .groupBy("label", "assigned").count()
-      .orderBy("label", "assigned")
-  })
+  private def ivfAssignSql(d: Dial): String = {
+    val dim = 64 // embeddings.embedding arity (TESTDATA.md)
+    val comps = (0 until dim).map { i =>
+      s"CAST(CAST(SUM(CAST(ROUND(CAST(${d.at("embedding", i)} AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / (1000000.0 * COUNT(*))"
+    }
+    val centroidArr = d match {
+      case SparkD => s"array(${comps.mkString(",\n      ")})"
+      case DuckD  => s"[${comps.mkString(",\n      ")}]"
+    }
+    val cos =
+      s"""${d.dot("e.embedding", "c.centroid")} /
+         |      (sqrt(${d.dot("e.embedding", "e.embedding")}) * sqrt(${d.dot("c.centroid", "c.centroid")}))""".stripMargin
+    s"""WITH cent AS (
+       |  SELECT label AS clabel,
+       |    $centroidArr AS centroid
+       |  FROM embeddings GROUP BY label),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.clabel,
+       |    $cos AS cos
+       |  FROM embeddings e CROSS JOIN cent c),
+       |best AS (
+       |  SELECT vec_id, label, clabel,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+       |  FROM scored)
+       |SELECT label, clabel AS assigned, COUNT(*) AS n
+       |FROM best WHERE rn = 1
+       |GROUP BY label, clabel""".stripMargin
+  }
 }
