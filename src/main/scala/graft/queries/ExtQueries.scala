@@ -307,6 +307,56 @@ object ExtQueries {
   }, Some(s"WITH mh_pairs AS (${minhashSql(DuckD)})\n" +
     keepBestBody("mh_pairs", DuckD)))
 
+  /** d09: TRUE connected-components keep-best — the iterated upgrade of
+    * d08's 1-hop approximation. Chained near-dups (A-B, B-C where A and C
+    * are not direct neighbors) form ONE group. Spark side: min-label
+    * propagation to fixed point over the LSH pair graph
+    * (operators.Dedup.connectedComponents — one shuffle join per round,
+    * O(component diameter) rounds). Oracle: recursive CTE computing the
+    * same min-reachable-id component labels.
+    */
+  private def ccKeepBest: Q = Q("d09_dedup_cc_keep_best", (spark, dir) => {
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(spark, dir)
+    val pairs = minhashPairsDF(spark).select(col("i"), col("j"))
+    val labels = graft.operators.Dedup.connectedComponents(pairs)
+    val docs = Tables.t(spark, dir, "documents")
+    val scored = labels.join(docs, labels("id") === docs("doc_id"))
+      .select(col("comp"), col("id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp").orderBy(col("n_tokens").desc, col("id"))
+    val ranked = scored.withColumn("rn", row_number().over(w))
+    val members = scored.groupBy("comp").agg(count(lit(1)).as("n_members"))
+    members.join(ranked.filter(col("rn") === 1), "comp")
+      .select(col("comp"), col("n_members"),
+        col("id").as("kept"), col("n_tokens").as("kept_tokens"))
+  }, Some(ccOracleSql))
+
+  private def ccOracleSql: String = {
+    val d = DuckD
+    s"""WITH RECURSIVE mh_pairs AS (${minhashSql(DuckD)}),
+       |nodes AS (SELECT i AS id FROM mh_pairs UNION SELECT j FROM mh_pairs),
+       |edges AS (SELECT i AS a, j AS b FROM mh_pairs
+       |          UNION ALL SELECT j AS a, i AS b FROM mh_pairs),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r2.id, e.b FROM reach r2 JOIN edges e ON r2.r = e.a),
+       |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+       |scored AS (
+       |  SELECT c.comp, c.id,
+       |    CAST(${d.size(d.split("d2.text"))} AS BIGINT) AS n_tokens
+       |  FROM comp c JOIN documents d2 ON d2.doc_id = c.id),
+       |ranked AS (
+       |  SELECT comp, id, n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY comp ORDER BY n_tokens DESC, id) AS rn
+       |  FROM scored),
+       |members AS (SELECT comp, COUNT(*) AS n_members FROM scored GROUP BY comp)
+       |SELECT m.comp, m.n_members, r.id AS kept, r.n_tokens AS kept_tokens
+       |FROM members m JOIN ranked r ON r.comp = m.comp AND r.rn = 1""".stripMargin
+  }
+
   private def keepBestBody(pairs: String, d: Dial): String =
     s"""SELECT gkey, doc_id AS kept, n_tokens FROM (
        |  SELECT gkey, doc_id, n_tokens,
@@ -519,6 +569,8 @@ object ExtQueries {
     // band grouping), chosen by quality score with doc_id tiebreak —
     // the full LLM-pipeline dedup shape: group -> score -> keep-1.
     keepBest,
+    // True connected-components keep-best (chained near-dups merge).
+    ccKeepBest,
     dialect("t01_text_langid", langidSql),
     dialect("t02_text_quality", qualitySql),
     dialect("t03_text_tokencount", tokenCountSql),
