@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,14 +8,16 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed batch-at-a-time per partition.
   *
-  * The decode step is a clearly-marked deterministic STUB (this
-  * container has no image/audio codecs); everything around it — schema
-  * evolution, per-partition batching, partitioning behavior — is the
-  * real seam where a production decoder (JNI/FFI or an Arrow-batched
-  * Python worker) plugs in. At 100 TB the pattern matters more than the
-  * codec: decode runs inside `mapPartitions` so each task amortizes
+  * The decode seam parses REAL container headers where that is pure byte
+  * reading (PNG / JPEG / GIF dimensions need no codec); payloads in any
+  * other format fall back to a clearly-marked deterministic STUB (this
+  * container has no image/audio codecs). Everything around the seam —
+  * schema, per-partition batching, partitioning — is the production
+  * shape: decode runs inside `mapPartitions` so each task amortizes
   * decoder init over its whole partition, and no bytes ever gather to
-  * the driver.
+  * the driver. Frame sampling and resize are pure Catalyst expressions
+  * (substring/transform over the binary — codegen'd, no UDF in the hot
+  * path).
   */
 object MultimodalOps {
 
@@ -25,8 +27,72 @@ object MultimodalOps {
     StructField("modality", StringType, nullable = false),
     StructField("ok", BooleanType, nullable = false)))
 
-  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
-    * A real implementation would parse the container header here.
+  // ---- real header parsing (pure byte reads, no codec needed) ----
+
+  private def beInt(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  private def beShort(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  private def leShort(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** PNG: 8-byte signature, then the IHDR chunk whose payload starts at
+    * byte 16 with big-endian width and height.
+    */
+  private def parsePng(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 24 &&
+        (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((beInt(b, 16), beInt(b, 20)))
+    else None
+
+  /** JPEG: FF D8, then marker segments; the SOFn frame header carries
+    * big-endian height then width after a 1-byte precision field.
+    */
+  private def parseJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // desynced marker stream
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2 // no payload
+      else {
+        val len = beShort(b, i + 2)
+        if (len < 2) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          return if (i + 9 < b.length) Some((beShort(b, i + 7), beShort(b, i + 5)))
+          else None
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** GIF87a/89a: little-endian logical-screen width/height at bytes 6/8. */
+  private def parseGif(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some((leShort(b, 6), leShort(b, 8)))
+    else None
+
+  /** Header-derived metadata when the payload is a recognized image
+    * container; None otherwise.
+    */
+  def parseImage(payload: Array[Byte]): Option[(Int, Int, String)] =
+    parsePng(payload).map { case (w, h) => (w, h, "png") }
+      .orElse(parseJpeg(payload).map { case (w, h) => (w, h, "jpeg") })
+      .orElse(parseGif(payload).map { case (w, h) => (w, h, "gif") })
+
+  /** STUB decoder for unrecognized payloads: deterministic
+    * pseudo-metadata from the bytes. A real implementation would demux
+    * the container here (audio/video need codecs this box lacks).
     */
   def stubDecode(payload: Array[Byte]): (Int, Int, String, Boolean) = {
     if (payload == null || payload.isEmpty) (0, 0, "empty", false)
@@ -42,8 +108,9 @@ object MultimodalOps {
     }
   }
 
-  /** Decode/feature-extract over a binary column: batch-shaped
-    * per-partition processing that appends a typed `meta` struct.
+  /** Decode/feature-extract over a binary column: per-partition batch
+    * processing appending a typed `meta` struct. Real header parse for
+    * PNG/JPEG/GIF; deterministic stub for everything else.
     */
   def decode(df: DataFrame, binaryCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
@@ -53,39 +120,86 @@ object MultimodalOps {
     df.mapPartitions { rows =>
       // per-partition decoder init would happen here (once per task)
       rows.map { r =>
-        val (w, h, m, ok) = stubDecode(r.getAs[Array[Byte]](binIdx))
-        Row.fromSeq(r.toSeq :+ Row(w, h, m, ok))
+        val payload = r.getAs[Array[Byte]](binIdx)
+        val meta = Option(payload).flatMap(parseImage) match {
+          case Some((w, h, fmt)) => Row(w, h, fmt, true)
+          case None =>
+            val (w, h, m, ok) = stubDecode(payload)
+            Row(w, h, m, ok)
+        }
+        Row.fromSeq(r.toSeq :+ meta)
       }
     }
   }
 
-  /** Frame sampling stub for video-shaped payloads: split the payload
-    * into `n` equal byte slices ("frames"). Real version: container
-    * demux + keyframe extraction, same batched shape.
+  /** Frame sampling for video-shaped payloads: split the payload into
+    * ~`n` equal byte slices ("frames") with pure Catalyst expressions —
+    * `substring` over binary inside `transform` keeps the whole thing in
+    * whole-stage codegen (no UDF, no boxing). Real version: container
+    * demux + keyframe extraction at the same seam.
     */
-  def frameSample(df: DataFrame, binaryCol: String, n: Int): DataFrame = {
-    val slicer = udf { (payload: Array[Byte]) =>
-      if (payload == null || payload.isEmpty) Array.empty[Array[Byte]]
-      else {
-        val step = math.max(1, payload.length / n)
-        (0 until math.min(n, payload.length)).map { i =>
-          val from = i * step
-          java.util.Arrays.copyOfRange(payload, from,
-            math.min(from + step, payload.length))
-        }.toArray
-      }
-    }
-    df.withColumn("frames", slicer(col(binaryCol)))
+  def frameSample(df: DataFrame, binaryCol: String, n: Int): DataFrame =
+    df.withColumn("frames", expr(
+      s"""CASE
+         |  WHEN $binaryCol IS NULL OR octet_length($binaryCol) = 0
+         |    THEN CAST(array() AS ARRAY<BINARY>)
+         |  ELSE transform(
+         |    sequence(0, least($n, octet_length($binaryCol)) - 1),
+         |    i -> substring($binaryCol,
+         |                   i * greatest(1, octet_length($binaryCol) div $n) + 1,
+         |                   greatest(1, octet_length($binaryCol) div $n)))
+         |END""".stripMargin))
+
+  /** Resize stub: deterministic downsample keeping every `factor`-th
+    * byte, as a Catalyst fold over 1-byte substrings (codegen'd; the
+    * binary-in/binary-out decode shape a real scaler would have).
+    */
+  def resize(df: DataFrame, binaryCol: String, factor: Int): DataFrame =
+    df.withColumn(s"${binaryCol}_resized", expr(
+      s"""CASE
+         |  WHEN $binaryCol IS NULL THEN NULL
+         |  WHEN octet_length($binaryCol) = 0 THEN $binaryCol
+         |  ELSE aggregate(
+         |    sequence(1, octet_length($binaryCol), $factor),
+         |    CAST('' AS BINARY),
+         |    (acc, i) -> concat(acc, substring($binaryCol, i, 1)))
+         |END""".stripMargin))
+
+  // ---- deterministic container builders (tests + oracle fixtures) ----
+
+  /** Minimal well-formed PNG header (signature + IHDR) with the given
+    * dimensions; body truncated — enough for any header parser.
+    */
+  def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(26)
+    out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    out.putInt(13) // IHDR payload length
+    out.put(Array[Byte]('I', 'H', 'D', 'R'))
+    out.putInt(w).putInt(h)
+    out.put(8.toByte).put(2.toByte) // bit depth, color type
+    out.array()
   }
 
-  /** Resize stub: deterministic downsample of the byte payload (every
-    * k-th byte), preserving the binary-in/binary-out decode shape.
-    */
-  def resize(df: DataFrame, binaryCol: String, factor: Int): DataFrame = {
-    val shrink = udf { (payload: Array[Byte]) =>
-      if (payload == null) null
-      else payload.indices.collect { case i if i % factor == 0 => payload(i) }.toArray
-    }
-    df.withColumn(s"${binaryCol}_resized", shrink(col(binaryCol)))
+  /** Minimal JPEG: SOI, APP0 stub, SOF0 frame header with dimensions. */
+  def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(4 + 4 + 2 + 9)
+    out.put(0xff.toByte).put(0xd8.toByte)            // SOI
+    out.put(0xff.toByte).put(0xe0.toByte).putShort(2) // APP0, empty
+    out.put(0xff.toByte).put(0xc0.toByte)            // SOF0
+    out.putShort(9)                                   // segment length
+    out.put(8.toByte)                                 // precision
+    out.putShort(h.toShort).putShort(w.toShort)
+    out.put(1.toByte)                                 // 1 component
+    out.array()
+  }
+
+  /** Minimal GIF89a logical screen descriptor. */
+  def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putShort(w.toShort).putShort(h.toShort)
+    out.put(0.toByte).put(0.toByte).put(0.toByte)
+    out.array()
   }
 }

@@ -581,8 +581,41 @@ object ExtQueries {
     dialect("v01_knn_brute", knnBruteSql),
     dialect("v02_knn_sign_lsh", knnSignLshSql),
     dialect("v03_knn_ivf_assign", ivfAssignSql),
-    dialect("m01_multimodal_meta", multimodalSql)
+    dialect("m01_multimodal_meta", multimodalSql),
+    multimodalDecode
   )
+
+  /** m02: REAL image-header decode through the multimodal seam. The
+    * Spark side builds deterministic PNG / JPEG / GIF containers from
+    * doc_id, then `MultimodalOps.decode` (the mapPartitions decoder
+    * seam) must recover width/height/format by parsing the actual
+    * header bytes. The oracle recomputes the planted dimensions from
+    * doc_id directly — any parser bug breaks the hash match.
+    */
+  private def multimodalDecode: Q = Q("m02_multimodal_decode", (spark, dir) => {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    val ids = Tables.t(spark, dir, "documents").select("doc_id").as[Long]
+    val payloads = ids.map { id =>
+      val w = 1 + (id % 640).toInt
+      val h = 1 + (id % 480).toInt
+      val bytes = (id % 3) match {
+        case 0 => graft.multimodal.MultimodalOps.pngBytes(w, h)
+        case 1 => graft.multimodal.MultimodalOps.jpegBytes(w, h)
+        case _ => graft.multimodal.MultimodalOps.gifBytes(w, h)
+      }
+      (id, bytes)
+    }.toDF("doc_id", "payload")
+    graft.multimodal.MultimodalOps.decode(payloads, "payload")
+      .select(col("doc_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("meta.modality").as("fmt"))
+  }, Some(
+    """SELECT doc_id,
+      |  CAST(1 + doc_id % 640 AS INT) AS width,
+      |  CAST(1 + doc_id % 480 AS INT) AS height,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'gif' END AS fmt
+      |FROM documents""".stripMargin))
 
   /** IVF-style coarse quantization, oracle-checked: per-label centroids,
     * each vector assigned to its nearest-by-cosine centroid, output =

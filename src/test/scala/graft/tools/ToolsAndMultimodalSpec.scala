@@ -85,6 +85,30 @@ class ToolsAndMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.foreach(r => assert(again(r.getLong(0)) == r.getInt(1)))
   }
 
+  test("multimodal: real PNG/JPEG/GIF headers decode to true dimensions") {
+    val sp = spark; import sp.implicits._
+    val cases = Seq(
+      (1L, MultimodalOps.pngBytes(640, 480), 640, 480, "png"),
+      (2L, MultimodalOps.jpegBytes(1920, 1080), 1920, 1080, "jpeg"),
+      (3L, MultimodalOps.gifBytes(320, 200), 320, 200, "gif"))
+    val df = cases.map(c => (c._1, c._2)).toDF("id", "payload")
+    val got = MultimodalOps.decode(df, "payload")
+      .select("id", "meta.width", "meta.height", "meta.modality", "meta.ok")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3), r.getBoolean(4))).sortBy(_._1)
+    assert(got.toSeq == cases.map(c => (c._1, c._3, c._4, c._5, true)))
+    // direct parser checks, incl. JPEG marker walking past APP segments
+    assert(MultimodalOps.parseImage(MultimodalOps.pngBytes(7, 9))
+      .contains((7, 9, "png")))
+    assert(MultimodalOps.parseImage(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MultimodalOps.parseImage(Array.empty[Byte]).isEmpty)
+    // truncated containers are rejected, not mis-parsed
+    assert(MultimodalOps.parseImage(
+      MultimodalOps.pngBytes(7, 9).take(12)).isEmpty)
+    assert(MultimodalOps.parseImage(
+      MultimodalOps.jpegBytes(7, 9).take(6)).isEmpty)
+  }
+
   test("multimodal: frame sampling and resize stubs") {
     val sp = spark
     val df = sp.sql(
