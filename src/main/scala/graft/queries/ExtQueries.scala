@@ -638,17 +638,25 @@ object ExtQueries {
       case SparkD => s"array(${comps.mkString(",\n      ")})"
       case DuckD  => s"[${comps.mkString(",\n      ")}]"
     }
-    val cos =
-      s"""${d.dot("e.embedding", "c.centroid")} /
-         |      (sqrt(${d.dot("e.embedding", "e.embedding")}) * sqrt(${d.dot("c.centroid", "c.centroid")}))""".stripMargin
-    s"""WITH cent AS (
+    // norms factored out of the cross join: each vector's ||e|| computes
+    // once (not once per centroid) — same IEEE ops, same bits, 1/3 the
+    // fold work in the scored relation
+    s"""WITH cent0 AS (
        |  SELECT label AS clabel,
        |    $centroidArr AS centroid
        |  FROM embeddings GROUP BY label),
+       |cent AS (
+       |  SELECT clabel, centroid,
+       |    sqrt(${d.dot("centroid", "centroid")}) AS cnorm
+       |  FROM cent0),
+       |emb AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(${d.dot("embedding", "embedding")}) AS enorm
+       |  FROM embeddings),
        |scored AS (
        |  SELECT e.vec_id, e.label, c.clabel,
-       |    $cos AS cos
-       |  FROM embeddings e CROSS JOIN cent c),
+       |    ${d.dot("e.embedding", "c.centroid")} / (e.enorm * c.cnorm) AS cos
+       |  FROM emb e CROSS JOIN cent c),
        |best AS (
        |  SELECT vec_id, label, clabel,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn

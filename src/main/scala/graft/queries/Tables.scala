@@ -48,9 +48,11 @@ object Tables {
 
   // last-registered dir per session: views are session-global, so a dir
   // switch must re-register (keying by (session, dir) would wrongly skip
-  // after an A -> B -> A sequence).
+  // after an A -> B -> A sequence). Weak keys: stopped sessions must not
+  // be pinned by this cache in long-lived services.
   private val registered =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register the standard views used by the shared-SQL queries, plus
     * the native text-hash functions (graft_*). Idempotent per

@@ -147,7 +147,17 @@ class ColumnFileScan(
     * FileStatus is already in hand); otherwise falls back to the
     * reference-style chunk-header walk.
     */
+  // One layout resolution per file per query: estimateStatistics and
+  // planInputPartitions both need it, and the Scan instance is scoped to
+  // a single query, so memoizing is safe and halves the metadata reads.
+  private val layoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Long, Option[ChunkStatsIndex.ChunkStats])]]()
+
   private def chunkLayout(
+      st: org.apache.hadoop.fs.FileStatus): Seq[(Long, Long, Option[ChunkStatsIndex.ChunkStats])] =
+    layoutCache.computeIfAbsent(st.getPath.toString, _ => chunkLayoutUncached(st))
+
+  private def chunkLayoutUncached(
       st: org.apache.hadoop.fs.FileStatus): Seq[(Long, Long, Option[ChunkStatsIndex.ChunkStats])] = {
     val sidecar = ChunkStatsIndex.readWithLen(conf, st.getPath)
     sidecar match {
