@@ -330,7 +330,42 @@ object CoreQueries {
     partitionedScan,
 
     // Prefix-LIKE pushdown through a sorted cf table (stats pruning live).
-    prefixPushdown
+    prefixPushdown,
+
+    // Metadata-only aggregates: COUNT/COUNT(col)/MIN/MAX answered from
+    // the stats sidecars with zero data I/O (AggregatePushdown); the
+    // oracle recomputes them the hard way, so a stats bug (null counts,
+    // NaN folding, UTF-8 order) breaks the hash match.
+    Q.viaCF("q35_cf_agg_pushdown", Seq("orders"),
+      """SELECT COUNT(*) AS n, COUNT(o_orderstatus) AS n_status,
+        |  MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
+        |  MIN(o_orderdate) AS min_d, MAX(o_orderdate) AS max_d,
+        |  MIN(o_orderpriority) AS min_p, MAX(o_orderpriority) AS max_p
+        |FROM cf_orders""".stripMargin,
+      """SELECT COUNT(*) AS n, COUNT(o_orderstatus) AS n_status,
+        |  MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
+        |  MIN(o_orderdate) AS min_d, MAX(o_orderdate) AS max_d,
+        |  MIN(o_orderpriority) AS min_p, MAX(o_orderpriority) AS max_p
+        |FROM orders""".stripMargin),
+
+    // Star join routed ENTIRELY through cf storage: dimension filters
+    // broadcast, and the scan's runtime (dynamic) filtering prunes fact
+    // chunks with the joined keys at execution time.
+    Q.viaCF("q36_cf_join_runtime", Seq("lineitem", "orders", "customer"),
+      s"""SELECT c_mktsegment AS seg, COUNT(*) AS cnt,
+         |  CAST(SUM(${cents("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS rev_c
+         |FROM cf_lineitem
+         |JOIN cf_orders ON l_orderkey = o_orderkey
+         |JOIN cf_customer ON o_custkey = c_custkey
+         |WHERE o_totalprice > 400000
+         |GROUP BY c_mktsegment""".stripMargin,
+      s"""SELECT c_mktsegment AS seg, COUNT(*) AS cnt,
+         |  CAST(SUM(${cents("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS rev_c
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE o_totalprice > 400000
+         |GROUP BY c_mktsegment""".stripMargin)
   )
 
   /** q34: prefix LIKE pushed into a cf scan whose file is SORTED by the
