@@ -245,70 +245,100 @@ final class ColumnFileReader(in: SeekableInput) extends AutoCloseable {
 
   def chunkInfos: Seq[ChunkInfo] = chunks
 
+  // Per-column buffered values: a `peek` decodes the column's next value
+  // without logically consuming it; `get` consumes. Columns keep
+  // INDEPENDENT cursors within a chunk, mirroring the reference's
+  // column-granular Peek/Get (columnfile.h:245-251) — a caller reading
+  // only column 3 never pays to decode the other columns' values beyond
+  // the block decompression.
+  private val pending = mutable.TreeMap.empty[Int, Option[Array[Byte]]]
+
+  private def chunkLive: Boolean =
+    decoders != null &&
+      (pending.nonEmpty || decoders.valuesIterator.exists(_.hasNext))
+
   private def advance(): Boolean = {
-    while (decoders == null || decoders.valuesIterator.forall(!_.hasNext)) {
+    while (!chunkLive) {
       if (chunkIdx >= chunks.length) return false
       decoders = ColumnFileReader.openChunk(in, chunks(chunkIdx), columnFilter)
+      pending.clear()
       chunkIdx += 1
     }
     true
   }
 
-  def end: Boolean = peeked.isEmpty && !advance()
+  def end: Boolean = !advance()
 
   /** True when the current segment (chunk) has no rows left — the next
     * row, if any, starts a new segment (reference: EndOfSegment,
-    * columnfile.h:227-229).
+    * columnfile.h:242-243).
     */
-  def endOfSegment: Boolean =
-    peeked.isEmpty &&
-      (decoders == null || decoders.valuesIterator.forall(!_.hasNext))
-
-  private var peeked: Option[Seq[(Int, Option[Array[Byte]])]] = None
+  def endOfSegment: Boolean = !chunkLive
 
   private def readRow(): Seq[(Int, Option[Array[Byte]])] = {
     if (!advance())
       throw new CorruptColumnFileException("read past end of file")
-    decoders.iterator.collect {
-      case (col, d) if d.hasNext =>
-        val v = d.next()
-        (col, Option(v))
+    val row = decoders.iterator.flatMap { case (col, d) =>
+      pending.remove(col) match {
+        case Some(v)           => Iterator.single((col, v))
+        case None if d.hasNext => Iterator.single((col, Option(d.next())))
+        case None              => Iterator.empty
+      }
     }.toSeq.sortBy(_._1)
+    row
   }
 
-  /** Next row as sorted (columnIndex, value|null) pairs. */
-  def getRow(): Seq[(Int, Option[Array[Byte]])] = peeked match {
-    case Some(row) => peeked = None; row
-    case None      => readRow()
-  }
-
-  /** Look at the next row without consuming it (reference: Peek,
-    * columnfile.h:240-244 — there per-column; row-level here since our
-    * decoders advance row-wise).
+  /** Next row as sorted (columnIndex, value|null) pairs; picks up each
+    * column at its current cursor (reference: GetRow,
+    * columnfile.h:252).
     */
-  def peekRow(): Seq[(Int, Option[Array[Byte]])] = peeked match {
-    case Some(row) => row
-    case None =>
-      val row = readRow()
-      peeked = Some(row)
-      row
+  def getRow(): Seq[(Int, Option[Array[Byte]])] = readRow()
+
+  /** Look at the next row without consuming it. */
+  def peekRow(): Seq[(Int, Option[Array[Byte]])] = {
+    if (!advance())
+      throw new CorruptColumnFileException("peek past end of file")
+    decoders.keysIterator.foreach(c => { peek(c); () })
+    pending.toSeq
   }
 
-  /** Next value of one column, NULL as None; the row's other columns are
-    * consumed too (reference Get reads one field of the current row,
-    * columnfile.h:246-251).
+  /** Current value of one column WITHOUT advancing its cursor
+    * (reference: Peek, columnfile.h:245-246). None = NULL or column
+    * absent from the current chunk.
     */
-  def get(column: Int): Option[Array[Byte]] =
-    getRow().collectFirst { case (c, v) if c == column => v }.flatten
+  def peek(column: Int): Option[Array[Byte]] = {
+    if (!advance()) return None
+    pending.get(column) match {
+      case Some(v) => v
+      case None =>
+        decoders.get(column).filter(_.hasNext) match {
+          case Some(d) =>
+            val ov = Option(d.next())
+            pending(column) = ov
+            ov
+          case None => None // absent/exhausted in this chunk => NULL
+        }
+    }
+  }
 
-  def seekToStart(): Unit = { chunkIdx = 0; decoders = null; peeked = None }
+  /** Current value of one column, advancing ONLY that column's cursor
+    * (reference: Get, columnfile.h:248-251). Other columns are not
+    * decoded or consumed.
+    */
+  def get(column: Int): Option[Array[Byte]] = {
+    val v = peek(column)
+    pending.remove(column)
+    v
+  }
+
+  def seekToStart(): Unit = { chunkIdx = 0; decoders = null; pending.clear() }
 
   /** Rewind to the start of the current segment and re-decode it
     * (reference: SeekToStartOfSegment, columnfile.h:263-267 — used by
     * the select path to make multiple per-column passes over one chunk).
     */
   def seekToStartOfSegment(): Unit = {
-    peeked = None
+    pending.clear()
     if (chunkIdx > 0) {
       decoders = ColumnFileReader.openChunk(in, chunks(chunkIdx - 1), columnFilter)
     }

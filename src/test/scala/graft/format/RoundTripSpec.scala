@@ -191,12 +191,25 @@ class ReaderCursorSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(render(r.getRow()) == first)
   }
 
-  test("get(column) returns one column's next value, consuming the row") {
+  test("get/peek are column-granular cursors (reference Get/Peek semantics)") {
     val r = ColumnFileReader.open(sample())
+    // peek never consumes
+    assert(r.peek(1).map(new String(_)) == Some("b0"))
+    assert(r.peek(1).map(new String(_)) == Some("b0"))
+    // get advances ONLY that column's cursor
     assert(r.get(1).map(new String(_)) == Some("b0"))
-    assert(r.get(0).map(new String(_)) == Some("a1"))
-    // chunk 2 has NULLs in column 1
-    r.getRow()
+    assert(r.get(1).map(new String(_)) == Some("b1"))
+    // column 0's cursor is untouched by reads of column 1
+    assert(r.get(0).map(new String(_)) == Some("a0"))
+    // getRow picks up each column at its own cursor
+    val row = r.getRow().map { case (c, v) => (c, v.map(new String(_))) }
+    assert(row == Seq((0, Some("a1")), (1, Some("b2"))))
+    // column 1 exhausted within chunk 1 => NULL; column 0 still has a2
     assert(r.get(1).isEmpty)
+    assert(r.get(0).map(new String(_)) == Some("a2"))
+    // chunk 2: column 1 holds genuine NULLs
+    assert(r.get(0).map(new String(_)) == Some("a3"))
+    assert(r.get(1).isEmpty)
+    assert(!r.end)
   }
 }
