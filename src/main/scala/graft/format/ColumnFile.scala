@@ -184,18 +184,38 @@ object ColumnFileReader {
       in: SeekableInput,
       chunk: ChunkInfo,
       columns: java.util.Set[Integer]): mutable.LinkedHashMap[Int, ColumnDecoder] = {
-    val decoders = mutable.LinkedHashMap.empty[Int, ColumnDecoder]
+    // Sequential ranged reads (skip unselected blocks), then decompress.
+    val blocks = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
     var off = chunk.dataOffset
     chunk.fields.foreach { case (col, size) =>
       if (columns == null || columns.contains(Integer.valueOf(col))) {
         if (size > Int.MaxValue)
           throw new CorruptColumnFileException("unreasonable column block size")
-        val block = in.readFully(off, size.toInt)
-        decoders(col) = new ColumnDecoder(
-          Compression.decompress(chunk.compression, block))
+        blocks += ((col, in.readFully(off, size.toInt)))
       }
       off += size
     }
+    // LZMA is slow enough that the reference decompresses columns in
+    // parallel (src/columnfile-reader.cc:626-643, std::async per
+    // column); mirror that for multi-column LZMA chunks. The cheap
+    // codecs stay sequential — task-level parallelism already covers
+    // them, and thread handoff would cost more than it saves.
+    val decoded: Seq[(Int, Array[Byte])] =
+      if (chunk.compression == Compression.LZMA && blocks.length > 1) {
+        import scala.jdk.CollectionConverters._
+        blocks.asJava.parallelStream()
+          .map[(Int, Array[Byte])] { case (col, block) =>
+            (col, Compression.decompress(chunk.compression, block))
+          }
+          .collect(java.util.stream.Collectors.toList[(Int, Array[Byte])])
+          .asScala.toSeq
+      } else {
+        blocks.toSeq.map { case (col, block) =>
+          (col, Compression.decompress(chunk.compression, block))
+        }
+      }
+    val decoders = mutable.LinkedHashMap.empty[Int, ColumnDecoder]
+    decoded.foreach { case (col, bytes) => decoders(col) = new ColumnDecoder(bytes) }
     decoders
   }
 
