@@ -35,7 +35,7 @@ object ColumnFileColumnarReader {
 }
 
 class ColumnFileColumnarPartitionReader(
-    partition: ColumnFilePartition,
+    partition: CfPartition,
     tableSchema: StructType,
     requiredSchema: StructType,
     filters: Array[Filter],

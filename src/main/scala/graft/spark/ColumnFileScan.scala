@@ -35,11 +35,36 @@ final class HadoopSeekableInput(fs: FileSystem, path: Path, len: Long)
   * planning never splits mid-chunk — the Spark analog of the reference's
   * chunk-sequential reader (src/columnfile-reader.cc:279-651).
   */
+sealed trait CfPartition extends InputPartition {
+  def filePath: String
+  def fileLen: Long
+  def chunkOffsets: Array[Long]
+  def partitionValues: Array[String]
+}
+
 final case class ColumnFilePartition(
     filePath: String,
     fileLen: Long,
     chunkOffsets: Array[Long],
-    partitionValues: Array[String] = Array.empty) extends InputPartition
+    partitionValues: Array[String] = Array.empty) extends CfPartition
+
+/** Split of a Hive-partitioned table that knows its partition-key tuple:
+  * lets Spark group splits per key (`KeyGroupedPartitioning`) and run
+  * storage-partitioned joins — two cf tables partitioned on the join
+  * column join WITHOUT any shuffle exchange. `keyValues` are Catalyst
+  * values in partition-column order.
+  */
+final case class ColumnFileKeyedPartition(
+    filePath: String,
+    fileLen: Long,
+    chunkOffsets: Array[Long],
+    partitionValues: Array[String],
+    keyValues: Array[Any])
+    extends CfPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(keyValues)
+}
 
 class ColumnFileScanBuilder(
     paths: Seq[String],
@@ -117,7 +142,7 @@ class ColumnFileScan(
     limit: Int = -1,
     partitionCols: Seq[String] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   /** Runtime (dynamic) filtering: Spark hands us join-key filters (e.g.
     * the In-set of dimension keys that survived the build side) after
@@ -136,7 +161,26 @@ class ColumnFileScan(
 
   override def filter(filters: Array[Filter]): Unit = {
     runtimeFilters = filters.filter(f => FilterEval.evaluable(f, tableSchema))
+    plannedPartitions = null // runtime filters change the surviving set
   }
+
+  /** Hive-partitioned tables report `KeyGroupedPartitioning` over the
+    * partition columns, and every split carries its key
+    * (`ColumnFileKeyedPartition`): with v2 bucketing enabled Spark
+    * groups splits per key and runs storage-partitioned joins — two cf
+    * tables partitioned on the join column join with NO shuffle
+    * exchange on either side. At 100 TB that turns the biggest
+    * fact-fact join cost into a per-key local join.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (partitionCols.isEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        planInputPartitions().length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        partitionCols.map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray,
+        planInputPartitions().length)
 
   private def allFilters: Array[Filter] = filters ++ runtimeFilters
 
@@ -223,7 +267,20 @@ class ColumnFileScan(
     * instead of thousands, and the driver does one small metadata read
     * per file instead of thousands of sequential chunk-header walks.
     */
+  // memoized: outputPartitioning needs the partition count and Spark may
+  // call planInputPartitions more than once; invalidated by runtime
+  // filters (filter() above)
+  @volatile private var plannedPartitions: Array[InputPartition] = null
+
   override def planInputPartitions(): Array[InputPartition] = {
+    val cached = plannedPartitions
+    if (cached != null) return cached
+    val planned = doPlanInputPartitions()
+    plannedPartitions = planned
+    planned
+  }
+
+  private def doPlanInputPartitions(): Array[InputPartition] = {
     val maxBytes = Option(options.get("maxPartitionBytes"))
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
     val partSet = partitionCols.toSet
@@ -241,14 +298,17 @@ class ColumnFileScan(
     // Per-file metadata resolution + chunk pruning runs on the parallel
     // pool; the final packing is sequential so partition order stays
     // deterministic.
-    val planned: Seq[Option[(org.apache.hadoop.fs.FileStatus, Seq[String], Seq[(Long, Long)])]] =
+    val planned: Seq[Option[(org.apache.hadoop.fs.FileStatus, Seq[String], Array[Any], Seq[(Long, Long)])]] =
       ColumnFileDataSource.mapFilesParallel(files) { case (root, st) =>
         val rawVals: Seq[String] =
           PartitionLayout.valuesFor(root, st.getPath, partitionCols)
+        val keyVals: Array[Any] = partitionCols.indices.map { i =>
+          PartitionLayout.parse(partSchema.fields(i).dataType, rawVals(i))
+        }.toArray
         val partCells: Array[Array[Byte]] = partitionCols.indices.map { i =>
-          val dt = partSchema.fields(i).dataType
-          val v = PartitionLayout.parse(dt, rawVals(i))
-          if (v == null) null else CellCodec.encode(dt, v)
+          val v = keyVals(i)
+          if (v == null) null
+          else CellCodec.encode(partSchema.fields(i).dataType, v)
         }.toArray
         val dirPruned = partBounds.exists(b => !b.eval(partCells(b.col)))
         if (dirPruned) None
@@ -260,26 +320,31 @@ class ColumnFileScan(
                     ChunkStatsIndex.provesEmpty(f, ss, leafIndex, leafType)))) =>
               (off, size)
           }
-          Some((st, rawVals, surviving))
+          Some((st, rawVals, keyVals, surviving))
         }
       }
     val parts = mutable.ArrayBuffer.empty[InputPartition]
-    planned.flatten.foreach { case (st, rawVals, chunks) =>
+    planned.flatten.foreach { case (st, rawVals, keyVals, chunks) =>
+      def emit(offsets: Array[Long]): Unit =
+        parts +=
+          (if (partitionCols.isEmpty)
+            ColumnFilePartition(st.getPath.toString, st.getLen, offsets,
+              rawVals.toArray)
+          else
+            ColumnFileKeyedPartition(st.getPath.toString, st.getLen, offsets,
+              rawVals.toArray, keyVals))
       var acc = mutable.ArrayBuffer.empty[Long]
       var accBytes = 0L
       chunks.foreach { case (off, size) =>
         if (acc.nonEmpty && accBytes + size > maxBytes) {
-          parts += ColumnFilePartition(st.getPath.toString, st.getLen,
-            acc.toArray, rawVals.toArray)
+          emit(acc.toArray)
           acc = mutable.ArrayBuffer.empty[Long]
           accBytes = 0L
         }
         acc += off
         accBytes += size
       }
-      if (acc.nonEmpty)
-        parts += ColumnFilePartition(st.getPath.toString, st.getLen,
-          acc.toArray, rawVals.toArray)
+      if (acc.nonEmpty) emit(acc.toArray)
     }
     parts.toArray
   }
@@ -322,7 +387,7 @@ class ColumnFileReaderFactory(
   /** Per-required-field source: Right(dataOrdinal) or Left(constant
     * Catalyst value parsed from the partition's directory values).
     */
-  private def fieldSources(p: ColumnFilePartition): Array[Either[Any, Int]] = {
+  private def fieldSources(p: CfPartition): Array[Either[Any, Int]] = {
     val dataIdx = dataRequiredSchema.fields.map(_.name).zipWithIndex.toMap
     val partIdx = partitionCols.zipWithIndex.toMap
     requiredSchema.fields.map { f =>
@@ -337,7 +402,7 @@ class ColumnFileReaderFactory(
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[ColumnFilePartition]
+    val p = partition.asInstanceOf[CfPartition]
     val inner = new ColumnFileColumnarPartitionReader(
       p, dataTableSchema, dataRequiredSchema, filters, conf.conf, limit)
     if (partitionCols.isEmpty ||
@@ -347,7 +412,7 @@ class ColumnFileReaderFactory(
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ColumnFilePartition]
+    val p = partition.asInstanceOf[CfPartition]
     val inner = new ColumnFilePartitionReader(
       p, dataTableSchema, dataRequiredSchema, filters, conf.conf, limit)
     if (partitionCols.isEmpty ||
@@ -444,7 +509,7 @@ class PartitionConstantColumnarReader(
   *  3. otherwise decode the selected columns, skipping non-survivor runs.
   */
 class ColumnFilePartitionReader(
-    partition: ColumnFilePartition,
+    partition: CfPartition,
     tableSchema: StructType,
     requiredSchema: StructType,
     filters: Array[Filter],

@@ -40,6 +40,18 @@ object EventStreams {
       .select(col("window.start").as("h"), col("event_type").as("etype"),
         col("cnt"), col("val_c"))
 
+  /** Streaming exact dedup on ingest — the training-pipeline shape:
+    * drop re-delivered/duplicate records (same id) inside the watermark
+    * horizon. `dropDuplicatesWithinWatermark` keys state by id and the
+    * watermark expires it, so state is bounded by (arrival rate ×
+    * horizon), never by stream length. Works identically over the
+    * columnfile `readStream` source.
+    */
+  def dedupByIds(events: DataFrame, watermark: String, ids: String*): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(ids.head, ids.tail: _*)
+
   /** Gap-based sessionization with explicit keyed state
     * (flatMapGroupsWithState + event-time timeout): emits a session once
     * `gapMinutes` passes with no activity for the user. State per key is

@@ -66,6 +66,30 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq(("click", 2L, 300L), ("view", 1L, 300L)))
   }
 
+  test("dedupByIds drops re-delivered ids across micro-batches, state watermark-bounded") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupByIds(input.toDF(), "30 minutes", "event_id")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0), // same-batch duplicate
+        Event(2, ts(2), 2, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(1, ts(5), 1, "click", 1.0), // re-delivery, within watermark
+        Event(3, ts(6), 3, "click", 3.0))
+      q.processAllAvailable()
+      val ids = sp.sql("SELECT event_id FROM deduped")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap timeout") {
     val sp = spark
     import sp.implicits._
