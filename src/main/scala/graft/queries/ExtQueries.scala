@@ -333,6 +333,63 @@ object ExtQueries {
         col("id").as("kept"), col("n_tokens").as("kept_tokens"))
   }, Some(ccOracleSql))
 
+  /** p02: near-dup-aware corpus curation — the full pipeline a training
+    * corpus actually needs: connected-components dedup over the LSH pair
+    * graph keeps one best doc per near-dup cluster (singletons keep
+    * themselves), a token-count quality gate filters the survivors, and
+    * per-language corpus stats summarize what remains. Spark side reuses
+    * the d09 label-propagation operator; oracle recomputes the
+    * components with a recursive CTE.
+    */
+  private def curateNearDup: Q = Q("p02_pipeline_curate_neardup", (spark, dir) => {
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(spark, dir)
+    val pairs = minhashPairsDF(spark).select(col("i"), col("j"))
+    graft.operators.Dedup.connectedComponents(pairs)
+      .createOrReplaceTempView("cc_labels")
+    spark.sql(curateNearDupBody(SparkD))
+  }, Some(
+    s"""WITH RECURSIVE mh_pairs AS (${minhashSql(DuckD)}),
+       |nodes AS (SELECT i AS id FROM mh_pairs UNION SELECT j FROM mh_pairs),
+       |edges AS (SELECT i AS a, j AS b FROM mh_pairs
+       |          UNION ALL SELECT j AS a, i AS b FROM mh_pairs),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r2.id, e.b FROM reach r2 JOIN edges e ON r2.r = e.a),
+       |cc_labels AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+       |""".stripMargin + curateNearDupBody(DuckD)))
+
+  /** Shared pipeline tail over a `cc_labels (id, comp)` relation. */
+  private def curateNearDupBody(d: Dial): String = {
+    val nTok = s"CAST(${d.size(d.split("d2.text"))} AS BIGINT)"
+    val body =
+      s"""scored AS (
+         |  SELECT l.comp, l.id, $nTok AS n_tokens
+         |  FROM cc_labels l JOIN documents d2 ON d2.doc_id = l.id),
+         |reps AS (
+         |  SELECT id FROM (
+         |    SELECT id, ROW_NUMBER() OVER (PARTITION BY comp
+         |                ORDER BY n_tokens DESC, id) AS rn
+         |    FROM scored) x WHERE rn = 1),
+         |kept AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id NOT IN (SELECT id FROM cc_labels)
+         |  UNION ALL
+         |  SELECT id AS doc_id FROM reps),
+         |final AS (
+         |  SELECT d2.lang, $nTok AS n_tokens
+         |  FROM kept k JOIN documents d2 ON d2.doc_id = k.doc_id
+         |  WHERE $nTok BETWEEN 10 AND 1000)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM final GROUP BY lang""".stripMargin
+    d match {
+      case SparkD => "WITH " + body
+      case DuckD  => body // continues the recursive WITH list
+    }
+  }
+
   private def ccOracleSql: String = {
     val d = DuckD
     s"""WITH RECURSIVE mh_pairs AS (${minhashSql(DuckD)}),
@@ -578,6 +635,8 @@ object ExtQueries {
     // End-to-end corpus curation: quality filter -> exact dedup ->
     // per-language corpus stats; the composed pipeline in one plan.
     dialect("p01_pipeline_curate", curateSql),
+    // Near-dup-aware curation: CC dedup -> quality gate -> corpus stats.
+    curateNearDup,
     dialect("v01_knn_brute", knnBruteSql),
     dialect("v02_knn_sign_lsh", knnSignLshSql),
     dialect("v03_knn_ivf_assign", ivfAssignSql),
