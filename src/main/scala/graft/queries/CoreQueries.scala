@@ -332,6 +332,12 @@ object CoreQueries {
     // Prefix-LIKE pushdown through a sorted cf table (stats pruning live).
     prefixPushdown,
 
+    // Storage-partitioned join (zero-shuffle co-located join).
+    spjJoin,
+
+    // Partition-grouped metadata-only aggregates.
+    groupedAggPushdown,
+
     // Metadata-only aggregates: COUNT/COUNT(col)/MIN/MAX answered from
     // the stats sidecars with zero data I/O (AggregatePushdown); the
     // oracle recomputes them the hard way, so a stats bug (null counts,
@@ -393,6 +399,75 @@ object CoreQueries {
         """SELECT p_brand AS brand, COUNT(*) AS cnt
           |FROM cf_part_sorted WHERE p_name LIKE 'small %'
           |GROUP BY p_brand""".stripMargin)
+    }, Some(oracle))
+  }
+
+  /** q37: storage-partitioned join — lineitem and a per-flag dimension
+    * both stored partitioned by the flag; with v2 bucketing on, the join
+    * runs with zero shuffle exchanges (splits carry partition keys; see
+    * StoragePartitionedJoinSpec for the plan assertion). Oracle computes
+    * the equivalent join over parquet.
+    */
+  private def spjJoin: Q = {
+    val oracle =
+      s"""SELECT l.l_returnflag AS rflag, d.label AS label, COUNT(*) AS cnt,
+         |  CAST(SUM(${cents("l.l_quantity")}) AS BIGINT) AS qty_c
+         |FROM lineitem l
+         |JOIN (SELECT DISTINCT l_returnflag AS flag,
+         |        concat('F_', l_returnflag) AS label FROM lineitem) d
+         |  ON l.l_returnflag = d.flag
+         |GROUP BY l.l_returnflag, d.label""".stripMargin
+    Q("q37_cf_spj_join", (spark, dir) => {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      val fact = Tables.cachePath(dir, "lineitem_by_flag")
+      if (!new java.io.File(fact, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "lineitem").write.format("columnfile")
+          .partitionBy("l_returnflag").mode("overwrite").save(fact)
+      }
+      val dim = Tables.cachePath(dir, "flagdim_by_flag")
+      if (!new java.io.File(dim, "_SUCCESS").exists()) {
+        import org.apache.spark.sql.functions._
+        Tables.t(spark, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"))
+          .distinct()
+          .withColumn("label", concat(lit("F_"), col("flag")))
+          .write.format("columnfile").partitionBy("flag").mode("overwrite").save(dim)
+      }
+      spark.read.format("columnfile").load(fact)
+        .createOrReplaceTempView("cf_li_flag")
+      spark.read.format("columnfile").load(dim)
+        .createOrReplaceTempView("cf_flagdim")
+      spark.sql(
+        s"""SELECT l.l_returnflag AS rflag, d.label AS label, COUNT(*) AS cnt,
+           |  CAST(SUM(${cents("l.l_quantity")}) AS BIGINT) AS qty_c
+           |FROM cf_li_flag l
+           |JOIN cf_flagdim d ON l.l_returnflag = d.flag
+           |GROUP BY l.l_returnflag, d.label""".stripMargin)
+    }, Some(oracle))
+  }
+
+  /** q38: partition-grouped metadata-only aggregate — COUNT/MIN/MAX per
+    * partition directory answered from the stats sidecars with zero data
+    * I/O (AggregatePushdown.tryComputeGrouped).
+    */
+  private def groupedAggPushdown: Q = {
+    val oracle =
+      """SELECT l_returnflag AS rflag, COUNT(*) AS cnt,
+        |  MIN(l_orderkey) AS min_k, MAX(l_orderkey) AS max_k
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    Q("q38_cf_agg_group_pushdown", (spark, dir) => {
+      val out = Tables.cachePath(dir, "lineitem_by_flag")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "lineitem").write.format("columnfile")
+          .partitionBy("l_returnflag").mode("overwrite").save(out)
+      }
+      spark.read.format("columnfile").load(out)
+        .createOrReplaceTempView("cf_li_flag2")
+      spark.sql(
+        """SELECT l_returnflag AS rflag, COUNT(*) AS cnt,
+          |  MIN(l_orderkey) AS min_k, MAX(l_orderkey) AS max_k
+          |FROM cf_li_flag2 GROUP BY l_returnflag""".stripMargin)
     }, Some(oracle))
   }
 

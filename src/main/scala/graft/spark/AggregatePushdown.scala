@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object AggregatePushdown {
 
-  final case class Result(schema: StructType, row: Seq[Any])
+  final case class Result(schema: StructType, rows: Seq[Seq[Any]])
 
   /** Try to answer `agg` from stats; None = not answerable. */
   def tryCompute(
@@ -117,7 +117,128 @@ object AggregatePushdown {
     val schema = StructType(parsed.toSeq.zipWithIndex.map { case ((_, f), i) =>
       f.copy(name = s"agg_$i")
     })
-    Some(Result(schema, values))
+    Some(Result(schema, Seq(values)))
+  }
+
+  /** Partition-grouped variant: `GROUP BY <partition columns>` with
+    * COUNT/COUNT(col)/MIN/MAX over data columns is answered from the
+    * per-file stats sidecars alone — each file belongs to exactly one
+    * partition-value tuple, so the group's stats are the union of its
+    * files' chunk stats. `SELECT dt, COUNT(*) FROM t GROUP BY dt` on a
+    * date-partitioned 100 TB table costs one sidecar read per file and
+    * zero data I/O.
+    */
+  def tryComputeGrouped(
+      agg: Aggregation,
+      tableSchema: StructType,
+      partitionCols: Seq[String],
+      conf: Configuration,
+      paths: Seq[String]): Option[Result] = {
+    val partSet = partitionCols.toSet
+    val dataSchema = StructType(tableSchema.fields.filterNot(f => partSet(f.name)))
+    val leaves = CellCodec.flatten(dataSchema)
+    val leafIdx = leaves.zipWithIndex.map { case (l, i) => (l.name, i) }.toMap
+
+    // every grouping expression must be a bare partition-column ref;
+    // an empty group list means one global group (COUNT(*) over a
+    // partitioned table is still metadata-only)
+    val groupCols: Seq[String] = agg.groupByExpressions().toSeq.map {
+      case f: NamedReference if f.fieldNames().length == 1 &&
+          partSet(f.fieldNames()(0)) => f.fieldNames()(0)
+      case _ => return None
+    }
+
+    def fieldOf(e: VExpr): Option[(Int, DataType)] = e match {
+      case f: NamedReference if f.fieldNames().length == 1 =>
+        leafIdx.get(f.fieldNames()(0)).map(i => (i, leaves(i).dataType))
+      case _ => None
+    }
+    sealed trait Spec
+    case object CS extends Spec
+    final case class C(col: Int) extends Spec
+    final case class MinS(col: Int, dt: DataType) extends Spec
+    final case class MaxS(col: Int, dt: DataType) extends Spec
+    val specs: Array[Option[(Spec, StructField)]] =
+      agg.aggregateExpressions().map {
+        case _: CountStar => Some((CS, StructField("count", LongType, nullable = false)))
+        case c: Count if !c.isDistinct =>
+          fieldOf(c.column()).map { case (i, _) =>
+            (C(i), StructField("count", LongType, nullable = false)) }
+        case m: Min =>
+          fieldOf(m.column()).collect { case (i, dt) if statsCapable(dt) =>
+            (MinS(i, dt), StructField("min", dt, nullable = true)) }
+        case m: Max =>
+          fieldOf(m.column()).collect { case (i, dt) if statsCapable(dt) =>
+            (MaxS(i, dt), StructField("max", dt, nullable = true)) }
+        case _ => None
+      }
+    if (specs.exists(_.isEmpty)) return None
+    val parsed = specs.map(_.get)
+
+    // per-file stats, grouped by the files' partition values for groupCols
+    val files = ColumnFileDataSource.listDataFilesWithRoots(conf, paths)
+    val groupOrdinals = groupCols.map(partitionCols.indexOf)
+    val perFile: Seq[Option[(Seq[String], Seq[ChunkStatsIndex.ChunkStats])]] =
+      ColumnFileDataSource.mapFilesParallel(files) { case (root, st) =>
+        val rawVals = PartitionLayout.valuesFor(root, st.getPath, partitionCols)
+        val key = groupOrdinals.map(rawVals)
+        ChunkStatsIndex.readWithLen(conf, st.getPath) match {
+          case Some((len, ss)) if len == st.getLen &&
+              ss.forall(c => c.off >= 0 && c.bytes >= 0) =>
+            Some((key, ss))
+          case Some((_, ss)) =>
+            val in = new HadoopSeekableInput(
+              st.getPath.getFileSystem(conf), st.getPath, st.getLen)
+            val chunks =
+              try graft.format.ColumnFileReader.scanChunks(in) finally in.close()
+            if (ss.length == chunks.length) Some((key, ss)) else None
+          case None => None
+        }
+      }
+    if (perFile.exists(_.isEmpty)) return None
+
+    val grouped: Seq[(Seq[String], Seq[ChunkStatsIndex.ChunkStats])] =
+      perFile.flatten.groupBy(_._1).toSeq
+        .map { case (k, vs) => (k, vs.flatMap(_._2)) }
+        .sortBy(_._1)(scala.math.Ordering.Implicits.seqOrdering)
+    // a global aggregate over an empty table still yields one row
+    val byGroup =
+      if (grouped.isEmpty && groupCols.isEmpty)
+        Seq((Seq.empty[String], Seq.empty[ChunkStatsIndex.ChunkStats]))
+      else grouped
+
+    val groupFields = groupCols.map(c => tableSchema(tableSchema.fieldIndex(c)))
+    val rows: Seq[Seq[Any]] = byGroup.map { case (key, stats) =>
+      val keyVals: Seq[Any] = key.zip(groupFields).map { case (raw, f) =>
+        PartitionLayout.parse(f.dataType, raw)
+      }
+      val totalRows = stats.iterator.map(_.rows).sum
+      val aggVals: Seq[Any] = parsed.toSeq.map {
+        case (CS, _) => totalRows
+        case (C(i), _) =>
+          var nonNull = 0L
+          stats.foreach { s =>
+            s.cols.get(i) match {
+              case Some((_, nulls)) => nonNull += s.rows - nulls
+              case None             => if (s.rows > 0) return None
+            }
+          }
+          nonNull
+        case (MinS(i, dt), _) => foldRange(stats, i, dt, isMin = true) match {
+          case Left(()) => return None
+          case Right(v) => v
+        }
+        case (MaxS(i, dt), _) => foldRange(stats, i, dt, isMin = false) match {
+          case Left(()) => return None
+          case Right(v) => v
+        }
+      }
+      keyVals ++ aggVals
+    }
+    val schema = StructType(
+      groupFields.zipWithIndex.map { case (f, i) => f.copy(name = s"grp_$i") } ++
+        parsed.toSeq.zipWithIndex.map { case ((_, f), i) => f.copy(name = s"agg_$i") })
+    Some(Result(schema, rows))
   }
 
   private def statsCapable(dt: DataType): Boolean = dt match {
@@ -188,10 +309,10 @@ object AggregatePushdown {
   }
 }
 
-/** Single-partition scan that emits one precomputed row. */
+/** Single-partition scan that emits precomputed rows. */
 final case class PrecomputedPartition(values: Array[Byte]) extends InputPartition
 
-class PrecomputedAggScan(schema: StructType, row: Seq[Any])
+class PrecomputedAggScan(schema: StructType, rows: Seq[Seq[Any]])
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -200,10 +321,10 @@ class PrecomputedAggScan(schema: StructType, row: Seq[Any])
   override def planInputPartitions(): Array[InputPartition] = {
     val bos = new java.io.ByteArrayOutputStream()
     val oos = new java.io.ObjectOutputStream(bos)
-    oos.writeObject(row.map {
+    oos.writeObject(rows.map(_.map {
       case u: UTF8String => ("u", u.toString)
       case other         => ("v", other)
-    })
+    }))
     oos.close()
     Array(PrecomputedPartition(bos.toByteArray))
   }
@@ -211,19 +332,19 @@ class PrecomputedAggScan(schema: StructType, row: Seq[Any])
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private var done = false
-          private val values = {
+          private val rows = {
             val ois = new java.io.ObjectInputStream(
               new java.io.ByteArrayInputStream(
                 p.asInstanceOf[PrecomputedPartition].values))
-            ois.readObject().asInstanceOf[Seq[(String, Any)]].map {
+            ois.readObject().asInstanceOf[Seq[Seq[(String, Any)]]].map(_.map {
               case ("u", s: String) => UTF8String.fromString(s)
               case (_, v)           => v
-            }
+            })
           }
-          override def next(): Boolean = if (done) false else { done = true; true }
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
           override def get(): InternalRow =
-            new GenericInternalRow(values.toArray)
+            new GenericInternalRow(rows(i).toArray)
           override def close(): Unit = ()
         }
     }

@@ -94,18 +94,25 @@ class ColumnFileScanBuilder(
     * exact final results, so supportCompletePushDown is uncondition-
     * ally true once pushAggregation succeeded.
     */
+  private def computeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[AggregatePushdown.Result] =
+    if (pushed.nonEmpty) None
+    else if (partitionCols.isEmpty)
+      AggregatePushdown.tryCompute(agg, tableSchema, conf, paths)
+    else
+      // GROUP BY <partition cols>: answered per partition directory
+      AggregatePushdown.tryComputeGrouped(
+        agg, tableSchema, partitionCols, conf, paths)
+
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (pushed.nonEmpty || partitionCols.nonEmpty) return false
-    aggResult = AggregatePushdown.tryCompute(agg, tableSchema, conf, paths)
+    aggResult = computeAgg(agg)
     aggResult.isDefined
   }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (pushed.nonEmpty || partitionCols.nonEmpty) return false
-    if (aggResult.isEmpty) {
-      aggResult = AggregatePushdown.tryCompute(agg, tableSchema, conf, paths)
-    }
+    if (aggResult.isEmpty) aggResult = computeAgg(agg)
     aggResult.isDefined
   }
 
@@ -125,7 +132,7 @@ class ColumnFileScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = aggResult match {
-    case Some(r) => new PrecomputedAggScan(r.schema, r.row)
+    case Some(r) => new PrecomputedAggScan(r.schema, r.rows)
     case None =>
       new ColumnFileScan(paths, tableSchema, requiredSchema, pushed, conf,
         options, limit, partitionCols)

@@ -68,6 +68,39 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(grouped.collect().map(_.getLong(1)).forall(_ == 200L))
   }
 
+  test("GROUP BY partition column answered from sidecars; global agg on partitioned table too") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-agg-grp").toString
+    (0 until 3000).map(i => (i.toLong, s"g${i % 4}", i % 7))
+      .toDF("id", "g", "v")
+      .write.format("columnfile").partitionBy("g").mode("overwrite").save(dir)
+    val t = spark.read.format("columnfile").load(dir)
+
+    val grouped = t.groupBy("g")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+      .orderBy("g")
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(plan.contains("stats-only aggregate"),
+      s"expected stats-only grouped plan:\n$plan")
+    val rows = grouped.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 4)
+    assert(rows.forall(_._2 == 750L))
+    assert(rows.map(_._1).toSeq == Seq("g0", "g1", "g2", "g3"))
+    assert(rows.find(_._1 == "g0").get._3 == 0L)
+    assert(rows.find(_._1 == "g3").get._4 == 2999L)
+
+    // global aggregate over a partitioned table: also metadata-only
+    val global = t.agg(count(lit(1)), min("id"), max("id"))
+    assert(global.queryExecution.executedPlan.toString.contains("stats-only"))
+    assert(global.head.toSeq == Seq(3000L, 0L, 2999L))
+
+    // grouping by a NON-partition column must fall back to a real scan
+    val byData = t.groupBy("v").agg(count(lit(1)).as("n"))
+    assert(!byData.queryExecution.executedPlan.toString.contains("stats-only"))
+    assert(byData.collect().map(_.getLong(1)).sum == 3000L)
+  }
+
   test("all-null column min/max is null; missing sidecar disables pushdown") {
     val sp = spark
     val dir = Files.createTempDirectory("cf-agg3").toString
