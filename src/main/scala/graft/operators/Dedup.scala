@@ -38,6 +38,7 @@ object Dedup {
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
     var converged = labels.isEmpty
+    var prevSum = if (converged) 0L else sumComp(labels)
     var iter = 0
     while (!converged && iter < maxIter) {
       // neighbor labels flow along edges; keep own label in the pool
@@ -47,7 +48,9 @@ object Dedup {
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint(true)
       // min-propagation is monotone: an unchanged label sum == fixed point
-      converged = sumComp(labels) == sumComp(next)
+      val nextSum = sumComp(next)
+      converged = prevSum == nextSum
+      prevSum = nextSum
       labels = next
       iter += 1
     }
