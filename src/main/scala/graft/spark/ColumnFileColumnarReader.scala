@@ -30,6 +30,7 @@ object ColumnFileColumnarReader {
       case IntegerType | LongType | ShortType | ByteType | BooleanType |
            FloatType | DoubleType | DateType | TimestampType |
            TimestampNTZType | StringType | BinaryType => true
+      case _: DecimalType => true
       case _ => false
     })
 }
@@ -222,6 +223,10 @@ class ColumnFileColumnarPartitionReader(
     case StringType | BinaryType =>
       v.putByteArray(pos, cell, 0, cell.length)
       ()
+    case d: DecimalType =>
+      v.putDecimal(pos,
+        CellCodec.decode(dt, cell).asInstanceOf[org.apache.spark.sql.types.Decimal],
+        d.precision)
     case _ =>
       CellCodec.decode(dt, cell) match {
         case x: Long    => v.putLong(pos, x)

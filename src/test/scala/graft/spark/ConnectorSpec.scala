@@ -125,6 +125,24 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertSameRows(df, back)
   }
 
+  test("decimal round-trip through the vectorized path, filters and sums exact") {
+    val df = spark.sql(
+      """SELECT id,
+        |  CAST(id AS DECIMAL(18,2)) / 4 AS d18,
+        |  CAST(id AS DECIMAL(38,10)) * 1000000000 AS d38,
+        |  CASE WHEN id % 3 = 0 THEN NULL
+        |       ELSE CAST(id AS DECIMAL(9,1)) END AS d9
+        |FROM range(500)""".stripMargin)
+    val back = roundTrip(df)
+    assertSameRows(df, back)
+    // vectorized path eligible (all-decimal projection) + exact arithmetic
+    assert(back.agg(sum("d18")).head.getDecimal(0) ==
+      df.agg(sum("d18")).head.getDecimal(0))
+    assert(back.filter(col("d9").isNull).count() == 167)
+    assert(back.filter(col("d18") === new java.math.BigDecimal("25.00"))
+      .collect().map(_.getLong(0)).toSeq == Seq(100L))
+  }
+
   test("binary and float array (embedding-shaped) round-trip") {
     val df = spark.sql(
       """SELECT id,
