@@ -1,0 +1,169 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial soundness property for driver-side chunk pruning: for
+  * randomized chunks and randomized filters, `provesEmpty == true` must
+  * imply that NO row of the chunk satisfies the filter under the
+  * engine's comparison semantics (NaN greatest & self-equal, -0.0 ==
+  * 0.0, UTF-8 byte order for strings). Pruning is unrecoverable — a
+  * pruned chunk never becomes a task — so this is the property that,
+  * had it existed in round 2, would have caught the StringStartsWith
+  * low-side bug.
+  *
+  * Deterministic seed: failures reproduce.
+  */
+class PruningSoundnessSpec extends AnyFunSuite {
+  import ChunkStatsIndex._
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  // ---- ground-truth row-level evaluation (engine semantics) ----
+
+  private def cmpAny(dt: DataType, a: Any, lit: Any): Option[Int] = (dt, a, lit) match {
+    case (_, null, _) => None
+    case (LongType, x: Long, v: Long) => Some(java.lang.Long.compare(x, v))
+    case (DoubleType, x: Double, v: Double) =>
+      Some(SQLOrderingUtil.compareDoubles(x, v))
+    case (StringType, x: String, v: String) =>
+      Some(UTF8String.fromString(x).compareTo(UTF8String.fromString(v)))
+    case _ => None
+  }
+
+  private def rowMatches(dt: DataType, value: Any, f: Filter): Boolean = f match {
+    case And(l, r) => rowMatches(dt, value, l) && rowMatches(dt, value, r)
+    case Or(l, r)  => rowMatches(dt, value, l) || rowMatches(dt, value, r)
+    case EqualTo(_, v)            => cmpAny(dt, value, v).contains(0)
+    case EqualNullSafe(_, v)      =>
+      if (v == null) value == null else cmpAny(dt, value, v).contains(0)
+    case GreaterThan(_, v)        => cmpAny(dt, value, v).exists(_ > 0)
+    case GreaterThanOrEqual(_, v) => cmpAny(dt, value, v).exists(_ >= 0)
+    case LessThan(_, v)           => cmpAny(dt, value, v).exists(_ < 0)
+    case LessThanOrEqual(_, v)    => cmpAny(dt, value, v).exists(_ <= 0)
+    case In(_, vs)                => vs.exists(v => cmpAny(dt, value, v).contains(0))
+    case IsNull(_)                => value == null
+    case IsNotNull(_)             => value != null
+    case StringStartsWith(_, p)   => value != null &&
+      UTF8String.fromString(value.asInstanceOf[String])
+        .startsWith(UTF8String.fromString(p))
+    case other => fail(s"unhandled filter $other")
+  }
+
+  // ---- generators ----
+
+  private val longPool: Seq[Long] =
+    Seq(Long.MinValue, -100L, -1L, 0L, 1L, 99L, 100L, 101L, Long.MaxValue)
+  private val doublePool: Seq[Double] =
+    Seq(Double.NegativeInfinity, -100.5, -0.0, 0.0, 1.5, 99.75,
+      Double.PositiveInfinity, Double.NaN)
+  private val stringPool: Seq[String] =
+    Seq("", "a", "appl", "applz", "appm", "b", "ba", "",
+      new String(Character.toChars(0x10000)), "zzz")
+
+  private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+  private def genValues(dt: DataType, n: Int): Seq[Any] = {
+    val pool: Seq[Any] = dt match {
+      case LongType   => longPool
+      case DoubleType => doublePool
+      case StringType => stringPool
+      case other      => fail(s"no pool for $other")
+    }
+    Seq.fill(n)(if (rnd.nextInt(10) == 0) null else pick(pool))
+  }
+
+  private def genLeaf(dt: DataType): Filter = {
+    def lit: Any = dt match {
+      case LongType   => pick(longPool)
+      case DoubleType => java.lang.Double.valueOf(pick(doublePool))
+      case StringType => pick(stringPool)
+      case other      => fail(s"$other")
+    }
+    rnd.nextInt(if (dt == StringType) 10 else 9) match {
+      case 0 => EqualTo("c", lit)
+      case 1 => EqualNullSafe("c", lit)
+      case 2 => GreaterThan("c", lit)
+      case 3 => GreaterThanOrEqual("c", lit)
+      case 4 => LessThan("c", lit)
+      case 5 => LessThanOrEqual("c", lit)
+      case 6 => In("c", Array(lit, lit, lit))
+      case 7 => IsNull("c")
+      case 8 => IsNotNull("c")
+      case 9 => StringStartsWith("c", pick(stringPool.filter(_.length <= 4)))
+    }
+  }
+
+  private def genFilter(dt: DataType, depth: Int): Filter =
+    if (depth == 0 || rnd.nextInt(3) > 0) genLeaf(dt)
+    else if (rnd.nextBoolean()) And(genFilter(dt, depth - 1), genFilter(dt, depth - 1))
+    else Or(genFilter(dt, depth - 1), genFilter(dt, depth - 1))
+
+  private def statsOf(dt: DataType, values: Seq[Any]): ChunkStats = {
+    val schema = StructType(Seq(StructField("c", dt)))
+    val coll = new Collector(CellCodec.flatten(schema))
+    values.foreach { v =>
+      val cell =
+        if (v == null) null
+        else dt match {
+          case StringType => CellCodec.encode(dt, UTF8String.fromString(v.asInstanceOf[String]))
+          case _          => CellCodec.encode(dt, v)
+        }
+      coll.observe(Array(cell))
+    }
+    coll.finishChunk()
+  }
+
+  test("provesEmpty never prunes a chunk containing a matching row (5000 random cases per type)") {
+    val leafIndex = Map("c" -> 0)
+    Seq[DataType](LongType, DoubleType, StringType).foreach { dt =>
+      val leafType: Map[String, DataType] = Map("c" -> dt)
+      var pruned = 0
+      for (_ <- 0 until 5000) {
+        val values = genValues(dt, 1 + rnd.nextInt(6))
+        val stats = statsOf(dt, values)
+        val filter = genFilter(dt, 2)
+        if (provesEmpty(filter, stats, leafIndex, leafType)) {
+          pruned += 1
+          values.foreach { v =>
+            assert(!rowMatches(dt, v, filter),
+              s"UNSOUND PRUNE: $dt filter=$filter values=$values " +
+                s"matching=$v stats=$stats")
+          }
+        }
+      }
+      // the property is vacuous if nothing ever prunes — require signal
+      assert(pruned > 200, s"$dt: only $pruned/5000 cases pruned; generator too weak")
+    }
+  }
+
+  test("task-side FilterEval never drops a row the engine would keep (5000 random cases per type)") {
+    Seq[DataType](LongType, DoubleType, StringType).foreach { dt =>
+      val schema = StructType(Seq(StructField("c", dt)))
+      val leafIndex = Map("c" -> 0)
+      var dropped = 0
+      for (_ <- 0 until 5000) {
+        val filter = genFilter(dt, 2)
+        val bounds = FilterEval.bind(filter, schema, leafIndex)
+        val v = genValues(dt, 1).head
+        val cell =
+          if (v == null) null
+          else dt match {
+            case StringType =>
+              CellCodec.encode(dt, UTF8String.fromString(v.asInstanceOf[String]))
+            case _ => CellCodec.encode(dt, v)
+          }
+        val survives = bounds.forall(_.eval(cell))
+        if (!survives) dropped += 1
+        if (rowMatches(dt, v, filter)) {
+          assert(survives,
+            s"UNSOUND DROP: $dt filter=$filter value=$v bounds=${bounds.length}")
+        }
+      }
+      assert(dropped > 500, s"$dt: only $dropped/5000 dropped; generator too weak")
+    }
+  }
+}
