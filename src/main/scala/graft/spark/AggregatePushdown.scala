@@ -245,6 +245,7 @@ object AggregatePushdown {
     case IntegerType | LongType | ShortType | ByteType | DateType |
          TimestampType | TimestampNTZType | BooleanType |
          DoubleType | FloatType | StringType => true
+    case d: DecimalType => d.precision <= 18 // unscaled-long stats family
     case _ => false
   }
 
@@ -304,6 +305,8 @@ object AggregatePushdown {
       case DoubleType => accD
       case FloatType => accD.toFloat
       case StringType => UTF8String.fromString(accS)
+      case d: DecimalType if d.precision <= 18 =>
+        org.apache.spark.sql.types.Decimal.createUnsafe(accL, d.precision, d.scale)
       case _ => return Left(())
     })
   }

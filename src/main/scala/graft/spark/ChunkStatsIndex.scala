@@ -68,10 +68,15 @@ object ChunkStatsIndex {
       bytes: Long = -1L)
     extends Serializable
 
-  /** Which leaf types carry stats, and the normalized family. */
+  /** Which leaf types carry stats, and the normalized family. Decimals
+    * up to 18 digits ride the long family as unscaled values — every
+    * value in a column shares the column's scale, so unscaled order is
+    * value order. Wider decimals carry no stats (safe fallback).
+    */
   private def family(dt: DataType): Option[Char] = dt match {
     case IntegerType | LongType | ShortType | ByteType | DateType |
          TimestampType | TimestampNTZType | BooleanType => Some('l')
+    case d: DecimalType if d.precision <= 18 => Some('l')
     case DoubleType | FloatType => Some('d')
     case StringType => Some('s')
     case _ => None
@@ -109,6 +114,9 @@ object ChunkStatsIndex {
                   CellCodec.decode(acc.dataType, cell).asInstanceOf[Byte].toLong
                 case BooleanType =>
                   if (CellCodec.decode(acc.dataType, cell).asInstanceOf[Boolean]) 1L else 0L
+                case _: DecimalType =>
+                  CellCodec.decode(acc.dataType, cell)
+                    .asInstanceOf[org.apache.spark.sql.types.Decimal].toUnscaledLong
                 case _ => 0L
               }
               if (v < acc.loL) acc.loL = v
@@ -410,6 +418,16 @@ object ChunkStatsIndex {
       val d = x.floatValue().toDouble; Some(if (d == 0.0) 0.0 else d)
     case (StringType, x: String)             => Some(x)
     case (StringType, x: UTF8String)         => Some(x.toString)
+    case (d: DecimalType, x: java.math.BigDecimal) if d.precision <= 18 =>
+      // rescale exactly or refuse (a literal needing rounding can't be
+      // compared against unscaled ranges soundly)
+      try Some(x.setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+        .unscaledValue().longValueExact())
+      catch { case _: ArithmeticException => None }
+    case (d: DecimalType, x: org.apache.spark.sql.types.Decimal) if d.precision <= 18 =>
+      try Some(x.toJavaBigDecimal.setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+        .unscaledValue().longValueExact())
+      catch { case _: ArithmeticException => None }
     case _ => None
   }
 

@@ -128,6 +128,31 @@ class ChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.cols(0)._1.contains(StringRange(pua, supp)))
   }
 
+  test("decimal stats: unscaled-long ranges prune exactly; wide decimals carry no stats") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-dec-stats").toString
+    sp.sql("""SELECT id, CAST(CAST(id AS DOUBLE) / 4 AS DECIMAL(18,2)) AS d
+             |FROM range(20000)""".stripMargin)
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("columnfile").option("targetChunkBytes", "8192")
+      .mode("overwrite").save(dir)
+    def scan(cond: org.apache.spark.sql.Column) =
+      spark.read.format("columnfile").option("maxPartitionBytes", "1").load(dir)
+        .filter(cond)
+    val all = scan(col("d") >= 0).rdd.getNumPartitions
+    val few = scan(col("d") > new java.math.BigDecimal("4970.00")).rdd.getNumPartitions
+    assert(all > 10 && few < all / 5, s"decimal pruning ineffective: $few of $all")
+    // correctness at the boundary
+    assert(scan(col("d") > new java.math.BigDecimal("4970.00")).count() == 119)
+    assert(scan(col("d") === new java.math.BigDecimal("4999.75")).count() == 1)
+    // decimal MIN/MAX from stats only
+    val t = spark.read.format("columnfile").load(dir)
+    val agg = t.agg(min("d"), max("d"))
+    assert(agg.queryExecution.executedPlan.toString.contains("stats-only"))
+    assert(agg.head.getDecimal(0) == new java.math.BigDecimal("0.00"))
+    assert(agg.head.getDecimal(1) == new java.math.BigDecimal("4999.75"))
+  }
+
   test("prefix filter end-to-end: chunks with mins extending the prefix survive") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-prefix").toString
