@@ -30,13 +30,22 @@ object Bench {
         System.err.println(s"[bench-warmup] $name failed: ${e.getMessage}") }
     }
 
-    val results = inventory.map { case (name, fn) =>
+    // Two timed passes, min per query: steady-state latency without
+    // one-off scheduler/GC noise (the warm-up above already charged all
+    // one-time costs).
+    def timedPass(): Map[String, Double] = inventory.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>
                  System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) sec else -1.0)
+    }.toMap
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val results = inventory.map { case (name, _) =>
+      val (a, b) = (p1(name), p2(name))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -26,7 +26,7 @@ object Tables {
   /** Cache-format version: bump when the on-disk format or the writer
     * changes so stale caches from older code can't poison results.
     */
-  private val CacheVersion = "v2"
+  private val CacheVersion = "v3" // v3: sidecars carry chunk offsets
 
   /** Cache location for a columnfile copy of `dir`'s `name` table. */
   def cachePath(dir: String, name: String): String = {
