@@ -31,6 +31,8 @@ class PruningSoundnessSpec extends AnyFunSuite {
       Some(SQLOrderingUtil.compareDoubles(x, v))
     case (StringType, x: String, v: String) =>
       Some(UTF8String.fromString(x).compareTo(UTF8String.fromString(v)))
+    case (_: DecimalType, x: Decimal, v: java.math.BigDecimal) =>
+      Some(x.toJavaBigDecimal.compareTo(v))
     case _ => None
   }
 
@@ -63,6 +65,10 @@ class PruningSoundnessSpec extends AnyFunSuite {
   private val stringPool: Seq[String] =
     Seq("", "a", "appl", "applz", "appm", "b", "ba", "",
       new String(Character.toChars(0x10000)), "zzz")
+  private val dec = DecimalType(10, 2)
+  private val decimalPool: Seq[Decimal] =
+    Seq("-99999999.99", "-1.50", "-0.01", "0.00", "0.25", "1.50",
+      "99999999.99").map(s => Decimal(new java.math.BigDecimal(s), 10, 2))
 
   private def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
 
@@ -71,6 +77,7 @@ class PruningSoundnessSpec extends AnyFunSuite {
       case LongType   => longPool
       case DoubleType => doublePool
       case StringType => stringPool
+      case _: DecimalType => decimalPool
       case other      => fail(s"no pool for $other")
     }
     Seq.fill(n)(if (rnd.nextInt(10) == 0) null else pick(pool))
@@ -81,6 +88,12 @@ class PruningSoundnessSpec extends AnyFunSuite {
       case LongType   => pick(longPool)
       case DoubleType => java.lang.Double.valueOf(pick(doublePool))
       case StringType => pick(stringPool)
+      case _: DecimalType =>
+        // includes literals whose scale exceeds the column's (they must
+        // refuse to prune, never prune wrongly)
+        pick(decimalPool.map(_.toJavaBigDecimal) :+
+          new java.math.BigDecimal("0.005") :+
+          new java.math.BigDecimal("1.250"))
       case other      => fail(s"$other")
     }
     rnd.nextInt(if (dt == StringType) 10 else 9) match {
@@ -119,7 +132,7 @@ class PruningSoundnessSpec extends AnyFunSuite {
 
   test("provesEmpty never prunes a chunk containing a matching row (5000 random cases per type)") {
     val leafIndex = Map("c" -> 0)
-    Seq[DataType](LongType, DoubleType, StringType).foreach { dt =>
+    Seq[DataType](LongType, DoubleType, StringType, dec).foreach { dt =>
       val leafType: Map[String, DataType] = Map("c" -> dt)
       var pruned = 0
       for (_ <- 0 until 5000) {
@@ -141,7 +154,7 @@ class PruningSoundnessSpec extends AnyFunSuite {
   }
 
   test("task-side FilterEval never drops a row the engine would keep (5000 random cases per type)") {
-    Seq[DataType](LongType, DoubleType, StringType).foreach { dt =>
+    Seq[DataType](LongType, DoubleType, StringType, dec).foreach { dt =>
       val schema = StructType(Seq(StructField("c", dt)))
       val leafIndex = Map("c" -> 0)
       var dropped = 0

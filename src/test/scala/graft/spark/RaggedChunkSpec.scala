@@ -98,6 +98,35 @@ class RaggedChunkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.head.toSeq == Seq(100L, 100L))
   }
 
+  test("corrupt or stale stats sidecars never break reads (fallback to header walk)") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-badstats").toString
+    (0 until 5000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(1)
+      .write.format("columnfile").option("targetChunkBytes", "8192")
+      .mode("overwrite").save(dir)
+    val sidecar = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(ChunkStatsIndex.Suffix)).head
+    val good = java.nio.file.Files.readAllBytes(sidecar.toPath)
+    def query(): (Long, Long) = {
+      val t = spark.read.format("columnfile").load(dir)
+      (t.filter(col("id") >= 4000).count(), t.count())
+    }
+    val expect = query()
+    val corruptions: Seq[Array[Byte]] = Seq(
+      Array[Byte](1, 2, 3),                     // garbage bytes
+      good.take(good.length / 2),               // truncated JSON
+      "[]".getBytes,                            // empty chunk list
+      """{"len":1,"chunks":[]}""".getBytes,     // stale length
+      """{"len":""".getBytes)                   // cut mid-token
+    corruptions.foreach { bytes =>
+      java.nio.file.Files.write(sidecar.toPath, bytes)
+      assert(query() == expect, s"corrupt sidecar broke the read")
+    }
+    java.nio.file.Files.write(sidecar.toPath, good)
+    assert(query() == expect)
+  }
+
   test("job-level abort deletes partitioned task files and stats sidecars") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-abort").toString
