@@ -75,10 +75,25 @@ final class ColumnFileWriter(
   /** Emit all buffered values as one chunk. No-op when nothing is buffered. */
   def flush(): Unit = {
     if (fields.isEmpty) return
-    val blocks = fields.toSeq.map { case (col, w) =>
-      val encoded = w.finishChunk()
-      (col, Compression.compress(compression, encoded, 0, encoded.length))
-    }
+    // The expensive codecs compress column blocks in parallel (reference:
+    // multi-threaded zlib deflate, src/zlib-parallel.cc:37-145, and the
+    // column-parallel LZMA decode it mirrors); cheap codecs stay
+    // sequential — Spark task parallelism already covers them.
+    val encodedBlocks = fields.toSeq.map { case (col, w) => (col, w.finishChunk()) }
+    val parallelCodec =
+      compression == Compression.ZLIB || compression == Compression.LZMA
+    val blocks: Seq[(Int, Array[Byte])] =
+      if (parallelCodec && encodedBlocks.length > 1) {
+        import scala.jdk.CollectionConverters._
+        encodedBlocks.asJava.parallelStream()
+          .map[(Int, Array[Byte])] { case (col, encoded) =>
+            (col, Compression.compress(compression, encoded, 0, encoded.length))
+          }
+          .collect(java.util.stream.Collectors.toList[(Int, Array[Byte])])
+          .asScala.toSeq
+      } else encodedBlocks.map { case (col, encoded) =>
+        (col, Compression.compress(compression, encoded, 0, encoded.length))
+      }
     val header = new ByteBuf(64)
     Varint.put(header, compression.toLong)
     Varint.put(header, blocks.size.toLong)
