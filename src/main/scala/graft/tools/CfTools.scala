@@ -77,6 +77,34 @@ object CfTools {
       .option("targetChunkBytes", (128L * 1024 * 1024).toString)
       .save(output)
 
+  /** Compaction: rewrite a table's many small files into
+    * ceil(totalBytes / targetFileBytes) files with large chunks — the
+    * standard operational pass after streaming/small-batch ingest (the
+    * cluster-scale generalization of the reference cat tool's
+    * concatenate-many-inputs-into-one job). Optionally sorts within
+    * output files to restore clustering for stats pruning.
+    */
+  def compact(
+      spark: SparkSession,
+      input: String,
+      output: String,
+      targetFileBytes: Long = 1L << 30,
+      sortWithinBy: Seq[String] = Nil,
+      compression: String = "lz4",
+      targetChunkBytes: Long = 16L * 1024 * 1024): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val totalBytes = graft.spark.ColumnFileDataSource
+      .listDataFiles(conf, Seq(input)).map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    var df = spark.read.format("columnfile").load(input).repartition(nFiles)
+    if (sortWithinBy.nonEmpty)
+      df = df.sortWithinPartitions(sortWithinBy.map(col): _*)
+    df.write.mode("overwrite").format("columnfile")
+      .option("compression", compression)
+      .option("targetChunkBytes", targetChunkBytes.toString)
+      .save(output)
+  }
+
   /** CLI: cat [--filter C:P]... [--select a,b] [--compression c]
     *          [--output-format text|columnfile] --output DIR INPUT...
     *      sort [--keys a,b] [--compression c] --output DIR INPUT...

@@ -70,6 +70,32 @@ class ToolsAndMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("columnfile").load(out).count() == 4)
   }
 
+  test("compact rewrites many small files into few, preserving rows; sort restores pruning") {
+    val sp = spark; import sp.implicits._
+    val in = tmp()
+    (0 until 5000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(20) // 20 small files
+      .write.format("columnfile").mode("overwrite").save(in)
+    assert(new java.io.File(in).listFiles()
+      .count(_.getName.endsWith(".cf")) == 20)
+
+    val out = tmp()
+    CfTools.compact(spark, in, out, targetFileBytes = Long.MaxValue,
+      sortWithinBy = Seq("id"), targetChunkBytes = 8192)
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".cf")) == 1)
+    val back = spark.read.format("columnfile").load(out)
+    assert(back.count() == 5000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) ==
+      (0L until 5000L).sum)
+    // sorted output restores selective stats pruning
+    val parts = spark.read.format("columnfile").option("maxPartitionBytes", "1")
+      .load(out).filter(col("id") >= 4990).rdd.getNumPartitions
+    val all = spark.read.format("columnfile").option("maxPartitionBytes", "1")
+      .load(out).rdd.getNumPartitions
+    assert(all > 2 && parts <= 2, s"pruning after compact: $parts of $all")
+  }
+
   test("multimodal: stub decode adds typed meta, deterministic") {
     val sp = spark; import sp.implicits._
     val df = sp.sql(
