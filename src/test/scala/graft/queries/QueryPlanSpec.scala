@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions for the inventory's scale-critical queries —
+  * the claims SCALE.md makes, asserted against the actual physical
+  * plans at sf0.001.
+  */
+class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("query-plan-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false") // crisp plan trees
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("q26 has no unbounded global window (TakeOrderedAndProject + bounded renumber)") {
+    val df = graft.SparkEntry.queries("q26_cf_sort")(spark, dir)
+    val exec = df.queryExecution.executedPlan
+    assert(exec.toString.contains("TakeOrderedAndProject"),
+      s"expected top-k sort:\n$exec")
+    val windows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "renumbering window expected")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"global (unpartitioned) window in plan:\n$exec"))
+  }
+
+  test("q35 is answered without touching data (stats-only scan)") {
+    assert(plan("q35_cf_agg_pushdown").contains("stats-only aggregate"))
+  }
+
+  test("q38 grouped aggregate is stats-only") {
+    assert(plan("q38_cf_agg_group_pushdown").contains("stats-only aggregate"))
+  }
+
+  test("q36 joins cf tables with broadcast + runtime filtering") {
+    val p = plan("q36_cf_join_runtime")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected runtime filter into the cf scan:\n$p")
+  }
+
+  test("q22 pushes filters into the scan (visible in scan description)") {
+    val p = plan("q22_cf_filter_pushdown")
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThan"),
+      s"expected pushed filters in scan description:\n$p")
+  }
+
+  test("q21 prunes the read schema to the projected columns") {
+    val p = plan("q21_cf_projection")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>") ||
+      (p.contains("l_orderkey") && !p.contains("l_comment")),
+      s"expected pruned ReadSchema:\n$p")
+  }
+}
