@@ -29,11 +29,13 @@ object EventStreams {
 
   /** Tumbling 1-hour windows with a 2-hour watermark: the streaming
     * equivalent of q17_events_hourly. Works on both batch and streaming
-    * DataFrames (same plan, Catalyst picks the mode).
+    * DataFrames (same plan, Catalyst picks the mode). Pass
+    * `watermarked = true` when composing after another stateful operator
+    * (e.g. `dedupByIds`) that already defined the event-time watermark —
+    * redefining it downstream is disallowed.
     */
-  def hourlyCounts(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "2 hours")
+  def hourlyCounts(events: DataFrame, watermarked: Boolean = false): DataFrame =
+    (if (watermarked) events else events.withWatermark("ts", "2 hours"))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(expr("CAST(ROUND(value * 100) AS BIGINT)")).as("val_c"))

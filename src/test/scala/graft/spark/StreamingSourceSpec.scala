@@ -60,4 +60,52 @@ class StreamingSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     runOnce()
     assert(spark.read.parquet(sink).count() == 130)
   }
+
+  test("cf stream composes with watermarked aggregation and ingest dedup end-to-end") {
+    val sp = spark; import sp.implicits._
+    val src = Files.createTempDirectory("cf-stream2-src").toString
+    val ckpt = Files.createTempDirectory("cf-stream2-ckpt").toString
+
+    def ts(minute: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+    // batch 1 with an in-batch duplicate event_id
+    Seq((1L, ts(5), 1L, "click", 1.0), (1L, ts(5), 1L, "click", 1.0),
+      (2L, ts(20), 2L, "click", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.format("columnfile").mode("overwrite").save(src)
+    val schema = spark.read.format("columnfile").load(src).schema
+
+    val sinkDir = Files.createTempDirectory("cf-stream2-sink").toString
+    val stream = spark.readStream.format("columnfile").schema(schema).load(src)
+    val counts = graft.streaming.EventStreams.hourlyCounts(
+      graft.streaming.EventStreams.dedupByIds(stream, "30 minutes", "event_id"),
+      watermarked = true)
+    def runOnce(): Unit = {
+      val q = counts.writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+
+    // re-delivered id 1 in a later file + a watermark-advancing event
+    Seq((1L, ts(25), 1L, "click", 1.0), (9L, ts(300), 3L, "view", 0.1))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.format("columnfile").mode("append").save(src)
+    runOnce()
+    // one more batch: with two stateful operators the watermark advanced
+    // at the END of the previous batch, so the closed window emits here
+    Seq((10L, ts(600), 3L, "view", 0.1))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.format("columnfile").mode("append").save(src)
+    runOnce()
+
+    // hour 0 window is watermark-complete: duplicates of id 1 dropped
+    // (both the same-batch copy and the cross-file re-delivery)
+    val rows = spark.read.parquet(sinkDir)
+      .filter(col("h") === ts(0))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(("click", 2L, 300L)))
+  }
 }
