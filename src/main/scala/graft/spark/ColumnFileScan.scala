@@ -168,7 +168,13 @@ class ColumnFileScan(
 
   override def filter(filters: Array[Filter]): Unit = {
     runtimeFilters = filters.filter(f => FilterEval.evaluable(f, tableSchema))
-    plannedPartitions = null // runtime filters change the surviving set
+    // Re-plan so runtime filters prune chunks — EXCEPT for partitioned
+    // tables, whose split list must stay exactly as reported under
+    // KeyGroupedPartitioning (a changed split count would break the
+    // storage-partitioned-join contract). Their runtime filters still
+    // evaluate task-side via allFilters, so only the chunk-prune step is
+    // forgone.
+    if (partitionCols.isEmpty) plannedPartitions = null
   }
 
   /** Hive-partitioned tables report `KeyGroupedPartitioning` over the
