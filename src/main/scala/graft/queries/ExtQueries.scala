@@ -640,6 +640,7 @@ object ExtQueries {
     dialect("v01_knn_brute", knnBruteSql),
     dialect("v02_knn_sign_lsh", knnSignLshSql),
     dialect("v03_knn_ivf_assign", ivfAssignSql),
+    dialect("v04_knn_ivf_search", ivfSearchSql),
     dialect("m01_multimodal_meta", multimodalSql),
     multimodalDecode
   )
@@ -688,7 +689,12 @@ object ExtQueries {
     * are a tiny broadcast relation (labels x dims); assignment is one
     * scan pass over the vectors, counts shuffle only (label, assigned).
     */
-  private def ivfAssignSql(d: Dial): String = {
+  /** Shared IVF plumbing: exact-integer centroids, factored norms, and
+    * the per-vector centroid ranking (`best`). norms factored out of the
+    * cross join: each vector's ||e|| computes once (not once per
+    * centroid) — same IEEE ops, same bits, 1/3 the fold work.
+    */
+  private def ivfCommonCtes(d: Dial): String = {
     val dim = 64 // embeddings.embedding arity (TESTDATA.md)
     val comps = (0 until dim).map { i =>
       s"CAST(CAST(SUM(CAST(ROUND(CAST(${d.at("embedding", i)} AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / (1000000.0 * COUNT(*))"
@@ -697,10 +703,7 @@ object ExtQueries {
       case SparkD => s"array(${comps.mkString(",\n      ")})"
       case DuckD  => s"[${comps.mkString(",\n      ")}]"
     }
-    // norms factored out of the cross join: each vector's ||e|| computes
-    // once (not once per centroid) — same IEEE ops, same bits, 1/3 the
-    // fold work in the scored relation
-    s"""WITH cent0 AS (
+    s"""cent0 AS (
        |  SELECT label AS clabel,
        |    $centroidArr AS centroid
        |  FROM embeddings GROUP BY label),
@@ -719,9 +722,41 @@ object ExtQueries {
        |best AS (
        |  SELECT vec_id, label, clabel,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  private def ivfAssignSql(d: Dial): String =
+    s"""WITH ${ivfCommonCtes(d)}
        |SELECT label, clabel AS assigned, COUNT(*) AS n
        |FROM best WHERE rn = 1
        |GROUP BY label, clabel""".stripMargin
-  }
+
+  /** v04: full IVF probe SEARCH — the standard billion-scale ANN query
+    * shape. Database vectors live in their nearest-centroid cell; each
+    * query vector probes its top-2 cells (nprobe=2) and brute-forces
+    * cosine only within them; global work = nprobe cells per query, not
+    * the whole corpus. Same deterministic math as v03, so the oracle
+    * hash-matches the top-k exactly (cos DESC, neighbor-id tiebreak).
+    */
+  private def ivfSearchSql(d: Dial): String =
+    s"""WITH ${ivfCommonCtes(d)},
+       |assign AS (SELECT vec_id, clabel FROM best WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS qid, clabel AS pcell
+       |  FROM best WHERE vec_id < 20 AND rn <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM probe p JOIN assign a ON a.clabel = p.pcell
+       |  WHERE a.vec_id <> p.qid),
+       |pairs AS (
+       |  SELECT c.qid, c.nid,
+       |    ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm) AS cos
+       |  FROM cand c
+       |  JOIN emb q ON q.vec_id = c.qid
+       |  JOIN emb n ON n.vec_id = c.nid),
+       |topk AS (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |  FROM pairs)
+       |SELECT qid, nid, cos FROM topk WHERE rn <= 5""".stripMargin
 }
