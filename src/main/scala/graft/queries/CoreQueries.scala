@@ -338,6 +338,9 @@ object CoreQueries {
     // Partition-grouped metadata-only aggregates.
     groupedAggPushdown,
 
+    // Small-file compaction (CfTools.compact) through the oracle gate.
+    compactedScan,
+
     // Metadata-only aggregates: COUNT/COUNT(col)/MIN/MAX answered from
     // the stats sidecars with zero data I/O (AggregatePushdown); the
     // oracle recomputes them the hard way, so a stats bug (null counts,
@@ -468,6 +471,38 @@ object CoreQueries {
         """SELECT l_returnflag AS rflag, COUNT(*) AS cnt,
           |  MIN(l_orderkey) AS min_k, MAX(l_orderkey) AS max_k
           |FROM cf_li_flag2 GROUP BY l_returnflag""".stripMargin)
+    }, Some(oracle))
+  }
+
+  /** q39: orders written as many small files, compacted with a re-sort
+    * (CfTools.compact — the post-streaming maintenance pass), then
+    * queried; the oracle computes the same aggregate from the original
+    * table, so compaction must lose or duplicate nothing.
+    */
+  private def compactedScan: Q = {
+    val oracle =
+      s"""SELECT o_orderstatus AS status, COUNT(*) AS cnt,
+         |  CAST(SUM(${cents("o_totalprice")}) AS BIGINT) AS sum_c,
+         |  MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+         |FROM orders GROUP BY o_orderstatus""".stripMargin
+    Q("q39_cf_compacted_scan", (spark, dir) => {
+      val small = Tables.cachePath(dir, "orders_smallfiles")
+      if (!new java.io.File(small, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "orders").repartition(16)
+          .write.format("columnfile").mode("overwrite").save(small)
+      }
+      val compacted = Tables.cachePath(dir, "orders_compacted")
+      if (!new java.io.File(compacted, "_SUCCESS").exists()) {
+        graft.tools.CfTools.compact(spark, small, compacted,
+          sortWithinBy = Seq("o_orderkey"))
+      }
+      spark.read.format("columnfile").load(compacted)
+        .createOrReplaceTempView("cf_orders_compacted")
+      spark.sql(
+        s"""SELECT o_orderstatus AS status, COUNT(*) AS cnt,
+           |  CAST(SUM(${cents("o_totalprice")}) AS BIGINT) AS sum_c,
+           |  MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+           |FROM cf_orders_compacted GROUP BY o_orderstatus""".stripMargin)
     }, Some(oracle))
   }
 

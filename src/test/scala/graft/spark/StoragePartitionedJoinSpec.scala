@@ -71,6 +71,30 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("storage-partitioned join stays exchange-free with AQE enabled") {
+    val sp = spark; import sp.implicits._
+    val dirA = Files.createTempDirectory("cf-spj-aqe-a").toString
+    val dirB = Files.createTempDirectory("cf-spj-aqe-b").toString
+    (0 until 1000).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "g")
+      .write.format("columnfile").partitionBy("g").mode("overwrite").save(dirA)
+    (0 until 200).map(i => (i.toLong, s"g${i % 4}")).toDF("bid", "g")
+      .write.format("columnfile").partitionBy("g").mode("overwrite").save(dirB)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val a = spark.read.format("columnfile").load(dirA)
+      val b = spark.read.format("columnfile").load(dirB)
+      val joined = a.join(b, "g").groupBy("g").count()
+      val n = joined.collect().map(_.getLong(1)).sum // execute under AQE
+      assert(n == 250L * 50L * 4L)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      val joinSection = finalPlan.linesIterator
+        .dropWhile(l => !l.contains("SortMergeJoin")).mkString("\n")
+      assert(finalPlan.contains("SortMergeJoin"), s"expected SMJ:\n$finalPlan")
+      assert(!joinSection.contains("Exchange"),
+        s"AQE reintroduced a shuffle below the join:\n$finalPlan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
+
   test("non-partitioned scans still plan and join normally") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-spj-c").toString
