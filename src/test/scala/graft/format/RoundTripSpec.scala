@@ -191,6 +191,72 @@ class ReaderCursorSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(render(r.getRow()) == first)
   }
 
+  test("property: random get/peek/getRow interleavings match a queue model") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 50) {
+      // random ragged 1-3 chunk file over columns 0..2
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = new ColumnFileWriter(bos)
+      val chunkModels = scala.collection.mutable.ArrayBuffer
+        .empty[Map[Int, List[Option[String]]]]
+      for (c <- 0 until 1 + rnd.nextInt(3)) {
+        val cols = (0 until 3).filter(_ => rnd.nextBoolean()) match {
+          case Seq() => Seq(0)
+          case s => s
+        }
+        val rows = 1 + rnd.nextInt(4)
+        val m = cols.map { col =>
+          col -> (0 until rows).map { r =>
+            if (rnd.nextInt(4) == 0) { w.putNull(col); None }
+            else { val v = s"c$c-r$r-$col"; w.put(col, v.getBytes); Some(v) }
+          }.toList
+        }.toMap
+        w.flush()
+        chunkModels += m
+      }
+      w.finish()
+      val r = ColumnFileReader.open(bos.toByteArray)
+
+      // queue model with lazy chunk advance
+      var queues = Map.empty[Int, scala.collection.mutable.Queue[Option[String]]]
+      var next = 0
+      def live = queues.values.exists(_.nonEmpty)
+      def advance(): Boolean = {
+        while (!live) {
+          if (next >= chunkModels.length) return false
+          queues = chunkModels(next).map { case (c, vs) =>
+            c -> scala.collection.mutable.Queue(vs: _*)
+          }
+          next += 1
+        }
+        true
+      }
+      var steps = 0
+      while (advance() && steps < 200) {
+        steps += 1
+        rnd.nextInt(3) match {
+          case 0 =>
+            val c = rnd.nextInt(3)
+            val want = queues.get(c).filter(_.nonEmpty).map(_.head)
+            assert(r.peek(c).map(new String(_)) == want.flatten,
+              s"peek($c) mismatch")
+          case 1 =>
+            val c = rnd.nextInt(3)
+            val want = queues.get(c).filter(_.nonEmpty).map(_.dequeue())
+            assert(r.get(c).map(new String(_)) == want.flatten,
+              s"get($c) mismatch")
+          case 2 =>
+            val want = queues.toSeq.sortBy(_._1).collect {
+              case (c, q) if q.nonEmpty => (c, q.dequeue())
+            }
+            val got = r.getRow().map { case (c, v) => (c, v.map(new String(_))) }
+            assert(got == want, s"getRow mismatch: $got vs $want")
+        }
+      }
+      assert(r.end == !advance())
+    }
+  }
+
   test("get/peek are column-granular cursors (reference Get/Peek semantics)") {
     val r = ColumnFileReader.open(sample())
     // peek never consumes

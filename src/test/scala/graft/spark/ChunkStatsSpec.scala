@@ -36,6 +36,36 @@ class ChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
         3 -> (None, 100L))),
       ChunkStats(1, Map.empty))
     assert(fromJson(toJson(chunks)) == chunks)
+    // object form with file length + chunk offsets
+    val withLoc = chunks.zipWithIndex.map { case (c, i) =>
+      c.copy(off = 4L + i * 1000L, bytes = 997L)
+    }
+    assert(fromJsonWithLen(toJson(123456L, withLoc)) == ((123456L, withLoc)))
+  }
+
+  test("property: random stats round-trip the JSON exactly (both forms)") {
+    val rnd = new scala.util.Random(42)
+    def randRange(): Option[Range] = rnd.nextInt(4) match {
+      case 0 => Some(LongRange(rnd.nextLong(), rnd.nextLong()))
+      case 1 => Some(DoubleRange(rnd.nextDouble() * 1e6 - 5e5, rnd.nextDouble() * 1e6))
+      case 2 => Some(StringRange(
+        rnd.alphanumeric.take(rnd.nextInt(8)).mkString + "\"\\\n\t",
+        rnd.alphanumeric.take(rnd.nextInt(8)).mkString + "" +
+          new String(Character.toChars(0x10000))))
+      case _ => None
+    }
+    for (_ <- 0 until 200) {
+      val chunks = Seq.fill(rnd.nextInt(4))(ChunkStats(
+        rnd.nextInt(1000).toLong,
+        (0 until rnd.nextInt(5)).map(i => i -> (randRange(), rnd.nextInt(100).toLong)).toMap,
+        off = if (rnd.nextBoolean()) rnd.nextInt(1 << 20).toLong else -1L,
+        bytes = rnd.nextInt(1 << 20).toLong))
+      // legacy array form drops offsets at parse only when absent; the
+      // object form preserves everything
+      val normalized = chunks.map(c => if (c.off < 0) c.copy(bytes = -1L) else c)
+      assert(fromJsonWithLen(toJson(rnd.nextInt(1 << 24).toLong, normalized))._2
+        == normalized)
+    }
   }
 
   test("provesEmpty: range, null, and In pruning") {
