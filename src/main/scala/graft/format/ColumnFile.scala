@@ -234,22 +234,22 @@ object ColumnFileReader {
     decoders
   }
 
-  /** Row count of a chunk, counted from its smallest column block (the
-    * cheapest decode). Used when a scan needs the count but decoded no
-    * data column — empty projections and all-filter-columns-absent
-    * ragged chunks.
+  /** EXACT row count of a chunk: the max value count across all its
+    * columns (ragged chunks have unequal column lengths, and row
+    * assembly zips until every column is exhausted — reference
+    * src/columnfile-reader.cc:416-445). Costs one decode walk per
+    * column block; used only when a scan needs the count but decoded no
+    * data column — empty projections and ragged filter recovery.
     */
-  def countRows(in: SeekableInput, chunk: ChunkInfo): Int =
-    chunk.fields.minByOption(_._2) match {
-      case None => 0
-      case Some((col, _)) =>
-        val w = new java.util.HashSet[Integer]()
-        w.add(col)
-        val d = openChunk(in, chunk, w)(col)
-        var c = 0
-        while (d.hasNext) { d.next(); c += 1 }
-        c
+  def countRows(in: SeekableInput, chunk: ChunkInfo): Int = {
+    var max = 0
+    openChunk(in, chunk, null).valuesIterator.foreach { d =>
+      var c = 0
+      while (d.hasNext) { d.next(); c += 1 }
+      if (c > max) max = c
     }
+    max
+  }
 
   def open(bytes: Array[Byte]): ColumnFileReader =
     new ColumnFileReader(new BytesInput(bytes))

@@ -79,7 +79,7 @@ class ColumnFileColumnarPartitionReader(
     while (true) {
       if (decoders == null) {
         if (chunkIdx >= partition.chunkOffsets.length) return false
-        openChunk(partition.chunkOffsets(chunkIdx))
+        openChunk(chunkIdx)
         chunkIdx += 1
       }
       if (decoders != null) {
@@ -97,11 +97,18 @@ class ColumnFileColumnarPartitionReader(
     input.close()
   }
 
-  private def openChunk(offset: Long): Unit = {
-    val info = ColumnFileReader.readChunkHeader(input, offset, partition.fileLen)
+  private def openChunk(idx: Int): Unit = {
+    val info = ColumnFileReader.readChunkHeader(
+      input, partition.chunkOffsets(idx), partition.fileLen)
     survivors = null
-    rowCount = -1
     row = 0
+    // exact chunk row count: sidecar (free) or a decode-walk count for
+    // foreign sidecar-less files — projection-independent ragged reads
+    rowCount = {
+      val known = partition.knownRows(idx)
+      if (known >= 0) known.toInt
+      else ColumnFileReader.countRows(input, info)
+    }
 
     if (filterCols.nonEmpty) {
       val wanted = new java.util.HashSet[Integer]()
@@ -115,13 +122,6 @@ class ColumnFileColumnarPartitionReader(
           }
           c -> buf
         }.toMap
-      rowCount = colValues.values.map(_.length).maxOption.getOrElse(0)
-      if (rowCount == 0) {
-        // Ragged chunk with every filter column absent: cells are NULL
-        // for all rows (a `c IS NULL` filter matches) — recover the row
-        // count from another column block instead of skipping the chunk.
-        rowCount = ColumnFileReader.countRows(input, info)
-      }
       survivors = new java.util.BitSet(rowCount)
       var r = 0
       while (r < rowCount) {
@@ -130,6 +130,7 @@ class ColumnFileColumnarPartitionReader(
         while (ok && i < filterEvals.length) {
           val fe = filterEvals(i)
           val vals = colValues(fe.col)
+          // rows past a ragged column's end read as NULL
           val cell = if (r < vals.length) vals(r) else null
           ok = fe.eval(cell)
           i += 1
@@ -149,8 +150,8 @@ class ColumnFileColumnarPartitionReader(
     if (outCols.isEmpty) {
       // empty projection (count(*)): row count only
       emptyProjRows =
-        if (rowCount >= 0) survivors.cardinality().toLong
-        else ColumnFileReader.countRows(input, info).toLong
+        if (survivors != null) survivors.cardinality().toLong
+        else rowCount.toLong
       decoders = Array.empty
       return
     }
@@ -176,9 +177,10 @@ class ColumnFileColumnarPartitionReader(
       OnHeapColumnVector.allocateColumns(RowsPerBatch, requiredSchema)
     var n = 0
     if (survivors == null) {
-      // unfiltered: stream until decoders dry or batch full
-      while (n < RowsPerBatch && decoders.exists(d => d != null && d.hasNext)) {
+      // unfiltered: exactly rowCount rows, null-padding short columns
+      while (n < RowsPerBatch && row < rowCount) {
         writeRow(vectors, n)
+        row += 1
         n += 1
       }
     } else {

@@ -40,13 +40,24 @@ sealed trait CfPartition extends InputPartition {
   def fileLen: Long
   def chunkOffsets: Array[Long]
   def partitionValues: Array[String]
+
+  /** Exact rows per chunk (aligned with chunkOffsets) when the stats
+    * sidecar recorded them; empty when unknown (foreign files) — the
+    * reader then counts exactly. Row counts make scan results
+    * projection-independent on ragged chunks: a chunk always yields its
+    * true row count, null-padding columns that end early.
+    */
+  def chunkRows: Array[Long]
+  final def knownRows(i: Int): Long =
+    if (i < chunkRows.length) chunkRows(i) else -1L
 }
 
 final case class ColumnFilePartition(
     filePath: String,
     fileLen: Long,
     chunkOffsets: Array[Long],
-    partitionValues: Array[String] = Array.empty) extends CfPartition
+    partitionValues: Array[String] = Array.empty,
+    chunkRows: Array[Long] = Array.empty) extends CfPartition
 
 /** Split of a Hive-partitioned table that knows its partition-key tuple:
   * lets Spark group splits per key (`KeyGroupedPartitioning`) and run
@@ -59,7 +70,8 @@ final case class ColumnFileKeyedPartition(
     fileLen: Long,
     chunkOffsets: Array[Long],
     partitionValues: Array[String],
-    keyValues: Array[Any])
+    keyValues: Array[Any],
+    chunkRows: Array[Long] = Array.empty)
     extends CfPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -311,7 +323,7 @@ class ColumnFileScan(
     // Per-file metadata resolution + chunk pruning runs on the parallel
     // pool; the final packing is sequential so partition order stays
     // deterministic.
-    val planned: Seq[Option[(org.apache.hadoop.fs.FileStatus, Seq[String], Array[Any], Seq[(Long, Long)])]] =
+    val planned: Seq[Option[(org.apache.hadoop.fs.FileStatus, Seq[String], Array[Any], Seq[(Long, Long, Long)])]] =
       ColumnFileDataSource.mapFilesParallel(files) { case (root, st) =>
         val rawVals: Seq[String] =
           PartitionLayout.valuesFor(root, st.getPath, partitionCols)
@@ -331,33 +343,40 @@ class ColumnFileScan(
                 if !(allFilters.nonEmpty && stOpt.exists(ss =>
                   allFilters.exists(f =>
                     ChunkStatsIndex.provesEmpty(f, ss, leafIndex, leafType)))) =>
-              (off, size)
+              (off, size, stOpt.map(_.rows).getOrElse(-1L))
           }
           Some((st, rawVals, keyVals, surviving))
         }
       }
     val parts = mutable.ArrayBuffer.empty[InputPartition]
     planned.flatten.foreach { case (st, rawVals, keyVals, chunks) =>
-      def emit(offsets: Array[Long]): Unit =
+      // rows ride along only when known for EVERY chunk of the split
+      // (mixed known/unknown would misalign the reader's fallback)
+      def emit(offsets: Array[Long], rows: Array[Long]): Unit = {
+        val chunkRows = if (rows.forall(_ >= 0)) rows else Array.empty[Long]
         parts +=
           (if (partitionCols.isEmpty)
             ColumnFilePartition(st.getPath.toString, st.getLen, offsets,
-              rawVals.toArray)
+              rawVals.toArray, chunkRows)
           else
             ColumnFileKeyedPartition(st.getPath.toString, st.getLen, offsets,
-              rawVals.toArray, keyVals))
+              rawVals.toArray, keyVals, chunkRows))
+      }
       var acc = mutable.ArrayBuffer.empty[Long]
+      var accRows = mutable.ArrayBuffer.empty[Long]
       var accBytes = 0L
-      chunks.foreach { case (off, size) =>
+      chunks.foreach { case (off, size, rows) =>
         if (acc.nonEmpty && accBytes + size > maxBytes) {
-          emit(acc.toArray)
+          emit(acc.toArray, accRows.toArray)
           acc = mutable.ArrayBuffer.empty[Long]
+          accRows = mutable.ArrayBuffer.empty[Long]
           accBytes = 0L
         }
         acc += off
+        accRows += rows
         accBytes += size
       }
-      if (acc.nonEmpty) emit(acc.toArray)
+      if (acc.nonEmpty) emit(acc.toArray, accRows.toArray)
     }
     parts.toArray
   }
@@ -564,7 +583,7 @@ class ColumnFilePartitionReader(
     if (limit >= 0 && emitted >= limit) return false
     while (!rows.hasNext) {
       if (chunkIdx >= partition.chunkOffsets.length) return false
-      rows = openChunk(partition.chunkOffsets(chunkIdx))
+      rows = openChunk(chunkIdx)
       chunkIdx += 1
     }
     current = rows.next()
@@ -575,12 +594,26 @@ class ColumnFilePartitionReader(
   override def get(): InternalRow = current
   override def close(): Unit = input.close()
 
-  private def openChunk(offset: Long): Iterator[InternalRow] = {
-    val info = ColumnFileReader.readChunkHeader(input, offset, partition.fileLen)
+  private def openChunk(idx: Int): Iterator[InternalRow] = {
+    val info = ColumnFileReader.readChunkHeader(
+      input, partition.chunkOffsets(idx), partition.fileLen)
+
+    /** Exact chunk row count: from the sidecar (free) when planned with
+      * one, else an exact decode-walk count (foreign sidecar-less files
+      * only). Makes results projection-independent on ragged chunks —
+      * a chunk always yields its true row count, null-padding columns
+      * that end early (reference row assembly zips until ALL columns
+      * are exhausted, src/columnfile-reader.cc:416-445).
+      */
+    lazy val exactRows: Int = {
+      val known = partition.knownRows(idx)
+      if (known >= 0) known.toInt
+      else ColumnFileReader.countRows(input, info)
+    }
 
     // Pass 1: decode filter columns only; build the survivor bitmap.
     var survivors: java.util.BitSet = null
-    var rowCount = -1
+    val rowCount = exactRows
     if (filterCols.nonEmpty) {
       val wanted = new java.util.HashSet[Integer]()
       filterCols.foreach(c => wanted.add(c))
@@ -593,15 +626,6 @@ class ColumnFilePartitionReader(
           }
           c -> buf
         }.toMap
-      rowCount = colValues.values.map(_.length).maxOption.getOrElse(0)
-      if (rowCount == 0) {
-        // Every bound filter column is absent from this chunk (ragged
-        // file): those cells read back as NULL for every row, which
-        // filters like `c IS NULL` can match. Recover the true row count
-        // from another column block and evaluate against all-null cells
-        // instead of silently skipping the chunk.
-        rowCount = ColumnFileReader.countRows(input, info)
-      }
       survivors = new java.util.BitSet(rowCount)
       var r = 0
       while (r < rowCount) {
@@ -610,6 +634,7 @@ class ColumnFilePartitionReader(
         while (ok && i < filterEvals.length) {
           val fe = filterEvals(i)
           val vals = colValues(fe.col)
+          // rows past a ragged column's end read as NULL
           val cell = if (r < vals.length) vals(r) else null
           ok = fe.eval(cell)
           i += 1
@@ -633,11 +658,9 @@ class ColumnFilePartitionReader(
     val decoderByCol: Map[Int, ColumnDecoder] = decoders.toMap
 
     if (neededCols.isEmpty) {
-      // Projection is empty (e.g. count(*)): row count from the smallest
-      // column block if filters didn't already establish it.
-      val n =
-        if (rowCount >= 0) survivors.cardinality()
-        else ColumnFileReader.countRows(input, info)
+      // Projection is empty (e.g. residual count): survivors if filtered,
+      // else the exact chunk row count.
+      val n = if (survivors != null) survivors.cardinality() else rowCount
       return Iterator.fill(n)(InternalRow.empty)
     }
 
@@ -658,10 +681,11 @@ class ColumnFilePartitionReader(
     }
 
     if (survivors == null) {
-      // Unfiltered scan: stream rows until the columns are exhausted.
+      // Unfiltered scan: exactly rowCount rows, null-padding short columns.
       new Iterator[InternalRow] {
-        override def hasNext: Boolean = colDecoders.exists(d => d != null && d.hasNext)
-        override def next(): InternalRow = assembleRow()
+        private var row = 0
+        override def hasNext: Boolean = row < rowCount
+        override def next(): InternalRow = { row += 1; assembleRow() }
       }
     } else {
       val bitmap = survivors

@@ -64,20 +64,21 @@ class ColumnFileMicroBatchStream(
     // open per micro-batch), header walk otherwise; parallel across the
     // batch's new files
     ColumnFileDataSource.mapFilesParallel(files) { st =>
-      val offsets: Array[Long] =
+      val (offsets, rows): (Array[Long], Array[Long]) =
         ChunkStatsIndex.readWithLen(conf, st.getPath) match {
           case Some((len, ss)) if len == st.getLen &&
               ss.forall(c => c.off >= 0 && c.bytes >= 0) =>
-            ss.map(_.off).toArray
+            (ss.map(_.off).toArray, ss.map(_.rows).toArray)
           case _ =>
             val in = new HadoopSeekableInput(
               st.getPath.getFileSystem(conf), st.getPath, st.getLen)
-            try graft.format.ColumnFileReader.scanChunks(in)
-              .map(_.headerOffset).toArray
+            try (graft.format.ColumnFileReader.scanChunks(in)
+              .map(_.headerOffset).toArray, Array.empty[Long])
             finally in.close()
         }
       if (offsets.isEmpty) None
-      else Some(ColumnFilePartition(st.getPath.toString, st.getLen, offsets))
+      else Some(ColumnFilePartition(st.getPath.toString, st.getLen, offsets,
+        Array.empty, rows))
     }.flatten.toArray
   }
 

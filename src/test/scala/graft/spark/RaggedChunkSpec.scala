@@ -98,6 +98,28 @@ class RaggedChunkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.head.toSeq == Seq(100L, 100L))
   }
 
+  test("partially-ragged chunk: filter columns shorter than the chunk still match IS NULL") {
+    val dir = Files.createTempDirectory("cf-ragged2").toString
+    val f = new java.io.File(dir, "data.cf")
+    val out = new java.io.FileOutputStream(f)
+    val w = new ColumnFileWriter(out)
+    // col 0 has 3 values; col 1 only 1 — rows 2 and 3 read s = NULL
+    (1L to 3L).foreach(i => w.put(0, CellCodec.encode(LongType, i)))
+    w.put(1, UTF8String.fromString("only").getBytes)
+    w.finish()
+    out.close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ColumnFileDataSource.SchemaSidecar),
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val t = spark.read.format("columnfile").load(dir)
+    assert(t.count() == 3) // exact count = max column length
+    val gotNull = t.filter(col("s").isNull).collect()
+    assert(gotNull.map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    assert(t.filter(col("s") === "only").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L))
+  }
+
   test("corrupt or stale stats sidecars never break reads (fallback to header walk)") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-badstats").toString
