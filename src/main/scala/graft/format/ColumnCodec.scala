@@ -115,10 +115,16 @@ final class ColumnDecoder(data: Array[Byte]) {
     if (valueIsNull) null else value
   }
 
-  /** Skip forward `n` cells (used by row-filter survivor fetch). */
+  /** Skip forward `n` cells (used by row-filter survivor fetch).
+    *
+    * Stops early if the block is exhausted: on a ragged chunk a short
+    * column may end before the survivor target, and the remaining cells
+    * are NULL by the projection-independent ragged semantics — the
+    * callers' `hasNext` guards then read the column as NULL.
+    */
   def skip(n: Long): Unit = {
     var remaining = n
-    while (remaining > 0) {
+    while (remaining > 0 && hasNext) {
       if (repeat == 0) fill()
       val take = math.min(repeat, remaining)
       repeat -= take

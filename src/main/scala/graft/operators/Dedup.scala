@@ -38,27 +38,26 @@ object Dedup {
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
     var converged = labels.isEmpty
-    var prevSum = if (converged) 0L else sumComp(labels)
     var iter = 0
     while (!converged && iter < maxIter) {
-      // neighbor labels flow along edges; keep own label in the pool
+      val compType = labels.schema("comp").dataType
+      // neighbor labels flow along edges; keep own label in the pool.
+      // The node's own row carries its previous label as `old`, so the
+      // group-min aggregate ALSO yields the previous label per node and
+      // convergence is an exact changed-label check — no label-sum probe
+      // (a sum can wrap at extreme id ranges and alias distinct states).
       val viaEdges = edges.join(labels, edges("b") === labels("id"))
-        .select(edges("a").as("id"), col("comp"))
-      val next = labels.union(viaEdges)
-        .groupBy("id").agg(min("comp").as("comp"))
+        .select(edges("a").as("id"), col("comp"),
+          lit(null).cast(compType).as("old"))
+      val next = labels.select(col("id"), col("comp"), col("comp").as("old"))
+        .union(viaEdges)
+        .groupBy("id").agg(min("comp").as("comp"), max("old").as("old"))
         .localCheckpoint(true)
-      // min-propagation is monotone: an unchanged label sum == fixed point
-      val nextSum = sumComp(next)
-      converged = prevSum == nextSum
-      prevSum = nextSum
-      labels = next
+      converged = next.filter(col("comp") =!= col("old")).isEmpty
+      labels = next.select("id", "comp")
       iter += 1
     }
     edges.unpersist()
     labels
   }
-
-  private def sumComp(labels: DataFrame): Long =
-    Option(labels.agg(sum("comp")).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
 }

@@ -421,8 +421,9 @@ object CoreQueries {
          |  ON l.l_returnflag = d.flag
          |GROUP BY l.l_returnflag, d.label""".stripMargin
     Q("q37_cf_spj_join", (spark, dir) => {
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // SPJ confs are set session-wide by Verify/Bench (never mutated
+      // per-query: results are identical either way, only the plan shape
+      // differs, and flipping them here would leak into later queries).
       val fact = Tables.cachePath(dir, "lineitem_by_flag")
       if (!new java.io.File(fact, "_SUCCESS").exists()) {
         Tables.t(spark, dir, "lineitem").write.format("columnfile")

@@ -287,12 +287,14 @@ object AggregatePushdown {
           if (nulls < s.rows && s.rows > 0) {
             return Left(())
           }
-        case None => // column fully present with zero nulls but no stats
-          // => only possible for non-capable types; for capable types a
-          // chunk with values always has a range. But a chunk where this
-          // column is entirely ABSENT (ragged) also lands here and reads
-          // as all-NULL — contributes nothing.
-          ()
+        case None =>
+          // No entry for this column at all. Our writer records every
+          // projected column, so this only happens with a foreign or
+          // hand-edited sidecar — and then the chunk may well hold values
+          // the fold would silently miss. Mirror the COUNT(col) guard and
+          // bail to the real scan (a legitimately ragged chunk never has a
+          // sidecar: only the full-width writer produces them).
+          if (s.rows > 0) return Left(())
       }
     }
     if (!sawValue) Right(null)

@@ -48,4 +48,17 @@ class DedupOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 20L -> 20L, 21L -> 20L))
     assert(cc(Seq.empty).isEmpty)
   }
+
+  test("extreme hashed ids converge exactly (no sum-based aliasing)") {
+    // Convergence is a changed-label check, not a Long label-sum compare
+    // that could wrap at hash-range ids. Mix of Long.MaxValue-adjacent,
+    // negative, and zero ids in one chain plus a disjoint pair.
+    val a = Long.MaxValue; val b = Long.MaxValue - 1
+    val got = cc(Seq((a, b), (b, 0L), (0L, Long.MinValue + 1),
+      (-42L, -7L)))
+    assert(got == Map(
+      a -> (Long.MinValue + 1), b -> (Long.MinValue + 1),
+      0L -> (Long.MinValue + 1), (Long.MinValue + 1) -> (Long.MinValue + 1),
+      -42L -> -42L, -7L -> -42L))
+  }
 }

@@ -96,6 +96,10 @@ class RaggedChunkSpec extends AnyFunSuite with BeforeAndAfterAll {
     // plan, but the real scan still answers correctly
     assert(!agg.queryExecution.executedPlan.toString.contains("stats-only"))
     assert(agg.head.toSeq == Seq(100L, 100L))
+    // MIN/MAX must bail identically — a missing entry may hide real values
+    val mm = t.agg(min(col("s")), max(col("s")))
+    assert(!mm.queryExecution.executedPlan.toString.contains("stats-only"))
+    assert(mm.head.toSeq == Seq("v1", "v99"))
   }
 
   test("partially-ragged chunk: filter columns shorter than the chunk still match IS NULL") {
@@ -118,6 +122,45 @@ class RaggedChunkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotNull.map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
     assert(t.filter(col("s") === "only").collect().map(_.getLong(0)).toSeq ==
       Seq(1L))
+  }
+
+  test("survivor skip past a short column's end reads NULL, not a crash") {
+    // col 0 has 10 values; col 1 only 2. A filter selecting only rows >= 8
+    // makes the survivor fetch skip 7 cells on col 1 — 5 more than it has.
+    // The skip must clamp at end-of-block and the column read as NULL
+    // (projection-independent ragged semantics), not throw.
+    def writeData(dir: String): Unit = {
+      val f = new java.io.File(dir, "data.cf")
+      val out = new java.io.FileOutputStream(f)
+      val w = new ColumnFileWriter(out)
+      (1L to 10L).foreach(i => w.put(0, CellCodec.encode(LongType, i)))
+      (1L to 2L).foreach(i => w.put(1, UTF8String.fromString(s"v$i").getBytes))
+      w.finish()
+      out.close()
+    }
+    // columnar path: flat atomic projection
+    val dir1 = Files.createTempDirectory("cf-raggedskip-vec").toString
+    writeData(dir1)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir1, ColumnFileDataSource.SchemaSidecar),
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val t1 = spark.read.format("columnfile").load(dir1)
+    val got1 = t1.filter(col("id") >= 8L).collect()
+    assert(got1.map(_.getLong(0)).sorted.toSeq == Seq(8L, 9L, 10L))
+    assert(got1.forall(_.isNullAt(1)))
+
+    // row path: an array column in the projection disables vectorization
+    val dir2 = Files.createTempDirectory("cf-raggedskip-row").toString
+    writeData(dir2)
+    val schema3 = StructType(schema.fields :+
+      StructField("arr", ArrayType(LongType), nullable = true))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir2, ColumnFileDataSource.SchemaSidecar),
+      schema3.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val t2 = spark.read.format("columnfile").load(dir2)
+    val got2 = t2.filter(col("id") >= 8L).collect()
+    assert(got2.map(_.getLong(0)).sorted.toSeq == Seq(8L, 9L, 10L))
+    assert(got2.forall(r => r.isNullAt(1) && r.isNullAt(2)))
   }
 
   test("corrupt or stale stats sidecars never break reads (fallback to header walk)") {
