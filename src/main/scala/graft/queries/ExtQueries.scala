@@ -13,6 +13,37 @@ object ExtQueries {
   /** Mersenne prime 2^31-1: modulus for all integer hashing. */
   private val P = 2147483647L
 
+  /** Hot-bucket cap shared by every LSH-style candidate generator
+    * (d03/d05/v02/d07): buckets holding more rows than this are dropped
+    * from candidate generation. Web-scale corpora are full of exact
+    * duplicates, which share every band/bucket key — without the cap one
+    * bucket of N identical docs turns the self-join into N^2/2 candidates
+    * in a single reducer. An over-cap bucket is by construction
+    * near-identical content, which the digest-keyed exact dedup (d01/d02)
+    * already collapses.
+    */
+  private val HotBucketCap = 1000L
+
+  /** Exact-integer choice of sign-LSH bucket bits: the smallest
+    * b in [minBits, maxBits] with corpus count <= 64 << b (expected
+    * bucket population ~64). A CASE chain, not ceil(log2(...)) — float
+    * log is ulp-unstable across engines at power-of-two boundaries.
+    */
+  private def nbitsCase(cnt: String, minBits: Int, maxBits: Int): String = {
+    val whens = (minBits until maxBits)
+      .map(b => s"WHEN $cnt <= ${64L << b} THEN $b").mkString(" ")
+    s"(CASE $whens ELSE $maxBits END)"
+  }
+
+  /** Sign-pattern bucket of dims [off, off+maxBits), masked down to the
+    * runtime `nbits` (a column from the 1-row `nb` relation).
+    */
+  private def signBucket(d: Dial, emb: String, off: Int, maxBits: Int,
+      nbits: String): String =
+    (0 until maxBits).map { i =>
+      s"(CASE WHEN $i < $nbits AND ${d.at(emb, off + i)} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** 16 fixed MinHash permutations (a*x + b) % P. */
   private val AB: Seq[(Long, Long)] = Seq(
     (1299721L, 1299827L), (2750161L, 2750357L), (4256233L, 4256249L),
@@ -200,7 +231,7 @@ object ExtQueries {
        |ex0 AS (SELECT doc_id, bk $fromEx),
        |bsz AS (SELECT bk, COUNT(*) AS n FROM ex0 GROUP BY bk),
        |ex AS (SELECT ex0.doc_id, ex0.bk FROM ex0 JOIN bsz ON ex0.bk = bsz.bk
-       |       WHERE bsz.n <= 1000),
+       |       WHERE bsz.n <= $HotBucketCap),
        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |         FROM ex a JOIN ex b ON a.bk = b.bk AND a.doc_id < b.doc_id),
        |jac AS (SELECT i, j,
@@ -236,6 +267,14 @@ object ExtQueries {
     * from a self-join on (band index, band value); exact hamming runs on
     * candidates only. The shuffle key is a small int pair — the same
     * query shape at 100 TB.
+    *
+    * Hot-bucket cap (same rule as d03's LSH): web-scale corpora are full
+    * of EXACT duplicates, which all share every band value — without a
+    * cap, N identical docs put N rows in one (band, bv) bucket and the
+    * self-join emits N^2/2 candidates in a single reducer. Buckets over
+    * `HotBucketCap` docs are dropped from candidate generation: an
+    * over-cap bucket of exact/near-exact dups is exactly what the
+    * digest-keyed exact dedup (d01/d02) already handles.
     */
   private def simhashPairsSql(d: Dial): String = {
     // band k = bits [8k, 8k+8) (band 3 gets the top 7 bits)
@@ -243,8 +282,12 @@ object ExtQueries {
       s"SELECT doc_id, simhash, $k AS band, ${d.intDiv(s"(simhash % ${1L << math.min(8 * (k + 1), 31)})", (1L << (8 * k)).toString)} AS bv FROM s"
     }.mkString("\n  UNION ALL ")
     s"""WITH s AS (${simhashSql(d)}),
-       |ex AS (
+       |ex0 AS (
        |  $bandExprs),
+       |bsz AS (SELECT band, bv, COUNT(*) AS n FROM ex0 GROUP BY band, bv),
+       |ex AS (SELECT ex0.doc_id, ex0.simhash, ex0.band, ex0.bv FROM ex0
+       |       JOIN bsz ON ex0.band = bsz.band AND ex0.bv = bsz.bv
+       |       WHERE bsz.n <= $HotBucketCap),
        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
        |    a.simhash AS sa, b.simhash AS sb
        |  FROM ex a JOIN ex b ON a.band = b.band AND a.bv = b.bv
@@ -535,23 +578,35 @@ object ExtQueries {
        |WHERE rn <= 10""".stripMargin
   }
 
-  /** Sign-LSH bucketed ANN: bucket on the sign pattern of the first 8
+  /** Sign-LSH bucketed ANN: bucket on the sign pattern of the leading
     * dimensions (deterministic hyperplanes), search within bucket only.
     * The 100 TB path: bucket is the shuffle key; each bucket is a tiny
     * local top-k instead of an all-pairs product.
+    *
+    * Bits scale with corpus size — nbits = smallest b in [8, 24] with
+    * n <= 64·2^b (expected bucket population ~64), computed as a 1-row
+    * scalar relation cross-joined in. A fixed 8-bit/256-bucket scheme is
+    * O(n^2/256) in-bucket work and caps shuffle parallelism at 256; with
+    * size-scaled bits the expected in-bucket cost stays ~64n and bucket
+    * count (= shuffle key cardinality) grows with the corpus. Residual
+    * skew (exact-dup embeddings share every sign bit) is cut by the
+    * shared [[HotBucketCap]].
     */
   private def knnSignLshSql(d: Dial): String = {
-    val bucket = (0 until 8).map { i =>
-      s"(CASE WHEN ${d.at("embedding", i)} > 0 THEN ${1 << i} ELSE 0 END)"
-    }.mkString(" + ")
+    val nbits = nbitsCase("COUNT(*)", 8, 24)
+    val bucket = signBucket(d, "embedding", 0, 24, "nb.nbits")
     val cos =
       s"""${d.dot("q.embedding", "e.embedding")} /
          |    (sqrt(${d.dot("q.embedding", "q.embedding")}) * sqrt(${d.dot("e.embedding", "e.embedding")}))""".stripMargin
-    s"""WITH b AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
-       |  FROM embeddings),
+    s"""WITH nb AS (SELECT $nbits AS nbits FROM embeddings),
+       |b AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
+       |  FROM embeddings CROSS JOIN nb),
+       |bsz AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket),
+       |bc AS (SELECT b.vec_id, b.embedding, b.bucket FROM b
+       |       JOIN bsz ON b.bucket = bsz.bucket WHERE bsz.n <= $HotBucketCap),
        |c AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
        |    $cos AS cos
-       |  FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+       |  FROM bc q JOIN bc e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
        |  WHERE q.vec_id < 50)
        |SELECT qid, nid, cos FROM (
        |  SELECT qid, nid, cos,
@@ -564,20 +619,29 @@ object ExtQueries {
     * (shuffle on the bucket key — no all-pairs product), exact cosine on
     * candidates only. Threshold tuned to this corpus (no planted
     * near-identical vectors; max pairwise cosine ~0.51).
+    *
+    * 4 hash tables over disjoint 16-dim groups (multi-probe recall);
+    * bits per table scale with corpus size (nbits in [8, 16], expected
+    * bucket population ~64 — see [[knnSignLshSql]]), and each (table,
+    * bucket) is capped at [[HotBucketCap]] rows so exact-dup embeddings
+    * can't drive one bucket's self-join quadratic.
     */
   private def embeddingDedupSql(d: Dial): String = {
-    def bucket(off: Int) = (0 until 8).map { i =>
-      s"(CASE WHEN ${d.at("embedding", off + i)} > 0 THEN ${1 << i} ELSE 0 END)"
-    }.mkString(" + ")
+    val nbits = nbitsCase("COUNT(*)", 8, 16)
     // 4 hash tables over disjoint dimension groups (multi-probe recall).
     val probes = (0 until 4).map { t =>
-      s"SELECT vec_id, $t AS tbl, CAST(${bucket(8 * t)} AS BIGINT) AS bk FROM embeddings"
+      s"SELECT vec_id, $t AS tbl, CAST(${signBucket(d, "embedding", 16 * t, 16, "nb.nbits")} AS BIGINT) AS bk FROM embeddings CROSS JOIN nb"
     }.mkString("\n  UNION ALL ")
     val cos =
       s"""${d.dot("x.embedding", "y.embedding")} /
          |    (sqrt(${d.dot("x.embedding", "x.embedding")}) * sqrt(${d.dot("y.embedding", "y.embedding")}))""".stripMargin
-    s"""WITH ex AS (
+    s"""WITH nb AS (SELECT $nbits AS nbits FROM embeddings),
+       |ex0 AS (
        |  $probes),
+       |bsz AS (SELECT tbl, bk, COUNT(*) AS n FROM ex0 GROUP BY tbl, bk),
+       |ex AS (SELECT ex0.vec_id, ex0.tbl, ex0.bk FROM ex0
+       |       JOIN bsz ON ex0.tbl = bsz.tbl AND ex0.bk = bsz.bk
+       |       WHERE bsz.n <= $HotBucketCap),
        |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
        |         FROM ex a JOIN ex b ON a.tbl = b.tbl AND a.bk = b.bk
        |          AND a.vec_id < b.vec_id),
@@ -644,6 +708,18 @@ object ExtQueries {
     dialect("m01_multimodal_meta", multimodalSql),
     multimodalDecode
   )
+
+  /** Spark-dialect SQL for DegenerateCorpusSpec: the candidate-generator
+    * queries run there against adversarial exact-dup-flooded views to
+    * prove the hot-bucket caps bound the self-joins.
+    */
+  private[graft] object TestSql {
+    def minhashPairs(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = minhashPairsDF(spark)
+    val simhashPairs: String = simhashPairsSql(SparkD)
+    val knnSignLsh: String = knnSignLshSql(SparkD)
+    val embeddingDedup: String = embeddingDedupSql(SparkD)
+  }
 
   /** m02: REAL image-header decode through the multimodal seam. The
     * Spark side builds deterministic PNG / JPEG / GIF containers from

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial exact-dup-flooded corpora for the LSH candidate
+  * generators (d03/d05/v02/d07).
+  *
+  * Web-scale LLM corpora are full of exact duplicates; every duplicate
+  * shares every band/bucket key, so WITHOUT the hot-bucket caps a flood
+  * of N identical docs turns each generator's self-join into N^2/2
+  * candidates in one reducer (N=10k here: ~50M pairs per band — these
+  * tests would not finish). With the caps, flooded buckets are dropped
+  * from candidate generation (exact dedup d01/d02 owns them) and
+  * genuine pairs in cool buckets still come out exactly.
+  */
+class DegenerateCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val Flood = 10000
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("degenerate-corpus-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.TextHashFunctions.register(
+      spark.sessionState.functionRegistry)
+    val sp = spark; import sp.implicits._
+
+    // 10k identical documents + one planted near-dup pair (ids 1, 2)
+    val floodText = "the quick brown fox jumps over the lazy dog again and again"
+    val plantedText = "distributed columnar analytics engines shred nested rows into typed column streams"
+    val docs =
+      Seq((1L, plantedText), (2L, plantedText)) ++
+        (1000L until (1000L + Flood)).map(i => (i, floodText))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+
+    // 10k identical embeddings + a 10-vector cool bucket (ids 0-9)
+    val floodVec = Array.fill(64)(-1.0f)
+    val coolVec = Array.fill(64)(1.0f)
+    val vecs =
+      (0L until 10L).map(i => (i, coolVec)) ++
+        (1000L until (1000L + Flood)).map(i => (i, floodVec))
+    vecs.toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("d03 MinHash-LSH: flood buckets capped, planted pair survives") {
+    val got = ExtQueries.TestSql.minhashPairs(spark).collect()
+    assert(got.length == 1)
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getDouble(2)) ==
+      ((1L, 2L, 1.0)))
+  }
+
+  test("d05 SimHash pairs: flood buckets capped, planted pair survives") {
+    val got = spark.sql(ExtQueries.TestSql.simhashPairs).collect()
+    assert(got.length == 1)
+    assert((got(0).getLong(0), got(0).getLong(1),
+      got(0).getAs[Number]("hamming").longValue) == ((1L, 2L, 0L)))
+  }
+
+  test("v02 sign-LSH ANN: flooded bucket capped, cool bucket still searched") {
+    val got = spark.sql(ExtQueries.TestSql.knnSignLsh).collect()
+    // 10 query vectors (vec_id < 50), 5 neighbors each, all from the
+    // cool bucket; no flood id anywhere
+    assert(got.length == 50)
+    assert(got.forall(r => r.getLong(0) < 10 && r.getLong(1) < 10))
+    assert(got.forall(_.getDouble(2) == 1.0))
+  }
+
+  test("d07 embedding-cosine dedup: flooded bucket capped in all 4 tables") {
+    val got = spark.sql(ExtQueries.TestSql.embeddingDedup).collect()
+    // C(10,2) cool-bucket pairs only
+    assert(got.length == 45)
+    assert(got.forall(r => r.getLong(0) < 10 && r.getLong(1) < 10))
+    assert(got.forall(_.getDouble(2) == 1.0))
+  }
+}
