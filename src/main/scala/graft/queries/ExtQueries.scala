@@ -705,6 +705,8 @@ object ExtQueries {
     dialect("v02_knn_sign_lsh", knnSignLshSql),
     dialect("v03_knn_ivf_assign", ivfAssignSql),
     dialect("v04_knn_ivf_search", ivfSearchSql),
+    // v05 = v04 over a materialized cell-partitioned index (same oracle).
+    ivfIndexed,
     dialect("m01_multimodal_meta", multimodalSql),
     multimodalDecode
   )
@@ -835,4 +837,86 @@ object ExtQueries {
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
        |  FROM pairs)
        |SELECT qid, nid, cos FROM topk WHERE rn <= 5""".stripMargin
+
+  /** Materialize the IVF assignment as a cell-partitioned columnfile
+    * table (vec_id, embedding, cell): the persistent index v04 lacks.
+    * Cached per source dir like the other cf caches; the engine's own
+    * partition layout makes each IVF cell one directory, so a probe's
+    * `cell IN (...)` prunes to exactly the probed directories before any
+    * I/O (PartitionLayout + FilterEval partition bounds).
+    */
+  private[graft] def ivfIndexPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = Tables.cachePath(dir, "ivf_index")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.registerAll(spark, dir)
+      spark.sql(
+        s"""WITH ${ivfCommonCtes(SparkD)},
+           |a AS (SELECT vec_id, clabel AS cell FROM best WHERE rn = 1)
+           |SELECT a.vec_id, e.embedding, a.cell
+           |FROM a JOIN embeddings e ON e.vec_id = a.vec_id""".stripMargin)
+        .write.format("columnfile").partitionBy("cell")
+        .mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** v05: IVF probe search over the MATERIALIZED index — the production
+    * billion-scale shape v04 only simulates. v04 recomputes the full
+    * assignment inline per query; here the assignment is a
+    * cell-partitioned columnfile table built once ([[ivfIndexPath]]),
+    * and each query (a) picks its nprobe=2 cells from the tiny centroid
+    * relation (the driver-side "index lookup" — 40 rows, the IVF
+    * router's job), then (b) scans ONLY those cells' directories via
+    * partition pruning. Same deterministic math as v03/v04, so the
+    * result — and the oracle — are identical to v04's.
+    */
+  /** nprobe=2 cells per query vector, from the centroid relation only
+    * (KBs at any corpus size — never touches the index). The driver-side
+    * collect is the IVF router's index lookup, not a data action.
+    */
+  private[graft] def ivfProbes(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxQid: Long): Seq[(Long, Int)] = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      s"""WITH ${ivfCommonCtes(SparkD)}
+         |SELECT vec_id AS qid, clabel AS pcell
+         |FROM best WHERE vec_id < $maxQid AND rn <= 2""".stripMargin)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getAs[Number]("pcell").intValue))
+  }
+
+  private def ivfIndexed: Q = Q("v05_knn_ivf_indexed", (spark, dir) => {
+    import org.apache.spark.sql.functions.col
+    Tables.registerAll(spark, dir)
+    val idxPath = ivfIndexPath(spark, dir)
+    val probes = ivfProbes(spark, dir, 20L)
+    val cells = probes.map(_._2).distinct
+    val sp = spark; import sp.implicits._
+    probes.toDF("qid", "pcell").createOrReplaceTempView("ivf_probe")
+    spark.read.format("columnfile").load(idxPath)
+      .where(col("cell").isin(cells: _*))
+      .createOrReplaceTempView("ivf_idx")
+    spark.sql(
+      s"""WITH q AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${SparkD.dot("embedding", "embedding")}) AS enorm
+         |  FROM embeddings WHERE vec_id < 20),
+         |n AS (
+         |  SELECT vec_id, cell, embedding,
+         |    sqrt(${SparkD.dot("embedding", "embedding")}) AS enorm
+         |  FROM ivf_idx),
+         |pairs AS (
+         |  SELECT p.qid, n.vec_id AS nid,
+         |    ${SparkD.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm) AS cos
+         |  FROM ivf_probe p
+         |  JOIN n ON n.cell = p.pcell
+         |  JOIN q ON q.vec_id = p.qid
+         |  WHERE n.vec_id <> p.qid),
+         |topk AS (
+         |  SELECT qid, nid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |  FROM pairs)
+         |SELECT qid, nid, cos FROM topk WHERE rn <= 5""".stripMargin)
+  }, Some(ivfSearchSql(DuckD)))
 }

@@ -65,6 +65,39 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected pushed filters in scan description:\n$p")
   }
 
+  test("v05 probe scan plans only the probed cells' directories") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.SparkEntry.queries("v05_knn_ivf_indexed")(spark, dir)
+    val idxPath = ExtQueries.ivfIndexPath(spark, dir)
+    val allCells = new java.io.File(idxPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName)
+    assert(allCells.length == 10, s"expected 10 cell dirs: ${allCells.toSeq}")
+
+    def plannedCells(d: org.apache.spark.sql.DataFrame): Set[String] = {
+      val scans = d.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      val idxScans = scans.filter(_.output.exists(_.name == "cell"))
+      assert(idxScans.nonEmpty, "index scan not found in plan")
+      idxScans.flatMap(_.inputPartitions).flatMap {
+        case p: graft.spark.CfPartition => p.partitionValues.toSeq
+      }.toSet
+    }
+    // the composed 20-query batch: planned dirs == union of probed cells
+    // (at this tiny sf the 20 queries' probes happen to cover all 10
+    // cells — the single-query case below shows the strict pruning)
+    val probed = ExtQueries.ivfProbes(spark, dir, 20L).map(_._2.toString).toSet
+    val planned = plannedCells(df)
+    assert(planned == probed,
+      s"planned $planned, probed $probed of ${allCells.length} dirs")
+    // a single query vector: exactly nprobe=2 of the 10 directories
+    val one = ExtQueries.ivfProbes(spark, dir, 1L).map(_._2)
+    assert(one.length == 2)
+    val oneScan = spark.read.format("columnfile").load(idxPath)
+      .where(col("cell").isin(one: _*))
+    assert(plannedCells(oneScan) == one.map(_.toString).toSet)
+  }
+
   test("q21 prunes the read schema to the projected columns") {
     val p = plan("q21_cf_projection")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>") ||
