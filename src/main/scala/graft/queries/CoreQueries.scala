@@ -341,6 +341,9 @@ object CoreQueries {
     // Small-file compaction (CfTools.compact) through the oracle gate.
     compactedScan,
 
+    // Streaming cf SINK through the oracle gate (exactly-once publish).
+    streamSink,
+
     // Metadata-only aggregates: COUNT/COUNT(col)/MIN/MAX answered from
     // the stats sidecars with zero data I/O (AggregatePushdown); the
     // oracle recomputes them the hard way, so a stats bug (null counts,
@@ -449,6 +452,38 @@ object CoreQueries {
            |JOIN cf_flagdim d ON l.l_returnflag = d.flag
            |GROUP BY l.l_returnflag, d.label""".stripMargin)
     }, Some(oracle))
+  }
+
+  /** q40: orders streamed cf-source -> cf-SINK (micro-batch epoch
+    * commits, `ColumnFileStreamingWrite`), then aggregated; the oracle
+    * aggregates the original table, so the sink must publish every row
+    * exactly once — a dropped epoch, duplicate replay, or lost sidecar
+    * rename breaks the hash match.
+    */
+  private def streamSink: Q = {
+    val agg = (from: String) =>
+      s"""SELECT o_orderpriority AS pri, COUNT(*) AS cnt,
+         |  CAST(SUM(${cents("o_totalprice")}) AS BIGINT) AS sum_c,
+         |  MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+         |FROM $from GROUP BY o_orderpriority""".stripMargin
+    Q("q40_cf_stream_sink", (spark, dir) => {
+      Tables.viaCF(spark, dir, "orders") // ensure the cf source exists
+      val src = Tables.cachePath(dir, "orders-lz4")
+      val out = Tables.cachePath(dir, "orders_streamed")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        val schema = spark.read.format("columnfile").load(src).schema
+        val q = spark.readStream.format("columnfile").schema(schema).load(src)
+          .writeStream.format("columnfile")
+          .option("path", out)
+          .option("checkpointLocation", out + "_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      spark.read.format("columnfile").load(out)
+        .createOrReplaceTempView("cf_orders_streamed")
+      spark.sql(agg("cf_orders_streamed"))
+    }, Some(agg("orders")))
   }
 
   /** q38: partition-grouped metadata-only aggregate — COUNT/MIN/MAX per

@@ -34,9 +34,17 @@ class ColumnFileWriteBuilder(
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
-  override def build(): Write =
+  override def build(): Write = {
+    // DataStreamWriter.partitionBy never reaches getTable's partitioning
+    // transforms (it only applies to catalog/file-source paths), so the
+    // streaming sink accepts the layout as a writer option too:
+    //   .writeStream.format("columnfile").option("partitionBy", "a,b")
+    val optCols = Option(info.options().get("partitionBy")).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val cols = if (partitionCols.nonEmpty) partitionCols else optCols
     new ColumnFileWrite(paths.head, info.schema(), info.options(), conf,
-      truncateFirst, partitionCols)
+      truncateFirst, cols)
+  }
 }
 
 class ColumnFileWrite(
@@ -63,6 +71,19 @@ class ColumnFileWrite(
       .getOrElse(16L * 1024 * 1024) // reference cat default: 16 MiB
 
   override def toBatch: BatchWrite = this
+
+  /** Streaming sink (`writeStream.format("columnfile")`): append-mode
+    * micro-batch writes with idempotent epoch commits — see
+    * [[ColumnFileStreamingWrite]]. Complete mode (truncate-per-epoch)
+    * is rejected: published files are immutable.
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    if (truncateFirst)
+      throw new UnsupportedOperationException(
+        "columnfile streaming sink supports append mode only")
+    new ColumnFileStreamingWrite(path, schema, compression, targetChunkBytes,
+      new SerializableHadoopConf(conf), partitionCols)
+  }
 
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new Path(path)

@@ -1,0 +1,171 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** writeStream into the columnfile format: the missing half of the
+  * ingest story. Epoch commits are idempotent (exactly-once across
+  * restarts), sidecars are published with the data, and readers — batch
+  * and streaming — see only committed files.
+  */
+class StreamingSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("cf-streaming-sink-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def filesIn(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten.map(_.getName)
+
+  test("cf-source to cf-sink pipeline: incremental, restartable, sidecars valid") {
+    val sp = spark; import sp.implicits._
+    val src = Files.createTempDirectory("cf-sink-src").toString
+    val ckpt = Files.createTempDirectory("cf-sink-ckpt").toString
+    val sink = Files.createTempDirectory("cf-sink-out").toString
+
+    (0 until 100).map(i => (i.toLong, s"a$i")).toDF("id", "v")
+      .write.format("columnfile").mode("overwrite").save(src)
+    val schema = spark.read.format("columnfile").load(src).schema
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("columnfile").schema(schema).load(src)
+        .writeStream.format("columnfile")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    val back1 = spark.read.format("columnfile").load(sink)
+    assert(back1.count() == 100)
+
+    // restart processes only new files; totals stay exact
+    (100 until 130).map(i => (i.toLong, s"b$i")).toDF("id", "v")
+      .write.format("columnfile").mode("append").save(src)
+    runOnce()
+    val back2 = spark.read.format("columnfile").load(sink)
+    assert(back2.count() == 130)
+    assert(back2.agg(min("id"), max("id")).head.toSeq == Seq(0L, 129L))
+    assert(back2.select("id").distinct().count() == 130) // no duplicates
+
+    // a no-op restart publishes nothing new
+    runOnce()
+    assert(spark.read.format("columnfile").load(sink).count() == 130)
+
+    // published files carry stats sidecars usable for planning: the
+    // count above must be answerable stats-only, and pruning must work
+    val names = filesIn(sink)
+    val dataFiles = names.filter(_.endsWith(ColumnFileDataSource.FileExtension))
+    assert(dataFiles.nonEmpty)
+    assert(dataFiles.forall(f => names.contains("." + f + ChunkStatsIndex.Suffix)),
+      s"missing stats sidecars in $names")
+    assert(!names.exists(_.endsWith(".inprogress")), names.toString)
+    val agg = spark.read.format("columnfile").load(sink).agg(count(lit(1)))
+    assert(agg.queryExecution.executedPlan.toString.contains("stats-only"))
+    assert(agg.head.getLong(0) == 130L)
+  }
+
+  test("epoch commit is idempotent: a replayed epoch publishes no duplicates") {
+    val sp = spark; import sp.implicits._
+    val sink = Files.createTempDirectory("cf-sink-replay").toString
+    val conf = new Configuration()
+    val schema = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").schema
+
+    val write = new ColumnFileStreamingWrite(
+      sink, schema, graft.format.Compression.fromName("lz4"),
+      16L * 1024 * 1024, new SerializableHadoopConf(conf), Seq.empty)
+
+    def writeEpoch(epochId: Long, rows: Range): ColumnFileCommitMessage = {
+      val factory = write.createStreamingWriterFactory(null)
+      val w = factory.createWriter(0, 0L, epochId)
+      rows.foreach { i =>
+        w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i.toLong,
+            org.apache.spark.unsafe.types.UTF8String.fromString(s"v$i"))))
+      }
+      w.commit().asInstanceOf[ColumnFileCommitMessage]
+    }
+
+    // epoch 0 commits; the same epoch is then replayed (restart race)
+    val m1 = writeEpoch(0L, 1 to 10)
+    write.commit(0L, Array(m1))
+    assert(spark.read.format("columnfile").load(sink).count() == 10)
+    val m2 = writeEpoch(0L, 1 to 10) // replay attempt, new files
+    write.commit(0L, Array(m2))
+    assert(spark.read.format("columnfile").load(sink).count() == 10,
+      "replayed epoch must not publish duplicates")
+    // the replayed attempt's files are gone, not lingering invisibly
+    assert(!filesIn(sink).exists(_.contains(new Path(m2.file).getName.stripPrefix("."))))
+
+    // a NEW epoch appends normally
+    val m3 = writeEpoch(1L, 11 to 15)
+    write.commit(1L, Array(m3))
+    assert(spark.read.format("columnfile").load(sink).count() == 15)
+  }
+
+  test("aborted epoch leaves nothing visible; partitioned streaming writes route rows") {
+    val sp = spark; import sp.implicits._
+    val src = Files.createTempDirectory("cf-sink-psrc").toString
+    val ckpt = Files.createTempDirectory("cf-sink-pckpt").toString
+    val sink = Files.createTempDirectory("cf-sink-pout").toString
+
+    (0 until 60).map(i => (i.toLong, s"g${i % 3}", s"v$i")).toDF("id", "g", "v")
+      .write.format("columnfile").mode("overwrite").save(src)
+    val schema = spark.read.format("columnfile").load(src).schema
+
+    // partitioned sink: DataStreamWriter.partitionBy doesn't reach a V2
+    // table's partitioning transforms, so the layout rides an option
+    val q = spark.readStream.format("columnfile").schema(schema).load(src)
+      .writeStream.format("columnfile")
+      .option("partitionBy", "g")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val back = spark.read.format("columnfile").load(sink)
+    assert(back.count() == 60)
+    assert(back.filter(col("g") === "g1").count() == 20)
+    val dirs = filesIn(sink).filter(_.startsWith("g="))
+    assert(dirs.toSet == Set("g=g0", "g=g1", "g=g2"), dirs.toString)
+    // partition pruning on the stream-written table
+    val pruned = spark.read.format("columnfile")
+      .option("maxPartitionBytes", "1").load(sink)
+    val one = pruned.filter(col("g") === "g1").rdd.getNumPartitions
+    val all = pruned.rdd.getNumPartitions
+    assert(one * 2 <= all, s"pruning ineffective: $one of $all")
+
+    // abort path: an uncommitted epoch's files never become visible
+    val write = new ColumnFileStreamingWrite(
+      sink, schema, graft.format.Compression.fromName("lz4"),
+      16L * 1024 * 1024,
+      new SerializableHadoopConf(new Configuration()), Seq("g"))
+    val factory = write.createStreamingWriterFactory(null)
+    val w = factory.createWriter(0, 0L, 99L)
+    import org.apache.spark.unsafe.types.UTF8String
+    w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](999L, UTF8String.fromString("g9"), UTF8String.fromString("x"))))
+    val msg = w.commit()
+    // before job-level commit: invisible
+    assert(spark.read.format("columnfile").load(sink).count() == 60)
+    write.abort(99L, Array(msg))
+    assert(spark.read.format("columnfile").load(sink).count() == 60)
+    assert(!filesIn(sink).contains("g=g9"), "aborted partition dir visible")
+  }
+}
