@@ -24,6 +24,8 @@ object MultimodalOps {
   val metaSchema: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
     StructField("modality", StringType, nullable = false),
     StructField("ok", BooleanType, nullable = false)))
 
@@ -90,6 +92,63 @@ object MultimodalOps {
       .orElse(parseJpeg(payload).map { case (w, h) => (w, h, "jpeg") })
       .orElse(parseGif(payload).map { case (w, h) => (w, h, "gif") })
 
+  private def leInt(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** WAV (RIFF): "RIFF" size "WAVE", then subchunks [id(4) size(4,LE)
+    * payload]; the `fmt ` payload carries channels (LE16 at +2) and
+    * sample rate (LE32 at +4). Walks the subchunk list rather than
+    * assuming `fmt ` comes first — still pure byte reads, no codec.
+    */
+  def parseWav(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+        b(11) != 'E') return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = leInt(b, i + 4)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ')
+        return if (size >= 8 && i + 16 <= b.length)
+          Some((leInt(b, i + 12), leShort(b, i + 10))) // (sampleRate, channels)
+        else None
+      if (size < 0) return None
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** MP4/ISO-BMFF: boxes are [size(4,BE) type(4) payload]; video track
+    * dimensions live in `moov/trak/tkhd` as 16.16 fixed-point width and
+    * height at the end of the box (offset depends on the tkhd version's
+    * 32- vs 64-bit timestamps). Pure byte walking, no codec.
+    */
+  def parseMp4(b: Array[Byte]): Option[(Int, Int)] = {
+    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var i = lo
+        def hasNext: Boolean = i + 8 <= hi
+        def next(): (String, Int, Int) = {
+          val size = beInt(b, i)
+          val tpe = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val end = if (size <= 0) hi else math.min(hi, i + size)
+          val r = (tpe, i + 8, end)
+          i = math.max(end, i + 8) // malformed size: never loop in place
+          r
+        }
+      }
+    // sanity: an MP4 starts with a well-formed box, typically ftyp
+    if (b.length < 16 || beInt(b, 0) < 8) return None
+    val hits = for {
+      (t1, l1, h1) <- boxes(0, b.length) if t1 == "moov"
+      (t2, l2, h2) <- boxes(l1, h1) if t2 == "trak"
+      (t3, l3, h3) <- boxes(l2, h2) if t3 == "tkhd"
+      off = l3 + (if ((b(l3) & 0xff) == 1) 88 else 76)
+      if off + 8 <= h3
+    } yield (beInt(b, off) >>> 16, beInt(b, off + 4) >>> 16)
+    hits.nextOption()
+  }
+
   /** STUB decoder for unrecognized payloads: deterministic
     * pseudo-metadata from the bytes. A real implementation would demux
     * the container here (audio/video need codecs this box lacks).
@@ -110,7 +169,8 @@ object MultimodalOps {
 
   /** Decode/feature-extract over a binary column: per-partition batch
     * processing appending a typed `meta` struct. Real header parse for
-    * PNG/JPEG/GIF; deterministic stub for everything else.
+    * PNG/JPEG/GIF (dimensions), WAV (sample rate/channels) and MP4
+    * (track dimensions); deterministic stub for everything else.
     */
   def decode(df: DataFrame, binaryCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
@@ -122,10 +182,16 @@ object MultimodalOps {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](binIdx)
         val meta = Option(payload).flatMap(parseImage) match {
-          case Some((w, h, fmt)) => Row(w, h, fmt, true)
-          case None =>
-            val (w, h, m, ok) = stubDecode(payload)
-            Row(w, h, m, ok)
+          case Some((w, h, fmt)) => Row(w, h, 0, 0, fmt, true)
+          case None => Option(payload).flatMap(parseWav) match {
+            case Some((sr, ch)) => Row(0, 0, sr, ch, "wav", true)
+            case None => Option(payload).flatMap(parseMp4) match {
+              case Some((w, h)) => Row(w, h, 0, 0, "mp4", true)
+              case None =>
+                val (w, h, m, ok) = stubDecode(payload)
+                Row(w, h, 0, 0, m, ok)
+            }
+          }
         }
         Row.fromSeq(r.toSeq :+ meta)
       }
@@ -200,6 +266,51 @@ object MultimodalOps {
     out.put("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
     out.putShort(w.toShort).putShort(h.toShort)
     out.put(0.toByte).put(0.toByte).put(0.toByte)
+    out.array()
+  }
+
+  /** Minimal WAV: RIFF/WAVE header with a junk chunk BEFORE `fmt ` (so a
+    * parser that assumes fmt-first fails) and an empty data chunk.
+    */
+  def wavBytes(sampleRate: Int, channels: Int): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val out = java.nio.ByteBuffer.allocate(12 + 12 + 24 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(ascii)).putInt(48).put("WAVE".getBytes(ascii))
+    out.put("JUNK".getBytes(ascii)).putInt(4).putInt(0)
+    out.put("fmt ".getBytes(ascii)).putInt(16)
+    out.putShort(1)                   // PCM
+    out.putShort(channels.toShort)
+    out.putInt(sampleRate)
+    out.putInt(sampleRate * channels * 2) // byte rate
+    out.putShort((channels * 2).toShort)  // block align
+    out.putShort(16)                  // bits per sample
+    out.put("data".getBytes(ascii)).putInt(0)
+    out.array()
+  }
+
+  /** Minimal MP4: ftyp box, then moov/trak/tkhd (version 0) carrying the
+    * 16.16 fixed-point track dimensions.
+    */
+  def mp4Bytes(w: Int, h: Int): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val tkhdPayload = 84 // version/flags(4) + v0 fields(72) + w(4) + h(4)
+    val tkhdSize = 8 + tkhdPayload
+    val trakSize = 8 + tkhdSize
+    val moovSize = 8 + trakSize
+    val out = java.nio.ByteBuffer.allocate(16 + moovSize)
+    out.putInt(16).put("ftyp".getBytes(ascii))
+      .put("isom".getBytes(ascii)).putInt(512)
+    out.putInt(moovSize).put("moov".getBytes(ascii))
+    out.putInt(trakSize).put("trak".getBytes(ascii))
+    out.putInt(tkhdSize).put("tkhd".getBytes(ascii))
+    out.putInt(0)                     // version 0 + flags
+    out.putInt(0).putInt(0)           // ctime, mtime
+    out.putInt(1).putInt(0).putInt(0) // track id, reserved, duration
+    out.putInt(0).putInt(0)           // reserved(8)
+    out.putShort(0).putShort(0).putShort(0).putShort(0) // layer/group/volume/reserved
+    (0 until 9).foreach(i => out.putInt(if (i % 4 == 0 && i < 8) 0x00010000 else 0)) // unity matrix
+    out.putInt(w << 16).putInt(h << 16)
     out.array()
   }
 }

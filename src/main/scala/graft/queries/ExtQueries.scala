@@ -653,9 +653,11 @@ object ExtQueries {
 
   // ---------------------------------------------------------------- multimodal
 
-  /** Multimodal columns: opaque binary payload + typed metadata, with a
-    * deterministic stub "decode" (real decoders are Pandas-UDF-shaped
-    * black boxes; the Spark-side schema/plumbing is what's exercised).
+  /** Multimodal PLUMBING-ONLY twin (hence `stubmeta` in the name): the
+    * modality-routing/column-shape query with deterministic stub
+    * metadata derived from byte lengths. Real header decode lives in
+    * m02 (PNG/JPEG/GIF) and m03 (WAV/MP4); this one keeps the
+    * schema-on-binary plumbing itself under the oracle gate.
     */
   private def multimodalSql(d: Dial): String =
     s"""SELECT doc_id,
@@ -707,8 +709,9 @@ object ExtQueries {
     dialect("v04_knn_ivf_search", ivfSearchSql),
     // v05 = v04 over a materialized cell-partitioned index (same oracle).
     ivfIndexed,
-    dialect("m01_multimodal_meta", multimodalSql),
-    multimodalDecode
+    dialect("m01_multimodal_stubmeta", multimodalSql),
+    multimodalDecode,
+    multimodalAvDecode
   )
 
   /** Spark-dialect SQL for DegenerateCorpusSpec: the candidate-generator
@@ -753,6 +756,43 @@ object ExtQueries {
       |  CAST(1 + doc_id % 480 AS INT) AS height,
       |  CASE WHEN doc_id % 3 = 0 THEN 'png'
       |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'gif' END AS fmt
+      |FROM documents""".stripMargin))
+
+  /** m03: audio/video container metadata through the same decode seam.
+    * WAV (RIFF `fmt ` subchunk: sample rate + channels, found by a real
+    * subchunk walk past a leading JUNK chunk) and MP4 (`moov/trak/tkhd`
+    * 16.16 fixed-point track dimensions via a real box-tree walk) are
+    * pure byte reads — no codec needed, nothing stubbed. The oracle
+    * recomputes the planted values from doc_id, so any parser bug
+    * breaks the hash match.
+    */
+  private def multimodalAvDecode: Q = Q("m03_multimodal_av_meta", (spark, dir) => {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    val ids = Tables.t(spark, dir, "documents").select("doc_id").as[Long]
+    val payloads = ids.map { id =>
+      val bytes = (id % 2) match {
+        case 0 => graft.multimodal.MultimodalOps.wavBytes(
+          8000 + (id % 40000).toInt, 1 + (id % 8).toInt)
+        case _ => graft.multimodal.MultimodalOps.mp4Bytes(
+          1 + (id % 1920).toInt, 1 + (id % 1080).toInt)
+      }
+      (id, bytes)
+    }.toDF("doc_id", "payload")
+    graft.multimodal.MultimodalOps.decode(payloads, "payload")
+      .select(col("doc_id"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.channels").as("channels"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.modality").as("fmt"))
+  }, Some(
+    """SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + doc_id % 40000 ELSE 0 END AS INT) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 8 ELSE 0 END AS INT) AS channels,
+      |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 1920 ELSE 0 END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 1080 ELSE 0 END AS INT) AS height,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS fmt
       |FROM documents""".stripMargin))
 
   /** IVF-style coarse quantization, oracle-checked: per-label centroids,

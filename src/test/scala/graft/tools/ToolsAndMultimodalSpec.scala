@@ -135,6 +135,35 @@ class ToolsAndMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       MultimodalOps.jpegBytes(7, 9).take(6)).isEmpty)
   }
 
+  test("multimodal: real WAV/MP4 headers decode to true audio/video metadata") {
+    val sp = spark; import sp.implicits._
+    val cases = Seq(
+      (1L, MultimodalOps.wavBytes(44100, 2), 0, 0, 44100, 2, "wav"),
+      (2L, MultimodalOps.wavBytes(8000, 1), 0, 0, 8000, 1, "wav"),
+      (3L, MultimodalOps.mp4Bytes(1920, 1080), 1920, 1080, 0, 0, "mp4"),
+      (4L, MultimodalOps.mp4Bytes(1, 1), 1, 1, 0, 0, "mp4"))
+    val df = cases.map(c => (c._1, c._2)).toDF("id", "payload")
+    val got = MultimodalOps.decode(df, "payload")
+      .select("id", "meta.width", "meta.height", "meta.sample_rate",
+        "meta.channels", "meta.modality", "meta.ok")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getString(5), r.getBoolean(6))).sortBy(_._1)
+    assert(got.toSeq == cases.map(c => (c._1, c._3, c._4, c._5, c._6, c._7, true)))
+    // the WAV walk must skip the leading JUNK subchunk (fmt is NOT first)
+    assert(MultimodalOps.parseWav(MultimodalOps.wavBytes(22050, 6))
+      .contains((22050, 6)))
+    // truncated/malformed containers rejected, not mis-parsed
+    assert(MultimodalOps.parseWav(MultimodalOps.wavBytes(22050, 6).take(20)).isEmpty)
+    assert(MultimodalOps.parseWav("RIFFxxxxNOPE".getBytes).isEmpty)
+    assert(MultimodalOps.parseMp4(MultimodalOps.mp4Bytes(10, 10).take(30)).isEmpty)
+    assert(MultimodalOps.parseMp4(Array.fill[Byte](40)(0)).isEmpty)
+    // a zero-size box must not loop the walker forever
+    val evil = MultimodalOps.mp4Bytes(10, 10)
+    evil(16) = 0; evil(17) = 0; evil(18) = 0; evil(19) = 0 // moov size := 0
+    assert(MultimodalOps.parseMp4(evil).contains((10, 10)) ||
+      MultimodalOps.parseMp4(evil).isEmpty) // either is sound; just terminate
+  }
+
   test("multimodal: frame sampling and resize stubs") {
     val sp = spark
     val df = sp.sql(
