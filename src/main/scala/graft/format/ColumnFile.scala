@@ -36,13 +36,19 @@ final class ColumnFileWriter(
     writeMagic: Boolean = true) {
   import ColumnFile._
 
-  private val fields = mutable.SortedMap.empty[Int, ColumnWriter]
+  private val fields = mutable.SortedMap.empty[Int, ColumnSink]
   private var finished = false
   private var written: Long = if (writeMagic) Magic.length.toLong else 0L
   private val chunkRangesBuf = mutable.ArrayBuffer.empty[(Long, Long)]
+  private var dictColumns: Set[Int] = Set.empty
   if (writeMagic) out.write(Magic)
 
   def setCompression(codec: Int): Unit = compression = codec
+
+  /** Columns to dictionary-encode ([[DictColumnWriter]] — a format
+    * extension; see its scaladoc). Call before the first put.
+    */
+  def setDictionaryColumns(cols: Set[Int]): Unit = dictColumns = cols
 
   /** (headerOffset, dataSize) of every chunk emitted so far. Offsets are
     * stream-relative — absolute file offsets when this writer wrote the
@@ -54,8 +60,9 @@ final class ColumnFileWriter(
   /** Total bytes emitted (== final file length after finish()). */
   def bytesWritten: Long = written
 
-  private def field(col: Int): ColumnWriter =
-    fields.getOrElseUpdate(col, new ColumnWriter)
+  private def field(col: Int): ColumnSink =
+    fields.getOrElseUpdate(col,
+      if (dictColumns(col)) new DictColumnWriter else new ColumnWriter)
 
   def put(col: Int, value: Array[Byte]): Unit = field(col).put(value)
   def putNull(col: Int): Unit = field(col).putNull()

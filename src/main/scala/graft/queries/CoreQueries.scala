@@ -344,6 +344,9 @@ object CoreQueries {
     // Streaming cf SINK through the oracle gate (exactly-once publish).
     streamSink,
 
+    // Dictionary-encoded storage through the oracle gate.
+    dictScan,
+
     // Metadata-only aggregates: COUNT/COUNT(col)/MIN/MAX answered from
     // the stats sidecars with zero data I/O (AggregatePushdown); the
     // oracle recomputes them the hard way, so a stats bug (null counts,
@@ -452,6 +455,33 @@ object CoreQueries {
            |JOIN cf_flagdim d ON l.l_returnflag = d.flag
            |GROUP BY l.l_returnflag, d.label""".stripMargin)
     }, Some(oracle))
+  }
+
+  /** q41: documents stored with `dictionary=true` (per-chunk value
+    * table + id runs for the categorical lang/source columns —
+    * DictColumnWriter), then filtered and aggregated; the oracle runs
+    * on the original parquet, so id mapping, NULL runs, dict-block
+    * filters, and the vectorized dictionary fast path must all be
+    * value-exact.
+    */
+  private def dictScan: Q = {
+    val agg = (from: String) =>
+      s"""SELECT lang AS l, source AS src, COUNT(*) AS n_docs,
+         |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+         |FROM $from WHERE lang <> 'und' GROUP BY lang, source""".stripMargin
+    Q("q41_cf_dict_scan", (spark, dir) => {
+      val out = Tables.cachePath(dir, "documents_dict")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "documents")
+          .select("doc_id", "lang", "source")
+          .write.format("columnfile")
+          .option("dictionary", "true")
+          .mode("overwrite").save(out)
+      }
+      spark.read.format("columnfile").load(out)
+        .createOrReplaceTempView("cf_documents_dict")
+      spark.sql(agg("cf_documents_dict"))
+    }, Some(agg("documents")))
   }
 
   /** q40: orders streamed cf-source -> cf-SINK (micro-batch epoch

@@ -25,6 +25,23 @@ object ColumnFileColumnarReader {
   /** Batch granularity: bounded vector memory per task. */
   val RowsPerBatch = 4096
 
+  /** Spark vector dictionary over a chunk's value table: string/binary
+    * cells land in vectors as int ids (the Parquet-reader fast path) and
+    * materialize lazily on access — no per-row byte copies in the scan.
+    */
+  final class CfVectorDictionary(vals: Array[Array[Byte]])
+      extends org.apache.spark.sql.execution.vectorized.Dictionary {
+    override def decodeToBinary(id: Int): Array[Byte] = vals(id)
+    override def decodeToInt(id: Int): Int =
+      throw new UnsupportedOperationException("dictionary holds binary values")
+    override def decodeToLong(id: Int): Long =
+      throw new UnsupportedOperationException("dictionary holds binary values")
+    override def decodeToFloat(id: Int): Float =
+      throw new UnsupportedOperationException("dictionary holds binary values")
+    override def decodeToDouble(id: Int): Double =
+      throw new UnsupportedOperationException("dictionary holds binary values")
+  }
+
   def vectorizable(schema: StructType): Boolean =
     schema.fields.forall(f => f.dataType match {
       case IntegerType | LongType | ShortType | ByteType | BooleanType |
@@ -175,6 +192,17 @@ class ColumnFileColumnarPartitionReader(
     }
     val vectors: Array[OnHeapColumnVector] =
       OnHeapColumnVector.allocateColumns(RowsPerBatch, requiredSchema)
+    // dictionary fast path: dict-encoded string/binary columns write int
+    // ids into the vector's dictionary-id buffer instead of copying bytes
+    // per row (a batch never spans chunks, so the dictionary is stable)
+    idVectors = vectors.indices.map { i =>
+      val d = decoders(i)
+      val isBin = outTypes(i) == StringType || outTypes(i) == BinaryType
+      if (d != null && isBin && d.isDictEncoded) {
+        vectors(i).setDictionary(new CfVectorDictionary(d.dictionary))
+        vectors(i).reserveDictionaryIds(RowsPerBatch)
+      } else null
+    }.toArray
     var n = 0
     if (survivors == null) {
       // unfiltered: exactly rowCount rows, null-padding short columns
@@ -209,13 +237,21 @@ class ColumnFileColumnarPartitionReader(
     }
   }
 
+  private var idVectors: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector] = _
+
   private def writeRow(vectors: Array[OnHeapColumnVector], pos: Int): Unit = {
     var i = 0
     while (i < decoders.length) {
       val d = decoders(i)
-      val cell = if (d != null && d.hasNext) d.next() else null
-      if (cell == null) vectors(i).putNull(pos)
-      else putCell(vectors(i), outTypes(i), cell, pos)
+      if (idVectors(i) != null && d.hasNext) {
+        val id = d.nextId()
+        if (id < 0) vectors(i).putNull(pos)
+        else idVectors(i).putInt(pos, id)
+      } else {
+        val cell = if (d != null && d.hasNext) d.next() else null
+        if (cell == null) vectors(i).putNull(pos)
+        else putCell(vectors(i), outTypes(i), cell, pos)
+      }
       i += 1
     }
   }

@@ -37,7 +37,8 @@ final class ColumnFileStreamingWrite(
     compression: Int,
     targetChunkBytes: Long,
     conf: SerializableHadoopConf,
-    partitionCols: Seq[String])
+    partitionCols: Seq[String],
+    dictionary: Boolean = false)
     extends StreamingWrite {
 
   private def dir = new Path(path)
@@ -47,7 +48,7 @@ final class ColumnFileStreamingWrite(
     dir.getFileSystem(conf.conf).mkdirs(dir)
     new ColumnFileStreamingWriterFactory(path, schema.json, compression,
       targetChunkBytes, java.util.UUID.randomUUID().toString, conf,
-      partitionCols)
+      partitionCols, dictionary)
   }
 
   private def epochMarker(epochId: Long): Path =
@@ -118,7 +119,8 @@ final class ColumnFileStreamingWriterFactory(
     targetChunkBytes: Long,
     jobId: String,
     conf: SerializableHadoopConf,
-    partitionCols: Seq[String])
+    partitionCols: Seq[String],
+    dictionary: Boolean = false)
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -129,9 +131,9 @@ final class ColumnFileStreamingWriterFactory(
     val fileName = f".part-e$epochId%010d-$partitionId%05d-$jobId${ColumnFileDataSource.FileExtension}"
     if (partitionCols.isEmpty)
       new ColumnFileDataWriter(new Path(dir, fileName), schema, compression,
-        targetChunkBytes, conf.conf)
+        targetChunkBytes, conf.conf, dictionary)
     else
       new ColumnFilePartitionedDataWriter(new Path(dir), fileName, schema,
-        partitionCols, compression, targetChunkBytes, conf.conf)
+        partitionCols, compression, targetChunkBytes, conf.conf, dictionary)
   }
 }

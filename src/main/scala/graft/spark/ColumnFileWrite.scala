@@ -69,6 +69,12 @@ class ColumnFileWrite(
   private val targetChunkBytes: Long =
     Option(options.get("targetChunkBytes")).map(_.toLong)
       .getOrElse(16L * 1024 * 1024) // reference cat default: 16 MiB
+  /** `dictionary=true`: dictionary-encode string/binary leaf columns
+    * (per-chunk value table + id runs, DictColumnWriter) — the win for
+    * unsorted categorical columns the reference's prefix coding misses.
+    */
+  private val dictionaryEncode: Boolean =
+    Option(options.get("dictionary")).exists(_.toBoolean)
 
   override def toBatch: BatchWrite = this
 
@@ -82,7 +88,7 @@ class ColumnFileWrite(
       throw new UnsupportedOperationException(
         "columnfile streaming sink supports append mode only")
     new ColumnFileStreamingWrite(path, schema, compression, targetChunkBytes,
-      new SerializableHadoopConf(conf), partitionCols)
+      new SerializableHadoopConf(conf), partitionCols, dictionaryEncode)
   }
 
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
@@ -93,7 +99,7 @@ class ColumnFileWrite(
     new ColumnFileWriterFactory(
       path, schema.json, compression, targetChunkBytes,
       UUID.randomUUID().toString, new SerializableHadoopConf(conf),
-      partitionCols)
+      partitionCols, dictionaryEncode)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -134,17 +140,18 @@ class ColumnFileWriterFactory(
     targetChunkBytes: Long,
     jobId: String,
     conf: SerializableHadoopConf,
-    partitionCols: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty,
+    dictionary: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val fileName = f"part-$partitionId%05d-$jobId$taskId%d${ColumnFileDataSource.FileExtension}"
     if (partitionCols.isEmpty) {
       new ColumnFileDataWriter(new Path(dir, fileName), schema, compression,
-        targetChunkBytes, conf.conf)
+        targetChunkBytes, conf.conf, dictionary)
     } else {
       new ColumnFilePartitionedDataWriter(new Path(dir), fileName, schema,
-        partitionCols, compression, targetChunkBytes, conf.conf)
+        partitionCols, compression, targetChunkBytes, conf.conf, dictionary)
     }
   }
 }
@@ -163,7 +170,8 @@ class ColumnFilePartitionedDataWriter(
     partitionCols: Seq[String],
     compression: Int,
     targetChunkBytes: Long,
-    conf: Configuration)
+    conf: Configuration,
+    dictionary: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val partFields: Seq[(Int, org.apache.spark.sql.types.StructField)] =
@@ -182,7 +190,7 @@ class ColumnFilePartitionedDataWriter(
     val w = writers.getOrElseUpdate(rel, {
       new ColumnFileDataWriter(
         new Path(new Path(root, rel), fileName), dataSchema, compression,
-        targetChunkBytes, conf)
+        targetChunkBytes, conf, dictionary)
     })
     val values = new Array[Any](dataOrdinals.length)
     var i = 0
@@ -214,13 +222,19 @@ class ColumnFileDataWriter(
     schema: StructType,
     compression: Int,
     targetChunkBytes: Long,
-    conf: Configuration)
+    conf: Configuration,
+    dictionary: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val leaves = CellCodec.flatten(schema)
   private val fs = file.getFileSystem(conf)
   private val stream = fs.create(file, true)
   private val writer = new ColumnFileWriter(stream, compression)
+  if (dictionary) writer.setDictionaryColumns(
+    leaves.zipWithIndex.collect {
+      case (l, i) if l.dataType == org.apache.spark.sql.types.StringType ||
+        l.dataType == org.apache.spark.sql.types.BinaryType => i
+    }.toSet)
   private val stats = new ChunkStatsIndex.Collector(leaves)
   private val chunkStats = scala.collection.mutable.ArrayBuffer
     .empty[ChunkStatsIndex.ChunkStats]

@@ -126,6 +126,71 @@ class RoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("dictionary columns round-trip exactly under every codec (mixed with plain)") {
+    val rnd = new scala.util.Random(7)
+    val cats = (0 until 12).map(i => s"category_value_$i".getBytes)
+    (1 to 30).foreach { trial =>
+      val codec = allCodecs(trial % allCodecs.length)
+      val rows = List.fill(rnd.nextInt(200) + 1) {
+        val c0 = if (rnd.nextInt(8) == 0) None else Some(cats(rnd.nextInt(cats.length)))
+        val c1 = if (rnd.nextInt(8) == 0) None else {
+          val a = new Array[Byte](rnd.nextInt(24)); rnd.nextBytes(a); Some(a)
+        }
+        List(c0, c1)
+      }
+      val bos = new ByteArrayOutputStream()
+      val w = new ColumnFileWriter(bos, codec)
+      w.setDictionaryColumns(Set(0)) // col 0 dict, col 1 plain
+      rows.foreach { r =>
+        r.zipWithIndex.foreach {
+          case (Some(v), c) => w.put(c, v)
+          case (None, c)    => w.putNull(c)
+        }
+        if (rnd.nextInt(50) == 0) w.flush() // multi-chunk
+      }
+      w.finish()
+      val got = {
+        val r = ColumnFileReader.open(bos.toByteArray)
+        val out = Seq.newBuilder[Seq[Option[Seq[Byte]]]]
+        while (!r.end) out += r.getRow().map(_._2.map(_.toSeq))
+        out.result()
+      }
+      assert(got === rows.map(_.map(_.map(_.toSeq))),
+        s"trial $trial codec ${Compression.name(codec)}")
+    }
+  }
+
+  test("dictionary shrinks unsorted categorical columns; high cardinality bails to plain bytes") {
+    val rnd = new scala.util.Random(11)
+    // distinct prefixes: front-coding gets no purchase (the case the
+    // reference's prefix coding misses and the dictionary exists for)
+    val cats = Seq("common_crawl_2024", "wikipedia_en", "github_code",
+      "arxiv_papers", "stack_exchange", "books3_corpus", "openwebtext2",
+      "pubmed_central", "freelaw_opinions", "uspto_backgrounds",
+      "youtube_subtitles", "hackernews_threads", "europarl_translations",
+      "gutenberg_books", "ubuntu_irc_logs", "nih_exporter",
+      "philpapers_dump", "opensubtitles_v2", "dm_mathematics",
+      "enron_emails").map(_.getBytes)
+    def fileBytes(dict: Boolean, values: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val w = new ColumnFileWriter(bos, Compression.None)
+      if (dict) w.setDictionaryColumns(Set(0))
+      values.foreach(w.put(0, _))
+      w.finish()
+      bos.toByteArray
+    }
+    // unsorted categorical: RLE/prefix coding can't help, dictionary must
+    val cat = Seq.fill(50000)(cats(rnd.nextInt(cats.length)))
+    val plain = fileBytes(dict = false, cat)
+    val dicted = fileBytes(dict = true, cat)
+    assert(dicted.length * 4 < plain.length,
+      s"dict ${dicted.length} vs plain ${plain.length}")
+    // high cardinality: the finish-time bail-out emits the IDENTICAL
+    // plain encoding — enabling the option can never grow a file
+    val uniq = (0 until 10000).map(i => s"unique_value_$i".getBytes)
+    assert(fileBytes(dict = true, uniq).toSeq == fileBytes(dict = false, uniq).toSeq)
+  }
+
   test("ragged rows: columns absent from a chunk are simply not returned") {
     val bos = new ByteArrayOutputStream()
     val w = new ColumnFileWriter(bos, Compression.None)
