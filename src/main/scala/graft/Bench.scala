@@ -8,9 +8,8 @@ import org.apache.spark.sql.SparkSession
   * from timings, matching how a long-lived cluster would behave.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,21 +21,21 @@ object Bench {
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
+  /** Warm-up pass + two timed passes, min per query; -1 marks failures. */
+  def timeInventory(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    val inventory = SparkEntry.queries.toSeq.sortBy(_._1)
     // Warm-up: run every query once untimed. This charges one-time costs
     // (parquet footers, columnfile cache writes, codegen compilation) to
-    // the warm-up, so the timed pass measures steady-state execution —
+    // the warm-up, so the timed passes measure steady-state execution —
     // how a long-lived cluster behaves.
-    val inventory = SparkEntry.queries.toSeq.sortBy(_._1)
     inventory.foreach { case (name, fn) =>
       try { fn(spark, sfDir).count(); () }
       catch { case e: Throwable =>
         System.err.println(s"[bench-warmup] $name failed: ${e.getMessage}") }
     }
-
-    // Two timed passes, min per query: steady-state latency without
-    // one-off scheduler/GC noise (the warm-up above already charged all
-    // one-time costs).
     def timedPass(): Map[String, Double] = inventory.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -47,14 +46,24 @@ object Bench {
     }.toMap
     val p1 = timedPass()
     val p2 = timedPass()
-    val results = inventory.map { case (name, _) =>
+    inventory.map { case (name, _) =>
       val (a, b) = (p1(name), p2(name))
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+  }
+
+  def toJson(results: Seq[(String, Double)], sf: String): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf"}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = newSession(cpus)
+    println(toJson(timeInventory(spark, sfDir), sfDir))
     spark.stop()
   }
 }

@@ -229,9 +229,10 @@ object ExtQueries {
     val fromEx = s"FROM sig ${d.explode(bandsArr, "bk")}"
     s"""sig AS ($sigSelect),
        |ex0 AS (SELECT doc_id, bk $fromEx),
-       |bsz AS (SELECT bk, COUNT(*) AS n FROM ex0 GROUP BY bk),
-       |ex AS (SELECT ex0.doc_id, ex0.bk FROM ex0 JOIN bsz ON ex0.bk = bsz.bk
-       |       WHERE bsz.n <= $HotBucketCap),
+       |ex AS (SELECT doc_id, bk FROM (
+       |         SELECT doc_id, bk, COUNT(*) OVER (PARTITION BY bk) AS bn
+       |         FROM ex0) x
+       |       WHERE bn <= $HotBucketCap),
        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |         FROM ex a JOIN ex b ON a.bk = b.bk AND a.doc_id < b.doc_id),
        |jac AS (SELECT i, j,
@@ -284,10 +285,11 @@ object ExtQueries {
     s"""WITH s AS (${simhashSql(d)}),
        |ex0 AS (
        |  $bandExprs),
-       |bsz AS (SELECT band, bv, COUNT(*) AS n FROM ex0 GROUP BY band, bv),
-       |ex AS (SELECT ex0.doc_id, ex0.simhash, ex0.band, ex0.bv FROM ex0
-       |       JOIN bsz ON ex0.band = bsz.band AND ex0.bv = bsz.bv
-       |       WHERE bsz.n <= $HotBucketCap),
+       |ex AS (SELECT doc_id, simhash, band, bv FROM (
+       |         SELECT doc_id, simhash, band, bv,
+       |           COUNT(*) OVER (PARTITION BY band, bv) AS bn
+       |         FROM ex0) x
+       |       WHERE bn <= $HotBucketCap),
        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
        |    a.simhash AS sa, b.simhash AS sb
        |  FROM ex a JOIN ex b ON a.band = b.band AND a.bv = b.bv
@@ -601,9 +603,11 @@ object ExtQueries {
     s"""WITH nb AS (SELECT $nbits AS nbits FROM embeddings),
        |b AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
        |  FROM embeddings CROSS JOIN nb),
-       |bsz AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket),
-       |bc AS (SELECT b.vec_id, b.embedding, b.bucket FROM b
-       |       JOIN bsz ON b.bucket = bsz.bucket WHERE bsz.n <= $HotBucketCap),
+       |bc AS (SELECT vec_id, embedding, bucket FROM (
+       |         SELECT vec_id, embedding, bucket,
+       |           COUNT(*) OVER (PARTITION BY bucket) AS bn
+       |         FROM b) x
+       |       WHERE bn <= $HotBucketCap),
        |c AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
        |    $cos AS cos
        |  FROM bc q JOIN bc e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
@@ -638,10 +642,11 @@ object ExtQueries {
     s"""WITH nb AS (SELECT $nbits AS nbits FROM embeddings),
        |ex0 AS (
        |  $probes),
-       |bsz AS (SELECT tbl, bk, COUNT(*) AS n FROM ex0 GROUP BY tbl, bk),
-       |ex AS (SELECT ex0.vec_id, ex0.tbl, ex0.bk FROM ex0
-       |       JOIN bsz ON ex0.tbl = bsz.tbl AND ex0.bk = bsz.bk
-       |       WHERE bsz.n <= $HotBucketCap),
+       |ex AS (SELECT vec_id, tbl, bk FROM (
+       |         SELECT vec_id, tbl, bk,
+       |           COUNT(*) OVER (PARTITION BY tbl, bk) AS bn
+       |         FROM ex0) x
+       |       WHERE bn <= $HotBucketCap),
        |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
        |         FROM ex a JOIN ex b ON a.tbl = b.tbl AND a.bk = b.bk
        |          AND a.vec_id < b.vec_id),

@@ -56,7 +56,8 @@ object ColumnFileDataSource {
     * each file was found under (partition values parse relative to it).
     */
   def listDataFilesWithRoots(
-      conf: Configuration, paths: Seq[String]): Seq[(Path, FileStatus)] = {
+      conf: Configuration, paths: Seq[String],
+      useManifest: Boolean = false): Seq[(Path, FileStatus)] = {
     def walk(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[FileStatus] =
       fs.listStatus(dir).toSeq.flatMap { st =>
         val n = st.getPath.getName
@@ -67,10 +68,17 @@ object ColumnFileDataSource {
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
-      if (!fs.exists(path)) Seq.empty
-      else if (fs.getFileStatus(path).isDirectory)
-        walk(fs, path).map(st => (path, st))
-      else Seq((path.getParent, fs.getFileStatus(path)))
+      // manifest-first (opt-in): zero listing RPCs when present/parseable
+      val fromManifest =
+        if (useManifest) ManifestFile.read(conf, path)
+          .map(ManifestFile.statuses(path, _))
+        else scala.None
+      fromManifest.getOrElse {
+        if (!fs.exists(path)) Seq.empty
+        else if (fs.getFileStatus(path).isDirectory)
+          walk(fs, path).map(st => (path, st))
+        else Seq((path.getParent, fs.getFileStatus(path)))
+      }
     }.sortBy(_._2.getPath.toString)
   }
 

@@ -251,8 +251,15 @@ class ColumnFileScan(
     * sidecars (header walk only for sidecar-less files, parallel across
     * files).
     */
+  /** `useManifest=true`: plan from `_manifest.json` instead of walking
+    * directories — zero listing RPCs (see [[ManifestFile]] trust model).
+    */
+  private def useManifest: Boolean =
+    Option(options.get("useManifest")).exists(_.toBoolean)
+
   override def estimateStatistics(): Statistics = {
-    val files = ColumnFileDataSource.listDataFiles(conf, paths)
+    val files = ColumnFileDataSource
+      .listDataFilesWithRoots(conf, paths, useManifest).map(_._2)
     val layouts = ColumnFileDataSource.mapFilesParallel(files)(chunkLayout)
     val bytes = layouts.iterator.flatten.map(_._2).sum
     val rowsKnown = layouts.iterator.flatten.forall(_._3.isDefined)
@@ -319,7 +326,7 @@ class ColumnFileScan(
     val partLeafIndex = partitionCols.zipWithIndex.toMap
     val partBounds = allFilters.flatMap(f =>
       FilterEval.bind(f, partSchema, partLeafIndex))
-    val files = ColumnFileDataSource.listDataFilesWithRoots(conf, paths)
+    val files = ColumnFileDataSource.listDataFilesWithRoots(conf, paths, useManifest)
     // Per-file metadata resolution + chunk pruning runs on the parallel
     // pool; the final packing is sequential so partition order stays
     // deterministic.

@@ -88,14 +88,17 @@ final class ColumnFileStreamingWrite(
       files(messages).foreach(delete(fs, _)) // replay of a committed epoch
       return
     }
-    files(messages).foreach { f =>
+    val published = files(messages).map { f =>
       val tmp = new Path(f)
       require(tmp.getName.startsWith("."), s"not an in-progress file: $f")
       val fin = new Path(tmp.getParent, tmp.getName.substring(1))
       fs.rename(tmp, fin)
       val tmpSide = sidecarOf(tmp)
       if (fs.exists(tmpSide)) fs.rename(tmpSide, sidecarOf(fin))
+      fin
     }
+    ManifestFile.append(conf.conf, dir,
+      published.map(ManifestFile.entryFor(conf.conf, dir, _)))
     val sc = fs.create(new Path(dir, ColumnFileDataSource.SchemaSidecar), true)
     try sc.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally sc.close()

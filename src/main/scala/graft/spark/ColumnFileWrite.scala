@@ -109,6 +109,15 @@ class ColumnFileWrite(
     try sidecar.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally sidecar.close()
     if (partitionCols.nonEmpty) PartitionLayout.write(conf, dir, partitionCols)
+    // maintain the file manifest (ManifestFile): commit knows exactly
+    // which files it published, so readers can opt out of directory walks
+    val committed = messages.toSeq.flatMap {
+      case ColumnFileCommitMessage(f)              => Seq(f)
+      case ColumnFilePartitionedCommitMessage(fls) => fls
+      case _                                       => Seq.empty
+    }.map(f => ManifestFile.entryFor(conf, dir, new Path(f)))
+    if (truncateFirst) ManifestFile.write(conf, dir, committed)
+    else ManifestFile.append(conf, dir, committed)
     fs.create(new Path(dir, "_SUCCESS"), true).close()
   }
 

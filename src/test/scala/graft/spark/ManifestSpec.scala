@@ -1,0 +1,105 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `_manifest.json` maintained by every commit path; `useManifest=true`
+  * plans from it with zero directory listings (proof: a stray data file
+  * planted behind the engine's back is invisible to a manifest read and
+  * visible to a walk).
+  */
+class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("manifest-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("commits maintain the manifest; useManifest plans without listing") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-manifest").toString
+    (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(2).write.format("columnfile").mode("overwrite").save(dir)
+
+    val conf = new Configuration()
+    val entries = ManifestFile.read(conf, new Path(dir)).get
+    val listed = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(ColumnFileDataSource.FileExtension))
+    assert(entries.map(_.rel).sorted.toSeq == listed.map(_.getName).sorted.toSeq)
+    assert(entries.forall(e => e.len > 0 && e.mtime > 0))
+
+    // plant a stray data file the engine didn't commit: a walk sees it,
+    // the manifest doesn't — proof planning never listed the directory
+    val src = listed.head
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(dir, "stray-copy.cf").toPath)
+    val walked = spark.read.format("columnfile").load(dir).count()
+    val viaManifest = spark.read.format("columnfile")
+      .option("useManifest", "true").load(dir).count()
+    assert(walked > 1000, s"stray file not visible to the walk: $walked")
+    assert(viaManifest == 1000, s"manifest read listed the directory")
+
+    // append merges instead of replacing
+    new java.io.File(dir, "stray-copy.cf").delete()
+    (1000 until 1200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(1).write.format("columnfile").mode("append").save(dir)
+    val after = spark.read.format("columnfile")
+      .option("useManifest", "true").load(dir)
+    assert(after.count() == 1200)
+    assert(after.agg(org.apache.spark.sql.functions.max("id")).head.getLong(0) == 1199L)
+
+    // a malformed manifest falls back to the walk, never breaks reads
+    java.nio.file.Files.write(
+      new java.io.File(dir, ManifestFile.Name).toPath, "garbage{".getBytes)
+    assert(spark.read.format("columnfile")
+      .option("useManifest", "true").load(dir).count() == 1200)
+  }
+
+  test("partitioned and streaming commits keep the manifest complete") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-manifest-part").toString
+    (0 until 300).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+      .repartition(1).write.format("columnfile").partitionBy("g")
+      .mode("overwrite").save(dir)
+    val conf = new Configuration()
+    val entries = ManifestFile.read(conf, new Path(dir)).get
+    assert(entries.nonEmpty && entries.forall(_.rel.startsWith("g=")))
+    val viaManifest = spark.read.format("columnfile")
+      .option("useManifest", "true").load(dir)
+    assert(viaManifest.count() == 300)
+    assert(viaManifest.filter(org.apache.spark.sql.functions.col("g") === "g1")
+      .count() == 100)
+
+    // streaming sink: each committed epoch lands in the manifest
+    val src = Files.createTempDirectory("cf-manifest-ssrc").toString
+    val ckpt = Files.createTempDirectory("cf-manifest-sckpt").toString
+    val sink = Files.createTempDirectory("cf-manifest-sout").toString
+    (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.format("columnfile").mode("overwrite").save(src)
+    val schema = spark.read.format("columnfile").load(src).schema
+    val q = spark.readStream.format("columnfile").schema(schema).load(src)
+      .writeStream.format("columnfile")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.format("columnfile")
+      .option("useManifest", "true").load(sink).count() == 50)
+    val sinkEntries = ManifestFile.read(conf, new Path(sink)).get
+    assert(sinkEntries.nonEmpty &&
+      sinkEntries.forall(!_.rel.startsWith(".")), sinkEntries.toString)
+  }
+}
