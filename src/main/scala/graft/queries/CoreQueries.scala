@@ -347,6 +347,9 @@ object CoreQueries {
     // Dictionary-encoded storage through the oracle gate.
     dictScan,
 
+    // VariantType (open-schema leaf) storage through the oracle gate.
+    variantScan,
+
     // Metadata-only aggregates: COUNT/COUNT(col)/MIN/MAX answered from
     // the stats sidecars with zero data I/O (AggregatePushdown); the
     // oracle recomputes them the hard way, so a stats bug (null counts,
@@ -482,6 +485,41 @@ object CoreQueries {
         .createOrReplaceTempView("cf_documents_dict")
       spark.sql(agg("cf_documents_dict"))
     }, Some(agg("documents")))
+  }
+
+  /** q42: VariantType storage — documents re-encoded as open-schema
+    * variant payloads (`parse_json`), stored through the cf format
+    * (CellCodec frames the VariantVal's two binary parts), read back,
+    * and queried with typed `variant_get` extraction. The oracle
+    * computes the same aggregate from the original relational columns,
+    * so the variant round-trip must preserve values bit-exactly. This is
+    * the open-schema leaf the reference's capnp shredder TODOs (unions,
+    * columnfile-capnp.cc:96,205).
+    */
+  private def variantScan: Q = {
+    val oracle =
+      """SELECT lang AS l, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+        |  MIN(doc_id) AS first_id
+        |FROM documents GROUP BY lang""".stripMargin
+    Q("q42_cf_variant_scan", (spark, dir) => {
+      val out = Tables.cachePath(dir, "documents_variant")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "documents")
+          .selectExpr("doc_id",
+            "parse_json(to_json(struct(lang, length(text) AS tlen))) AS v")
+          .write.format("columnfile").mode("overwrite").save(out)
+      }
+      spark.read.format("columnfile").load(out)
+        .createOrReplaceTempView("cf_documents_variant")
+      spark.sql(
+        """SELECT CAST(variant_get(v, '$.lang', 'string') AS STRING) AS l,
+          |  COUNT(*) AS n_docs,
+          |  CAST(SUM(variant_get(v, '$.tlen', 'long')) AS BIGINT) AS sum_len,
+          |  MIN(doc_id) AS first_id
+          |FROM cf_documents_variant
+          |GROUP BY variant_get(v, '$.lang', 'string')""".stripMargin)
+    }, Some(oracle))
   }
 
   /** q40: orders streamed cf-source -> cf-SINK (micro-batch epoch

@@ -73,6 +73,17 @@ object CellCodec {
     case d: DecimalType =>
       v.asInstanceOf[org.apache.spark.sql.types.Decimal]
         .toJavaBigDecimal.unscaledValue().toByteArray
+    case _: VariantType =>
+      // the open-schema leaf the reference's capnp shredder TODOs
+      // (columnfile-capnp.cc:96,205 "unions not supported"): Spark's
+      // VariantType stores as its two binary parts, varint-framed
+      val vv = v.asInstanceOf[org.apache.spark.unsafe.types.VariantVal]
+      val buf = new ByteBuf(32)
+      Varint.put(buf, vv.getValue.length.toLong)
+      buf.append(vv.getValue)
+      Varint.put(buf, vv.getMetadata.length.toLong)
+      buf.append(vv.getMetadata)
+      buf.toArray
     case _ =>
       val buf = new ByteBuf(32)
       writeFramed(dt, v, buf)
@@ -92,6 +103,20 @@ object CellCodec {
     case BooleanType => rd(bytes, 1).get() != 0
     case d: DecimalType =>
       Decimal(new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale))
+    case _: VariantType =>
+      val cur = new Cursor(0)
+      def part(): Array[Byte] = {
+        val len = Varint.get(bytes, cur).toInt
+        if (len < 0 || cur.pos + len > bytes.length)
+          throw new CorruptColumnFileException("truncated variant cell")
+        val out = java.util.Arrays.copyOfRange(bytes, cur.pos, cur.pos + len)
+        cur.pos += len
+        out
+      }
+      val value = part(); val metadata = part()
+      if (cur.pos != bytes.length)
+        throw new CorruptColumnFileException("trailing bytes decoding variant")
+      new org.apache.spark.unsafe.types.VariantVal(value, metadata)
     case _ =>
       val cur = new Cursor(0)
       val v = readFramed(dt, bytes, cur)
@@ -160,7 +185,7 @@ object CellCodec {
     case _ =>
       val bytes = encode(dt, v)
       dt match {
-        case StringType | BinaryType | _: DecimalType =>
+        case StringType | BinaryType | _: DecimalType | _: VariantType =>
           Varint.put(out, bytes.length.toLong)
         case _ => // fixed width: no length prefix
       }
@@ -204,7 +229,7 @@ object CellCodec {
   private def readElement(dt: DataType, data: Array[Byte], cur: Cursor): Any = dt match {
     case ArrayType(_, _) | MapType(_, _, _) | _: StructType =>
       readFramed(dt, data, cur)
-    case StringType | BinaryType | _: DecimalType =>
+    case StringType | BinaryType | _: DecimalType | _: VariantType =>
       val len = Varint.get(data, cur).toInt
       if (cur.pos + len > data.length)
         throw new CorruptColumnFileException("truncated framed element")

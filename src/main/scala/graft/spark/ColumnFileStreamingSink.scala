@@ -24,8 +24,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Renames are one per task file per micro-batch — bounded by the
   * trigger's task count, not table size (the bulk batch path never
   * renames; see ColumnFileWrite's scale note). In-progress files from a
-  * crash without abort stay invisible forever and are swept by
-  * `CfTools.compact`, the documented maintenance pass.
+  * crash without abort stay invisible forever and are reclaimed by
+  * `CfTools.clean`, the age-guarded orphan sweep.
   *
   * Append-mode only: files are immutable once published, like every
   * file-format streaming sink. Partitioned tables work — each row routes

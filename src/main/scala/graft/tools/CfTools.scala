@@ -105,6 +105,52 @@ object CfTools {
       .save(output)
   }
 
+  /** Maintenance sweep for a streamed-into table: deletes in-progress
+    * files left by crashed micro-batch attempts (dot-prefixed, invisible
+    * to every reader — this reclaims their space), their sidecars, and
+    * any orphaned stats sidecar whose data file is gone. Only files older
+    * than `minAgeMs` are touched so a LIVE epoch's in-flight files
+    * survive the sweep (a crashed attempt's files stop aging forward; a
+    * running one's were written within the trigger interval).
+    * Returns the number of files deleted.
+    */
+  def clean(spark: SparkSession, dir: String,
+            minAgeMs: Long = 24L * 3600 * 1000): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return 0
+    val now = System.currentTimeMillis()
+    val statsSuffix = graft.spark.ChunkStatsIndex.Suffix
+    val all = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    def collect(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) { if (!st.getPath.getName.startsWith("_")) collect(st.getPath) }
+        else all += st
+      }
+    collect(root)
+    var deleted = 0
+    def del(st: org.apache.hadoop.fs.FileStatus): Unit =
+      if (now - st.getModificationTime >= minAgeMs && fs.delete(st.getPath, false))
+        deleted += 1
+    // pass 1: crashed attempts' in-progress data files (dot-prefixed .cf)
+    all.filter { st =>
+      val n = st.getPath.getName
+      n.startsWith(".") &&
+        n.endsWith(graft.spark.ColumnFileDataSource.FileExtension)
+    }.foreach(del)
+    // pass 2: stats sidecars whose data file is gone (incl. the ones
+    // orphaned by pass 1 and by out-of-band data-file deletion)
+    all.filter { st =>
+      val n = st.getPath.getName
+      n.startsWith(".") && n.endsWith(statsSuffix) && {
+        val dataName = n.stripPrefix(".").stripSuffix(statsSuffix)
+        !fs.exists(new org.apache.hadoop.fs.Path(st.getPath.getParent, dataName))
+      }
+    }.foreach(del)
+    deleted
+  }
+
   /** CLI: cat [--filter C:P]... [--select a,b] [--compression c]
     *          [--output-format text|columnfile] --output DIR INPUT...
     *      sort [--keys a,b] [--compression c] --output DIR INPUT...

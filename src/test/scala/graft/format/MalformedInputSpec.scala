@@ -81,6 +81,28 @@ class MalformedInputSpec extends AnyFunSuite {
     assertThrows[CorruptColumnFileException](drain(rawChunkFile(block.toArray)))
   }
 
+  test("dictionary: zero-entry dictionary") {
+    val b = new ByteBuf()
+    Varint.put(b, 0L); Varint.put(b, 0L) // marker, dictCount 0
+    assertThrows[CorruptColumnFileException](drain(rawChunkFile(b.toArray)))
+  }
+
+  test("dictionary: truncated value table") {
+    val b = new ByteBuf()
+    Varint.put(b, 0L); Varint.put(b, 2L) // marker, 2 entries
+    Varint.put(b, 100L); b.addByte('x')  // claims 100 bytes, has 1
+    assertThrows[CorruptColumnFileException](drain(rawChunkFile(b.toArray)))
+  }
+
+  test("dictionary: id out of range") {
+    val b = new ByteBuf()
+    Varint.put(b, 0L); Varint.put(b, 1L)     // marker, 1 entry
+    Varint.put(b, 3L); b.append("abc".getBytes(UTF_8))
+    Varint.put(b, 1L); Varint.put(b, 0L)     // run: repeat 1, reserved 0
+    Varint.put(b, 1L); b.addByte(5)          // value = varint id 5: no such entry
+    assertThrows[CorruptColumnFileException](drain(rawChunkFile(b.toArray)))
+  }
+
   /** Frame a single raw (uncompressed) column-0 block as a one-chunk file. */
   private def rawChunkFile(block: Array[Byte], compression: Int = 0): Array[Byte] = {
     val header = new ByteBuf()

@@ -96,6 +96,38 @@ class ToolsAndMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all > 2 && parts <= 2, s"pruning after compact: $parts of $all")
   }
 
+  test("clean sweeps crashed in-progress files + orphaned sidecars, never live data") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cf-clean").toString
+    (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(1).write.format("columnfile").mode("overwrite").save(dir)
+    val data = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".cf")).head
+    // crashed micro-batch leftovers: in-progress data file + its sidecar
+    java.nio.file.Files.copy(data.toPath,
+      new java.io.File(dir, ".part-e0000000007-00000-dead.cf").toPath)
+    java.nio.file.Files.write(
+      new java.io.File(dir, "..part-e0000000007-00000-dead.cf" +
+        graft.spark.ChunkStatsIndex.Suffix).toPath, "{}".getBytes)
+    // sidecar orphaned by an out-of-band data-file deletion
+    java.nio.file.Files.write(
+      new java.io.File(dir, ".gone.cf" +
+        graft.spark.ChunkStatsIndex.Suffix).toPath, "{}".getBytes)
+    assert(spark.read.format("columnfile").load(dir).count() == 100)
+
+    // age guard: nothing young enough is touched
+    assert(CfTools.clean(spark, dir, minAgeMs = 3600L * 1000) == 0)
+    // with the guard off the three orphans go; live data + sidecar stay
+    assert(CfTools.clean(spark, dir, minAgeMs = 0L) == 3)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.contains(data.getName))
+    assert(names.contains("." + data.getName + graft.spark.ChunkStatsIndex.Suffix))
+    assert(!names.exists(_.contains("dead")) && !names.exists(_.contains("gone")))
+    assert(spark.read.format("columnfile").load(dir).count() == 100)
+    // idempotent
+    assert(CfTools.clean(spark, dir, minAgeMs = 0L) == 0)
+  }
+
   test("multimodal: stub decode adds typed meta, deterministic") {
     val sp = spark; import sp.implicits._
     val df = sp.sql(
