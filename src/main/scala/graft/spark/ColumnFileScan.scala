@@ -625,30 +625,10 @@ class ColumnFilePartitionReader(
       val wanted = new java.util.HashSet[Integer]()
       filterCols.foreach(c => wanted.add(c))
       val decoders = ColumnFileReader.openChunk(input, info, wanted)
-      val colValues: Map[Int, mutable.ArrayBuffer[Array[Byte]]] =
-        filterCols.map { c =>
-          val buf = mutable.ArrayBuffer.empty[Array[Byte]]
-          decoders.get(c).foreach { d =>
-            while (d.hasNext) buf += d.next()
-          }
-          c -> buf
-        }.toMap
-      survivors = new java.util.BitSet(rowCount)
-      var r = 0
-      while (r < rowCount) {
-        var ok = true
-        var i = 0
-        while (ok && i < filterEvals.length) {
-          val fe = filterEvals(i)
-          val vals = colValues(fe.col)
-          // rows past a ragged column's end read as NULL
-          val cell = if (r < vals.length) vals(r) else null
-          ok = fe.eval(cell)
-          i += 1
-        }
-        if (ok) survivors.set(r)
-        r += 1
-      }
+      // dictionary-aware shared pass: predicates evaluate once per dict
+      // entry on dict-encoded columns, and an unsatisfiable filter skips
+      // the chunk before the row loop
+      survivors = FilterEval.survivorBitmap(decoders, filterEvals, rowCount)
       if (survivors.isEmpty) {
         metrics.chunksSkipped += 1
         return Iterator.empty // chunk skipped

@@ -28,6 +28,69 @@ object FilterEval {
   /** Tri-state predicate over one physical column's cell bytes. */
   private final case class TriBound(col: Int, eval: Array[Byte] => Int)
 
+  /** Pass 1 of a filtered chunk read, shared by the row and columnar
+    * readers: drain the filter columns and build the survivor bitmap.
+    *
+    * Dictionary-encoded columns evaluate each predicate ONCE PER
+    * DICTIONARY ENTRY (≤ 64k) instead of once per row — the classic
+    * dictionary-filter optimization: a selective equality over a
+    * categorical column costs |dict| byte comparisons + one boolean
+    * array lookup per row. When no entry (and not NULL) satisfies a
+    * filter, the chunk skips before the row loop runs at all.
+    *
+    * Rows past a ragged column's end read as NULL, exactly like the
+    * per-cell path.
+    */
+  def survivorBitmap(
+      decoders: scala.collection.Map[Int, graft.format.ColumnDecoder],
+      filterEvals: Array[Bound],
+      rowCount: Int): java.util.BitSet = {
+    val filterCols = filterEvals.map(_.col).distinct
+    // drain each filter column once: ids for dict blocks, cells otherwise
+    val cellsByCol = scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.ArrayBuffer[Array[Byte]]]
+    val idsByCol = scala.collection.mutable.HashMap.empty[Int, (Array[Array[Byte]], scala.collection.mutable.ArrayBuffer[Int])]
+    filterCols.foreach { c =>
+      decoders.get(c) match {
+        case Some(d) if d.isDictEncoded =>
+          val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+          while (d.hasNext) ids += d.nextId()
+          idsByCol(c) = (d.dictionary, ids)
+        case Some(d) =>
+          val cells = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          while (d.hasNext) cells += d.next()
+          cellsByCol(c) = cells
+        case None =>
+          cellsByCol(c) = scala.collection.mutable.ArrayBuffer.empty
+      }
+    }
+    val survivors = new java.util.BitSet(rowCount)
+    // per-filter row predicate; dict columns go through a pass-by-id table
+    val rowEvals: Array[Int => Boolean] = filterEvals.map { fe =>
+      idsByCol.get(fe.col) match {
+        case Some((dict, ids)) =>
+          val byId = dict.map(fe.eval)
+          val nullPass = fe.eval(null)
+          if (!nullPass && !byId.contains(true)) return survivors // empty
+          (r: Int) => {
+            val id = if (r < ids.length) ids(r) else -1
+            if (id < 0) nullPass else byId(id)
+          }
+        case None =>
+          val cells = cellsByCol(fe.col)
+          (r: Int) => fe.eval(if (r < cells.length) cells(r) else null)
+      }
+    }
+    var r = 0
+    while (r < rowCount) {
+      var ok = true
+      var i = 0
+      while (ok && i < rowEvals.length) { ok = rowEvals(i)(r); i += 1 }
+      if (ok) survivors.set(r)
+      r += 1
+    }
+    survivors
+  }
+
   def evaluable(f: Filter, schema: StructType): Boolean = {
     val leaves = CellCodec.flatten(schema)
     val idx = leaves.zipWithIndex.map { case (l, i) => (l.name, i) }.toMap

@@ -89,6 +89,36 @@ class DictionaryEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(r => r.getSeq[Long](2) == Seq(r.getLong(0), r.getLong(0) + 1)))
   }
 
+  test("filters on dict columns evaluate once per dictionary entry") {
+    import graft.format.{ColumnDecoder, DictColumnWriter}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    // block: en en de NULL fr en  (dict-encoded)
+    def block(): ColumnDecoder = {
+      val w = new DictColumnWriter
+      Seq("en", "en", "de").foreach(s => w.put(UTF8String.fromString(s).getBytes))
+      w.putNull()
+      Seq("fr", "en").foreach(s => w.put(UTF8String.fromString(s).getBytes))
+      new ColumnDecoder(w.finishChunk())
+    }
+    val schema = StructType(Seq(StructField("lang", StringType)))
+    val idx = Map("lang" -> 0)
+    def bitmap(f: org.apache.spark.sql.sources.Filter): java.util.BitSet =
+      FilterEval.survivorBitmap(Map(0 -> block()),
+        FilterEval.bind(f, schema, idx).toArray, 6)
+    // equality on a present value
+    val en = bitmap(org.apache.spark.sql.sources.EqualTo("lang", "en"))
+    assert((0 until 6).filter(en.get) == Seq(0, 1, 5))
+    // a value NOT in the dictionary: unsatisfiable, bitmap empty (the
+    // readers then skip the chunk before any row work)
+    assert(bitmap(org.apache.spark.sql.sources.EqualTo("lang", "zz")).isEmpty)
+    // NULL semantics preserved through the id path
+    val nn = bitmap(org.apache.spark.sql.sources.IsNull("lang"))
+    assert((0 until 6).filter(nn.get) == Seq(3))
+    val notNull = bitmap(org.apache.spark.sql.sources.IsNotNull("lang"))
+    assert((0 until 6).filter(notNull.get) == Seq(0, 1, 2, 4, 5))
+  }
+
   test("dictionary shrinks categorical tables on disk") {
     def size(dir: String): Long =
       new java.io.File(dir).listFiles()
