@@ -128,6 +128,17 @@ object CoreQueries {
          |FROM lineitem
          |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin),
 
+    // GROUPING SETS beyond rollup/cube: explicit set list + GROUPING()
+    // disambiguation of "NULL value" vs "aggregated-out column".
+    Q.shared("q43_grouping_sets",
+      s"""SELECT l_returnflag AS rflag, l_linestatus AS lstatus,
+         |  COUNT(*) AS cnt, CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS price_c,
+         |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+         |  CAST(GROUPING(l_linestatus) AS INT) AS g_stat
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |                        (l_linestatus), ())""".stripMargin),
+
     // Exact distinct-count + min/max aggregates.
     Q.shared("q15_agg_stats",
       """SELECT COUNT(*) AS n, COUNT(DISTINCT l_partkey) AS n_parts,

@@ -540,6 +540,17 @@ object ExtQueries {
        |  ${d.rollHash("lower(text)")} AS fp_roll
        |FROM documents""".stripMargin
 
+  /** t05: corpus word frequency via explode (the LATERAL VIEW shape) —
+    * the shuffle key is the word itself; the 100 TB plan is a partial
+    * count per task then one shuffle of (word, partial), like any
+    * high-cardinality aggregation. Top-k tie-broken by word.
+    */
+  private def wordFreqSql(d: Dial): String =
+    s"""SELECT w, COUNT(*) AS n
+       |FROM (SELECT w FROM documents ${d.explode(d.split("lower(text)"), "w")}) x
+       |WHERE w <> ''
+       |GROUP BY w ORDER BY n DESC, w LIMIT 25""".stripMargin
+
   /** Quality-filter → md5 exact-dedup (keep min doc_id) → per-language
     * token/char stats of the surviving corpus.
     */
@@ -703,6 +714,7 @@ object ExtQueries {
     dialect("t02_text_quality", qualitySql),
     dialect("t03_text_tokencount", tokenCountSql),
     dialect("t04_text_fingerprint", fingerprintSql),
+    dialect("t05_text_wordfreq", wordFreqSql),
     // End-to-end corpus curation: quality filter -> exact dedup ->
     // per-language corpus stats; the composed pipeline in one plan.
     dialect("p01_pipeline_curate", curateSql),

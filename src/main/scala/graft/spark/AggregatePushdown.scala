@@ -29,7 +29,8 @@ object AggregatePushdown {
       agg: Aggregation,
       tableSchema: StructType,
       conf: Configuration,
-      paths: Seq[String]): Option[Result] = {
+      paths: Seq[String],
+      useManifest: Boolean = false): Option[Result] = {
     if (agg.groupByExpressions().nonEmpty) return None
     val leaves = CellCodec.flatten(tableSchema)
     val leafIdx = leaves.zipWithIndex.map { case (l, i) => (l.name, i) }.toMap
@@ -68,7 +69,8 @@ object AggregatePushdown {
     // without opening the data file (the aggregate then costs one small
     // sidecar read per file); legacy sidecars are verified against a
     // header walk. Parallel across files.
-    val files = ColumnFileDataSource.listDataFiles(conf, paths)
+    val files = ColumnFileDataSource
+      .listDataFilesWithRoots(conf, paths, useManifest).map(_._2)
     val perFile: Seq[Option[Seq[ChunkStatsIndex.ChunkStats]]] =
       ColumnFileDataSource.mapFilesParallel(files) { st =>
         ChunkStatsIndex.readWithLen(conf, st.getPath) match {
@@ -133,7 +135,8 @@ object AggregatePushdown {
       tableSchema: StructType,
       partitionCols: Seq[String],
       conf: Configuration,
-      paths: Seq[String]): Option[Result] = {
+      paths: Seq[String],
+      useManifest: Boolean = false): Option[Result] = {
     val partSet = partitionCols.toSet
     val dataSchema = StructType(tableSchema.fields.filterNot(f => partSet(f.name)))
     val leaves = CellCodec.flatten(dataSchema)
@@ -176,7 +179,7 @@ object AggregatePushdown {
     val parsed = specs.map(_.get)
 
     // per-file stats, grouped by the files' partition values for groupCols
-    val files = ColumnFileDataSource.listDataFilesWithRoots(conf, paths)
+    val files = ColumnFileDataSource.listDataFilesWithRoots(conf, paths, useManifest)
     val groupOrdinals = groupCols.map(partitionCols.indexOf)
     val perFile: Seq[Option[(Seq[String], Seq[ChunkStatsIndex.ChunkStats])]] =
       ColumnFileDataSource.mapFilesParallel(files) { case (root, st) =>

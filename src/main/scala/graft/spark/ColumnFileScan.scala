@@ -111,11 +111,13 @@ class ColumnFileScanBuilder(
       : Option[AggregatePushdown.Result] =
     if (pushed.nonEmpty) None
     else if (partitionCols.isEmpty)
-      AggregatePushdown.tryCompute(agg, tableSchema, conf, paths)
+      AggregatePushdown.tryCompute(agg, tableSchema, conf, paths,
+        Option(options.get("useManifest")).exists(_.toBoolean))
     else
       // GROUP BY <partition cols>: answered per partition directory
       AggregatePushdown.tryComputeGrouped(
-        agg, tableSchema, partitionCols, conf, paths)
+        agg, tableSchema, partitionCols, conf, paths,
+        Option(options.get("useManifest")).exists(_.toBoolean))
 
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     aggResult = computeAgg(agg)

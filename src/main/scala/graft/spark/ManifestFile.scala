@@ -47,23 +47,38 @@ object ManifestFile {
   }
 
   def read(conf: Configuration, root: Path): Option[Seq[Entry]] = {
-    val fs = root.getFileSystem(conf)
-    val p = new Path(root, Name)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val s = try new String(in.readAllBytes(), UTF_8) finally in.close()
-    try Some(parse(s))
-    catch { case _: Exception => None } // malformed: fall back to walk
+    // ANY failure — missing, unreadable (e.g. a checksum mismatch after
+    // an out-of-band overwrite), malformed — reads as absent: planning
+    // falls back to the directory walk rather than failing the query
+    try {
+      val fs = root.getFileSystem(conf)
+      val p = new Path(root, Name)
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), UTF_8) finally in.close()
+      Some(parse(s))
+    } catch { case _: Exception => None }
   }
 
   /** Merge `added` into the existing manifest (append-style commits);
     * entries replace by relative path. No existing manifest starts one.
+    * A PRESENT-but-unreadable manifest is deleted instead of merged —
+    * rebuilding it from only the new files would make manifest readers
+    * silently miss the table's older data; with it gone they walk.
     */
   def append(conf: Configuration, root: Path, added: Seq[Entry]): Unit = {
-    val prior = read(conf, root).getOrElse(Seq.empty)
-    val merged = (prior.map(e => e.rel -> e) ++ added.map(e => e.rel -> e))
-      .toMap.values.toSeq
-    write(conf, root, merged)
+    val fs = root.getFileSystem(conf)
+    val p = new Path(root, Name)
+    val prior: Option[Seq[Entry]] =
+      if (!fs.exists(p)) Some(Seq.empty) else read(conf, root)
+    prior match {
+      case Some(entries) =>
+        val merged = (entries.map(e => e.rel -> e) ++ added.map(e => e.rel -> e))
+          .toMap.values.toSeq
+        write(conf, root, merged)
+      case None =>
+        try { fs.delete(p, false); () } catch { case _: Exception => }
+    }
   }
 
   /** Relative path of `file` under `root`, scheme-independent. */

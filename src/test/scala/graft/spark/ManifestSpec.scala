@@ -62,11 +62,35 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.count() == 1200)
     assert(after.agg(org.apache.spark.sql.functions.max("id")).head.getLong(0) == 1199L)
 
+    // stats-only aggregate pushdown also plans from the manifest
+    val agg = spark.read.format("columnfile")
+      .option("useManifest", "true").load(dir)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
+    assert(agg.queryExecution.executedPlan.toString.contains("stats-only"))
+    assert(agg.head.getLong(0) == 1200L)
+
     // a malformed manifest falls back to the walk, never breaks reads
     java.nio.file.Files.write(
       new java.io.File(dir, ManifestFile.Name).toPath, "garbage{".getBytes)
     assert(spark.read.format("columnfile")
       .option("useManifest", "true").load(dir).count() == 1200)
+
+    // an append over a corrupt manifest must NOT rebuild it from only
+    // the new files (readers would silently miss old data) — it deletes
+    // it, and manifest readers walk until a full rewrite recreates it
+    (1200 until 1300).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(1).write.format("columnfile").mode("append").save(dir)
+    assert(!new java.io.File(dir, ManifestFile.Name).exists(),
+      "corrupt manifest must be dropped, not partially rebuilt")
+    assert(spark.read.format("columnfile")
+      .option("useManifest", "true").load(dir).count() == 1300)
+    // a full overwrite restores it
+    (0 until 10).map(i => (i.toLong, s"w$i")).toDF("id", "v")
+      .repartition(1).write.format("columnfile").mode("overwrite").save(dir)
+    assert(ManifestFile.read(new Configuration(), new Path(dir)).get.nonEmpty)
+    assert(spark.read.format("columnfile")
+      .option("useManifest", "true").load(dir).count() == 10)
   }
 
   test("partitioned and streaming commits keep the manifest complete") {
