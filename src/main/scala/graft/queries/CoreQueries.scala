@@ -128,6 +128,12 @@ object CoreQueries {
          |FROM lineitem
          |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin),
 
+    // Batch twin of the watermarked stream-stream interval join
+    // (EventStreams.attributePurchases): purchases attributed to the
+    // same user's clicks in the preceding 30 minutes. Same operator
+    // code runs over readStream (EventStreamsSpec proves parity).
+    attribution,
+
     // GROUPING SETS beyond rollup/cube: explicit set list + GROUPING()
     // disambiguation of "NULL value" vs "aggregated-out column".
     Q.shared("q43_grouping_sets",
@@ -496,6 +502,32 @@ object CoreQueries {
         .createOrReplaceTempView("cf_documents_dict")
       spark.sql(agg("cf_documents_dict"))
     }, Some(agg("documents")))
+  }
+
+  /** q44: the stream-stream interval join's batch twin, aggregated to
+    * per-purchase click attribution counts (raw timestamps stay out of
+    * the output: the oracle's TIMESTAMP_NS vs Spark's micros differ in
+    * representation, not value).
+    */
+  private def attribution: Q = {
+    val oracle =
+      """SELECT p.event_id AS purchase_id, p.user_id AS uid,
+        |  COUNT(*) AS n_clicks, MIN(c.event_id) AS first_click,
+        |  CAST(ROUND(p.value * 100) AS BIGINT) AS p_value_c
+        |FROM events p
+        |JOIN events c ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL '30' MINUTE AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |GROUP BY p.event_id, p.user_id, p.value""".stripMargin
+    Q("q44_stream_attribution", (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.registerAll(spark, dir)
+      graft.streaming.EventStreams.attributePurchases(spark.table("events"))
+        .groupBy(col("purchase_id"), col("user_id"), col("p_value_c"))
+        .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click"))
+        .select(col("purchase_id"), col("user_id").as("uid"),
+          col("n_clicks"), col("first_click"), col("p_value_c"))
+    }, Some(oracle))
   }
 
   /** q42: VariantType storage — documents re-encoded as open-schema

@@ -54,6 +54,36 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(ids.head, ids.tail: _*)
 
+  /** Stream-stream interval join: each purchase attributed to the same
+    * user's clicks in the preceding `windowMinutes`. Both sides carry
+    * watermarks and the join condition bounds event time on both sides,
+    * so Spark derives finite state retention for each input — the
+    * canonical watermarked stream-stream join. State per side is
+    * (arrival rate × window + watermark), independent of stream length;
+    * the join itself shuffles both streams on `user_id`.
+    *
+    * Works identically over batch DataFrames (same plan, no state),
+    * which is what the oracle-gated batch twin `q44` verifies.
+    */
+  def attributePurchases(events: DataFrame, windowMinutes: Int = 30,
+      watermark: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"),
+        expr("CAST(ROUND(p_value * 100) AS BIGINT)").as("p_value_c"))
+  }
+
   /** Gap-based sessionization with explicit keyed state
     * (flatMapGroupsWithState + event-time timeout): emits a session once
     * `gapMinutes` passes with no activity for the user. State per key is

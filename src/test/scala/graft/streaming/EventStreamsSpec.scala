@@ -90,6 +90,45 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("attributePurchases: watermarked stream-stream join matches batch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 0.0),
+      Event(2, ts(20), 1, "click", 0.0),
+      Event(3, ts(25), 1, "purchase", 9.99),  // attributes to clicks 1,2
+      Event(4, ts(10), 2, "click", 0.0),
+      Event(5, ts(55), 2, "purchase", 5.0),   // click 4 is 45min old: none
+      Event(6, ts(30), 3, "view", 0.0),
+      Event(7, ts(31), 3, "purchase", 1.0))   // views never attribute
+    val expected = Set((3L, 1L, 1L), (3L, 1L, 2L)) // (purchase, user, click)
+
+    // batch mode
+    val batch = EventStreams.attributePurchases(events.toDF())
+      .select("purchase_id", "user_id", "click_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(batch == expected)
+
+    // streaming mode: same operator over a MemoryStream; late data past
+    // the watermark horizon flushes the join state
+    val input = MemoryStream[Event]
+    val q = EventStreams.attributePurchases(input.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to emit all joined rows
+      input.addData(Event(99, ts(600), 9, "view", 0.0))
+      q.processAllAvailable()
+      val got = sp.table("attrib")
+        .select("purchase_id", "user_id", "click_id").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap timeout") {
     val sp = spark
     import sp.implicits._
