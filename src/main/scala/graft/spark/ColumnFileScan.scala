@@ -281,7 +281,7 @@ class ColumnFileScan(
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ColumnFileMicroBatchStream(
-      paths, tableSchema, filters, conf, checkpointLocation)
+      paths, tableSchema, filters, conf, checkpointLocation, useManifest)
 
   override def description(): String = {
     val f = if (filters.isEmpty) "" else filters.mkString(", ")

@@ -27,7 +27,8 @@ class ColumnFileMicroBatchStream(
     tableSchema: StructType,
     filters: Array[Filter],
     conf: Configuration,
-    checkpointLocation: String)
+    checkpointLocation: String,
+    useManifest: Boolean = false)
     extends MicroBatchStream {
 
   /** Frontier = "<mtime>/<name>" of the last covered file ("" = none).
@@ -44,8 +45,14 @@ class ColumnFileMicroBatchStream(
   private def key(st: org.apache.hadoop.fs.FileStatus): String =
     f"${st.getModificationTime}%020d/${st.getPath.getName}"
 
+  /** Per-trigger listing; with `useManifest=true` the arrivals come
+    * from `_manifest.json` (maintained by every upstream commit, incl.
+    * the streaming sink's epoch commits), so a cf→cf relay plans each
+    * trigger without a single directory-listing RPC.
+    */
   private def listAll(): Seq[org.apache.hadoop.fs.FileStatus] =
-    ColumnFileDataSource.listDataFiles(conf, paths).sortBy(key)
+    ColumnFileDataSource.listDataFilesWithRoots(conf, paths, useManifest)
+      .map(_._2).sortBy(key)
 
   override def initialOffset(): Offset = ColumnFileOffset("")
 

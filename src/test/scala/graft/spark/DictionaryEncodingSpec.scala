@@ -119,6 +119,49 @@ class DictionaryEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0 until 6).filter(notNull.get) == Seq(0, 1, 2, 4, 5))
   }
 
+  test("property: dict-path filter evaluation == per-cell evaluation (5k random cases)") {
+    import graft.format.{ColumnDecoder, ColumnWriter, DictColumnWriter}
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(20260812)
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val idx = Map("s" -> 0)
+    val pool = Seq("alpha", "beta", "gamma", "", "ALPHA", "alph", "alphabet",
+      "éclair", "zzz", "a")
+    def randomFilter(): Filter = {
+      def lit() = pool(rnd.nextInt(pool.length))
+      rnd.nextInt(9) match {
+        case 0 => EqualTo("s", lit())
+        case 1 => In("s", Array.fill(1 + rnd.nextInt(3))(lit(): Any))
+        case 2 => GreaterThan("s", lit())
+        case 3 => LessThanOrEqual("s", lit())
+        case 4 => IsNull("s")
+        case 5 => IsNotNull("s")
+        case 6 => StringStartsWith("s", lit().take(1 + rnd.nextInt(3)))
+        case 7 => StringContains("s", lit().take(2))
+        case _ => Not(EqualTo("s", lit()))
+      }
+    }
+    (1 to 5000).foreach { trial =>
+      val values: Seq[Option[String]] = Seq.fill(1 + rnd.nextInt(40))(
+        if (rnd.nextInt(6) == 0) None else Some(pool(rnd.nextInt(pool.length))))
+      def feed(w: graft.format.ColumnSink): Unit = values.foreach {
+        case Some(s) => w.put(UTF8String.fromString(s).getBytes)
+        case None    => w.putNull()
+      }
+      val dw = new DictColumnWriter; feed(dw)
+      val pw = new ColumnWriter; feed(pw)
+      val bound = FilterEval.bind(randomFilter(), schema, idx).toArray
+      val viaDict = FilterEval.survivorBitmap(
+        Map(0 -> new ColumnDecoder(dw.finishChunk())), bound, values.length)
+      val viaPlain = FilterEval.survivorBitmap(
+        Map(0 -> new ColumnDecoder(pw.finishChunk())), bound, values.length)
+      assert(viaDict == viaPlain,
+        s"trial $trial: dict path diverged for values=$values")
+    }
+  }
+
   test("dictionary shrinks categorical tables on disk") {
     def size(dir: String): Long =
       new java.io.File(dir).listFiles()

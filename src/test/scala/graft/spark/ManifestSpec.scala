@@ -126,4 +126,37 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sinkEntries.nonEmpty &&
       sinkEntries.forall(!_.rel.startsWith(".")), sinkEntries.toString)
   }
+
+  test("streaming source can plan triggers from the manifest alone") {
+    val sp = spark; import sp.implicits._
+    val src = Files.createTempDirectory("cf-manifest-stsrc").toString
+    val ckpt = Files.createTempDirectory("cf-manifest-stckpt").toString
+    val out = Files.createTempDirectory("cf-manifest-stout").toString
+    (0 until 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.format("columnfile").mode("overwrite").save(src)
+    val schema = spark.read.format("columnfile").load(src).schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("columnfile").schema(schema)
+        .option("useManifest", "true").load(src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 40)
+    // a stray file is invisible to the manifest-driven stream...
+    val data = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(ColumnFileDataSource.FileExtension)).head
+    java.nio.file.Files.copy(data.toPath,
+      new java.io.File(src, "zz-stray.cf").toPath)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 40, "stray file was listed")
+    new java.io.File(src, "zz-stray.cf").delete()
+    // ...while committed appends (which update the manifest) are picked up
+    (40 until 55).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(1).write.format("columnfile").mode("append").save(src)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 55)
+  }
 }
