@@ -1,25 +1,36 @@
 package graft.spark
 
+import java.nio.charset.StandardCharsets.UTF_8
+
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
 /** Micro-batch streaming source over a columnfile directory: each batch
-  * covers the files that arrived since the last committed offset
-  * (ordered by (modification time, name) — append-only ingestion, the
-  * standard file-stream contract). Offsets are just a count into that
-  * ordering plus the covered name set's frontier, so restarts resume
-  * exactly. Chunk-run partitioning, pruning, and pushdown all reuse the
-  * batch scan machinery.
+  * covers the files that arrived since the last batch (append-only
+  * ingestion, the standard file-stream contract). Chunk-run
+  * partitioning, pruning, and pushdown all reuse the batch scan
+  * machinery.
   *
-  * Scale: listing is one directory scan per trigger (object-store
-  * listing); per-batch work is proportional to new data only. State on
-  * the driver is the frontier string — O(1).
+  * Tracking is an EXACT seen-file log (the FileStreamSource approach,
+  * not an mtime frontier): each planned batch's file list is persisted
+  * under `<checkpoint>/graft-file-batches/<n>` BEFORE the offset is
+  * surfaced, and an offset is simply the number of logged batches — so
+  * (start, end] replays byte-identically after any restart, and a file
+  * whose mtime collides with an already-covered file is still picked up
+  * (an mtime frontier would silently skip it).
+  *
+  * Scale: listing is one directory scan per trigger (or zero with
+  * `useManifest=true` — arrivals then come from `_manifest.json`);
+  * per-batch work is proportional to new data only. The seen-set loads
+  * incrementally (new log entries only) and lives on the driver; log
+  * files are tiny append-only metadata.
   */
-final case class ColumnFileOffset(frontier: String) extends Offset {
-  override def json(): String = frontier
+final case class ColumnFileOffset(batches: Long) extends Offset {
+  override def json(): String = batches.toString
 }
 
 class ColumnFileMicroBatchStream(
@@ -31,60 +42,94 @@ class ColumnFileMicroBatchStream(
     useManifest: Boolean = false)
     extends MicroBatchStream {
 
-  /** Frontier = "<mtime>/<name>" of the last covered file ("" = none).
-    * Files sort by this key; a batch covers everything above the start
-    * frontier up to the end frontier.
-    *
-    * Known limit of frontier-based tracking: a file whose mtime equals
-    * the frontier file's but whose name sorts below it would be skipped
-    * if it appears *after* that batch was planned. Producers writing
-    * through our sink get fresh mtimes per commit, so this needs an
-    * adversarial writer; an exactly-tracked seen-file log (Spark's
-    * FileStreamSource approach) is the upgrade path if one appears.
-    */
-  private def key(st: org.apache.hadoop.fs.FileStatus): String =
-    f"${st.getModificationTime}%020d/${st.getPath.getName}"
+  private val logDir = new Path(checkpointLocation, "graft-file-batches")
+  private val fs = logDir.getFileSystem(conf)
 
-  /** Per-trigger listing; with `useManifest=true` the arrivals come
-    * from `_manifest.json` (maintained by every upstream commit, incl.
-    * the streaming sink's epoch commits), so a cf→cf relay plans each
-    * trigger without a single directory-listing RPC.
-    */
-  private def listAll(): Seq[org.apache.hadoop.fs.FileStatus] =
-    ColumnFileDataSource.listDataFilesWithRoots(conf, paths, useManifest)
-      .map(_._2).sortBy(key)
+  // incrementally-loaded seen set: union of all logged batches' paths
+  private val seenPaths = scala.collection.mutable.HashSet.empty[String]
+  private var seenThrough = 0L // batches merged into seenPaths
 
-  override def initialOffset(): Offset = ColumnFileOffset("")
+  private def batchFile(n: Long): Path = new Path(logDir, n.toString)
 
-  override def latestOffset(): Offset = {
-    val files = listAll()
-    ColumnFileOffset(if (files.isEmpty) "" else key(files.last))
+  private def loggedBatches(): Long = {
+    if (!fs.exists(logDir)) return 0L
+    // batch n is only counted when 0..n-1 all exist (rename/list gaps)
+    val present = fs.listStatus(logDir).map(_.getPath.getName)
+      .flatMap(n => scala.util.Try(n.toLong).toOption).toSet
+    var n = 0L
+    while (present(n)) n += 1
+    n
   }
 
-  override def deserializeOffset(json: String): Offset = ColumnFileOffset(json)
+  /** (path, len) pairs of one logged batch. */
+  private def readBatch(n: Long): Seq[(String, Long)] = {
+    val in = fs.open(batchFile(n))
+    val body = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    body.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      val i = line.lastIndexOf('\t')
+      (line.substring(0, i), line.substring(i + 1).toLong)
+    }
+  }
+
+  private def loadSeenThrough(n: Long): Unit = {
+    while (seenThrough < n) {
+      readBatch(seenThrough).foreach { case (p, _) => seenPaths += p }
+      seenThrough += 1
+    }
+  }
+
+  private def listAll(): Seq[org.apache.hadoop.fs.FileStatus] =
+    ColumnFileDataSource.listDataFilesWithRoots(conf, paths, useManifest)
+      .map(_._2)
+      .sortBy(st => (st.getModificationTime, st.getPath.toString))
+
+  override def initialOffset(): Offset = ColumnFileOffset(0L)
+
+  override def latestOffset(): Offset = {
+    val logged = loggedBatches()
+    loadSeenThrough(logged)
+    val fresh = listAll().filterNot(st => seenPaths(st.getPath.toString))
+    if (fresh.isEmpty) ColumnFileOffset(logged)
+    else {
+      // persist the batch BEFORE surfacing the offset: a crash between
+      // the two leaves an orphan batch that the next trigger re-surfaces
+      fs.mkdirs(logDir)
+      val out = fs.create(batchFile(logged), false)
+      try out.write(fresh.map(st => s"${st.getPath}\t${st.getLen}")
+        .mkString("", "\n", "\n").getBytes(UTF_8))
+      finally out.close()
+      fresh.foreach(st => seenPaths += st.getPath.toString)
+      seenThrough = logged + 1
+      ColumnFileOffset(logged + 1)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    ColumnFileOffset(json.trim.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[ColumnFileOffset].frontier
-    val hi = end.asInstanceOf[ColumnFileOffset].frontier
-    val files = listAll().filter(st => key(st) > lo && key(st) <= hi)
+    val lo = start.asInstanceOf[ColumnFileOffset].batches
+    val hi = end.asInstanceOf[ColumnFileOffset].batches
+    val files: Seq[(Path, Long)] = (lo until hi)
+      .flatMap(readBatch).map { case (p, len) => (new Path(p), len) }
     // chunk offsets from the stats sidecar when present (no data-file
     // open per micro-batch), header walk otherwise; parallel across the
     // batch's new files
-    ColumnFileDataSource.mapFilesParallel(files) { st =>
+    ColumnFileDataSource.mapFilesParallel(files) { case (path, len) =>
       val (offsets, rows): (Array[Long], Array[Long]) =
-        ChunkStatsIndex.readWithLen(conf, st.getPath) match {
-          case Some((len, ss)) if len == st.getLen &&
+        ChunkStatsIndex.readWithLen(conf, path) match {
+          case Some((slen, ss)) if slen == len &&
               ss.forall(c => c.off >= 0 && c.bytes >= 0) =>
             (ss.map(_.off).toArray, ss.map(_.rows).toArray)
           case _ =>
             val in = new HadoopSeekableInput(
-              st.getPath.getFileSystem(conf), st.getPath, st.getLen)
+              path.getFileSystem(conf), path, len)
             try (graft.format.ColumnFileReader.scanChunks(in)
               .map(_.headerOffset).toArray, Array.empty[Long])
             finally in.close()
         }
       if (offsets.isEmpty) None
-      else Some(ColumnFilePartition(st.getPath.toString, st.getLen, offsets,
+      else Some(ColumnFilePartition(path.toString, len, offsets,
         Array.empty, rows))
     }.flatten.toArray
   }

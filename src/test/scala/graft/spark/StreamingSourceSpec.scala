@@ -9,7 +9,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** readStream over the columnfile format: new files become new
-  * micro-batches; restarts resume from the committed frontier.
+  * micro-batches; restarts replay exactly from the per-batch file log.
   */
 class StreamingSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -59,6 +59,42 @@ class StreamingSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // idempotent: no new files, no new rows
     runOnce()
     assert(spark.read.parquet(sink).count() == 130)
+  }
+
+  test("exact file tracking: equal/older-mtime late arrivals are never skipped") {
+    val sp = spark; import sp.implicits._
+    val src = Files.createTempDirectory("cf-stream-exact").toString
+    val ckpt = Files.createTempDirectory("cf-stream-exact-ckpt").toString
+    val sink = Files.createTempDirectory("cf-stream-exact-sink").toString
+
+    (0 until 50).map(i => (i.toLong, s"a$i")).toDF("id", "v")
+      .repartition(1).write.format("columnfile").mode("overwrite").save(src)
+    val schema = spark.read.format("columnfile").load(src).schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("columnfile").schema(schema).load(src)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 50)
+
+    // adversarial late arrival: a file whose NAME sorts before the
+    // already-processed file and whose MTIME is set OLDER than it — an
+    // mtime/name frontier would silently skip this; the exact seen-file
+    // log must not
+    val processed = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(ColumnFileDataSource.FileExtension)).head
+    val late = new java.io.File(src, "a-0000-late.cf")
+    java.nio.file.Files.copy(processed.toPath, late.toPath)
+    assert(late.setLastModified(processed.lastModified() - 60000))
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 100,
+      "late equal/older-mtime arrival was skipped")
+    // and nothing double-processes on another idle run
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 100)
   }
 
   test("cf stream composes with watermarked aggregation and ingest dedup end-to-end") {
