@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Format head-to-head: the same queries over the same data stored as
+  * parquet (Spark's native gold standard) vs columnfile (lz4) vs
+  * columnfile with dictionary encoding. BASELINE.md records that the
+  * reference publishes no numbers, so Spark-parquet is the meaningful
+  * single-node throughput anchor for the scan path.
+  *
+  * Prints one JSON line: per-format per-query seconds (min of two
+  * passes after a warm-up) plus on-disk bytes.
+  */
+object BenchFormats {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Bench.newSession(cpus)
+    import org.apache.spark.sql.functions._
+
+    val base = s"${sys.props("java.io.tmpdir")}/graft_fmt_bench/${Integer.toHexString(sfDir.hashCode)}"
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def ensure(path: String)(write: => Unit): Unit =
+      if (!new java.io.File(path, "_SUCCESS").exists()) write
+    val pq = s"$base/parquet"
+    ensure(pq) { li.write.mode("overwrite").parquet(pq) }
+    val cf = s"$base/cf"
+    ensure(cf) { li.write.format("columnfile").mode("overwrite").save(cf) }
+    val cfDict = s"$base/cf_dict"
+    ensure(cfDict) { li.write.format("columnfile")
+      .option("dictionary", "true").mode("overwrite").save(cfDict) }
+
+    def table(path: String): DataFrame =
+      if (path == pq) spark.read.parquet(path)
+      else spark.read.format("columnfile").load(path)
+
+    // the scan shapes that exercise a format: full-width agg, selective
+    // filter, narrow projection, filter on a categorical column
+    val queries: Seq[(String, DataFrame => Long)] = Seq(
+      "full_agg" -> (df => df.groupBy("l_returnflag")
+        .agg(count(lit(1)), sum("l_quantity"), avg("l_extendedprice"))
+        .collect().length.toLong),
+      "selective_filter" -> (df =>
+        df.filter(col("l_quantity") > 49.5).count()),
+      "narrow_projection" -> (df =>
+        df.select("l_orderkey", "l_quantity").filter(col("l_orderkey") % 1000 === 0)
+          .count()),
+      "categorical_filter" -> (df =>
+        df.filter(col("l_returnflag") === "R").count()))
+
+    val formats = Seq("parquet" -> pq, "cf_lz4" -> cf, "cf_dict" -> cfDict)
+    // warm-up
+    formats.foreach { case (_, p) => queries.foreach(q => q._2(table(p))) }
+    def pass(): Map[(String, String), Double] =
+      (for ((fname, p) <- formats; (qname, q) <- queries) yield {
+        val t0 = System.nanoTime()
+        q(table(p))
+        (fname, qname) -> (System.nanoTime() - t0) / 1e9
+      }).toMap
+    val (p1, p2) = (pass(), pass())
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.map(walk).sum
+        else f.length()
+      walk(new java.io.File(p))
+    }
+    val body = formats.map { case (fname, p) =>
+      val qs = queries.map { case (qname, _) =>
+        val t = math.min(p1((fname, qname)), p2((fname, qname)))
+        s""""$qname":$t"""
+      }.mkString("{", ",", "}")
+      s""""$fname":{"bytes":${dirBytes(p)},"queries":$qs}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"format_bench","sf":"$sfDir","formats":$body}""")
+    spark.stop()
+  }
+}
