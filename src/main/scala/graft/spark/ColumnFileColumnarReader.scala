@@ -228,32 +228,55 @@ class ColumnFileColumnarPartitionReader(
       } else {
         val cell = if (d != null && d.hasNext) d.next() else null
         if (cell == null) vectors(i).putNull(pos)
-        else putCell(vectors(i), outTypes(i), cell, pos)
+        else cellWriters(i)(vectors(i), cell, pos)
       }
       i += 1
     }
   }
 
-  private def putCell(v: OnHeapColumnVector, dt: DataType,
-                      cell: Array[Byte], pos: Int): Unit = dt match {
+  // Unboxed per-column cell writers, dispatched once per scan instead of
+  // per cell: fixed-width numerics read their little-endian bytes
+  // directly into the vector (no CellCodec boxing in the hot loop).
+  private def expectLen(cell: Array[Byte], n: Int): Unit =
+    if (cell.length != n)
+      throw new graft.format.CorruptColumnFileException(
+        s"cell has ${cell.length} bytes, expected $n")
+  private def leLong(b: Array[Byte]): Long = {
+    expectLen(b, 8)
+    (b(0) & 0xffL) | ((b(1) & 0xffL) << 8) | ((b(2) & 0xffL) << 16) |
+      ((b(3) & 0xffL) << 24) | ((b(4) & 0xffL) << 32) | ((b(5) & 0xffL) << 40) |
+      ((b(6) & 0xffL) << 48) | ((b(7) & 0xffL) << 56)
+  }
+  private def leInt(b: Array[Byte]): Int = {
+    expectLen(b, 4)
+    (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) |
+      ((b(3) & 0xff) << 24)
+  }
+
+  private type CellWriter = (OnHeapColumnVector, Array[Byte], Int) => Unit
+  private val cellWriters: Array[CellWriter] = outTypes.map[CellWriter] {
     case StringType | BinaryType =>
-      v.putByteArray(pos, cell, 0, cell.length)
-      ()
+      (v, cell, pos) => { v.putByteArray(pos, cell, 0, cell.length); () }
+    case LongType | TimestampType | TimestampNTZType =>
+      (v, cell, pos) => v.putLong(pos, leLong(cell))
+    case IntegerType | DateType =>
+      (v, cell, pos) => v.putInt(pos, leInt(cell))
+    case DoubleType =>
+      (v, cell, pos) => v.putDouble(pos, java.lang.Double.longBitsToDouble(leLong(cell)))
+    case FloatType =>
+      (v, cell, pos) => v.putFloat(pos, java.lang.Float.intBitsToFloat(leInt(cell)))
+    case ShortType =>
+      (v, cell, pos) => { expectLen(cell, 2)
+        v.putShort(pos, (((cell(1) & 0xff) << 8) | (cell(0) & 0xff)).toShort) }
+    case ByteType =>
+      (v, cell, pos) => { expectLen(cell, 1); v.putByte(pos, cell(0)) }
+    case BooleanType =>
+      (v, cell, pos) => { expectLen(cell, 1); v.putBoolean(pos, cell(0) != 0) }
     case d: DecimalType =>
-      v.putDecimal(pos,
-        CellCodec.decode(dt, cell).asInstanceOf[org.apache.spark.sql.types.Decimal],
+      (v, cell, pos) => v.putDecimal(pos,
+        CellCodec.decode(d, cell).asInstanceOf[org.apache.spark.sql.types.Decimal],
         d.precision)
-    case _ =>
-      CellCodec.decode(dt, cell) match {
-        case x: Long    => v.putLong(pos, x)
-        case x: Int     => v.putInt(pos, x)
-        case x: Double  => v.putDouble(pos, x)
-        case x: Float   => v.putFloat(pos, x)
-        case x: Short   => v.putShort(pos, x)
-        case x: Byte    => v.putByte(pos, x)
-        case x: Boolean => v.putBoolean(pos, x)
-        case other =>
-          throw new IllegalStateException(s"unexpected vector value $other")
-      }
+    case other =>
+      throw new IllegalStateException(s"non-vectorizable type $other")
   }
 }
