@@ -105,15 +105,16 @@ object MultimodalOps {
     if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
         b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
         b(11) != 'E') return None
-    var i = 12
-    while (i + 8 <= b.length) {
-      val size = leInt(b, i + 4)
-      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ')
-        return if (size >= 8 && i + 16 <= b.length)
-          Some((leInt(b, i + 12), leShort(b, i + 10))) // (sampleRate, channels)
+    var i = 12L // Long cursor: a huge declared chunk size must not
+    while (i + 8 <= b.length) { //    overflow the position negative
+      val j = i.toInt
+      val size = leInt(b, j + 4)
+      if (b(j) == 'f' && b(j + 1) == 'm' && b(j + 2) == 't' && b(j + 3) == ' ')
+        return if (size >= 8 && j + 16 <= b.length)
+          Some((leInt(b, j + 12), leShort(b, j + 10))) // (sampleRate, channels)
         else None
       if (size < 0) return None
-      i += 8 + size + (size & 1) // chunks are word-aligned
+      i += 8L + size + (size & 1) // chunks are word-aligned
     }
     None
   }
@@ -143,6 +144,7 @@ object MultimodalOps {
       (t1, l1, h1) <- boxes(0, b.length) if t1 == "moov"
       (t2, l2, h2) <- boxes(l1, h1) if t2 == "trak"
       (t3, l3, h3) <- boxes(l2, h2) if t3 == "tkhd"
+      if l3 < h3 // version byte exists (empty tkhd payload at EOF)
       off = l3 + (if ((b(l3) & 0xff) == 1) 88 else 76)
       if off + 8 <= h3
     } yield (beInt(b, off) >>> 16, beInt(b, off + 4) >>> 16)

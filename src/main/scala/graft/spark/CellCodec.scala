@@ -106,11 +106,13 @@ object CellCodec {
     case _: VariantType =>
       val cur = new Cursor(0)
       def part(): Array[Byte] = {
-        val len = Varint.get(bytes, cur).toInt
-        if (len < 0 || cur.pos + len > bytes.length)
+        // validate as Long BEFORE narrowing: a corrupt length >= 2^31
+        // must raise, not truncate into a plausible small slice
+        val len = Varint.get(bytes, cur)
+        if (len < 0 || len > (bytes.length - cur.pos).toLong)
           throw new CorruptColumnFileException("truncated variant cell")
-        val out = java.util.Arrays.copyOfRange(bytes, cur.pos, cur.pos + len)
-        cur.pos += len
+        val out = java.util.Arrays.copyOfRange(bytes, cur.pos, cur.pos + len.toInt)
+        cur.pos += len.toInt
         out
       }
       val value = part(); val metadata = part()

@@ -68,10 +68,13 @@ object ColumnFileDataSource {
     paths.flatMap { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
-      // manifest-first (opt-in): zero listing RPCs when present/parseable
+      // manifest-first (opt-in): zero listing RPCs when present/parseable.
+      // Qualify against the FileSystem so paths take the same form the
+      // walk returns (scheme-qualified) — consumers dedupe by path string
+      // (e.g. the streaming source's seen-file log).
       val fromManifest =
         if (useManifest) ManifestFile.read(conf, path)
-          .map(ManifestFile.statuses(path, _))
+          .map(ManifestFile.statuses(fs.makeQualified(path), _))
         else scala.None
       fromManifest.getOrElse {
         if (!fs.exists(path)) Seq.empty

@@ -105,7 +105,17 @@ class ColumnFileMicroBatchStream(
   }
 
   override def deserializeOffset(json: String): Offset =
-    ColumnFileOffset(json.trim.toLong)
+    try ColumnFileOffset(json.trim.toLong)
+    catch {
+      case _: NumberFormatException =>
+        // pre-upgrade checkpoints stored an mtime/name frontier string;
+        // fail with instructions instead of a bare NumberFormatException
+        throw new IllegalStateException(
+          s"columnfile stream checkpoint at $checkpointLocation uses the " +
+            "legacy frontier offset format ('" + json + "'); delete the " +
+            "checkpoint directory to restart with exact file tracking " +
+            "(the source will reprocess the directory from scratch)")
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[ColumnFileOffset].batches

@@ -81,32 +81,69 @@ final class ColumnFileStreamingWrite(
     } catch { case _: Exception => }
   }
 
+  /** Epoch commit, crash-resumable at every step. The marker is an
+    * INTENT log written atomically (temp + rename) BEFORE any publish
+    * rename, listing the attempt's temp→final pairs:
+    *
+    *  - crash before the marker: nothing renamed, temps stay invisible
+    *    (swept later by CfTools.clean); the replay is a fresh attempt.
+    *  - crash mid-renames: the replay reads the marker, COMPLETES the
+    *    interrupted renames from the original attempt's temps, then
+    *    deletes its own duplicate files — no loss, no duplicates.
+    *  - crash before the manifest append: the replay re-appends from the
+    *    marker's final names (idempotent merge by relative path).
+    */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = dir.getFileSystem(conf.conf)
     val marker = epochMarker(epochId)
-    if (fs.exists(marker)) {
-      files(messages).foreach(delete(fs, _)) // replay of a committed epoch
-      return
-    }
-    val published = files(messages).map { f =>
-      val tmp = new Path(f)
-      require(tmp.getName.startsWith("."), s"not an in-progress file: $f")
-      val fin = new Path(tmp.getParent, tmp.getName.substring(1))
-      fs.rename(tmp, fin)
-      val tmpSide = sidecarOf(tmp)
-      if (fs.exists(tmpSide)) fs.rename(tmpSide, sidecarOf(fin))
-      fin
+    val pairs: Seq[(Path, Path)] =
+      if (fs.exists(marker)) {
+        // replay of a committed (or mid-commit-crashed) epoch: finish the
+        // original attempt's publishes, then drop the replay's files
+        val body = {
+          val in = fs.open(marker)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        }
+        val orig = body.split('\n').toSeq.filter(_.nonEmpty).map { line =>
+          val i = line.indexOf('\t')
+          (new Path(line.substring(0, i)), new Path(line.substring(i + 1)))
+        }
+        files(messages).foreach(delete(fs, _))
+        orig
+      } else {
+        val intents = files(messages).map { f =>
+          val tmp = new Path(f)
+          require(tmp.getName.startsWith("."), s"not an in-progress file: $f")
+          (tmp, new Path(tmp.getParent, tmp.getName.substring(1)))
+        }
+        fs.mkdirs(marker.getParent)
+        val tmpMarker = new Path(marker.getParent, s".${epochId}.intent")
+        val out = fs.create(tmpMarker, true)
+        try out.write(intents.map { case (t, f) => s"$t\t$f" }
+          .mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        fs.rename(tmpMarker, marker) // atomic: the commit point
+        intents
+      }
+    pairs.foreach { case (tmp, fin) =>
+      if (!fs.exists(fin) && fs.exists(tmp)) {
+        fs.rename(tmp, fin)
+        val tmpSide = sidecarOf(tmp)
+        if (fs.exists(tmpSide)) fs.rename(tmpSide, sidecarOf(fin))
+      }
     }
     ManifestFile.append(conf.conf, dir,
-      published.map(ManifestFile.entryFor(conf.conf, dir, _)))
+      pairs.map(_._2).filter(f => fs.exists(f))
+        .map(ManifestFile.entryFor(conf.conf, dir, _)))
     val sc = fs.create(new Path(dir, ColumnFileDataSource.SchemaSidecar), true)
     try sc.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally sc.close()
     if (partitionCols.nonEmpty)
       PartitionLayout.write(conf.conf, dir, partitionCols)
     fs.create(new Path(dir, "_SUCCESS"), true).close()
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -130,8 +167,10 @@ final class ColumnFileStreamingWriterFactory(
       epochId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     // epoch in the name: replayed epochs under a fresh jobId can never
-    // collide with a previous attempt's published files
-    val fileName = f".part-e$epochId%010d-$partitionId%05d-$jobId${ColumnFileDataSource.FileExtension}"
+    // collide with a previous attempt's published files; taskId keeps
+    // same-job retries/speculative attempts on DISTINCT paths, so a
+    // losing attempt's abort can only ever delete its own file
+    val fileName = f".part-e$epochId%010d-$partitionId%05d-$jobId-$taskId%d${ColumnFileDataSource.FileExtension}"
     if (partitionCols.isEmpty)
       new ColumnFileDataWriter(new Path(dir, fileName), schema, compression,
         targetChunkBytes, conf.conf, dictionary)

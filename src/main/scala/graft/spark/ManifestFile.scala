@@ -23,6 +23,13 @@ import org.apache.hadoop.fs.{FileStatus, Path}
   * Hence opt-in on the read side; writers maintain it unconditionally
   * (one small JSON write per commit). A malformed manifest reads as
   * absent and planning falls back to the walk.
+  *
+  * Concurrency: maintenance is a read-modify-write with no atomic swap,
+  * so it assumes ONE writer per table at a time — the same contract
+  * every file-based Spark sink has for its output directory. Two truly
+  * concurrent committers can lose each other's manifest entries (never
+  * data files); a catalog-backed commit protocol is the upgrade path if
+  * multi-writer tables appear.
   */
 object ManifestFile {
 
@@ -61,25 +68,40 @@ object ManifestFile {
   }
 
   /** Merge `added` into the existing manifest (append-style commits);
-    * entries replace by relative path. No existing manifest starts one.
-    * A PRESENT-but-unreadable manifest is deleted instead of merged —
-    * rebuilding it from only the new files would make manifest readers
-    * silently miss the table's older data; with it gone they walk.
+    * entries replace by relative path.
+    *
+    * When no readable manifest exists — a legacy table written before
+    * the manifest feature, or a corrupt one — the prior entries are
+    * bootstrapped from a FULL directory walk, never from just `added`:
+    * a manifest listing only the new files would make `useManifest`
+    * readers silently miss the table's older data. The walk runs once
+    * per such commit and the table is manifest-complete afterwards.
     */
   def append(conf: Configuration, root: Path, added: Seq[Entry]): Unit = {
     val fs = root.getFileSystem(conf)
     val p = new Path(root, Name)
-    val prior: Option[Seq[Entry]] =
-      if (!fs.exists(p)) Some(Seq.empty) else read(conf, root)
-    prior match {
-      case Some(entries) =>
-        val merged = (entries.map(e => e.rel -> e) ++ added.map(e => e.rel -> e))
-          .toMap.values.toSeq
-        write(conf, root, merged)
-      case None =>
-        try { fs.delete(p, false); () } catch { case _: Exception => }
-    }
+    val prior: Seq[Entry] =
+      if (fs.exists(p)) read(conf, root) match {
+        case Some(entries) => entries
+        case None => // present but unreadable: rebuild from the truth
+          try { fs.delete(p, false); () } catch { case _: Exception => }
+          walkEntries(conf, root)
+      }
+      else walkEntries(conf, root)
+    val merged = (prior.map(e => e.rel -> e) ++ added.map(e => e.rel -> e))
+      .toMap.values.toSeq
+    write(conf, root, merged)
   }
+
+  /** All data files under `root`, as manifest entries (full listing —
+    * the bootstrap/repair path only).
+    */
+  private def walkEntries(conf: Configuration, root: Path): Seq[Entry] =
+    ColumnFileDataSource
+      .listDataFilesWithRoots(conf, Seq(root.toString), useManifest = false)
+      .map { case (_, st) =>
+        Entry(relativize(root, st.getPath), st.getLen, st.getModificationTime)
+      }
 
   /** Relative path of `file` under `root`, scheme-independent. */
   def relativize(root: Path, file: Path): String = {

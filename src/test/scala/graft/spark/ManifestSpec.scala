@@ -77,20 +77,26 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("useManifest", "true").load(dir).count() == 1200)
 
     // an append over a corrupt manifest must NOT rebuild it from only
-    // the new files (readers would silently miss old data) — it deletes
-    // it, and manifest readers walk until a full rewrite recreates it
+    // the new files (readers would silently miss old data) — it
+    // re-bootstraps the COMPLETE listing from a directory walk, so the
+    // table is manifest-complete again after the commit
     (1200 until 1300).map(i => (i.toLong, s"v$i")).toDF("id", "v")
       .repartition(1).write.format("columnfile").mode("append").save(dir)
-    assert(!new java.io.File(dir, ManifestFile.Name).exists(),
-      "corrupt manifest must be dropped, not partially rebuilt")
+    val healed = ManifestFile.read(conf, new Path(dir)).get
     assert(spark.read.format("columnfile")
       .option("useManifest", "true").load(dir).count() == 1300)
-    // a full overwrite restores it
-    (0 until 10).map(i => (i.toLong, s"w$i")).toDF("id", "v")
-      .repartition(1).write.format("columnfile").mode("overwrite").save(dir)
-    assert(ManifestFile.read(new Configuration(), new Path(dir)).get.nonEmpty)
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(ColumnFileDataSource.FileExtension))
+    assert(healed.map(_.rel).sorted.toSeq == onDisk.map(_.getName).sorted.toSeq,
+      "healed manifest must cover every data file")
+
+    // same self-heal for a LEGACY table that predates the manifest
+    new java.io.File(dir, ManifestFile.Name).delete()
+    (1300 until 1350).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(1).write.format("columnfile").mode("append").save(dir)
     assert(spark.read.format("columnfile")
-      .option("useManifest", "true").load(dir).count() == 10)
+      .option("useManifest", "true").load(dir).count() == 1350,
+      "append to a manifest-less table must bootstrap the full listing")
   }
 
   test("partitioned and streaming commits keep the manifest complete") {

@@ -118,6 +118,25 @@ class StreamingSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m3 = writeEpoch(1L, 11 to 15)
     write.commit(1L, Array(m3))
     assert(spark.read.format("columnfile").load(sink).count() == 15)
+
+    // crash window: intent marker written, renames NOT performed (the
+    // driver died mid-commit). The replay must COMPLETE the original
+    // attempt's publish from the marker and drop its own files.
+    val m4 = writeEpoch(2L, 16 to 20)
+    val tmp = new Path(m4.file)
+    val fin = new Path(tmp.getParent, tmp.getName.substring(1))
+    val markerDir = new java.io.File(sink, "_epochs")
+    markerDir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(markerDir, "2").toPath, s"$tmp\t$fin\n")
+    assert(spark.read.format("columnfile").load(sink).count() == 15,
+      "in-progress file visible before resume")
+    val m5 = writeEpoch(2L, 16 to 20) // the replay attempt
+    write.commit(2L, Array(m5))
+    assert(spark.read.format("columnfile").load(sink).count() == 20,
+      "resumed commit must publish the original attempt exactly once")
+    assert(new java.io.File(fin.toUri.getPath).exists())
+    assert(!new java.io.File(tmp.toUri.getPath).exists())
   }
 
   test("aborted epoch leaves nothing visible; partitioned streaming writes route rows") {
