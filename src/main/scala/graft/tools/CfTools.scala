@@ -82,7 +82,10 @@ object CfTools {
     * standard operational pass after streaming/small-batch ingest (the
     * cluster-scale generalization of the reference cat tool's
     * concatenate-many-inputs-into-one job). Optionally sorts within
-    * output files to restore clustering for stats pruning.
+    * output files to restore clustering for stats pruning, or
+    * Z-ORDERS on several columns (`zOrderBy`) so min/max chunk pruning
+    * works on EVERY listed column — a linear sort clusters only its
+    * leading column.
     */
   def compact(
       spark: SparkSession,
@@ -91,18 +94,48 @@ object CfTools {
       targetFileBytes: Long = 1L << 30,
       sortWithinBy: Seq[String] = Nil,
       compression: String = "lz4",
-      targetChunkBytes: Long = 16L * 1024 * 1024): Unit = {
+      targetChunkBytes: Long = 16L * 1024 * 1024,
+      zOrderBy: Seq[String] = Nil): Unit = {
+    require(sortWithinBy.isEmpty || zOrderBy.isEmpty,
+      "compact: choose sortWithinBy OR zOrderBy, not both")
     val conf = spark.sessionState.newHadoopConf()
     val totalBytes = graft.spark.ColumnFileDataSource
       .listDataFiles(conf, Seq(input)).map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    var df = spark.read.format("columnfile").load(input).repartition(nFiles)
+    val in = spark.read.format("columnfile").load(input)
+    var df =
+      if (zOrderBy.nonEmpty) {
+        // range-partition + sort on the interleaved key: both global
+        // file-level and chunk-level locality on every z-order column
+        in.withColumn("__graft_z", zValue(zOrderBy))
+          .repartitionByRange(nFiles, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+      } else in.repartition(nFiles)
     if (sortWithinBy.nonEmpty)
       df = df.sortWithinPartitions(sortWithinBy.map(col): _*)
     df.write.mode("overwrite").format("columnfile")
       .option("compression", compression)
       .option("targetChunkBytes", targetChunkBytes.toString)
       .save(output)
+  }
+
+  /** Z-value (Morton interleave) of several integer columns: bit j of
+    * column c lands at position j*k + c, so chunks of the sorted output
+    * are hyper-rectangles in key space and min/max stats prune on every
+    * dimension. 62/k bits per column; intended for NON-NEGATIVE integer
+    * keys (shift/offset negatives upstream). Codegen-friendly: a pure
+    * shift/mask/or expression, no UDF.
+    */
+  private[graft] def zValue(cols: Seq[String]): org.apache.spark.sql.Column = {
+    val k = cols.length
+    require(k >= 2, "zOrderBy needs at least two columns")
+    val bits = 62 / k
+    val terms = for {
+      (c, ci) <- cols.zipWithIndex
+      b <- 0 until bits
+    } yield s"(((CAST(`$c` AS BIGINT) >> $b) & 1) << ${b * k + ci})"
+    org.apache.spark.sql.functions.expr(terms.mkString("(", " | ", ")"))
   }
 
   /** Maintenance sweep for a streamed-into table: deletes in-progress

@@ -96,6 +96,47 @@ class ToolsAndMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all > 2 && parts <= 2, s"pruning after compact: $parts of $all")
   }
 
+  test("z-order compaction prunes on EVERY z column; linear sort only on its leading one") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = java.nio.file.Files.createTempDirectory("cf-zorder-src").toString
+    // two independent uniform key columns
+    (0 until 60000).map { i =>
+      (i.toLong, (i % 251).toLong, ((i * 7919) % 257).toLong)
+    }.toDF("id", "x", "y")
+      .repartition(8).write.format("columnfile").mode("overwrite").save(src)
+
+    def pruned(dir: String, c: String): (Int, Int) = {
+      val t = spark.read.format("columnfile")
+        .option("maxPartitionBytes", "1").load(dir)
+      (t.filter(col(c) === 17L).rdd.getNumPartitions, t.rdd.getNumPartitions)
+    }
+
+    val zDir = java.nio.file.Files.createTempDirectory("cf-zorder-z").toString
+    CfTools.compact(spark, src, zDir, targetFileBytes = 1L << 40,
+      targetChunkBytes = 16 * 1024, zOrderBy = Seq("x", "y"))
+    val linDir = java.nio.file.Files.createTempDirectory("cf-zorder-lin").toString
+    CfTools.compact(spark, src, linDir, targetFileBytes = 1L << 40,
+      targetChunkBytes = 16 * 1024, sortWithinBy = Seq("x", "y"))
+
+    // correctness: nothing lost by the rewrite
+    assert(spark.read.format("columnfile").load(zDir).count() == 60000)
+    assert(spark.read.format("columnfile").load(zDir)
+      .filter(col("x") === 17L).count() ==
+      (0 until 60000).count(_ % 251 == 17))
+
+    // z-order: BOTH columns prune well
+    val (zx, zAll) = pruned(zDir, "x")
+    val (zy, _) = pruned(zDir, "y")
+    assert(zx * 3 <= zAll, s"x pruning weak under z-order: $zx of $zAll")
+    assert(zy * 3 <= zAll, s"y pruning weak under z-order: $zy of $zAll")
+    // linear sort: x prunes, y does not (y values spread over every chunk)
+    val (lx, lAll) = pruned(linDir, "x")
+    val (ly, _) = pruned(linDir, "y")
+    assert(lx * 3 <= lAll, s"x pruning weak under linear sort: $lx of $lAll")
+    assert(ly * 2 > lAll, s"y unexpectedly pruned under linear sort: $ly of $lAll")
+  }
+
   test("clean sweeps crashed in-progress files + orphaned sidecars, never live data") {
     val sp = spark; import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cf-clean").toString
