@@ -361,6 +361,9 @@ object CoreQueries {
     // Streaming cf SINK through the oracle gate (exactly-once publish).
     streamSink,
 
+    // Z-order compaction through the oracle gate (rewrite loses nothing).
+    zorderScan,
+
     // Dictionary-encoded storage through the oracle gate.
     dictScan,
 
@@ -475,6 +478,37 @@ object CoreQueries {
            |JOIN cf_flagdim d ON l.l_returnflag = d.flag
            |GROUP BY l.l_returnflag, d.label""".stripMargin)
     }, Some(oracle))
+  }
+
+  /** q45: lineitem rewritten by Z-ORDER compaction on
+    * (l_partkey, l_suppkey) — two independent join keys — then filtered
+    * on the NON-leading dimension and aggregated. The oracle runs on
+    * the original table, so the Morton rewrite must lose/duplicate
+    * nothing; the plan-level win (chunk pruning on either key) is
+    * pinned in ToolsAndMultimodalSpec.
+    */
+  private def zorderScan: Q = {
+    val agg = (from: String) =>
+      s"""SELECT l_suppkey AS sk, COUNT(*) AS cnt,
+         |  CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS price_c
+         |FROM $from WHERE l_suppkey < 10
+         |GROUP BY l_suppkey""".stripMargin
+    Q("q45_cf_zorder_scan", (spark, dir) => {
+      val zdir = Tables.cachePath(dir, "lineitem_zorder")
+      if (!new java.io.File(zdir, "_SUCCESS").exists()) {
+        val plain = Tables.cachePath(dir, "lineitem_plain_for_z")
+        if (!new java.io.File(plain, "_SUCCESS").exists()) {
+          Tables.t(spark, dir, "lineitem").write.format("columnfile")
+            .mode("overwrite").save(plain)
+        }
+        graft.tools.CfTools.compact(spark, plain, zdir,
+          targetChunkBytes = 256 * 1024,
+          zOrderBy = Seq("l_partkey", "l_suppkey"))
+      }
+      spark.read.format("columnfile").load(zdir)
+        .createOrReplaceTempView("cf_lineitem_zorder")
+      spark.sql(agg("cf_lineitem_zorder"))
+    }, Some(agg("lineitem")))
   }
 
   /** q41: documents stored with `dictionary=true` (per-chunk value
