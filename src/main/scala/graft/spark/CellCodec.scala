@@ -194,9 +194,22 @@ object CellCodec {
       out.append(bytes)
   }
 
+  /** Element count of a framed collection, validated as a Long BEFORE
+    * narrowing: each element costs >= 1 byte, so a count beyond the
+    * remaining bytes is corrupt — this both preserves the corrupt-file
+    * error class for counts >= 2^31 (which would narrow negative) and
+    * refuses giant pre-allocations for fabricated counts.
+    */
+  private def readCount(data: Array[Byte], cur: Cursor): Int = {
+    val n = Varint.get(data, cur)
+    if (n < 0 || n > (data.length - cur.pos).toLong)
+      throw new CorruptColumnFileException(s"corrupt framed count $n")
+    n.toInt
+  }
+
   private def readFramed(dt: DataType, data: Array[Byte], cur: Cursor): Any = dt match {
     case ArrayType(et, _) =>
-      val n = Varint.get(data, cur).toInt
+      val n = readCount(data, cur)
       val values = new Array[Any](n)
       var i = 0
       while (i < n) {
@@ -205,7 +218,7 @@ object CellCodec {
       }
       new GenericArrayData(values)
     case MapType(kt, vt, _) =>
-      val n = Varint.get(data, cur).toInt
+      val n = readCount(data, cur)
       val keys = new Array[Any](n)
       val values = new Array[Any](n)
       var i = 0
@@ -232,9 +245,7 @@ object CellCodec {
     case ArrayType(_, _) | MapType(_, _, _) | _: StructType =>
       readFramed(dt, data, cur)
     case StringType | BinaryType | _: DecimalType | _: VariantType =>
-      val len = Varint.get(data, cur).toInt
-      if (cur.pos + len > data.length)
-        throw new CorruptColumnFileException("truncated framed element")
+      val len = readCount(data, cur) // Long-validated before narrowing
       val bytes = java.util.Arrays.copyOfRange(data, cur.pos, cur.pos + len)
       cur.pos += len
       decode(dt, bytes)

@@ -73,7 +73,8 @@ class ColumnFileMicroBatchStream(
 
   private def loadSeenThrough(n: Long): Unit = {
     while (seenThrough < n) {
-      readBatch(seenThrough).foreach { case (p, _) => seenPaths += p }
+      readBatch(seenThrough).foreach { case (p, _) =>
+        seenPaths += seenKey(new Path(p)) }
       seenThrough += 1
     }
   }
@@ -85,10 +86,17 @@ class ColumnFileMicroBatchStream(
 
   override def initialOffset(): Offset = ColumnFileOffset(0L)
 
+  /** Seen-log key: the scheme-stripped URI path — a directory walk
+    * returns qualified paths (`file:/x`) while manifest entries resolve
+    * against the user-supplied root (`/x`); the key must not depend on
+    * which listing mode produced it.
+    */
+  private def seenKey(p: Path): String = p.toUri.getPath
+
   override def latestOffset(): Offset = {
     val logged = loggedBatches()
     loadSeenThrough(logged)
-    val fresh = listAll().filterNot(st => seenPaths(st.getPath.toString))
+    val fresh = listAll().filterNot(st => seenPaths(seenKey(st.getPath)))
     if (fresh.isEmpty) ColumnFileOffset(logged)
     else {
       // persist the batch BEFORE surfacing the offset: a crash between
@@ -98,7 +106,7 @@ class ColumnFileMicroBatchStream(
       try out.write(fresh.map(st => s"${st.getPath}\t${st.getLen}")
         .mkString("", "\n", "\n").getBytes(UTF_8))
       finally out.close()
-      fresh.foreach(st => seenPaths += st.getPath.toString)
+      fresh.foreach(st => seenPaths += seenKey(st.getPath))
       seenThrough = logged + 1
       ColumnFileOffset(logged + 1)
     }

@@ -93,13 +93,39 @@ final class ColumnFileStreamingWrite(
     *  - crash before the manifest append: the replay re-appends from the
     *    marker's final names (idempotent merge by relative path).
     */
+  private def writeMarker(fs: FileSystem, marker: Path,
+      pairs: Seq[(Path, Path)]): Unit = {
+    fs.mkdirs(marker.getParent)
+    val tmpMarker = new Path(marker.getParent, s".${marker.getName}.intent")
+    val out = fs.create(tmpMarker, true)
+    try out.write(pairs.map { case (t, f) => s"$t\t$f" }
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // adopt-replay supersedes a marker whose attempt left nothing; local
+    // and HDFS renames refuse existing destinations, so clear it first
+    if (fs.exists(marker)) fs.delete(marker, false)
+    if (!fs.rename(tmpMarker, marker)) // atomic: the commit point
+      throw new java.io.IOException(s"columnfile sink: cannot write $marker")
+  }
+
+  private def intentsOf(msgs: Array[WriterCommitMessage]): Seq[(Path, Path)] =
+    files(msgs).map { f =>
+      val tmp = new Path(f)
+      require(tmp.getName.startsWith("."), s"not an in-progress file: $f")
+      (tmp, new Path(tmp.getParent, tmp.getName.substring(1)))
+    }
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = dir.getFileSystem(conf.conf)
     val marker = epochMarker(epochId)
     val pairs: Seq[(Path, Path)] =
-      if (fs.exists(marker)) {
-        // replay of a committed (or mid-commit-crashed) epoch: finish the
-        // original attempt's publishes, then drop the replay's files
+      if (!fs.exists(marker)) {
+        val intents = intentsOf(messages)
+        writeMarker(fs, marker, intents)
+        intents
+      } else {
+        // replay of a committed (or mid-commit-crashed) epoch
         val body = {
           val in = fs.open(marker)
           try new String(in.readAllBytes(),
@@ -110,34 +136,48 @@ final class ColumnFileStreamingWrite(
           val i = line.indexOf('\t')
           (new Path(line.substring(0, i)), new Path(line.substring(i + 1)))
         }
-        files(messages).foreach(delete(fs, _))
-        orig
-      } else {
-        val intents = files(messages).map { f =>
-          val tmp = new Path(f)
-          require(tmp.getName.startsWith("."), s"not an in-progress file: $f")
-          (tmp, new Path(tmp.getParent, tmp.getName.substring(1)))
+        val recoverable = orig.filter { case (t, f) =>
+          fs.exists(f) || fs.exists(t)
         }
-        fs.mkdirs(marker.getParent)
-        val tmpMarker = new Path(marker.getParent, s".${epochId}.intent")
-        val out = fs.create(tmpMarker, true)
-        try out.write(intents.map { case (t, f) => s"$t\t$f" }
-          .mkString("", "\n", "\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        fs.rename(tmpMarker, marker) // atomic: the commit point
-        intents
+        if (recoverable.size == orig.size) {
+          // every original file is publishable: finish those, drop the
+          // replay's duplicates
+          files(messages).foreach(delete(fs, _))
+          orig
+        } else if (!orig.exists { case (_, f) => fs.exists(f) }) {
+          // NOTHING of the original attempt survives (e.g. its temps
+          // were lost before publishing): the replay is the only copy —
+          // adopt it as the authoritative attempt BEFORE touching its
+          // files, and only then supersede the marker
+          val intents = intentsOf(messages)
+          writeMarker(fs, marker, intents)
+          intents
+        } else {
+          // partially published originals AND lost originals: publishing
+          // the replay could double rows, dropping it loses rows — fail
+          // loudly rather than guess
+          throw new java.io.IOException(
+            s"columnfile sink: epoch $epochId is partially published and " +
+              s"partially lost (marker $marker); manual repair required")
+        }
       }
     pairs.foreach { case (tmp, fin) =>
-      if (!fs.exists(fin) && fs.exists(tmp)) {
-        fs.rename(tmp, fin)
-        val tmpSide = sidecarOf(tmp)
-        if (fs.exists(tmpSide)) fs.rename(tmpSide, sidecarOf(fin))
-      }
+      if (fs.exists(tmp) && !fs.exists(fin) && !fs.rename(tmp, fin))
+        throw new java.io.IOException(
+          s"columnfile sink: cannot publish $tmp -> $fin")
+      // sidecar publish resumes independently (a crash can land between
+      // the data rename and this one)
+      val tmpSide = sidecarOf(tmp)
+      val finSide = sidecarOf(fin)
+      if (fs.exists(tmpSide) && !fs.exists(finSide))
+        fs.rename(tmpSide, finSide)
+      if (!fs.exists(fin))
+        throw new java.io.IOException(
+          s"columnfile sink: $fin missing after publish; failing commit " +
+            "so the epoch retries")
     }
     ManifestFile.append(conf.conf, dir,
-      pairs.map(_._2).filter(f => fs.exists(f))
-        .map(ManifestFile.entryFor(conf.conf, dir, _)))
+      pairs.map(_._2).map(ManifestFile.entryFor(conf.conf, dir, _)))
     val sc = fs.create(new Path(dir, ColumnFileDataSource.SchemaSidecar), true)
     try sc.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally sc.close()

@@ -162,10 +162,37 @@ object CfTools {
         else all += st
       }
     collect(root)
+    // Temps referenced by a streaming epoch INTENT marker are committed
+    // data awaiting publish (the marker is the commit point) — a crashed
+    // stream may resume and complete them, so the sweep must not touch
+    // them at any age. Stale dot-prefixed .intent temp markers (crash
+    // between marker write and rename) ARE swept.
+    val epochsDir = new org.apache.hadoop.fs.Path(root, "_epochs")
+    val protectedTemps = scala.collection.mutable.HashSet.empty[String]
     var deleted = 0
-    def del(st: org.apache.hadoop.fs.FileStatus): Unit =
+    def delAt(st: org.apache.hadoop.fs.FileStatus): Unit =
       if (now - st.getModificationTime >= minAgeMs && fs.delete(st.getPath, false))
         deleted += 1
+    if (fs.exists(epochsDir)) fs.listStatus(epochsDir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".") && n.endsWith(".intent")) delAt(st)
+      else if (!st.isDirectory) {
+        val in = fs.open(st.getPath)
+        val body = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        body.split('\n').filter(_.nonEmpty).foreach { line =>
+          val i = line.indexOf('\t')
+          if (i > 0) {
+            val tmp = new org.apache.hadoop.fs.Path(line.substring(0, i))
+            protectedTemps += tmp.toUri.getPath
+            protectedTemps += new org.apache.hadoop.fs.Path(tmp.getParent,
+              "." + tmp.getName + statsSuffix).toUri.getPath
+          }
+        }
+      }
+    }
+    def del(st: org.apache.hadoop.fs.FileStatus): Unit =
+      if (!protectedTemps(st.getPath.toUri.getPath)) delAt(st)
     // pass 1: crashed attempts' in-progress data files (dot-prefixed .cf)
     all.filter { st =>
       val n = st.getPath.getName

@@ -93,6 +93,32 @@ class CellCodecPropertySpec extends AnyFunSuite {
     case other => String.valueOf(other)
   }
 
+  test("corrupt framed counts/lengths raise CorruptColumnFileException, never allocate") {
+    import graft.format.{ByteBuf, CorruptColumnFileException, Varint}
+    def cell(write: ByteBuf => Unit): Array[Byte] = {
+      val b = new ByteBuf(16); write(b); b.toArray
+    }
+    // array count in [2^31, 2^32) — valid 32-bit varint — would narrow
+    // negative without Long validation
+    assertThrows[CorruptColumnFileException](CellCodec.decode(
+      ArrayType(LongType), cell(b => Varint.put(b, 0xFFFFFFF5L))))
+    // huge positive count: would pre-allocate gigabytes
+    assertThrows[CorruptColumnFileException](CellCodec.decode(
+      ArrayType(LongType), cell(b => Varint.put(b, 1L << 30))))
+    // map count beyond remaining bytes
+    assertThrows[CorruptColumnFileException](CellCodec.decode(
+      MapType(LongType, LongType), cell(b => Varint.put(b, 100L))))
+    // framed string element length >= 2^31 inside an array
+    assertThrows[CorruptColumnFileException](CellCodec.decode(
+      ArrayType(StringType), cell { b =>
+        Varint.put(b, 1L); b.addByte(1) // one present element
+        Varint.put(b, 0xFFFFFFF1L)      // its "length"
+      }))
+    // variant part length >= 2^31
+    assertThrows[CorruptColumnFileException](CellCodec.decode(
+      VariantType, cell(b => Varint.put(b, 0xFFFFFFF1L))))
+  }
+
   test("shred -> assemble is the identity over random nested rows") {
     val rows = samples(genRow, 300)
     assert(rows.size >= 250, "generator drought")

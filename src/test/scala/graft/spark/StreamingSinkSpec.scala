@@ -137,6 +137,18 @@ class StreamingSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       "resumed commit must publish the original attempt exactly once")
     assert(new java.io.File(fin.toUri.getPath).exists())
     assert(!new java.io.File(tmp.toUri.getPath).exists())
+
+    // crash window where the ORIGINAL attempt's temps were lost entirely
+    // (nothing published): the replay must be adopted as the
+    // authoritative copy, not deleted — deleting it would lose the epoch
+    val m6 = writeEpoch(3L, 21 to 25)
+    val tmp3 = new Path(m6.file)
+    java.nio.file.Files.writeString(
+      new java.io.File(markerDir, "3").toPath,
+      s"${new Path(tmp3.getParent, ".part-gone.cf")}\t${new Path(tmp3.getParent, "part-gone.cf")}\n")
+    write.commit(3L, Array(m6))
+    assert(spark.read.format("columnfile").load(sink).count() == 25,
+      "replay must be adopted when the original attempt left nothing")
   }
 
   test("aborted epoch leaves nothing visible; partitioned streaming writes route rows") {

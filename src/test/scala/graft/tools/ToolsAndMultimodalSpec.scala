@@ -167,6 +167,20 @@ class ToolsAndMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("columnfile").load(dir).count() == 100)
     // idempotent
     assert(CfTools.clean(spark, dir, minAgeMs = 0L) == 0)
+
+    // temps referenced by an epoch INTENT marker are committed data
+    // awaiting publish — protected at any age; stale dot-intent temp
+    // markers are swept
+    val tmp2 = new java.io.File(dir, ".part-e0000000008-00000-live.cf")
+    java.nio.file.Files.copy(data.toPath, tmp2.toPath)
+    val epochs = new java.io.File(dir, "_epochs"); epochs.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(epochs, "8").toPath,
+      s"${tmp2.getAbsolutePath}\t${new java.io.File(dir, "part-e0000000008-00000-live.cf").getAbsolutePath}\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(epochs, ".9.intent").toPath, "stale")
+    assert(CfTools.clean(spark, dir, minAgeMs = 0L) == 1, "only the stale intent")
+    assert(tmp2.exists(), "marker-referenced temp must survive the sweep")
+    assert(!new java.io.File(epochs, ".9.intent").exists())
   }
 
   test("multimodal: stub decode adds typed meta, deterministic") {
