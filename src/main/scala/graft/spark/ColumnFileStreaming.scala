@@ -49,17 +49,52 @@ class ColumnFileMicroBatchStream(
   private val seenPaths = scala.collection.mutable.HashSet.empty[String]
   private var seenThrough = 0L // batches merged into seenPaths
 
+  /** Batches whose individual log files have been folded into the newest
+    * `_seen.compact.<m>` file (and deleted) — bounded log growth. Counting
+    * and seen-set loading start from here.
+    */
+  private var compactedThrough = 0L
+
+  /** Compact once this many per-batch files accumulate past the last
+    * compaction point. Compaction runs in `commit(end)`, so every folded
+    * batch is already durable in Spark's commit log and can never be
+    * re-planned — only its seen-keys matter, which is exactly what the
+    * compact file keeps.
+    */
+  private val CompactInterval = 16L
+
   private def batchFile(n: Long): Path = new Path(logDir, n.toString)
+  private def compactFile(m: Long): Path =
+    new Path(logDir, s"_seen.compact.$m")
 
   private def loggedBatches(): Long = {
     if (!fs.exists(logDir)) return 0L
-    // batch n is only counted when 0..n-1 all exist (rename/list gaps)
-    val present = fs.listStatus(logDir).map(_.getPath.getName)
+    val names = fs.listStatus(logDir).map(_.getPath.getName)
+    // counting starts at the newest compaction point (batches below it
+    // have been folded into the compact file and their files deleted)
+    compactedThrough = math.max(compactedThrough,
+      names.filter(_.startsWith("_seen.compact."))
+        .flatMap(n => scala.util.Try(
+          n.stripPrefix("_seen.compact.").toLong).toOption)
+        .foldLeft(0L)(math.max))
+    // batch n is only counted when base..n-1 all exist (rename/list gaps)
+    val present = names
       .flatMap(n => scala.util.Try(n.toLong).toOption).toSet
-    var n = 0L
+    var n = compactedThrough
     while (present(n)) n += 1
+    // a torn TAIL file (crash mid-write under the pre-rename log format)
+    // was never surfaced as an offset — the write completed before the
+    // offset did — so dropping it loses nothing; the next trigger
+    // rewrites that batch from a fresh listing
+    while (n > math.max(seenThrough, compactedThrough) && !parses(n - 1)) {
+      try fs.delete(batchFile(n - 1), false) catch { case _: Exception => }
+      n -= 1
+    }
     n
   }
+
+  private def parses(n: Long): Boolean =
+    try { readBatch(n); true } catch { case _: Exception => false }
 
   /** (path, len) pairs of one logged batch. */
   private def readBatch(n: Long): Seq[(String, Long)] = {
@@ -72,6 +107,14 @@ class ColumnFileMicroBatchStream(
   }
 
   private def loadSeenThrough(n: Long): Unit = {
+    if (seenThrough < compactedThrough) {
+      // fresh restart over a compacted log: the compact file carries the
+      // seen-keys of every folded batch, one per line
+      val in = fs.open(compactFile(compactedThrough))
+      val body = try new String(in.readAllBytes(), UTF_8) finally in.close()
+      body.split('\n').iterator.filter(_.nonEmpty).foreach(seenPaths += _)
+      seenThrough = compactedThrough
+    }
     while (seenThrough < n) {
       readBatch(seenThrough).foreach { case (p, _) =>
         seenPaths += seenKey(new Path(p)) }
@@ -100,12 +143,19 @@ class ColumnFileMicroBatchStream(
     if (fresh.isEmpty) ColumnFileOffset(logged)
     else {
       // persist the batch BEFORE surfacing the offset: a crash between
-      // the two leaves an orphan batch that the next trigger re-surfaces
+      // the two leaves an orphan batch that the next trigger re-surfaces.
+      // temp + rename (the sink marker's discipline) — a crash mid-write
+      // can never leave a torn batch file that wedges later triggers
       fs.mkdirs(logDir)
-      val out = fs.create(batchFile(logged), false)
+      val tmp = new Path(logDir, s".$logged.tmp")
+      val out = fs.create(tmp, true)
       try out.write(fresh.map(st => s"${st.getPath}\t${st.getLen}")
         .mkString("", "\n", "\n").getBytes(UTF_8))
       finally out.close()
+      if (fs.exists(batchFile(logged))) fs.delete(batchFile(logged), false)
+      if (!fs.rename(tmp, batchFile(logged)))
+        throw new java.io.IOException(
+          s"columnfile stream: cannot log batch ${batchFile(logged)}")
       fresh.foreach(st => seenPaths += seenKey(st.getPath))
       seenThrough = logged + 1
       ColumnFileOffset(logged + 1)
@@ -157,6 +207,45 @@ class ColumnFileMicroBatchStream(
       tableSchema.json, tableSchema.json, filters,
       new SerializableHadoopConf(conf))
 
-  override def commit(end: Offset): Unit = ()
+  /** Compact the batch log once enough committed batches accumulate.
+    * `end` is durable in Spark's commit log by the time this runs, so no
+    * restart will ever re-plan a batch below it — those batches' only
+    * remaining role is their seen-keys, which fold into one
+    * `_seen.compact.<end>` file (written atomically); the per-batch files
+    * below `end` are then deleted. Log size stays O(CompactInterval)
+    * files instead of one file per trigger forever.
+    */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[ColumnFileOffset].batches
+    if (e - compactedThrough < CompactInterval) return
+    loadSeenThrough(e) // seenPaths now holds every key through batch e-1
+    val tmp = new Path(logDir, s"._seen.compact.$e.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(seenPaths.toSeq.sorted
+      .mkString("", "\n", "\n").getBytes(UTF_8))
+    finally out.close()
+    if (fs.exists(compactFile(e))) fs.delete(compactFile(e), false)
+    if (!fs.rename(tmp, compactFile(e)))
+      throw new java.io.IOException(
+        s"columnfile stream: cannot write ${compactFile(e)}")
+    compactedThrough = e
+    // sweep the folded remains (and any orphaned temp from a crashed
+    // write — all tmp files here are ours, and source calls are
+    // serialized on the driver); a failure mid-sweep just leaves
+    // stragglers below the compaction point, invisible to counting,
+    // re-swept by the next compaction
+    try {
+      fs.listStatus(logDir).foreach { st =>
+        val name = st.getPath.getName
+        val oldBatch = scala.util.Try(name.toLong).toOption.exists(_ < e)
+        val oldCompact = name.startsWith("_seen.compact.") &&
+          scala.util.Try(name.stripPrefix("_seen.compact.").toLong)
+            .toOption.exists(_ < e)
+        val orphanTmp = name.startsWith(".") && name.endsWith(".tmp")
+        if (oldBatch || oldCompact || orphanTmp) fs.delete(st.getPath, false)
+      }
+    } catch { case _: Exception => }
+  }
+
   override def stop(): Unit = ()
 }

@@ -38,7 +38,8 @@ final class ColumnFileStreamingWrite(
     targetChunkBytes: Long,
     conf: SerializableHadoopConf,
     partitionCols: Seq[String],
-    dictionary: Boolean = false)
+    dictionary: Boolean = false,
+    keepEpochs: Long = 100L)
     extends StreamingWrite {
 
   private def dir = new Path(path)
@@ -184,6 +185,35 @@ final class ColumnFileStreamingWrite(
     if (partitionCols.nonEmpty)
       PartitionLayout.write(conf.conf, dir, partitionCols)
     fs.create(new Path(dir, "_SUCCESS"), true).close()
+    pruneEpochs(fs, epochId)
+  }
+
+  /** Bound `_epochs/` growth: markers exist to make REPLAYED epochs
+    * idempotent, and Spark only ever replays the most recent
+    * unacknowledged micro-batch — an epoch `keepEpochs` behind the one
+    * just committed can never be consulted again. Prune it (and any
+    * equally old orphaned `.intent` temp). One listing per commit; the
+    * directory stays O(keepEpochs) after the first sweep, so a
+    * long-lived stream no longer accumulates one marker per micro-batch
+    * forever.
+    */
+  private def pruneEpochs(fs: FileSystem, committedEpoch: Long): Unit = {
+    val horizon = committedEpoch - keepEpochs
+    if (horizon <= 0) return
+    try {
+      fs.listStatus(new Path(dir, "_epochs")).foreach { st =>
+        val name = st.getPath.getName
+        val id = scala.util.Try(name.toLong).toOption
+          .orElse {
+            // ".<id>.intent" temp left by a crash mid-marker-write
+            if (name.startsWith(".") && name.endsWith(".intent"))
+              scala.util.Try(
+                name.stripPrefix(".").stripSuffix(".intent").toLong).toOption
+            else None
+          }
+        if (id.exists(_ <= horizon)) fs.delete(st.getPath, false)
+      }
+    } catch { case _: Exception => } // pruning is best-effort
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

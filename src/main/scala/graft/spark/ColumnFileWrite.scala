@@ -87,8 +87,14 @@ class ColumnFileWrite(
     if (truncateFirst)
       throw new UnsupportedOperationException(
         "columnfile streaming sink supports append mode only")
+    // keepEpochs: how many committed epoch markers to retain before
+    // pruning (replay-idempotence metadata; default far beyond Spark's
+    // one-batch replay window)
+    val keepEpochs = Option(options.get("keepEpochs")).map(_.toLong)
+      .getOrElse(100L)
     new ColumnFileStreamingWrite(path, schema, compression, targetChunkBytes,
-      new SerializableHadoopConf(conf), partitionCols, dictionaryEncode)
+      new SerializableHadoopConf(conf), partitionCols, dictionaryEncode,
+      keepEpochs)
   }
 
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {

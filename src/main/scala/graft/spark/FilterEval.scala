@@ -63,23 +63,32 @@ object FilterEval {
           cellsByCol(c) = scala.collection.mutable.ArrayBuffer.empty
       }
     }
+    // pre-pass: evaluate each filter over the dictionaries first — an
+    // unsatisfiable filter (no entry passes, NULL rejected) empties the
+    // chunk before any row predicate is even built
+    val dictTables: Array[Option[(Array[Boolean], Boolean, scala.collection.mutable.ArrayBuffer[Int])]] =
+      filterEvals.map { fe =>
+        idsByCol.get(fe.col).map { case (dict, ids) =>
+          (dict.map(fe.eval), fe.eval(null), ids)
+        }
+      }
+    if (dictTables.exists {
+        case Some((byId, nullPass, _)) => !nullPass && !byId.contains(true)
+        case None => false
+      }) return new java.util.BitSet(rowCount) // chunk skipped
     val survivors = new java.util.BitSet(rowCount)
     // per-filter row predicate; dict columns go through a pass-by-id table
-    val rowEvals: Array[Int => Boolean] = filterEvals.map { fe =>
-      idsByCol.get(fe.col) match {
-        case Some((dict, ids)) =>
-          val byId = dict.map(fe.eval)
-          val nullPass = fe.eval(null)
-          if (!nullPass && !byId.contains(true)) return survivors // empty
+    val rowEvals: Array[Int => Boolean] =
+      filterEvals.zip(dictTables).map {
+        case (_, Some((byId, nullPass, ids))) =>
           (r: Int) => {
             val id = if (r < ids.length) ids(r) else -1
             if (id < 0) nullPass else byId(id)
           }
-        case None =>
+        case (fe, None) =>
           val cells = cellsByCol(fe.col)
           (r: Int) => fe.eval(if (r < cells.length) cells(r) else null)
       }
-    }
     var r = 0
     while (r < rowCount) {
       var ok = true

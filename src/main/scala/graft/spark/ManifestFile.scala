@@ -44,13 +44,25 @@ object ManifestFile {
     case c => c.toString
   }
 
+  /** Atomic publish (temp + rename, the sink marker's discipline): a
+    * reader racing a commit, or a crash mid-write, sees either the old
+    * manifest or the new one — never a torn file that silently degrades
+    * `useManifest` planning back to the directory walk.
+    */
   def write(conf: Configuration, root: Path, entries: Seq[Entry]): Unit = {
     val fs = root.getFileSystem(conf)
     val body = entries.sortBy(_.rel)
       .map(e => s"""["${esc(e.rel)}",${e.len},${e.mtime}]""")
       .mkString("{\"files\":[", ",", "]}")
-    val out = fs.create(new Path(root, Name), true)
+    val tmp = new Path(root, s".$Name.tmp")
+    val out = fs.create(tmp, true)
     try out.write(body.getBytes(UTF_8)) finally out.close()
+    val dest = new Path(root, Name)
+    // Hadoop rename refuses an existing destination; the delete→rename
+    // gap reads as "manifest absent" (walk fallback), never as torn
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"cannot publish manifest $dest")
   }
 
   def read(conf: Configuration, root: Path): Option[Seq[Entry]] = {

@@ -99,6 +99,29 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
       "append to a manifest-less table must bootstrap the full listing")
   }
 
+  test("manifest publish is atomic: temp+rename, no leftover temp, rewrite over existing") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-manifest-atomic").toString
+    val conf = new Configuration()
+    val root = new Path(dir)
+
+    ManifestFile.write(conf, root,
+      Seq(ManifestFile.Entry("a.cf", 1L, 10L)))
+    // overwrite an EXISTING manifest (Hadoop rename refuses an existing
+    // destination — the delete+rename path must handle it)
+    ManifestFile.write(conf, root,
+      Seq(ManifestFile.Entry("a.cf", 1L, 10L),
+        ManifestFile.Entry("b.cf", 2L, 20L)))
+    assert(ManifestFile.read(conf, root).get.map(_.rel).sorted ==
+      Seq("a.cf", "b.cf"))
+    val leftovers = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"temp files survive publish: $leftovers")
+    // the temp name is dot-prefixed: invisible to data-file listings even
+    // if a crash strands it
+    assert(s".${ManifestFile.Name}.tmp".startsWith("."))
+  }
+
   test("partitioned and streaming commits keep the manifest complete") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-manifest-part").toString

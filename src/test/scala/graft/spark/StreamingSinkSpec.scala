@@ -151,6 +151,39 @@ class StreamingSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       "replay must be adopted when the original attempt left nothing")
   }
 
+  test("epoch markers are pruned past the replay horizon") {
+    val sp = spark; import sp.implicits._
+    val sink = Files.createTempDirectory("cf-sink-prune").toString
+    val conf = new Configuration()
+    val schema = Seq((1L, "v")).toDF("id", "v").schema
+
+    val write = new ColumnFileStreamingWrite(
+      sink, schema, graft.format.Compression.fromName("lz4"),
+      16L * 1024 * 1024, new SerializableHadoopConf(conf), Seq.empty,
+      keepEpochs = 2L)
+
+    def writeEpoch(epochId: Long)
+        : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val factory = write.createStreamingWriterFactory(null)
+      val w = factory.createWriter(0, 0L, epochId)
+      w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](epochId,
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"v$epochId"))))
+      w.commit()
+    }
+
+    (0L to 4L).foreach(e => write.commit(e, Array(writeEpoch(e))))
+
+    val markers = Option(new java.io.File(sink, "_epochs").listFiles())
+      .toSeq.flatten.map(_.getName)
+      .filterNot(_.startsWith(".")) // local-FS .crc sidecars
+      .sorted
+    assert(markers == Seq("3", "4"),
+      s"markers beyond the keepEpochs=2 horizon survive: $markers")
+    // pruning touches only metadata — every epoch's data is still there
+    assert(spark.read.format("columnfile").load(sink).count() == 5)
+  }
+
   test("aborted epoch leaves nothing visible; partitioned streaming writes route rows") {
     val sp = spark; import sp.implicits._
     val src = Files.createTempDirectory("cf-sink-psrc").toString

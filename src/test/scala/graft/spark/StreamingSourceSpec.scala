@@ -97,6 +97,84 @@ class StreamingSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(sink).count() == 100)
   }
 
+  test("a torn batch-log tail (crash mid-write) does not wedge the stream") {
+    val sp = spark; import sp.implicits._
+    val src = Files.createTempDirectory("cf-stream-torn").toString
+    val ckpt = Files.createTempDirectory("cf-stream-torn-ckpt").toString
+    val sink = Files.createTempDirectory("cf-stream-torn-sink").toString
+
+    (0 until 40).map(i => (i.toLong, s"a$i")).toDF("id", "v")
+      .write.format("columnfile").mode("overwrite").save(src)
+    val schema = spark.read.format("columnfile").load(src).schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("columnfile").schema(schema).load(src)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 40)
+
+    // simulate a pre-rename-era crash mid-write: a tail batch file whose
+    // last line is truncated (no tab separator). Its offset was never
+    // surfaced, so recovery = ignore and rewrite — not a permanent wedge
+    // Spark hands each source a nested checkpoint dir: <ckpt>/sources/0
+    val logDir = new java.io.File(ckpt, "sources/0/graft-file-batches")
+    assert(logDir.isDirectory, s"unexpected checkpoint layout: $ckpt")
+    val torn = new java.io.File(logDir, "1")
+    java.nio.file.Files.write(torn.toPath,
+      "/nowhere/partial-file-no-tab".getBytes("UTF-8"))
+
+    (40 until 60).map(i => (i.toLong, s"b$i")).toDF("id", "v")
+      .write.format("columnfile").mode("append").save(src)
+    runOnce() // would throw inside loggedBatches/readBatch before the fix
+    assert(spark.read.parquet(sink).count() == 60)
+    runOnce() // and stays idempotent
+    assert(spark.read.parquet(sink).count() == 60)
+  }
+
+  test("batch log compacts past committed offsets; restarts stay exact") {
+    val sp = spark; import sp.implicits._
+    val src = Files.createTempDirectory("cf-stream-compact").toString
+    val ckpt = Files.createTempDirectory("cf-stream-compact-ckpt").toString
+    val conf = spark.sessionState.newHadoopConf()
+
+    def addFile(i: Int): Unit =
+      Seq((i.toLong, s"v$i")).toDF("id", "v").repartition(1)
+        .write.format("columnfile").mode(if (i == 0) "overwrite" else "append")
+        .save(src)
+    addFile(0)
+    val schema = spark.read.format("columnfile").load(src).schema
+
+    // drive the source directly: one logged batch per new file
+    val stream = new ColumnFileMicroBatchStream(
+      Seq(src), schema, Array.empty, conf, ckpt)
+    var off = stream.latestOffset()
+    assert(off == ColumnFileOffset(1L))
+    (1 until 20).foreach { i => addFile(i); off = stream.latestOffset() }
+    assert(off == ColumnFileOffset(20L))
+
+    // committing past the interval folds batches into one compact file
+    stream.commit(ColumnFileOffset(20L))
+    val names = new java.io.File(ckpt, "graft-file-batches").listFiles()
+      .map(_.getName).toSeq
+    assert(names.contains("_seen.compact.20"))
+    assert(!names.exists(n => scala.util.Try(n.toLong).toOption.exists(_ < 20)),
+      s"per-batch files below the compaction point survive: $names")
+
+    // a RESTARTED source over the compacted log: nothing re-surfaces,
+    // new arrivals still become exactly one new batch
+    val stream2 = new ColumnFileMicroBatchStream(
+      Seq(src), schema, Array.empty, conf, ckpt)
+    assert(stream2.latestOffset() == ColumnFileOffset(20L), "seen files resurfaced")
+    addFile(20)
+    assert(stream2.latestOffset() == ColumnFileOffset(21L))
+    val parts = stream2.planInputPartitions(
+      ColumnFileOffset(20L), ColumnFileOffset(21L))
+    assert(parts.length == 1, "compacted history leaked into a new batch plan")
+  }
+
   test("cf stream composes with watermarked aggregation and ingest dedup end-to-end") {
     val sp = spark; import sp.implicits._
     val src = Files.createTempDirectory("cf-stream2-src").toString
