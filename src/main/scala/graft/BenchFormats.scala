@@ -30,6 +30,11 @@ object BenchFormats {
     val cfDict = s"$base/cf_dict"
     ensure(cfDict) { li.write.format("columnfile")
       .option("dictionary", "true").mode("overwrite").save(cfDict) }
+    // dictionary + bit-packed numerics: the full-encoding configuration
+    val cfPacked = s"$base/cf_packed"
+    ensure(cfPacked) { li.write.format("columnfile")
+      .option("dictionary", "true").option("bitpack", "true")
+      .mode("overwrite").save(cfPacked) }
 
     def table(path: String): DataFrame =
       if (path == pq) spark.read.parquet(path)
@@ -49,7 +54,8 @@ object BenchFormats {
       "categorical_filter" -> (df =>
         df.filter(col("l_returnflag") === "R").count()))
 
-    val formats = Seq("parquet" -> pq, "cf_lz4" -> cf, "cf_dict" -> cfDict)
+    val formats = Seq("parquet" -> pq, "cf_lz4" -> cf, "cf_dict" -> cfDict,
+      "cf_packed" -> cfPacked)
     // warm-up
     formats.foreach { case (_, p) => queries.foreach(q => q._2(table(p))) }
     def pass(): Map[(String, String), Double] =

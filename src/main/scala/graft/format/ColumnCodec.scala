@@ -206,6 +206,182 @@ final class DictColumnWriter extends ColumnSink {
   }
 }
 
+object PackedIntColumnWriter {
+  /** Bit-pack `bw`-bit values LSB-first into `out` starting at absolute
+    * bit offset `bitOff`.
+    */
+  def writeBits(out: Array[Byte], bitOff: Long, v: Long, bw: Int): Unit = {
+    var got = 0
+    var pos = bitOff
+    while (got < bw) {
+      val byteI = (pos >> 3).toInt
+      val bitI = (pos & 7).toInt
+      val take = math.min(8 - bitI, bw - got)
+      val bits = ((v >>> got) & ((1L << take) - 1)).toInt
+      out(byteI) = (out(byteI) | (bits << bitI)).toByte
+      got += take
+      pos += take
+    }
+  }
+
+  /** Read `bw` bits LSB-first from absolute bit offset `bitOff`. */
+  def readBits(data: Array[Byte], baseByte: Int, bitOff: Long, bw: Int): Long = {
+    var v = 0L
+    var got = 0
+    var pos = bitOff
+    while (got < bw) {
+      val byteI = baseByte + (pos >> 3).toInt
+      val bitI = (pos & 7).toInt
+      val take = math.min(8 - bitI, bw - got)
+      val bits = ((data(byteI) & 0xff) >>> bitI) & ((1 << take) - 1)
+      v |= bits.toLong << got
+      got += take
+      pos += take
+    }
+    v
+  }
+}
+
+/** Frame-of-reference + bit-packing for fixed-width little-endian
+  * numeric cells — the second format EXTENSION (gated by the `bitpack`
+  * write option; companion to [[DictColumnWriter]]'s `dictionary`). The
+  * reference format spends `varint repeat, varint 0, varint len, bytes`
+  * per distinct numeric value (~11 bytes for a distinct int64); sorted
+  * ids, timestamps, and measure columns — the bulk of analytic bytes —
+  * compress to `(max-min)` bits per value instead, the standard
+  * Parquet/ORC integer strategy.
+  *
+  * Block layout:
+  * {{{
+  *   varint 0            // extension marker (shared with dictionary)
+  *   varint 0            // sub-marker: packed-numeric (a dictionary has
+  *                       //   its entry count >= 1 here, so the two
+  *                       //   extensions can never be confused)
+  *   varint width        // 4 or 8: decoded cell byte width (LE)
+  *   varint cellCount    // including NULLs
+  *   varint nullCount
+  *   ceil(cellCount/8) bytes   // null bitmap, bit i set = cell i NULL
+  *                             //   (present only when nullCount > 0)
+  *   8 bytes LE base           // unsigned minimum of the cells' LE view
+  *   varint bitWidth           // 0..64 bits per packed delta
+  *   ceil((cellCount-nullCount)*bitWidth/8) bytes  // deltas, LSB-first
+  * }}}
+  *
+  * `finishChunk` builds BOTH encodings and keeps the smaller — columns
+  * where run-length collapse beats packing (constants, long runs) stay
+  * plain, so enabling the option can never grow a file. Values are
+  * treated as unsigned bit patterns, which also covers float/double:
+  * packing falls back to ~raw width when patterns span the sign bit and
+  * the size comparison still protects the outcome.
+  */
+final class PackedIntColumnWriter(width: Int) extends ColumnSink {
+  require(width == 4 || width == 8, s"unsupported packed width $width")
+
+  private val plain = new ColumnWriter
+  private var vals = new Array[Long](256) // all cells; 0 at null positions
+  private val nulls = new java.util.BitSet()
+  private var count = 0
+  private var nullCount = 0
+  private var poisoned = false // unexpected cell width: plain passthrough
+
+  private def grow(): Unit =
+    if (count == vals.length)
+      vals = java.util.Arrays.copyOf(vals, vals.length * 2)
+
+  private def leValue(v: Array[Byte]): Long =
+    if (width == 8)
+      (v(0) & 0xffL) | ((v(1) & 0xffL) << 8) | ((v(2) & 0xffL) << 16) |
+        ((v(3) & 0xffL) << 24) | ((v(4) & 0xffL) << 32) |
+        ((v(5) & 0xffL) << 40) | ((v(6) & 0xffL) << 48) |
+        ((v(7) & 0xffL) << 56)
+    else
+      (v(0) & 0xffL) | ((v(1) & 0xffL) << 8) | ((v(2) & 0xffL) << 16) |
+        ((v(3) & 0xffL) << 24)
+
+  def put(v: Array[Byte]): Unit = {
+    plain.put(v)
+    grow()
+    if (v.length != width) poisoned = true
+    else vals(count) = leValue(v)
+    count += 1
+  }
+
+  def putNull(): Unit = {
+    plain.putNull()
+    grow()
+    nulls.set(count)
+    count += 1
+    nullCount += 1
+  }
+
+  def pendingSize: Int = plain.pendingSize
+
+  def finishChunk(): Array[Byte] = {
+    val plainBlock = plain.finishChunk()
+    val out =
+      if (poisoned || count == 0 || nullCount == count) plainBlock
+      else {
+        // unsigned min/max over the non-null cells
+        var mn = -1L // unsigned max
+        var mx = 0L
+        var i = 0
+        while (i < count) {
+          if (!nulls.get(i)) {
+            val v = vals(i)
+            if (java.lang.Long.compareUnsigned(v, mn) < 0) mn = v
+            if (java.lang.Long.compareUnsigned(v, mx) > 0) mx = v
+          }
+          i += 1
+        }
+        val range = mx - mn
+        val bw =
+          if (range == 0L) 0
+          else 64 - java.lang.Long.numberOfLeadingZeros(range)
+        val packedBytes = (((count - nullCount).toLong * bw) + 7) / 8
+        val buf = new ByteBuf(64 + packedBytes.toInt)
+        Varint.put(buf, 0L)
+        Varint.put(buf, 0L)
+        Varint.put(buf, width.toLong)
+        Varint.put(buf, count.toLong)
+        Varint.put(buf, nullCount.toLong)
+        if (nullCount > 0) {
+          val bitmap = new Array[Byte]((count + 7) / 8)
+          var b = nulls.nextSetBit(0)
+          while (b >= 0) {
+            bitmap(b >> 3) = (bitmap(b >> 3) | (1 << (b & 7))).toByte
+            b = nulls.nextSetBit(b + 1)
+          }
+          buf.append(bitmap)
+        }
+        var k = 0
+        val base = new Array[Byte](8)
+        while (k < 8) { base(k) = ((mn >>> (8 * k)) & 0xff).toByte; k += 1 }
+        buf.append(base)
+        Varint.put(buf, bw.toLong)
+        val packed = new Array[Byte](packedBytes.toInt)
+        var bitOff = 0L
+        i = 0
+        while (i < count) {
+          if (!nulls.get(i)) {
+            PackedIntColumnWriter.writeBits(packed, bitOff, vals(i) - mn, bw)
+            bitOff += bw
+          }
+          i += 1
+        }
+        buf.append(packed)
+        val packedBlock = buf.toArray
+        if (packedBlock.length < plainBlock.length) packedBlock else plainBlock
+      }
+    // reset for the next chunk
+    if (vals.length > (1 << 16)) vals = new Array[Long](256)
+    nulls.clear()
+    count = 0
+    nullCount = 0
+    poisoned = false
+    out
+  }
+}
+
 /** Value-stream decoder for one column block (already decompressed).
   *
   * Inverse of [[ColumnWriter]] (reference: src/columnfile-reader.cc:471-615).
@@ -218,20 +394,32 @@ final class ColumnDecoder(data: Array[Byte]) {
   private var value: Array[Byte] = Array.emptyByteArray
   private var valueIsNull = true
 
-  /** Dictionary extension (see [[DictColumnWriter]]): a block starting
-    * with varint 0 — invalid as a repeat count in the standard stream —
-    * carries a value table, and the run-encoded stream holds varint ids.
-    * null for plain blocks; transparent to every caller of `next`.
+  /** Extension detection: a block starting with varint 0 — invalid as a
+    * repeat count in the standard stream — is either a dictionary block
+    * (next varint = entry count >= 1, see [[DictColumnWriter]]) or a
+    * packed-numeric block (next varint = 0, see
+    * [[PackedIntColumnWriter]]). Plain blocks leave all extension state
+    * null; both extensions stay transparent to every caller of `next`.
     */
-  private val dictVals: Array[Array[Byte]] = {
-    if (data.length == 0) null
+  private var dictVals: Array[Array[Byte]] = null
+  // packed-numeric state: every cell materialized as its unsigned
+  // little-endian integer view (0 at NULL positions)
+  private var pVals: Array[Long] = null
+  private var pNulls: java.util.BitSet = null
+  private var pWidth = 0
+  private var pCount = 0
+  private var pIdx = 0
+  private var pVal = 0L
+
+  if (data.length > 0) {
+    val mark = cur.pos
+    if (Varint.get(data, cur) != 0L) cur.pos = mark
     else {
-      val mark = cur.pos
-      if (Varint.get(data, cur) != 0L) { cur.pos = mark; null }
+      val n = Varint.get(data, cur)
+      if (n < 0 || n > Int.MaxValue)
+        throw new CorruptColumnFileException(s"corrupt dictionary size $n")
+      if (n == 0L) parsePacked()
       else {
-        val n = Varint.get(data, cur)
-        if (n <= 0 || n > Int.MaxValue)
-          throw new CorruptColumnFileException(s"corrupt dictionary size $n")
         val out = new Array[Array[Byte]](n.toInt)
         var i = 0
         while (i < out.length) {
@@ -242,21 +430,112 @@ final class ColumnDecoder(data: Array[Byte]) {
           cur.pos += len.toInt
           i += 1
         }
-        out
+        dictVals = out
       }
     }
+  }
+
+  private def parsePacked(): Unit = {
+    val width = Varint.get(data, cur)
+    if (width != 4L && width != 8L)
+      throw new CorruptColumnFileException(s"unsupported packed width $width")
+    val cnt = Varint.get(data, cur)
+    // 8*len+64 bounds every well-formed count (bitmap or payload bits
+    // must cover the cells); it exists to stop a crafted zero-payload
+    // header from demanding an arbitrary allocation
+    if (cnt < 0 || cnt > 8L * data.length + 64)
+      throw new CorruptColumnFileException(s"corrupt packed cell count $cnt")
+    val nc = Varint.get(data, cur)
+    if (nc < 0 || nc > cnt)
+      throw new CorruptColumnFileException(s"corrupt packed null count $nc")
+    val nulls = new java.util.BitSet()
+    if (nc > 0) {
+      val bytes = ((cnt + 7) / 8).toInt
+      if (cur.pos + bytes > data.length)
+        throw new CorruptColumnFileException("truncated packed null bitmap")
+      var i = 0
+      while (i < cnt) {
+        if ((data(cur.pos + (i >> 3)) & (1 << (i & 7))) != 0) nulls.set(i)
+        i += 1
+      }
+      // trailing pad bits of the last bitmap byte must be clear
+      var pad = cnt.toInt
+      while (pad < bytes * 8) {
+        if ((data(cur.pos + (pad >> 3)) & (1 << (pad & 7))) != 0)
+          throw new CorruptColumnFileException("corrupt packed null bitmap pad")
+        pad += 1
+      }
+      if (nulls.cardinality() != nc)
+        throw new CorruptColumnFileException("packed null bitmap/count mismatch")
+      cur.pos += bytes
+    }
+    if (cur.pos + 8 > data.length)
+      throw new CorruptColumnFileException("truncated packed base")
+    var base = 0L
+    var k = 0
+    while (k < 8) {
+      base |= (data(cur.pos + k) & 0xffL) << (8 * k)
+      k += 1
+    }
+    cur.pos += 8
+    val bw = Varint.get(data, cur)
+    if (bw < 0 || bw > 64)
+      throw new CorruptColumnFileException(s"corrupt packed bit width $bw")
+    val packedBytes = (((cnt - nc) * bw) + 7) / 8
+    if (cur.pos + packedBytes != data.length)
+      throw new CorruptColumnFileException("packed payload size mismatch")
+    val vals = new Array[Long](cnt.toInt)
+    var bitOff = 0L
+    var i = 0
+    while (i < vals.length) {
+      if (!nulls.get(i)) {
+        vals(i) =
+          if (bw == 0L) base
+          else base + PackedIntColumnWriter.readBits(data, cur.pos, bitOff, bw.toInt)
+        bitOff += bw
+      }
+      i += 1
+    }
+    cur.pos = data.length
+    pVals = vals
+    pNulls = nulls
+    pWidth = width.toInt
+    pCount = cnt.toInt
   }
   // id-lookup cache: an RLE run shares one id-bytes instance
   private var lastIdRef: Array[Byte] = _
   private var lastId = -1
 
-  def hasNext: Boolean = repeat > 0 || cur.pos < data.length
+  def hasNext: Boolean =
+    if (pVals != null) pIdx < pCount
+    else repeat > 0 || cur.pos < data.length
 
   /** True when this block is dictionary-encoded; [[dictionary]] and
     * [[nextId]] then expose the id-level view (vectorized fast path).
     */
   def isDictEncoded: Boolean = dictVals != null
   def dictionary: Array[Array[Byte]] = dictVals
+
+  /** True when this block is packed-numeric ([[PackedIntColumnWriter]]);
+    * [[nextPacked]]/[[packedValue]] then expose the unboxed view
+    * (vectorized fast path — no per-cell byte arrays).
+    */
+  def isPackedNumeric: Boolean = pVals != null
+  def packedWidth: Int = pWidth
+
+  /** Advance one packed cell; true when it is non-NULL, with its
+    * little-endian unsigned integer view left in [[packedValue]]. Only
+    * valid when [[isPackedNumeric]].
+    */
+  def nextPacked(): Boolean = {
+    if (pIdx >= pCount)
+      throw new CorruptColumnFileException("read past end of column block")
+    val isNull = pNulls.get(pIdx)
+    pVal = pVals(pIdx)
+    pIdx += 1
+    !isNull
+  }
+  def packedValue: Long = pVal
 
   private def idOf(b: Array[Byte]): Int = {
     if (b eq lastIdRef) return lastId
@@ -273,6 +552,16 @@ final class ColumnDecoder(data: Array[Byte]) {
     * must not be mutated (RLE runs share one instance).
     */
   def next(): Array[Byte] = {
+    if (pVals != null) {
+      if (!nextPacked()) return null
+      val out = new Array[Byte](pWidth)
+      var k = 0
+      while (k < pWidth) {
+        out(k) = ((pVal >>> (8 * k)) & 0xff).toByte
+        k += 1
+      }
+      return out
+    }
     if (repeat == 0) fill()
     repeat -= 1
     if (valueIsNull) null
@@ -297,6 +586,10 @@ final class ColumnDecoder(data: Array[Byte]) {
     * callers' `hasNext` guards then read the column as NULL.
     */
   def skip(n: Long): Unit = {
+    if (pVals != null) {
+      pIdx = math.min(pCount.toLong, pIdx + n).toInt
+      return
+    }
     var remaining = n
     while (remaining > 0 && hasNext) {
       if (repeat == 0) fill()

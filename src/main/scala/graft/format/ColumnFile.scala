@@ -41,6 +41,7 @@ final class ColumnFileWriter(
   private var written: Long = if (writeMagic) Magic.length.toLong else 0L
   private val chunkRangesBuf = mutable.ArrayBuffer.empty[(Long, Long)]
   private var dictColumns: Set[Int] = Set.empty
+  private var packedColumns: Map[Int, Int] = Map.empty
   if (writeMagic) out.write(Magic)
 
   def setCompression(codec: Int): Unit = compression = codec
@@ -49,6 +50,14 @@ final class ColumnFileWriter(
     * extension; see its scaladoc). Call before the first put.
     */
   def setDictionaryColumns(cols: Set[Int]): Unit = dictColumns = cols
+
+  /** Columns to frame-of-reference bit-pack ([[PackedIntColumnWriter]] —
+    * a format extension; see its scaladoc), mapping column index to its
+    * fixed little-endian cell width (4 or 8). Call before the first put.
+    * Disjoint from the dictionary set by construction (dictionary covers
+    * string/binary, packing covers fixed-width numerics).
+    */
+  def setPackedColumns(cols: Map[Int, Int]): Unit = packedColumns = cols
 
   /** (headerOffset, dataSize) of every chunk emitted so far. Offsets are
     * stream-relative — absolute file offsets when this writer wrote the
@@ -62,7 +71,11 @@ final class ColumnFileWriter(
 
   private def field(col: Int): ColumnSink =
     fields.getOrElseUpdate(col,
-      if (dictColumns(col)) new DictColumnWriter else new ColumnWriter)
+      if (dictColumns(col)) new DictColumnWriter
+      else packedColumns.get(col) match {
+        case Some(w) => new PackedIntColumnWriter(w)
+        case None    => new ColumnWriter
+      })
 
   def put(col: Int, value: Array[Byte]): Unit = field(col).put(value)
   def putNull(col: Int): Unit = field(col).putNull()

@@ -370,6 +370,9 @@ object CoreQueries {
     // VariantType (open-schema leaf) storage through the oracle gate.
     variantScan,
 
+    // Bit-packed numeric storage through the oracle gate.
+    bitpackScan,
+
     // Metadata-only aggregates: COUNT/COUNT(col)/MIN/MAX answered from
     // the stats sidecars with zero data I/O (AggregatePushdown); the
     // oracle recomputes them the hard way, so a stats bug (null counts,
@@ -536,6 +539,36 @@ object CoreQueries {
         .createOrReplaceTempView("cf_documents_dict")
       spark.sql(agg("cf_documents_dict"))
     }, Some(agg("documents")))
+  }
+
+  /** q46: lineitem stored with `bitpack=true` (frame-of-reference +
+    * bit-packed numeric leaves — PackedIntColumnWriter; ids, dates,
+    * quantities, prices all go through the packed path), then filtered
+    * on packed columns and aggregated. The oracle runs on the original
+    * parquet, so base/delta reconstruction, null bitmaps, the unboxed
+    * vectorized read path, and filter evaluation over packed cells must
+    * all be value-exact — including doubles, whose LE bit patterns ride
+    * the same packing.
+    */
+  private def bitpackScan: Q = {
+    val agg = (from: String) =>
+      s"""SELECT l_linenumber AS ln, COUNT(*) AS cnt,
+         |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+         |  CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS price_c,
+         |  MIN(l_shipdate) AS min_d, MAX(l_shipdate) AS max_d
+         |FROM $from WHERE l_quantity > 5 AND l_discount >= 0.02
+         |GROUP BY l_linenumber""".stripMargin
+    Q("q46_cf_bitpack_scan", (spark, dir) => {
+      val out = Tables.cachePath(dir, "lineitem_bitpack")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "lineitem").write.format("columnfile")
+          .option("bitpack", "true")
+          .mode("overwrite").save(out)
+      }
+      spark.read.format("columnfile").load(out)
+        .createOrReplaceTempView("cf_lineitem_bitpack")
+      spark.sql(agg("cf_lineitem_bitpack"))
+    }, Some(agg("lineitem")))
   }
 
   /** q44: the stream-stream interval join's batch twin, aggregated to

@@ -225,6 +225,12 @@ class ColumnFileColumnarPartitionReader(
         val id = d.nextId()
         if (id < 0) vectors(i).putNull(pos)
         else idVectors(i).putInt(pos, id)
+      } else if (packedWriters(i) != null && d != null && d.isPackedNumeric &&
+          d.packedWidth == packedWidths(i) && d.hasNext) {
+        // packed-numeric fast path: the decoder's unboxed LE-integer view
+        // goes straight into the vector — no per-cell byte arrays
+        if (d.nextPacked()) packedWriters(i)(vectors(i), d.packedValue, pos)
+        else vectors(i).putNull(pos)
       } else {
         val cell = if (d != null && d.hasNext) d.next() else null
         if (cell == null) vectors(i).putNull(pos)
@@ -232,6 +238,26 @@ class ColumnFileColumnarPartitionReader(
       }
       i += 1
     }
+  }
+
+  // Unboxed writers for packed-numeric blocks (PackedIntColumnWriter):
+  // the packed value IS the cell's little-endian bit pattern.
+  private type PackedWriter = (OnHeapColumnVector, Long, Int) => Unit
+  private val packedWriters: Array[PackedWriter] = outTypes.map[PackedWriter] {
+    case LongType | TimestampType | TimestampNTZType =>
+      (v, x, pos) => v.putLong(pos, x)
+    case IntegerType | DateType =>
+      (v, x, pos) => v.putInt(pos, x.toInt)
+    case DoubleType =>
+      (v, x, pos) => v.putDouble(pos, java.lang.Double.longBitsToDouble(x))
+    case FloatType =>
+      (v, x, pos) => v.putFloat(pos, java.lang.Float.intBitsToFloat(x.toInt))
+    case _ => null
+  }
+  private val packedWidths: Array[Int] = outTypes.map {
+    case LongType | TimestampType | TimestampNTZType | DoubleType => 8
+    case IntegerType | DateType | FloatType                       => 4
+    case _                                                        => 0
   }
 
   // Unboxed per-column cell writers, dispatched once per scan instead of

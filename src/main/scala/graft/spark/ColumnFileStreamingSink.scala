@@ -39,7 +39,8 @@ final class ColumnFileStreamingWrite(
     conf: SerializableHadoopConf,
     partitionCols: Seq[String],
     dictionary: Boolean = false,
-    keepEpochs: Long = 100L)
+    keepEpochs: Long = 100L,
+    bitpack: Boolean = false)
     extends StreamingWrite {
 
   private def dir = new Path(path)
@@ -49,7 +50,7 @@ final class ColumnFileStreamingWrite(
     dir.getFileSystem(conf.conf).mkdirs(dir)
     new ColumnFileStreamingWriterFactory(path, schema.json, compression,
       targetChunkBytes, java.util.UUID.randomUUID().toString, conf,
-      partitionCols, dictionary)
+      partitionCols, dictionary, bitpack)
   }
 
   private def epochMarker(epochId: Long): Path =
@@ -230,7 +231,8 @@ final class ColumnFileStreamingWriterFactory(
     jobId: String,
     conf: SerializableHadoopConf,
     partitionCols: Seq[String],
-    dictionary: Boolean = false)
+    dictionary: Boolean = false,
+    bitpack: Boolean = false)
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -243,9 +245,10 @@ final class ColumnFileStreamingWriterFactory(
     val fileName = f".part-e$epochId%010d-$partitionId%05d-$jobId-$taskId%d${ColumnFileDataSource.FileExtension}"
     if (partitionCols.isEmpty)
       new ColumnFileDataWriter(new Path(dir, fileName), schema, compression,
-        targetChunkBytes, conf.conf, dictionary)
+        targetChunkBytes, conf.conf, dictionary, bitpack)
     else
       new ColumnFilePartitionedDataWriter(new Path(dir), fileName, schema,
-        partitionCols, compression, targetChunkBytes, conf.conf, dictionary)
+        partitionCols, compression, targetChunkBytes, conf.conf, dictionary,
+        bitpack)
   }
 }

@@ -75,6 +75,13 @@ class ColumnFileWrite(
     */
   private val dictionaryEncode: Boolean =
     Option(options.get("dictionary")).exists(_.toBoolean)
+  /** `bitpack=true`: frame-of-reference bit-pack fixed-width numeric leaf
+    * columns (PackedIntColumnWriter) — ids, dates, timestamps, measures.
+    * Size-compared against the plain encoding per chunk, so it never
+    * grows a file.
+    */
+  private val bitpackEncode: Boolean =
+    Option(options.get("bitpack")).exists(_.toBoolean)
 
   override def toBatch: BatchWrite = this
 
@@ -94,7 +101,7 @@ class ColumnFileWrite(
       .getOrElse(100L)
     new ColumnFileStreamingWrite(path, schema, compression, targetChunkBytes,
       new SerializableHadoopConf(conf), partitionCols, dictionaryEncode,
-      keepEpochs)
+      keepEpochs, bitpackEncode)
   }
 
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
@@ -105,7 +112,7 @@ class ColumnFileWrite(
     new ColumnFileWriterFactory(
       path, schema.json, compression, targetChunkBytes,
       UUID.randomUUID().toString, new SerializableHadoopConf(conf),
-      partitionCols, dictionaryEncode)
+      partitionCols, dictionaryEncode, bitpackEncode)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -156,17 +163,19 @@ class ColumnFileWriterFactory(
     jobId: String,
     conf: SerializableHadoopConf,
     partitionCols: Seq[String] = Seq.empty,
-    dictionary: Boolean = false)
+    dictionary: Boolean = false,
+    bitpack: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val fileName = f"part-$partitionId%05d-$jobId$taskId%d${ColumnFileDataSource.FileExtension}"
     if (partitionCols.isEmpty) {
       new ColumnFileDataWriter(new Path(dir, fileName), schema, compression,
-        targetChunkBytes, conf.conf, dictionary)
+        targetChunkBytes, conf.conf, dictionary, bitpack)
     } else {
       new ColumnFilePartitionedDataWriter(new Path(dir), fileName, schema,
-        partitionCols, compression, targetChunkBytes, conf.conf, dictionary)
+        partitionCols, compression, targetChunkBytes, conf.conf, dictionary,
+        bitpack)
     }
   }
 }
@@ -186,7 +195,8 @@ class ColumnFilePartitionedDataWriter(
     compression: Int,
     targetChunkBytes: Long,
     conf: Configuration,
-    dictionary: Boolean = false)
+    dictionary: Boolean = false,
+    bitpack: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val partFields: Seq[(Int, org.apache.spark.sql.types.StructField)] =
@@ -205,7 +215,7 @@ class ColumnFilePartitionedDataWriter(
     val w = writers.getOrElseUpdate(rel, {
       new ColumnFileDataWriter(
         new Path(new Path(root, rel), fileName), dataSchema, compression,
-        targetChunkBytes, conf, dictionary)
+        targetChunkBytes, conf, dictionary, bitpack)
     })
     val values = new Array[Any](dataOrdinals.length)
     var i = 0
@@ -238,7 +248,8 @@ class ColumnFileDataWriter(
     compression: Int,
     targetChunkBytes: Long,
     conf: Configuration,
-    dictionary: Boolean = false)
+    dictionary: Boolean = false,
+    bitpack: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val leaves = CellCodec.flatten(schema)
@@ -250,6 +261,16 @@ class ColumnFileDataWriter(
       case (l, i) if l.dataType == org.apache.spark.sql.types.StringType ||
         l.dataType == org.apache.spark.sql.types.BinaryType => i
     }.toSet)
+  if (bitpack) writer.setPackedColumns(
+    leaves.zipWithIndex.flatMap { case (l, i) =>
+      import org.apache.spark.sql.types._
+      l.dataType match {
+        case LongType | TimestampType | TimestampNTZType | DoubleType =>
+          Some(i -> 8)
+        case IntegerType | DateType | FloatType => Some(i -> 4)
+        case _ => None
+      }
+    }.toMap)
   private val stats = new ChunkStatsIndex.Collector(leaves)
   private val chunkStats = scala.collection.mutable.ArrayBuffer
     .empty[ChunkStatsIndex.ChunkStats]

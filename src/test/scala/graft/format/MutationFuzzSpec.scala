@@ -19,12 +19,18 @@ class MutationFuzzSpec extends AnyFunSuite {
     val bos = new ByteArrayOutputStream()
     val w = new ColumnFileWriter(bos, codec)
     w.setDictionaryColumns(Set(1))
+    w.setPackedColumns(Map(3 -> 8))
     val cats = Seq("alpha", "beta", "gamma", "delta")
     (0 until 400).foreach { i =>
       w.put(0, s"sorted-key-$i%06d".getBytes) // prefix coding
       if (i % 7 == 0) w.putNull(1)
       else w.put(1, cats(i % cats.length).getBytes) // dictionary
       w.put(2, Array.fill(4)((i % 251).toByte))     // RLE-ish
+      if (i % 11 == 3) w.putNull(3)
+      else { // packed-numeric (frame-of-reference + bitpack), with NULLs
+        val v = 7000000L + i * 13
+        w.put(3, Array.tabulate(8)(k => ((v >>> (8 * k)) & 0xff).toByte))
+      }
       if (i == 200) w.flush()                        // two chunks
     }
     w.finish()
