@@ -685,6 +685,71 @@ object ExtQueries {
        |       ELSE 'video' END AS modality
        |FROM documents""".stripMargin
 
+  /** d10: test-set decontamination — the pre-training hygiene pass.
+    * Eval docs (`doc_id % 101 = 7`, a deterministic holdout standing in
+    * for a benchmark suite) contribute their 3-word shingle hashes; a
+    * TRAINING doc is contaminated when it shares any shingle with any
+    * eval doc. Shape at 100 TB: the expensive scan (shingle hashing,
+    * codegen `graft_shingle_hashes` Spark-side) runs once; candidates
+    * come from a join on the shingle-hash key — the eval gram relation
+    * is benchmark-sized (tiny), so Catalyst broadcasts it and the train
+    * side never shuffles; DISTINCT collapses multi-gram hits per doc.
+    */
+  private def decontaminateSql(d: Dial): String =
+    s"""WITH sh AS (SELECT doc_id, lang, ${d.shingleHashSet("text")} AS hs
+       |       FROM documents WHERE ${d.size(d.split("text"))} >= 3),
+       |evg AS (SELECT DISTINCT g FROM
+       |         (SELECT hs FROM sh WHERE doc_id % 101 = 7) e ${d.explode("hs", "g")}),
+       |trg AS (SELECT doc_id, lang, g FROM
+       |         (SELECT doc_id, lang, hs FROM sh WHERE doc_id % 101 <> 7) t ${d.explode("hs", "g")}),
+       |hit AS (SELECT DISTINCT trg.doc_id, trg.lang
+       |        FROM trg JOIN evg ON trg.g = evg.g)
+       |SELECT lang AS l, COUNT(*) AS contaminated,
+       |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+       |FROM hit GROUP BY lang""".stripMargin
+
+  /** p03: deterministic stratified sampling — train/validation splits
+    * that are reproducible across runs and engines: keep a doc iff a
+    * multiplicative hash of its id lands under the rate (10%). No RNG,
+    * no sampleBy: pure scan + filter, embarrassingly parallel at any
+    * scale, and any engine recomputes the same membership.
+    */
+  private def sampleSql(d: Dial): String =
+    s"""WITH s AS (SELECT doc_id, lang, ${d.size(d.split("text"))} AS toks
+       |  FROM documents
+       |  WHERE (doc_id * 2654435761) % $P % 1000 < 100)
+       |SELECT lang AS l, COUNT(*) AS n_sampled,
+       |  CAST(SUM(toks) AS BIGINT) AS sum_toks,
+       |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+       |FROM s GROUP BY lang""".stripMargin
+
+  /** p04: token-budget sequence packing — binning documents into
+    * fixed-token training sequences (budget 2048) by cumulative token
+    * count. The window partitions by (lang, shard = doc_id % 32), NOT
+    * by lang alone: a global per-lang running sum would serialize each
+    * language through one task, while per-shard packing is what a real
+    * 1000-executor pipeline does anyway (each worker packs its shard).
+    * Bin = which sequence the doc STARTS in (boundary-agnostic packing,
+    * the GPT-style concat-then-chunk shape).
+    */
+  private def packSql(d: Dial): String =
+    s"""WITH t AS (SELECT doc_id, lang, doc_id % 32 AS shard,
+       |    ${d.size(d.split("text"))} AS toks
+       |  FROM documents),
+       |c AS (SELECT doc_id, lang, shard, toks,
+       |    SUM(toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t),
+       |b AS (SELECT lang, shard,
+       |    CAST(${d.intDiv("(cum - toks)", "2048")} AS BIGINT) AS bin,
+       |    COUNT(*) AS docs_in_bin, CAST(SUM(toks) AS BIGINT) AS toks_in_bin
+       |  FROM c GROUP BY lang, shard, bin)
+       |SELECT lang AS l, COUNT(*) AS n_bins,
+       |  CAST(MAX(docs_in_bin) AS BIGINT) AS max_docs_bin,
+       |  CAST(MAX(toks_in_bin) AS BIGINT) AS max_toks_bin,
+       |  CAST(SUM(toks_in_bin) AS BIGINT) AS total_toks
+       |FROM b GROUP BY lang""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   private def dialect(name: String, gen: Dial => String): Q =
@@ -710,6 +775,8 @@ object ExtQueries {
     keepBest,
     // True connected-components keep-best (chained near-dups merge).
     ccKeepBest,
+    // Test-set decontamination (shingle overlap vs a holdout set).
+    dialect("d10_decontaminate", decontaminateSql),
     dialect("t01_text_langid", langidSql),
     dialect("t02_text_quality", qualitySql),
     dialect("t03_text_tokencount", tokenCountSql),
@@ -720,6 +787,10 @@ object ExtQueries {
     dialect("p01_pipeline_curate", curateSql),
     // Near-dup-aware curation: CC dedup -> quality gate -> corpus stats.
     curateNearDup,
+    // Deterministic hash-based stratified sampling (reproducible splits).
+    dialect("p03_sample_stratified", sampleSql),
+    // Token-budget sequence packing (concat-then-chunk, per-shard).
+    dialect("p04_pack_sequences", packSql),
     dialect("v01_knn_brute", knnBruteSql),
     dialect("v02_knn_sign_lsh", knnSignLshSql),
     dialect("v03_knn_ivf_assign", ivfAssignSql),
