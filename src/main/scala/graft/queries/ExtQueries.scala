@@ -695,18 +695,35 @@ object ExtQueries {
     * is benchmark-sized (tiny), so Catalyst broadcasts it and the train
     * side never shuffles; DISTINCT collapses multi-gram hits per doc.
     */
-  private def decontaminateSql(d: Dial): String =
-    s"""WITH sh AS (SELECT doc_id, lang, ${d.shingleHashSet("text")} AS hs
-       |       FROM documents WHERE ${d.size(d.split("text"))} >= 3),
-       |evg AS (SELECT DISTINCT g FROM
-       |         (SELECT hs FROM sh WHERE doc_id % 101 = 7) e ${d.explode("hs", "g")}),
+  private def decontaminateShSql(d: Dial): String =
+    s"""SELECT doc_id, lang, ${d.shingleHashSet("text")} AS hs
+       |FROM documents WHERE ${d.size(d.split("text"))} >= 3""".stripMargin
+
+  private def decontaminateBody(d: Dial, sh: String): String =
+    s"""evg AS (SELECT DISTINCT g FROM
+       |         (SELECT hs FROM $sh WHERE doc_id % 101 = 7) e ${d.explode("hs", "g")}),
        |trg AS (SELECT doc_id, lang, g FROM
-       |         (SELECT doc_id, lang, hs FROM sh WHERE doc_id % 101 <> 7) t ${d.explode("hs", "g")}),
+       |         (SELECT doc_id, lang, hs FROM $sh WHERE doc_id % 101 <> 7) t ${d.explode("hs", "g")}),
        |hit AS (SELECT DISTINCT trg.doc_id, trg.lang
        |        FROM trg JOIN evg ON trg.g = evg.g)
        |SELECT lang AS l, COUNT(*) AS contaminated,
        |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
        |FROM hit GROUP BY lang""".stripMargin
+
+  private def decontaminateSql(d: Dial): String =
+    s"WITH sh AS (${decontaminateShSql(d)}),\n" + decontaminateBody(d, "sh")
+
+  /** Spark side materializes the shingle scan ONCE (cached view — Spark
+    * inlines WITH subqueries, so the eval and train branches would
+    * otherwise shingle-hash the whole corpus twice; at 100 TB the
+    * equivalent is checkpointing the signature relation to storage).
+    */
+  private def decontaminate: Q = Q("d10_decontaminate", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    val sh = spark.sql(decontaminateShSql(SparkD))
+    sh.cache().createOrReplaceTempView("dc_sh")
+    spark.sql("WITH " + decontaminateBody(SparkD, "dc_sh"))
+  }, Some(decontaminateSql(DuckD)))
 
   /** p03: deterministic stratified sampling — train/validation splits
     * that are reproducible across runs and engines: keep a doc iff a
@@ -776,7 +793,7 @@ object ExtQueries {
     // True connected-components keep-best (chained near-dups merge).
     ccKeepBest,
     // Test-set decontamination (shingle overlap vs a holdout set).
-    dialect("d10_decontaminate", decontaminateSql),
+    decontaminate,
     dialect("t01_text_langid", langidSql),
     dialect("t02_text_quality", qualitySql),
     dialect("t03_text_tokencount", tokenCountSql),
