@@ -38,16 +38,23 @@ object CfTools {
   }
 
   /** Write a cat result as TSV (cat's text output path) or columnfile
-    * (recompress/concat path).
+    * (recompress/concat path). `dictionary`/`bitpack` opt into the
+    * engine's encoding extensions, so the ETL-copy tool doubles as a
+    * re-encode pass (plain table in, dictionary+packed table out).
     */
   def writeCat(df: DataFrame, output: String, outputFormat: String,
-               compression: String = "lz4"): Unit = outputFormat match {
+               compression: String = "lz4",
+               dictionary: Boolean = false,
+               bitpack: Boolean = false): Unit = outputFormat match {
     case "text" | "tsv" =>
       df.write.mode("overwrite")
         .option("sep", "\t").option("header", "false").csv(output)
     case "columnfile" =>
       df.write.mode("overwrite").format("columnfile")
-        .option("compression", compression).save(output)
+        .option("compression", compression)
+        .option("dictionary", dictionary.toString)
+        .option("bitpack", bitpack.toString)
+        .save(output)
     case other =>
       throw new IllegalArgumentException(s"unknown output format: $other")
   }
@@ -95,7 +102,9 @@ object CfTools {
       sortWithinBy: Seq[String] = Nil,
       compression: String = "lz4",
       targetChunkBytes: Long = 16L * 1024 * 1024,
-      zOrderBy: Seq[String] = Nil): Unit = {
+      zOrderBy: Seq[String] = Nil,
+      dictionary: Boolean = false,
+      bitpack: Boolean = false): Unit = {
     require(sortWithinBy.isEmpty || zOrderBy.isEmpty,
       "compact: choose sortWithinBy OR zOrderBy, not both")
     val conf = spark.sessionState.newHadoopConf()
@@ -117,6 +126,8 @@ object CfTools {
     df.write.mode("overwrite").format("columnfile")
       .option("compression", compression)
       .option("targetChunkBytes", targetChunkBytes.toString)
+      .option("dictionary", dictionary.toString)
+      .option("bitpack", bitpack.toString)
       .save(output)
   }
 

@@ -96,6 +96,31 @@ class ToolsAndMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all > 2 && parts <= 2, s"pruning after compact: $parts of $all")
   }
 
+  test("compact re-encodes with dictionary + bitpack: same rows, smaller files") {
+    val sp = spark; import sp.implicits._
+    val in = tmp()
+    (0 until 20000)
+      .map(i => (7000000000L + i, s"cat_${i % 6}", 1700000000L + (i % 89) * 60))
+      .toDF("id", "category", "ts")
+      .repartition(1).write.format("columnfile")
+      .option("compression", "none").mode("overwrite").save(in)
+
+    val out = tmp()
+    CfTools.compact(spark, in, out, targetFileBytes = Long.MaxValue,
+      compression = "none", dictionary = true, bitpack = true)
+    val back = spark.read.format("columnfile").load(out)
+    assert(back.count() == 20000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id"),
+      org.apache.spark.sql.functions.sum("ts")).head.toSeq ==
+      spark.read.format("columnfile").load(in)
+        .agg(org.apache.spark.sql.functions.sum("id"),
+          org.apache.spark.sql.functions.sum("ts")).head.toSeq)
+    def bytes(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".cf")).map(_.length()).sum
+    assert(bytes(out) * 2 < bytes(in),
+      s"re-encode shrink: ${bytes(out)} vs ${bytes(in)}")
+  }
+
   test("z-order compaction prunes on EVERY z column; linear sort only on its leading one") {
     val sp = spark; import sp.implicits._
     import org.apache.spark.sql.functions.col
