@@ -442,8 +442,11 @@ final class ColumnDecoder(data: Array[Byte]) {
     val cnt = Varint.get(data, cur)
     // 8*len+64 bounds every well-formed count (bitmap or payload bits
     // must cover the cells); it exists to stop a crafted zero-payload
-    // header from demanding an arbitrary allocation
-    if (cnt < 0 || cnt > 8L * data.length + 64)
+    // header from demanding an arbitrary allocation. The Int.MaxValue
+    // clamp keeps cnt.toInt from wrapping negative on blocks >= 256 MiB
+    // (NegativeArraySizeException would violate the corruption contract).
+    if (cnt < 0 ||
+        cnt > math.min(8L * data.length + 64, Int.MaxValue.toLong - 8))
       throw new CorruptColumnFileException(s"corrupt packed cell count $cnt")
     val nc = Varint.get(data, cur)
     if (nc < 0 || nc > cnt)

@@ -729,12 +729,16 @@ object ExtQueries {
     * that are reproducible across runs and engines: keep a doc iff a
     * multiplicative hash of its id lands under the rate (10%). No RNG,
     * no sampleBy: pure scan + filter, embarrassingly parallel at any
-    * scale, and any engine recomputes the same membership.
+    * scale, and any engine recomputes the same membership. The id is
+    * reduced mod P BEFORE the multiply so the product stays under
+    * 2^63 for any BIGINT doc_id ((P-1) * 2654435761 < 2^63) — a raw
+    * doc_id * constant would overflow past doc_id ~3.5e9, silently in
+    * Spark and loudly in DuckDB.
     */
   private def sampleSql(d: Dial): String =
     s"""WITH s AS (SELECT doc_id, lang, ${d.size(d.split("text"))} AS toks
        |  FROM documents
-       |  WHERE (doc_id * 2654435761) % $P % 1000 < 100)
+       |  WHERE ((doc_id % $P) * 2654435761) % $P % 1000 < 100)
        |SELECT lang AS l, COUNT(*) AS n_sampled,
        |  CAST(SUM(toks) AS BIGINT) AS sum_toks,
        |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id

@@ -147,15 +147,9 @@ class ColumnFileMicroBatchStream(
       // temp + rename (the sink marker's discipline) — a crash mid-write
       // can never leave a torn batch file that wedges later triggers
       fs.mkdirs(logDir)
-      val tmp = new Path(logDir, s".$logged.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(fresh.map(st => s"${st.getPath}\t${st.getLen}")
-        .mkString("", "\n", "\n").getBytes(UTF_8))
-      finally out.close()
-      if (fs.exists(batchFile(logged))) fs.delete(batchFile(logged), false)
-      if (!fs.rename(tmp, batchFile(logged)))
-        throw new java.io.IOException(
-          s"columnfile stream: cannot log batch ${batchFile(logged)}")
+      AtomicFile.publish(fs, batchFile(logged),
+        fresh.map(st => s"${st.getPath}\t${st.getLen}")
+          .mkString("", "\n", "\n").getBytes(UTF_8))
       fresh.foreach(st => seenPaths += seenKey(st.getPath))
       seenThrough = logged + 1
       ColumnFileOffset(logged + 1)
@@ -217,17 +211,15 @@ class ColumnFileMicroBatchStream(
     */
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[ColumnFileOffset].batches
+    // Refresh compactedThrough from the directory FIRST: Spark's restart
+    // recovery calls commit(lastCommitted) on a fresh source instance
+    // before any latestOffset(), and a stale in-memory 0 here would send
+    // loadSeenThrough after batch files a previous compaction deleted.
+    loggedBatches()
     if (e - compactedThrough < CompactInterval) return
     loadSeenThrough(e) // seenPaths now holds every key through batch e-1
-    val tmp = new Path(logDir, s"._seen.compact.$e.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(seenPaths.toSeq.sorted
-      .mkString("", "\n", "\n").getBytes(UTF_8))
-    finally out.close()
-    if (fs.exists(compactFile(e))) fs.delete(compactFile(e), false)
-    if (!fs.rename(tmp, compactFile(e)))
-      throw new java.io.IOException(
-        s"columnfile stream: cannot write ${compactFile(e)}")
+    AtomicFile.publish(fs, compactFile(e),
+      seenPaths.toSeq.sorted.mkString("", "\n", "\n").getBytes(UTF_8))
     compactedThrough = e
     // sweep the folded remains (and any orphaned temp from a crashed
     // write — all tmp files here are ours, and source calls are

@@ -98,17 +98,12 @@ final class ColumnFileStreamingWrite(
   private def writeMarker(fs: FileSystem, marker: Path,
       pairs: Seq[(Path, Path)]): Unit = {
     fs.mkdirs(marker.getParent)
-    val tmpMarker = new Path(marker.getParent, s".${marker.getName}.intent")
-    val out = fs.create(tmpMarker, true)
-    try out.write(pairs.map { case (t, f) => s"$t\t$f" }
-      .mkString("", "\n", "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    // adopt-replay supersedes a marker whose attempt left nothing; local
-    // and HDFS renames refuse existing destinations, so clear it first
-    if (fs.exists(marker)) fs.delete(marker, false)
-    if (!fs.rename(tmpMarker, marker)) // atomic: the commit point
-      throw new java.io.IOException(s"columnfile sink: cannot write $marker")
+    // adopt-replay overwrites a marker whose attempt left nothing; the
+    // rename is the commit point
+    AtomicFile.publish(fs, marker,
+      pairs.map { case (t, f) => s"$t\t$f" }.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      tmpSuffix = ".intent")
   }
 
   private def intentsOf(msgs: Array[WriterCommitMessage]): Seq[(Path, Path)] =
@@ -199,7 +194,10 @@ final class ColumnFileStreamingWrite(
     * forever.
     */
   private def pruneEpochs(fs: FileSystem, committedEpoch: Long): Unit = {
-    val horizon = committedEpoch - keepEpochs
+    // floor at 1: keepEpochs=0 would prune the marker of the epoch just
+    // committed, and a crash-then-replay of that epoch would find no
+    // marker and publish duplicates
+    val horizon = committedEpoch - math.max(1L, keepEpochs)
     if (horizon <= 0) return
     try {
       fs.listStatus(new Path(dir, "_epochs")).foreach { st =>

@@ -46,15 +46,27 @@ object FilterEval {
       filterEvals: Array[Bound],
       rowCount: Int): java.util.BitSet = {
     val filterCols = filterEvals.map(_.col).distinct
-    // drain each filter column once: ids for dict blocks, cells otherwise
+    // drain each filter column once: ids for dict blocks, unboxed longs
+    // for packed-numeric blocks, cells otherwise
     val cellsByCol = scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.ArrayBuffer[Array[Byte]]]
     val idsByCol = scala.collection.mutable.HashMap.empty[Int, (Array[Array[Byte]], scala.collection.mutable.ArrayBuffer[Int])]
+    val packedByCol = scala.collection.mutable.HashMap.empty[Int, (Array[Long], java.util.BitSet, Int)]
     filterCols.foreach { c =>
       decoders.get(c) match {
         case Some(d) if d.isDictEncoded =>
           val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
           while (d.hasNext) ids += d.nextId()
           idsByCol(c) = (d.dictionary, ids)
+        case Some(d) if d.isPackedNumeric =>
+          val vals = new scala.collection.mutable.ArrayBuilder.ofLong
+          val nulls = new java.util.BitSet()
+          var i = 0
+          while (d.hasNext) {
+            if (d.nextPacked()) vals += d.packedValue
+            else { nulls.set(i); vals += 0L }
+            i += 1
+          }
+          packedByCol(c) = (vals.result(), nulls, d.packedWidth)
         case Some(d) =>
           val cells = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
           while (d.hasNext) cells += d.next()
@@ -86,8 +98,29 @@ object FilterEval {
             if (id < 0) nullPass else byId(id)
           }
         case (fe, None) =>
-          val cells = cellsByCol(fe.col)
-          (r: Int) => fe.eval(if (r < cells.length) cells(r) else null)
+          packedByCol.get(fe.col) match {
+            case Some((vals, nulls, width)) =>
+              // packed-numeric: evaluate from the unboxed long view with
+              // one reused scratch buffer — no per-cell allocation.
+              // Sound because every bound predicate decodes its cell
+              // eagerly (the comparators call CellCodec.decode /
+              // compare immediately and never retain the array).
+              val scratch = new Array[Byte](width)
+              (r: Int) =>
+                if (r >= vals.length || nulls.get(r)) fe.eval(null)
+                else {
+                  val v = vals(r)
+                  var k = 0
+                  while (k < width) {
+                    scratch(k) = ((v >>> (8 * k)) & 0xff).toByte
+                    k += 1
+                  }
+                  fe.eval(scratch)
+                }
+            case None =>
+              val cells = cellsByCol(fe.col)
+              (r: Int) => fe.eval(if (r < cells.length) cells(r) else null)
+          }
       }
     var r = 0
     while (r < rowCount) {

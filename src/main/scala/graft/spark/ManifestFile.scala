@@ -54,15 +54,7 @@ object ManifestFile {
     val body = entries.sortBy(_.rel)
       .map(e => s"""["${esc(e.rel)}",${e.len},${e.mtime}]""")
       .mkString("{\"files\":[", ",", "]}")
-    val tmp = new Path(root, s".$Name.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes(UTF_8)) finally out.close()
-    val dest = new Path(root, Name)
-    // Hadoop rename refuses an existing destination; the delete→rename
-    // gap reads as "manifest absent" (walk fallback), never as torn
-    if (fs.exists(dest)) fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"cannot publish manifest $dest")
+    AtomicFile.publish(fs, new Path(root, Name), body.getBytes(UTF_8))
   }
 
   def read(conf: Configuration, root: Path): Option[Seq[Entry]] = {

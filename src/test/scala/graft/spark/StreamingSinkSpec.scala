@@ -182,6 +182,24 @@ class StreamingSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"markers beyond the keepEpochs=2 horizon survive: $markers")
     // pruning touches only metadata — every epoch's data is still there
     assert(spark.read.format("columnfile").load(sink).count() == 5)
+
+    // keepEpochs=0 must not prune the epoch just committed (its marker
+    // is what makes a crash-then-replay idempotent): floored to 1
+    val sink0 = Files.createTempDirectory("cf-sink-prune0").toString
+    val write0 = new ColumnFileStreamingWrite(
+      sink0, schema, graft.format.Compression.fromName("lz4"),
+      16L * 1024 * 1024, new SerializableHadoopConf(conf), Seq.empty,
+      keepEpochs = 0L)
+    def epoch0(id: Long): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = write0.createStreamingWriterFactory(null).createWriter(0, 0L, id)
+      w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](id, org.apache.spark.unsafe.types.UTF8String.fromString("x"))))
+      w.commit()
+    }
+    (0L to 2L).foreach(e => write0.commit(e, Array(epoch0(e))))
+    val m0 = Option(new java.io.File(sink0, "_epochs").listFiles())
+      .toSeq.flatten.map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(m0.contains("2"), s"just-committed marker pruned: $m0")
   }
 
   test("aborted epoch leaves nothing visible; partitioned streaming writes route rows") {

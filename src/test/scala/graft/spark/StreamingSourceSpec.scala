@@ -163,10 +163,13 @@ class StreamingSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!names.exists(n => scala.util.Try(n.toLong).toOption.exists(_ < 20)),
       s"per-batch files below the compaction point survive: $names")
 
-    // a RESTARTED source over the compacted log: nothing re-surfaces,
-    // new arrivals still become exactly one new batch
+    // a RESTARTED source over the compacted log: Spark's recovery calls
+    // commit(lastCommitted) on the fresh instance BEFORE latestOffset,
+    // so commit must re-discover the compaction point from disk rather
+    // than trusting its in-memory zero and re-reading deleted batches
     val stream2 = new ColumnFileMicroBatchStream(
       Seq(src), schema, Array.empty, conf, ckpt)
+    stream2.commit(ColumnFileOffset(20L)) // threw FileNotFound before fix
     assert(stream2.latestOffset() == ColumnFileOffset(20L), "seen files resurfaced")
     addFile(20)
     assert(stream2.latestOffset() == ColumnFileOffset(21L))
