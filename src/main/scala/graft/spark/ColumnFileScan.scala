@@ -281,7 +281,9 @@ class ColumnFileScan(
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ColumnFileMicroBatchStream(
-      paths, tableSchema, filters, conf, checkpointLocation, useManifest)
+      paths, tableSchema, filters, conf, checkpointLocation, useManifest,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
 
   override def description(): String = {
     val f = if (filters.isEmpty) "" else filters.mkString(", ")

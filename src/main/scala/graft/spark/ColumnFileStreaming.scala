@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
@@ -39,8 +39,12 @@ class ColumnFileMicroBatchStream(
     filters: Array[Filter],
     conf: Configuration,
     checkpointLocation: String,
-    useManifest: Boolean = false)
-    extends MicroBatchStream {
+    useManifest: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val logDir = new Path(checkpointLocation, "graft-file-batches")
   private val fs = logDir.getFileSystem(conf)
@@ -136,10 +140,74 @@ class ColumnFileMicroBatchStream(
     */
   private def seenKey(p: Path): String = p.toUri.getPath
 
-  override def latestOffset(): Offset = {
+  /** Pending-file snapshot frozen by `prepareForTriggerAvailableNow`:
+    * a Trigger.AvailableNow run drains exactly these files (in rate-
+    * limited batches) and ignores later arrivals, the FileStreamSource
+    * contract.
+    */
+  private var availableNowSnapshot: Option[Seq[org.apache.hadoop.fs.FileStatus]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
     val logged = loggedBatches()
     loadSeenThrough(logged)
-    val fresh = listAll().filterNot(st => seenPaths(seenKey(st.getPath)))
+    availableNowSnapshot =
+      Some(listAll().filterNot(st => seenPaths(seenKey(st.getPath))))
+  }
+
+  /** Rate limits from `maxFilesPerTrigger` / `maxBytesPerTrigger` read
+    * options — the backfill story: pointing a new stream at a 100 TB
+    * table must not plan one multi-petabyte first batch.
+    */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq()  => ReadLimit.allAvailable()
+      case Seq(l) => l
+      case many   => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  private def applyLimit(files: Seq[org.apache.hadoop.fs.FileStatus],
+      limit: ReadLimit): Seq[org.apache.hadoop.fs.FileStatus] = limit match {
+    case f: ReadMaxFiles => files.take(f.maxFiles())
+    case b: ReadMaxBytes =>
+      // always admit at least one file (a single over-cap file must not
+      // stall the stream forever), then stop before the cap is crossed
+      var total = 0L
+      files.takeWhile { st =>
+        val first = total == 0L
+        total += st.getLen
+        first || total <= b.maxBytes()
+      }
+    case c: CompositeReadLimit =>
+      c.getReadLimits.foldLeft(files)(applyLimit)
+    case _: ReadAllAvailable => files
+    case _ => files // ReadMaxRows/ReadMinRows: rows unknown before decode
+  }
+
+  override def latestOffset(): Offset =
+    latestOffset(null, ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset = {
+    val logged = loggedBatches()
+    loadSeenThrough(logged)
+    val pending = availableNowSnapshot
+      .getOrElse(listAll())
+      .filterNot(st => seenPaths(seenKey(st.getPath)))
+    // predicted final offset once pending data is fully admitted: rate
+    // limits only chunk it into more batches, so "all pending in one
+    // more batch" is the correct upper bound for progress reporting
+    ColumnFileOffset(if (pending.isEmpty) logged else logged + 1)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val logged = loggedBatches()
+    loadSeenThrough(logged)
+    val pending = availableNowSnapshot
+      .getOrElse(listAll())
+      .filterNot(st => seenPaths(seenKey(st.getPath)))
+    val fresh = applyLimit(pending, limit)
     if (fresh.isEmpty) ColumnFileOffset(logged)
     else {
       // persist the batch BEFORE surfacing the offset: a crash between

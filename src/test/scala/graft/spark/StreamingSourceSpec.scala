@@ -178,6 +178,72 @@ class StreamingSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts.length == 1, "compacted history leaked into a new batch plan")
   }
 
+  test("maxFilesPerTrigger rate-limits batches; AvailableNow drains the snapshot exactly") {
+    val sp = spark; import sp.implicits._
+    val src = Files.createTempDirectory("cf-stream-rate").toString
+    val ckpt = Files.createTempDirectory("cf-stream-rate-ckpt").toString
+    val sink = Files.createTempDirectory("cf-stream-rate-sink").toString
+
+    // 6 single-row files
+    (0 until 6).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "v").repartition(1)
+        .write.format("columnfile")
+        .mode(if (i == 0) "overwrite" else "append").save(src)
+    }
+    val schema = spark.read.format("columnfile").load(src).schema
+    val q = spark.readStream.format("columnfile").schema(schema)
+      .option("maxFilesPerTrigger", "2").load(src)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // all six files processed, in ceil(6/2)=3 batches
+    assert(spark.read.parquet(sink).count() == 6)
+    val batches = new java.io.File(ckpt, "sources/0/graft-file-batches")
+      .listFiles().map(_.getName)
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+    assert(batches.toSet == Set(0L, 1L, 2L),
+      s"expected 3 rate-limited batches, got ${batches.sorted.toSeq}")
+  }
+
+  test("maxBytesPerTrigger admits at least one file and stops before the cap") {
+    val sp = spark; import sp.implicits._
+    val src = Files.createTempDirectory("cf-stream-bytes").toString
+    val ckpt = Files.createTempDirectory("cf-stream-bytes-ckpt").toString
+    val conf = spark.sessionState.newHadoopConf()
+
+    (0 until 4).foreach { i =>
+      (0 until 200).map(j => (i * 1000L + j, s"v$j")).toDF("id", "v")
+        .repartition(1).write.format("columnfile")
+        .mode(if (i == 0) "overwrite" else "append").save(src)
+    }
+    val schema = spark.read.format("columnfile").load(src).schema
+    val fileLen = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(ColumnFileDataSource.FileExtension))
+      .map(_.length()).max
+
+    // cap below one file: each batch still admits exactly one file
+    val stream = new ColumnFileMicroBatchStream(
+      Seq(src), schema, Array.empty, conf, ckpt,
+      maxBytesPerTrigger = Some(fileLen / 2))
+    val off1 = stream.latestOffset(null,
+      stream.getDefaultReadLimit).asInstanceOf[ColumnFileOffset]
+    assert(off1 == ColumnFileOffset(1L))
+    assert(stream.planInputPartitions(ColumnFileOffset(0L), off1).length == 1,
+      "an over-cap file must admit alone, not stall")
+
+    // cap covering ~2.5 files: admits 2, never crosses the cap
+    val stream2 = new ColumnFileMicroBatchStream(
+      Seq(src), schema, Array.empty, conf,
+      Files.createTempDirectory("cf-stream-bytes-ckpt2").toString,
+      maxBytesPerTrigger = Some((fileLen * 5) / 2))
+    val off2 = stream2.latestOffset(null,
+      stream2.getDefaultReadLimit).asInstanceOf[ColumnFileOffset]
+    assert(stream2.planInputPartitions(ColumnFileOffset(0L), off2).length == 2,
+      "byte cap should admit two files")
+  }
+
   test("cf stream composes with watermarked aggregation and ingest dedup end-to-end") {
     val sp = spark; import sp.implicits._
     val src = Files.createTempDirectory("cf-stream2-src").toString
