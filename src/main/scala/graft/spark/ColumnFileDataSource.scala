@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, MapType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.format.ColumnFileReader
@@ -146,7 +146,43 @@ object ColumnFileDataSource {
     * chunk headers (the storage truth: cells are byte strings, reference
     * columnfile.h:63).
     */
+  /** Read-side nullability relaxation — the Spark file-source contract
+    * (Parquet/ORC read everything as nullable): storage is ragged, so
+    * any scalar column can be absent in some row, chunk, or whole file
+    * (trailing-column schema evolution). A write-side `nullable=false`
+    * must never reach Catalyst on the read path: it constant-folds
+    * `IS NULL` to false and lets codegen read vector default values
+    * where the null bits are set.
+    *
+    * The ONE flag that stays as written is a struct field's own
+    * nullability: it IS physical layout (a nullable struct has a
+    * presence leaf, CellCodec.flatten), so flipping it would shift
+    * every following leaf index. Struct fields' inner columns relax
+    * like any other; framed collections (arrays/maps) write per-element
+    * null markers unconditionally, so their flags are layout-free.
+    */
+  private def relaxElem(dt: DataType): DataType = dt match {
+    case ArrayType(et, _)   => ArrayType(relaxElem(et), containsNull = true)
+    case MapType(kt, vt, _) => MapType(relaxElem(kt), relaxElem(vt), valueContainsNull = true)
+    case st: StructType => // inside framed land: layout-free
+      StructType(st.fields.map(f =>
+        f.copy(dataType = relaxElem(f.dataType), nullable = true)))
+    case other => other
+  }
+
+  private[spark] def readNullable(s: StructType): StructType =
+    StructType(s.fields.map { f =>
+      f.dataType match {
+        case st: StructType => f.copy(dataType = readNullable(st)) // keep f.nullable: presence layout
+        case dt             => f.copy(dataType = relaxElem(dt), nullable = true)
+      }
+    })
+
   def inferSchema(conf: Configuration, paths: Seq[String],
+                  formatChars: Option[String] = None): StructType =
+    readNullable(inferSchemaRaw(conf, paths, formatChars))
+
+  private def inferSchemaRaw(conf: Configuration, paths: Seq[String],
                   formatChars: Option[String] = None): StructType = {
     formatChars.foreach(fc => return schemaFromFormatChars(fc))
     val sidecars = paths.flatMap { p =>

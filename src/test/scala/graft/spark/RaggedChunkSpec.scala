@@ -163,6 +163,41 @@ class RaggedChunkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2.forall(r => r.isNullAt(1) && r.isNullAt(2)))
   }
 
+  test("schema evolution: trailing-column adds read old files as NULL; narrower reads drop extras") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cf-evolve").toString
+
+    // generation 1: (id, v)
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.format("columnfile").mode("overwrite").save(dir)
+    // generation 2 appends with a NEW TRAILING column (score); the
+    // schema sidecar now carries 3 fields, and gen-1 files simply lack
+    // leaf 2 — the ragged semantics read it as NULL, which is exactly
+    // the Parquet/Iceberg add-a-column contract (trailing adds only:
+    // leaf mapping is positional, same as the reference's column
+    // indices)
+    (100 until 150).map(i => (i.toLong, s"v$i", i * 1.5))
+      .toDF("id", "v", "score")
+      .write.format("columnfile").mode("append").save(dir)
+
+    val evolved = spark.read.format("columnfile").load(dir)
+    assert(evolved.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    assert(evolved.count() == 150)
+    assert(evolved.filter(org.apache.spark.sql.functions.col("score").isNull)
+      .count() == 100, "gen-1 rows must read the new column as NULL")
+    assert(evolved.filter(org.apache.spark.sql.functions.col("score").isNotNull)
+      .agg(org.apache.spark.sql.functions.min("id")).head.getLong(0) == 100L)
+
+    // a narrower user-supplied schema (the OLD shape) still reads every
+    // file: the new trailing column is just never selected
+    val narrow = spark.read.format("columnfile")
+      .schema(org.apache.spark.sql.types.StructType(evolved.schema.fields.take(2)))
+      .load(dir)
+    assert(narrow.count() == 150)
+    assert(narrow.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) ==
+      (0L until 150L).sum)
+  }
+
   test("corrupt or stale stats sidecars never break reads (fallback to header walk)") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-badstats").toString
