@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native dot product for the embedding operators (v01–v05, d07).
+  *
+  * Replaces the HOF formulation
+  * `aggregate(zip_with(a, b, (x,y) -> CAST(x AS DOUBLE) * CAST(y AS
+  * DOUBLE)), CAST(0 AS DOUBLE), (acc,v) -> acc + v)` on the Spark side
+  * — the DuckDB oracles keep the lambda spelling. HOF lambdas evaluate
+  * interpreted (one closure call per dimension per pair); this loop is
+  * tight JVM code inside whole-stage codegen.
+  *
+  * Bit-identical to the SQL form: elements widen to double exactly as
+  * CAST does, products accumulate LEFT TO RIGHT in index order (IEEE
+  * addition order fixed — the determinism rule every embedding query
+  * relies on), mismatched lengths and null elements yield NULL exactly
+  * like zip_with's null padding flowing through the fold, and empty
+  * arrays yield the 0.0 seed.
+  */
+object VectorOps {
+
+  /** elemCode: 0 = float elements, 1 = double elements. Returns null for
+    * length mismatch or null elements (the zip_with/aggregate contract).
+    */
+  def dotBoxed(a: ArrayData, b: ArrayData, ac: Int, bc: Int): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (ac == 0) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bc == 0) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemCode(e: Expression): Int = e.dataType match {
+    case ArrayType(FloatType, _)  => 0
+    case ArrayType(DoubleType, _) => 1
+    case other => throw new IllegalArgumentException(
+      s"graft_dot: unsupported input type $other (need array<float|double>)")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      elemCode(left), elemCode(right))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotRes")
+      s"""
+         |java.lang.Double $tmp = graft.functions.VectorOps.dotBoxed(
+         |  $a, $b, ${elemCode(left)}, ${elemCode(right)});
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  def register(registry: FunctionRegistry): Unit =
+    registry.createOrReplaceTempFunction("graft_dot",
+      (e: Seq[Expression]) => DotProduct(e(0), e(1)), "built-in")
+}

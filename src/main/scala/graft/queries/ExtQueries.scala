@@ -142,7 +142,8 @@ object ExtQueries {
     def at(l: String, i0: Int) = s"$l[$i0]"
     def dims(a: String, b: String) =
       s"zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
-    // native codegen expressions for the hashing hot path
+    // native codegen expressions for the hashing + vector hot paths
+    override def dot(a: String, b: String) = s"graft_dot($a, $b)"
     override def shingleHashSet(text: String) = s"graft_shingle_hashes($text)"
     override def shingleHashList(text: String) = s"graft_shingle_hashes_all($text)"
     def gramHashSet(text: String) = s"graft_gram_hashes($text)"

@@ -67,6 +67,8 @@ object Tables {
     events(spark, dir).createOrReplaceTempView("events")
     graft.functions.TextHashFunctions.register(
       spark.sessionState.functionRegistry)
+    graft.functions.VectorFunctions.register(
+      spark.sessionState.functionRegistry)
   }
 
   /** Register columnfile-backed views (cf_<name>). */

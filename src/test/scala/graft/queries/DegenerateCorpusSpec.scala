@@ -28,6 +28,8 @@ class DegenerateCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.VectorFunctions.register(
+      spark.sessionState.functionRegistry)
     graft.functions.TextHashFunctions.register(
       spark.sessionState.functionRegistry)
     val sp = spark; import sp.implicits._
