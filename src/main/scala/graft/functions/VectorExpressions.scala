@@ -49,6 +49,19 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_dot requires array<float|double> inputs, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   private def elemCode(e: Expression): Int = e.dataType match {
     case ArrayType(FloatType, _)  => 0
     case ArrayType(DoubleType, _) => 1
@@ -79,5 +92,9 @@ case class DotProduct(left: Expression, right: Expression)
 object VectorFunctions {
   def register(registry: FunctionRegistry): Unit =
     registry.createOrReplaceTempFunction("graft_dot",
-      (e: Seq[Expression]) => DotProduct(e(0), e(1)), "built-in")
+      (e: Seq[Expression]) => {
+        if (e.length != 2) throw new IllegalArgumentException(
+          s"graft_dot takes exactly 2 arguments, got ${e.length}")
+        DotProduct(e(0), e(1))
+      }, "built-in")
 }

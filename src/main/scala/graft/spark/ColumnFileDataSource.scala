@@ -82,7 +82,10 @@ object ColumnFileDataSource {
           walk(fs, path).map(st => (path, st))
         else Seq((path.getParent, fs.getFileStatus(path)))
       }
-    }.sortBy(_._2.getPath.toString)
+      // a zero-length file cannot even hold the 4-byte magic: it is a
+      // crashed writer's leftover, not data — skipping it keeps planning
+      // (which walks headers on sidecar-less files) from throwing on it
+    }.filter(_._2.getLen > 0).sortBy(_._2.getPath.toString)
   }
 
   def listDataFiles(conf: Configuration, paths: Seq[String]): Seq[FileStatus] =

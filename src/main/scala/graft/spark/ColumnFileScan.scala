@@ -282,8 +282,23 @@ class ColumnFileScan(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ColumnFileMicroBatchStream(
       paths, tableSchema, filters, conf, checkpointLocation, useManifest,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+      positiveOption("maxFilesPerTrigger", _.toInt),
+      positiveOption("maxBytesPerTrigger", _.toLong))
+
+  /** Admission-control options must be positive: zero or negative would
+    * admit nothing and silently stall the stream forever.
+    */
+  private def positiveOption[N](name: String, parse: String => N)
+      (implicit num: Numeric[N]): Option[N] =
+    Option(options.get(name)).map { raw =>
+      val v = try parse(raw) catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"columnfile: invalid $name='$raw' (must be a positive number)")
+      }
+      if (num.lteq(v, num.zero)) throw new IllegalArgumentException(
+        s"columnfile: $name must be positive, got $raw")
+      v
+    }
 
   override def description(): String = {
     val f = if (filters.isEmpty) "" else filters.mkString(", ")

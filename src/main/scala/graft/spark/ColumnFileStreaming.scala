@@ -147,6 +147,20 @@ class ColumnFileMicroBatchStream(
     */
   private var availableNowSnapshot: Option[Seq[org.apache.hadoop.fs.FileStatus]] = None
 
+  /** Sync the seen-set with the log and return (logged batches, files
+    * not yet covered by any batch) — one log listing + one data listing
+    * (or zero with a snapshot/manifest). Shared by every admission
+    * entry point.
+    */
+  private def pendingFiles(): (Long, Seq[org.apache.hadoop.fs.FileStatus]) = {
+    val logged = loggedBatches()
+    loadSeenThrough(logged)
+    val pending = availableNowSnapshot
+      .getOrElse(listAll())
+      .filterNot(st => seenPaths(seenKey(st.getPath)))
+    (logged, pending)
+  }
+
   override def prepareForTriggerAvailableNow(): Unit = {
     val logged = loggedBatches()
     loadSeenThrough(logged)
@@ -172,13 +186,16 @@ class ColumnFileMicroBatchStream(
       limit: ReadLimit): Seq[org.apache.hadoop.fs.FileStatus] = limit match {
     case f: ReadMaxFiles => files.take(f.maxFiles())
     case b: ReadMaxBytes =>
-      // always admit at least one file (a single over-cap file must not
-      // stall the stream forever), then stop before the cap is crossed
+      // always admit the FIRST file (a single over-cap file must not
+      // stall the stream forever — an index test, not total==0, so a
+      // leading zero-length file can't sneak the next one past the cap),
+      // then stop before the cap is crossed
       var total = 0L
+      var i = 0
       files.takeWhile { st =>
-        val first = total == 0L
         total += st.getLen
-        first || total <= b.maxBytes()
+        i += 1
+        i == 1 || total <= b.maxBytes()
       }
     case c: CompositeReadLimit =>
       c.getReadLimits.foldLeft(files)(applyLimit)
@@ -189,25 +206,30 @@ class ColumnFileMicroBatchStream(
   override def latestOffset(): Offset =
     latestOffset(null, ReadLimit.allAvailable())
 
-  override def reportLatestOffset(): Offset = {
-    val logged = loggedBatches()
-    loadSeenThrough(logged)
-    val pending = availableNowSnapshot
-      .getOrElse(listAll())
-      .filterNot(st => seenPaths(seenKey(st.getPath)))
-    // predicted final offset once pending data is fully admitted: rate
-    // limits only chunk it into more batches, so "all pending in one
-    // more batch" is the correct upper bound for progress reporting
-    ColumnFileOffset(if (pending.isEmpty) logged else logged + 1)
-  }
+  /** Set by each latestOffset pass: whether data remained past the
+    * admitted batch. reportLatestOffset reuses it so progress reporting
+    * costs zero extra listings per trigger (it runs right after
+    * latestOffset in the micro-batch loop; on the rare standalone call
+    * it computes fresh).
+    */
+  @volatile private var lastReport: Option[ColumnFileOffset] = None
+
+  override def reportLatestOffset(): Offset =
+    lastReport.getOrElse {
+      val (logged, pending) = pendingFiles()
+      // predicted offset once pending data is admitted: rate limits only
+      // chunk it into more batches, so "all pending in one more batch"
+      // is the correct upper bound for progress reporting
+      ColumnFileOffset(if (pending.isEmpty) logged else logged + 1)
+    }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val logged = loggedBatches()
-    loadSeenThrough(logged)
-    val pending = availableNowSnapshot
-      .getOrElse(listAll())
-      .filterNot(st => seenPaths(seenKey(st.getPath)))
+    val (logged, pending) = pendingFiles()
     val fresh = applyLimit(pending, limit)
+    lastReport = Some(ColumnFileOffset(
+      if (pending.isEmpty) logged
+      else if (fresh.size == pending.size) logged + 1
+      else logged + 2)) // admitted batch + at least one more pending
     if (fresh.isEmpty) ColumnFileOffset(logged)
     else {
       // persist the batch BEFORE surfacing the offset: a crash between

@@ -175,9 +175,10 @@ final class ColumnFileStreamingWrite(
     }
     ManifestFile.append(conf.conf, dir,
       pairs.map(_._2).map(ManifestFile.entryFor(conf.conf, dir, _)))
-    val sc = fs.create(new Path(dir, ColumnFileDataSource.SchemaSidecar), true)
-    try sc.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally sc.close()
+    // atomic: this rewrite happens every epoch, racing any concurrent
+    // batch reader's inferSchema
+    AtomicFile.publish(fs, new Path(dir, ColumnFileDataSource.SchemaSidecar),
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (partitionCols.nonEmpty)
       PartitionLayout.write(conf.conf, dir, partitionCols)
     fs.create(new Path(dir, "_SUCCESS"), true).close()

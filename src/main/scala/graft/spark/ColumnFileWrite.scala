@@ -118,9 +118,10 @@ class ColumnFileWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    val sidecar = fs.create(new Path(dir, ColumnFileDataSource.SchemaSidecar), true)
-    try sidecar.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally sidecar.close()
+    // atomic: a reader calling inferSchema mid-commit must never see a
+    // torn/zero-byte schema sidecar
+    AtomicFile.publish(fs, new Path(dir, ColumnFileDataSource.SchemaSidecar),
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (partitionCols.nonEmpty) PartitionLayout.write(conf, dir, partitionCols)
     // maintain the file manifest (ManifestFile): commit knows exactly
     // which files it published, so readers can opt out of directory walks

@@ -31,13 +31,10 @@ object PartitionLayout {
     case _ => false
   }
 
-  def write(conf: Configuration, root: Path, cols: Seq[String]): Unit = {
-    val fs = root.getFileSystem(conf)
-    val out = fs.create(new Path(root, Sidecar), true)
-    try out.write(cols.map(c => "\"" + c + "\"")
-      .mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  def write(conf: Configuration, root: Path, cols: Seq[String]): Unit =
+    AtomicFile.publish(root.getFileSystem(conf), new Path(root, Sidecar),
+      cols.map(c => "\"" + c + "\"")
+        .mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8))
 
   def read(conf: Configuration, root: Path): Seq[String] = {
     val fs = root.getFileSystem(conf)

@@ -242,6 +242,56 @@ class StreamingSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       stream2.getDefaultReadLimit).asInstanceOf[ColumnFileOffset]
     assert(stream2.planInputPartitions(ColumnFileOffset(0L), off2).length == 2,
       "byte cap should admit two files")
+
+    // a ZERO-LENGTH file (crashed writer's leftover — can't even hold
+    // the magic) is skipped by listing: it neither wedges planning nor
+    // counts against any cap
+    val src2 = Files.createTempDirectory("cf-stream-bytes0").toString
+    (0 until 200).map(j => (j.toLong, s"v$j")).toDF("id", "v")
+      .repartition(1).write.format("columnfile").mode("overwrite").save(src2)
+    val real = new java.io.File(src2).listFiles()
+      .filter(_.getName.endsWith(ColumnFileDataSource.FileExtension)).head
+    val empty = new java.io.File(src2, "a-empty.cf")
+    assert(empty.createNewFile())
+    assert(empty.setLastModified(real.lastModified() - 60000)) // sorts first
+    assert(spark.read.format("columnfile").load(src2).count() == 200,
+      "zero-length leftover wedged the batch scan")
+    val stream3 = new ColumnFileMicroBatchStream(
+      Seq(src2), spark.read.format("columnfile").load(src2).schema,
+      Array.empty, conf,
+      Files.createTempDirectory("cf-stream-bytes0-ckpt").toString,
+      maxBytesPerTrigger = Some(1L))
+    val off3 = stream3.latestOffset(null,
+      stream3.getDefaultReadLimit).asInstanceOf[ColumnFileOffset]
+    // batch 0 = the real file alone (the 0-byte one is not data)
+    assert(off3 == ColumnFileOffset(1L))
+    assert(stream3.planInputPartitions(ColumnFileOffset(0L), off3).length == 1)
+    assert(stream3.latestOffset(null, stream3.getDefaultReadLimit) == off3,
+      "zero-length file kept re-surfacing")
+  }
+
+  test("non-positive or malformed rate-limit options fail loudly, not stall") {
+    val sp = spark; import sp.implicits._
+    val src = Files.createTempDirectory("cf-stream-badopt").toString
+    Seq((1L, "a")).toDF("id", "v").write.format("columnfile")
+      .mode("overwrite").save(src)
+    val schema = spark.read.format("columnfile").load(src).schema
+    for (bad <- Seq("0", "-3", "abc")) {
+      val e = intercept[Exception] {
+        val q = spark.readStream.format("columnfile").schema(schema)
+          .option("maxFilesPerTrigger", bad).load(src)
+          .writeStream.format("noop")
+          .option("checkpointLocation",
+            Files.createTempDirectory("cf-badopt-ckpt").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("maxFilesPerTrigger")),
+        s"'$bad' produced: ${msgs(e).mkString(" | ")}")
+    }
   }
 
   test("cf stream composes with watermarked aggregation and ingest dedup end-to-end") {
