@@ -115,6 +115,64 @@ class BitpackEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == df.filter(col("g") === "g1" && col("lang") === "lang_2").count())
   }
 
+  test("bitpack round-trips under every compression codec") {
+    val sp = spark; import sp.implicits._
+    val df = (0 until 3000)
+      .map(i => (9000000L + i, if (i % 9 == 0) null
+        else java.lang.Double.valueOf(i * 0.125), i % 50))
+      .toDF("id", "x", "b")
+    for (codec <- Seq("none", "snappy", "lz4", "lzma", "zlib")) {
+      val dir = Files.createTempDirectory(s"cf-bp-codec-$codec").toString
+      df.write.format("columnfile")
+        .option("bitpack", "true").option("compression", codec)
+        .mode("overwrite").save(dir)
+      val back = spark.read.format("columnfile").load(dir)
+      assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0,
+        s"codec $codec")
+    }
+  }
+
+  test("property: packed-path filter evaluation == per-cell evaluation (3k random cases)") {
+    import graft.format.{ColumnDecoder, ColumnWriter, PackedIntColumnWriter}
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("x", LongType)))
+    val idx = Map("x" -> 0)
+    val rnd = new scala.util.Random(0xBEEF5)
+    def le(v: Long): Array[Byte] =
+      Array.tabulate(8)(k => ((v >>> (8 * k)) & 0xff).toByte)
+    def randomFilter(): Filter = {
+      def lit() = (rnd.nextInt(40) + 1000000L): java.lang.Long
+      rnd.nextInt(8) match {
+        case 0 => EqualTo("x", lit())
+        case 1 => GreaterThan("x", lit())
+        case 2 => LessThanOrEqual("x", lit())
+        case 3 => In("x", Array(lit(), lit(), lit()))
+        case 4 => IsNull("x")
+        case 5 => IsNotNull("x")
+        case 6 => Not(GreaterThan("x", lit()))
+        case _ => Or(EqualTo("x", lit()), EqualTo("x", lit()))
+      }
+    }
+    (1 to 3000).foreach { trial =>
+      val values: Seq[Option[Long]] = Seq.fill(1 + rnd.nextInt(40))(
+        if (rnd.nextInt(6) == 0) None else Some(1000000L + rnd.nextInt(40)))
+      def feed(w: graft.format.ColumnSink): Unit = values.foreach {
+        case Some(v) => w.put(le(v))
+        case None    => w.putNull()
+      }
+      val pk = new PackedIntColumnWriter(8); feed(pk)
+      val pl = new ColumnWriter; feed(pl)
+      val bound = FilterEval.bind(randomFilter(), schema, idx).toArray
+      val viaPacked = FilterEval.survivorBitmap(
+        Map(0 -> new ColumnDecoder(pk.finishChunk())), bound, values.length)
+      val viaPlain = FilterEval.survivorBitmap(
+        Map(0 -> new ColumnDecoder(pl.finishChunk())), bound, values.length)
+      assert(viaPacked == viaPlain,
+        s"trial $trial: packed filter path diverged for values=$values")
+    }
+  }
+
   test("stats sidecar pruning still works on bitpack tables") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-bp-stats").toString
