@@ -373,6 +373,22 @@ object CoreQueries {
     // Bit-packed numeric storage through the oracle gate.
     bitpackScan,
 
+    // Metadata-only SUM: integral sums carried in the stats sidecars
+    // (exact Long accumulation, overflow drops the stat and the scan
+    // answers). COUNT/MIN/MAX pushdown's q35 companion; the oracle
+    // recomputes from data, so a sum-stat bug breaks the hash match.
+    Q.viaCF("q47_cf_sum_pushdown", Seq("lineitem"),
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+        |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln,
+        |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+        |FROM cf_lineitem""".stripMargin,
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+        |  CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln,
+        |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+        |FROM lineitem""".stripMargin),
+
     // Metadata-only aggregates: COUNT/COUNT(col)/MIN/MAX answered from
     // the stats sidecars with zero data I/O (AggregatePushdown); the
     // oracle recomputes them the hard way, so a stats bug (null counts,

@@ -47,6 +47,7 @@ object AggregatePushdown {
     final case class C(col: Int) extends Spec
     final case class MinS(col: Int, dt: DataType) extends Spec
     final case class MaxS(col: Int, dt: DataType) extends Spec
+    final case class SumS(col: Int) extends Spec
     val specs: Array[Option[(Spec, StructField)]] =
       agg.aggregateExpressions().map {
         case _: CountStar => Some((CS, StructField("count(*)", LongType, nullable = false)))
@@ -59,6 +60,9 @@ object AggregatePushdown {
         case m: Max =>
           fieldOf(m.column()).collect { case (i, dt) if statsCapable(dt) =>
             (MaxS(i, dt), StructField("max", dt, nullable = true)) }
+        case s: Sum if !s.isDistinct =>
+          fieldOf(s.column()).collect { case (i, dt) if sumCapable(dt) =>
+            (SumS(i), StructField("sum", LongType, nullable = true)) }
         case _ => None
       }
     if (specs.exists(_.isEmpty)) return None
@@ -115,6 +119,10 @@ object AggregatePushdown {
         case Left(()) => return None
         case Right(v) => v
       }
+      case (SumS(i), _) => foldSum(allStats.toSeq, i) match {
+        case Left(()) => return None
+        case Right(v) => v
+      }
     }
     val schema = StructType(parsed.toSeq.zipWithIndex.map { case ((_, f), i) =>
       f.copy(name = s"agg_$i")
@@ -161,6 +169,7 @@ object AggregatePushdown {
     final case class C(col: Int) extends Spec
     final case class MinS(col: Int, dt: DataType) extends Spec
     final case class MaxS(col: Int, dt: DataType) extends Spec
+    final case class SumS(col: Int) extends Spec
     val specs: Array[Option[(Spec, StructField)]] =
       agg.aggregateExpressions().map {
         case _: CountStar => Some((CS, StructField("count", LongType, nullable = false)))
@@ -173,6 +182,9 @@ object AggregatePushdown {
         case m: Max =>
           fieldOf(m.column()).collect { case (i, dt) if statsCapable(dt) =>
             (MaxS(i, dt), StructField("max", dt, nullable = true)) }
+        case s: Sum if !s.isDistinct =>
+          fieldOf(s.column()).collect { case (i, dt) if sumCapable(dt) =>
+            (SumS(i), StructField("sum", LongType, nullable = true)) }
         case _ => None
       }
     if (specs.exists(_.isEmpty)) return None
@@ -235,6 +247,10 @@ object AggregatePushdown {
           case Left(()) => return None
           case Right(v) => v
         }
+        case (SumS(i), _) => foldSum(stats, i) match {
+          case Left(()) => return None
+          case Right(v) => v
+        }
       }
       keyVals ++ aggVals
     }
@@ -242,6 +258,47 @@ object AggregatePushdown {
       groupFields.zipWithIndex.map { case (f, i) => f.copy(name = s"grp_$i") } ++
         parsed.toSeq.zipWithIndex.map { case ((_, f), i) => f.copy(name = s"agg_$i") })
     Some(Result(schema, rows))
+  }
+
+  /** SUM pushdown: pure integral types only. Floats are excluded on
+    * principle (order-dependent addition — a stats answer could differ
+    * bitwise from the scan's); decimals/dates/timestamps/booleans don't
+    * carry sum stats. Spark types SUM(integral) as LongType, matching
+    * the sidecar's exact Long accumulation.
+    */
+  private def sumCapable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  /** Exact SUM from chunk sum stats. Left(()) = some chunk has non-null
+    * values but no (or an overflowed) sum entry — fall back to the scan,
+    * whose non-ANSI wrap is Spark's own semantics. Right(null) = the
+    * column is all NULL.
+    */
+  private def foldSum(
+      stats: Seq[ChunkStatsIndex.ChunkStats],
+      col: Int): Either[Unit, Any] = {
+    var acc = 0L
+    var sawValue = false
+    stats.foreach { s =>
+      s.cols.get(col) match {
+        case Some((_, nulls)) =>
+          s.sums.get(col) match {
+            case Some(sum) =>
+              sawValue = true
+              try acc = Math.addExact(acc, sum)
+              catch { case _: ArithmeticException => return Left(()) }
+            case None =>
+              // entry without a sum: all-null chunk contributes nothing;
+              // values present means pre-sum sidecar or overflow — bail
+              if (nulls < s.rows) return Left(())
+          }
+        case None =>
+          if (s.rows > 0) return Left(()) // absent column: ragged/foreign
+      }
+    }
+    if (!sawValue) Right(null) else Right(acc)
   }
 
   private def statsCapable(dt: DataType): Boolean = dt match {

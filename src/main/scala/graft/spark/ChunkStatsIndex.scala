@@ -40,6 +40,18 @@ object ChunkStatsIndex {
     var hiS: String = null
     var seen: Boolean = false
     var hasNaN: Boolean = false
+    // exact non-null sum for PURE integral types (SUM pushdown). Kept
+    // only while it stays in-range: an overflowing chunk drops its sum
+    // key and SUM falls back to the real scan, whose wrap matches
+    // Spark's non-ANSI semantics anyway. Floats are excluded on
+    // principle — their sum is order-dependent, so a stats-computed
+    // value could differ bitwise from the scan's.
+    var sum: Long = 0L
+    var sumOverflow: Boolean = false
+    val sumCapable: Boolean = dataType match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _ => false
+    }
   }
 
   /** Spark compares strings by UTF-8 byte order (code points), which
@@ -65,7 +77,8 @@ object ChunkStatsIndex {
       rows: Long,
       cols: Map[Int, (Option[Range], Long)],
       off: Long = -1L,
-      bytes: Long = -1L)
+      bytes: Long = -1L,
+      sums: Map[Int, Long] = Map.empty)
     extends Serializable
 
   /** Which leaf types carry stats, and the normalized family. Decimals
@@ -121,6 +134,10 @@ object ChunkStatsIndex {
               }
               if (v < acc.loL) acc.loL = v
               if (v > acc.hiL) acc.hiL = v
+              if (acc.sumCapable && !acc.sumOverflow) {
+                try acc.sum = Math.addExact(acc.sum, v)
+                catch { case _: ArithmeticException => acc.sumOverflow = true }
+              }
             case 'd' =>
               val raw = acc.dataType match {
                 case DoubleType => CellCodec.decode(acc.dataType, cell).asInstanceOf[Double]
@@ -167,7 +184,10 @@ object ChunkStatsIndex {
           Some(i -> (range, a.nulls))
         }
       }.toMap
-      val out = ChunkStats(rows, cols)
+      val sums = accs.zipWithIndex.collect {
+        case (a, i) if a.seen && a.sumCapable && !a.sumOverflow => i -> a.sum
+      }.toMap
+      val out = ChunkStats(rows, cols, sums = sums)
       rows = 0L
       accs = accs.map(a => new ColAcc(a.dataType))
       out
@@ -203,7 +223,8 @@ object ChunkStatsIndex {
             s""""t":"s","lo":"${esc(lo)}","hi":"${esc(hi)}""""
           case None => """"t":"n""""
         }
-        s""""$i":{$range,"nulls":${nulls}}"""
+        val sum = c.sums.get(i).map(s => s""","sum":$s""").getOrElse("")
+        s""""$i":{$range,"nulls":${nulls}$sum}"""
       }.mkString("{", ",", "}")
       val loc = if (c.off >= 0) s""""off":${c.off},"bytes":${c.bytes},""" else ""
       s"""{${loc}"rows":${c.rows},"cols":$cols}"""
@@ -262,6 +283,7 @@ object ChunkStatsIndex {
     var off = -1L
     var bytes = -1L
     var cols = Map.empty[Int, (Option[Range], Long)]
+    var sums = Map.empty[Int, Long]
     var more = true
     while (more) {
       p.ws()
@@ -279,7 +301,9 @@ object ChunkStatsIndex {
               p.ws()
               val idx = p.string().toInt
               p.ws(); p.expect(':')
-              cols += idx -> parseCol(p)
+              val (r, n, sumOpt) = parseCol(p)
+              cols += idx -> (r, n)
+              sumOpt.foreach(s => sums += idx -> s)
               p.ws()
               if (p.peek == ',') { p.next(); () } else m2 = false
             }
@@ -291,14 +315,15 @@ object ChunkStatsIndex {
       if (p.peek == ',') { p.next(); () } else more = false
     }
     p.expect('}')
-    ChunkStats(rows, cols, off, bytes)
+    ChunkStats(rows, cols, off, bytes, sums)
   }
 
-  private def parseCol(p: P): (Option[Range], Long) = {
+  private def parseCol(p: P): (Option[Range], Long, Option[Long]) = {
     p.ws(); p.expect('{')
     var t = 'n'; var loL = 0L; var hiL = 0L; var loD = 0.0; var hiD = 0.0
     var loS = ""; var hiS = ""; var nulls = 0L
     var loStr = ""; var hiStr = ""
+    var sum: Option[Long] = scala.None
     var more = true
     while (more) {
       p.ws()
@@ -307,6 +332,7 @@ object ChunkStatsIndex {
       key match {
         case "t"     => t = p.string().head
         case "nulls" => nulls = p.long()
+        case "sum"   => sum = Some(p.long())
         case "lo" => t match {
           case 's' => loS = p.string()
           case _   => loStr = p.numberToken()
@@ -327,7 +353,7 @@ object ChunkStatsIndex {
       case 's' => Some(StringRange(loS, hiS))
       case _   => None
     }
-    (range, nulls)
+    (range, nulls, sum)
   }
 
   private final class P(s: String) {

@@ -52,6 +52,66 @@ class AggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(6) == 0.0 && r.getDouble(7) == 9999.0 / 8)
   }
 
+  test("SUM over integral columns answered from stats; floats/overflow fall back") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-agg-sum").toString
+    sp.sql(
+      """SELECT id,
+        |  CASE WHEN id % 4 = 0 THEN NULL ELSE id * 2 END AS v,
+        |  CAST(id % 100 AS INT) AS small,
+        |  CAST(id AS DOUBLE) / 8 AS d,
+        |  CAST(NULL AS BIGINT) AS allnull
+        |FROM range(10000)""".stripMargin)
+      .repartition(3)
+      .write.format("columnfile").option("targetChunkBytes", "16384")
+      .mode("overwrite").save(dir)
+    val t = spark.read.format("columnfile").load(dir)
+
+    val agg = t.agg(sum(col("id")), sum(col("v")), sum(col("small")),
+      count(lit(1)), sum(col("allnull")))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("stats-only aggregate"),
+      s"expected stats-only SUM in plan:\n$plan")
+    val r = agg.head
+    assert(r.getLong(0) == (0L until 10000L).sum)
+    assert(r.getLong(1) == (0L until 10000L).filter(_ % 4 != 0).map(_ * 2).sum)
+    assert(r.getLong(2) == (0L until 10000L).map(_ % 100).sum)
+    assert(r.getLong(3) == 10000L)
+    assert(r.isNullAt(4), "SUM of an all-null column must be NULL")
+
+    // double SUM: order-dependent addition — must NOT be stats-answered
+    val dAgg = t.agg(sum(col("d")))
+    assert(!dAgg.queryExecution.executedPlan.toString.contains("stats-only"))
+    assert(dAgg.head.getDouble(0) == (0L until 10000L).map(_.toDouble / 8).sum)
+
+    // near-overflow values: the chunk sum overflows, pushdown bails, and
+    // the query behaves exactly like vanilla Spark — under default ANSI
+    // mode that is an ARITHMETIC_OVERFLOW error from the scan, not a
+    // silently wrong stats answer
+    val big = Files.createTempDirectory("cf-agg-sum-ovf").toString
+    Seq(Long.MaxValue - 5, 10L, -7L).toDF("x")
+      .repartition(1).write.format("columnfile").mode("overwrite").save(big)
+    val bAgg = spark.read.format("columnfile").load(big).agg(sum(col("x")))
+    assert(!bAgg.queryExecution.executedPlan.toString.contains("stats-only"),
+      "overflowing sum must not be stats-answered")
+    val ovf = intercept[Exception] { bAgg.head }
+    assert(ovf.getMessage.contains("ARITHMETIC_OVERFLOW") ||
+      Option(ovf.getCause).exists(_.getMessage.contains("ARITHMETIC_OVERFLOW")),
+      s"expected Spark's own overflow error, got: ${ovf.getMessage}")
+
+    // grouped-by-partition variant carries sums too
+    val pdir = Files.createTempDirectory("cf-agg-sum-part").toString
+    (0 until 900).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+      .write.format("columnfile").partitionBy("g").mode("overwrite").save(pdir)
+    val gAgg = spark.read.format("columnfile").load(pdir)
+      .groupBy("g").agg(sum(col("id")).as("s")).orderBy("g")
+    assert(gAgg.queryExecution.executedPlan.toString.contains("stats-only"),
+      "partition-grouped SUM should be stats-only")
+    val expected = (0 until 900).groupBy(i => s"g${i % 3}").toSeq.sortBy(_._1)
+      .map { case (g, is) => (g, is.map(_.toLong).sum) }
+    assert(gAgg.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == expected)
+  }
+
   test("no pushdown with filters or group-by; results still correct") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-agg2").toString
