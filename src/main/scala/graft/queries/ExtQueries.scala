@@ -205,7 +205,12 @@ object ExtQueries {
     * the Spark-side queries cache `hs` as a temp view to avoid
     * recomputing the scan for each of its 3 references.
     */
-  private def minhashBody(d: Dial, hs: String): String = {
+  /** `sig AS (…), ex0 AS (…)` CTE prefix — MinHash signatures exploded
+    * into (doc_id, band-key) rows. Shared by the LSH pair generator and
+    * the cap-observability report (`d11`), so what the report counts is
+    * BY CONSTRUCTION the same relation the generator caps.
+    */
+  private def minhashBandCtes(d: Dial, hs: String): String = {
     // signature: native expression on the Spark side, 16 list_min
     // permutation scans on the oracle side
     val (sigSelect, mRef) = d match {
@@ -229,7 +234,11 @@ object ExtQueries {
     }
     val fromEx = s"FROM sig ${d.explode(bandsArr, "bk")}"
     s"""sig AS ($sigSelect),
-       |ex0 AS (SELECT doc_id, bk $fromEx),
+       |ex0 AS (SELECT doc_id, bk $fromEx)""".stripMargin
+  }
+
+  private def minhashBody(d: Dial, hs: String): String = {
+    s"""${minhashBandCtes(d, hs)},
        |ex AS (SELECT doc_id, bk FROM (
        |         SELECT doc_id, bk, COUNT(*) OVER (PARTITION BY bk) AS bn
        |         FROM ex0) x
@@ -255,6 +264,53 @@ object ExtQueries {
     Tables.registerAll(spark, dir)
     minhashPairsDF(spark)
   }, Some(minhashSql(DuckD)))
+
+  /** Cap observability for the MinHash-LSH generator (d03/d08/d09/p02):
+    * per band — bucket count, multi-occupancy buckets (the candidate
+    * producers), buckets dropped by [[HotBucketCap]], (doc, band) rows
+    * those drops discard, and the largest bucket. The caps trade recall
+    * for boundedness; this makes the trade measurable instead of silent:
+    * at production scale, `rows_dropped` is the audit number for "how
+    * much near-dup mass did the cap exclude", and a `max_bucket` far
+    * above the cap says exact-dedup (d01/d02) should run first.
+    */
+  private def lshCapReportSql(d: Dial): String =
+    s"""WITH hs AS (${minhashHsSql(d)}),
+       |${minhashBandCtes(d, "hs")},
+       |b AS (SELECT bk, COUNT(*) AS bn FROM ex0 GROUP BY bk)
+       |SELECT band,
+       |  COUNT(*) AS n_buckets,
+       |  CAST(SUM(CASE WHEN bn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+       |  CAST(SUM(CASE WHEN bn > $HotBucketCap THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_buckets,
+       |  CAST(SUM(CASE WHEN bn > $HotBucketCap THEN bn ELSE 0 END) AS BIGINT) AS rows_dropped,
+       |  MAX(bn) AS max_bucket
+       |FROM (SELECT ${d.substr("bk", "1", "1")} AS band, bn FROM b) x
+       |GROUP BY band""".stripMargin
+
+  /** Cap + nbits observability for the sign-LSH ANN family (d07/v02):
+    * per hash table — the runtime-chosen bucket bits, bucket count,
+    * multi-occupancy buckets, cap drops, and the largest bucket. The
+    * nbits column audits the corpus-scaled sizing rule (n <= 64·2^b)
+    * the same way rows_dropped audits the cap.
+    */
+  private def annCapReportSql(d: Dial): String = {
+    val nbits = nbitsCase("COUNT(*)", 8, 16)
+    val probes = (0 until 4).map { t =>
+      s"SELECT vec_id, $t AS tbl, CAST(${signBucket(d, "embedding", 16 * t, 16, "nb.nbits")} AS BIGINT) AS bk FROM embeddings CROSS JOIN nb"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH nb AS (SELECT $nbits AS nbits FROM embeddings),
+       |ex0 AS (
+       |  $probes),
+       |b AS (SELECT tbl, bk, COUNT(*) AS bn FROM ex0 GROUP BY tbl, bk)
+       |SELECT CAST(tbl AS BIGINT) AS tbl,
+       |  MAX(CAST(nb.nbits AS BIGINT)) AS nbits,
+       |  COUNT(*) AS n_buckets,
+       |  CAST(SUM(CASE WHEN bn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+       |  CAST(SUM(CASE WHEN bn > $HotBucketCap THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_buckets,
+       |  CAST(SUM(CASE WHEN bn > $HotBucketCap THEN bn ELSE 0 END) AS BIGINT) AS rows_dropped,
+       |  MAX(bn) AS max_bucket
+       |FROM b CROSS JOIN nb GROUP BY tbl""".stripMargin
+  }
 
   /** Shingle-level 31-bit SimHash signature per document. */
   private def simhashSql(d: Dial): String =
@@ -799,6 +855,9 @@ object ExtQueries {
     ccKeepBest,
     // Test-set decontamination (shingle overlap vs a holdout set).
     decontaminate,
+    // Cap/recall observability: what did the hot-bucket caps drop?
+    dialect("d11_lsh_cap_report", lshCapReportSql),
+    dialect("v06_ann_cap_report", annCapReportSql),
     dialect("t01_text_langid", langidSql),
     dialect("t02_text_quality", qualitySql),
     dialect("t03_text_tokencount", tokenCountSql),

@@ -33,6 +33,15 @@ final case class ColumnFileOffset(batches: Long) extends Offset {
   override def json(): String = batches.toString
 }
 
+/** A batch-log file whose content is torn (crash mid-write under the
+  * create-exclusive log format). Distinct from IOException so the
+  * torn-tail repair can delete exactly these while letting transient
+  * read errors propagate (those must fail the trigger, not delete a
+  * batch Spark's offset log may reference).
+  */
+private[spark] final class TornBatchLogException(msg: String)
+    extends RuntimeException(msg)
+
 class ColumnFileMicroBatchStream(
     paths: Seq[String],
     tableSchema: StructType,
@@ -86,10 +95,10 @@ class ColumnFileMicroBatchStream(
       .flatMap(n => scala.util.Try(n.toLong).toOption).toSet
     var n = compactedThrough
     while (present(n)) n += 1
-    // a torn TAIL file (crash mid-write under the pre-rename log format)
-    // was never surfaced as an offset — the write completed before the
-    // offset did — so dropping it loses nothing; the next trigger
-    // rewrites that batch from a fresh listing
+    // a torn TAIL file (crash mid-create-exclusive-write) was never
+    // surfaced as an offset — the write completed before the offset
+    // did — so dropping it loses nothing; the next trigger rewrites that
+    // batch from a fresh listing
     while (n > math.max(seenThrough, compactedThrough) && !parses(n - 1)) {
       try fs.delete(batchFile(n - 1), false) catch { case _: Exception => }
       n -= 1
@@ -97,13 +106,30 @@ class ColumnFileMicroBatchStream(
     n
   }
 
+  /** True iff batch `n`'s log file has well-formed content. Only CONTENT
+    * failures (a line torn mid-write) count as "doesn't parse" — an
+    * IOException from open/read propagates and fails the trigger, because
+    * a transient read error must never delete a batch file that Spark's
+    * offset log may already reference (deleting it would wedge every
+    * later replay of that offset range).
+    */
   private def parses(n: Long): Boolean =
-    try { readBatch(n); true } catch { case _: Exception => false }
+    try { readBatch(n); true }
+    catch {
+      case _: NumberFormatException | _: IndexOutOfBoundsException |
+          _: TornBatchLogException => false
+    }
 
   /** (path, len) pairs of one logged batch. */
   private def readBatch(n: Long): Seq[(String, Long)] = {
     val in = fs.open(batchFile(n))
     val body = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    // every complete write ends with '\n'; a tail torn mid-line could
+    // otherwise still parse — "123" truncated to "12" reads as a wrong
+    // file length — so the missing terminator IS the torn-tail signal
+    if (body.nonEmpty && body.last != '\n')
+      throw new TornBatchLogException(
+        s"batch log ${batchFile(n)} has a torn tail (no trailing newline)")
     body.split('\n').toSeq.filter(_.nonEmpty).map { line =>
       val i = line.lastIndexOf('\t')
       (line.substring(0, i), line.substring(i + 1).toLong)
@@ -234,10 +260,13 @@ class ColumnFileMicroBatchStream(
     else {
       // persist the batch BEFORE surfacing the offset: a crash between
       // the two leaves an orphan batch that the next trigger re-surfaces.
-      // temp + rename (the sink marker's discipline) — a crash mid-write
-      // can never leave a torn batch file that wedges later triggers
+      // Create-EXCLUSIVE, not temp+rename: our own listing just proved
+      // batchFile(logged) absent, so an existing file here means a zombie
+      // driver is racing a newer driver on the same checkpoint — fail
+      // loudly instead of clobbering its batch. A crash mid-write leaves
+      // a torn tail that `parses` repairs on the next trigger.
       fs.mkdirs(logDir)
-      AtomicFile.publish(fs, batchFile(logged),
+      AtomicFile.publishExclusive(fs, batchFile(logged),
         fresh.map(st => s"${st.getPath}\t${st.getLen}")
           .mkString("", "\n", "\n").getBytes(UTF_8))
       fresh.foreach(st => seenPaths += seenKey(st.getPath))

@@ -205,10 +205,12 @@ final class ColumnFileStreamingWrite(
         val name = st.getPath.getName
         val id = scala.util.Try(name.toLong).toOption
           .orElse {
-            // ".<id>.intent" temp left by a crash mid-marker-write
+            // ".<id>.<uuid>.intent" temp left by a crash mid-marker-write
+            // (AtomicFile inserts a per-call UUID between the destination
+            // name and the caller's suffix)
             if (name.startsWith(".") && name.endsWith(".intent"))
               scala.util.Try(
-                name.stripPrefix(".").stripSuffix(".intent").toLong).toOption
+                name.stripPrefix(".").takeWhile(_ != '.').toLong).toOption
             else None
           }
         if (id.exists(_ <= horizon)) fs.delete(st.getPath, false)

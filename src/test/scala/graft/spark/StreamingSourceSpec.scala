@@ -134,6 +134,47 @@ class StreamingSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(sink).count() == 60)
   }
 
+  test("a tail torn mid-number (still line-parseable) is detected and rewritten") {
+    val sp = spark; import sp.implicits._
+    val src = Files.createTempDirectory("cf-stream-torn2").toString
+    val ckpt = Files.createTempDirectory("cf-stream-torn2-ckpt").toString
+    val sink = Files.createTempDirectory("cf-stream-torn2-sink").toString
+
+    (0 until 30).map(i => (i.toLong, s"a$i")).toDF("id", "v")
+      .write.format("columnfile").mode("overwrite").save(src)
+    val schema = spark.read.format("columnfile").load(src).schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("columnfile").schema(schema).load(src)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 30)
+
+    // the nastier crash shape: the write died inside the LENGTH digits,
+    // so every line still splits on tab and parses as a long — only the
+    // missing trailing newline betrays the tear. Treating this as valid
+    // would plan a batch with a wrong byte length for a real file.
+    val dataFile = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(ColumnFileDataSource.FileExtension)).head
+    val logDir = new java.io.File(ckpt, "sources/0/graft-file-batches")
+    assert(logDir.isDirectory, s"unexpected checkpoint layout: $ckpt")
+    java.nio.file.Files.write(new java.io.File(logDir, "1").toPath,
+      s"file:${dataFile.getAbsolutePath}\t1".getBytes("UTF-8"))
+
+    (30 until 45).map(i => (i.toLong, s"b$i")).toDF("id", "v")
+      .write.format("columnfile").mode("append").save(src)
+    runOnce()
+    // the torn batch was rewritten from a fresh listing: only the 15 new
+    // rows arrive — NOT a re-read of the already-processed file and NOT
+    // a 1-byte truncated read of it
+    assert(spark.read.parquet(sink).count() == 45)
+    runOnce()
+    assert(spark.read.parquet(sink).count() == 45)
+  }
+
   test("batch log compacts past committed offsets; restarts stay exact") {
     val sp = spark; import sp.implicits._
     val src = Files.createTempDirectory("cf-stream-compact").toString
