@@ -373,6 +373,9 @@ object CoreQueries {
     // Bit-packed numeric storage through the oracle gate.
     bitpackScan,
 
+    // Bloom-filter point-lookup pruning through the oracle gate.
+    bloomScan,
+
     // Metadata-only SUM: integral sums carried in the stats sidecars
     // (exact Long accumulation, overflow drops the stat and the scan
     // answers). COUNT/MIN/MAX pushdown's q35 companion; the oracle
@@ -585,6 +588,35 @@ object CoreQueries {
         .createOrReplaceTempView("cf_lineitem_bitpack")
       spark.sql(agg("cf_lineitem_bitpack"))
     }, Some(agg("lineitem")))
+  }
+
+  /** q48: orders stored with per-chunk Bloom filters (`bloom=...` write
+    * option) on the key column, then point-looked-up by equality IN —
+    * the pruning shape min/max stats can't serve on high-cardinality
+    * unsorted data (every chunk's range spans the domain; the bloom
+    * proves absence per chunk, so the driver plans only the chunks that
+    * might hold the keys). One probed key is deliberately absent: its
+    * chunks all bloom-prune, and the result must simply not contain it.
+    * Small chunks force a multi-chunk file so pruning has work to skip.
+    */
+  private def bloomScan: Q = {
+    val probe = (from: String) =>
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+         |  ${cents("o_totalprice")} AS price_c
+         |FROM $from
+         |WHERE o_orderkey IN (7, 32, 33, 100, 987654321)""".stripMargin
+    Q("q48_cf_bloom_scan", (spark, dir) => {
+      val out = Tables.cachePath(dir, "orders_bloom")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "orders").write.format("columnfile")
+          .option("bloom", "o_orderkey")
+          .option("targetChunkBytes", (256 * 1024).toString)
+          .mode("overwrite").save(out)
+      }
+      spark.read.format("columnfile").load(out)
+        .createOrReplaceTempView("cf_orders_bloom")
+      spark.sql(probe("cf_orders_bloom"))
+    }, Some(probe("orders")))
   }
 
   /** q44: the stream-stream interval join's batch twin, aggregated to

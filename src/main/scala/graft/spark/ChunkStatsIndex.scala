@@ -67,6 +67,92 @@ object ChunkStatsIndex {
   final case class DoubleRange(lo: Double, hi: Double) extends Range
   final case class StringRange(lo: String, hi: String) extends Range
 
+  /** Per-chunk per-column Bloom filter over the column's non-null values
+    * (normalized exactly like the range stats: integer family as Long,
+    * strings as UTF-8). Point-lookup pruning for the case min/max can't
+    * touch: a high-cardinality UNSORTED column (ids, digests, urls),
+    * where every chunk's range spans the whole domain so `provesEmpty`
+    * never fires on EqualTo/In — the dominant needle-query shape at
+    * 100 TB. Opt-in per column (write option `bloom=col,col`), the
+    * Parquet column-bloom analog.
+    *
+    * Sound by construction: built from EVERY non-null value of the
+    * chunk, so `mightContain == false` proves the value absent; a false
+    * positive merely fails to prune. Double family is excluded (float
+    * equality pruning isn't worth the bytes).
+    */
+  final case class Bloom(k: Int, bits: Array[Long]) {
+    private def nbits: Long = bits.length.toLong * 64L
+    def mightContain(base: Long): Boolean = {
+      val h1 = fmix64(base)
+      val h2 = fmix64(base ^ 0x9e3779b97f4a7c15L) | 1L
+      var i = 0
+      while (i < k) {
+        val idx = ((h1 + i * h2) & Long.MaxValue) % nbits
+        if ((bits((idx >>> 6).toInt) & (1L << (idx & 63L))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+    private[ChunkStatsIndex] def set(base: Long): Unit = {
+      val h1 = fmix64(base)
+      val h2 = fmix64(base ^ 0x9e3779b97f4a7c15L) | 1L
+      var i = 0
+      while (i < k) {
+        val idx = ((h1 + i * h2) & Long.MaxValue) % nbits
+        bits((idx >>> 6).toInt) |= 1L << (idx & 63L)
+        i += 1
+      }
+    }
+  }
+
+  /** 64-bit avalanche (MurmurHash3 finalizer — public constant mix). */
+  private def fmix64(v: Long): Long = {
+    var z = v
+    z ^= z >>> 33; z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33; z *= 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33
+    z
+  }
+
+  /** Base hash of a normalized long-family value. */
+  def baseHashLong(v: Long): Long = fmix64(v)
+
+  /** Base hash of a string value: FNV-1a 64 over its UTF-8 bytes, then
+    * avalanched (FNV alone clusters on short ASCII).
+    */
+  def baseHashString(s: String): Long = {
+    val bytes = UTF8String.fromString(s).getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= bytes(i) & 0xffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    fmix64(h)
+  }
+
+  /** Bloom sizing: ~10 bits per distinct key, capped at 1 Mi bits
+    * (128 KiB → ~171 KB of sidecar base64 per column per chunk, ~1% of
+    * a 16 MiB chunk — the Parquet-bloom cost ballpark; 10 bits/key to
+    * ~105k distinct, degrading to the 4 bits/key floor at ~262k). Below
+    * 4 bits/key the false-positive rate makes the filter dead weight —
+    * emit nothing instead.
+    */
+  private val MaxBloomBits = 1L << 20
+  private[spark] def buildBloom(distinctBases: Array[Long]): Option[Bloom] = {
+    val n = distinctBases.length
+    if (n == 0) return None
+    val want = n.toLong * 10L
+    val m = math.min(math.max(512L, (want + 511L) / 512L * 512L), MaxBloomBits)
+    if (m / n < 4) return None
+    val k = math.max(1L, math.min(8L, math.round(0.69 * m / n))).toInt
+    val b = Bloom(k, new Array[Long]((m / 64L).toInt))
+    distinctBases.foreach(b.set)
+    Some(b)
+  }
+
   /** (rows, per-leaf (range, nulls)); leaves keyed by flatten() ordinal.
     * `off`/`bytes` locate the chunk inside the data file (header offset /
     * column-block byte size) — when present, the driver plans partitions
@@ -78,7 +164,8 @@ object ChunkStatsIndex {
       cols: Map[Int, (Option[Range], Long)],
       off: Long = -1L,
       bytes: Long = -1L,
-      sums: Map[Int, Long] = Map.empty)
+      sums: Map[Int, Long] = Map.empty,
+      blooms: Map[Int, Bloom] = Map.empty)
     extends Serializable
 
   /** Which leaf types carry stats, and the normalized family. Decimals
@@ -95,11 +182,28 @@ object ChunkStatsIndex {
     case _ => None
   }
 
-  /** Accumulator for one chunk across all leaves of the write schema. */
-  final class Collector(leaves: IndexedSeq[CellCodec.Leaf]) {
+  /** Hashes kept past this count drop the chunk's bloom instead of
+    * growing without bound (a chunk that large gets no useful filter at
+    * the bit cap anyway).
+    */
+  private val MaxBloomHashes = 1 << 22
+
+  /** Accumulator for one chunk across all leaves of the write schema.
+    * `bloomCols`: leaf ordinals (long/string family only) whose non-null
+    * values additionally feed a per-chunk [[Bloom]].
+    */
+  final class Collector(leaves: IndexedSeq[CellCodec.Leaf],
+      bloomCols: Set[Int] = Set.empty) {
     private var rows = 0L
     private var accs: Array[ColAcc] =
       leaves.map(l => new ColAcc(l.dataType)).toArray
+    // growable primitive buffers of base hashes, one per bloom column;
+    // deduped + sized at finishChunk (distinct count drives bloom bits)
+    private def freshHashes(): Map[Int, HashBuf] =
+      bloomCols.iterator
+        .filter(i => family(leaves(i).dataType).exists(f => f == 'l' || f == 's'))
+        .map(i => i -> new HashBuf).toMap
+    private var bloomBufs: Map[Int, HashBuf] = freshHashes()
 
     def observe(cells: Array[Array[Byte]]): Unit = {
       rows += 1
@@ -138,6 +242,7 @@ object ChunkStatsIndex {
                 try acc.sum = Math.addExact(acc.sum, v)
                 catch { case _: ArithmeticException => acc.sumOverflow = true }
               }
+              bloomBufs.get(i).foreach(_.add(baseHashLong(v)))
             case 'd' =>
               val raw = acc.dataType match {
                 case DoubleType => CellCodec.decode(acc.dataType, cell).asInstanceOf[Double]
@@ -156,6 +261,7 @@ object ChunkStatsIndex {
               val v = UTF8String.fromBytes(cell).toString
               if (acc.loS == null || utf8Cmp(v, acc.loS) < 0) acc.loS = v
               if (acc.hiS == null || utf8Cmp(v, acc.hiS) > 0) acc.hiS = v
+              bloomBufs.get(i).foreach(_.add(baseHashString(v)))
           }
           }
         }
@@ -187,13 +293,51 @@ object ChunkStatsIndex {
       val sums = accs.zipWithIndex.collect {
         case (a, i) if a.seen && a.sumCapable && !a.sumOverflow => i -> a.sum
       }.toMap
-      val out = ChunkStats(rows, cols, sums = sums)
+      val blooms = bloomBufs.flatMap { case (i, buf) =>
+        buf.distinctOrNone().flatMap(buildBloom).map(i -> _)
+      }
+      val out = ChunkStats(rows, cols, sums = sums, blooms = blooms)
       rows = 0L
       accs = accs.map(a => new ColAcc(a.dataType))
+      bloomBufs = freshHashes()
       out
     }
 
     def hasRows: Boolean = rows > 0
+  }
+
+  /** Growable primitive buffer of base hashes for one bloom column.
+    * No per-value boxing, no per-value set lookup: values append raw and
+    * dedupe once at chunk end via sort (distinct count drives sizing).
+    */
+  private final class HashBuf {
+    private var arr = new Array[Long](1024)
+    private var n = 0
+    private var overflowed = false
+    def add(h: Long): Unit = {
+      if (overflowed) return
+      if (n == arr.length) {
+        if (n >= MaxBloomHashes) { overflowed = true; arr = null; return }
+        arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+      }
+      arr(n) = h
+      n += 1
+    }
+    /** Sorted-distinct hashes, or None when the chunk overflowed the
+      * hash cap (no bloom rather than an unbounded buffer).
+      */
+    def distinctOrNone(): Option[Array[Long]] = {
+      if (overflowed) return None
+      if (n == 0) return Some(Array.empty[Long])
+      java.util.Arrays.sort(arr, 0, n)
+      var distinct = 1
+      var i = 1
+      while (i < n) {
+        if (arr(i) != arr(i - 1)) { arr(distinct) = arr(i); distinct += 1 }
+        i += 1
+      }
+      Some(java.util.Arrays.copyOf(arr, distinct))
+    }
   }
 
   // ---- JSON (hand-rolled: flat, typed, no deps beyond stdlib) ----
@@ -224,12 +368,30 @@ object ChunkStatsIndex {
           case None => """"t":"n""""
         }
         val sum = c.sums.get(i).map(s => s""","sum":$s""").getOrElse("")
-        s""""$i":{$range,"nulls":${nulls}$sum}"""
+        // base64 alphabet needs no JSON escaping
+        val bloom = c.blooms.get(i).map(b =>
+          s""","bk":${b.k},"bf":"${bloomToB64(b.bits)}"""").getOrElse("")
+        s""""$i":{$range,"nulls":${nulls}$sum$bloom}"""
       }.mkString("{", ",", "}")
       val loc = if (c.off >= 0) s""""off":${c.off},"bytes":${c.bytes},""" else ""
       s"""{${loc}"rows":${c.rows},"cols":$cols}"""
     }.mkString("[", ",", "]")
     if (fileLen < 0) arr else s"""{"len":$fileLen,"chunks":$arr}"""
+  }
+
+  private def bloomToB64(bits: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private def bloomFromB64(s: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(s)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
   }
 
   /** Tiny recursive-descent parser for exactly the JSON toJson emits. */
@@ -284,6 +446,7 @@ object ChunkStatsIndex {
     var bytes = -1L
     var cols = Map.empty[Int, (Option[Range], Long)]
     var sums = Map.empty[Int, Long]
+    var blooms = Map.empty[Int, Bloom]
     var more = true
     while (more) {
       p.ws()
@@ -301,9 +464,10 @@ object ChunkStatsIndex {
               p.ws()
               val idx = p.string().toInt
               p.ws(); p.expect(':')
-              val (r, n, sumOpt) = parseCol(p)
+              val (r, n, sumOpt, bloomOpt) = parseCol(p)
               cols += idx -> (r, n)
               sumOpt.foreach(s => sums += idx -> s)
+              bloomOpt.foreach(b => blooms += idx -> b)
               p.ws()
               if (p.peek == ',') { p.next(); () } else m2 = false
             }
@@ -315,15 +479,17 @@ object ChunkStatsIndex {
       if (p.peek == ',') { p.next(); () } else more = false
     }
     p.expect('}')
-    ChunkStats(rows, cols, off, bytes, sums)
+    ChunkStats(rows, cols, off, bytes, sums, blooms)
   }
 
-  private def parseCol(p: P): (Option[Range], Long, Option[Long]) = {
+  private def parseCol(p: P): (Option[Range], Long, Option[Long], Option[Bloom]) = {
     p.ws(); p.expect('{')
     var t = 'n'; var loL = 0L; var hiL = 0L; var loD = 0.0; var hiD = 0.0
     var loS = ""; var hiS = ""; var nulls = 0L
     var loStr = ""; var hiStr = ""
     var sum: Option[Long] = scala.None
+    var bloomK = 0
+    var bloomBits: Array[Long] = null
     var more = true
     while (more) {
       p.ws()
@@ -333,6 +499,8 @@ object ChunkStatsIndex {
         case "t"     => t = p.string().head
         case "nulls" => nulls = p.long()
         case "sum"   => sum = Some(p.long())
+        case "bk"    => bloomK = p.long().toInt
+        case "bf"    => bloomBits = bloomFromB64(p.string())
         case "lo" => t match {
           case 's' => loS = p.string()
           case _   => loStr = p.numberToken()
@@ -353,7 +521,11 @@ object ChunkStatsIndex {
       case 's' => Some(StringRange(loS, hiS))
       case _   => None
     }
-    (range, nulls, sum)
+    val bloom =
+      if (bloomBits != null && bloomBits.nonEmpty && bloomK >= 1 && bloomK <= 8)
+        Some(Bloom(bloomK, bloomBits))
+      else scala.None
+    (range, nulls, sum, bloom)
   }
 
   private final class P(s: String) {
@@ -491,6 +663,23 @@ object ChunkStatsIndex {
         c <- cmp(r, l)
       } yield c
 
+    /** True iff the column's bloom PROVES the literal absent from the
+      * chunk. The bloom covers every non-null value, so a definite miss
+      * is a sound prune for equality; any uncertainty (no bloom, no
+      * normalizable literal, double family) returns false.
+      */
+    def bloomRejects(attr: String, v: Any): Boolean =
+      (for {
+        dt <- leafType.get(attr)
+        l <- lit(dt, v)
+        idx <- leafIndex.get(attr)
+        b <- stats.blooms.get(idx)
+      } yield l match {
+        case x: Long   => !b.mightContain(baseHashLong(x))
+        case s: String => !b.mightContain(baseHashString(s))
+        case _         => false
+      }).getOrElse(false)
+
     filter match {
       case And(l, r) =>
         provesEmpty(l, stats, leafIndex, leafType) ||
@@ -499,9 +688,11 @@ object ChunkStatsIndex {
         provesEmpty(l, stats, leafIndex, leafType) &&
           provesEmpty(r, stats, leafIndex, leafType)
       case EqualTo(a, v) =>
-        allNull(a) || rangeCmp(a, v).exists { case (lo, hi) => lo > 0 || hi < 0 }
+        allNull(a) || rangeCmp(a, v).exists { case (lo, hi) => lo > 0 || hi < 0 } ||
+          bloomRejects(a, v)
       case EqualNullSafe(a, v) if v != null =>
-        allNull(a) || rangeCmp(a, v).exists { case (lo, hi) => lo > 0 || hi < 0 }
+        allNull(a) || rangeCmp(a, v).exists { case (lo, hi) => lo > 0 || hi < 0 } ||
+          bloomRejects(a, v)
       case GreaterThan(a, v) =>
         allNull(a) || rangeCmp(a, v).exists { case (_, hi) => hi <= 0 }
       case GreaterThanOrEqual(a, v) =>
@@ -512,7 +703,8 @@ object ChunkStatsIndex {
         allNull(a) || rangeCmp(a, v).exists { case (lo, _) => lo > 0 }
       case In(a, vs) =>
         allNull(a) || (vs.nonEmpty && vs.forall(v =>
-          rangeCmp(a, v).exists { case (lo, hi) => lo > 0 || hi < 0 }))
+          rangeCmp(a, v).exists { case (lo, hi) => lo > 0 || hi < 0 } ||
+            bloomRejects(a, v)))
       case IsNotNull(a) => allNull(a)
       case IsNull(a) =>
         colInfo(a).exists { case (_, nulls) => nulls == 0 } &&

@@ -40,7 +40,8 @@ final class ColumnFileStreamingWrite(
     partitionCols: Seq[String],
     dictionary: Boolean = false,
     keepEpochs: Long = 100L,
-    bitpack: Boolean = false)
+    bitpack: Boolean = false,
+    bloomCols: Seq[String] = Seq.empty)
     extends StreamingWrite {
 
   private def dir = new Path(path)
@@ -50,7 +51,7 @@ final class ColumnFileStreamingWrite(
     dir.getFileSystem(conf.conf).mkdirs(dir)
     new ColumnFileStreamingWriterFactory(path, schema.json, compression,
       targetChunkBytes, java.util.UUID.randomUUID().toString, conf,
-      partitionCols, dictionary, bitpack)
+      partitionCols, dictionary, bitpack, bloomCols)
   }
 
   private def epochMarker(epochId: Long): Path =
@@ -233,7 +234,8 @@ final class ColumnFileStreamingWriterFactory(
     conf: SerializableHadoopConf,
     partitionCols: Seq[String],
     dictionary: Boolean = false,
-    bitpack: Boolean = false)
+    bitpack: Boolean = false,
+    bloomCols: Seq[String] = Seq.empty)
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -246,10 +248,10 @@ final class ColumnFileStreamingWriterFactory(
     val fileName = f".part-e$epochId%010d-$partitionId%05d-$jobId-$taskId%d${ColumnFileDataSource.FileExtension}"
     if (partitionCols.isEmpty)
       new ColumnFileDataWriter(new Path(dir, fileName), schema, compression,
-        targetChunkBytes, conf.conf, dictionary, bitpack)
+        targetChunkBytes, conf.conf, dictionary, bitpack, bloomCols)
     else
       new ColumnFilePartitionedDataWriter(new Path(dir), fileName, schema,
         partitionCols, compression, targetChunkBytes, conf.conf, dictionary,
-        bitpack)
+        bitpack, bloomCols)
   }
 }

@@ -82,6 +82,28 @@ class ColumnFileWrite(
     */
   private val bitpackEncode: Boolean =
     Option(options.get("bitpack")).exists(_.toBoolean)
+  /** `bloom=col,col`: per-chunk Bloom filters over the named columns'
+    * values in the stats sidecar — point-lookup (EqualTo/In) chunk
+    * pruning where min/max can't help (high-cardinality unsorted ids /
+    * digests / urls). Names are leaf paths (top-level column names for
+    * scalars); long/string stat families only.
+    */
+  private val bloomCols: Seq[String] = {
+    val names = Option(options.get("bloom")).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    if (names.nonEmpty) {
+      val leaves = CellCodec.flatten(
+        StructType(schema.fields.filterNot(f => partitionCols.contains(f.name))))
+      val known = leaves.map(_.name).toSet
+      names.foreach { n =>
+        if (!known.contains(n))
+          throw new IllegalArgumentException(
+            s"columnfile: bloom column $n is not a leaf of the written " +
+              s"schema (leaves: ${known.toSeq.sorted.mkString(", ")})")
+      }
+    }
+    names
+  }
 
   override def toBatch: BatchWrite = this
 
@@ -101,7 +123,7 @@ class ColumnFileWrite(
       .getOrElse(100L)
     new ColumnFileStreamingWrite(path, schema, compression, targetChunkBytes,
       new SerializableHadoopConf(conf), partitionCols, dictionaryEncode,
-      keepEpochs, bitpackEncode)
+      keepEpochs, bitpackEncode, bloomCols)
   }
 
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
@@ -112,7 +134,7 @@ class ColumnFileWrite(
     new ColumnFileWriterFactory(
       path, schema.json, compression, targetChunkBytes,
       UUID.randomUUID().toString, new SerializableHadoopConf(conf),
-      partitionCols, dictionaryEncode, bitpackEncode)
+      partitionCols, dictionaryEncode, bitpackEncode, bloomCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -165,18 +187,19 @@ class ColumnFileWriterFactory(
     conf: SerializableHadoopConf,
     partitionCols: Seq[String] = Seq.empty,
     dictionary: Boolean = false,
-    bitpack: Boolean = false)
+    bitpack: Boolean = false,
+    bloomCols: Seq[String] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val fileName = f"part-$partitionId%05d-$jobId$taskId%d${ColumnFileDataSource.FileExtension}"
     if (partitionCols.isEmpty) {
       new ColumnFileDataWriter(new Path(dir, fileName), schema, compression,
-        targetChunkBytes, conf.conf, dictionary, bitpack)
+        targetChunkBytes, conf.conf, dictionary, bitpack, bloomCols)
     } else {
       new ColumnFilePartitionedDataWriter(new Path(dir), fileName, schema,
         partitionCols, compression, targetChunkBytes, conf.conf, dictionary,
-        bitpack)
+        bitpack, bloomCols)
     }
   }
 }
@@ -197,7 +220,8 @@ class ColumnFilePartitionedDataWriter(
     targetChunkBytes: Long,
     conf: Configuration,
     dictionary: Boolean = false,
-    bitpack: Boolean = false)
+    bitpack: Boolean = false,
+    bloomCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
 
   private val partFields: Seq[(Int, org.apache.spark.sql.types.StructField)] =
@@ -216,7 +240,7 @@ class ColumnFilePartitionedDataWriter(
     val w = writers.getOrElseUpdate(rel, {
       new ColumnFileDataWriter(
         new Path(new Path(root, rel), fileName), dataSchema, compression,
-        targetChunkBytes, conf, dictionary, bitpack)
+        targetChunkBytes, conf, dictionary, bitpack, bloomCols)
     })
     val values = new Array[Any](dataOrdinals.length)
     var i = 0
@@ -250,7 +274,8 @@ class ColumnFileDataWriter(
     targetChunkBytes: Long,
     conf: Configuration,
     dictionary: Boolean = false,
-    bitpack: Boolean = false)
+    bitpack: Boolean = false,
+    bloomCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
 
   private val leaves = CellCodec.flatten(schema)
@@ -272,7 +297,12 @@ class ColumnFileDataWriter(
         case _ => None
       }
     }.toMap)
-  private val stats = new ChunkStatsIndex.Collector(leaves)
+  private val stats = new ChunkStatsIndex.Collector(leaves, {
+    val wanted = bloomCols.toSet
+    leaves.zipWithIndex.collect {
+      case (l, i) if wanted(l.name) => i
+    }.toSet
+  })
   private val chunkStats = scala.collection.mutable.ArrayBuffer
     .empty[ChunkStatsIndex.ChunkStats]
 

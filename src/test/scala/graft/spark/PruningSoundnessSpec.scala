@@ -117,7 +117,10 @@ class PruningSoundnessSpec extends AnyFunSuite {
 
   private def statsOf(dt: DataType, values: Seq[Any]): ChunkStats = {
     val schema = StructType(Seq(StructField("c", dt)))
-    val coll = new Collector(CellCodec.flatten(schema))
+    // blooms enabled: EqualTo/In cases also exercise bloom pruning, so
+    // the soundness property covers it (pool values repeat across the
+    // chunk and the literal pool, so both hit and miss paths occur)
+    val coll = new Collector(CellCodec.flatten(schema), Set(0))
     values.foreach { v =>
       val cell =
         if (v == null) null
