@@ -207,6 +207,32 @@ final class DictColumnWriter extends ColumnSink {
 }
 
 object PackedIntColumnWriter {
+  /** Powers of ten through 1e18. 10^k is exactly representable as a
+    * double for k ≤ 22 (the significand only needs k bits beyond the
+    * 2^k factor), so every entry is exact.
+    */
+  private[format] val Pow10: Array[Double] =
+    Array.tabulate(19)(i => math.pow(10.0, i))
+  private[format] val MaxScale = 18
+  private final val MaxExactInt = (1L << 53).toDouble
+
+  /** The scaled-long view of a double bit pattern at decimal scale `s`:
+    * the integer `m` with `m.toDouble / 10^s` bit-identical to the
+    * input, or `Long.MinValue` when no such exactly-representable `m`
+    * exists (non-decimal value, NaN/Inf, -0.0, |m| beyond the 2^53
+    * exact-integer window — `Long.MinValue` can never be a valid `m`
+    * because valid ones are bounded by ±2^53).
+    */
+  private[format] def scaledLong(bits: Long, s: Int): Long = {
+    val d = java.lang.Double.longBitsToDouble(bits)
+    val scaled = d * Pow10(s)
+    // the bounds check is false for NaN too
+    if (!(scaled >= -MaxExactInt && scaled <= MaxExactInt)) return Long.MinValue
+    val m = Math.round(scaled)
+    if (java.lang.Double.doubleToRawLongBits(m.toDouble / Pow10(s)) == bits) m
+    else Long.MinValue
+  }
+
   /** Bit-pack `bw`-bit values LSB-first into `out` starting at absolute
     * bit offset `bitOff`.
     */
@@ -267,12 +293,35 @@ object PackedIntColumnWriter {
   *   ceil((cellCount-nullCount)*bitWidth/8) bytes  // deltas, LSB-first
   * }}}
   *
-  * `finishChunk` builds BOTH encodings and keeps the smaller — columns
-  * where run-length collapse beats packing (constants, long runs) stay
-  * plain, so enabling the option can never grow a file. Values are
-  * treated as unsigned bit patterns, which also covers float/double:
-  * packing falls back to ~raw width when patterns span the sign bit and
-  * the size comparison still protects the outcome.
+  * `finishChunk` builds every applicable encoding and keeps the
+  * smallest — columns where run-length collapse beats packing
+  * (constants, long runs) stay plain, so enabling the option can never
+  * grow a file. Values are treated as unsigned bit patterns, which also
+  * covers float/double; for width-8 columns two further candidates
+  * close the double gap that raw-pattern FOR cannot (sign/exponent bits
+  * sit at the top, so the unsigned range is ~2^62 for any mixed-sign or
+  * mixed-magnitude chunk):
+  *
+  *  - **scaled-decimal** (width code 9): when every non-null cell is
+  *    exactly `m / 10^s` for one chunk-wide scale `s ≤ 18` and an
+  *    integer `m` within the 2^53 exact-double window — prices,
+  *    rates, quantities — the `m`s are frame-of-reference bit-packed.
+  *    Losslessness is verified per value at encode (decode recomputes
+  *    `m.toDouble / 10^s` and the encoder only picks this mode when
+  *    that reproduces the original bit pattern, so -0.0 / NaN / Inf
+  *    chunks simply don't qualify).
+  *  - **XOR-delta** (width code 10): each non-null pattern is XORed
+  *    with the previous one (Gorilla-style, simplified to one
+  *    chunk-wide bit window instead of per-value control bits: the
+  *    trailing-zero trim and width are computed over the whole chunk).
+  *    Wins on slowly-varying series — timestamps, sensor values,
+  *    cumulative measures — where consecutive doubles share sign,
+  *    exponent, and high mantissa bits.
+  *
+  * Layouts share the `varint 0, varint 0, varint widthCode, varint
+  * cellCount, varint nullCount, [bitmap]` prefix; after it, code 9 has
+  * `varint scale, 8B LE base, varint bitWidth, deltas` and code 10 has
+  * `varint trailingTrim, varint bitWidth, xorDeltas`.
   */
 final class PackedIntColumnWriter(width: Int) extends ColumnSink {
   require(width == 4 || width == 8, s"unsupported packed width $width")
@@ -318,60 +367,16 @@ final class PackedIntColumnWriter(width: Int) extends ColumnSink {
 
   def finishChunk(): Array[Byte] = {
     val plainBlock = plain.finishChunk()
-    val out =
-      if (poisoned || count == 0 || nullCount == count) plainBlock
-      else {
-        // unsigned min/max over the non-null cells
-        var mn = -1L // unsigned max
-        var mx = 0L
-        var i = 0
-        while (i < count) {
-          if (!nulls.get(i)) {
-            val v = vals(i)
-            if (java.lang.Long.compareUnsigned(v, mn) < 0) mn = v
-            if (java.lang.Long.compareUnsigned(v, mx) > 0) mx = v
-          }
-          i += 1
-        }
-        val range = mx - mn
-        val bw =
-          if (range == 0L) 0
-          else 64 - java.lang.Long.numberOfLeadingZeros(range)
-        val packedBytes = (((count - nullCount).toLong * bw) + 7) / 8
-        val buf = new ByteBuf(64 + packedBytes.toInt)
-        Varint.put(buf, 0L)
-        Varint.put(buf, 0L)
-        Varint.put(buf, width.toLong)
-        Varint.put(buf, count.toLong)
-        Varint.put(buf, nullCount.toLong)
-        if (nullCount > 0) {
-          val bitmap = new Array[Byte]((count + 7) / 8)
-          var b = nulls.nextSetBit(0)
-          while (b >= 0) {
-            bitmap(b >> 3) = (bitmap(b >> 3) | (1 << (b & 7))).toByte
-            b = nulls.nextSetBit(b + 1)
-          }
-          buf.append(bitmap)
-        }
-        var k = 0
-        val base = new Array[Byte](8)
-        while (k < 8) { base(k) = ((mn >>> (8 * k)) & 0xff).toByte; k += 1 }
-        buf.append(base)
-        Varint.put(buf, bw.toLong)
-        val packed = new Array[Byte](packedBytes.toInt)
-        var bitOff = 0L
-        i = 0
-        while (i < count) {
-          if (!nulls.get(i)) {
-            PackedIntColumnWriter.writeBits(packed, bitOff, vals(i) - mn, bw)
-            bitOff += bw
-          }
-          i += 1
-        }
-        buf.append(packed)
-        val packedBlock = buf.toArray
-        if (packedBlock.length < plainBlock.length) packedBlock else plainBlock
+    var out = plainBlock
+    if (!(poisoned || count == 0 || nullCount == count)) {
+      def consider(b: Array[Byte]): Unit =
+        if (b != null && b.length < out.length) out = b
+      consider(buildFor())
+      if (width == 8) {
+        consider(buildScaled())
+        consider(buildXor())
       }
+    }
     // reset for the next chunk
     if (vals.length > (1 << 16)) vals = new Array[Long](256)
     nulls.clear()
@@ -379,6 +384,165 @@ final class PackedIntColumnWriter(width: Int) extends ColumnSink {
     nullCount = 0
     poisoned = false
     out
+  }
+
+  /** Shared `0, 0, widthCode, cellCount, nullCount, [bitmap]` prefix. */
+  private def headerBuf(widthCode: Int, payloadCap: Int): ByteBuf = {
+    val buf = new ByteBuf(64 + payloadCap)
+    Varint.put(buf, 0L)
+    Varint.put(buf, 0L)
+    Varint.put(buf, widthCode.toLong)
+    Varint.put(buf, count.toLong)
+    Varint.put(buf, nullCount.toLong)
+    if (nullCount > 0) {
+      val bitmap = new Array[Byte]((count + 7) / 8)
+      var b = nulls.nextSetBit(0)
+      while (b >= 0) {
+        bitmap(b >> 3) = (bitmap(b >> 3) | (1 << (b & 7))).toByte
+        b = nulls.nextSetBit(b + 1)
+      }
+      buf.append(bitmap)
+    }
+    buf
+  }
+
+  private def appendLeLong(buf: ByteBuf, v: Long): Unit = {
+    val b = new Array[Byte](8)
+    var k = 0
+    while (k < 8) { b(k) = ((v >>> (8 * k)) & 0xff).toByte; k += 1 }
+    buf.append(b)
+  }
+
+  /** Frame-of-reference over the raw unsigned bit patterns (codes 4/8). */
+  private def buildFor(): Array[Byte] = {
+    // unsigned min/max over the non-null cells
+    var mn = -1L // unsigned max
+    var mx = 0L
+    var i = 0
+    while (i < count) {
+      if (!nulls.get(i)) {
+        val v = vals(i)
+        if (java.lang.Long.compareUnsigned(v, mn) < 0) mn = v
+        if (java.lang.Long.compareUnsigned(v, mx) > 0) mx = v
+      }
+      i += 1
+    }
+    val range = mx - mn
+    val bw =
+      if (range == 0L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(range)
+    val packedBytes = (((count - nullCount).toLong * bw) + 7) / 8
+    val buf = headerBuf(width, packedBytes.toInt)
+    appendLeLong(buf, mn)
+    Varint.put(buf, bw.toLong)
+    val packed = new Array[Byte](packedBytes.toInt)
+    var bitOff = 0L
+    i = 0
+    while (i < count) {
+      if (!nulls.get(i)) {
+        PackedIntColumnWriter.writeBits(packed, bitOff, vals(i) - mn, bw)
+        bitOff += bw
+      }
+      i += 1
+    }
+    buf.append(packed)
+    buf.toArray
+  }
+
+  /** Scaled-decimal (code 9), or null when the chunk doesn't qualify. */
+  private def buildScaled(): Array[Byte] = {
+    import PackedIntColumnWriter.{scaledLong, MaxScale}
+    // greedy pass: grow the chunk scale until every value seen so far
+    // qualifies. A value exact at scale s stays exact at s' > s while
+    // its scaled form stays inside the 2^53 window (same real quotient,
+    // same correctly-rounded double), so one forward scan settles s —
+    // except when a large value's 10^(s'-s)-multiplied m leaves the
+    // window, which the verification pass below catches.
+    var s = 0
+    var i = 0
+    while (i < count) {
+      if (!nulls.get(i)) {
+        while (s <= MaxScale && scaledLong(vals(i), s) == Long.MinValue) s += 1
+        if (s > MaxScale) return null
+      }
+      i += 1
+    }
+    // verify ALL values at the settled scale and collect the m-integers
+    val ms = new Array[Long](count)
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    i = 0
+    while (i < count) {
+      if (!nulls.get(i)) {
+        val m = scaledLong(vals(i), s)
+        if (m == Long.MinValue) return null
+        ms(i) = m
+        if (m < mn) mn = m
+        if (m > mx) mx = m
+      }
+      i += 1
+    }
+    val range = mx - mn // both within ±2^53, so the range fits easily
+    val bw =
+      if (range == 0L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(range)
+    val packedBytes = (((count - nullCount).toLong * bw) + 7) / 8
+    val buf = headerBuf(9, packedBytes.toInt)
+    Varint.put(buf, s.toLong)
+    appendLeLong(buf, mn)
+    Varint.put(buf, bw.toLong)
+    val packed = new Array[Byte](packedBytes.toInt)
+    var bitOff = 0L
+    i = 0
+    while (i < count) {
+      if (!nulls.get(i)) {
+        PackedIntColumnWriter.writeBits(packed, bitOff, ms(i) - mn, bw)
+        bitOff += bw
+      }
+      i += 1
+    }
+    buf.append(packed)
+    buf.toArray
+  }
+
+  /** Chunk-windowed XOR-delta (code 10). Always well-formed; the size
+    * comparison decides whether it ships.
+    */
+  private def buildXor(): Array[Byte] = {
+    var orAll = 0L
+    var prev = 0L
+    var i = 0
+    while (i < count) {
+      if (!nulls.get(i)) {
+        orAll |= vals(i) ^ prev
+        prev = vals(i)
+      }
+      i += 1
+    }
+    val trim = if (orAll == 0L) 0 else java.lang.Long.numberOfTrailingZeros(orAll)
+    val bw =
+      if (orAll == 0L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(orAll) - trim
+    val packedBytes = (((count - nullCount).toLong * bw) + 7) / 8
+    val buf = headerBuf(10, packedBytes.toInt)
+    Varint.put(buf, trim.toLong)
+    Varint.put(buf, bw.toLong)
+    val packed = new Array[Byte](packedBytes.toInt)
+    var bitOff = 0L
+    prev = 0L
+    i = 0
+    while (i < count) {
+      if (!nulls.get(i)) {
+        if (bw > 0) {
+          PackedIntColumnWriter.writeBits(packed, bitOff, (vals(i) ^ prev) >>> trim, bw)
+          bitOff += bw
+        }
+        prev = vals(i)
+      }
+      i += 1
+    }
+    buf.append(packed)
+    buf.toArray
   }
 }
 
@@ -407,6 +571,7 @@ final class ColumnDecoder(data: Array[Byte]) {
   private var pVals: Array[Long] = null
   private var pNulls: java.util.BitSet = null
   private var pWidth = 0
+  private var pWidthCode = 0
   private var pCount = 0
   private var pIdx = 0
   private var pVal = 0L
@@ -436,9 +601,16 @@ final class ColumnDecoder(data: Array[Byte]) {
   }
 
   private def parsePacked(): Unit = {
-    val width = Varint.get(data, cur)
-    if (width != 4L && width != 8L)
-      throw new CorruptColumnFileException(s"unsupported packed width $width")
+    val widthCode = Varint.get(data, cur)
+    // 4/8: raw frame-of-reference; 9: scaled-decimal double; 10:
+    // XOR-delta double (see PackedIntColumnWriter). 9 and 10 decode to
+    // 8-byte double bit patterns.
+    val width: Long = widthCode match {
+      case 4L | 8L       => widthCode
+      case 9L | 10L      => 8L
+      case w =>
+        throw new CorruptColumnFileException(s"unsupported packed width $w")
+    }
     val cnt = Varint.get(data, cur)
     // 8*len+64 bounds every well-formed count (bitmap or payload bits
     // must cover the cells); it exists to stop a crafted zero-payload
@@ -472,38 +644,99 @@ final class ColumnDecoder(data: Array[Byte]) {
         throw new CorruptColumnFileException("packed null bitmap/count mismatch")
       cur.pos += bytes
     }
-    if (cur.pos + 8 > data.length)
-      throw new CorruptColumnFileException("truncated packed base")
-    var base = 0L
-    var k = 0
-    while (k < 8) {
-      base |= (data(cur.pos + k) & 0xffL) << (8 * k)
-      k += 1
-    }
-    cur.pos += 8
-    val bw = Varint.get(data, cur)
-    if (bw < 0 || bw > 64)
-      throw new CorruptColumnFileException(s"corrupt packed bit width $bw")
-    val packedBytes = (((cnt - nc) * bw) + 7) / 8
-    if (cur.pos + packedBytes != data.length)
-      throw new CorruptColumnFileException("packed payload size mismatch")
     val vals = new Array[Long](cnt.toInt)
-    var bitOff = 0L
-    var i = 0
-    while (i < vals.length) {
-      if (!nulls.get(i)) {
-        vals(i) =
-          if (bw == 0L) base
-          else base + PackedIntColumnWriter.readBits(data, cur.pos, bitOff, bw.toInt)
-        bitOff += bw
-      }
-      i += 1
+    widthCode match {
+      case 4L | 8L =>
+        val base = readLeLong("truncated packed base")
+        val bw = readBitWidth(0)
+        checkPayload(cnt - nc, bw)
+        var bitOff = 0L
+        var i = 0
+        while (i < vals.length) {
+          if (!nulls.get(i)) {
+            vals(i) =
+              if (bw == 0L) base
+              else base + PackedIntColumnWriter.readBits(data, cur.pos, bitOff, bw.toInt)
+            bitOff += bw
+          }
+          i += 1
+        }
+      case 9L =>
+        val scale = Varint.get(data, cur)
+        if (scale < 0 || scale > PackedIntColumnWriter.MaxScale)
+          throw new CorruptColumnFileException(s"corrupt packed scale $scale")
+        val base = readLeLong("truncated packed base")
+        val bw = readBitWidth(0)
+        checkPayload(cnt - nc, bw)
+        val p = PackedIntColumnWriter.Pow10(scale.toInt)
+        var bitOff = 0L
+        var i = 0
+        while (i < vals.length) {
+          if (!nulls.get(i)) {
+            val m =
+              if (bw == 0L) base
+              else base + PackedIntColumnWriter.readBits(data, cur.pos, bitOff, bw.toInt)
+            // the encoder verified this division reproduces the source
+            // bit pattern for every cell it packed
+            vals(i) = java.lang.Double.doubleToRawLongBits(m.toDouble / p)
+            bitOff += bw
+          }
+          i += 1
+        }
+      case _ => // 10L
+        val trim = Varint.get(data, cur)
+        if (trim < 0 || trim > 63)
+          throw new CorruptColumnFileException(s"corrupt packed xor trim $trim")
+        val bw = readBitWidth(trim)
+        checkPayload(cnt - nc, bw)
+        var prev = 0L
+        var bitOff = 0L
+        var i = 0
+        while (i < vals.length) {
+          if (!nulls.get(i)) {
+            val x =
+              if (bw == 0L) 0L
+              else PackedIntColumnWriter.readBits(data, cur.pos, bitOff, bw.toInt) << trim
+            prev ^= x
+            vals(i) = prev
+            bitOff += bw
+          }
+          i += 1
+        }
     }
     cur.pos = data.length
     pVals = vals
     pNulls = nulls
     pWidth = width.toInt
     pCount = cnt.toInt
+    pWidthCode = widthCode.toInt
+  }
+
+  private def readLeLong(truncMsg: String): Long = {
+    if (cur.pos + 8 > data.length)
+      throw new CorruptColumnFileException(truncMsg)
+    var v = 0L
+    var k = 0
+    while (k < 8) {
+      v |= (data(cur.pos + k) & 0xffL) << (8 * k)
+      k += 1
+    }
+    cur.pos += 8
+    v
+  }
+
+  private def readBitWidth(trim: Long): Long = {
+    val bw = Varint.get(data, cur)
+    if (bw < 0 || bw + trim > 64)
+      throw new CorruptColumnFileException(s"corrupt packed bit width $bw")
+    bw
+  }
+
+  /** The packed payload must fill the block exactly. */
+  private def checkPayload(nonNull: Long, bw: Long): Unit = {
+    val packedBytes = ((nonNull * bw) + 7) / 8
+    if (cur.pos + packedBytes != data.length)
+      throw new CorruptColumnFileException("packed payload size mismatch")
   }
   // id-lookup cache: an RLE run shares one id-bytes instance
   private var lastIdRef: Array[Byte] = _
@@ -525,6 +758,12 @@ final class ColumnDecoder(data: Array[Byte]) {
     */
   def isPackedNumeric: Boolean = pVals != null
   def packedWidth: Int = pWidth
+
+  /** The block's width code: 4/8 raw FOR, 9 scaled-decimal double, 10
+    * XOR-delta double; 0 when not packed. Diagnostic (tests, tools) —
+    * decode behavior is identical across codes.
+    */
+  def packedWidthCode: Int = pWidthCode
 
   /** Advance one packed cell; true when it is non-NULL, with its
     * little-endian unsigned integer view left in [[packedValue]]. Only

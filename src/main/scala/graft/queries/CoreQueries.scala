@@ -376,6 +376,10 @@ object CoreQueries {
     // Bloom-filter point-lookup pruning through the oracle gate.
     bloomScan,
 
+    // Double-column packing (scaled-decimal / XOR-delta) on non-decimal
+    // doubles through the oracle gate.
+    doublePackScan,
+
     // Metadata-only SUM: integral sums carried in the stats sidecars
     // (exact Long accumulation, overflow drops the stat and the scan
     // answers). COUNT/MIN/MAX pushdown's q35 companion; the oracle
@@ -617,6 +621,37 @@ object CoreQueries {
         .createOrReplaceTempView("cf_orders_bloom")
       spark.sql(probe("cf_orders_bloom"))
     }, Some(probe("orders")))
+  }
+
+  /** q49: events stored with `bitpack=true` — doubles that are NOT tidy
+    * decimals (uniform random `value`), so the chunk-level candidates
+    * race: scaled-decimal can't fire and the XOR-delta / raw-FOR /
+    * plain encodings compete per chunk on size
+    * (PackedIntColumnWriter.finishChunk); timestamps and ids take the
+    * integer FOR path. q46's lineitem prices cover the scaled-decimal
+    * winner; together the two queries pin every double block mode to
+    * the DuckDB oracle bit-exactly (cents of SUM/MIN/MAX would all
+    * shift on any reconstruction error).
+    */
+  private def doublePackScan: Q = {
+    val agg = (from: String) =>
+      s"""SELECT event_type AS et, COUNT(*) AS cnt,
+         |  CAST(SUM(${cents("value")}) AS BIGINT) AS val_c,
+         |  ${cents("MIN(value)")} AS min_v_c, ${cents("MAX(value)")} AS max_v_c,
+         |  CAST(SUM(user_id) AS BIGINT) AS sum_u,
+         |  MIN(event_id) AS min_e, MAX(event_id) AS max_e
+         |FROM $from GROUP BY event_type""".stripMargin
+    Q("q49_cf_double_pack", (spark, dir) => {
+      val out = Tables.cachePath(dir, "events_bitpack")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "events").write.format("columnfile")
+          .option("bitpack", "true")
+          .mode("overwrite").save(out)
+      }
+      spark.read.format("columnfile").load(out)
+        .createOrReplaceTempView("cf_events_bitpack")
+      spark.sql(agg("cf_events_bitpack"))
+    }, Some(agg("events")))
   }
 
   /** q44: the stream-stream interval join's batch twin, aggregated to

@@ -134,6 +134,162 @@ class BitpackSpec extends AnyFunSuite {
     }
   }
 
+  private def leD(d: Double): Array[Byte] =
+    le(java.lang.Double.doubleToRawLongBits(d), 8)
+
+  /** Decode one width-8 block into (isNull, double-bits) cells. */
+  private def decodeBits(block: Array[Byte]): Seq[Option[Long]] = decodeAll(block, 8)
+
+  private def packDoubles(cells: Seq[Option[Double]]): Array[Byte] = {
+    val w = new PackedIntColumnWriter(8)
+    cells.foreach {
+      case Some(d) => w.put(leD(d))
+      case None    => w.putNull()
+    }
+    w.finishChunk()
+  }
+
+  test("scaled-decimal: 2-decimal prices pick mode 9, shrink >=3x, round-trip exactly") {
+    val cells: Seq[Option[Double]] = (0 until 10000).map { i =>
+      if (i % 11 == 7) None
+      else Some((90000L + (i * 2654435761L % 10400000L)).toDouble / 100.0)
+    }
+    val block = packDoubles(cells)
+    val d = new ColumnDecoder(block)
+    assert(d.isPackedNumeric && d.packedWidthCode == 9,
+      s"expected scaled-decimal, got code ${d.packedWidthCode}")
+    assert(decodeBits(block) ==
+      cells.map(_.map(java.lang.Double.doubleToRawLongBits)))
+    val plain = new ColumnWriter
+    cells.foreach { case Some(v) => plain.put(leD(v)); case None => plain.putNull() }
+    val pb = plain.finishChunk()
+    assert(block.length * 3 < pb.length,
+      s"expected >=3x shrink: scaled ${block.length} vs plain ${pb.length}")
+  }
+
+  test("scaled-decimal: mixed-sign decimals and integral doubles qualify") {
+    // division, not `* 0.05`: fl(k/20) is the correctly-rounded k/20, so
+    // the scaled verify (m.toDouble/100 bit-equal) holds for every cell;
+    // multiplying by the inexact 0.05 double can miss correct rounding
+    // for some k, and one such cell rejects the whole chunk's scaled
+    // candidate (by design — verified losslessness is per cell)
+    val cells: Seq[Option[Double]] = (0 until 2000).map { i =>
+      if (i % 13 == 5) None else Some((i - 1000).toDouble / 20)
+    }
+    val block = packDoubles(cells)
+    assert(new ColumnDecoder(block).packedWidthCode == 9)
+    assert(decodeBits(block) ==
+      cells.map(_.map(java.lang.Double.doubleToRawLongBits)))
+
+    // integral doubles qualify for scaled (s=0); an ascending series is
+    // also XOR-friendly, so either double mode may win the size race —
+    // never raw FOR (sign/exponent spread) and never plain
+    val ints: Seq[Option[Double]] = (0 until 2000).map(i => Some((i * 37).toDouble))
+    val ib = packDoubles(ints)
+    assert(Set(9, 10).contains(new ColumnDecoder(ib).packedWidthCode))
+    assert(decodeBits(ib) == ints.map(_.map(java.lang.Double.doubleToRawLongBits)))
+  }
+
+  /** Float-precision values stored as double: 29 trailing-zero mantissa
+    * bits for the XOR window to trim, mixed signs and magnitudes so raw
+    * FOR sees a ~2^63 unsigned spread, and non-decimal values so scaled
+    * can't fire — the shape where XOR-delta is the only winner.
+    */
+  private def floatPrecisionCells(n: Int, nulls: Boolean): Seq[Option[Double]] =
+    (0 until n).map { i =>
+      if (nulls && i % 19 == 3) None
+      else Some((((i * 48271) % 100000 - 50000).toFloat / 7f).toDouble)
+    }
+
+  test("xor-delta: float-precision mixed-sign doubles pick mode 10 and shrink") {
+    val cells = floatPrecisionCells(8000, nulls = true)
+    val block = packDoubles(cells)
+    val d = new ColumnDecoder(block)
+    assert(d.isPackedNumeric && d.packedWidthCode == 10,
+      s"expected xor-delta, got code ${d.packedWidthCode}")
+    assert(decodeBits(block) ==
+      cells.map(_.map(java.lang.Double.doubleToRawLongBits)))
+    val plain = new ColumnWriter
+    cells.foreach { case Some(x) => plain.put(leD(x)); case None => plain.putNull() }
+    // plain front-coding already exploits the zero low bytes of
+    // float-precision doubles (LE shares the low-byte prefix), so the
+    // honest bar is a 1.5x win, not the 3x of the scaled-decimal case
+    assert(block.length * 3 < plain.finishChunk().length * 2,
+      s"expected >=1.5x shrink: xor ${block.length}")
+  }
+
+  test("property: double chunks round-trip bit-exactly under every regime") {
+    val rnd = new scala.util.Random(20260813L)
+    val specials = Array(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, -0.0, 0.0, Double.MinPositiveValue,
+      java.lang.Double.longBitsToDouble(0x7ff8000000000123L)) // NaN payload
+    for (_ <- 0 until 300) {
+      val n = 1 + rnd.nextInt(300)
+      val regime = rnd.nextInt(5)
+      val cells: Seq[Option[Double]] = (0 until n).map { i =>
+        if (rnd.nextInt(6) == 0) None
+        else Some(regime match {
+          case 0 => rnd.nextInt(2000000).toDouble / 100.0 // decimal
+          case 1 => java.lang.Double.longBitsToDouble(rnd.nextLong()) // raw bits
+          case 2 => 1e9 + i * 0.125 + rnd.nextInt(3) // binary fractions
+          case 3 => specials(rnd.nextInt(specials.length))
+          case _ => (rnd.nextLong() >> rnd.nextInt(40)).toDouble * math.pow(10, rnd.nextInt(8) - 4)
+        })
+      }
+      val block = packDoubles(cells)
+      assert(decodeBits(block) ==
+        cells.map(_.map(java.lang.Double.doubleToRawLongBits)),
+        s"regime $regime n=$n failed bit-exact round-trip")
+      // skip parity with the full decode
+      val skipAt = rnd.nextInt(n + 1)
+      val d = new ColumnDecoder(block)
+      d.skip(skipAt.toLong)
+      val tail = Seq.newBuilder[Option[Long]]
+      while (d.hasNext) tail += Option(d.next()).map { c =>
+        var x = 0L; var k = 0
+        while (k < c.length) { x |= (c(k) & 0xffL) << (8 * k); k += 1 }
+        x
+      }
+      assert(tail.result() ==
+        cells.drop(skipAt).map(_.map(java.lang.Double.doubleToRawLongBits)))
+    }
+  }
+
+  test("corrupt double-mode headers throw, never mis-decode") {
+    // scale out of range: craft a minimal mode-9 block and bump the
+    // scale byte (layout: 0,0,9,cnt,nc,scale,... all one-byte varints)
+    val scaled = packDoubles((0 until 100).map(i => Some(i / 10.0)))
+    assert(new ColumnDecoder(scaled).packedWidthCode == 9)
+    assert(scaled(2) == 9.toByte && scaled(3) == 100.toByte && scaled(4) == 0.toByte)
+    val badScale = scaled.clone()
+    badScale(5) = 19.toByte
+    intercept[CorruptColumnFileException](new ColumnDecoder(badScale))
+
+    // xor trim out of range (layout: 0,0,10,cnt,nc,trim,bw,...)
+    val xor = packDoubles(floatPrecisionCells(100, nulls = false))
+    assert(new ColumnDecoder(xor).packedWidthCode == 10)
+    val badTrim = xor.clone()
+    badTrim(5) = 70.toByte
+    intercept[CorruptColumnFileException](new ColumnDecoder(badTrim))
+    // trim + bw > 64
+    val badBw = xor.clone()
+    badBw(6) = 80.toByte
+    intercept[CorruptColumnFileException](new ColumnDecoder(badBw))
+
+    // truncation at every header prefix of both modes
+    for (block <- Seq(scaled, xor); cut <- 2 until math.min(block.length, 24))
+      intercept[CorruptColumnFileException] {
+        val d = new ColumnDecoder(java.util.Arrays.copyOf(block, cut))
+        while (d.hasNext) d.next()
+      }
+    // trailing garbage
+    for (block <- Seq(scaled, xor))
+      intercept[CorruptColumnFileException] {
+        val d = new ColumnDecoder(java.util.Arrays.copyOf(block, block.length + 3))
+        while (d.hasNext) d.next()
+      }
+  }
+
   test("corrupt packed headers throw CorruptColumnFileException, never mis-decode") {
     // craft a small valid packed block, then damage it
     def valid(): Array[Byte] = {

@@ -19,8 +19,10 @@ class MutationFuzzSpec extends AnyFunSuite {
     val bos = new ByteArrayOutputStream()
     val w = new ColumnFileWriter(bos, codec)
     w.setDictionaryColumns(Set(1))
-    w.setPackedColumns(Map(3 -> 8))
+    w.setPackedColumns(Map(3 -> 8, 4 -> 8, 5 -> 8))
     val cats = Seq("alpha", "beta", "gamma", "delta")
+    def le64(v: Long): Array[Byte] =
+      Array.tabulate(8)(k => ((v >>> (8 * k)) & 0xff).toByte)
     (0 until 400).foreach { i =>
       w.put(0, s"sorted-key-$i%06d".getBytes) // prefix coding
       if (i % 7 == 0) w.putNull(1)
@@ -29,8 +31,16 @@ class MutationFuzzSpec extends AnyFunSuite {
       if (i % 11 == 3) w.putNull(3)
       else { // packed-numeric (frame-of-reference + bitpack), with NULLs
         val v = 7000000L + i * 13
-        w.put(3, Array.tabulate(8)(k => ((v >>> (8 * k)) & 0xff).toByte))
+        w.put(3, le64(v))
       }
+      if (i % 13 == 6) w.putNull(4)
+      else { // tidy decimals: the scaled-decimal double mode (code 9)
+        val d = (90000L + i * 37 % 9973).toDouble / 100.0
+        w.put(4, le64(java.lang.Double.doubleToRawLongBits(d)))
+      }
+      // float-precision non-decimals: the XOR-delta double mode (code 10)
+      w.put(5, le64(java.lang.Double.doubleToRawLongBits(
+        (i * 0.37f + 1.5f).toDouble)))
       if (i == 200) w.flush()                        // two chunks
     }
     w.finish()

@@ -45,4 +45,32 @@ class RuntimeFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no runtime filter in plan:\n$plan")
     assert(j.collect().map(_.getLong(1)).sum == 2000L) // 20 keys x 100 rows
   }
+
+  test("runtime filter composes with bloom pruning on an unsorted unique key") {
+    val sp = spark; import sp.implicits._
+    val factDir = Files.createTempDirectory("cf-rtb-fact").toString
+    val dimDir = Files.createTempDirectory("cf-rtb-dim").toString
+    // unique, hash-shuffled join key: every chunk's [min,max] spans the
+    // domain, so ONLY the blooms can prune when the dim side's 3 surviving
+    // keys arrive as a runtime In filter
+    (0 until 50000).map(i => (i.toLong, s"payload_$i"))
+      .sortBy { case (id, _) => ChunkStatsIndex.baseHashLong(id) }
+      .toDF("id", "payload")
+      .repartition(1)
+      .write.format("columnfile")
+      .option("targetChunkBytes", "16384").option("bloom", "id")
+      .mode("overwrite").save(factDir)
+    (0 until 50000 by 1000).map(i => (i.toLong, i % 7)).toDF("pk", "cat")
+      .write.mode("overwrite").parquet(dimDir)
+
+    val fact = spark.read.format("columnfile").load(factDir)
+    val dim = spark.read.parquet(dimDir).filter(col("cat") === 3)
+    val j = fact.join(dim, col("id") === col("pk"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no runtime filter in plan:\n$plan")
+    // pk = 1000n, cat = pk % 7 == 3  =>  6n ≡ 3 (mod 7)  =>  n ≡ 4 (mod 7)
+    assert(j.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(4000L, 11000L, 18000L, 25000L, 32000L, 39000L, 46000L))
+  }
 }
