@@ -893,6 +893,9 @@ object ExtQueries {
     val simhashPairs: String = simhashPairsSql(SparkD)
     val knnSignLsh: String = knnSignLshSql(SparkD)
     val embeddingDedup: String = embeddingDedupSql(SparkD)
+    val lshCapReport: String = lshCapReportSql(SparkD)
+    val annCapReport: String = annCapReportSql(SparkD)
+    val hotBucketCap: Long = HotBucketCap
   }
 
   /** m02: REAL image-header decode through the multimodal seam. The

@@ -83,4 +83,42 @@ class DegenerateCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(r => r.getLong(0) < 10 && r.getLong(1) < 10))
     assert(got.forall(_.getDouble(2) == 1.0))
   }
+
+  test("d11 cap report: the flood's dropped buckets and rows are visible, not silent") {
+    val cap = ExtQueries.TestSql.hotBucketCap
+    val rows = spark.sql(ExtQueries.TestSql.lshCapReport).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(rows.keySet == Set("0", "1", "2", "3"))
+    rows.foreach { case (band, (nMulti, nDroppedBuckets, rowsDropped, maxBucket)) =>
+      // every band: the 10k identical docs share one bucket -> exactly
+      // one over-cap bucket, all Flood rows reported dropped, and the
+      // planted pair's bucket keeps the multi count >= 2 buckets' worth
+      assert(nDroppedBuckets == 1L, s"band $band dropped buckets")
+      assert(rowsDropped == Flood.toLong, s"band $band rows dropped")
+      assert(maxBucket == Flood.toLong, s"band $band max bucket")
+      assert(nMulti >= 2L, s"band $band multi-occupancy buckets")
+      assert(maxBucket > cap)
+    }
+  }
+
+  test("v06 cap report: flooded ANN table drops are visible per hash table") {
+    val cap = ExtQueries.TestSql.hotBucketCap
+    val rows = spark.sql(ExtQueries.TestSql.annCapReport).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L))
+    rows.foreach { case (tbl, (nbits, nMulti, nDroppedBuckets, rowsDropped, maxBucket)) =>
+      // 10010 vectors -> the corpus-scaled sizing rule lands on 8 bits
+      assert(nbits == 8L, s"table $tbl nbits")
+      // identical flood vectors share one bucket per table; identical
+      // cool vectors share another (10 <= cap, kept)
+      assert(nDroppedBuckets == 1L, s"table $tbl dropped buckets")
+      assert(rowsDropped == Flood.toLong, s"table $tbl rows dropped")
+      assert(maxBucket == Flood.toLong && maxBucket > cap, s"table $tbl max bucket")
+      assert(nMulti == 2L, s"table $tbl multi buckets")
+    }
+  }
 }
