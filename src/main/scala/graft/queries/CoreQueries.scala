@@ -380,6 +380,9 @@ object CoreQueries {
     // doubles through the oracle gate.
     doublePackScan,
 
+    // As-of join (point-in-time match) through the oracle gate.
+    asofJoin,
+
     // Metadata-only SUM: integral sums carried in the stats sidecars
     // (exact Long accumulation, overflow drops the stat and the scan
     // answers). COUNT/MIN/MAX pushdown's q35 companion; the oracle
@@ -652,6 +655,45 @@ object CoreQueries {
         .createOrReplaceTempView("cf_events_bitpack")
       spark.sql(agg("cf_events_bitpack"))
     }, Some(agg("events")))
+  }
+
+  /** q50: as-of join ([[graft.operators.AsOfJoin]]) — each purchase
+    * matched to the user's latest click at or before the purchase
+    * (point-in-time correctness, no lookahead). The Spark side is the
+    * union + ordered carry-forward formulation (one shuffle + one sort,
+    * no inequality-join candidate blowup); the oracle recomputes the
+    * same semantics the quadratic way (argmax over an inequality join),
+    * deterministic at equal times via MAX(click_id) — the operator's
+    * struct-greatest tiebreak.
+    */
+  private def asofJoin: Q = {
+    val oracle =
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id AS click_id FROM events
+        |      WHERE event_type = 'click'),
+        |m AS (SELECT purchase_id, p.user_id AS uid, p.value, MAX(c.ts) AS cts
+        |      FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+        |      GROUP BY purchase_id, p.user_id, p.value)
+        |SELECT m.purchase_id, m.uid, MAX(c.click_id) AS click_id,
+        |  CAST(ROUND(m.value * 100) AS BIGINT) AS value_c
+        |FROM m JOIN c ON c.user_id = m.uid AND c.ts = m.cts
+        |GROUP BY m.purchase_id, m.uid, m.value""".stripMargin
+    Q("q50_asof_join", (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.registerAll(spark, dir)
+      val ev = spark.table("events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.operators.AsOfJoin
+        .asOf(purchases, clicks, Seq("user_id"), "ts", "ts")
+        .where(col("click_id").isNotNull)
+        .selectExpr("purchase_id", "user_id AS uid", "click_id",
+          "CAST(ROUND(value * 100) AS BIGINT) AS value_c")
+    }, Some(oracle))
   }
 
   /** q44: the stream-stream interval join's batch twin, aggregated to

@@ -590,6 +590,29 @@ object ExtQueries {
        |  n_chars
        |FROM documents""".stripMargin
 
+  /** p05: per-language corpus distribution stats — the audit every
+    * training-data pipeline runs before and after a filter pass (did
+    * the dedup/quality stage shift the token-length distribution?).
+    * Percentiles are `percentile_disc` (rank-based, SQL standard, both
+    * engines): the discrete variant returns an actual corpus value, so
+    * there is no cross-engine float-interpolation instability to paper
+    * over. 100 TB shape: one partial-aggregable scan for COUNT/SUM/
+    * MIN/MAX; the exact percentiles group-sort per language — at
+    * production scale the same report swaps in approx_percentile
+    * sketches, which is a accuracy/cost dial, not a shape change.
+    */
+  private def corpusStatsSql(d: Dial): String =
+    s"""WITH tk AS (SELECT lang, ${d.size(d.split("text"))} AS n_tok,
+       |              n_chars FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       |  MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
+       |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tok) AS BIGINT) AS p50_tok,
+       |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_tok) AS BIGINT) AS p90_tok,
+       |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_tok) AS BIGINT) AS p99_tok,
+       |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50_chars
+       |FROM tk GROUP BY lang""".stripMargin
+
   /** Document fingerprinting: md5 + polynomial rolling hash. */
   private def fingerprintSql(d: Dial): String =
     s"""SELECT doc_id,
@@ -872,6 +895,7 @@ object ExtQueries {
     dialect("p03_sample_stratified", sampleSql),
     // Token-budget sequence packing (concat-then-chunk, per-shard).
     dialect("p04_pack_sequences", packSql),
+    dialect("p05_corpus_stats", corpusStatsSql),
     dialect("v01_knn_brute", knnBruteSql),
     dialect("v02_knn_sign_lsh", knnSignLshSql),
     dialect("v03_knn_ivf_assign", ivfAssignSql),
