@@ -83,6 +83,14 @@ object ExtQueries {
     /** left fold with DOUBLE-zero seed. */
     def fold0d(l: String, acc: String, v: String, body: String): String
 
+    /** per-dimension products of two BIGINT vectors, in index order */
+    def intDims(a: String, b: String): String
+    /** exact integer dot product of two BIGINT vectors — engine-portable
+      * by construction (no float summation order to disagree on)
+      */
+    def intDot(a: String, b: String): String =
+      fold0(intDims(a, b), "acc", "v", "acc + v")
+
     /** polynomial rolling hash of a string expression, mod P. */
     def polyhash(s: String): String =
       fold0(charCodes(s), "acc", "c", s"(acc * 31 + c) % $P")
@@ -142,6 +150,7 @@ object ExtQueries {
     def at(l: String, i0: Int) = s"$l[$i0]"
     def dims(a: String, b: String) =
       s"zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+    def intDims(a: String, b: String) = s"zip_with($a, $b, (x, y) -> x * y)"
     // native codegen expressions for the hashing + vector hot paths
     override def dot(a: String, b: String) = s"graft_dot($a, $b)"
     override def shingleHashSet(text: String) = s"graft_shingle_hashes($text)"
@@ -180,6 +189,8 @@ object ExtQueries {
     def at(l: String, i0: Int) = s"$l[${i0 + 1}]"
     def dims(a: String, b: String) =
       s"list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))"
+    def intDims(a: String, b: String) =
+      s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])"
     def gramHashSet(text: String) =
       distinct(transform(
         s"list_transform(range(1, length($text) - 3), i -> substr($text, i, 5))",
@@ -656,6 +667,46 @@ object ExtQueries {
 
   // ---------------------------------------------------------------- vectors
 
+  /** v07: int8-quantized ANN — the standard 4x memory lever for
+    * embedding search at 100 TB (a 64-dim float corpus shrinks from
+    * 256 B to 64 B per vector; in-memory bucket scans and shuffle
+    * payloads shrink with it). Per-vector symmetric quantization:
+    * `q_i = floor(127 * x_i / max|x|)`, scored by integer dot products.
+    *
+    * Engine-portability is by construction: the quantized vectors are
+    * BIGINTs (floor of an IEEE double op both engines compute
+    * identically), the dot/norm sums are exact integer folds with no
+    * float summation order, and the final cosine is one double
+    * division+sqrt of identical integers — so the top-k and its scores
+    * hash-match DuckDB bit-for-bit, unlike a float-accumulated scorer
+    * which only matches under a fixed fold order. Composes with the
+    * LSH/IVF candidate pruning (v02/v05): quantize the stored vectors,
+    * keep bucketing on signs — the sign of `q_i` equals the sign of
+    * `x_i` wherever `|q_i| >= 1`.
+    */
+  private def knnQuantizedSql(d: Dial): String = {
+    val mx = d match {
+      case SparkD => "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+      case DuckD  => "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    }
+    val q8 = d.transform("embedding", "x",
+      "CAST(floor((127 * CAST(x AS DOUBLE)) / mx) AS BIGINT)")
+    val cos =
+      s"""CAST(${d.intDot("q.q8", "e.q8")} AS DOUBLE) /
+         |    (sqrt(CAST(q.qq AS DOUBLE)) * sqrt(CAST(e.qq AS DOUBLE)))""".stripMargin
+    s"""WITH z0 AS (SELECT vec_id, embedding, $mx AS mx FROM embeddings),
+       |z1 AS (SELECT vec_id, $q8 AS q8 FROM z0 WHERE mx > 0),
+       |z AS (SELECT vec_id, q8, ${d.intDot("q8", "q8")} AS qq FROM z1),
+       |c AS (SELECT q.vec_id AS qid, e.vec_id AS nid, $cos AS cos
+       |  FROM (SELECT * FROM z WHERE vec_id < 5) q
+       |  CROSS JOIN z e WHERE e.vec_id <> q.vec_id)
+       |SELECT qid, nid, cos FROM (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |  FROM c) x
+       |WHERE rn <= 10""".stripMargin
+  }
+
   private def knnBruteSql(d: Dial): String = {
     val cos =
       s"""${d.dot("qe", "e.embedding")} /
@@ -900,6 +951,7 @@ object ExtQueries {
     dialect("v02_knn_sign_lsh", knnSignLshSql),
     dialect("v03_knn_ivf_assign", ivfAssignSql),
     dialect("v04_knn_ivf_search", ivfSearchSql),
+    dialect("v07_knn_quantized", knnQuantizedSql),
     // v05 = v04 over a materialized cell-partitioned index (same oracle).
     ivfIndexed,
     dialect("m01_multimodal_stubmeta", multimodalSql),
