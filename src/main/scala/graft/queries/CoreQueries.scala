@@ -383,6 +383,15 @@ object CoreQueries {
     // As-of join (point-in-time match) through the oracle gate.
     asofJoin,
 
+    // Bucketed range join (point-in-interval) through the oracle gate.
+    rangeJoin,
+
+    // Bucketed interval-overlap join through the oracle gate.
+    intervalOverlap,
+
+    // Skew-salted equi-join through the oracle gate.
+    saltedJoin,
+
     // Metadata-only SUM: integral sums carried in the stats sidecars
     // (exact Long accumulation, overflow drops the stat and the scan
     // answers). COUNT/MIN/MAX pushdown's q35 companion; the oracle
@@ -693,6 +702,108 @@ object CoreQueries {
         .where(col("click_id").isNotNull)
         .selectExpr("purchase_id", "user_id AS uid", "click_id",
           "CAST(ROUND(value * 100) AS BIGINT) AS value_c")
+    }, Some(oracle))
+  }
+
+  /** q51: bucketed range join ([[graft.operators.RangeJoin]]
+    * point-in-interval) — every click inside the 30-minute window before
+    * each purchase of the same user. The Spark side turns the range
+    * predicate into an equi-join on (user, time-bin) with a residual
+    * filter (no nested-loop candidate blowup); the oracle states the
+    * same predicate as a plain inequality join, which DuckDB's IEJoin
+    * handles at sf scale. Times compared in exact microseconds on both
+    * sides.
+    */
+  private def rangeJoin: Q = {
+    val oracle =
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+        |      epoch_us(ts) AS pe FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ct
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, c.click_id, p.user_id AS uid
+        |FROM p JOIN c ON c.user_id = p.user_id
+        | AND c.ct >= p.pe - 1800000000 AND c.ct <= p.pe""".stripMargin
+    Q("q51_range_join", (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.registerAll(spark, dir)
+      val ev = spark.table("events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("ct"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          (unix_micros(col("ts")) - 1800000000L).as("ps"),
+          unix_micros(col("ts")).as("pe"))
+      graft.operators.RangeJoin
+        .pointInInterval(clicks, purchases, Seq("user_id"),
+          "ct", "ps", "pe", binWidth = 600000000L)
+        .select(col("purchase_id"), col("click_id"),
+          col("user_id").as("uid"))
+    }, Some(oracle))
+  }
+
+  /** q52: bucketed interval-overlap join ([[graft.operators.RangeJoin]]
+    * overlap) — purchase and click activity windows (each event ± its
+    * 10-minute tail) that overlap for the same user, i.e. purchases
+    * within ±10 minutes of a click. Exactly-once pair emission comes
+    * from the first-shared-bin rule, not a distinct; the oracle is the
+    * textbook overlap inequality.
+    */
+  private def intervalOverlap: Q = {
+    val oracle =
+      """WITH p AS (SELECT event_id AS purchase_id, user_id,
+        |      epoch_us(ts) AS pt FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ct
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, c.click_id, p.user_id AS uid
+        |FROM p JOIN c ON c.user_id = p.user_id
+        | AND c.ct <= p.pt + 600000000 AND p.pt <= c.ct + 600000000""".stripMargin
+    Q("q52_interval_overlap", (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.registerAll(spark, dir)
+      val ev = spark.table("events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("ps"),
+          (unix_micros(col("ts")) + 600000000L).as("pe"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("cs"),
+          (unix_micros(col("ts")) + 600000000L).as("ce"))
+      graft.operators.RangeJoin
+        .overlap(purchases, clicks, Seq("user_id"),
+          "ps", "pe", "cs", "ce", binWidth = 600000000L)
+        .select(col("purchase_id"), col("click_id"),
+          col("user_id").as("uid"))
+    }, Some(oracle))
+  }
+
+  /** q53: skew-salted equi-join ([[graft.operators.SaltedJoin]]) —
+    * lineitem⋈orders on the order key with the hot-key salting a 100 TB
+    * fact join needs when one key floods a reducer. Salting must be
+    * invisible in the result: the oracle is the PLAIN join, so any
+    * lost/duplicated row from the salt replication breaks the hash.
+    */
+  private def saltedJoin: Q = {
+    val oracle =
+      s"""SELECT o_orderpriority AS opri, COUNT(*) AS cnt,
+         |  CAST(SUM(${cents("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS rev_c
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin
+    Q("q53_salted_join", (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      Tables.registerAll(spark, dir)
+      val li = spark.table("lineitem").select(
+        col("l_orderkey").as("okey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val ord = spark.table("orders").select(
+        col("o_orderkey").as("okey"), col("o_orderpriority").as("opri"))
+      graft.operators.SaltedJoin.inner(li, ord, Seq("okey"), salts = 8)
+        .groupBy(col("opri"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("CAST(ROUND((rev) * 100) AS BIGINT)"))
+            .cast("long").as("rev_c"))
+        .select(col("opri"), col("cnt"), col("rev_c"))
     }, Some(oracle))
   }
 

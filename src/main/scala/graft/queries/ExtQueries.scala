@@ -947,6 +947,20 @@ object ExtQueries {
     // Token-budget sequence packing (concat-then-chunk, per-shard).
     dialect("p04_pack_sequences", packSql),
     dialect("p05_corpus_stats", corpusStatsSql),
+    // p06: deterministic per-group cap — at most k docs per language,
+    // chosen by multiplicative-hash rank (RNG-free, engine-reproducible,
+    // the per-domain/per-language quota pass of a corpus build). The
+    // rank<=k filter triggers Spark's WindowGroupLimit pushdown: each
+    // map task keeps only its local top-k per group BEFORE the shuffle,
+    // so at 100 TB the sort state per task is O(groups·k), not O(rows) —
+    // asserted in QueryPlanSpec.
+    Q.shared("p06_sample_pergroup_topk",
+      s"""WITH r AS (SELECT doc_id, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY ((doc_id % $P) * 2654435761) % $P % 1000000,
+         |        doc_id) AS rk
+         |  FROM documents)
+         |SELECT lang AS l, doc_id, rk FROM r WHERE rk <= 50""".stripMargin),
     dialect("v01_knn_brute", knnBruteSql),
     dialect("v02_knn_sign_lsh", knnSignLshSql),
     dialect("v03_knn_ivf_assign", ivfAssignSql),

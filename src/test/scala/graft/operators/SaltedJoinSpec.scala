@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SaltedJoin.inner: result identity with the plain equi-join on a
+  * skewed corpus (incl. duplicate rows and null keys), salt-spread of a
+  * hot key across buckets, and the join-on-(key, salt) plan shape.
+  */
+class SaltedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("salted-join-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** 90% of left rows carry the hot key; right has multiple rows per
+    * key; duplicates and null keys included on both sides.
+    */
+  private def fixture = {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = ((1 to 900).map(i => (Option("hot"), i % 50)) ++ // dup rows
+      (1 to 100).map(i => (Option(s"k${rnd.nextInt(10)}"), i)) ++
+      Seq((Option.empty[String], 1), (Option.empty[String], 2)))
+      .toDF("key", "lv")
+    val right = (Seq(("hot", 10), ("hot", 20)) ++
+      (0 until 10).flatMap(i => Seq((s"k$i", i), (s"k$i", 100 + i))))
+      .toDF("key", "rv")
+      .union(Seq((null.asInstanceOf[String], 999)).toDF("key", "rv"))
+    (left, right)
+  }
+
+  test("salted result is a multiset-identical inner join") {
+    val (left, right) = fixture
+    val got = SaltedJoin.inner(left, right, Seq("key"), salts = 8)
+      .groupBy("key", "lv", "rv").count()
+    val want = left.join(right, Seq("key"), "inner")
+      .groupBy("key", "lv", "rv").count()
+    assert(got.columns.sorted.sameElements(want.columns.sorted))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // null keys matched nothing
+    assert(SaltedJoin.inner(left, right, Seq("key"), 8)
+      .where(col("key").isNull).count() == 0)
+  }
+
+  test("the hot key spreads across multiple salt buckets") {
+    val (left, _) = fixture
+    val spread = left.where(col("key") === "hot")
+      .withColumn("__salt",
+        pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(8)))
+      .select("__salt").distinct().count()
+    assert(spread >= 4, s"hot key landed in only $spread of 8 salt buckets")
+  }
+
+  test("plan joins on (key, salt) with no nested loop") {
+    val (left, right) = fixture
+    val plan = SaltedJoin.inner(left, right, Seq("key"), 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("__salt"), plan)
+  }
+}

@@ -65,6 +65,20 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected pushed filters in scan description:\n$p")
   }
 
+  test("p06 per-group cap runs with WindowGroupLimit (map-side top-k)") {
+    val p = plan("p06_sample_pergroup_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected rank<=k pushdown to WindowGroupLimit:\n$p")
+  }
+
+  test("q51/q53 operator joins plan as equi-joins, no nested loop") {
+    Seq("q51_range_join", "q53_salted_join").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"$q plans a nested loop:\n$p")
+    }
+  }
+
   test("v05 probe scan plans only the probed cells' directories") {
     import org.apache.spark.sql.functions.col
     val df = graft.SparkEntry.queries("v05_knn_ivf_indexed")(spark, dir)
