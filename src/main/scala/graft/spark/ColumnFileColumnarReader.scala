@@ -10,7 +10,7 @@ import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
-import graft.format.{ColumnDecoder, ColumnFileReader}
+import graft.format.{ColumnDecoder, ColumnFileReader, CorruptColumnFileException}
 
 /** Vectorized scan path: decodes chunk columns straight into on-heap
   * column vectors (Parquet-vectorized-reader parity). Eligible when the
@@ -58,7 +58,8 @@ class ColumnFileColumnarPartitionReader(
     requiredSchema: StructType,
     filters: Array[Filter],
     conf: Configuration,
-    limit: Int = -1)
+    limit: Int = -1,
+    onCorruptSkip: Boolean = false)
     extends PartitionReader[ColumnarBatch] {
 
   import ColumnFileColumnarReader._
@@ -91,17 +92,32 @@ class ColumnFileColumnarPartitionReader(
   private var row = 0
   private var batch: ColumnarBatch = _
 
+  /** Re-throws unless permissive; permissive counts the chunk and the
+    * caller drops the REST of it (batches already emitted from the
+    * chunk before the corrupt point stand — best-effort salvage).
+    */
+  private def corruptChunk(e: CorruptColumnFileException): Unit = {
+    if (!onCorruptSkip) throw e
+    metrics.corruptChunks += 1
+  }
+
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
     while (true) {
       if (decoders == null) {
         if (chunkIdx >= partition.chunkOffsets.length) return false
-        openChunk(chunkIdx)
+        try openChunk(chunkIdx)
+        catch { case e: CorruptColumnFileException =>
+          corruptChunk(e); decoders = null }
         chunkIdx += 1
       }
       if (decoders != null) {
-        if (fillBatch()) { emitted += batch.numRows(); return true }
-        decoders = null // chunk exhausted; try next
+        val filled =
+          try fillBatch()
+          catch { case e: CorruptColumnFileException =>
+            corruptChunk(e); decoders = null; false }
+        if (filled) { emitted += batch.numRows(); return true }
+        decoders = null // chunk exhausted (or dropped); try next
       }
     }
     false

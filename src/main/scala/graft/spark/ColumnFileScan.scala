@@ -95,6 +95,14 @@ class ColumnFileScanBuilder(
   private var aggResult: Option[AggregatePushdown.Result] = None
   private var limit: Int = -1
 
+  // fail-fast here, not at reader creation: a metadata-only (pushed-
+  // aggregate) plan never builds a reader factory, and a typo'd mode
+  // must not silently read as fail-fast
+  Option(options.get("onCorrupt")).foreach { v =>
+    require(v == "fail" || v == "skip",
+      s"onCorrupt must be 'fail' or 'skip', got '$v'")
+  }
+
   /** Partial limit: each partition reader stops after `limit` rows
     * (Spark still applies the global limit above the scan).
     */
@@ -110,6 +118,10 @@ class ColumnFileScanBuilder(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[AggregatePushdown.Result] =
     if (pushed.nonEmpty) None
+    // onCorrupt=skip: stats describe bytes that may not decode — a
+    // metadata-only COUNT/MIN/MAX would contradict what a scan under
+    // skip semantics returns, so aggregates must run on decoded rows
+    else if (Option(options.get("onCorrupt")).contains("skip")) None
     else if (partitionCols.isEmpty)
       AggregatePushdown.tryCompute(agg, tableSchema, conf, paths,
         Option(options.get("useManifest")).exists(_.toBoolean))
@@ -410,10 +422,26 @@ class ColumnFileScan(
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     ScanMetrics.all
 
+  /** `onCorrupt=skip` drops chunks whose DECODE proves corrupt (clean
+    * `CorruptColumnFileException`s only) instead of failing the task,
+    * counting them in the `cfCorruptChunks` metric — the 100 TB
+    * backfill-over-aging-storage trade, opt-in and observable, never
+    * silent. Planning corruption (a file whose chunk walk fails, absent
+    * a sidecar) still fails: there is no row boundary to resume at.
+    */
+  private def onCorruptSkip: Boolean =
+    Option(options.get("onCorrupt")) match {
+      case None | Some("fail") => false
+      case Some("skip")        => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"onCorrupt must be 'fail' or 'skip', got '$other'")
+    }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new ColumnFileReaderFactory(
       tableSchema.json, requiredSchema.json, allFilters,
-      new SerializableHadoopConf(conf), limit, partitionCols)
+      new SerializableHadoopConf(conf), limit, partitionCols,
+      onCorruptSkip)
 }
 
 class ColumnFileReaderFactory(
@@ -422,7 +450,8 @@ class ColumnFileReaderFactory(
     filters: Array[Filter],
     conf: SerializableHadoopConf,
     limit: Int = -1,
-    partitionCols: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty,
+    onCorruptSkip: Boolean = false)
     extends PartitionReaderFactory {
 
   @transient private lazy val tableSchema =
@@ -462,7 +491,8 @@ class ColumnFileReaderFactory(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[CfPartition]
     val inner = new ColumnFileColumnarPartitionReader(
-      p, dataTableSchema, dataRequiredSchema, filters, conf.conf, limit)
+      p, dataTableSchema, dataRequiredSchema, filters, conf.conf, limit,
+      onCorruptSkip)
     if (partitionCols.isEmpty ||
         requiredSchema.fields.forall(f => !partSet(f.name))) inner
     else new PartitionConstantColumnarReader(
@@ -472,7 +502,8 @@ class ColumnFileReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CfPartition]
     val inner = new ColumnFilePartitionReader(
-      p, dataTableSchema, dataRequiredSchema, filters, conf.conf, limit)
+      p, dataTableSchema, dataRequiredSchema, filters, conf.conf, limit,
+      onCorruptSkip)
     if (partitionCols.isEmpty ||
         requiredSchema.fields.forall(f => !partSet(f.name))) inner
     else new PartitionConstantRowReader(inner, fieldSources(p),
@@ -572,7 +603,8 @@ class ColumnFilePartitionReader(
     requiredSchema: StructType,
     filters: Array[Filter],
     conf: Configuration,
-    limit: Int = -1)
+    limit: Int = -1,
+    onCorruptSkip: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private var emitted = 0L
@@ -605,16 +637,39 @@ class ColumnFilePartitionReader(
   private var rows: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
 
+  /** Re-throws unless permissive; permissive counts the chunk and the
+    * caller drops the REST of it (rows already emitted from the chunk
+    * before the corrupt point stand — best-effort salvage, documented).
+    */
+  private def corruptChunk(e: CorruptColumnFileException): Unit = {
+    if (!onCorruptSkip) throw e
+    metrics.corruptChunks += 1
+  }
+
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
-    while (!rows.hasNext) {
-      if (chunkIdx >= partition.chunkOffsets.length) return false
-      rows = openChunk(chunkIdx)
-      chunkIdx += 1
+    while (true) {
+      val has =
+        try rows.hasNext
+        catch { case e: CorruptColumnFileException =>
+          corruptChunk(e); rows = Iterator.empty; false }
+      if (has) {
+        try {
+          current = rows.next()
+          emitted += 1
+          return true
+        } catch { case e: CorruptColumnFileException =>
+          corruptChunk(e); rows = Iterator.empty }
+      } else {
+        if (chunkIdx >= partition.chunkOffsets.length) return false
+        rows =
+          try openChunk(chunkIdx)
+          catch { case e: CorruptColumnFileException =>
+            corruptChunk(e); Iterator.empty }
+        chunkIdx += 1
+      }
     }
-    current = rows.next()
-    emitted += 1
-    true
+    false
   }
 
   override def get(): InternalRow = current

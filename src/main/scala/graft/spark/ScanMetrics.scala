@@ -10,6 +10,7 @@ object ScanMetrics {
   final val ChunksRead = "cfChunksRead"
   final val ChunksSkipped = "cfChunksSkipped"
   final val DecodedBytes = "cfDecodedBytes"
+  final val CorruptChunks = "cfCorruptChunks"
 
   final class ChunksReadMetric extends CustomSumMetric {
     override def name(): String = ChunksRead
@@ -24,18 +25,27 @@ object ScanMetrics {
     override def description(): String = "columnfile bytes decoded"
   }
 
+  final class CorruptChunksMetric extends CustomSumMetric {
+    override def name(): String = CorruptChunks
+    override def description(): String =
+      "columnfile chunks dropped as corrupt (onCorrupt=skip)"
+  }
+
   def all: Array[CustomMetric] =
-    Array(new ChunksReadMetric, new ChunksSkippedMetric, new DecodedBytesMetric)
+    Array(new ChunksReadMetric, new ChunksSkippedMetric,
+      new DecodedBytesMetric, new CorruptChunksMetric)
 
   /** Mutable per-task counters; snapshot via `current`. */
   final class Task {
     var chunksRead = 0L
     var chunksSkipped = 0L
     var decodedBytes = 0L
+    var corruptChunks = 0L
     def current: Array[CustomTaskMetric] = Array(
       metric(ChunksRead, chunksRead),
       metric(ChunksSkipped, chunksSkipped),
-      metric(DecodedBytes, decodedBytes))
+      metric(DecodedBytes, decodedBytes),
+      metric(CorruptChunks, corruptChunks))
   }
 
   private def metric(n: String, v: Long): CustomTaskMetric =

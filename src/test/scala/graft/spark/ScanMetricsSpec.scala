@@ -60,6 +60,7 @@ class ScanMetricsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.decodedBytes > 0)
     val names = reader.currentMetricsValues().map(_.name()).toSet
     assert(names == Set(ScanMetrics.ChunksRead, ScanMetrics.ChunksSkipped,
-      ScanMetrics.DecodedBytes))
+      ScanMetrics.DecodedBytes, ScanMetrics.CorruptChunks))
+    assert(m.corruptChunks == 0)
   }
 }
