@@ -18,6 +18,15 @@ object Compression {
   final val LZ4: Int = 2
   final val LZMA: Int = 3
   final val ZLIB: Int = 4
+
+  /** Extension beyond the reference's 0–4 (src/columnfile.h:65-84):
+    * zstd sits between lz4's speed and lzma's ratio and is the modern
+    * large-scale default; level 3 matches Spark/Parquet's own shuffle
+    * and storage defaults. Files written with it are readable only by
+    * this engine — the codec id rides the same per-chunk byte the
+    * reference uses, so reference-compatible ids stay untouched.
+    */
+  final val ZSTD: Int = 5
   final val Default: Int = LZ4 // reference default: src/columnfile.h:83
 
   def fromName(name: String): Int = name.toLowerCase match {
@@ -26,6 +35,7 @@ object Compression {
     case "lz4"              => LZ4
     case "lzma" | "xz"      => LZMA
     case "zlib" | "deflate" => ZLIB
+    case "zstd"             => ZSTD
     case other =>
       throw new IllegalArgumentException(s"unknown compression scheme: $other")
   }
@@ -36,6 +46,7 @@ object Compression {
     case LZ4    => "lz4"
     case LZMA   => "lzma"
     case ZLIB   => "zlib"
+    case ZSTD   => "zstd"
     case other  => s"unknown($other)"
   }
 
@@ -84,6 +95,15 @@ object Compression {
           }
           bos.toByteArray
         } finally deflater.end()
+      case ZSTD =>
+        val head = new ByteBuf(8)
+        Varint.put(head, len.toLong)
+        val src = java.util.Arrays.copyOfRange(data, off, off + len)
+        val comp = com.github.luben.zstd.Zstd.compress(src, 3)
+        val out = new Array[Byte](head.size + comp.length)
+        System.arraycopy(head.buf, 0, out, 0, head.size)
+        System.arraycopy(comp, 0, out, head.size, comp.length)
+        out
       case other =>
         throw new CorruptColumnFileException(s"unknown compression scheme: $other")
     }
@@ -145,6 +165,22 @@ object Compression {
         case e: java.util.zip.DataFormatException =>
           throw new CorruptColumnFileException(s"deflate: ${e.getMessage}")
       } finally inflater.end()
+    case ZSTD =>
+      val cur = new Cursor(0)
+      val rawLen = Varint.get(data, cur)
+      if (rawLen < 0 || rawLen > Int.MaxValue.toLong)
+        throw new CorruptColumnFileException("zstd: unreasonable block size")
+      val out = new Array[Byte](rawLen.toInt)
+      try {
+        val n = com.github.luben.zstd.Zstd.decompressByteArray(
+          out, 0, out.length, data, cur.pos, data.length - cur.pos)
+        if (n != rawLen)
+          throw new CorruptColumnFileException("zstd: decompressed length mismatch")
+      } catch {
+        case e: com.github.luben.zstd.ZstdException =>
+          throw new CorruptColumnFileException(s"zstd: ${e.getMessage}")
+      }
+      out
     case other =>
       throw new CorruptColumnFileException(s"unknown compression scheme: $other")
   }

@@ -392,6 +392,24 @@ object CoreQueries {
     // Skew-salted equi-join through the oracle gate.
     saltedJoin,
 
+    // Recompression into the zstd extension codec (id 5, beyond the
+    // reference's 0-4): the modern large-scale default — near-lz4 decode
+    // speed at near-zlib ratio. Same ETL-copy shape as q25; the oracle
+    // recomputes from parquet, so any zstd round-trip corruption breaks
+    // the hash.
+    Q.viaCF("q54_cf_recompress_zstd", Seq("part"),
+      s"""SELECT COUNT(*) AS cnt,
+         |  CAST(SUM(${cents("p_retailprice")}) AS BIGINT) AS price_c,
+         |  MIN(p_name) AS first_name, MAX(p_name) AS last_name,
+         |  COUNT(DISTINCT p_brand) AS n_brand
+         |FROM cf_part""".stripMargin,
+      s"""SELECT COUNT(*) AS cnt,
+         |  CAST(SUM(${cents("p_retailprice")}) AS BIGINT) AS price_c,
+         |  MIN(p_name) AS first_name, MAX(p_name) AS last_name,
+         |  COUNT(DISTINCT p_brand) AS n_brand
+         |FROM part""".stripMargin,
+      compression = "zstd"),
+
     // Metadata-only SUM: integral sums carried in the stats sidecars
     // (exact Long accumulation, overflow drops the stat and the scan
     // answers). COUNT/MIN/MAX pushdown's q35 companion; the oracle

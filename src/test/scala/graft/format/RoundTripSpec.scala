@@ -14,7 +14,7 @@ class RoundTripSpec extends AnyFunSuite {
 
   private val allCodecs = Seq(
     Compression.None, Compression.Snappy, Compression.LZ4,
-    Compression.LZMA, Compression.ZLIB)
+    Compression.LZMA, Compression.ZLIB, Compression.ZSTD)
 
   /** The A1 fixture: sorted dates (prefix coding), repeated months (RLE),
     * mixed strings, one NULL row, one 4095-byte value.

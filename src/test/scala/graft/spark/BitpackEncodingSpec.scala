@@ -121,7 +121,7 @@ class BitpackEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(i => (9000000L + i, if (i % 9 == 0) null
         else java.lang.Double.valueOf(i * 0.125), i % 50))
       .toDF("id", "x", "b")
-    for (codec <- Seq("none", "snappy", "lz4", "lzma", "zlib")) {
+    for (codec <- Seq("none", "snappy", "lz4", "lzma", "zlib", "zstd")) {
       val dir = Files.createTempDirectory(s"cf-bp-codec-$codec").toString
       df.write.format("columnfile")
         .option("bitpack", "true").option("compression", codec)

@@ -73,7 +73,7 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("all five codecs round-trip identically") {
     val sp = spark; import sp.implicits._
     val df = (0 until 500).map(i => (i.toLong, s"value_$i", i * 0.5)).toDF("a", "b", "c")
-    for (codec <- Seq("none", "snappy", "lz4", "lzma", "zlib")) {
+    for (codec <- Seq("none", "snappy", "lz4", "lzma", "zlib", "zstd")) {
       val back = roundTrip(df, Map("compression" -> codec))
       assertSameRows(df, back)
     }
