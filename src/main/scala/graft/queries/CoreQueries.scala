@@ -410,6 +410,35 @@ object CoreQueries {
          |FROM part""".stripMargin,
       compression = "zstd"),
 
+    // q55: funnel analysis — per-user earliest view -> first click at or
+    // after it (within 7 days) -> first purchase at or after that click
+    // (within 7 days). The product-analytics stage-conversion query.
+    // Scale shape: three hash aggregations keyed by user_id and two
+    // equi-joins on user_id (each against an already-aggregated one-row-
+    // per-user relation, co-partitioned after the first shuffle); no
+    // inequality join — the time predicates ride the equi-join as
+    // post-join filters. Timestamps never reach the output (ns-vs-micros
+    // representation differs across engines; counts don't).
+    Q.shared("q55_funnel",
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS vts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS cts
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND e.ts >= v.vts AND e.ts <= v.vts + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS pts
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts >= c.cts AND e.ts <= c.cts + INTERVAL 7 DAY
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |  (SELECT COUNT(*) FROM c) AS n_view_click,
+        |  (SELECT COUNT(*) FROM p) AS n_full_funnel""".stripMargin),
+
     // Metadata-only SUM: integral sums carried in the stats sidecars
     // (exact Long accumulation, overflow drops the stat and the scan
     // answers). COUNT/MIN/MAX pushdown's q35 companion; the oracle

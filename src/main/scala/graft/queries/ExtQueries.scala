@@ -902,6 +902,114 @@ object ExtQueries {
        |  CAST(SUM(toks_in_bin) AS BIGINT) AS total_toks
        |FROM b GROUP BY lang""".stripMargin
 
+  // ------------------------------------------------------- relevance ranking
+
+  /** t06: per-document top TF-IDF terms. The idf is the integer
+    * surrogate `(N * 1e6) div df` — a monotone stand-in for ln(N/df)
+    * that keeps every score an exact BIGINT, so the cross-engine hash
+    * match can't wobble on libm ulps (same discipline as v07's integer
+    * dot products). Scale shape: the explode is map-side; tf is one
+    * shuffle keyed (doc_id, term); df reuses tf (COUNT per term — no
+    * second pass over raw tokens); the tf⋈df join is keyed by term
+    * (the df relation is vocabulary-sized — broadcastable at any corpus
+    * scale after a min-df trim); the per-doc top-k triggers
+    * WindowGroupLimit, so no task holds more than k rows per doc.
+    */
+  private def tfidfSql(d: Dial): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, w
+       |    FROM documents ${d.explode(d.split("lower(text)"), "w")}) t
+       |  WHERE w <> ''),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+       |    tf.tf * ${d.intDiv("(n.n * 1000000)", "df.df")} AS score
+       |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+       |  WHERE tf.doc_id % 25 = 0)
+       |SELECT doc_id, w, tf, df, score, rk FROM (
+       |  SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, w) AS rk FROM scored) x
+       |WHERE rk <= 5""".stripMargin
+
+  /** t07: BM25-style full-text search over the corpus for a fixed term
+    * set, entirely in fixed-point integer arithmetic (k1 = 1.2 and
+    * b = 0.75 as milli-units, idf as t06's integer surrogate): every
+    * division is an integer division written identically in both
+    * dialects, so the ranking is bit-reproducible across engines. The
+    * classic BM25 saturation/length-normalization shape is preserved:
+    * score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    * Scale shape: the posting list (tf) is the only corpus-sized
+    * relation; the query-term filter prunes it to |terms| postings
+    * before the per-doc sum, and the doc-length relation joins on
+    * doc_id (co-partitioned with tf's first grouping).
+    */
+  private def bm25Sql(d: Dial): String = {
+    val terms = "('hash', 'join', 'vector')"
+    s"""WITH toks AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, w
+       |    FROM documents ${d.explode(d.split("lower(text)"), "w")}) t
+       |  WHERE w <> ''),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT ${d.intDiv("SUM(dl) * 1000", "COUNT(*)")} AS avgdl_milli
+       |          FROM dl),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+       |       WHERE w IN $terms GROUP BY doc_id, w),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |per_term AS (
+       |  SELECT tf.doc_id, tf.w,
+       |    ${d.intDiv(
+             s"${d.intDiv("(n.n * 1000000)", "df.df")} * (tf.tf * 2200)",
+             s"(tf.tf * 1000 + ${d.intDiv(
+               s"1200 * (250 + ${d.intDiv("750 * dl.dl * 1000", "stats.avgdl_milli")})",
+               "1000")})")} AS score_micro
+       |  FROM tf JOIN df ON tf.w = df.w
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats CROSS JOIN n)
+       |SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS score,
+       |  COUNT(*) AS n_terms
+       |FROM per_term GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+  }
+
+  // --------------------------------------------------------------- sketches
+
+  /** p07: k-minimum-values distinct sketch (k = 64) of users per event
+    * type — the mergeable cardinality estimate a 100 TB pipeline uses
+    * where exact COUNT(DISTINCT) would shuffle every key. The hash is
+    * the engine-shared multiplicative hash mod the Mersenne prime
+    * (multiplication by a non-residue is a bijection on Z_P, so distinct
+    * users map to distinct hashes — no collision term in the estimate);
+    * the estimator at the k-th smallest hash h_k of a uniform [0, P)
+    * sample is (k-1)·P div h_k, all-integer. Groups with fewer than k
+    * distinct users report their exact count (the sketch is exact below
+    * k by construction). Scale shape: one DISTINCT shuffle keyed
+    * (event_type, hash); the rk <= 64 filter sits directly on the
+    * row-number subquery so WindowGroupLimit keeps per-task state at
+    * O(groups·k); the exact count joins back on the group key.
+    * Next to it, the exact COUNT(DISTINCT) the sketch replaces — the
+    * oracle gate proves the estimate lands within its expected error
+    * envelope on real data (and pins it bit-exactly).
+    */
+  private def kmvSql(d: Dial): String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type, ((user_id % $P) * 2654435761) % $P AS hv
+       |  FROM events),
+       |cnt AS (SELECT event_type, COUNT(*) AS nd FROM h GROUP BY event_type),
+       |r AS (SELECT event_type, hv, rk FROM (
+       |    SELECT event_type, hv, ROW_NUMBER() OVER (
+       |      PARTITION BY event_type ORDER BY hv) AS rk FROM h) x
+       |  WHERE rk <= 64)
+       |SELECT r.event_type AS et, cnt.nd AS exact_distinct,
+       |  CASE WHEN cnt.nd >= 64 THEN ${d.intDiv((63L * P).toString, "r.hv")}
+       |       ELSE cnt.nd END AS kmv_estimate
+       |FROM r JOIN cnt ON r.event_type = cnt.event_type
+       |WHERE rk = (CASE WHEN cnt.nd >= 64 THEN 64 ELSE cnt.nd END)""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   private def dialect(name: String, gen: Dial => String): Q =
@@ -937,6 +1045,9 @@ object ExtQueries {
     dialect("t03_text_tokencount", tokenCountSql),
     dialect("t04_text_fingerprint", fingerprintSql),
     dialect("t05_text_wordfreq", wordFreqSql),
+    // TF-IDF term extraction and BM25-style retrieval, integer-exact.
+    dialect("t06_tfidf_topterms", tfidfSql),
+    dialect("t07_bm25_search", bm25Sql),
     // End-to-end corpus curation: quality filter -> exact dedup ->
     // per-language corpus stats; the composed pipeline in one plan.
     dialect("p01_pipeline_curate", curateSql),
@@ -961,6 +1072,8 @@ object ExtQueries {
          |        doc_id) AS rk
          |  FROM documents)
          |SELECT lang AS l, doc_id, rk FROM r WHERE rk <= 50""".stripMargin),
+    // KMV distinct-count sketch vs the exact count it replaces.
+    dialect("p07_sketch_distinct_kmv", kmvSql),
     dialect("v01_knn_brute", knnBruteSql),
     dialect("v02_knn_sign_lsh", knnSignLshSql),
     dialect("v03_knn_ivf_assign", ivfAssignSql),

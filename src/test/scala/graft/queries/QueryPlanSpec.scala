@@ -71,6 +71,17 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected rank<=k pushdown to WindowGroupLimit:\n$p")
   }
 
+  test("t06/p07 per-group top-k runs with WindowGroupLimit; q55 has no nested loop") {
+    Seq("t06_tfidf_topterms", "p07_sketch_distinct_kmv").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q: expected rank<=k pushdown to WindowGroupLimit:\n$p")
+    }
+    val f = plan("q55_funnel")
+    assert(!f.contains("CartesianProduct"),
+      s"q55 plans a cartesian product:\n$f")
+  }
+
   test("q51/q53 operator joins plan as equi-joins, no nested loop") {
     Seq("q51_range_join", "q53_salted_join").foreach { q =>
       val p = plan(q)
