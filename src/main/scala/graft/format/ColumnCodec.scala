@@ -317,11 +317,25 @@ object PackedIntColumnWriter {
   *    Wins on slowly-varying series — timestamps, sensor values,
   *    cumulative measures — where consecutive doubles share sign,
   *    exponent, and high mantissa bits.
+  *  - **zigzag delta-FOR** (width code 11, both cell widths): the
+  *    frame of reference shifts from the VALUE range to the
+  *    consecutive-DIFFERENCE range — zigzag-mapped so descending and
+  *    mixed steps stay small. Raw FOR spends log2(max-min) bits per
+  *    value; on sorted/near-sorted columns (ids, timestamps, offsets —
+  *    the natural sort orders of a 100 TB table) that is log2(n·step)
+  *    while the delta range is only log2(step spread). The first
+  *    non-null value ships raw; a corrupt-block reconstruction is
+  *    masked to the cell width so decode can never produce an
+  *    out-of-domain 4-byte cell.
   *
   * Layouts share the `varint 0, varint 0, varint widthCode, varint
-  * cellCount, varint nullCount, [bitmap]` prefix; after it, code 9 has
-  * `varint scale, 8B LE base, varint bitWidth, deltas` and code 10 has
-  * `varint trailingTrim, varint bitWidth, xorDeltas`.
+  * cellCount, varint nullCount, [bitmap]` prefix — except code 11,
+  * which carries `varint width` (4 or 8) between the code and the cell
+  * count since its code does not imply the cell width. After the
+  * prefix, code 9 has `varint scale, 8B LE base, varint bitWidth,
+  * deltas`, code 10 has `varint trailingTrim, varint bitWidth,
+  * xorDeltas`, and code 11 has `8B LE first, 8B LE zigzagMin, varint
+  * bitWidth, zigzagDeltas`.
   */
 final class PackedIntColumnWriter(width: Int) extends ColumnSink {
   require(width == 4 || width == 8, s"unsupported packed width $width")
@@ -372,6 +386,7 @@ final class PackedIntColumnWriter(width: Int) extends ColumnSink {
       def consider(b: Array[Byte]): Unit =
         if (b != null && b.length < out.length) out = b
       consider(buildFor())
+      consider(buildDelta())
       if (width == 8) {
         consider(buildScaled())
         consider(buildXor())
@@ -386,12 +401,17 @@ final class PackedIntColumnWriter(width: Int) extends ColumnSink {
     out
   }
 
-  /** Shared `0, 0, widthCode, cellCount, nullCount, [bitmap]` prefix. */
-  private def headerBuf(widthCode: Int, payloadCap: Int): ByteBuf = {
+  /** Shared `0, 0, widthCode, [width,] cellCount, nullCount, [bitmap]`
+    * prefix; `widthArg` is emitted only for codes (11) whose code does
+    * not imply the cell width.
+    */
+  private def headerBuf(widthCode: Int, payloadCap: Int,
+      widthArg: Int = 0): ByteBuf = {
     val buf = new ByteBuf(64 + payloadCap)
     Varint.put(buf, 0L)
     Varint.put(buf, 0L)
     Varint.put(buf, widthCode.toLong)
+    if (widthArg > 0) Varint.put(buf, widthArg.toLong)
     Varint.put(buf, count.toLong)
     Varint.put(buf, nullCount.toLong)
     if (nullCount > 0) {
@@ -544,6 +564,66 @@ final class PackedIntColumnWriter(width: Int) extends ColumnSink {
     buf.append(packed)
     buf.toArray
   }
+
+  /** Zigzag delta-FOR (code 11). Always well-formed for any value
+    * sequence (differences wrap mod 2^64; decode adds them back, so
+    * the round trip is exact either way); the size comparison decides
+    * whether it ships.
+    */
+  private def buildDelta(): Array[Byte] = {
+    val nonNull = count - nullCount
+    // pass 1: zigzag deltas of consecutive non-null cells; unsigned
+    // min/max over them frames the packing window
+    val zs = new Array[Long](count) // z at delta positions only
+    var first = 0L
+    var prev = 0L
+    var seen = false
+    var mn = -1L // unsigned max
+    var mx = 0L
+    var i = 0
+    while (i < count) {
+      if (!nulls.get(i)) {
+        val v = vals(i)
+        if (!seen) { first = v; seen = true }
+        else {
+          val d = v - prev
+          val z = (d << 1) ^ (d >> 63)
+          zs(i) = z
+          if (java.lang.Long.compareUnsigned(z, mn) < 0) mn = z
+          if (java.lang.Long.compareUnsigned(z, mx) > 0) mx = z
+        }
+        prev = v
+      }
+      i += 1
+    }
+    if (nonNull <= 1) { mn = 0L; mx = 0L }
+    val range = mx - mn
+    val bw =
+      if (range == 0L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(range)
+    val deltaCount = math.max(0, nonNull - 1)
+    val packedBytes = ((deltaCount.toLong * bw) + 7) / 8
+    val buf = headerBuf(11, packedBytes.toInt, widthArg = width)
+    appendLeLong(buf, first)
+    appendLeLong(buf, mn)
+    Varint.put(buf, bw.toLong)
+    val packed = new Array[Byte](packedBytes.toInt)
+    var bitOff = 0L
+    seen = false
+    i = 0
+    while (i < count) {
+      if (!nulls.get(i)) {
+        if (!seen) seen = true
+        else if (bw > 0) {
+          PackedIntColumnWriter.writeBits(packed, bitOff, zs(i) - mn, bw)
+          bitOff += bw
+        }
+      }
+      i += 1
+    }
+    buf.append(packed)
+    buf.toArray
+  }
 }
 
 /** Value-stream decoder for one column block (already decompressed).
@@ -603,22 +683,40 @@ final class ColumnDecoder(data: Array[Byte]) {
   private def parsePacked(): Unit = {
     val widthCode = Varint.get(data, cur)
     // 4/8: raw frame-of-reference; 9: scaled-decimal double; 10:
-    // XOR-delta double (see PackedIntColumnWriter). 9 and 10 decode to
-    // 8-byte double bit patterns.
+    // XOR-delta double; 11: zigzag delta-FOR with an explicit width
+    // varint (see PackedIntColumnWriter). 9 and 10 decode to 8-byte
+    // double bit patterns.
     val width: Long = widthCode match {
       case 4L | 8L       => widthCode
       case 9L | 10L      => 8L
+      case 11L =>
+        val w = Varint.get(data, cur)
+        if (w != 4L && w != 8L)
+          throw new CorruptColumnFileException(s"corrupt packed delta width $w")
+        w
       case w =>
         throw new CorruptColumnFileException(s"unsupported packed width $w")
     }
     val cnt = Varint.get(data, cur)
-    // 8*len+64 bounds every well-formed count (bitmap or payload bits
-    // must cover the cells); it exists to stop a crafted zero-payload
-    // header from demanding an arbitrary allocation. The Int.MaxValue
-    // clamp keeps cnt.toInt from wrapping negative on blocks >= 256 MiB
-    // (NegativeArraySizeException would violate the corruption contract).
-    if (cnt < 0 ||
-        cnt > math.min(8L * data.length + 64, Int.MaxValue.toLong - 8))
+    // 8*len+64 bounds every well-formed count for codes 4/8/9/10 (bitmap
+    // or payload bits must cover the cells — a 0-bit-width chunk there
+    // means a constant column, which always loses the size race to the
+    // plain RLE block and never ships); it exists to stop a crafted
+    // zero-payload header from demanding an arbitrary allocation. Code
+    // 11 legitimately ships arbitrarily many cells in a ~30-byte block
+    // (constant-STEP sequences pack to bitWidth 0 — the flagship
+    // sorted-id win), so its count is bounded by a fixed 2^24 ceiling
+    // instead: comfortably above any real chunk's cell count (the
+    // writer flushes chunks by plain-encoded size long before 16M
+    // distinct cells) while capping a crafted block's allocation at
+    // pVals' 128 MiB. The Int.MaxValue clamp keeps cnt.toInt from
+    // wrapping negative on blocks >= 256 MiB (NegativeArraySizeException
+    // would violate the corruption contract).
+    val cellCap =
+      if (widthCode == 11L)
+        math.max(8L * data.length + 64, 1L << 24)
+      else 8L * data.length + 64
+    if (cnt < 0 || cnt > math.min(cellCap, Int.MaxValue.toLong - 8))
       throw new CorruptColumnFileException(s"corrupt packed cell count $cnt")
     val nc = Varint.get(data, cur)
     if (nc < 0 || nc > cnt)
@@ -680,6 +778,32 @@ final class ColumnDecoder(data: Array[Byte]) {
             // bit pattern for every cell it packed
             vals(i) = java.lang.Double.doubleToRawLongBits(m.toDouble / p)
             bitOff += bw
+          }
+          i += 1
+        }
+      case 11L =>
+        val first = readLeLong("truncated packed first value")
+        val zMin = readLeLong("truncated packed delta base")
+        val bw = readBitWidth(0)
+        checkPayload(math.max(0L, cnt - nc - 1), bw)
+        val mask = if (width == 4L) 0xffffffffL else -1L
+        var prev = 0L
+        var seen = false
+        var bitOff = 0L
+        var i = 0
+        while (i < vals.length) {
+          if (!nulls.get(i)) {
+            if (!seen) { prev = first; seen = true }
+            else {
+              val z =
+                if (bw == 0L) zMin
+                else zMin + PackedIntColumnWriter.readBits(data, cur.pos, bitOff, bw.toInt)
+              bitOff += bw
+              prev += (z >>> 1) ^ -(z & 1L)
+            }
+            // mask keeps a corrupt 4-byte block inside the cell domain;
+            // well-formed blocks never wrap (deltas are exact)
+            vals(i) = prev & mask
           }
           i += 1
         }
@@ -760,8 +884,9 @@ final class ColumnDecoder(data: Array[Byte]) {
   def packedWidth: Int = pWidth
 
   /** The block's width code: 4/8 raw FOR, 9 scaled-decimal double, 10
-    * XOR-delta double; 0 when not packed. Diagnostic (tests, tools) —
-    * decode behavior is identical across codes.
+    * XOR-delta double, 11 zigzag delta-FOR; 0 when not packed.
+    * Diagnostic (tests, tools) — decode behavior is identical across
+    * codes.
     */
   def packedWidthCode: Int = pWidthCode
 

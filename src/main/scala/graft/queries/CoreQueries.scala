@@ -703,7 +703,11 @@ object CoreQueries {
     Q("q49_cf_double_pack", (spark, dir) => {
       val out = Tables.cachePath(dir, "events_bitpack")
       if (!new java.io.File(out, "_SUCCESS").exists()) {
-        Tables.t(spark, dir, "events").write.format("columnfile")
+        // Tables.events, not Tables.t: the raw parquet is
+        // TIMESTAMP(NANOS), which Spark refuses without the nanosAsLong
+        // conf that Tables.events sets — a direct read only works when
+        // an earlier query in the same session happened to set it.
+        Tables.events(spark, dir).write.format("columnfile")
           .option("bitpack", "true")
           .mode("overwrite").save(out)
       }

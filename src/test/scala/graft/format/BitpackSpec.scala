@@ -255,6 +255,91 @@ class BitpackSpec extends AnyFunSuite {
     }
   }
 
+  test("delta-FOR: sorted ids pick mode 11 and collapse to near-zero bits") {
+    for (width <- Seq(4, 8)) {
+      val base = if (width == 4) 1000000L else 5000000000L
+      val w = new PackedIntColumnWriter(width)
+      val cells: Seq[Option[Long]] = (0 until 10000).map { i =>
+        if (i % 23 == 9) None else Some(base + i)
+      }
+      cells.foreach {
+        case Some(v) => w.put(le(v, width)); case None => w.putNull()
+      }
+      val block = w.finishChunk()
+      val d = new ColumnDecoder(block)
+      assert(d.isPackedNumeric && d.packedWidthCode == 11,
+        s"width $width: expected delta-FOR, got code ${d.packedWidthCode}")
+      assert(decodeAll(block, width) == cells)
+      // nearly-constant step: the zigzag-delta range is tiny (a null
+      // gap doubles the step), so the payload is bits, not bytes —
+      // far below raw FOR's ~14 bits/value for this range
+      assert(block.length < 10000 * 14 / 8 / 4,
+        s"width $width delta block unexpectedly large: ${block.length}")
+    }
+  }
+
+  test("delta-FOR: descending and jittered sequences round-trip and still win") {
+    val rnd = new scala.util.Random(20260814L)
+    // descending with jitter: zigzag keeps mixed-sign steps small
+    val cells: Seq[Option[Long]] = (0 until 8000).map { i =>
+      if (i % 31 == 7) None
+      else Some(9000000000L - i * 1000L + rnd.nextInt(200) - 100)
+    }
+    val w = new PackedIntColumnWriter(8)
+    cells.foreach {
+      case Some(v) => w.put(le(v, 8)); case None => w.putNull()
+    }
+    val block = w.finishChunk()
+    val d = new ColumnDecoder(block)
+    assert(d.isPackedNumeric && d.packedWidthCode == 11,
+      s"expected delta-FOR, got code ${d.packedWidthCode}")
+    assert(decodeAll(block, 8) == cells)
+    // range is ~8e6 (23 bits/value for FOR); delta spread is ~2^9
+    val plain = new ColumnWriter
+    cells.foreach { case Some(v) => plain.put(le(v, 8)); case None => plain.putNull() }
+    assert(block.length * 4 < plain.finishChunk().length,
+      s"expected >=4x shrink: delta ${block.length}")
+  }
+
+  test("delta-FOR: single-value and wrap-adjacent chunks round-trip") {
+    // one non-null cell among nulls: no deltas, bw 0
+    val w1 = new PackedIntColumnWriter(8)
+    w1.putNull(); w1.put(le(123456789L, 8)); w1.putNull()
+    val b1 = w1.finishChunk()
+    assert(decodeAll(b1, 8) == Seq(None, Some(123456789L), None))
+    // unsigned-wrap-adjacent patterns (e.g. -1L then 0L): deltas wrap
+    // mod 2^64 and decode adds them back exactly
+    val w2 = new PackedIntColumnWriter(8)
+    Seq(-1L, 0L, Long.MinValue, Long.MaxValue).foreach(v => w2.put(le(v, 8)))
+    val b2 = w2.finishChunk()
+    assert(decodeAll(b2, 8) ==
+      Seq(Some(-1L), Some(0L), Some(Long.MinValue), Some(Long.MaxValue)))
+  }
+
+  test("corrupt delta-FOR headers throw, never mis-decode") {
+    // layout: 0,0,11,width,cnt,nc,first(8),zMin(8),bw,payload — craft a
+    // no-null sorted block so every prefix byte is a one-byte varint
+    val w = new PackedIntColumnWriter(8)
+    (0 until 100).foreach(i => w.put(le(7000000L + i * 3, 8)))
+    val block = w.finishChunk()
+    assert(new ColumnDecoder(block).packedWidthCode == 11)
+    assert(block(2) == 11.toByte && block(3) == 8.toByte)
+    // bad width varint
+    val badW = block.clone(); badW(3) = 5.toByte
+    intercept[CorruptColumnFileException](new ColumnDecoder(badW))
+    // truncation at every header prefix
+    for (cut <- 2 until math.min(block.length, 28))
+      intercept[CorruptColumnFileException] {
+        val d = new ColumnDecoder(java.util.Arrays.copyOf(block, cut))
+        while (d.hasNext) d.next()
+      }
+    // trailing garbage
+    intercept[CorruptColumnFileException] {
+      val d = new ColumnDecoder(java.util.Arrays.copyOf(block, block.length + 3))
+      while (d.hasNext) d.next()
+    }
+  }
+
   test("corrupt double-mode headers throw, never mis-decode") {
     // scale out of range: craft a minimal mode-9 block and bump the
     // scale byte (layout: 0,0,9,cnt,nc,scale,... all one-byte varints)

@@ -19,7 +19,7 @@ class MutationFuzzSpec extends AnyFunSuite {
     val bos = new ByteArrayOutputStream()
     val w = new ColumnFileWriter(bos, codec)
     w.setDictionaryColumns(Set(1))
-    w.setPackedColumns(Map(3 -> 8, 4 -> 8, 5 -> 8))
+    w.setPackedColumns(Map(3 -> 8, 4 -> 8, 5 -> 8, 6 -> 8))
     val cats = Seq("alpha", "beta", "gamma", "delta")
     def le64(v: Long): Array[Byte] =
       Array.tabulate(8)(k => ((v >>> (8 * k)) & 0xff).toByte)
@@ -29,7 +29,7 @@ class MutationFuzzSpec extends AnyFunSuite {
       else w.put(1, cats(i % cats.length).getBytes) // dictionary
       w.put(2, Array.fill(4)((i % 251).toByte))     // RLE-ish
       if (i % 11 == 3) w.putNull(3)
-      else { // packed-numeric (frame-of-reference + bitpack), with NULLs
+      else { // sorted constant-step: the zigzag delta-FOR mode (code 11)
         val v = 7000000L + i * 13
         w.put(3, le64(v))
       }
@@ -41,6 +41,9 @@ class MutationFuzzSpec extends AnyFunSuite {
       // float-precision non-decimals: the XOR-delta double mode (code 10)
       w.put(5, le64(java.lang.Double.doubleToRawLongBits(
         (i * 0.37f + 1.5f).toDouble)))
+      // shuffled narrow range: raw frame-of-reference (code 8) — kept
+      // in the corpus now that col 3's sorted values pick delta-FOR
+      w.put(6, le64(7000000L + (i * 2654435761L) % 9973))
       if (i == 200) w.flush()                        // two chunks
     }
     w.finish()
