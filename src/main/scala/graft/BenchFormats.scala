@@ -78,7 +78,37 @@ object BenchFormats {
       }.mkString("{", ",", "}")
       s""""$fname":{"bytes":${dirBytes(p)},"queries":$qs}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"format_bench","sf":"$sfDir","formats":$body}""")
+
+    // Time-series table head-to-head: events is time-sorted with
+    // sequential ids — the shape the zigzag delta-FOR mode (code 11)
+    // targets (lineitem above is shuffled, so delta correctly bails
+    // there). Sizes are the durable signal; one range-scan each.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val evPq = s"$base/ev_parquet"
+    ensure(evPq) { ev.write.mode("overwrite").parquet(evPq) }
+    val evCf = s"$base/ev_cf_packed"
+    ensure(evCf) { ev.write.format("columnfile")
+      .option("dictionary", "true").option("bitpack", "true")
+      .mode("overwrite").save(evCf) }
+    def evTable(p: String): DataFrame =
+      if (p == evPq) spark.read.parquet(p)
+      else spark.read.format("columnfile").load(p)
+    def evScan(df: DataFrame): Long =
+      df.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value").count()
+    val evFormats = Seq("parquet" -> evPq, "cf_packed" -> evCf)
+    evFormats.foreach { case (_, p) => evScan(evTable(p)) }
+    val evBody = evFormats.map { case (fname, p) =>
+      val t = {
+        val a = { val t0 = System.nanoTime(); evScan(evTable(p)); (System.nanoTime() - t0) / 1e9 }
+        val b = { val t0 = System.nanoTime(); evScan(evTable(p)); (System.nanoTime() - t0) / 1e9 }
+        math.min(a, b)
+      }
+      s""""$fname":{"bytes":${dirBytes(p)},"queries":{"typed_scan":$t}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"format_bench","sf":"$sfDir","formats":$body,"events_formats":$evBody}""")
     spark.stop()
   }
 }
