@@ -926,8 +926,8 @@ object ExtQueries {
        |n AS (SELECT COUNT(*) AS n FROM documents),
        |scored AS (
        |  SELECT tf.doc_id, tf.w, tf.tf, df.df,
-       |    tf.tf * ${d.intDiv("(n.n * 1000000)", "df.df")} AS score
-       |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+       |    tf.tf * ${d.intDiv("((SELECT n FROM n) * 1000000)", "df.df")} AS score
+       |  FROM tf JOIN df ON tf.w = df.w
        |  WHERE tf.doc_id % 25 = 0)
        |SELECT doc_id, w, tf, df, score, rk FROM (
        |  SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -963,13 +963,13 @@ object ExtQueries {
        |per_term AS (
        |  SELECT tf.doc_id, tf.w,
        |    ${d.intDiv(
-             s"${d.intDiv("(n.n * 1000000)", "df.df")} * (tf.tf * 2200)",
+             s"${d.intDiv("((SELECT n FROM n) * 1000000)", "df.df")} * (tf.tf * 2200)",
              s"(tf.tf * 1000 + ${d.intDiv(
-               s"1200 * (250 + ${d.intDiv("750 * dl.dl * 1000", "stats.avgdl_milli")})",
+               s"1200 * (250 + ${d.intDiv("750 * dl.dl * 1000",
+                 "(SELECT avgdl_milli FROM stats)")})",
                "1000")})")} AS score_micro
        |  FROM tf JOIN df ON tf.w = df.w
-       |  JOIN dl ON dl.doc_id = tf.doc_id
-       |  CROSS JOIN stats CROSS JOIN n)
+       |  JOIN dl ON dl.doc_id = tf.doc_id)
        |SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS score,
        |  COUNT(*) AS n_terms
        |FROM per_term GROUP BY doc_id
