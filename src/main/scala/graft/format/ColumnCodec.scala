@@ -209,10 +209,19 @@ final class DictColumnWriter extends ColumnSink {
 object PackedIntColumnWriter {
   /** Powers of ten through 1e18. 10^k is exactly representable as a
     * double for k ≤ 22 (the significand only needs k bits beyond the
-    * 2^k factor), so every entry is exact.
+    * 2^k factor), so every entry is exact. Built from exact Long powers
+    * via the JLS-specified long→double conversion, NOT `math.pow`: pow
+    * is only guaranteed to 1 ulp and may differ across JVMs/platforms
+    * (intrinsics), and a writer/reader Pow10 divergence would silently
+    * decode code-9 blocks to different bit patterns than were verified
+    * at encode.
     */
-  private[format] val Pow10: Array[Double] =
-    Array.tabulate(19)(i => math.pow(10.0, i))
+  private[format] val Pow10: Array[Double] = {
+    val longs = new Array[Long](19)
+    longs(0) = 1L
+    for (i <- 1 to 18) longs(i) = longs(i - 1) * 10L
+    longs.map(_.toDouble)
+  }
   private[format] val MaxScale = 18
   private final val MaxExactInt = (1L << 53).toDouble
 

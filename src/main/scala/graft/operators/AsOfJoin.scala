@@ -50,6 +50,9 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String,
       strict: Boolean = false): DataFrame = {
+    require(on.nonEmpty,
+      "asOf: empty key list would move the whole union into one " +
+        "partition (Window.partitionBy() with no columns)")
     val leftCols = left.columns.toSeq
     val payloadCols = right.columns.toSeq
       .filterNot(c => on.contains(c) || c == rightTime)
@@ -58,6 +61,7 @@ object AsOfJoin {
     val clash = payloadCols.intersect(leftCols)
     require(clash.isEmpty,
       s"asOf: right payload columns clash with left: ${clash.mkString(", ")}")
+    Reserved.check("asOf", left.columns ++ right.columns)
 
     val lRowType = StructType(leftCols.map(c => left.schema(c)))
     val payloadType = StructType(payloadCols.map(c => right.schema(c)))
@@ -71,7 +75,11 @@ object AsOfJoin {
         lit(1 - rightTag).as("__tag"),
         struct(leftCols.map(col): _*).as("__lrow"),
         lit(null).cast(payloadType).as("__pay")): _*)
-    val rhs = right.select(
+    // SQL comparison semantics: a right row whose time is NULL satisfies
+    // neither r.ts <= l.ts nor r.ts < l.ts, so it can never be a match.
+    // Without this filter it would sort FIRST (nulls-first asc) and be
+    // carried forward as a phantom match for every left row.
+    val rhs = right.where(col(rightTime).isNotNull).select(
       on.map(col) ++ Seq(
         col(rightTime).as("__t"),
         lit(rightTag).as("__tag"),

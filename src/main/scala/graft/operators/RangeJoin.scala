@@ -40,7 +40,10 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * Range columns must be integral (int/long/short/byte — convert
   * timestamps with `unix_micros` first): exact arithmetic, no float
   * rounding at bin edges. Null points/bounds match nothing (SQL BETWEEN
-  * over inner join semantics).
+  * over inner join semantics). An INVERTED interval (end < start) is
+  * the empty set — it matches nothing, where the naive inequality
+  * formulation (`ls <= re AND rs <= le`) would accept some inverted
+  * pairs; closed-interval semantics, chosen deliberately.
   */
 object RangeJoin {
 
@@ -62,6 +65,7 @@ object RangeJoin {
       .intersect(left.columns.toSeq)
     require(clash.isEmpty,
       s"rangeJoin: right columns clash with left: ${clash.mkString(", ")}")
+    Reserved.check("rangeJoin", left.columns.toSeq ++ right.columns.toSeq)
   }
 
   /** Truncating exact bin of an integral column (`x div w`). */
@@ -70,6 +74,11 @@ object RangeJoin {
 
   /** Bins covered by [start, end], failing per-row when the span
     * exceeds `maxBins` (one unbounded interval must not OOM a task).
+    * An INVERTED interval (end < start) is the empty set under closed-
+    * interval semantics — it generates no bins at all rather than
+    * tripping Spark's `sequence(s, e)` into a DESCENDING sequence
+    * (which would bypass the span guard and explode on a corrupt
+    * sentinel like end=0).
     */
   private def binsOf(startCol: String, endCol: String, w: Long,
       maxBins: Long): Column = {
@@ -80,7 +89,8 @@ object RangeJoin {
         col(startCol), lit(".."), col(endCol),
         lit("); raise binWidth or maxBinsPerInterval"))))
       .otherwise(e)
-    sequence(s, guarded)
+    when(col(endCol) < col(startCol), array().cast("array<bigint>"))
+      .otherwise(sequence(s, guarded))
   }
 
   /** For each left row, every right row whose `[rightStart, rightEnd]`

@@ -16,8 +16,13 @@ import org.apache.spark.sql.functions._
   * group. Salting splits the key itself:
   *
   *  - each left row gets a deterministic salt in `[0, salts)` — a hash
-  *    of the whole row, so re-computation under task retry is stable and
-  *    requires no RNG state;
+  *    of the whole row MIXED WITH the input partition id, so
+  *    re-computation under task retry is stable (same partition, same
+  *    rows → same salts; no RNG state) while BYTE-IDENTICAL duplicate
+  *    rows — the degenerate flood of a default-value hot key, where a
+  *    row-content hash alone would assign every copy the same salt and
+  *    re-create the single-reducer straggler — still spread across
+  *    salts because they arrive in many input partitions;
   *  - the right side replicates each row `salts` times (one per salt);
   *  - the equi-join runs on (keys…, salt): the hot key's rows now spread
   *    over `salts` reducers, each joining against a full copy of that
@@ -45,9 +50,11 @@ object SaltedJoin {
     val clash = rightOut.intersect(left.columns.toSeq)
     require(clash.isEmpty,
       s"saltedJoin: right columns clash with left: ${clash.mkString(", ")}")
+    Reserved.check("saltedJoin", left.columns.toSeq ++ right.columns.toSeq)
 
     val lhs = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salts)))
+      pmod(xxhash64(left.columns.map(col).toSeq :+ spark_partition_id(): _*),
+        lit(salts)))
     val rhs = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     lhs.join(rhs, (on :+ "__salt").toSeq, "inner")

@@ -80,6 +80,37 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0).getDouble(3) == 20.0 && got(0).getString(4) == "a")
   }
 
+  test("null right timestamps are never matches; null left times carry nothing") {
+    val sp = spark; import sp.implicits._
+    val quotes = Seq(
+      ("A", Option.empty[java.lang.Long], 66.0, "ghost"), // null ts: no match ever
+      ("A", Option(3L).map(java.lang.Long.valueOf), 10.0, "mm1")
+    ).toDF("sym", "qts", "px", "src")
+    val trades = Seq(
+      ("A", Option(5L).map(java.lang.Long.valueOf), 100),
+      ("A", Option.empty[java.lang.Long], 200) // null left ts: matches nothing
+    ).toDF("sym", "tts", "qty")
+    val got = AsOfJoin.asOf(trades, quotes, Seq("sym"), "tts", "qts")
+      .collect()
+      .map(r => (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getInt(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), Option(r.getString(4))))
+      .toSet
+    assert(got == Set(
+      (Some(5L), 100, Some(10.0), Some("mm1")), // ghost never carried
+      (None, 200, None, None)))
+  }
+
+  test("empty key list and reserved column names are rejected") {
+    val (trades, quotes) = fixture
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(trades, quotes, Seq.empty, "tts", "qts")
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(trades.withColumnRenamed("qty", "__pay"), quotes,
+        Seq("sym"), "tts", "qts")
+    }
+  }
+
   test("payload name clash and empty payload are rejected") {
     val (trades, quotes) = fixture
     intercept[IllegalArgumentException] {

@@ -115,6 +115,35 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(messages(ex).exists(_.contains("rangeJoin")), s"got: $ex")
   }
 
+  test("inverted intervals are empty: no match, no descending-sequence explosion") {
+    val sp = spark; import sp.implicits._
+    val p = Seq((1L, 5L)).toDF("pid", "t")
+    // end < start by a huge span: a descending sequence(s, e) would
+    // materialize millions of bins and bypass the span guard entirely
+    val iv = Seq((1L, 1_770_000_000_000_000L, 0L), // corrupt sentinel end=0
+                 (2L, 10L, 3L),                    // small inversion
+                 (3L, 1L, 9L))                     // sane: contains t=5
+      .toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(p, iv, Seq.empty, "t", "s", "e",
+      binWidth = 10L, maxBinsPerInterval = 1000L)
+    assert(pairs(got, "pid", "iid") == Set((1L, 3L)))
+    // overlap mode: the inverted interval matches nothing either, even
+    // though the raw inequality (ls <= re AND rs <= le) would accept it
+    val l = Seq((1L, 2L, 9L)).toDF("lid", "ls", "le")
+    val r = Seq((1L, 5L, 3L)).toDF("rid", "rs", "re")
+    val ov = RangeJoin.overlap(l, r, Seq.empty, "ls", "le", "rs", "re", 10L)
+    assert(ov.count() == 0L)
+  }
+
+  test("reserved working-column names are rejected") {
+    val sp = spark; import sp.implicits._
+    val p = Seq((1L, 5L)).toDF("__bin", "t")
+    val iv = Seq((1L, 0L, 9L)).toDF("iid", "s", "e")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(p, iv, Seq.empty, "t", "s", "e", 10L)
+    }
+  }
+
   test("plan is an equi-join — no BroadcastNestedLoop, no cartesian") {
     val (points, intervals) = corpora
     val plan = RangeJoin.pointInInterval(points, intervals, Seq("key"),

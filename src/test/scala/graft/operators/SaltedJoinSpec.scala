@@ -64,6 +64,32 @@ class SaltedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spread >= 4, s"hot key landed in only $spread of 8 salt buckets")
   }
 
+  test("byte-identical duplicate rows spread too (partition-id mix-in)") {
+    val sp = spark; import sp.implicits._
+    // the degenerate flood: many copies of ONE row — a row-content hash
+    // alone would give them all the same salt and re-create the single
+    // straggler; the partition-id mix-in spreads them
+    val dups = Seq.fill(4000)(("hot", 0)).toDF("key", "lv").repartition(8)
+    val right = Seq(("hot", 1)).toDF("key", "rv")
+    val spread = SaltedJoin.inner(dups, right, Seq("key"), salts = 8)
+      .count()
+    assert(spread == 4000L) // semantics unchanged
+    val saltCount = dups.withColumn("__salt",
+        pmod(xxhash64(dups.columns.map(col).toSeq :+ spark_partition_id(): _*),
+          lit(8)))
+      .select("__salt").distinct().count()
+    assert(saltCount >= 4,
+      s"identical dup rows landed in only $saltCount of 8 salt buckets")
+  }
+
+  test("reserved working-column names are rejected") {
+    val (left, right) = fixture
+    intercept[IllegalArgumentException] {
+      SaltedJoin.inner(left.withColumnRenamed("lv", "__salt"), right,
+        Seq("key"), 8)
+    }
+  }
+
   test("plan joins on (key, salt) with no nested loop") {
     val (left, right) = fixture
     val plan = SaltedJoin.inner(left, right, Seq("key"), 8)
