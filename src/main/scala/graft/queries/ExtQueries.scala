@@ -1010,6 +1010,40 @@ object ExtQueries {
        |FROM r JOIN cnt ON r.event_type = cnt.event_type
        |WHERE rk = (CASE WHEN cnt.nd >= 64 THEN 64 ELSE cnt.nd END)""".stripMargin
 
+  /** p08: count-min-sketch heavy hitters — the mergeable frequency
+    * sketch next to p07's cardinality sketch. Three hash rows × 512
+    * buckets of exact counts (one groupBy over (row, bucket) — the
+    * sketch is 1536 cells regardless of corpus size, partial-aggregable
+    * and mergeable across shards/days, which is why a 100 TB pipeline
+    * keeps CMS instead of exact per-key counts); the estimate for a
+    * probed key is the MIN over rows of its bucket's count —
+    * one-sided (never under-counts). The probes here are the exact
+    * top-10 heavy hitters, so the oracle pins estimate >= exact
+    * bit-exactly and shows the collision inflation directly. Hashes are
+    * the engine-shared multiplicative family mod the Mersenne prime
+    * (small odd multipliers keep every product within 2^52).
+    */
+  private def cmsSql(d: Dial): String = {
+    val hashes = "(VALUES (0, 1299721, 1299827), (1, 2750161, 2750357), " +
+      "(2, 4256233, 4256249)) AS h(i, a, b)"
+    s"""WITH keys AS (SELECT user_id AS k FROM events),
+       |cms AS (
+       |  SELECT h.i, ((k % $P) * h.a + h.b) % $P % 512 AS bucket,
+       |    COUNT(*) AS c
+       |  FROM keys CROSS JOIN $hashes
+       |  GROUP BY h.i, ((k % $P) * h.a + h.b) % $P % 512),
+       |exact AS (
+       |  SELECT k, COUNT(*) AS n FROM keys GROUP BY k
+       |  ORDER BY n DESC, k LIMIT 10),
+       |probed AS (
+       |  SELECT exact.k, exact.n, cms.c
+       |  FROM exact CROSS JOIN $hashes
+       |  JOIN cms ON cms.i = h.i
+       |    AND cms.bucket = ((exact.k % $P) * h.a + h.b) % $P % 512)
+       |SELECT k, MAX(n) AS exact_count, MIN(c) AS cms_estimate
+       |FROM probed GROUP BY k""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   private def dialect(name: String, gen: Dial => String): Q =
@@ -1074,6 +1108,8 @@ object ExtQueries {
          |SELECT lang AS l, doc_id, rk FROM r WHERE rk <= 50""".stripMargin),
     // KMV distinct-count sketch vs the exact count it replaces.
     dialect("p07_sketch_distinct_kmv", kmvSql),
+    // Count-min heavy hitters vs the exact counts they estimate.
+    dialect("p08_sketch_heavy_hitters", cmsSql),
     dialect("v01_knn_brute", knnBruteSql),
     dialect("v02_knn_sign_lsh", knnSignLshSql),
     dialect("v03_knn_ivf_assign", ivfAssignSql),
