@@ -67,7 +67,7 @@ class MutationFuzzSpec extends AnyFunSuite {
 
   test("byte flips and truncations: success or CorruptColumnFileException, nothing else") {
     val rnd = new scala.util.Random(0xC0FFEE)
-    Seq(Compression.None, Compression.LZ4).foreach { codec =>
+    Seq(Compression.None, Compression.LZ4, Compression.ZSTD).foreach { codec =>
       val valid = buildValid(codec)
       drain(valid) // sanity
       (1 to 400).foreach { trial =>
