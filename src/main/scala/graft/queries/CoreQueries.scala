@@ -349,6 +349,9 @@ object CoreQueries {
     // Prefix-LIKE pushdown through a sorted cf table (stats pruning live).
     prefixPushdown,
 
+    // INSERT OVERWRITE a single partition (commit-time victim deletion).
+    overwritePartition,
+
     // Storage-partitioned join (zero-shuffle co-located join).
     spjJoin,
 
@@ -1029,6 +1032,55 @@ object CoreQueries {
            |  CAST(SUM(${cents("l_extendedprice")}) AS BIGINT) AS sum_c
            |FROM cf_lineitem_part WHERE l_returnflag = 'R'
            |GROUP BY l_linestatus""".stripMargin)
+    }, Some(oracle))
+  }
+
+  /** q56: INSERT OVERWRITE one partition of a cf table — the final state
+    * is the untouched partitions plus the replacement rows. Exercises
+    * OVERWRITE_BY_FILTER end-to-end: commit-time exact victim deletion
+    * (PartitionFilterEval), manifest maintenance, and the read path over
+    * the resulting layout. Oracle reconstructs the same final state from
+    * the raw parquet table.
+    */
+  private def overwritePartition: Q = {
+    val oracle =
+      s"""SELECT status, COUNT(*) AS cnt, CAST(SUM(price_c) AS BIGINT) AS sum_c
+         |FROM (
+         |  SELECT o_orderstatus AS status, ${cents("o_totalprice")} AS price_c
+         |  FROM orders WHERE o_orderstatus <> 'P'
+         |  UNION ALL
+         |  SELECT o_orderstatus, ${cents("o_totalprice * 2")}
+         |  FROM orders WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 0
+         |) GROUP BY status""".stripMargin
+    Q("q56_cf_overwrite", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val out = Tables.cachePath(dir, "orders_ovw")
+      val done = new java.io.File(out, "_overwrite_done")
+      if (!done.exists()) {
+        Tables.t(spark, dir, "orders").write.format("columnfile")
+          .partitionBy("o_orderstatus").mode("overwrite").save(out)
+        spark.sql("DROP TABLE IF EXISTS graft_q56_ovw")
+        spark.sql(
+          s"CREATE TABLE graft_q56_ovw USING columnfile OPTIONS (path '$out')")
+        // static partition overwrite: query supplies the data columns in
+        // table order; 'P' rows with even keys survive at doubled price
+        val dataCols = Tables.t(spark, dir, "orders").columns
+          .filterNot(_ == "o_orderstatus")
+        spark.sql(
+          s"""INSERT OVERWRITE graft_q56_ovw PARTITION (o_orderstatus='P')
+             |SELECT ${dataCols.map(c =>
+                 if (c == "o_totalprice") "o_totalprice * 2" else c)
+               .mkString(", ")}
+             |FROM orders WHERE o_orderstatus = 'P' AND o_orderkey % 2 = 0
+             |""".stripMargin)
+        done.createNewFile()
+      }
+      spark.read.format("columnfile").load(out)
+        .createOrReplaceTempView("cf_orders_ovw")
+      spark.sql(
+        s"""SELECT o_orderstatus AS status, COUNT(*) AS cnt,
+           |  SUM(${cents("o_totalprice")}) AS sum_c
+           |FROM cf_orders_ovw GROUP BY o_orderstatus""".stripMargin)
     }, Some(oracle))
   }
 

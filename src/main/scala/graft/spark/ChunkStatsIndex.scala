@@ -598,7 +598,7 @@ object ChunkStatsIndex {
   // ---- pruning ----
 
   /** Normalize a pushdown literal into the column's stats family. */
-  private def lit(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+  private[spark] def lit(dt: DataType, v: Any): Option[Any] = (dt, v) match {
     case (_, null) => None
     case (IntegerType, x: java.lang.Integer) => Some(x.longValue())
     case (LongType, x: java.lang.Long)       => Some(x.longValue())

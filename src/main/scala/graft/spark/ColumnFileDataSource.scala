@@ -289,11 +289,13 @@ class ColumnFileTable(
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ColumnFileScanBuilder(paths, tableSchema, conf, options, partitionCols)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ColumnFileWriteBuilder(paths, info, conf, partitionCols)
+    new ColumnFileWriteBuilder(paths, info, conf, partitionCols, tableSchema)
 }

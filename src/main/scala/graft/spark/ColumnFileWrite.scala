@@ -28,11 +28,65 @@ class ColumnFileWriteBuilder(
     paths: Seq[String],
     info: LogicalWriteInfo,
     conf: Configuration,
-    partitionCols: Seq[String] = Seq.empty)
-    extends WriteBuilder with SupportsTruncate {
+    partitionCols: Seq[String] = Seq.empty,
+    tableSchema: StructType = new StructType())
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   private var truncateFirst = false
+  private var overwriteFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var dynamicOverwrite = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  /** The schema rows are WRITTEN as. ACCEPT_ANY_SCHEMA makes Spark pass
+    * the query's own output schema — for a catalog `INSERT` that means
+    * expression names (`concat(v, id)`), not table column names, which
+    * would break name-based partition routing. SQL INSERT is positional,
+    * so when the arity matches the table, field names re-align to the
+    * table's; a genuinely different arity (trailing-column evolution on
+    * path-based appends) keeps the query's names as before.
+    */
+  private def resolvedSchema: StructType = {
+    val w = info.schema()
+    if (tableSchema.nonEmpty && tableSchema.length == w.length &&
+        w.fieldNames.toSeq != tableSchema.fieldNames.toSeq)
+      StructType(w.fields.zip(tableSchema.fields).map {
+        case (wf, tf) => wf.copy(name = tf.name)
+      })
+    else w
+  }
+
+  /** `INSERT OVERWRITE … PARTITION (p=v)` / `overwrite(condition)`:
+    * replace exactly the rows the filter selects. Files are immutable
+    * and partition values are constant per file, so this is supported
+    * precisely when every filter is EXACTLY decidable from partition
+    * values alone ([[PartitionFilterEval]]); anything else is rejected
+    * here at analysis, never approximated at commit (an approximation
+    * would delete live rows). Matching files are deleted at COMMIT, so
+    * an aborted job leaves the table untouched.
+    */
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    val partSet = partitionCols.toSet
+    val bad = filters.filterNot(f =>
+      PartitionFilterEval.supported(f, partSet, resolvedSchema))
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      "columnfile: INSERT OVERWRITE supports filters decidable from " +
+        s"partition columns [${partitionCols.mkString(", ")}] only; " +
+        s"got: ${bad.mkString(", ")}")
+    overwriteFilters = filters
+    this
+  }
+
+  /** Dynamic partition overwrite: replace exactly the partitions this
+    * write produces rows for (`partitionOverwriteMode=dynamic`).
+    */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    if (partitionCols.isEmpty) throw new IllegalArgumentException(
+      "columnfile: dynamic partition overwrite requires a partitioned table")
+    dynamicOverwrite = true
+    this
+  }
 
   override def build(): Write = {
     // DataStreamWriter.partitionBy never reaches getTable's partitioning
@@ -42,8 +96,8 @@ class ColumnFileWriteBuilder(
     val optCols = Option(info.options().get("partitionBy")).toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
     val cols = if (partitionCols.nonEmpty) partitionCols else optCols
-    new ColumnFileWrite(paths.head, info.schema(), info.options(), conf,
-      truncateFirst, cols)
+    new ColumnFileWrite(paths.head, resolvedSchema, info.options(), conf,
+      truncateFirst, cols, overwriteFilters, dynamicOverwrite)
   }
 }
 
@@ -53,12 +107,15 @@ class ColumnFileWrite(
     options: CaseInsensitiveStringMap,
     conf: Configuration,
     truncateFirst: Boolean,
-    partitionCols: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty,
+    overwriteFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    dynamicOverwrite: Boolean = false)
     extends Write with BatchWrite {
 
   partitionCols.foreach { c =>
     val f = schema.fields.find(_.name == c).getOrElse(
-      throw new IllegalArgumentException(s"columnfile: partition column $c not in schema"))
+      throw new IllegalArgumentException(
+        s"columnfile: partition column $c not in schema ${schema.catalogString}"))
     if (!PartitionLayout.supported(f.dataType))
       throw new IllegalArgumentException(
         s"columnfile: unsupported partition column type ${f.dataType} for $c")
@@ -147,14 +204,62 @@ class ColumnFileWrite(
     if (partitionCols.nonEmpty) PartitionLayout.write(conf, dir, partitionCols)
     // maintain the file manifest (ManifestFile): commit knows exactly
     // which files it published, so readers can opt out of directory walks
-    val committed = messages.toSeq.flatMap {
+    val committedFiles = messages.toSeq.flatMap {
       case ColumnFileCommitMessage(f)              => Seq(f)
       case ColumnFilePartitionedCommitMessage(fls) => fls
       case _                                       => Seq.empty
-    }.map(f => ManifestFile.entryFor(conf, dir, new Path(f)))
+    }
+    val committed = committedFiles.map(f =>
+      ManifestFile.entryFor(conf, dir, new Path(f)))
     if (truncateFirst) ManifestFile.write(conf, dir, committed)
-    else ManifestFile.append(conf, dir, committed)
+    else if (overwriteFilters.nonEmpty || dynamicOverwrite) {
+      val removed = deleteOverwritten(fs, dir, committedFiles)
+      ManifestFile.replace(conf, dir, removed, committed)
+    } else ManifestFile.append(conf, dir, committed)
     fs.create(new Path(dir, "_SUCCESS"), true).close()
+  }
+
+  /** Overwrite victim deletion, run at COMMIT (tasks already published
+    * their new files): prior files either exactly matching the overwrite
+    * filters, or — dynamic mode — living in a partition directory this
+    * write produced rows for. Returns the deleted files' manifest-
+    * relative paths. New files are recognized by path and never victims,
+    * so overwriting a partition with itself is safe; an abort before
+    * commit leaves every prior file in place (contrast with TRUNCATE,
+    * which keeps its historical wipe-up-front semantics).
+    */
+  private def deleteOverwritten(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path,
+      committedFiles: Seq[String]): Seq[String] = {
+    val newPaths: Set[String] =
+      committedFiles.map(f => fs.makeQualified(new Path(f)).toString).toSet
+    val newDirs: Set[String] =
+      committedFiles.map(f => fs.makeQualified(new Path(f)).getParent.toString).toSet
+    val partSchema = StructType(partitionCols.map(c => schema(c)))
+    val existing = ColumnFileDataSource
+      .listDataFilesWithRoots(conf, Seq(path), useManifest = false)
+      .filterNot { case (_, st) =>
+        newPaths.contains(fs.makeQualified(st.getPath).toString) }
+    val victims = existing.filter { case (root, st) =>
+      if (dynamicOverwrite)
+        newDirs.contains(fs.makeQualified(st.getPath).getParent.toString)
+      else {
+        val raw = PartitionLayout.valuesFor(root, st.getPath, partitionCols)
+        val values: Map[String, Any] = partitionCols.zipWithIndex.map {
+          case (c, i) =>
+            c -> PartitionLayout.parse(partSchema.fields(i).dataType, raw(i))
+        }.toMap
+        PartitionFilterEval.matches(overwriteFilters.toSeq, values, partSchema)
+      }
+    }
+    victims.map { case (_, st) =>
+      val p = st.getPath
+      fs.delete(p, false)
+      val sidecar = new Path(p.getParent, "." + p.getName + ChunkStatsIndex.Suffix)
+      try fs.delete(sidecar, false) catch { case _: Exception => }
+      ManifestFile.relativize(dir, p)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -97,6 +97,29 @@ object ManifestFile {
     write(conf, root, merged)
   }
 
+  /** Overwrite-commit maintenance: drop `removedRels`, merge `added`.
+    * Bootstraps from a walk exactly like [[append]] when no readable
+    * manifest exists — the walk runs AFTER the commit deleted its
+    * victims, so it reflects the post-overwrite truth.
+    */
+  def replace(conf: Configuration, root: Path,
+              removedRels: Seq[String], added: Seq[Entry]): Unit = {
+    val fs = root.getFileSystem(conf)
+    val p = new Path(root, Name)
+    val prior: Seq[Entry] =
+      if (fs.exists(p)) read(conf, root) match {
+        case Some(entries) => entries
+        case None =>
+          try { fs.delete(p, false); () } catch { case _: Exception => }
+          walkEntries(conf, root)
+      }
+      else walkEntries(conf, root)
+    val removed = removedRels.toSet
+    val merged = (prior.filterNot(e => removed.contains(e.rel))
+      .map(e => e.rel -> e) ++ added.map(e => e.rel -> e)).toMap.values.toSeq
+    write(conf, root, merged)
+  }
+
   /** All data files under `root`, as manifest entries (full listing —
     * the bootstrap/repair path only).
     */
