@@ -43,9 +43,14 @@ object BenchFormats {
     // the scan shapes that exercise a format: full-width agg, selective
     // filter, narrow projection, filter on a categorical column
     val queries: Seq[(String, DataFrame => Long)] = Seq(
+      // reduce to one scalar on the executors (no driver-side row
+      // materialization) while still forcing every aggregate to compute —
+      // a bare .count() would let ColumnPruning drop the sum/avg
       "full_agg" -> (df => df.groupBy("l_returnflag")
-        .agg(count(lit(1)), sum("l_quantity"), avg("l_extendedprice"))
-        .collect().length.toLong),
+        .agg(count(lit(1)).as("c"), sum("l_quantity").as("s"),
+          avg("l_extendedprice").as("a"))
+        .select(count(xxhash64(col("c"), col("s"), col("a"))))
+        .head().getLong(0)),
       "selective_filter" -> (df =>
         df.filter(col("l_quantity") > 49.5).count()),
       "narrow_projection" -> (df =>

@@ -39,17 +39,45 @@ class ColumnFileWriteBuilder(
   private var dynamicOverwrite = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
+  /** When the query's field names are exactly the table's but in a
+    * different order (a by-name DataFrameWriterV2 append — ACCEPT_ANY_SCHEMA
+    * makes Spark skip output reordering), rows must be physically permuted
+    * into table order: storage addresses columns by position in the
+    * directory sidecar's leaf order, so a positional rename would silently
+    * write column A's data under column B's name. `perm(i)` = query-row
+    * ordinal feeding table position `i`.
+    */
+  private def permutation: Option[Array[Int]] = {
+    val w = info.schema()
+    if (tableSchema.nonEmpty && tableSchema.length == w.length &&
+        w.fieldNames.toSeq != tableSchema.fieldNames.toSeq &&
+        w.fieldNames.toSet == tableSchema.fieldNames.toSet) {
+      tableSchema.fields.foreach { tf =>
+        val wf = w(w.fieldIndex(tf.name))
+        if (wf.dataType != tf.dataType)
+          throw new IllegalArgumentException(
+            s"columnfile: cannot write column ${tf.name}: query type " +
+              s"${wf.dataType.sql} does not match table type ${tf.dataType.sql}")
+      }
+      Some(tableSchema.fieldNames.map(n => w.fieldIndex(n)))
+    } else None
+  }
+
   /** The schema rows are WRITTEN as. ACCEPT_ANY_SCHEMA makes Spark pass
     * the query's own output schema — for a catalog `INSERT` that means
     * expression names (`concat(v, id)`), not table column names, which
-    * would break name-based partition routing. SQL INSERT is positional,
-    * so when the arity matches the table, field names re-align to the
-    * table's; a genuinely different arity (trailing-column evolution on
-    * path-based appends) keeps the query's names as before.
+    * would break name-based partition routing. A by-name write whose
+    * columns are a permutation of the table's resolves to the table
+    * schema (rows are reordered to match — see [[permutation]]). SQL
+    * INSERT is positional, so when the arity matches the table and names
+    * are NOT a permutation, field names re-align to the table's; a
+    * genuinely different arity (trailing-column evolution on path-based
+    * appends) keeps the query's names as before.
     */
   private def resolvedSchema: StructType = {
     val w = info.schema()
-    if (tableSchema.nonEmpty && tableSchema.length == w.length &&
+    if (permutation.isDefined) tableSchema
+    else if (tableSchema.nonEmpty && tableSchema.length == w.length &&
         w.fieldNames.toSeq != tableSchema.fieldNames.toSeq)
       StructType(w.fields.zip(tableSchema.fields).map {
         case (wf, tf) => wf.copy(name = tf.name)
@@ -97,7 +125,8 @@ class ColumnFileWriteBuilder(
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
     val cols = if (partitionCols.nonEmpty) partitionCols else optCols
     new ColumnFileWrite(paths.head, resolvedSchema, info.options(), conf,
-      truncateFirst, cols, overwriteFilters, dynamicOverwrite)
+      truncateFirst, cols, overwriteFilters, dynamicOverwrite,
+      permutation.getOrElse(Array.empty))
   }
 }
 
@@ -109,7 +138,8 @@ class ColumnFileWrite(
     truncateFirst: Boolean,
     partitionCols: Seq[String] = Seq.empty,
     overwriteFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    dynamicOverwrite: Boolean = false)
+    dynamicOverwrite: Boolean = false,
+    rowProjection: Array[Int] = Array.empty)
     extends Write with BatchWrite {
 
   partitionCols.foreach { c =>
@@ -178,6 +208,10 @@ class ColumnFileWrite(
     // one-batch replay window)
     val keepEpochs = Option(options.get("keepEpochs")).map(_.toLong)
       .getOrElse(100L)
+    if (rowProjection.nonEmpty)
+      throw new UnsupportedOperationException(
+        "columnfile streaming sink: reorder the stream's columns to the " +
+          "table's column order before writing")
     new ColumnFileStreamingWrite(path, schema, compression, targetChunkBytes,
       new SerializableHadoopConf(conf), partitionCols, dictionaryEncode,
       keepEpochs, bitpackEncode, bloomCols)
@@ -188,10 +222,12 @@ class ColumnFileWrite(
     val fs = dir.getFileSystem(conf)
     if (truncateFirst && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new ColumnFileWriterFactory(
+    val inner = new ColumnFileWriterFactory(
       path, schema.json, compression, targetChunkBytes,
       UUID.randomUUID().toString, new SerializableHadoopConf(conf),
       partitionCols, dictionaryEncode, bitpackEncode, bloomCols)
+    if (rowProjection.isEmpty) inner
+    else new ProjectingWriterFactory(inner, rowProjection, schema.json)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -255,7 +291,15 @@ class ColumnFileWrite(
     }
     victims.map { case (_, st) =>
       val p = st.getPath
-      fs.delete(p, false)
+      // fs.delete can fail by RETURNING false (permissions, transient HDFS
+      // issues) — treating that as removed would leave the old file
+      // visible to directory-walk readers while the manifest drops it.
+      // Fail the commit instead: the manifest is only replaced after every
+      // victim is confirmed gone.
+      if (!fs.delete(p, false) && fs.exists(p))
+        throw new java.io.IOException(
+          s"columnfile: INSERT OVERWRITE failed to delete $p; aborting " +
+            "commit before manifest update")
       val sidecar = new Path(p.getParent, "." + p.getName + ChunkStatsIndex.Suffix)
       try fs.delete(sidecar, false) catch { case _: Exception => }
       ManifestFile.relativize(dir, p)
@@ -282,6 +326,40 @@ class ColumnFileWrite(
 }
 
 final case class ColumnFileCommitMessage(file: String) extends WriterCommitMessage
+
+/** Reorders each incoming row (query output order) into table column
+  * order before handing it to the real writer — the by-name
+  * DataFrameWriterV2 append case where Spark, under ACCEPT_ANY_SCHEMA,
+  * does not reorder the query's output itself. `perm(i)` = incoming-row
+  * ordinal whose value lands at table position `i`.
+  */
+class ProjectingWriterFactory(
+    inner: DataWriterFactory,
+    perm: Array[Int],
+    tableSchemaJson: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val tableSchema = DataType.fromJson(tableSchemaJson).asInstanceOf[StructType]
+    val types = tableSchema.fields.map(_.dataType)
+    val delegate = inner.createWriter(partitionId, taskId)
+    new DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit = {
+        val values = new Array[Any](perm.length)
+        var i = 0
+        while (i < perm.length) {
+          val o = perm(i)
+          values(i) = if (row.isNullAt(o)) null else row.get(o, types(i))
+          i += 1
+        }
+        delegate.write(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
+      }
+      override def commit(): WriterCommitMessage = delegate.commit()
+      override def abort(): Unit = delegate.abort()
+      override def close(): Unit = delegate.close()
+    }
+  }
+}
 
 class ColumnFileWriterFactory(
     dir: String,

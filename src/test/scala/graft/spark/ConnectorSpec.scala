@@ -224,6 +224,30 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sql("DROP TABLE cft_spec")
   }
 
+  test("by-name append with permuted column order lands in table columns") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir()
+    spark.sql("DROP TABLE IF EXISTS cft_perm")
+    spark.sql(
+      s"CREATE TABLE cft_perm (id BIGINT, v STRING) USING columnfile " +
+        s"OPTIONS (path '$dir')")
+    try {
+      // DataFrameWriterV2 append is by-name; ACCEPT_ANY_SCHEMA means Spark
+      // hands us the query's own column order — (v, id) must still land
+      // under the table's (id, v)
+      Seq(("row-one", 1L), ("row-two", 2L)).toDF("v", "id")
+        .writeTo("cft_perm").append()
+      val rows = spark.sql("SELECT id, v FROM cft_perm ORDER BY id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "row-one"), (2L, "row-two")))
+      // permuted names with a type mismatch must fail loudly, not relabel
+      val bad = Seq((3L, 4L)).toDF("v", "id") // v is BIGINT, table says STRING
+      val e = intercept[Exception] { bad.writeTo("cft_perm").append() }
+      assert(e.getMessage.contains("does not match table type") ||
+        Option(e.getCause).exists(_.getMessage.contains("does not match table type")))
+    } finally spark.sql("DROP TABLE cft_perm")
+  }
+
   test("untyped fallback: no sidecar yields binary c0..cN columns") {
     val sp = spark; import sp.implicits._
     val df = (0 until 10).map(i => (i, s"u$i")).toDF("id", "v")
