@@ -248,6 +248,39 @@ object ExtQueries {
        |ex0 AS (SELECT doc_id, bk $fromEx)""".stripMargin
   }
 
+  /** The capped (doc_id, band-key) relation — everything before the
+    * self-join. Split out so the Spark side can materialize it ONCE:
+    * with a plain CTE the self-join's two sides each re-run
+    * Generate → Exchange → Window over the band rows, doubling the
+    * dominant shuffle (round-7 plan audit finding).
+    */
+  private def minhashExSql(d: Dial, hs: String): String =
+    s"""WITH ${minhashBandCtes(d, hs)}
+       |SELECT doc_id, bk FROM (
+       |  SELECT doc_id, bk, COUNT(*) OVER (PARTITION BY bk) AS bn
+       |  FROM ex0) x
+       |WHERE bn <= $HotBucketCap""".stripMargin
+
+  /** Pair generation + Jaccard verification over (possibly materialized)
+    * capped band relation `ex` and hash-set relation `hs`. Spelled with
+    * nested subqueries, NOT a WITH clause: Spark's cached-plan
+    * substitution does not look inside `WithCTE` fragments, so a CTE
+    * here would silently recompute the cached relations (probe-verified
+    * on Spark 4.1).
+    */
+  private def minhashPairsFrom(d: Dial, ex: String, hs: String): String =
+    s"""SELECT i, j, jaccard FROM (
+       |  SELECT i, j,
+       |    CAST(${d.size(d.intersect("x.hset", "y.hset"))} AS DOUBLE) /
+       |    ${d.size(d.distinct(d.concatArr("x.hset", "y.hset")))} AS jaccard
+       |  FROM (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |        FROM $ex a JOIN $ex b ON a.bk = b.bk AND a.doc_id < b.doc_id) cand
+       |  JOIN $hs x ON x.doc_id = i JOIN $hs y ON y.doc_id = j) jac
+       |WHERE jaccard >= 0.5""".stripMargin
+
+  /** Single-statement form for the DuckDB oracle (DuckDB CTEs are
+    * evaluated once; no materialization needed there).
+    */
   private def minhashBody(d: Dial, hs: String): String = {
     s"""${minhashBandCtes(d, hs)},
        |ex AS (SELECT doc_id, bk FROM (
@@ -263,12 +296,17 @@ object ExtQueries {
        |SELECT i, j, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin
   }
 
-  /** Spark-side MinHash pairs with the hash-set scan materialized once. */
+  /** Spark-side MinHash pairs with the hash-set scan AND the capped band
+    * relation each materialized once (cached temp views) — one
+    * Generate/Exchange/Window total, self-join reads the cache.
+    */
   private def minhashPairsDF(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
     val hs = spark.sql(minhashHsSql(SparkD))
     hs.cache().createOrReplaceTempView("mh_hs")
-    spark.sql("WITH " + minhashBody(SparkD, "mh_hs"))
+    val ex = spark.sql(minhashExSql(SparkD, "mh_hs"))
+    ex.cache().createOrReplaceTempView("mh_ex")
+    spark.sql(minhashPairsFrom(SparkD, "mh_ex", "mh_hs"))
   }
 
   private def minhashLsh: Q = Q("d03_dedup_minhash_lsh", (spark, dir) => {
@@ -345,14 +383,39 @@ object ExtQueries {
     * over-cap bucket of exact/near-exact dups is exactly what the
     * digest-keyed exact dedup (d01/d02) already handles.
     */
-  private def simhashPairsSql(d: Dial): String = {
-    // band k = bits [8k, 8k+8) (band 3 gets the top 7 bits)
-    val bandExprs = (0 until 4).map { k =>
-      s"SELECT doc_id, simhash, $k AS band, ${d.intDiv(s"(simhash % ${1L << math.min(8 * (k + 1), 31)})", (1L << (8 * k)).toString)} AS bv FROM s"
+  // band k = bits [8k, 8k+8) (band 3 gets the top 7 bits)
+  private def simhashBandExprs(d: Dial, s: String): String =
+    (0 until 4).map { k =>
+      s"SELECT doc_id, simhash, $k AS band, ${d.intDiv(s"(simhash % ${1L << math.min(8 * (k + 1), 31)})", (1L << (8 * k)).toString)} AS bv FROM $s"
     }.mkString("\n  UNION ALL ")
+
+  /** The capped (doc_id, simhash, band, bv) relation over signature
+    * relation `s` — materialized once on the Spark side (same
+    * double-band-build fix as [[minhashExSql]]).
+    */
+  private def simhashExSql(d: Dial, s: String): String =
+    s"""WITH ex0 AS (
+       |  ${simhashBandExprs(d, s)})
+       |SELECT doc_id, simhash, band, bv FROM (
+       |  SELECT doc_id, simhash, band, bv,
+       |    COUNT(*) OVER (PARTITION BY band, bv) AS bn
+       |  FROM ex0) x
+       |WHERE bn <= $HotBucketCap""".stripMargin
+
+  // nested subquery, not WITH — see minhashPairsFrom's cache-lookup note
+  private def simhashPairsFrom(d: Dial, ex: String): String =
+    s"""SELECT i, j, bit_count(${d.xor("sa", "sb")}) AS hamming
+       |FROM (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM $ex a JOIN $ex b ON a.band = b.band AND a.bv = b.bv
+       |   AND a.doc_id < b.doc_id) cand
+       |WHERE bit_count(${d.xor("sa", "sb")}) <= 3""".stripMargin
+
+  /** Single-statement form (DuckDB oracle + DegenerateCorpusSpec). */
+  private def simhashPairsSql(d: Dial): String = {
     s"""WITH s AS (${simhashSql(d)}),
        |ex0 AS (
-       |  $bandExprs),
+       |  ${simhashBandExprs(d, "s")}),
        |ex AS (SELECT doc_id, simhash, band, bv FROM (
        |         SELECT doc_id, simhash, band, bv,
        |           COUNT(*) OVER (PARTITION BY band, bv) AS bn
@@ -365,6 +428,18 @@ object ExtQueries {
        |SELECT i, j, bit_count(${d.xor("sa", "sb")}) AS hamming
        |FROM cand WHERE bit_count(${d.xor("sa", "sb")}) <= 3""".stripMargin
   }
+
+  /** Spark-side SimHash pairs: signatures and the capped band relation
+    * cached once; the pigeonhole self-join reads the cache.
+    */
+  private def simhashPairs: Q = Q("d05_dedup_simhash_pairs", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    val s = spark.sql(simhashSql(SparkD))
+    s.cache().createOrReplaceTempView("sh_s")
+    val ex = spark.sql(simhashExSql(SparkD, "sh_s"))
+    ex.cache().createOrReplaceTempView("sh_ex")
+    spark.sql(simhashPairsFrom(SparkD, "sh_ex"))
+  }, Some(simhashPairsSql(DuckD)))
 
   /** Character 5-gram Jaccard near-dup via an inverted gram index with
     * document-frequency pruning: candidate pairs come from co-occurrence
@@ -395,11 +470,37 @@ object ExtQueries {
   private def ngramJaccardSql(d: Dial): String =
     s"WITH g AS (${gramSetSql(d)}),\n" + ngramJaccardBody(d, "g")
 
+  /** The df-pruned (doc_id, rare-gram) inverted-index rows over gram-set
+    * relation `g` — materialized once on the Spark side (same
+    * double-build fix as [[minhashExSql]]: the self-join's sides would
+    * otherwise each re-run explode → df-aggregate → join).
+    */
+  private def ngramRareSql(d: Dial, g: String): String = {
+    val fromEx = s"FROM $g ${d.explode("gset", "gr")}"
+    s"""WITH ex AS (SELECT doc_id, gr $fromEx),
+       |df AS (SELECT gr, COUNT(*) AS df FROM ex GROUP BY gr)
+       |SELECT ex.doc_id, ex.gr FROM ex JOIN df ON ex.gr = df.gr
+       |WHERE df.df BETWEEN 2 AND 20""".stripMargin
+  }
+
+  // nested subquery, not WITH — see minhashPairsFrom's cache-lookup note
+  private def ngramPairsFrom(d: Dial, rare: String, g: String): String =
+    s"""SELECT i, j, jaccard FROM (
+       |  SELECT i, j,
+       |    CAST(${d.size(d.intersect("x.gset", "y.gset"))} AS DOUBLE) /
+       |    ${d.size(d.distinct(d.concatArr("x.gset", "y.gset")))} AS jaccard
+       |  FROM (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |        FROM $rare a JOIN $rare b ON a.gr = b.gr AND a.doc_id < b.doc_id) cand
+       |  JOIN $g x ON x.doc_id = i JOIN $g y ON y.doc_id = j) p
+       |WHERE jaccard >= 0.5""".stripMargin
+
   private def ngramJaccard: Q = Q("d06_dedup_ngram_jaccard", (spark, dir) => {
     Tables.registerAll(spark, dir)
     val g = spark.sql(gramSetSql(SparkD))
     g.cache().createOrReplaceTempView("ng_g")
-    spark.sql("WITH " + ngramJaccardBody(SparkD, "ng_g"))
+    val rare = spark.sql(ngramRareSql(SparkD, "ng_g"))
+    rare.cache().createOrReplaceTempView("ng_rare")
+    spark.sql(ngramPairsFrom(SparkD, "ng_rare", "ng_g"))
   }, Some(ngramJaccardSql(DuckD)))
 
   /** Keep-best dedup over the MinHash-LSH pair graph: connected
@@ -1060,7 +1161,7 @@ object ExtQueries {
         |FROM documents GROUP BY lang, source""".stripMargin),
     minhashLsh,
     dialect("d04_dedup_simhash", simhashSql),
-    dialect("d05_dedup_simhash_pairs", simhashPairsSql),
+    simhashPairs,
     ngramJaccard,
     dialect("d07_dedup_embedding_cosine", embeddingDedupSql),
     // Keep-best dedup: one representative per near-dup group (MinHash
