@@ -63,7 +63,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = newSession(cpus)
-    println(toJson(timeInventory(spark, sfDir), sfDir))
+    val json = toJson(timeInventory(spark, sfDir), sfDir)
+    // The harness tail-captures stdout and can truncate the (long) JSON
+    // line, so persist the full result to a file FIRST; the printed line
+    // stays the machine-readable contract when it survives intact.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e") }
+    println(json)
     spark.stop()
   }
 }
