@@ -42,14 +42,22 @@ object ColumnFileColumnarReader {
       throw new UnsupportedOperationException("dictionary holds binary values")
   }
 
+  /** Flat atomic columns and (possibly nested) structs whose leaves are
+    * all atomic. Arrays/maps/variants keep the row reader: their framed
+    * cells decode to variable-length values that have no unboxed vector
+    * write path.
+    */
   def vectorizable(schema: StructType): Boolean =
-    schema.fields.forall(f => f.dataType match {
-      case IntegerType | LongType | ShortType | ByteType | BooleanType |
-           FloatType | DoubleType | DateType | TimestampType |
-           TimestampNTZType | StringType | BinaryType => true
-      case _: DecimalType => true
-      case _ => false
-    })
+    schema.fields.forall(f => vectorizableType(f.dataType))
+
+  private def vectorizableType(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | ByteType | BooleanType |
+         FloatType | DoubleType | DateType | TimestampType |
+         TimestampNTZType | StringType | BinaryType => true
+    case _: DecimalType => true
+    case st: StructType => st.fields.forall(f => vectorizableType(f.dataType))
+    case _ => false
+  }
 }
 
 class ColumnFileColumnarPartitionReader(
@@ -72,9 +80,34 @@ class ColumnFileColumnarPartitionReader(
   private val allLeaves = CellCodec.flatten(tableSchema)
   private val leafIndexByName: Map[String, Int] =
     allLeaves.zipWithIndex.map { case (l, i) => (l.name, i) }.toMap
+  // Required PHYSICAL leaves (struct fields shred to presence + field
+  // leaves), in CellCodec.flatten order — decoders(i) streams leaf i.
+  private val reqLeaves: IndexedSeq[CellCodec.Leaf] =
+    CellCodec.flatten(requiredSchema)
   private val outCols: Array[Int] =
-    requiredSchema.fields.map(f => leafIndexByName(f.name))
-  private val outTypes: Array[DataType] = requiredSchema.fields.map(_.dataType)
+    reqLeaves.map(l => leafIndexByName.getOrElse(l.name,
+      throw new IllegalArgumentException(s"unknown column ${l.name}"))).toArray
+  private val outTypes: Array[DataType] = reqLeaves.map(_.dataType).toArray
+  private val leafIsPresence: Array[Boolean] = reqLeaves.map(_.presence).toArray
+  // Vector tree path per leaf: ordinal of the top-level vector, then
+  // child ordinals. A presence leaf's path addresses the STRUCT vector
+  // itself (its cell drives putNull/putNotNull on the parent). Walks the
+  // same traversal as CellCodec.flatten, so ordinals align.
+  private val leafVecPath: Array[Array[Int]] = {
+    val out = Array.newBuilder[Array[Int]]
+    def walk(prefix: Array[Int], st: StructType): Unit =
+      st.fields.zipWithIndex.foreach { case (f, i) =>
+        val p = prefix :+ i
+        f.dataType match {
+          case inner: StructType =>
+            if (f.nullable) out += p
+            walk(p, inner)
+          case _ => out += p
+        }
+      }
+    walk(Array.empty, requiredSchema)
+    out.result()
+  }
 
   private val filterEvals: Array[FilterEval.Bound] =
     filters.flatMap(f => FilterEval.bind(f, tableSchema, leafIndexByName))
@@ -186,22 +219,32 @@ class ColumnFileColumnarPartitionReader(
     }
     val vectors: Array[OnHeapColumnVector] =
       OnHeapColumnVector.allocateColumns(RowsPerBatch, requiredSchema)
+    // resolve each leaf's target vector in the (fresh) batch tree —
+    // struct children via getChild chains
+    val leafVecs: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector] =
+      leafVecPath.map { path =>
+        var v: org.apache.spark.sql.execution.vectorized.WritableColumnVector =
+          vectors(path(0))
+        var i = 1
+        while (i < path.length) { v = v.getChild(path(i)); i += 1 }
+        v
+      }
     // dictionary fast path: dict-encoded string/binary columns write int
     // ids into the vector's dictionary-id buffer instead of copying bytes
     // per row (a batch never spans chunks, so the dictionary is stable)
-    idVectors = vectors.indices.map { i =>
+    idVectors = leafVecs.indices.map { i =>
       val d = decoders(i)
       val isBin = outTypes(i) == StringType || outTypes(i) == BinaryType
       if (d != null && isBin && d.isDictEncoded) {
-        vectors(i).setDictionary(new CfVectorDictionary(d.dictionary))
-        vectors(i).reserveDictionaryIds(RowsPerBatch)
+        leafVecs(i).setDictionary(new CfVectorDictionary(d.dictionary))
+        leafVecs(i).reserveDictionaryIds(RowsPerBatch)
       } else null
     }.toArray
     var n = 0
     if (survivors == null) {
       // unfiltered: exactly rowCount rows, null-padding short columns
       while (n < RowsPerBatch && row < rowCount) {
-        writeRow(vectors, n)
+        writeRow(leafVecs, n)
         row += 1
         n += 1
       }
@@ -215,7 +258,7 @@ class ColumnFileColumnarPartitionReader(
             decoders.foreach(d => if (d != null && d.hasNext) d.skip(skip))
             row = nxt
           }
-          writeRow(vectors, n)
+          writeRow(leafVecs, n)
           row += 1
           n += 1
         }
@@ -233,11 +276,22 @@ class ColumnFileColumnarPartitionReader(
 
   private var idVectors: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector] = _
 
-  private def writeRow(vectors: Array[OnHeapColumnVector], pos: Int): Unit = {
+  private def writeRow(
+      vectors: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector],
+      pos: Int): Unit = {
     var i = 0
     while (i < decoders.length) {
       val d = decoders(i)
-      if (idVectors(i) != null && d.hasNext) {
+      if (leafIsPresence(i)) {
+        // presence leaf: its 1-byte cell drives null/not-null on the
+        // STRUCT vector (vectors(i) addresses the parent here); the
+        // struct's field leaves still stream one (null) cell per row,
+        // so decoder advancement stays uniform
+        val cell = if (d != null && d.hasNext) d.next() else null
+        if (cell == null || cell.length != 1 || cell(0) == 0)
+          vectors(i).putNull(pos)
+        else vectors(i).putNotNull(pos)
+      } else if (idVectors(i) != null && d.hasNext) {
         val id = d.nextId()
         if (id < 0) vectors(i).putNull(pos)
         else idVectors(i).putInt(pos, id)
@@ -258,7 +312,8 @@ class ColumnFileColumnarPartitionReader(
 
   // Unboxed writers for packed-numeric blocks (PackedIntColumnWriter):
   // the packed value IS the cell's little-endian bit pattern.
-  private type PackedWriter = (OnHeapColumnVector, Long, Int) => Unit
+  private type PackedWriter =
+    (org.apache.spark.sql.execution.vectorized.WritableColumnVector, Long, Int) => Unit
   private val packedWriters: Array[PackedWriter] = outTypes.map[PackedWriter] {
     case LongType | TimestampType | TimestampNTZType =>
       (v, x, pos) => v.putLong(pos, x)
@@ -295,7 +350,8 @@ class ColumnFileColumnarPartitionReader(
       ((b(3) & 0xff) << 24)
   }
 
-  private type CellWriter = (OnHeapColumnVector, Array[Byte], Int) => Unit
+  private type CellWriter =
+    (org.apache.spark.sql.execution.vectorized.WritableColumnVector, Array[Byte], Int) => Unit
   private val cellWriters: Array[CellWriter] = outTypes.map[CellWriter] {
     case StringType | BinaryType =>
       (v, cell, pos) => { v.putByteArray(pos, cell, 0, cell.length); () }
