@@ -341,6 +341,7 @@ object CoreQueries {
     // Nested shredding + assembly (#17, #18): struct/array columns survive
     // the columnfile roundtrip and project back out flat.
     nestedRoundtrip,
+    nestedFilter,
 
     // Partitioned storage: lineitem partitioned by l_returnflag; the
     // partition predicate prunes two of three directories before I/O.
@@ -1087,15 +1088,15 @@ object CoreQueries {
   /** q27: build nested rows, roundtrip through columnfile, project flat.
     * Oracle: the same flat projection straight from parquet.
     */
-  private def nestedRoundtrip: Q = {
-    val oracle =
-      """SELECT o_orderkey AS okey, o_orderstatus AS status,
-        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
-        |  YEAR(o_orderdate) AS y
-        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin
-    Q("q27_cf_nested_roundtrip", (spark, dir) => {
-      import org.apache.spark.sql.functions._
-      val nested = Tables.t(spark, dir, "orders")
+  /** Shared cf table of nested rows (q27/q57): one tenth of orders with
+    * a two-level struct and an array column.
+    */
+  private def nestedOrdersPath(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val out = Tables.cachePath(dir, "nested_orders")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.t(spark, dir, "orders")
         .where(expr("o_orderkey % 10 = 0"))
         .select(
           col("o_orderkey").as("okey"),
@@ -1105,16 +1106,47 @@ object CoreQueries {
             struct(year(col("o_orderdate")).as("y")).as("dates")
           ).as("info"),
           array(col("o_custkey"), col("o_orderkey")).as("keys"))
-      val out = Tables.cachePath(dir, "nested_orders")
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
-        nested.write.format("columnfile").mode("overwrite").save(out)
-      }
-      spark.read.format("columnfile").load(out)
+        .write.format("columnfile").mode("overwrite").save(out)
+    }
+    out
+  }
+
+  private def nestedRoundtrip: Q = {
+    val oracle =
+      """SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  YEAR(o_orderdate) AS y
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin
+    Q("q27_cf_nested_roundtrip", (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      spark.read.format("columnfile").load(nestedOrdersPath(spark, dir))
         .select(
           col("okey"),
           col("info.status").as("status"),
           expr("CAST(ROUND(info.price * 100) AS BIGINT)").as("price_c"),
           col("info.dates.y").as("y"))
+    }, Some(oracle))
+  }
+
+  /** q57: filters on struct leaves push into the cf scan (dotted-name
+    * leaf binding → chunk-stats pruning + task-side late
+    * materialization), then aggregate per year.
+    */
+  private def nestedFilter: Q = {
+    val oracle =
+      """SELECT YEAR(o_orderdate) AS y, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM orders
+        |WHERE o_orderkey % 10 = 0 AND o_orderstatus = 'F'
+        |  AND YEAR(o_orderdate) >= 1994
+        |GROUP BY YEAR(o_orderdate)""".stripMargin
+    Q("q57_cf_nested_filter", (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      spark.read.format("columnfile").load(nestedOrdersPath(spark, dir))
+        .where("info.status = 'F' AND info.dates.y >= 1994")
+        .groupBy(col("info.dates.y").as("y"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("CAST(ROUND(info.price * 100) AS BIGINT)")).as("sum_price_c"))
     }, Some(oracle))
   }
 }

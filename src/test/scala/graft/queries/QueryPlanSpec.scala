@@ -106,6 +106,13 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q57 pushes struct-leaf filters into the cf scan") {
+    val p = plan("q57_cf_nested_filter")
+    assert(p.contains("PushedFilters: [") && p.contains("info.status") &&
+      p.contains("info.dates.y"),
+      s"expected nested-leaf filters in scan description:\n$p")
+  }
+
   test("q51/q53 operator joins plan as equi-joins, no nested loop") {
     Seq("q51_range_join", "q53_salted_join").foreach { q =>
       val p = plan(q)

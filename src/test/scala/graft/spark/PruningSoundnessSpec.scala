@@ -83,7 +83,7 @@ class PruningSoundnessSpec extends AnyFunSuite {
     Seq.fill(n)(if (rnd.nextInt(10) == 0) null else pick(pool))
   }
 
-  private def genLeaf(dt: DataType): Filter = {
+  private def genLeaf(dt: DataType, attr: String = "c"): Filter = {
     def lit: Any = dt match {
       case LongType   => pick(longPool)
       case DoubleType => java.lang.Double.valueOf(pick(doublePool))
@@ -97,23 +97,24 @@ class PruningSoundnessSpec extends AnyFunSuite {
       case other      => fail(s"$other")
     }
     rnd.nextInt(if (dt == StringType) 10 else 9) match {
-      case 0 => EqualTo("c", lit)
-      case 1 => EqualNullSafe("c", lit)
-      case 2 => GreaterThan("c", lit)
-      case 3 => GreaterThanOrEqual("c", lit)
-      case 4 => LessThan("c", lit)
-      case 5 => LessThanOrEqual("c", lit)
-      case 6 => In("c", Array(lit, lit, lit))
-      case 7 => IsNull("c")
-      case 8 => IsNotNull("c")
-      case 9 => StringStartsWith("c", pick(stringPool.filter(_.length <= 4)))
+      case 0 => EqualTo(attr, lit)
+      case 1 => EqualNullSafe(attr, lit)
+      case 2 => GreaterThan(attr, lit)
+      case 3 => GreaterThanOrEqual(attr, lit)
+      case 4 => LessThan(attr, lit)
+      case 5 => LessThanOrEqual(attr, lit)
+      case 6 => In(attr, Array(lit, lit, lit))
+      case 7 => IsNull(attr)
+      case 8 => IsNotNull(attr)
+      case 9 => StringStartsWith(attr, pick(stringPool.filter(_.length <= 4)))
     }
   }
 
-  private def genFilter(dt: DataType, depth: Int): Filter =
-    if (depth == 0 || rnd.nextInt(3) > 0) genLeaf(dt)
-    else if (rnd.nextBoolean()) And(genFilter(dt, depth - 1), genFilter(dt, depth - 1))
-    else Or(genFilter(dt, depth - 1), genFilter(dt, depth - 1))
+  private def genFilter(dt: DataType, depth: Int, attr: String = "c"): Filter =
+    if (depth == 0 || rnd.nextInt(3) > 0) genLeaf(dt, attr)
+    else if (rnd.nextBoolean())
+      And(genFilter(dt, depth - 1, attr), genFilter(dt, depth - 1, attr))
+    else Or(genFilter(dt, depth - 1, attr), genFilter(dt, depth - 1, attr))
 
   private def statsOf(dt: DataType, values: Seq[Any]): ChunkStats = {
     val schema = StructType(Seq(StructField("c", dt)))
@@ -180,6 +181,60 @@ class PruningSoundnessSpec extends AnyFunSuite {
         }
       }
       assert(dropped > 500, s"$dt: only $dropped/5000 dropped; generator too weak")
+    }
+  }
+
+  test("nested-leaf pruning + task-side eval stay sound (2000 random cases per type)") {
+    // filters arrive with dotted attributes ("s.a") and bind to the
+    // shredded leaf column; rows inside a NULL struct read as null leaves
+    Seq[DataType](LongType, StringType).foreach { dt =>
+      val schema = StructType(Seq(StructField("s",
+        StructType(Seq(StructField("a", dt))), nullable = true)))
+      val leaves = CellCodec.flatten(schema) // [s (presence), s.a]
+      val leafIndex = leaves.zipWithIndex.map { case (l, i) => l.name -> i }.toMap
+      val leafType = leaves.map(l => l.name -> l.dataType).toMap
+      assert(leafIndex("s.a") == 1)
+      var pruned = 0
+      var dropped = 0
+      for (_ <- 0 until 2000) {
+        val raw = genValues(dt, 1 + rnd.nextInt(6))
+        // 1-in-5 rows: the STRUCT itself is null (presence 0, leaf null)
+        val rows: Seq[Option[Any]] =
+          raw.map(v => if (rnd.nextInt(5) == 0) None else Some(v))
+        def leafCell(v: Any): Array[Byte] =
+          if (v == null) null
+          else dt match {
+            case StringType =>
+              CellCodec.encode(dt, UTF8String.fromString(v.asInstanceOf[String]))
+            case _ => CellCodec.encode(dt, v)
+          }
+        val coll = new Collector(leaves, Set.empty)
+        rows.foreach {
+          case None    => coll.observe(Array(Array(0.toByte), null))
+          case Some(v) => coll.observe(Array(Array(1.toByte), leafCell(v)))
+        }
+        val stats = coll.finishChunk()
+        val filter = genFilter(dt, 2, "s.a")
+        // effective leaf value: null when the struct is null
+        val effective = rows.map(_.orNull)
+        if (provesEmpty(filter, stats, leafIndex, leafType)) {
+          pruned += 1
+          effective.foreach { v =>
+            assert(!rowMatches(dt, v, filter),
+              s"UNSOUND NESTED PRUNE: $dt filter=$filter rows=$rows matching=$v")
+          }
+        }
+        val bounds = FilterEval.bind(filter, schema, leafIndex)
+        bounds.foreach(b => assert(b.col == 1, s"bound to wrong leaf: ${b.col}"))
+        effective.foreach { v =>
+          val survives = bounds.forall(_.eval(leafCell(v)))
+          if (!survives) dropped += 1
+          if (rowMatches(dt, v, filter))
+            assert(survives, s"UNSOUND NESTED DROP: $dt filter=$filter value=$v")
+        }
+      }
+      assert(pruned > 50, s"$dt: only $pruned/2000 nested cases pruned")
+      assert(dropped > 200, s"$dt: only $dropped nested drops; generator too weak")
     }
   }
 }
