@@ -38,6 +38,47 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
+  /** Auto-sized salting: measures the left side's key skew on a seeded
+    * sample and derives `salts` from it, so callers don't hard-code a
+    * replication factor that is wasted on uniform keys and too small on
+    * pathological ones. Uniform keys pick 1 (the plain join, zero
+    * replication cost); a hot key picks enough salts to split its
+    * reducer down to the balanced per-reducer load, capped at
+    * `maxSalts`.
+    */
+  def innerAuto(left: DataFrame, right: DataFrame, on: Seq[String],
+      maxSalts: Int = 32, sampleFraction: Double = 0.05): DataFrame =
+    inner(left, right, on, chooseSalts(left, on, maxSalts, sampleFraction))
+
+  /** Sampled key histogram → salt count: the hottest key's sampled row
+    * count versus the balanced per-reducer load (sampled total /
+    * shuffle parallelism), clamped to [1, maxSalts]. One small
+    * aggregate job at plan time (AQE-style runtime statistics); the
+    * seeded Bernoulli sample is deterministic for a given input split
+    * layout — the same stability contract the salt hash itself has.
+    */
+  def chooseSalts(left: DataFrame, on: Seq[String],
+      maxSalts: Int = 32, sampleFraction: Double = 0.05): Int = {
+    require(maxSalts > 0, "saltedJoin: maxSalts must be positive")
+    require(sampleFraction > 0 && sampleFraction <= 1,
+      s"saltedJoin: sampleFraction must be in (0, 1], got $sampleFraction")
+    val parallelism =
+      left.sparkSession.sessionState.conf.numShufflePartitions
+    val stats = left.select(on.map(col): _*)
+      .sample(withReplacement = false, sampleFraction, seed = 41L)
+      .groupBy(on.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+      .head()
+    if (stats.isNullAt(0)) 1 // empty sample: nothing to size against
+    else {
+      val mx = stats.getLong(0)
+      val tot = stats.getLong(1)
+      val balanced = math.max(1L, tot / math.max(1, parallelism))
+      val want = math.ceil(mx.toDouble / balanced.toDouble).toLong
+      math.max(1L, math.min(maxSalts.toLong, want)).toInt
+    }
+  }
+
   def inner(left: DataFrame, right: DataFrame, on: Seq[String],
       salts: Int): DataFrame = {
     require(salts > 0, "saltedJoin: salts must be positive")
@@ -51,6 +92,10 @@ object SaltedJoin {
     require(clash.isEmpty,
       s"saltedJoin: right columns clash with left: ${clash.mkString(", ")}")
     Reserved.check("saltedJoin", left.columns.toSeq ++ right.columns.toSeq)
+
+    if (salts == 1) // no skew: the plain join, no salt column or replication
+      return left.join(right, on, "inner")
+        .select(left.columns.map(col).toSeq ++ rightOut.map(col): _*)
 
     val lhs = left.withColumn("__salt",
       pmod(xxhash64(left.columns.map(col).toSeq :+ spark_partition_id(): _*),

@@ -853,7 +853,11 @@ object CoreQueries {
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
       val ord = spark.table("orders").select(
         col("o_orderkey").as("okey"), col("o_orderpriority").as("opri"))
-      graft.operators.SaltedJoin.inner(li, ord, Seq("okey"), salts = 8)
+      // auto-sized: TPC-H order keys are uniform, so this measures the
+      // skew and picks 1 salt (plain join, no replication cost); a
+      // production hot key would pick >1. The planted-skew behavior is
+      // exercised in SaltedJoinSpec.
+      graft.operators.SaltedJoin.innerAuto(li, ord, Seq("okey"))
         .groupBy(col("opri"))
         .agg(count(lit(1)).as("cnt"),
           sum(expr("CAST(ROUND((rev) * 100) AS BIGINT)"))

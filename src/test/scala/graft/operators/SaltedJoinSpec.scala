@@ -90,6 +90,31 @@ class SaltedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("chooseSalts: planted hot key picks >1, uniform keys pick 1") {
+    val sp = spark; import sp.implicits._
+    // hot: one key carries ~90% of rows — must split
+    val (left, _) = fixture
+    val hot = SaltedJoin.chooseSalts(left, Seq("key"),
+      maxSalts = 32, sampleFraction = 1.0)
+    assert(hot > 1, s"planted hot key picked $hot salts")
+    // uniform: every key appears exactly 4 times across 1000 keys
+    val uniform = (0 until 1000).flatMap(k => Seq.fill(4)((s"k$k", k)))
+      .toDF("key", "lv")
+    val u = SaltedJoin.chooseSalts(uniform, Seq("key"),
+      maxSalts = 32, sampleFraction = 1.0)
+    assert(u == 1, s"uniform keys picked $u salts")
+    // empty input sizes to 1 (no crash on the null max)
+    assert(SaltedJoin.chooseSalts(uniform.limit(0), Seq("key"),
+      32, 1.0) == 1)
+    // auto join result identical to the plain join on the hot corpus
+    val (l2, r2) = fixture
+    val got = SaltedJoin.innerAuto(l2, r2, Seq("key"), maxSalts = 8,
+      sampleFraction = 1.0).groupBy("key", "lv", "rv").count()
+    val want = l2.join(r2, Seq("key"), "inner")
+      .groupBy("key", "lv", "rv").count()
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("plan joins on (key, salt) with no nested loop") {
     val (left, right) = fixture
     val plan = SaltedJoin.inner(left, right, Seq("key"), 8)
