@@ -342,6 +342,7 @@ object CoreQueries {
     // the columnfile roundtrip and project back out flat.
     nestedRoundtrip,
     nestedFilter,
+    widenedRead,
 
     // Partitioned storage: lineitem partitioned by l_returnflag; the
     // partition predicate prunes two of three directories before I/O.
@@ -1151,6 +1152,37 @@ object CoreQueries {
         .groupBy(col("info.dates.y").as("y"))
         .agg(count(lit(1)).as("cnt"),
           sum(expr("CAST(ROUND(info.price * 100) AS BIGINT)")).as("sum_price_c"))
+    }, Some(oracle))
+  }
+
+  /** q58: widening schema evolution — files written with INT columns,
+    * read with a BIGINT schema (the int32→int64 ALTER TABLE contract).
+    * Cells are fixed-width LE, so the narrower width decodes exactly;
+    * the oracle recomputes from the original parquet with casts.
+    */
+  private def widenedRead: Q = {
+    val oracle =
+      """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y, COUNT(*) AS cnt,
+        |  CAST(SUM(o_orderkey % 1000000) AS BIGINT) AS sum_okey
+        |FROM orders WHERE (o_orderkey % 1000000) % 2 = 0
+        |GROUP BY YEAR(o_orderdate)""".stripMargin
+    Q("q58_cf_widened_read", (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val out = Tables.cachePath(dir, "orders_i32")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "orders").select(
+          expr("CAST(o_orderkey % 1000000 AS INT)").as("okey"),
+          expr("CAST(YEAR(o_orderdate) AS INT)").as("y"))
+          .write.format("columnfile").mode("overwrite").save(out)
+      }
+      val widened = StructType(Seq(
+        StructField("okey", LongType, true),
+        StructField("y", LongType, true)))
+      spark.read.format("columnfile").schema(widened).load(out)
+        .where("okey % 2 = 0")
+        .groupBy(col("y"))
+        .agg(count(lit(1)).as("cnt"), sum(col("okey")).as("sum_okey"))
     }, Some(oracle))
   }
 }

@@ -90,15 +90,41 @@ object CellCodec {
       buf.toArray
   }
 
-  /** Decode cell bytes back to the Catalyst value for `dt`. */
+  /** Decode cell bytes back to the Catalyst value for `dt`.
+    *
+    * Integer and float families accept NARROWER cells than the read
+    * type (int8/16/32 under an int64 read schema; float under double):
+    * cells are fixed-width LE, so the width identifies the written
+    * type unambiguously and widening reads old files after an
+    * int32→int64 / float→double schema evolution — the same
+    * caller-chooses-interpretation contract as the reference's
+    * per-column format characters (tools/columnfile-cat.cc:285-319).
+    * Narrowing (wider cell than the read type) stays an error.
+    */
   def decode(dt: DataType, bytes: Array[Byte]): Any = dt match {
     case StringType  => UTF8String.fromBytes(bytes)
     case BinaryType  => bytes
-    case LongType | TimestampType | TimestampNTZType => rd(bytes, 8).getLong
-    case IntegerType | DateType => rd(bytes, 4).getInt
-    case DoubleType  => rd(bytes, 8).getDouble
+    case LongType => bytes.length match {
+      case 8 => rd(bytes, 8).getLong
+      case 4 => rd(bytes, 4).getInt.toLong
+      case 2 => rd(bytes, 2).getShort.toLong
+      case 1 => bytes(0).toLong
+      case _ => rd(bytes, 8).getLong // throws the standard width error
+    }
+    case TimestampType | TimestampNTZType => rd(bytes, 8).getLong
+    case IntegerType => bytes.length match {
+      case 4 => rd(bytes, 4).getInt
+      case 2 => rd(bytes, 2).getShort.toInt
+      case 1 => bytes(0).toInt
+      case _ => rd(bytes, 4).getInt
+    }
+    case DateType    => rd(bytes, 4).getInt
+    case DoubleType  =>
+      if (bytes.length == 4) rd(bytes, 4).getFloat.toDouble
+      else rd(bytes, 8).getDouble
     case FloatType   => rd(bytes, 4).getFloat
-    case ShortType   => rd(bytes, 2).getShort
+    case ShortType   =>
+      if (bytes.length == 1) bytes(0).toShort else rd(bytes, 2).getShort
     case ByteType    => rd(bytes, 1).get()
     case BooleanType => rd(bytes, 1).get() != 0
     case d: DecimalType =>

@@ -355,17 +355,32 @@ class ColumnFileColumnarPartitionReader(
   private val cellWriters: Array[CellWriter] = outTypes.map[CellWriter] {
     case StringType | BinaryType =>
       (v, cell, pos) => { v.putByteArray(pos, cell, 0, cell.length); () }
-    case LongType | TimestampType | TimestampNTZType =>
+    // integer/float families: exact width on the fast path; narrower
+    // cells (widening reads after int32→int64 / float→double schema
+    // evolution) go through CellCodec.decode's widening rules
+    case LongType =>
+      (v, cell, pos) => v.putLong(pos,
+        if (cell.length == 8) leLong(cell)
+        else CellCodec.decode(LongType, cell).asInstanceOf[Long])
+    case TimestampType | TimestampNTZType =>
       (v, cell, pos) => v.putLong(pos, leLong(cell))
-    case IntegerType | DateType =>
+    case IntegerType =>
+      (v, cell, pos) => v.putInt(pos,
+        if (cell.length == 4) leInt(cell)
+        else CellCodec.decode(IntegerType, cell).asInstanceOf[Int])
+    case DateType =>
       (v, cell, pos) => v.putInt(pos, leInt(cell))
     case DoubleType =>
-      (v, cell, pos) => v.putDouble(pos, java.lang.Double.longBitsToDouble(leLong(cell)))
+      (v, cell, pos) => v.putDouble(pos,
+        if (cell.length == 4) java.lang.Float.intBitsToFloat(leInt(cell)).toDouble
+        else java.lang.Double.longBitsToDouble(leLong(cell)))
     case FloatType =>
       (v, cell, pos) => v.putFloat(pos, java.lang.Float.intBitsToFloat(leInt(cell)))
     case ShortType =>
-      (v, cell, pos) => { expectLen(cell, 2)
-        v.putShort(pos, (((cell(1) & 0xff) << 8) | (cell(0) & 0xff)).toShort) }
+      (v, cell, pos) =>
+        if (cell.length == 1) v.putShort(pos, cell(0).toShort)
+        else { expectLen(cell, 2)
+          v.putShort(pos, (((cell(1) & 0xff) << 8) | (cell(0) & 0xff)).toShort) }
     case ByteType =>
       (v, cell, pos) => { expectLen(cell, 1); v.putByte(pos, cell(0)) }
     case BooleanType =>

@@ -198,6 +198,54 @@ class RaggedChunkSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L until 150L).sum)
   }
 
+  test("schema evolution: widening reads (int32->int64, float->double)") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cf-widen").toString
+    // old files: INT + FLOAT columns (with nulls)
+    val old = (0 until 200).map(i =>
+      (i.toLong, if (i % 9 == 0) None else Some(i - 100),
+        if (i % 7 == 0) None else Some((i * 0.5).toFloat)))
+      .toDF("id", "n", "x")
+    assert(old.schema("n").dataType == IntegerType)
+    assert(old.schema("x").dataType == FloatType)
+    old.write.format("columnfile").mode("overwrite").save(dir)
+
+    val widened = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("n", LongType, true),
+      StructField("x", DoubleType, true)))
+    val t = spark.read.format("columnfile").schema(widened).load(dir)
+    assert(t.schema("n").dataType == LongType)
+    // values are preserved exactly (float->double is value-exact)
+    val got = t.orderBy("id").collect()
+    got.foreach { r =>
+      val i = r.getLong(0)
+      if (i % 9 == 0) assert(r.isNullAt(1)) else assert(r.getLong(1) == i - 100)
+      if (i % 7 == 0) assert(r.isNullAt(2))
+      else assert(r.getDouble(2) == (i * 0.5).toFloat.toDouble)
+    }
+    // the columnar (batched) path serves the widened projection
+    val plan = t.select("id", "n", "x").queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"widened read fell back:\n$plan")
+    // pushed filters on the widened column evaluate and prune soundly
+    assert(t.filter(col("n") === 50L).count() == 1)
+    assert(t.filter(col("n") > 80L).count() ==
+      (0 until 200).count(i => i % 9 != 0 && i - 100 > 80))
+    // aggregate over the widened numeric matches the original values
+    val sums = t.agg(sum("n"), sum("x")).head
+    assert(sums.getLong(0) ==
+      (0 until 200).filter(_ % 9 != 0).map(i => (i - 100).toLong).sum)
+
+    // bitpacked old files (packed width 4 < read width 8) fall back to
+    // the widened cell path and still read exactly
+    val dir2 = java.nio.file.Files.createTempDirectory("cf-widen-bp").toString
+    old.write.format("columnfile").option("bitpack", "true")
+      .mode("overwrite").save(dir2)
+    val t2 = spark.read.format("columnfile").schema(widened).load(dir2)
+    assert(t2.agg(sum("n")).head.getLong(0) == sums.getLong(0))
+    assert(t2.filter(col("n") === 50L).count() == 1)
+  }
+
   test("corrupt or stale stats sidecars never break reads (fallback to header walk)") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-badstats").toString
