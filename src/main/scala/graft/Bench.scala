@@ -24,9 +24,15 @@ object Bench {
     spark
   }
 
-  /** Warm-up pass + two timed passes, min per query; -1 marks failures. */
+  /** Warm-up pass + two timed passes, min per query; -1 marks failures.
+    * SPARK_GRAFT_BENCH_ONLY (comma-separated names) restricts the
+    * inventory for local scale-step iteration; the driver never sets it.
+    */
   def timeInventory(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val inventory = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // Warm-up: run every query once untimed. This charges one-time costs
     // (parquet footers, columnfile cache writes, codegen compilation) to
     // the warm-up, so the timed passes measure steady-state execution —

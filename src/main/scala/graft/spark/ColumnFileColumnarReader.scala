@@ -42,10 +42,11 @@ object ColumnFileColumnarReader {
       throw new UnsupportedOperationException("dictionary holds binary values")
   }
 
-  /** Flat atomic columns and (possibly nested) structs whose leaves are
-    * all atomic. Arrays/maps/variants keep the row reader: their framed
-    * cells decode to variable-length values that have no unboxed vector
-    * write path.
+  /** Flat atomic columns, (possibly nested) structs whose leaves are all
+    * atomic, and arrays/maps of atomic elements (framed cells parse
+    * straight into the vector's child element vectors). Variants,
+    * arrays-of-structs, and nested collections keep the row reader:
+    * their cells decode to values with no unboxed vector write path.
     */
   def vectorizable(schema: StructType): Boolean =
     schema.fields.forall(f => vectorizableType(f.dataType))
@@ -56,6 +57,19 @@ object ColumnFileColumnarReader {
          TimestampNTZType | StringType | BinaryType => true
     case _: DecimalType => true
     case st: StructType => st.fields.forall(f => vectorizableType(f.dataType))
+    case ArrayType(et, _) => vectorizableElement(et)
+    case MapType(kt, vt, _) => vectorizableElement(kt) && vectorizableElement(vt)
+    case _ => false
+  }
+
+  /** Collection ELEMENT types with an append path on the child vector.
+    * Decimals (big-int cells) and nested collections/structs stay on the
+    * row reader.
+    */
+  private[spark] def vectorizableElement(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | ShortType | ByteType | BooleanType |
+         FloatType | DoubleType | DateType | TimestampType |
+         TimestampNTZType | StringType | BinaryType => true
     case _ => false
   }
 }
@@ -389,7 +403,130 @@ class ColumnFileColumnarPartitionReader(
       (v, cell, pos) => v.putDecimal(pos,
         CellCodec.decode(d, cell).asInstanceOf[org.apache.spark.sql.types.Decimal],
         d.precision)
+    // Framed collections parse straight into the child element vectors
+    // (append-based: rows of a batch are written in order, so the child
+    // offset is just the running elementsAppended). Mirrors
+    // CellCodec.readFramed's framing exactly: varint count, then per
+    // element a presence byte + fixed-width LE value or varint-framed
+    // bytes. Map keys carry no presence byte (never null).
+    case ArrayType(et, _) =>
+      val app = elemAppender(et)
+      (v, cell, pos) => {
+        val cur = new graft.format.Cursor(0)
+        val n = framedCount(cell, cur)
+        val child = v.arrayData()
+        val start = child.getElementsAppended
+        var k = 0
+        while (k < n) {
+          expectRemain(cell, cur, 1)
+          val present = cell(cur.pos) != 0
+          cur.pos += 1
+          if (present) app(child, cell, cur) else { child.appendNull(); () }
+          k += 1
+        }
+        expectConsumed(cell, cur, "array")
+        v.putArray(pos, start, n)
+        ()
+      }
+    case MapType(kt, vt, _) =>
+      val kApp = elemAppender(kt)
+      val vApp = elemAppender(vt)
+      (v, cell, pos) => {
+        val cur = new graft.format.Cursor(0)
+        val n = framedCount(cell, cur)
+        val keys = v.getChild(0)
+        val vals = v.getChild(1)
+        val start = keys.getElementsAppended
+        var k = 0
+        while (k < n) {
+          kApp(keys, cell, cur)
+          expectRemain(cell, cur, 1)
+          val present = cell(cur.pos) != 0
+          cur.pos += 1
+          if (present) vApp(vals, cell, cur) else { vals.appendNull(); () }
+          k += 1
+        }
+        expectConsumed(cell, cur, "map")
+        v.putArray(pos, start, n)
+        ()
+      }
     case other =>
       throw new IllegalStateException(s"non-vectorizable type $other")
+  }
+
+  // ---- framed-collection parsing helpers ----
+
+  private def expectRemain(cell: Array[Byte], cur: graft.format.Cursor, n: Int): Unit =
+    if (cur.pos + n > cell.length)
+      throw new graft.format.CorruptColumnFileException(
+        s"framed cell truncated at ${cur.pos}+$n of ${cell.length} bytes")
+
+  private def expectConsumed(cell: Array[Byte], cur: graft.format.Cursor,
+      what: String): Unit =
+    if (cur.pos != cell.length)
+      throw new graft.format.CorruptColumnFileException(
+        s"trailing bytes decoding $what cell")
+
+  /** Element count, validated as Long BEFORE narrowing (each element
+    * costs >= 1 byte) — same guard as CellCodec.readCount.
+    */
+  private def framedCount(cell: Array[Byte], cur: graft.format.Cursor): Int = {
+    val n = graft.format.Varint.get(cell, cur)
+    if (n < 0 || n > (cell.length - cur.pos).toLong)
+      throw new graft.format.CorruptColumnFileException(
+        s"framed count $n exceeds cell of ${cell.length} bytes")
+    n.toInt
+  }
+
+  private def leIntAt(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) |
+      ((b(p + 3) & 0xff) << 24)
+  private def leLongAt(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) | ((b(p + 2) & 0xffL) << 16) |
+      ((b(p + 3) & 0xffL) << 24) | ((b(p + 4) & 0xffL) << 32) |
+      ((b(p + 5) & 0xffL) << 40) | ((b(p + 6) & 0xffL) << 48) |
+      ((b(p + 7) & 0xffL) << 56)
+
+  /** Appends one non-null element of `dt` from the framed cell at the
+    * cursor to a child vector, advancing the cursor.
+    */
+  private type ElemAppender =
+    (org.apache.spark.sql.execution.vectorized.WritableColumnVector, Array[Byte],
+      graft.format.Cursor) => Unit
+  private def elemAppender(dt: DataType): ElemAppender = dt match {
+    case IntegerType | DateType =>
+      (c, cell, cur) => { expectRemain(cell, cur, 4)
+        c.appendInt(leIntAt(cell, cur.pos)); cur.pos += 4; () }
+    case LongType | TimestampType | TimestampNTZType =>
+      (c, cell, cur) => { expectRemain(cell, cur, 8)
+        c.appendLong(leLongAt(cell, cur.pos)); cur.pos += 8; () }
+    case DoubleType =>
+      (c, cell, cur) => { expectRemain(cell, cur, 8)
+        c.appendDouble(java.lang.Double.longBitsToDouble(leLongAt(cell, cur.pos)))
+        cur.pos += 8; () }
+    case FloatType =>
+      (c, cell, cur) => { expectRemain(cell, cur, 4)
+        c.appendFloat(java.lang.Float.intBitsToFloat(leIntAt(cell, cur.pos)))
+        cur.pos += 4; () }
+    case ShortType =>
+      (c, cell, cur) => { expectRemain(cell, cur, 2)
+        c.appendShort((((cell(cur.pos + 1) & 0xff) << 8) |
+          (cell(cur.pos) & 0xff)).toShort)
+        cur.pos += 2; () }
+    case ByteType =>
+      (c, cell, cur) => { expectRemain(cell, cur, 1)
+        c.appendByte(cell(cur.pos)); cur.pos += 1; () }
+    case BooleanType =>
+      (c, cell, cur) => { expectRemain(cell, cur, 1)
+        c.appendBoolean(cell(cur.pos) != 0); cur.pos += 1; () }
+    case StringType | BinaryType =>
+      (c, cell, cur) => {
+        val len = framedCount(cell, cur)
+        c.appendByteArray(cell, cur.pos, len)
+        cur.pos += len
+        ()
+      }
+    case other =>
+      throw new IllegalStateException(s"non-vectorizable element type $other")
   }
 }

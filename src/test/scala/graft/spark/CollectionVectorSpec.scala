@@ -1,0 +1,136 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vectorized array/map reads: framed collection cells parse straight
+  * into the batch's child element vectors, so embedding-style scans
+  * (array<float> over millions of rows) stream through the columnar
+  * path instead of per-row boxing. Nested collections (array of array,
+  * array of struct) and decimal elements stay on the row reader.
+  */
+class CollectionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("collection-vector-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def columnar(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("ColumnarToRow")
+
+  test("array columns round-trip through the columnar path") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-vec-arr").toString
+    val src = (0 until 5000).map { i =>
+      val floats =
+        if (i % 101 == 0) null
+        else (0 until 8).map(d => (i * 8 + d) * 0.25f)
+      val words =
+        if (i % 97 == 0) Seq.empty[String]
+        else Seq(s"w$i", null, s"x${i % 7}")
+      (i.toLong, floats, words, Seq(i, i + 1), Seq(i % 2 == 0))
+    }.toDF("id", "vec", "words", "ints", "flags")
+    src.write.format("columnfile").mode("overwrite").save(dir)
+
+    val back = spark.read.format("columnfile").load(dir)
+    assert(columnar(back.select("id", "vec", "words", "ints", "flags")),
+      "array projection should use the columnar reader")
+    assert(back.count() == 5000)
+    val diff = back.exceptAll(src).count() + src.exceptAll(back).count()
+    assert(diff == 0, s"round-trip mismatch: $diff rows differ")
+
+    // element-level reads: null arrays, empty arrays, null elements
+    assert(back.where(col("vec").isNull).count() ==
+      (0 until 5000).count(_ % 101 == 0))
+    assert(back.where(size(col("words")) === 0).count() ==
+      (0 until 5000).count(_ % 97 == 0))
+    val r42 = back.where(col("id") === 42L).select("vec", "words").head
+    assert(r42.getSeq[Float](0) == (0 until 8).map(d => (42 * 8 + d) * 0.25f))
+    assert(r42.getSeq[String](1) == Seq("w42", null, "x0"))
+
+    // a compute over the vectorized floats (the ANN scan shape)
+    val norm = back.where(col("vec").isNotNull)
+      .select(aggregate(col("vec"), lit(0.0d),
+        (acc, x) => acc + x * x).as("n2"))
+      .agg(sum("n2")).head.getDouble(0)
+    val expect = (0 until 5000).filter(_ % 101 != 0).map { i =>
+      (0 until 8).map(d => math.pow(((i * 8 + d) * 0.25f).toDouble, 2)).sum
+    }.sum
+    // summation order differs between engines; bound the relative error
+    assert(math.abs(norm - expect) / expect < 1e-9)
+  }
+
+  test("map columns round-trip through the columnar path") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-vec-map").toString
+    val src = (0 until 3000).map { i =>
+      val m: Map[String, Long] =
+        if (i % 53 == 0) Map.empty[String, Long]
+        else Map(s"k${i % 5}" -> i.toLong, "c" -> (i % 7).toLong)
+      val mv: Map[Long, String] = Map(i.toLong -> (if (i % 3 == 0) null else s"v$i"))
+      (i.toLong, m, mv)
+    }.toDF("id", "m", "mv")
+    src.write.format("columnfile").mode("overwrite").save(dir)
+
+    val back = spark.read.format("columnfile").load(dir)
+    assert(columnar(back.select("id", "m", "mv")),
+      "map projection should use the columnar reader")
+    // map equality is order-sensitive in exceptAll; compare exploded
+    val a = back.select(col("id"), explode_outer(col("m")))
+    val b = src.select(col("id"), explode_outer(col("m")))
+    assert(a.exceptAll(b).count() + b.exceptAll(a).count() == 0)
+    assert(back.where(element_at(col("mv"), col("id")).isNull).count() ==
+      (0 until 3000).count(_ % 3 == 0))
+    assert(back.select(sum(element_at(col("m"), lit("c")))).head.getLong(0) ==
+      (0 until 3000).filter(_ % 53 != 0).map(_ % 7).sum)
+  }
+
+  test("nested collections and decimal elements stay on the row reader") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-vec-nested").toString
+    val src = (0 until 100).map(i =>
+      (i.toLong, Seq(Seq(i.toLong)), Seq(BigDecimal(i).setScale(2))))
+      .toDF("id", "aa", "dec")
+    src.write.format("columnfile").mode("overwrite").save(dir)
+    val back = spark.read.format("columnfile").load(dir)
+    assert(!columnar(back.select("id", "aa")),
+      "nested array should fall back to the row reader")
+    assert(!columnar(back.select("id", "dec")),
+      "decimal array should fall back to the row reader")
+    val diff = back.exceptAll(src).count() + src.exceptAll(back).count()
+    assert(diff == 0)
+    // flat sibling projection still vectorizes
+    assert(columnar(back.select("id")))
+  }
+
+  test("filters prune and late-materialize around vectorized arrays") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-vec-filter").toString
+    (0 until 20000).map(i => (i.toLong, (0 until 4).map(d => i * 4 + d)))
+      .toDF("id", "xs")
+      .repartition(1).sortWithinPartitions("id")
+      .write.format("columnfile").option("targetChunkBytes", "16384")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("columnfile").load(dir)
+    val hit = back.where(col("id") >= 19990L)
+    assert(columnar(hit))
+    val got = hit.select("id", "xs").collect()
+    assert(got.length == 10)
+    assert(got.forall(r =>
+      r.getSeq[Int](1) == (0 until 4).map(d => r.getLong(0).toInt * 4 + d)))
+  }
+}

@@ -77,16 +77,18 @@ class DictionaryEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("row reader path (non-vectorizable projection) maps dictionary ids too") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-dict-row").toString
-    (0 until 1000).map(i => (i.toLong, langs(i % langs.length), Seq(i.toLong, i + 1L)))
-      .toDF("id", "lang", "arr")
+    (0 until 1000).map(i =>
+        (i.toLong, langs(i % langs.length), Seq(Seq(i.toLong, i + 1L))))
+      .toDF("id", "lang", "aa")
       .write.format("columnfile").option("dictionary", "true")
       .mode("overwrite").save(dir)
     val back = spark.read.format("columnfile").load(dir)
-    // array column in the projection disables vectorization -> row path
-    val got = back.select("id", "lang", "arr")
+    // nested array column in the projection disables vectorization -> row path
+    val got = back.select("id", "lang", "aa")
       .filter(col("lang") === "fr").collect()
     assert(got.length == (0 until 1000).count(i => langs(i % langs.length) == "fr"))
-    assert(got.forall(r => r.getSeq[Long](2) == Seq(r.getLong(0), r.getLong(0) + 1)))
+    assert(got.forall(r => r.getSeq[Seq[Long]](2) ==
+      Seq(Seq(r.getLong(0), r.getLong(0) + 1))))
   }
 
   test("filters on dict columns evaluate once per dictionary entry") {

@@ -36,8 +36,9 @@ class PermissiveScanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def corruptedTable(): (String, Long, Long) = {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-permissive").toString
-    (0 until 20000).map(i => (i.toLong, s"v$i", Seq(i.toLong, i + 1L)))
-      .toDF("id", "v", "arr")
+    (0 until 20000).map(i => (i.toLong, s"v$i", Seq(i.toLong, i + 1L),
+        Seq(Seq(i.toLong))))
+      .toDF("id", "v", "arr", "aa")
       .repartition(1).sortWithinPartitions("id")
       .write.format("columnfile").option("targetChunkBytes", "16384")
       .mode("overwrite").save(dir)
@@ -88,11 +89,11 @@ class PermissiveScanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("onCorrupt=skip drops exactly the corrupt chunk (row path)") {
     val (dir, total, victimRows) = corruptedTable()
-    // array column is not vectorizable -> row reader
+    // nested array column is not vectorizable -> row reader
     val df = spark.read.format("columnfile").option("onCorrupt", "skip")
-      .load(dir).select("id", "arr")
+      .load(dir).select("id", "aa")
     assert(df.count() == total - victimRows)
-    assert(df.where(size(col("arr")) =!= 2).count() == 0)
+    assert(df.where(size(col("aa")) =!= 1).count() == 0)
   }
 
   test("filters still evaluate on surviving chunks under skip") {
