@@ -6,58 +6,70 @@ import org.apache.spark.sql.functions._
 /** Distributed dedup graph operators. */
 object Dedup {
 
-  /** Connected components of an undirected pair list `(i, j)` by
-    * min-label propagation: every node starts labeled with its own id;
-    * each round, a node's label becomes the min over itself and its
-    * neighbors; fixed point reached in O(component diameter) rounds.
+  /** Connected components of an undirected pair list `(i, j)` by the
+    * alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014).
     * Returns `(id, comp)` where `comp` is the component's min node id.
     *
-    * This is the iterated upgrade of the 1-hop min-over-neighbors
-    * approximation used by d08: chained near-dups (A-B, B-C with A,C not
-    * direct neighbors) land in ONE component here.
+    * Each round halves star depth (large-star hangs every node's larger
+    * neighbors off its neighborhood min; small-star then re-hangs the
+    * smaller neighbors), so convergence takes O(log n) rounds regardless
+    * of component DIAMETER — min-label propagation (the previous
+    * implementation here, and the GraphX default) needs O(diameter)
+    * rounds, which goes superlinear exactly when a dup-flood corpus
+    * chains giant components together (measured: 100x-replicated
+    * documents collapse LSH buckets across replicas into ~100x-size
+    * components; see SCALE.md).
     *
-    * 100 TB shape: each round is one shuffle join (edges x labels, keyed
-    * on node id) plus a group-min — the standard large-graph CC loop
-    * (GraphX/GraphFrames equivalent). Rounds are bounded by `maxIter`;
-    * near-dup graphs have tiny diameters in practice (dup clusters are
-    * dense), so the loop converges in a handful of rounds. Labels are
-    * re-cached per round and the previous round unpersisted; at cluster
-    * scale substitute `localCheckpoint` every few rounds to truncate
-    * lineage (same discipline SCALE.md documents for d08's pair graph).
+    * 100 TB shape: each round is two groupBy-min + join pairs over the
+    * edge set, all hash-partitioned on node id — no collect_list
+    * neighborhoods (a hub node's edges stream through the shuffle; its
+    * neighborhood never materializes in one task). localCheckpoint per
+    * round truncates the iterative lineage (driver OOM by ~10 rounds
+    * otherwise); at cluster scale substitute reliable checkpoint().
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val p = pairs.select(col(pairs.columns(0)).as("i"), col(pairs.columns(1)).as("j"))
-    val edges = p.select(col("i").as("a"), col("j").as("b"))
-      .union(p.select(col("j").as("a"), col("i").as("b")))
-      .cache()
-    // localCheckpoint per round: iterative plans otherwise nest one
-    // union-join-aggregate per iteration and the logical plan grows
-    // exponentially (driver OOM by ~10 rounds). At cluster scale use
-    // reliable checkpoint() to a checkpoint dir instead.
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
-    var converged = labels.isEmpty
+    val p = pairs.select(col(pairs.columns(0)).as("u"), col(pairs.columns(1)).as("v"))
+    val nodes = p.select(col("u").as("id")).union(p.select(col("v").as("id")))
+      .distinct().localCheckpoint(true)
+    // canonical undirected edge set; self-loops contribute membership
+    // (via `nodes`) but no connectivity
+    var edges = p.where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true)
+    var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      val compType = labels.schema("comp").dataType
-      // neighbor labels flow along edges; keep own label in the pool.
-      // The node's own row carries its previous label as `old`, so the
-      // group-min aggregate ALSO yields the previous label per node and
-      // convergence is an exact changed-label check — no label-sum probe
-      // (a sum can wrap at extreme id ranges and alias distinct states).
-      val viaEdges = edges.join(labels, edges("b") === labels("id"))
-        .select(edges("a").as("id"), col("comp"),
-          lit(null).cast(compType).as("old"))
-      val next = labels.select(col("id"), col("comp"), col("comp").as("old"))
-        .union(viaEdges)
-        .groupBy("id").agg(min("comp").as("comp"), max("old").as("old"))
-        .localCheckpoint(true)
-      converged = next.filter(col("comp") =!= col("old")).isEmpty
-      labels = next.select("id", "comp")
+      // large-star: every node connects its strictly-larger neighbors to
+      // min(self ∪ neighborhood)
+      val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmin = nbrs.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = nbrs.join(lmin, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint(true)
+      // small-star: every node re-hangs itself and its smaller neighbors
+      // off the min of those — emitted edges are always (child, parent)
+      // with parent < child
+      val nbrs2 = ls.union(ls.select(col("v").as("u"), col("u").as("v")))
+      val smaller = nbrs2.where(col("v") < col("u"))
+      val smin = smaller.groupBy("u").agg(min("v").as("m"))
+      val ss = smaller.join(smin, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smin.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint(true)
+      // exact fixed-point check (set equality) — no label-sum probe that
+      // could wrap at hash-range ids and alias distinct states
+      converged = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      edges = ss
       iter += 1
     }
-    edges.unpersist()
-    labels
+    // fixed point is a star forest: (child, component-min) per non-root.
+    // group-min guards the maxIter-cutoff case where a node still carries
+    // two candidate parents; roots and edge-less nodes label themselves.
+    val stars = edges.groupBy("u").agg(min("v").as("comp"))
+      .withColumnRenamed("u", "sid")
+    nodes.join(stars, col("id") === col("sid"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 }
