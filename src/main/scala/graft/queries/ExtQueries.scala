@@ -837,30 +837,59 @@ object ExtQueries {
     * skew (exact-dup embeddings share every sign bit) is cut by the
     * shared [[HotBucketCap]].
     */
-  private def knnSignLshSql(d: Dial): String = {
+  /** The capped (vec_id, embedding, bucket) relation for v02 — bucket
+    * assignment + hot-bucket cap. Split out so the Spark side can
+    * materialize it ONCE: inlined as a CTE, the bucket self-join's two
+    * sides each re-run the sign-bucket scan and the cap window over the
+    * whole corpus (same double-build the round-7 plan audit flagged for
+    * d03/d05/d06).
+    */
+  private def knnSignLshBcSql(d: Dial): String = {
     val nbits = nbitsCase("COUNT(*)", 8, 24)
     val bucket = signBucket(d, "embedding", 0, 24, "nb.nbits")
+    s"""WITH nb AS (SELECT $nbits AS nbits FROM embeddings),
+       |b AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
+       |  FROM embeddings CROSS JOIN nb)
+       |SELECT vec_id, embedding, bucket FROM (
+       |  SELECT vec_id, embedding, bucket,
+       |    COUNT(*) OVER (PARTITION BY bucket) AS bn
+       |  FROM b) x
+       |WHERE bn <= $HotBucketCap""".stripMargin
+  }
+
+  /** In-bucket top-k over a (possibly materialized) capped bucket
+    * relation `bc`. Nested subqueries, not a WITH clause — Spark's
+    * cached-plan substitution does not look inside `WithCTE` fragments
+    * (see [[minhashPairsFrom]]).
+    */
+  private def knnSignLshFrom(d: Dial, bc: String): String = {
     val cos =
       s"""${d.dot("q.embedding", "e.embedding")} /
          |    (sqrt(${d.dot("q.embedding", "q.embedding")}) * sqrt(${d.dot("e.embedding", "e.embedding")}))""".stripMargin
-    s"""WITH nb AS (SELECT $nbits AS nbits FROM embeddings),
-       |b AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
-       |  FROM embeddings CROSS JOIN nb),
-       |bc AS (SELECT vec_id, embedding, bucket FROM (
-       |         SELECT vec_id, embedding, bucket,
-       |           COUNT(*) OVER (PARTITION BY bucket) AS bn
-       |         FROM b) x
-       |       WHERE bn <= $HotBucketCap),
-       |c AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
-       |    $cos AS cos
-       |  FROM bc q JOIN bc e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
-       |  WHERE q.vec_id < 50)
-       |SELECT qid, nid, cos FROM (
+    s"""SELECT qid, nid, cos FROM (
        |  SELECT qid, nid, cos,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
-       |  FROM c) x
+       |  FROM (SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |          $cos AS cos
+       |        FROM $bc q JOIN $bc e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+       |        WHERE q.vec_id < 50) c) x
        |WHERE rn <= 5""".stripMargin
   }
+
+  /** Single-statement form (DuckDB oracle: CTEs evaluate once there). */
+  private def knnSignLshSql(d: Dial): String =
+    s"WITH bc AS (${knnSignLshBcSql(d)})\n${knnSignLshFrom(d, "bc")}"
+
+  /** Spark-side v02 with the capped bucket relation materialized once
+    * (cached temp view) — one sign-bucket scan + cap window total; the
+    * bucket self-join reads the cache.
+    */
+  private def knnSignLshQ: Q = Q("v02_knn_sign_lsh", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    val bc = spark.sql(knnSignLshBcSql(SparkD))
+    bc.cache().createOrReplaceTempView("sl_bc")
+    spark.sql(knnSignLshFrom(SparkD, "sl_bc"))
+  }, Some(knnSignLshSql(DuckD)))
 
   /** Embedding-cosine near-dup: candidate pairs from sign-LSH buckets
     * (shuffle on the bucket key — no all-pairs product), exact cosine on
@@ -873,31 +902,58 @@ object ExtQueries {
     * bucket) is capped at [[HotBucketCap]] rows so exact-dup embeddings
     * can't drive one bucket's self-join quadratic.
     */
-  private def embeddingDedupSql(d: Dial): String = {
+  /** The capped (vec_id, tbl, bk) relation for d07 — 4-table probes +
+    * per-(table, bucket) hot cap. Split out so the Spark side can
+    * materialize it ONCE (see [[knnSignLshBcSql]]).
+    */
+  private def embeddingExSql(d: Dial): String = {
     val nbits = nbitsCase("COUNT(*)", 8, 16)
     // 4 hash tables over disjoint dimension groups (multi-probe recall).
     val probes = (0 until 4).map { t =>
       s"SELECT vec_id, $t AS tbl, CAST(${signBucket(d, "embedding", 16 * t, 16, "nb.nbits")} AS BIGINT) AS bk FROM embeddings CROSS JOIN nb"
     }.mkString("\n  UNION ALL ")
+    s"""WITH nb AS (SELECT $nbits AS nbits FROM embeddings),
+       |ex0 AS (
+       |  $probes)
+       |SELECT vec_id, tbl, bk FROM (
+       |  SELECT vec_id, tbl, bk,
+       |    COUNT(*) OVER (PARTITION BY tbl, bk) AS bn
+       |  FROM ex0) x
+       |WHERE bn <= $HotBucketCap""".stripMargin
+  }
+
+  /** Candidate pairs + exact-cosine verification over a (possibly
+    * materialized) capped probe relation `ex`. Nested subqueries, not a
+    * WITH clause (see [[minhashPairsFrom]]).
+    */
+  private def embeddingPairsFrom(d: Dial, ex: String): String = {
     val cos =
       s"""${d.dot("x.embedding", "y.embedding")} /
          |    (sqrt(${d.dot("x.embedding", "x.embedding")}) * sqrt(${d.dot("y.embedding", "y.embedding")}))""".stripMargin
-    s"""WITH nb AS (SELECT $nbits AS nbits FROM embeddings),
-       |ex0 AS (
-       |  $probes),
-       |ex AS (SELECT vec_id, tbl, bk FROM (
-       |         SELECT vec_id, tbl, bk,
-       |           COUNT(*) OVER (PARTITION BY tbl, bk) AS bn
-       |         FROM ex0) x
-       |       WHERE bn <= $HotBucketCap),
-       |cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
-       |         FROM ex a JOIN ex b ON a.tbl = b.tbl AND a.bk = b.bk
-       |          AND a.vec_id < b.vec_id),
-       |c AS (SELECT i, j, $cos AS cos
-       |  FROM cand JOIN embeddings x ON x.vec_id = i
-       |            JOIN embeddings y ON y.vec_id = j)
-       |SELECT i, j, cos FROM c WHERE cos >= 0.4""".stripMargin
+    s"""SELECT i, j, cos FROM (
+       |  SELECT i, j, $cos AS cos
+       |  FROM (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+       |        FROM $ex a JOIN $ex b ON a.tbl = b.tbl AND a.bk = b.bk
+       |         AND a.vec_id < b.vec_id) cand
+       |  JOIN embeddings x ON x.vec_id = i
+       |  JOIN embeddings y ON y.vec_id = j) c
+       |WHERE cos >= 0.4""".stripMargin
   }
+
+  /** Single-statement form (DuckDB oracle: CTEs evaluate once there). */
+  private def embeddingDedupSql(d: Dial): String =
+    s"WITH ex AS (${embeddingExSql(d)})\n${embeddingPairsFrom(d, "ex")}"
+
+  /** Spark-side d07 with the capped probe relation materialized once
+    * (cached temp view) — one probe Generate + cap window total; the
+    * band self-join reads the cache.
+    */
+  private def embeddingDedupQ: Q = Q("d07_dedup_embedding_cosine", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    val ex = spark.sql(embeddingExSql(SparkD))
+    ex.cache().createOrReplaceTempView("ed_ex")
+    spark.sql(embeddingPairsFrom(SparkD, "ed_ex"))
+  }, Some(embeddingDedupSql(DuckD)))
 
   // ---------------------------------------------------------------- multimodal
 
@@ -1163,7 +1219,7 @@ object ExtQueries {
     dialect("d04_dedup_simhash", simhashSql),
     simhashPairs,
     ngramJaccard,
-    dialect("d07_dedup_embedding_cosine", embeddingDedupSql),
+    embeddingDedupQ,
     // Keep-best dedup: one representative per near-dup group (MinHash
     // band grouping), chosen by quality score with doc_id tiebreak —
     // the full LLM-pipeline dedup shape: group -> score -> keep-1.
@@ -1212,7 +1268,7 @@ object ExtQueries {
     // Count-min heavy hitters vs the exact counts they estimate.
     dialect("p08_sketch_heavy_hitters", cmsSql),
     dialect("v01_knn_brute", knnBruteSql),
-    dialect("v02_knn_sign_lsh", knnSignLshSql),
+    knnSignLshQ,
     dialect("v03_knn_ivf_assign", ivfAssignSql),
     dialect("v04_knn_ivf_search", ivfSearchSql),
     dialect("v07_knn_quantized", knnQuantizedSql),

@@ -106,6 +106,28 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("v02/d07 self-join the cached capped bucket relation (cap window runs once)") {
+    // Same shape as d03/d05/d06: the sign-LSH bucket relation (bucket
+    // assignment + hot-bucket cap window) is persisted; the in-bucket
+    // self-join must read the cache on both sides. d07's pair plan has
+    // no window of its own; v02 keeps exactly one (the per-query top-k
+    // ROW_NUMBER) — the cap window must not reappear.
+    Seq("d07_dedup_embedding_cosine" -> 0, "v02_knn_sign_lsh" -> 1)
+      .foreach { case (q, nWins) =>
+        val exec = graft.SparkEntry.queries(q)(spark, dir)
+          .queryExecution.executedPlan
+        val wins = exec.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        assert(wins.size == nWins,
+          s"$q: expected $nWins window(s) in pair plan, " +
+            s"got ${wins.size} (cap window re-run?):\n$exec")
+        val cacheScans = exec.collect {
+          case s if s.nodeName.contains("InMemoryTableScan") => s }
+        assert(cacheScans.size >= 2,
+          s"$q: expected both self-join sides to read the cache:\n$exec")
+      }
+  }
+
   test("q57 pushes struct-leaf filters into the cf scan") {
     val p = plan("q57_cf_nested_filter")
     assert(p.contains("PushedFilters: [") && p.contains("info.status") &&
