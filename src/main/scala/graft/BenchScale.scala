@@ -41,7 +41,7 @@ object BenchScale {
     "event" -> ("events", "event_id"), "user" -> ("events", "user_id"))
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
-      replicas: Int): Unit = {
+      replicas: Int, onlyTables: Option[Set[String]] = None): Unit = {
     val done = new java.io.File(outDir, "_SUCCESS")
     if (done.exists()) return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -50,8 +50,12 @@ object BenchScale {
     val bases: Map[String, Long] = domainSource.map { case (dom, (t, c)) =>
       dom -> (raw(t).agg(max(col(c))).head.getAs[Number](0).longValue + 1L)
     }
+    // onlyTables limits a high-replica scale-step (e.g. 100x documents)
+    // to the tables its query subset reads — a 100x lineitem write the
+    // run never scans is just wasted build time.
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
+      .filter(t => onlyTables.forall(_.contains(t)))
     tables.foreach { name =>
       val df = raw(name)
       val shifts = keyCols.getOrElse(name, Seq.empty)
@@ -75,10 +79,17 @@ object BenchScale {
     val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
     val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALED_DIR",
       s"${sys.props("java.io.tmpdir")}/graft_scaled_${replicas}x")
+    val onlyTables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = Bench.newSession(cpus)
-    buildScaled(spark, srcDir, outDir, replicas)
-    println(Bench.toJson(Bench.timeInventory(spark, outDir),
-      s"$outDir (${replicas}x $srcDir)"))
+    buildScaled(spark, srcDir, outDir, replicas, onlyTables)
+    val json = Bench.toJson(Bench.timeInventory(spark, outDir),
+      s"$outDir (${replicas}x $srcDir)")
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { f =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)); ()
+    }
+    println(json)
     spark.stop()
   }
 }

@@ -73,6 +73,8 @@ object ExtQueries {
     def toBlob(s: String): String
     /** 3-word shingles of word array `w` (guarded size >= 3). */
     def shingles3(w: String): String
+    /** word 2-grams of word array `w` (guarded size >= 2). */
+    def grams2(w: String): String
     /** char codes of string expr `s`, in index order, as BIGINTs */
     def charCodes(s: String): String
     /** element i (0-based logical index) of array */
@@ -145,6 +147,8 @@ object ExtQueries {
     def toBlob(s: String) = s"CAST($s AS BINARY)"
     def shingles3(w: String) =
       s"transform(sequence(0, size($w) - 3), i -> concat($w[i], ' ', $w[i+1], ' ', $w[i+2]))"
+    def grams2(w: String) =
+      s"transform(sequence(0, size($w) - 2), i -> concat($w[i], ' ', $w[i+1]))"
     def charCodes(s: String) =
       s"transform(sequence(1, length($s)), i -> CAST(ascii(substring($s, i, 1)) AS BIGINT))"
     def at(l: String, i0: Int) = s"$l[$i0]"
@@ -184,6 +188,8 @@ object ExtQueries {
     def toBlob(s: String) = s"CAST($s AS BLOB)"
     def shingles3(w: String) =
       s"list_transform(range(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])"
+    def grams2(w: String) =
+      s"list_transform(range(1, len($w)), i -> $w[i] || ' ' || $w[i+1])"
     def charCodes(s: String) =
       s"list_transform(range(1, length($s) + 1), i -> CAST(ascii(substr($s, i, 1)) AS BIGINT))"
     def at(l: String, i0: Int) = s"$l[${i0 + 1}]"
@@ -204,12 +210,12 @@ object ExtQueries {
     * shuffle on band keys, never from an all-pairs product).
     */
   /** The shingle-hash-set projection (the expensive scan). */
-  private def minhashHsSql(d: Dial): String =
+  private def minhashHsSql(d: Dial, from: String = "documents"): String =
     s"""SELECT doc_id, ${d.shingleHashSet("text")} AS hset
-       |FROM documents WHERE ${d.size(d.split("text"))} >= 3""".stripMargin
+       |FROM $from WHERE ${d.size(d.split("text"))} >= 3""".stripMargin
 
-  private def minhashSql(d: Dial): String =
-    s"WITH hs AS (${minhashHsSql(d)}),\n" + minhashBody(d, "hs")
+  private def minhashSql(d: Dial, from: String = "documents"): String =
+    s"WITH hs AS (${minhashHsSql(d, from)}),\n" + minhashBody(d, "hs")
 
   /** Pipeline after the hash-set scan; `hs` names the (possibly
     * materialized) hash-set relation. Spark inlines WITH subqueries, so
@@ -300,19 +306,126 @@ object ExtQueries {
     * relation each materialized once (cached temp views) — one
     * Generate/Exchange/Window total, self-join reads the cache.
     */
-  private def minhashPairsDF(spark: org.apache.spark.sql.SparkSession)
+  private def minhashPairsDF(spark: org.apache.spark.sql.SparkSession,
+      from: String = "documents", tag: String = "mh")
       : org.apache.spark.sql.DataFrame = {
-    val hs = spark.sql(minhashHsSql(SparkD))
-    hs.cache().createOrReplaceTempView("mh_hs")
-    val ex = spark.sql(minhashExSql(SparkD, "mh_hs"))
-    ex.cache().createOrReplaceTempView("mh_ex")
-    spark.sql(minhashPairsFrom(SparkD, "mh_ex", "mh_hs"))
+    val hs = spark.sql(minhashHsSql(SparkD, from))
+    hs.cache().createOrReplaceTempView(s"${tag}_hs")
+    val ex = spark.sql(minhashExSql(SparkD, s"${tag}_hs"))
+    ex.cache().createOrReplaceTempView(s"${tag}_ex")
+    spark.sql(minhashPairsFrom(SparkD, s"${tag}_ex", s"${tag}_hs"))
   }
+
+  /** Edge set for the connected-components dedup family (d09/p02):
+    * EXACT-DUP COLLAPSE FIRST. Identical texts are grouped by digest
+    * (one hash shuffle), the MinHash-LSH candidate pipeline runs over
+    * the representatives only, and each member contributes one edge to
+    * its representative. Semantically identical to LSH over the full
+    * corpus — exact copies share every band key and verify at
+    * Jaccard 1.0, so they were all in the representative's component
+    * anyway — but the band buckets (and so the candidate self-join) no
+    * longer grow with duplication. This is the production ordering
+    * SCALE.md promises ("an over-cap bucket is near-identical content,
+    * which exact dedup owns"): measured at 100× replicated sf0.1, the
+    * raw-pairs formulation went 5.5× superlinear per 3.3× data while
+    * this one stays linear (see SCALE.md "Measured scale-step").
+    */
+  private def ccEdgesDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val grp = spark.sql(
+      "SELECT md5(text) AS dg, MIN(doc_id) AS rep FROM documents GROUP BY md5(text)")
+    grp.cache().createOrReplaceTempView("mh_grp")
+    spark.sql(
+      "SELECT d2.* FROM documents d2 JOIN mh_grp g ON d2.doc_id = g.rep")
+      .createOrReplaceTempView("rep_documents")
+    val repPairs = minhashPairsDF(spark, "rep_documents", "mhr")
+      .select(col("i"), col("j"))
+    val exactEdges = spark.sql(
+      """SELECT d.doc_id AS i, g.rep AS j FROM documents d
+        |JOIN mh_grp g ON md5(d.text) = g.dg WHERE d.doc_id <> g.rep""".stripMargin)
+    repPairs.union(exactEdges)
+  }
+
+  /** Oracle-side twin of [[ccEdgesDF]]: collapse CTEs + rep-level pair
+    * list + member edges, as a WITH-clause prefix ending in
+    * `all_edges (i, j)`.
+    */
+  private def ccEdgesCtes(d: Dial): String =
+    s"""dig AS (SELECT doc_id, md5(text) AS dg FROM documents),
+       |grp AS (SELECT dg, MIN(doc_id) AS rep FROM dig GROUP BY dg),
+       |rep_documents AS (
+       |  SELECT d2.* FROM documents d2 JOIN grp ON d2.doc_id = grp.rep),
+       |mh_pairs AS (${minhashSql(d, "rep_documents")}),
+       |all_edges AS (
+       |  SELECT i, j FROM mh_pairs
+       |  UNION ALL
+       |  SELECT dig.doc_id AS i, grp.rep AS j FROM dig
+       |  JOIN grp ON dig.dg = grp.dg WHERE dig.doc_id <> grp.rep)""".stripMargin
 
   private def minhashLsh: Q = Q("d03_dedup_minhash_lsh", (spark, dir) => {
     Tables.registerAll(spark, dir)
     minhashPairsDF(spark)
   }, Some(minhashSql(DuckD)))
+
+  /** q59: ONLINE near-dup detection — the real streaming pipeline
+    * (columnfile stream source → the same codegen MinHash banding as
+    * d03 → one `flatMapGroupsWithState` stage keeping the first-
+    * admitted doc per band key → columnfile streaming sink), then the
+    * hit log aggregated per doc. The oracle is the batch formulation:
+    * per band key the first claimant is MIN(doc_id) (arrival order is
+    * doc_id order here), every later doc in the key is a hit. No
+    * hot-bucket cap on either side — the stream's per-key state is O(1)
+    * by construction, so floods emit hits without growing state, and
+    * the oracle must count those hits too. TTL/watermark are set far
+    * beyond the corpus's time span so expiry (spec-covered separately)
+    * can't make the gate timing-dependent.
+    */
+  private def streamNearDup: Q = {
+    val d = DuckD
+    val oracle =
+      s"""WITH hs AS (${minhashHsSql(d)}),
+         |${minhashBandCtes(d, "hs")},
+         |first AS (SELECT bk, MIN(doc_id) AS fd FROM ex0 GROUP BY bk),
+         |hits AS (SELECT e.doc_id, f.fd AS dup_of
+         |         FROM ex0 e JOIN first f ON e.bk = f.bk
+         |         WHERE e.doc_id <> f.fd)
+         |SELECT doc_id, MIN(dup_of) AS dup_min, COUNT(*) AS n_band_hits
+         |FROM hits GROUP BY doc_id""".stripMargin
+    Q("q59_stream_neardup", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val src = Tables.cachePath(dir, "documents_neardup_stream")
+      if (!new java.io.File(src, "_SUCCESS").exists()) {
+        // one sorted file: arrival order == doc_id order even if the
+        // source ever splits the backlog into multiple micro-batches
+        spark.table("documents")
+          .selectExpr("doc_id",
+            "timestamp_micros(doc_id * 1000000) AS ts", "text")
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.format("columnfile").mode("overwrite").save(src)
+      }
+      val out = Tables.cachePath(dir, "neardup_hits")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        val schema = spark.read.format("columnfile").load(src).schema
+        val stream = spark.readStream.format("columnfile")
+          .schema(schema).load(src)
+        val hits = graft.streaming.StreamingDedup.nearDupPairs(
+          stream, watermark = "1 hour", stateTtlMs = Long.MaxValue / 4)
+        val q = hits.writeStream.format("columnfile")
+          .option("path", out)
+          .option("checkpointLocation", out + "_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      spark.read.format("columnfile").load(out)
+        .createOrReplaceTempView("cf_neardup_hits")
+      spark.sql(
+        """SELECT doc_id, MIN(dup_of) AS dup_min,
+          |  COUNT(*) AS n_band_hits
+          |FROM cf_neardup_hits GROUP BY doc_id""".stripMargin)
+    }, Some(oracle))
+  }
 
   /** Cap observability for the MinHash-LSH generator (d03/d08/d09/p02):
     * per band — bucket count, multi-occupancy buckets (the candidate
@@ -742,6 +855,89 @@ object ExtQueries {
        |FROM (SELECT w FROM documents ${d.explode(d.split("lower(text)"), "w")}) x
        |WHERE w <> ''
        |GROUP BY w ORDER BY n DESC, w LIMIT 25""".stripMargin
+
+  /** t08: Gopher-style repetition signals — the quality-filter family's
+    * "repetitious document" rules (Rae et al. 2021 §A1.1): the fraction
+    * of words that are repeats of an earlier word, and the fraction of
+    * word 2-grams taken by the single most frequent 2-gram. Both are
+    * exact integer per-mille ratios (no float thresholds to disagree
+    * on). Scale shape: everything is per-doc — the 2-gram counts group
+    * on (doc_id, gram) so partial aggregation collapses each doc's
+    * grams map-side, and the final join is doc_id-to-doc_id; no
+    * corpus-wide relation exists anywhere.
+    */
+  private def repetitionSql(d: Dial): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${d.split("lower(text)")} AS w FROM documents),
+       |base AS (
+       |  SELECT doc_id, ${d.size("w")} AS n_tok,
+       |    ${d.size(d.distinct("w"))} AS n_uniq, w
+       |  FROM tok WHERE ${d.size("w")} >= 2),
+       |g AS (SELECT doc_id, g FROM base ${d.explode(d.grams2("w"), "g")}),
+       |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+       |topg AS (SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_g
+       |         FROM gc GROUP BY doc_id)
+       |SELECT b.doc_id,
+       |  CAST(${d.intDiv("(1000 * (CAST(b.n_tok AS BIGINT) - b.n_uniq))",
+             "b.n_tok")} AS BIGINT)
+       |    AS dup_word_milli,
+       |  CAST(${d.intDiv("(1000 * t.top_c)", "t.n_g")} AS BIGINT)
+       |    AS top2gram_milli,
+       |  t.top_c AS top2gram_count
+       |FROM base b JOIN topg t ON b.doc_id = t.doc_id""".stripMargin
+
+  /** t09: unigram-LM commonness — the cheap stand-in for the perplexity
+    * filter every corpus pipeline runs (docs made of globally common
+    * words score high; rare-word soup scores low). The "model" is the
+    * corpus's own unigram counts in parts-per-million; a doc's score is
+    * the mean ppm-frequency of its words — all-integer, so the oracle
+    * hash-matches. Scale shape: the unigram relation is vocabulary-
+    * sized (millions of rows at 100 TB, megabytes — broadcastable), so
+    * the score join never shuffles the corpus; the per-doc SUM is
+    * partial-aggregable.
+    */
+  private def unigramSql(d: Dial): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, w FROM documents
+       |        ${d.explode(d.split("lower(text)"), "w")}) t
+       |  WHERE w <> ''),
+       |cf AS (SELECT w, COUNT(*) AS wc FROM toks GROUP BY w),
+       |tot AS (SELECT CAST(SUM(wc) AS BIGINT) AS n FROM cf),
+       |doc AS (
+       |  SELECT toks.doc_id,
+       |    CAST(SUM(${d.intDiv("(cf.wc * 1000000)", "(SELECT n FROM tot)")})
+       |      AS BIGINT) AS sum_ppm,
+       |    COUNT(*) AS n_tok
+       |  FROM toks JOIN cf ON toks.w = cf.w GROUP BY toks.doc_id)
+       |SELECT doc_id, CAST(${d.intDiv("sum_ppm", "n_tok")} AS BIGINT)
+       |    AS mean_word_ppm,
+       |  n_tok
+       |FROM doc""".stripMargin
+
+  /** p09: token-budget mixture sampling — the "take N tokens per
+    * language/domain" pass that assembles a training mix from a curated
+    * pool. Docs are admitted in deterministic multiplicative-hash order
+    * (reproducible, correlation-free) until the running token total
+    * crosses the budget; the query reports what each group's quota
+    * actually captured. The cumulative sum is a per-group running
+    * window in hash order — at 100 TB the sort is per-group and the
+    * admission cut means a hash-rank cap of budget/min_doc_tokens rows
+    * per group can pre-bound it (same WindowGroupLimit lever as p06).
+    */
+  private def budgetMixSql(d: Dial): String =
+    s"""WITH t AS (SELECT doc_id, lang, ${d.size(d.split("text"))} AS n_tok
+       |           FROM documents),
+       |r AS (SELECT doc_id, lang, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY lang
+       |      ORDER BY ((doc_id % $P) * 2654435761) % $P, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(MAX(cum) AS BIGINT) AS cum_final
+       |FROM r WHERE cum - n_tok < 2000
+       |GROUP BY lang""".stripMargin
 
   /** Quality-filter → md5 exact-dedup (keep min doc_id) → per-language
     * token/char stats of the surviving corpus.
@@ -1230,6 +1426,8 @@ object ExtQueries {
     decontaminate,
     // Cap/recall observability: what did the hot-bucket caps drop?
     dialect("d11_lsh_cap_report", lshCapReportSql),
+    // Online near-dup detection (streaming MinHash-LSH band state).
+    streamNearDup,
     dialect("v06_ann_cap_report", annCapReportSql),
     dialect("t01_text_langid", langidSql),
     dialect("t02_text_quality", qualitySql),
@@ -1239,6 +1437,9 @@ object ExtQueries {
     // TF-IDF term extraction and BM25-style retrieval, integer-exact.
     dialect("t06_tfidf_topterms", tfidfSql),
     dialect("t07_bm25_search", bm25Sql),
+    // Gopher repetition signals + unigram-LM commonness (quality family).
+    dialect("t08_text_repetition", repetitionSql),
+    dialect("t09_unigram_commonness", unigramSql),
     // End-to-end corpus curation: quality filter -> exact dedup ->
     // per-language corpus stats; the composed pipeline in one plan.
     dialect("p01_pipeline_curate", curateSql),
@@ -1267,6 +1468,8 @@ object ExtQueries {
     dialect("p07_sketch_distinct_kmv", kmvSql),
     // Count-min heavy hitters vs the exact counts they estimate.
     dialect("p08_sketch_heavy_hitters", cmsSql),
+    // Token-budget mixture sampling (per-language quota admission).
+    dialect("p09_token_budget_mix", budgetMixSql),
     dialect("v01_knn_brute", knnBruteSql),
     knnSignLshQ,
     dialect("v03_knn_ivf_assign", ivfAssignSql),

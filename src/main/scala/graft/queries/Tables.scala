@@ -61,10 +61,16 @@ object Tables {
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     if (registered.put(spark, dir) == dir) return
+    // Tolerate partial dirs: a scale-step build (BenchScale with a table
+    // subset) materializes only the tables its query subset reads;
+    // registering a missing parquet would throw and poison the
+    // idempotence cache above for every later query in the session.
+    def has(n: String) = new java.io.File(s"$dir/$n.parquet").exists()
     Seq("lineitem", "orders", "customer", "part", "supplier",
       "nation", "region", "documents", "embeddings")
+      .filter(has)
       .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
-    events(spark, dir).createOrReplaceTempView("events")
+    if (has("events")) events(spark, dir).createOrReplaceTempView("events")
     graft.functions.TextHashFunctions.register(
       spark.sessionState.functionRegistry)
     graft.functions.VectorFunctions.register(
