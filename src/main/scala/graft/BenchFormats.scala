@@ -88,9 +88,7 @@ object BenchFormats {
     // sequential ids — the shape the zigzag delta-FOR mode (code 11)
     // targets (lineitem above is shuffled, so delta correctly bails
     // there). Sizes are the durable signal; one range-scan each.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.queries.Tables.events(spark, sfDir)
     val evPq = s"$base/ev_parquet"
     ensure(evPq) { ev.write.mode("overwrite").parquet(evPq) }
     val evCf = s"$base/ev_cf_packed"

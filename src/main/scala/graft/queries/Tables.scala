@@ -15,12 +15,22 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
-    * default; read nanos as long and convert to a micros timestamp.
+  /** events.ts has shipped as TIMESTAMP(NANOS) (which Spark 4 only reads
+    * as long via the nanosAsLong legacy conf) and as TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false (which Spark reads as TIMESTAMP_NTZ).
+    * Normalize either to a session-TZ TimestampType column so every
+    * downstream query sees one ts type regardless of data vintage.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Cache-format version: bump when the on-disk format or the writer
@@ -60,7 +70,13 @@ object Tables {
     * re-listing/re-registration.
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    if (registered.put(spark, dir) == dir) return
+    if (registered.get(spark) == dir) return
+    // Functions first: they depend on nothing on disk, so a data problem
+    // in one table can never leave the session without graft_* functions.
+    graft.functions.TextHashFunctions.register(
+      spark.sessionState.functionRegistry)
+    graft.functions.VectorFunctions.register(
+      spark.sessionState.functionRegistry)
     // Tolerate partial dirs: a scale-step build (BenchScale with a table
     // subset) materializes only the tables its query subset reads;
     // registering a missing parquet would throw and poison the
@@ -71,10 +87,11 @@ object Tables {
       .filter(has)
       .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
     if (has("events")) events(spark, dir).createOrReplaceTempView("events")
-    graft.functions.TextHashFunctions.register(
-      spark.sessionState.functionRegistry)
-    graft.functions.VectorFunctions.register(
-      spark.sessionState.functionRegistry)
+    // Record success only AFTER every view registered: a throw above must
+    // leave the cache unset so the next call retries instead of running
+    // the rest of the session against a half-registered catalog.
+    registered.put(spark, dir)
+    ()
   }
 
   /** Register columnfile-backed views (cf_<name>). */
