@@ -58,11 +58,19 @@ object Bench {
     }
   }
 
+  /** 0.1 ms resolution: keeps the ~100-query JSON line under the
+    * harness's tail-capture window so the printed contract stays
+    * machine-parseable (full precision adds ~1.5 KB of digits that
+    * carry no signal at wall-clock noise levels).
+    */
+  private def fmt(v: Double): String =
+    if (v < 0) "-1.0" else f"$v%.4f"
+
   def toJson(results: Seq[(String, Double)], sf: String): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -59,8 +59,11 @@ object Dedup {
         .union(smin.select(col("u"), col("m").as("v")))
         .distinct().localCheckpoint(true)
       // exact fixed-point check (set equality) — no label-sum probe that
-      // could wrap at hash-range ids and alias distinct states
-      converged = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      // could wrap at hash-range ids and alias distinct states. Both
+      // sides are distinct sets, so equal counts + one-sided containment
+      // is full equality; this runs one distributed anti-join per round
+      // instead of two (counts on checkpointed data are near-free).
+      converged = ss.count() == edges.count() && ss.exceptAll(edges).isEmpty
       edges = ss
       iter += 1
     }

@@ -636,26 +636,32 @@ object ExtQueries {
 
   /** d09: TRUE connected-components keep-best — the iterated upgrade of
     * d08's 1-hop approximation. Chained near-dups (A-B, B-C where A and C
-    * are not direct neighbors) form ONE group. Spark side: min-label
-    * propagation to fixed point over the LSH pair graph
-    * (operators.Dedup.connectedComponents — one shuffle join per round,
-    * O(component diameter) rounds). Oracle: recursive CTE computing the
-    * same min-reachable-id component labels.
+    * are not direct neighbors) form ONE group. Spark side: alternating
+    * large-star/small-star to fixed point (operators.Dedup
+    * .connectedComponents, O(log n) rounds) over the COLLAPSED edge set
+    * ([[ccEdgesDF]]: exact dupes attach to their representative, LSH runs
+    * over representatives only — band buckets no longer grow with
+    * duplication). Oracle: recursive CTE over the twin edge CTEs.
     */
   private def ccKeepBest: Q = Q("d09_dedup_cc_keep_best", (spark, dir) => {
     import org.apache.spark.sql.functions._
     Tables.registerAll(spark, dir)
-    val pairs = minhashPairsDF(spark).select(col("i"), col("j"))
+    val pairs = ccEdgesDF(spark).select(col("i"), col("j"))
     val labels = graft.operators.Dedup.connectedComponents(pairs)
     val docs = Tables.t(spark, dir, "documents")
     val scored = labels.join(docs, labels("id") === docs("doc_id"))
       .select(col("comp"), col("id"),
         expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+    // Both the rank and the member count ride ONE window partitioning
+    // (same Exchange + Sort): a separate groupBy-count + join would
+    // re-shuffle and re-join the same relation for a number the window
+    // already has in hand.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("comp").orderBy(col("n_tokens").desc, col("id"))
-    val ranked = scored.withColumn("rn", row_number().over(w))
-    val members = scored.groupBy("comp").agg(count(lit(1)).as("n_members"))
-    members.join(ranked.filter(col("rn") === 1), "comp")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("comp")
+    scored.withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .filter(col("rn") === 1)
       .select(col("comp"), col("n_members"),
         col("id").as("kept"), col("n_tokens").as("kept_tokens"))
   }, Some(ccOracleSql))
@@ -671,15 +677,15 @@ object ExtQueries {
   private def curateNearDup: Q = Q("p02_pipeline_curate_neardup", (spark, dir) => {
     import org.apache.spark.sql.functions._
     Tables.registerAll(spark, dir)
-    val pairs = minhashPairsDF(spark).select(col("i"), col("j"))
+    val pairs = ccEdgesDF(spark).select(col("i"), col("j"))
     graft.operators.Dedup.connectedComponents(pairs)
       .createOrReplaceTempView("cc_labels")
     spark.sql(curateNearDupBody(SparkD))
   }, Some(
-    s"""WITH RECURSIVE mh_pairs AS (${minhashSql(DuckD)}),
-       |nodes AS (SELECT i AS id FROM mh_pairs UNION SELECT j FROM mh_pairs),
-       |edges AS (SELECT i AS a, j AS b FROM mh_pairs
-       |          UNION ALL SELECT j AS a, i AS b FROM mh_pairs),
+    s"""WITH RECURSIVE ${ccEdgesCtes(DuckD)},
+       |nodes AS (SELECT i AS id FROM all_edges UNION SELECT j FROM all_edges),
+       |edges AS (SELECT i AS a, j AS b FROM all_edges
+       |          UNION ALL SELECT j AS a, i AS b FROM all_edges),
        |reach(id, r) AS (
        |  SELECT id, id FROM nodes
        |  UNION
@@ -719,10 +725,10 @@ object ExtQueries {
 
   private def ccOracleSql: String = {
     val d = DuckD
-    s"""WITH RECURSIVE mh_pairs AS (${minhashSql(DuckD)}),
-       |nodes AS (SELECT i AS id FROM mh_pairs UNION SELECT j FROM mh_pairs),
-       |edges AS (SELECT i AS a, j AS b FROM mh_pairs
-       |          UNION ALL SELECT j AS a, i AS b FROM mh_pairs),
+    s"""WITH RECURSIVE ${ccEdgesCtes(d)},
+       |nodes AS (SELECT i AS id FROM all_edges UNION SELECT j FROM all_edges),
+       |edges AS (SELECT i AS a, j AS b FROM all_edges
+       |          UNION ALL SELECT j AS a, i AS b FROM all_edges),
        |reach(id, r) AS (
        |  SELECT id, id FROM nodes
        |  UNION
