@@ -465,8 +465,10 @@ class ColumnFileReaderFactory(
   @transient private lazy val dataRequiredSchema =
     StructType(requiredSchema.fields.filterNot(f => partSet(f.name)))
 
-  /** Vectorized when the projection is flat atomic columns (the common
-    * analytic case); nested/decimal projections use the row reader.
+  /** Vectorized for atomic, decimal, struct, array, and map projections;
+    * only collection ELEMENTS without a child-vector append path
+    * (decimal / nested-in-collection) and exotic leaves (variant) use
+    * the row reader — see ColumnFileColumnarReader.vectorizable.
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     ColumnFileColumnarReader.vectorizable(requiredSchema)

@@ -128,6 +128,31 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
   }
 
+  test("d09 rank and member count share one window exchange (no members join)") {
+    // The keep-best tail needs two numbers per component — the quality
+    // rank and the member count. Both must ride ONE hashpartitioning
+    // (comp) exchange (stacked WindowExecs); a separate groupBy-count +
+    // join would re-shuffle and re-join the same relation.
+    val exec = graft.SparkEntry.queries("d09_dedup_cc_keep_best")(spark, dir)
+      .queryExecution.executedPlan
+    val wins = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.size == 2,
+      s"d09: expected stacked rank+count windows, got ${wins.size}:\n$exec")
+    // walk from the outer window down to the inner one: the segment
+    // between them must contain no shuffle (they share the exchange)
+    var cur = wins.head.child
+    var sawExchange = false
+    while (!cur.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) {
+      if (cur.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+        sawExchange = true
+      cur = cur.children.head
+    }
+    assert(!sawExchange,
+      s"d09: exchange between the stacked windows:\n$exec")
+  }
+
   test("q57 pushes struct-leaf filters into the cf scan") {
     val p = plan("q57_cf_nested_filter")
     assert(p.contains("PushedFilters: [") && p.contains("info.status") &&
