@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Data-vintage regression net for the driver-provided tables.
+  *
+  * Round 8 lost ~20 queries to one line of schema drift: `events.ts`
+  * changed from TIMESTAMP(NANOS) (readable only as long via the
+  * `nanosAsLong` legacy conf) to TIMESTAMP(MICROS) `isAdjustedToUTC=
+  * false` (read as TIMESTAMP_NTZ), the loader threw, and the
+  * half-registered session poisoned every later query. These cases pin
+  * (a) the normalized dtype every downstream query sees and (b) that
+  * registration survives a bad table without losing the functions or
+  * the other views.
+  */
+class TablesSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("tables-schema-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("tables_schema").toString
+
+  test("events normalizes ts to TimestampType for every shipped vintage") {
+    // current driver vintage, whatever it is
+    assert(Tables.events(spark, sfDir).schema("ts").dataType == TimestampType)
+
+    // long (nanos-as-long) vintage
+    val longDir = tmpDir()
+    spark.range(3).selectExpr(
+      "id AS event_id", "id * 1000000000 AS ts", "id AS user_id",
+      "'view' AS event_type", "CAST(id AS DOUBLE) AS value", "'{}' AS props")
+      .write.parquet(s"$longDir/events.parquet")
+    val fromLong = Tables.events(spark, longDir)
+    assert(fromLong.schema("ts").dataType == TimestampType)
+
+    // TIMESTAMP_NTZ (micros, isAdjustedToUTC=false) vintage
+    val ntzDir = tmpDir()
+    spark.range(3).selectExpr(
+      "id AS event_id",
+      "CAST(timestamp_micros(id * 1000000) AS TIMESTAMP_NTZ) AS ts",
+      "id AS user_id", "'view' AS event_type",
+      "CAST(id AS DOUBLE) AS value", "'{}' AS props")
+      .write.parquet(s"$ntzDir/events.parquet")
+    val fromNtz = Tables.events(spark, ntzDir)
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+
+    // identical wall-clock values from both vintages (session TZ = UTC)
+    val a = fromLong.select("ts").collect().map(_.getTimestamp(0)).sorted
+    val b = fromNtz.select("ts").collect().map(_.getTimestamp(0)).sorted
+    assert(a.sameElements(b), s"${a.toSeq} vs ${b.toSeq}")
+  }
+
+  test("registerAll survives a bad events table: functions + views stay") {
+    // a dir whose events.parquet has a ts type the normalizer does not
+    // accept pairs with good copies of the other tables
+    val badDir = tmpDir()
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.parquet(s"$badDir/documents.parquet")
+    spark.range(3).selectExpr("id AS event_id", "'oops' AS ts")
+      .write.parquet(s"$badDir/events.parquet")
+
+    val session = spark.newSession()
+    session.conf.set("spark.sql.session.timeZone", "UTC")
+    // events normalization passes STRING through untouched; downstream
+    // date functions would fail, but registration itself must complete
+    Tables.registerAll(session, badDir)
+    assert(session.catalog.tableExists("documents"))
+    // graft_* functions must exist regardless of any table's health
+    assert(session.sql("SELECT graft_polyhash('x') AS h").count() == 1)
+  }
+
+  test("a throw during registerAll does not poison the session cache") {
+    val goneDir = tmpDir() + "/does-not-exist"
+    val session = spark.newSession()
+    session.conf.set("spark.sql.session.timeZone", "UTC")
+    // nothing exists: registerAll registers functions, no views, succeeds
+    Tables.registerAll(session, goneDir)
+    // later call with a real dir must register views (cache keyed by dir)
+    Tables.registerAll(session, sfDir)
+    assert(session.catalog.tableExists("events"))
+    assert(session.table("events").schema("ts").dataType == TimestampType)
+  }
+}
