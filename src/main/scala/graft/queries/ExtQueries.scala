@@ -1403,6 +1403,52 @@ object ExtQueries {
        |FROM probed GROUP BY k""".stripMargin
   }
 
+  /** p10: histogram quantile sketch — the mergeable approx-quantile
+    * path SCALE.md promises as p05's 100 TB swap, made exact-integer so
+    * it oracle-gates (Spark's approx_percentile / DuckDB's approx
+    * sketches are engine-specific internals; an equi-width histogram is
+    * engine-neutral). Shape: per group, (min, max, n) in one pass, then
+    * bucket = (v-lo)*128 div (hi-lo+1) — a ≤128-cell counts vector per
+    * group regardless of corpus size, partial-aggregable and mergeable
+    * across shards/days exactly like the CMS/KMV sketches. Estimated
+    * p50/p90/p99 = lower bound of the first bucket whose cumulative
+    * count reaches the rank (the percentile_disc analog); the exact
+    * percentiles ride along so the sketch error is measured, not
+    * assumed (production drops the exact columns — they are the full
+    * per-group sort this sketch replaces).
+    */
+  private def quantileHistSql(d: Dial): String = {
+    val NB = 128
+    s"""WITH tk AS (SELECT lang, ${d.size(d.split("text"))} AS v FROM documents),
+       |rng AS (SELECT lang, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+       |        FROM tk GROUP BY lang),
+       |b AS (SELECT tk.lang,
+       |        ${d.intDiv(s"((tk.v - rng.lo) * $NB)", "(rng.hi - rng.lo + 1)")} AS bucket
+       |      FROM tk JOIN rng ON tk.lang = rng.lang),
+       |hist AS (SELECT lang, bucket, COUNT(*) AS c FROM b GROUP BY lang, bucket),
+       |cum AS (SELECT lang, bucket,
+       |          SUM(c) OVER (PARTITION BY lang ORDER BY bucket) AS cm,
+       |          SUM(c) OVER (PARTITION BY lang) AS n
+       |        FROM hist),
+       |est AS (SELECT lang,
+       |          MIN(CASE WHEN cm * 100 >= 50 * n THEN bucket END) AS b50,
+       |          MIN(CASE WHEN cm * 100 >= 90 * n THEN bucket END) AS b90,
+       |          MIN(CASE WHEN cm * 100 >= 99 * n THEN bucket END) AS b99
+       |        FROM cum GROUP BY lang),
+       |exact AS (SELECT lang,
+       |  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) AS exact_p50,
+       |  CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS BIGINT) AS exact_p90,
+       |  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY v) AS BIGINT) AS exact_p99
+       |  FROM tk GROUP BY lang)
+       |SELECT e.lang, CAST(r.n AS BIGINT) AS n_docs,
+       |  CAST(r.lo + ${d.intDiv(s"(e.b50 * (r.hi - r.lo + 1))", NB.toString)} AS BIGINT) AS est_p50,
+       |  CAST(r.lo + ${d.intDiv(s"(e.b90 * (r.hi - r.lo + 1))", NB.toString)} AS BIGINT) AS est_p90,
+       |  CAST(r.lo + ${d.intDiv(s"(e.b99 * (r.hi - r.lo + 1))", NB.toString)} AS BIGINT) AS est_p99,
+       |  x.exact_p50, x.exact_p90, x.exact_p99
+       |FROM est e JOIN rng r ON e.lang = r.lang
+       |JOIN exact x ON x.lang = e.lang""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   private def dialect(name: String, gen: Dial => String): Q =
@@ -1476,6 +1522,8 @@ object ExtQueries {
     dialect("p08_sketch_heavy_hitters", cmsSql),
     // Token-budget mixture sampling (per-language quota admission).
     dialect("p09_token_budget_mix", budgetMixSql),
+    // Histogram quantile sketch vs the exact percentiles it replaces.
+    dialect("p10_quantile_histogram", quantileHistSql),
     dialect("v01_knn_brute", knnBruteSql),
     knnSignLshQ,
     dialect("v03_knn_ivf_assign", ivfAssignSql),
