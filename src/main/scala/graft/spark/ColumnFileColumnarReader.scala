@@ -43,10 +43,10 @@ object ColumnFileColumnarReader {
   }
 
   /** Flat atomic columns, (possibly nested) structs whose leaves are all
-    * atomic, and arrays/maps of atomic elements (framed cells parse
-    * straight into the vector's child element vectors). Variants,
-    * arrays-of-structs, and nested collections keep the row reader:
-    * their cells decode to values with no unboxed vector write path.
+    * atomic, and arbitrarily nested arrays/maps/structs/decimals inside
+    * collections (framed cells parse straight into the vector's child
+    * element vectors, recursively). Only variants keep the row reader:
+    * their binary-parts cells have no vector representation.
     */
   def vectorizable(schema: StructType): Boolean =
     schema.fields.forall(f => vectorizableType(f.dataType))
@@ -62,14 +62,18 @@ object ColumnFileColumnarReader {
     case _ => false
   }
 
-  /** Collection ELEMENT types with an append path on the child vector.
-    * Decimals (big-int cells) and nested collections/structs stay on the
-    * row reader.
+  /** Collection ELEMENT types with an append path on the child vector:
+    * atomics, decimals, and nested structs/arrays/maps thereof. Only
+    * variant elements stay on the row reader.
     */
   private[spark] def vectorizableElement(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | ShortType | ByteType | BooleanType |
          FloatType | DoubleType | DateType | TimestampType |
          TimestampNTZType | StringType | BinaryType => true
+    case _: DecimalType => true
+    case st: StructType => st.fields.forall(f => vectorizableElement(f.dataType))
+    case ArrayType(et, _) => vectorizableElement(et)
+    case MapType(kt, vt, _) => vectorizableElement(kt) && vectorizableElement(vt)
     case _ => false
   }
 }
@@ -421,7 +425,7 @@ class ColumnFileColumnarPartitionReader(
           expectRemain(cell, cur, 1)
           val present = cell(cur.pos) != 0
           cur.pos += 1
-          if (present) app(child, cell, cur) else { child.appendNull(); () }
+          if (present) app(child, cell, cur) else appendNullElem(child, et)
           k += 1
         }
         expectConsumed(cell, cur, "array")
@@ -443,7 +447,7 @@ class ColumnFileColumnarPartitionReader(
           expectRemain(cell, cur, 1)
           val present = cell(cur.pos) != 0
           cur.pos += 1
-          if (present) vApp(vals, cell, cur) else { vals.appendNull(); () }
+          if (present) vApp(vals, cell, cur) else appendNullElem(vals, vt)
           k += 1
         }
         expectConsumed(cell, cur, "map")
@@ -526,7 +530,96 @@ class ColumnFileColumnarPartitionReader(
         cur.pos += len
         ()
       }
+    // decimal elements: varint-framed unscaled big-int bytes; appended
+    // in putDecimal's storage layout (int / long / byte-array by
+    // precision) so the read side decodes identically
+    case d: DecimalType =>
+      val prec = d.precision
+      (c, cell, cur) => {
+        val len = framedCount(cell, cur)
+        if (len == 0)
+          throw new CorruptColumnFileException("empty decimal element cell")
+        val bi = new java.math.BigInteger(
+          java.util.Arrays.copyOfRange(cell, cur.pos, cur.pos + len))
+        cur.pos += len
+        try {
+          if (prec <= org.apache.spark.sql.types.Decimal.MAX_INT_DIGITS)
+            c.appendInt(bi.intValueExact())
+          else if (prec <= org.apache.spark.sql.types.Decimal.MAX_LONG_DIGITS)
+            c.appendLong(bi.longValueExact())
+          else { val b = bi.toByteArray; c.appendByteArray(b, 0, b.length) }
+        } catch { case _: ArithmeticException =>
+          throw new CorruptColumnFileException(
+            s"decimal element overflows precision $prec")
+        }
+        ()
+      }
+    // struct elements: presence byte + element per field (no count
+    // prefix — mirrors CellCodec.writeFramed's struct layout)
+    case st: StructType =>
+      val apps = st.fields.map(f => elemAppender(f.dataType))
+      val fieldTypes = st.fields.map(_.dataType)
+      (c, cell, cur) => {
+        c.appendStruct(false)
+        var i = 0
+        while (i < apps.length) {
+          expectRemain(cell, cur, 1)
+          val present = cell(cur.pos) != 0
+          cur.pos += 1
+          if (present) apps(i)(c.getChild(i), cell, cur)
+          else appendNullElem(c.getChild(i), fieldTypes(i))
+          i += 1
+        }
+      }
+    // nested array elements: appendArray FIRST — it records the child's
+    // CURRENT elementsAppended as the element's start offset and expects
+    // exactly n child appends to follow
+    case ArrayType(et, _) =>
+      val app = elemAppender(et)
+      (c, cell, cur) => {
+        val n = framedCount(cell, cur)
+        c.appendArray(n)
+        val child = c.arrayData()
+        var k = 0
+        while (k < n) {
+          expectRemain(cell, cur, 1)
+          val present = cell(cur.pos) != 0
+          cur.pos += 1
+          if (present) app(child, cell, cur) else appendNullElem(child, et)
+          k += 1
+        }
+      }
+    // nested map elements: keys carry no presence byte (never null)
+    case MapType(kt, vt, _) =>
+      val kApp = elemAppender(kt)
+      val vApp = elemAppender(vt)
+      (c, cell, cur) => {
+        val n = framedCount(cell, cur)
+        c.appendArray(n)
+        val keys = c.getChild(0)
+        val vals = c.getChild(1)
+        var k = 0
+        while (k < n) {
+          kApp(keys, cell, cur)
+          expectRemain(cell, cur, 1)
+          val present = cell(cur.pos) != 0
+          cur.pos += 1
+          if (present) vApp(vals, cell, cur) else appendNullElem(vals, vt)
+          k += 1
+        }
+      }
     case other =>
       throw new IllegalStateException(s"non-vectorizable element type $other")
+  }
+
+  /** Append a null ELEMENT to a child vector. Struct children must go
+    * through appendStruct(true) so their own field vectors stay aligned
+    * (a bare appendNull would leave them one row short).
+    */
+  private def appendNullElem(
+      c: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      dt: DataType): Unit = dt match {
+    case _: StructType => c.appendStruct(true); ()
+    case _ => c.appendNull(); ()
   }
 }

@@ -437,11 +437,20 @@ class ColumnFileScan(
         s"onCorrupt must be 'fail' or 'skip', got '$other'")
     }
 
+  /** `vectorize=false` forces the row reader (the Parquet
+    * `enableVectorizedReader` analog): an escape hatch for debugging a
+    * suspect batched read against the row path's answer, and the hook
+    * tests use to keep covering the row reader now that every
+    * non-variant projection vectorizes.
+    */
+  private def vectorizeEnabled: Boolean =
+    Option(options.get("vectorize")).forall(_.toBoolean)
+
   override def createReaderFactory(): PartitionReaderFactory =
     new ColumnFileReaderFactory(
       tableSchema.json, requiredSchema.json, allFilters,
       new SerializableHadoopConf(conf), limit, partitionCols,
-      onCorruptSkip)
+      onCorruptSkip, vectorizeEnabled)
 }
 
 class ColumnFileReaderFactory(
@@ -451,7 +460,8 @@ class ColumnFileReaderFactory(
     conf: SerializableHadoopConf,
     limit: Int = -1,
     partitionCols: Seq[String] = Seq.empty,
-    onCorruptSkip: Boolean = false)
+    onCorruptSkip: Boolean = false,
+    vectorize: Boolean = true)
     extends PartitionReaderFactory {
 
   @transient private lazy val tableSchema =
@@ -465,13 +475,14 @@ class ColumnFileReaderFactory(
   @transient private lazy val dataRequiredSchema =
     StructType(requiredSchema.fields.filterNot(f => partSet(f.name)))
 
-  /** Vectorized for atomic, decimal, struct, array, and map projections;
-    * only collection ELEMENTS without a child-vector append path
-    * (decimal / nested-in-collection) and exotic leaves (variant) use
-    * the row reader — see ColumnFileColumnarReader.vectorizable.
+  /** Vectorized for every projection except variant leaves (no vector
+    * representation for their binary parts) — atomics, decimals,
+    * structs, arrays, maps, and nested combinations all batch; see
+    * ColumnFileColumnarReader.vectorizable. `vectorize=false` opts a
+    * read out entirely.
     */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    ColumnFileColumnarReader.vectorizable(requiredSchema)
+    vectorize && ColumnFileColumnarReader.vectorizable(requiredSchema)
 
   /** Per-required-field source: Right(dataOrdinal) or Left(constant
     * Catalyst value parsed from the partition's directory values).

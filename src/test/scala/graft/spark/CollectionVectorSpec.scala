@@ -11,7 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * into the batch's child element vectors, so embedding-style scans
   * (array<float> over millions of rows) stream through the columnar
   * path instead of per-row boxing. Nested collections (array of array,
-  * array of struct) and decimal elements stay on the row reader.
+  * array of struct, maps of structs) and decimal elements vectorize
+  * recursively; only variant columns keep the row reader.
   */
 class CollectionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -99,22 +100,48 @@ class CollectionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 3000).filter(_ % 53 != 0).map(_ % 7).sum)
   }
 
-  test("nested collections and decimal elements stay on the row reader") {
+  test("nested collections and decimal elements vectorize recursively") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-vec-nested").toString
-    val src = (0 until 100).map(i =>
-      (i.toLong, Seq(Seq(i.toLong)), Seq(BigDecimal(i).setScale(2))))
-      .toDF("id", "aa", "dec")
+    val src = (0 until 2000).map { i =>
+      val aa =
+        if (i % 37 == 0) Seq(null, Seq(i.toLong))
+        else Seq(Seq(i.toLong, i + 1L), Seq.empty[Long])
+      val dec =
+        if (i % 41 == 0) Seq[BigDecimal](null)
+        else Seq(BigDecimal(i).setScale(2), BigDecimal(-i).setScale(2))
+      val structs = Seq((i, if (i % 11 == 0) null else s"s$i"))
+      val bigdec = Seq(BigDecimal(s"$i.123456789012345678901"))
+      (i.toLong, aa, dec, structs, bigdec)
+    }.toDF("id", "aa", "dec", "st", "bd")
     src.write.format("columnfile").mode("overwrite").save(dir)
     val back = spark.read.format("columnfile").load(dir)
-    assert(!columnar(back.select("id", "aa")),
-      "nested array should fall back to the row reader")
-    assert(!columnar(back.select("id", "dec")),
-      "decimal array should fall back to the row reader")
+    assert(columnar(back.select("id", "aa")),
+      "nested array should use the columnar reader")
+    assert(columnar(back.select("id", "dec", "st", "bd")),
+      "decimal/struct element arrays should use the columnar reader")
     val diff = back.exceptAll(src).count() + src.exceptAll(back).count()
-    assert(diff == 0)
-    // flat sibling projection still vectorizes
+    assert(diff == 0, s"round-trip mismatch: $diff rows differ")
+    // element-level reads through the new appenders
+    val r5 = back.where(col("id") === 5L).head
+    assert(r5.getSeq[Seq[Long]](1) == Seq(Seq(5L, 6L), Seq.empty[Long]))
+    assert(r5.getSeq[java.math.BigDecimal](2).map(BigDecimal(_)) ==
+      Seq(BigDecimal(5).setScale(2), BigDecimal(-5).setScale(2)))
+    assert(back.where(col("id") % 37 === 0)
+      .where(col("aa").getItem(0).isNotNull).count() == 0)
+  }
+
+  test("variant columns keep the row reader") {
+    val dir = Files.createTempDirectory("cf-vec-variant").toString
+    spark.range(100)
+      .selectExpr("id", "parse_json(concat('{\"a\":', id, '}')) AS v")
+      .write.format("columnfile").mode("overwrite").save(dir)
+    val back = spark.read.format("columnfile").load(dir)
+    assert(!columnar(back.select("id", "v")),
+      "variant projection should fall back to the row reader")
     assert(columnar(back.select("id")))
+    assert(back.selectExpr("sum(cast(variant_get(v, '$.a') AS BIGINT))")
+      .head.getLong(0) == (0 until 100).sum)
   }
 
   test("filters prune and late-materialize around vectorized arrays") {

@@ -74,7 +74,7 @@ class DictionaryEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.head.toSeq == Seq(5000L, 0L, 4999L))
   }
 
-  test("row reader path (non-vectorizable projection) maps dictionary ids too") {
+  test("row reader path (vectorize=false) maps dictionary ids too") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-dict-row").toString
     (0 until 1000).map(i =>
@@ -82,10 +82,14 @@ class DictionaryEncodingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("id", "lang", "aa")
       .write.format("columnfile").option("dictionary", "true")
       .mode("overwrite").save(dir)
-    val back = spark.read.format("columnfile").load(dir)
-    // nested array column in the projection disables vectorization -> row path
-    val got = back.select("id", "lang", "aa")
-      .filter(col("lang") === "fr").collect()
+    // nested projections vectorize now, so the row path is forced
+    // explicitly via the vectorize=false escape hatch
+    val back = spark.read.format("columnfile")
+      .option("vectorize", "false").load(dir)
+    val proj = back.select("id", "lang", "aa")
+    assert(!proj.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "vectorize=false must force the row reader")
+    val got = proj.filter(col("lang") === "fr").collect()
     assert(got.length == (0 until 1000).count(i => langs(i % langs.length) == "fr"))
     assert(got.forall(r => r.getSeq[Seq[Long]](2) ==
       Seq(Seq(r.getLong(0), r.getLong(0) + 1))))

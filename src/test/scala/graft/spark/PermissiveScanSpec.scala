@@ -89,9 +89,11 @@ class PermissiveScanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("onCorrupt=skip drops exactly the corrupt chunk (row path)") {
     val (dir, total, victimRows) = corruptedTable()
-    // nested array column is not vectorizable -> row reader
+    // nested projections vectorize now; force the row reader explicitly
     val df = spark.read.format("columnfile").option("onCorrupt", "skip")
-      .load(dir).select("id", "aa")
+      .option("vectorize", "false").load(dir).select("id", "aa")
+    assert(!df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "vectorize=false must force the row reader")
     assert(df.count() == total - victimRows)
     assert(df.where(size(col("aa")) =!= 1).count() == 0)
   }
