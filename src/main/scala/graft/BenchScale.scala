@@ -42,20 +42,32 @@ object BenchScale {
 
   def buildScaled(spark: SparkSession, srcDir: String, outDir: String,
       replicas: Int, onlyTables: Option[Set[String]] = None): Unit = {
+    val allTables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    // onlyTables limits a high-replica scale-step (e.g. 100x documents)
+    // to the tables its query subset reads — a 100x lineitem write the
+    // run never scans is just wasted build time.
+    val tables = allTables.filter(t => onlyTables.forall(_.contains(t)))
+    // The done marker records WHICH tables the build materialized: a
+    // partial (subset) build must not satisfy a later request for more
+    // tables — reusing it would hand every missing-table query a
+    // confusing failure instead of data (bitten once; see ROUND9.md).
     val done = new java.io.File(outDir, "_SUCCESS")
-    if (done.exists()) return
+    if (done.exists()) {
+      val built = new String(java.nio.file.Files.readAllBytes(done.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split(",").filter(_.nonEmpty).toSet
+      if (tables.forall(built.contains)) return
+      throw new IllegalStateException(
+        s"$outDir was built with tables [${built.toSeq.sorted.mkString(",")}] " +
+          s"but this run needs [${tables.mkString(",")}]; " +
+          "use a different SPARK_GRAFT_SCALED_DIR or delete the old build")
+    }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def raw(name: String): DataFrame =
       spark.read.parquet(s"$srcDir/$name.parquet")
     val bases: Map[String, Long] = domainSource.map { case (dom, (t, c)) =>
       dom -> (raw(t).agg(max(col(c))).head.getAs[Number](0).longValue + 1L)
     }
-    // onlyTables limits a high-replica scale-step (e.g. 100x documents)
-    // to the tables its query subset reads — a 100x lineitem write the
-    // run never scans is just wasted build time.
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
-      .filter(t => onlyTables.forall(_.contains(t)))
     tables.foreach { name =>
       val df = raw(name)
       val shifts = keyCols.getOrElse(name, Seq.empty)
@@ -69,7 +81,8 @@ object BenchScale {
         }.reduce(_ unionAll _)
       out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     }
-    done.createNewFile()
+    java.nio.file.Files.write(done.toPath, tables.mkString(",")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ()
   }
 

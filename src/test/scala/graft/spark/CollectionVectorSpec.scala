@@ -144,6 +144,49 @@ class CollectionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head.getLong(0) == (0 until 100).sum)
   }
 
+  test("property: columnar and row readers agree on random nested data") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(20260813L) // seeded: deterministic
+    def maybe[T >: Null](gen: => T, nullEvery: Int): T =
+      if (rnd.nextInt(nullEvery) == 0) null else gen
+    val dir = Files.createTempDirectory("cf-vec-prop").toString
+    val src = (0 until 3000).map { i =>
+      val arrOfStruct = maybe(Seq.fill(rnd.nextInt(4))(
+        maybe((rnd.nextInt(1000),
+          maybe(s"s${rnd.nextInt(50)}", 5),
+          Seq.fill(rnd.nextInt(3))(rnd.nextLong())), 7)), 11)
+      val mapOfArr = maybe(Map(
+        s"k${rnd.nextInt(3)}" -> Seq.fill(rnd.nextInt(3))(rnd.nextDouble())), 9)
+      val decs = maybe(Seq.fill(rnd.nextInt(4))(
+        maybe(BigDecimal(rnd.nextInt(1000000)).setScale(2)./(100), 6)), 8)
+      val aa = maybe(Seq.fill(rnd.nextInt(3))(
+        maybe(Seq.fill(rnd.nextInt(4))(rnd.nextInt()), 4)), 10)
+      (i.toLong, arrOfStruct, mapOfArr, decs, aa)
+    }.toDF("id", "st", "ma", "dec", "aa")
+    src.write.format("columnfile").mode("overwrite").save(dir)
+
+    val vec = spark.read.format("columnfile").load(dir)
+    val rows = spark.read.format("columnfile")
+      .option("vectorize", "false").load(dir)
+    assert(columnar(vec.select("id", "st", "ma", "dec", "aa")))
+    assert(!columnar(rows.select("id", "st", "ma", "dec", "aa")))
+    // maps are order-sensitive under exceptAll; compare them exploded,
+    // everything else directly
+    val flatCols = Seq("id", "st", "dec", "aa")
+    val a = vec.select(flatCols.map(col): _*)
+    val b = rows.select(flatCols.map(col): _*)
+    assert(a.exceptAll(b).count() + b.exceptAll(a).count() == 0,
+      "columnar and row readers disagree on nested columns")
+    val am = vec.select(col("id"), explode_outer(col("ma")))
+    val bm = rows.select(col("id"), explode_outer(col("ma")))
+    assert(am.exceptAll(bm).count() + bm.exceptAll(am).count() == 0,
+      "columnar and row readers disagree on map columns")
+    // and both agree with the source
+    val s = src.select(flatCols.map(col): _*)
+    assert(a.exceptAll(s).count() + s.exceptAll(a).count() == 0,
+      "columnar reader diverges from the written data")
+  }
+
   test("filters prune and late-materialize around vectorized arrays") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-vec-filter").toString
