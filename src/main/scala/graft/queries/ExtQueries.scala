@@ -70,6 +70,8 @@ object ExtQueries {
     def str(x: String): String
     def explode(arr: String, as: String): String // FROM-clause fragment
     def regexpExtractAll(s: String, p: String): String
+    /** replace EVERY match of `p` in `s` with `r` (global). */
+    def regexpReplaceAll(s: String, p: String, r: String): String
     def toBlob(s: String): String
     /** 3-word shingles of word array `w` (guarded size >= 3). */
     def shingles3(w: String): String
@@ -144,6 +146,9 @@ object ExtQueries {
     def str(x: String) = s"CAST($x AS STRING)"
     def explode(arr: String, as: String) = s"LATERAL VIEW explode($arr) _ex AS $as"
     def regexpExtractAll(s: String, p: String) = s"regexp_extract_all($s, '$p', 0)"
+    // Spark's regexp_replace is global by default
+    def regexpReplaceAll(s: String, p: String, r: String) =
+      s"regexp_replace($s, '$p', '$r')"
     def toBlob(s: String) = s"CAST($s AS BINARY)"
     def shingles3(w: String) =
       s"transform(sequence(0, size($w) - 3), i -> concat($w[i], ' ', $w[i+1], ' ', $w[i+2]))"
@@ -185,6 +190,9 @@ object ExtQueries {
     def str(x: String) = s"CAST($x AS VARCHAR)"
     def explode(arr: String, as: String) = s", unnest($arr) AS _ex($as)"
     def regexpExtractAll(s: String, p: String) = s"regexp_extract_all($s, '$p')"
+    // DuckDB replaces the first match unless the 'g' flag is given
+    def regexpReplaceAll(s: String, p: String, r: String) =
+      s"regexp_replace($s, '$p', '$r', 'g')"
     def toBlob(s: String) = s"CAST($s AS BLOB)"
     def shingles3(w: String) =
       s"list_transform(range(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])"
@@ -1403,6 +1411,37 @@ object ExtQueries {
        |FROM probed GROUP BY k""".stripMargin
   }
 
+  /** t10: PII scrub — the redaction pass every training-corpus build
+    * runs before anything else sees the text. Synthetic PII (an email
+    * and a phone derived from doc_id) is planted deterministically so
+    * both engines scrub the same input; the query reports per-doc match
+    * counts per category and the md5 of the redacted text — the
+    * audit shape (how much was found, and a verifiable artifact of
+    * what the scrubbed corpus contains, without shipping the text).
+    * Patterns avoid backslash classes ([0-9], not \d): Spark's
+    * single-quoted SQL strings interpret backslash escapes, DuckDB's do
+    * not — bracket classes parse identically in both. Scale: pure
+    * per-row scan work, no shuffle beyond the final aggregation-free
+    * projection; regexp cost is the knob, corpus-linear by construction.
+    */
+  private def piiScrubSql(d: Dial): String = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+    val phone = "555-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+    val planted =
+      s"""concat(text, ' contact user', ${d.str("doc_id")},
+         |  '@example.com or 555-', ${d.str("(100 + doc_id % 900)")},
+         |  '-', ${d.str("(1000 + doc_id % 9000)")})""".stripMargin
+    val scrubbed = d.regexpReplaceAll(
+      d.regexpReplaceAll("planted", email, "<EMAIL>"), phone, "<PHONE>")
+    s"""WITH p AS (SELECT doc_id, $planted AS planted FROM documents)
+       |SELECT doc_id,
+       |  CAST(${d.size(d.regexpExtractAll("planted", email))} AS BIGINT) AS n_emails,
+       |  CAST(${d.size(d.regexpExtractAll("planted", phone))} AS BIGINT) AS n_phones,
+       |  md5($scrubbed) AS redacted_md5,
+       |  CAST(length($scrubbed) AS BIGINT) AS redacted_len
+       |FROM p""".stripMargin
+  }
+
   /** p10: histogram quantile sketch — the mergeable approx-quantile
     * path SCALE.md promises as p05's 100 TB swap, made exact-integer so
     * it oracle-gates (Spark's approx_percentile / DuckDB's approx
@@ -1492,6 +1531,8 @@ object ExtQueries {
     // Gopher repetition signals + unigram-LM commonness (quality family).
     dialect("t08_text_repetition", repetitionSql),
     dialect("t09_unigram_commonness", unigramSql),
+    // PII scrub: per-category match counts + verifiable redaction digest.
+    dialect("t10_pii_scrub", piiScrubSql),
     // End-to-end corpus curation: quality filter -> exact dedup ->
     // per-language corpus stats; the composed pipeline in one plan.
     dialect("p01_pipeline_curate", curateSql),
