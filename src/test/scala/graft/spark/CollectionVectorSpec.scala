@@ -187,6 +187,45 @@ class CollectionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "columnar reader diverges from the written data")
   }
 
+  test("fuzz: byte flips in nested cells read clean or throw CorruptColumnFileException") {
+    // The columnar framed-cell parsers (arrays/maps/structs/decimals)
+    // carry their own bounds checks; this asserts the same property the
+    // format-layer MutationFuzzSpec pins for the row reader — any
+    // mutation either reads successfully (payload flips are legitimate
+    // value changes; the format has no checksums, faithful to the
+    // reference) or throws the clean corruption class. IndexOutOfBounds,
+    // NegativeArraySize, OOM, or a hang is a parser bug.
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-vec-fuzz").toString
+    (0 until 300).map(i => (i.toLong,
+        Seq((i, s"s$i", Seq(i.toLong, i + 1L))),
+        Map(s"k${i % 3}" -> Seq(i * 0.5, i * 0.25)),
+        Seq(BigDecimal(i).setScale(2), BigDecimal(s"$i.12345678901234567890"))))
+      .toDF("id", "st", "ma", "dec")
+      .repartition(1).write.format("columnfile").mode("overwrite").save(dir)
+    val dataFile = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".cf")).head
+    // drop Hadoop's local-FS .crc sidecars: they would reject the
+    // mutated bytes before our parser ever sees them
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    val orig = java.nio.file.Files.readAllBytes(dataFile.toPath)
+    val rnd = new scala.util.Random(0xBEEFL)
+    def corrupt(e: Throwable): Boolean = e != null &&
+      (e.isInstanceOf[graft.format.CorruptColumnFileException] || corrupt(e.getCause))
+    (0 until 80).foreach { _ =>
+      val mut = orig.clone()
+      val p = rnd.nextInt(mut.length)
+      mut(p) = (mut(p) ^ (1 << rnd.nextInt(8))).toByte
+      java.nio.file.Files.write(dataFile.toPath, mut)
+      try { spark.read.format("columnfile").load(dir).collect(); () }
+      catch { case t: Throwable =>
+        assert(corrupt(t), s"unexpected failure class at byte $p: $t") }
+    }
+    java.nio.file.Files.write(dataFile.toPath, orig)
+    ()
+  }
+
   test("filters prune and late-materialize around vectorized arrays") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-vec-filter").toString
