@@ -38,9 +38,35 @@ object Tables {
     */
   private val CacheVersion = "v3" // v3: sidecars carry chunk offsets
 
+  // per-dir content stamp, memoized: (name, length, mtime) over the
+  // dir's parquet files, so the cache key changes whenever the source
+  // data does — a regenerated testdata dir at the SAME path (the
+  // round-8/9 incident class) can never be served stale cf copies from
+  // a persistent temp dir.
+  private val dirStamps = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dirStamp(dir: String): String =
+    dirStamps.computeIfAbsent(dir, d => {
+      val files = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val h = files.foldLeft(1469598103934665603L) { (acc, f) =>
+        var x = acc
+        for (v <- Seq(f.getName.hashCode.toLong, f.length, f.lastModified))
+          x = (x ^ v) * 1099511628211L
+        x
+      }
+      java.lang.Long.toHexString(h)
+    })
+
+  /** Test hook: drop the memoized stamp so a rewrite within one JVM is
+    * observed (real runs get a fresh JVM per round).
+    */
+  private[queries] def forgetDirStamp(dir: String): Unit = {
+    dirStamps.remove(dir); ()
+  }
+
   /** Cache location for a columnfile copy of `dir`'s `name` table. */
   def cachePath(dir: String, name: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val key = java.lang.Integer.toHexString(dir.hashCode) + "-" + dirStamp(dir)
     s"${sys.props("java.io.tmpdir")}/graft_cf_cache/$CacheVersion/$key/$name"
   }
 

@@ -87,6 +87,23 @@ class TablesSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(session.sql("SELECT graft_polyhash('x') AS h").count() == 1)
   }
 
+  test("cf cache keys track source content, not just the dir path") {
+    // regenerated testdata at the SAME path must get a fresh cache dir
+    val d = tmpDir()
+    spark.range(5).toDF("id").write.parquet(s"$d/documents.parquet")
+    val p1 = Tables.cachePath(d, "documents-lz4")
+    assert(p1 == Tables.cachePath(d, "documents-lz4"), "stamp must be stable")
+    // simulate the driver rewriting the table in place (new mtime/size)
+    Thread.sleep(1100) // mtime granularity can be a full second
+    spark.range(7).toDF("id").write.mode("overwrite")
+      .parquet(s"$d/documents.parquet")
+    // memoized per-JVM: real runs get a fresh JVM per round; the test
+    // drops the memo to observe the rewrite
+    Tables.forgetDirStamp(d)
+    val fresh = Tables.cachePath(d, "documents-lz4")
+    assert(fresh != p1, "regenerated source data must change the cache key")
+  }
+
   test("a throw during registerAll does not poison the session cache") {
     val goneDir = tmpDir() + "/does-not-exist"
     val session = spark.newSession()
