@@ -73,22 +73,38 @@ object Bench {
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
   }
 
+  /** The PRINTED line: headline q-family queries only, with the total
+    * still summed over the FULL inventory. The harness tail-captures
+    * the last ~2000 bytes of stdout — the full 100-query line (~2.9 KB)
+    * truncates there and records as unparseable (rounds 7 and 8 both
+    * lost their bench artifact this way). The q-family line is ~1.7 KB
+    * and the complete per-query inventory is always in the committed
+    * BENCH_LOCAL.json (written before printing).
+    */
+  def toJsonHeadline(results: Seq[(String, Double)], sf: String): String = {
+    val qs = results.filter(_._1.startsWith("q"))
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = newSession(cpus)
-    val json = toJson(timeInventory(spark, sfDir), sfDir)
-    // The harness tail-captures stdout and can truncate the (long) JSON
-    // line, so persist the full result to a file FIRST; the printed line
-    // stays the machine-readable contract when it survives intact.
+    val results = timeInventory(spark, sfDir)
+    // Full per-query inventory to the committed file FIRST; the printed
+    // line is the headline subset sized to survive the tail capture.
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
       java.nio.file.Files.write(out,
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (toJson(results, sfDir) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write BENCH_LOCAL.json: $e") }
-    println(json)
+    println(toJsonHeadline(results, sfDir))
     spark.stop()
   }
 }
