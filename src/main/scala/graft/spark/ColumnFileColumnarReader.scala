@@ -42,11 +42,10 @@ object ColumnFileColumnarReader {
       throw new UnsupportedOperationException("dictionary holds binary values")
   }
 
-  /** Flat atomic columns, (possibly nested) structs whose leaves are all
-    * atomic, and arbitrarily nested arrays/maps/structs/decimals inside
-    * collections (framed cells parse straight into the vector's child
-    * element vectors, recursively). Only variants keep the row reader:
-    * their binary-parts cells have no vector representation.
+  /** Every projection vectorizes except variant ELEMENTS inside
+    * collections: atomics, decimals, variants-as-columns, structs, and
+    * arbitrarily nested arrays/maps (framed cells parse straight into
+    * the vector's child element vectors, recursively).
     */
   def vectorizable(schema: StructType): Boolean =
     schema.fields.forall(f => vectorizableType(f.dataType))
@@ -56,6 +55,10 @@ object ColumnFileColumnarReader {
          FloatType | DoubleType | DateType | TimestampType |
          TimestampNTZType | StringType | BinaryType => true
     case _: DecimalType => true
+    // variant as its own column (top-level or struct leaf): the vector
+    // is struct-shaped with two binary children (value, metadata) and
+    // ColumnVector.getVariant reads them back
+    case _: VariantType => true
     case st: StructType => st.fields.forall(f => vectorizableType(f.dataType))
     case ArrayType(et, _) => vectorizableElement(et)
     case MapType(kt, vt, _) => vectorizableElement(kt) && vectorizableElement(vt)
@@ -407,6 +410,24 @@ class ColumnFileColumnarPartitionReader(
       (v, cell, pos) => v.putDecimal(pos,
         CellCodec.decode(d, cell).asInstanceOf[org.apache.spark.sql.types.Decimal],
         d.precision)
+    // variant cell = varint(len) + value + varint(len) + metadata
+    // (CellCodec's framing); the two parts land in the vector's binary
+    // children at the same row position
+    case _: VariantType =>
+      (v, cell, pos) => {
+        val cur = new graft.format.Cursor(0)
+        val vLen = framedCount(cell, cur)
+        val vOff = cur.pos
+        cur.pos += vLen
+        val mLen = framedCount(cell, cur)
+        val mOff = cur.pos
+        cur.pos += mLen
+        expectConsumed(cell, cur, "variant")
+        v.getChild(0).putByteArray(pos, cell, vOff, vLen)
+        v.getChild(1).putByteArray(pos, cell, mOff, mLen)
+        v.putNotNull(pos)
+        ()
+      }
     // Framed collections parse straight into the child element vectors
     // (append-based: rows of a batch are written in order, so the child
     // offset is just the running elementsAppended). Mirrors

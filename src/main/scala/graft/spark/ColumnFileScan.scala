@@ -475,9 +475,9 @@ class ColumnFileReaderFactory(
   @transient private lazy val dataRequiredSchema =
     StructType(requiredSchema.fields.filterNot(f => partSet(f.name)))
 
-  /** Vectorized for every projection except variant leaves (no vector
-    * representation for their binary parts) — atomics, decimals,
-    * structs, arrays, maps, and nested combinations all batch; see
+  /** Vectorized for every projection except variant ELEMENTS inside
+    * collections — atomics, decimals, variants-as-columns, structs,
+    * arrays, maps, and nested combinations all batch; see
     * ColumnFileColumnarReader.vectorizable. `vectorize=false` opts a
     * read out entirely.
     */

@@ -131,17 +131,25 @@ class CollectionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(col("aa").getItem(0).isNotNull).count() == 0)
   }
 
-  test("variant columns keep the row reader") {
+  test("variant columns vectorize; both readers agree") {
     val dir = Files.createTempDirectory("cf-vec-variant").toString
     spark.range(100)
-      .selectExpr("id", "parse_json(concat('{\"a\":', id, '}')) AS v")
+      .selectExpr("id",
+        "CASE WHEN id % 9 = 0 THEN NULL " +
+          "ELSE parse_json(concat('{\"a\":', id, '}')) END AS v")
       .write.format("columnfile").mode("overwrite").save(dir)
     val back = spark.read.format("columnfile").load(dir)
-    assert(!columnar(back.select("id", "v")),
-      "variant projection should fall back to the row reader")
-    assert(columnar(back.select("id")))
-    assert(back.selectExpr("sum(cast(variant_get(v, '$.a') AS BIGINT))")
-      .head.getLong(0) == (0 until 100).sum)
+    assert(columnar(back.select("id", "v")),
+      "variant projection should use the columnar reader")
+    def answer(df: org.apache.spark.sql.DataFrame): (Long, Long) = (
+      df.selectExpr("sum(cast(variant_get(v, '$.a') AS BIGINT))").head.getLong(0),
+      df.where(col("v").isNull).count())
+    val vec = answer(back)
+    val row = answer(spark.read.format("columnfile")
+      .option("vectorize", "false").load(dir))
+    assert(vec == row, s"reader paths disagree: $vec vs $row")
+    assert(vec._1 == (0 until 100).filter(_ % 9 != 0).sum)
+    assert(vec._2 == (0 until 100).count(_ % 9 == 0))
   }
 
   test("property: columnar and row readers agree on random nested data") {
