@@ -624,23 +624,29 @@ object ExtQueries {
     spark.sql(ngramPairsFrom(SparkD, "ng_rare", "ng_g"))
   }, Some(ngramJaccardSql(DuckD)))
 
-  /** Keep-best dedup over the MinHash-LSH pair graph: connected
-    * components would need iteration, so (standard practice) each doc's
-    * group key is min(doc_id over its direct near-dups + itself) — one
-    * shuffle — and the kept doc per group maximizes (tokens, -doc_id).
+  /** Keep-best dedup over the near-dup edge graph: connected components
+    * would need iteration, so (standard practice) each doc's group key
+    * is min(doc_id over its direct neighbors + itself) — one shuffle —
+    * and the kept doc per group maximizes (tokens, -doc_id).
     *
-    * The Spark side materializes the pair graph once (cached view):
-    * Spark inlines WITH subqueries, so the 5 references would otherwise
-    * recompute the whole MinHash pipeline 5x. (At 100 TB the equivalent
-    * is checkpointing signatures/pairs to storage between stages.)
+    * Uses the COLLAPSED edge set ([[ccEdgesDF]], same as d09/p02):
+    * exact dupes attach to their representative and LSH pairs are
+    * rep-level, so the edge relation — d08's whole input — stays
+    * bounded under dup floods where the raw pair list grows ~n²
+    * (measured: the raw formulation went 3.9× per 3.3× data at the
+    * 100× step; collapsed is sublinear — SCALE.md). The Spark side
+    * materializes the edges once (cached view): Spark inlines WITH
+    * subqueries, so the references would otherwise recompute the whole
+    * pipeline per use. (At 100 TB the equivalent is checkpointing
+    * signatures/edges to storage between stages.)
     */
   private def keepBest: Q = Q("d08_dedup_keep_best", (spark, dir) => {
     Tables.registerAll(spark, dir)
-    val pairs = minhashPairsDF(spark)
-    pairs.cache().createOrReplaceTempView("mh_pairs")
-    spark.sql(keepBestBody("mh_pairs", SparkD))
-  }, Some(s"WITH mh_pairs AS (${minhashSql(DuckD)})\n" +
-    keepBestBody("mh_pairs", DuckD)))
+    val pairs = ccEdgesDF(spark)
+    pairs.cache().createOrReplaceTempView("cc_edges")
+    spark.sql(keepBestBody("cc_edges", SparkD))
+  }, Some(s"WITH ${ccEdgesCtes(DuckD)}\n" +
+    keepBestBody("all_edges", DuckD)))
 
   /** d09: TRUE connected-components keep-best — the iterated upgrade of
     * d08's 1-hop approximation. Chained near-dups (A-B, B-C where A and C
