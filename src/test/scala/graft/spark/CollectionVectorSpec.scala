@@ -210,6 +210,7 @@ class CollectionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
         Map(s"k${i % 3}" -> Seq(i * 0.5, i * 0.25)),
         Seq(BigDecimal(i).setScale(2), BigDecimal(s"$i.12345678901234567890"))))
       .toDF("id", "st", "ma", "dec")
+      .selectExpr("*", "parse_json(concat('{\"x\":', id, '}')) AS v")
       .repartition(1).write.format("columnfile").mode("overwrite").save(dir)
     val dataFile = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".cf")).head
