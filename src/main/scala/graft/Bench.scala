@@ -64,7 +64,10 @@ object Bench {
     * carry no signal at wall-clock noise levels).
     */
   private def fmt(v: Double): String =
-    if (v < 0) "-1.0" else f"$v%.4f"
+    // Locale.ROOT: the default-locale f-interpolator emits a comma
+    // decimal separator under e.g. de_DE, corrupting the JSON contract.
+    if (v < 0) "-1.0"
+    else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
 
   def toJson(results: Seq[(String, Double)], sf: String): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

@@ -57,7 +57,14 @@ object BenchScale {
       val built = new String(java.nio.file.Files.readAllBytes(done.toPath),
         java.nio.charset.StandardCharsets.UTF_8).split(",").filter(_.nonEmpty).toSet
       if (tables.forall(built.contains)) return
-      throw new IllegalStateException(
+      if (built.isEmpty) {
+        // Legacy empty marker (pre-table-list builds used createNewFile):
+        // its table set is unknown, so rebuild instead of erroring —
+        // writes below are mode("overwrite") per table, and the marker is
+        // rewritten with the real list on completion.
+        done.delete()
+        ()
+      } else throw new IllegalStateException(
         s"$outDir was built with tables [${built.toSeq.sorted.mkString(",")}] " +
           s"but this run needs [${tables.mkString(",")}]; " +
           "use a different SPARK_GRAFT_SCALED_DIR or delete the old build")

@@ -349,8 +349,15 @@ object ExtQueries {
       .createOrReplaceTempView("rep_documents")
     val repPairs = minhashPairsDF(spark, "rep_documents", "mhr")
       .select(col("i"), col("j"))
+    // Exact-collapse edges are oriented (i=rep, j=member): rep = MIN(doc_id)
+    // of the group, so this preserves the LSH pair list's global i < j
+    // invariant. The orientation is LOAD-BEARING for d08, whose group
+    // filter is `gkey IN (SELECT i FROM pairs)` — with the reversed
+    // orientation an exact-dup-only group (rep has no rep-level LSH pair)
+    // would never have its gkey(=rep) in column i and the kept row would
+    // silently vanish. d09/p02 symmetrize edges and don't care.
     val exactEdges = spark.sql(
-      """SELECT d.doc_id AS i, g.rep AS j FROM documents d
+      """SELECT g.rep AS i, d.doc_id AS j FROM documents d
         |JOIN mh_grp g ON md5(d.text) = g.dg WHERE d.doc_id <> g.rep""".stripMargin)
     repPairs.union(exactEdges)
   }
@@ -368,7 +375,7 @@ object ExtQueries {
        |all_edges AS (
        |  SELECT i, j FROM mh_pairs
        |  UNION ALL
-       |  SELECT dig.doc_id AS i, grp.rep AS j FROM dig
+       |  SELECT grp.rep AS i, dig.doc_id AS j FROM dig
        |  JOIN grp ON dig.dg = grp.dg WHERE dig.doc_id <> grp.rep)""".stripMargin
 
   private def minhashLsh: Q = Q("d03_dedup_minhash_lsh", (spark, dir) => {
@@ -1596,6 +1603,11 @@ object ExtQueries {
     val lshCapReport: String = lshCapReportSql(SparkD)
     val annCapReport: String = annCapReportSql(SparkD)
     val hotBucketCap: Long = HotBucketCap
+    def keepBestCollapsed(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = {
+      ccEdgesDF(spark).createOrReplaceTempView("cc_edges_test")
+      spark.sql(keepBestBody("cc_edges_test", SparkD))
+    }
   }
 
   /** m02: REAL image-header decode through the multimodal seam. The

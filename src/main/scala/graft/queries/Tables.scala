@@ -39,23 +39,51 @@ object Tables {
   private val CacheVersion = "v3" // v3: sidecars carry chunk offsets
 
   // per-dir content stamp, memoized: (name, length, mtime) over the
-  // dir's parquet files, so the cache key changes whenever the source
-  // data does — a regenerated testdata dir at the SAME path (the
-  // round-8/9 incident class) can never be served stale cf copies from
-  // a persistent temp dir.
+  // dir's parquet files — RECURSIVE, because a Spark-written table is a
+  // *directory* whose length is meaningless and whose mtime has 1-second
+  // granularity; the part files underneath carry task-UUID names, so any
+  // rewrite (even within the same second) changes the stamp. The cache
+  // key changes whenever the source data does — a regenerated testdata
+  // dir at the SAME path (the round-8/9 incident class) can never be
+  // served stale cf copies from a persistent temp dir.
   private val dirStamps = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dirStamp(dir: String): String =
     dirStamps.computeIfAbsent(dir, d => {
-      val files = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      val h = files.foldLeft(1469598103934665603L) { (acc, f) =>
+      def walk(f: java.io.File, acc: Long): Long = {
         var x = acc
         for (v <- Seq(f.getName.hashCode.toLong, f.length, f.lastModified))
           x = (x ^ v) * 1099511628211L
-        x
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty)
+            .sortBy(_.getName).foldLeft(x)((a, c) => walk(c, a))
+        else x
       }
-      java.lang.Long.toHexString(h)
+      val files = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val stamp = java.lang.Long.toHexString(
+        files.foldLeft(1469598103934665603L)((a, f) => walk(f, a)))
+      pruneStaleCaches(d, stamp)
+      stamp
     })
+
+  /** Content-keyed cache dirs would otherwise accumulate one generation
+    * per data rewrite under java.io.tmpdir forever; when a new stamp is
+    * first computed for a dir, drop that dir's older generations. (A
+    * concurrent JVM still reading an old generation re-materializes on
+    * its next cache miss — the cache is best-effort by design.)
+    */
+  private def pruneStaleCaches(dir: String, stamp: String): Unit = {
+    val prefix = java.lang.Integer.toHexString(dir.hashCode) + "-"
+    val root = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_cf_cache/$CacheVersion")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.getName != prefix + stamp)
+      .foreach(rm)
+  }
 
   /** Test hook: drop the memoized stamp so a rewrite within one JVM is
     * observed (real runs get a fresh JVM per round).

@@ -103,6 +103,19 @@ class DegenerateCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d08 keep-best: exact-dup-only groups survive the collapsed edge set") {
+    // Both groups in this corpus are exact-dup-only: after collapse the
+    // flood is ONE representative (1000) and the planted pair's texts are
+    // identical too (rep 1), so NO rep-level LSH pair exists anywhere.
+    // With collapse edges oriented (i=member, j=rep) — the pre-round-10
+    // bug — d08's `gkey IN (SELECT i FROM pairs)` filter saw neither rep
+    // in column i and returned ZERO rows here. The (i=rep, j=member)
+    // orientation keeps the global i < j invariant and both groups.
+    val got = ExtQueries.TestSql.keepBestCollapsed(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L), (1000L, 1000L)))
+  }
+
   test("v06 cap report: flooded ANN table drops are visible per hash table") {
     val cap = ExtQueries.TestSql.hotBucketCap
     val rows = spark.sql(ExtQueries.TestSql.annCapReport).collect()
