@@ -41,6 +41,37 @@ object VectorOps {
     }
     java.lang.Double.valueOf(acc)
   }
+
+  /** Exact integer dot product; elemCode 0/1/2/3 = byte/short/int/long
+    * elements. Null on length mismatch or null elements, like the
+    * zip_with + aggregate spelling it replaces. Integer addition is
+    * associative, so (unlike the float path) no summation-order caveat
+    * is even needed for engine portability.
+    */
+  def intDotBoxed(a: ArrayData, b: ArrayData, ac: Int, bc: Int): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = ac match {
+        case 0 => a.getByte(i).toLong
+        case 1 => a.getShort(i).toLong
+        case 2 => a.getInt(i).toLong
+        case _ => a.getLong(i)
+      }
+      val y = bc match {
+        case 0 => b.getByte(i).toLong
+        case 1 => b.getShort(i).toLong
+        case 2 => b.getInt(i).toLong
+        case _ => b.getLong(i)
+      }
+      acc += x * y
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
 }
 
 case class DotProduct(left: Expression, right: Expression)
@@ -89,12 +120,72 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact integer dot product over integral arrays (tinyint through
+  * bigint) — the scoring kernel for the int8-quantized embedding path
+  * (v07, and d07's candidate scoring). Accumulates in long; inputs are
+  * quantized to |q| <= 127, so 64-dim products are far from overflow.
+  */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(ByteType | ShortType | IntegerType | LongType, _) => true
+      case _                                                           => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_idot requires integral array inputs, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  private def elemCode(e: Expression): Int = e.dataType match {
+    case ArrayType(ByteType, _)    => 0
+    case ArrayType(ShortType, _)   => 1
+    case ArrayType(IntegerType, _) => 2
+    case ArrayType(LongType, _)    => 3
+    case other => throw new IllegalArgumentException(
+      s"graft_idot: unsupported input type $other (need integral array)")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.intDotBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      elemCode(left), elemCode(right))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("idotRes")
+      s"""
+         |java.lang.Long $tmp = graft.functions.VectorOps.intDotBoxed(
+         |  $a, $b, ${elemCode(left)}, ${elemCode(right)});
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
-  def register(registry: FunctionRegistry): Unit =
+  def register(registry: FunctionRegistry): Unit = {
     registry.createOrReplaceTempFunction("graft_dot",
       (e: Seq[Expression]) => {
         if (e.length != 2) throw new IllegalArgumentException(
           s"graft_dot takes exactly 2 arguments, got ${e.length}")
         DotProduct(e(0), e(1))
       }, "built-in")
+    registry.createOrReplaceTempFunction("graft_idot",
+      (e: Seq[Expression]) => {
+        if (e.length != 2) throw new IllegalArgumentException(
+          s"graft_idot takes exactly 2 arguments, got ${e.length}")
+        IntDotProduct(e(0), e(1))
+      }, "built-in")
+  }
 }

@@ -177,6 +177,24 @@ class ColumnFileScan(
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
+  /** Value equality over the scan's IMMUTABLE identity (what it reads
+    * and how), so Spark's reuse machinery — ReuseExchange, subquery
+    * reuse, and DPP's broadcast-reuse matching, all of which compare
+    * canonicalized plans containing the Scan — recognizes two
+    * identically-constructed scans of the same table. Mutable runtime
+    * state (runtimeFilters, memoized partitions) is deliberately
+    * excluded: Spark tracks runtime filters on the exec node, and two
+    * scans that read the same data are interchangeable for reuse.
+    */
+  private def identityKey =
+    (paths, tableSchema, requiredSchema, filters.toSeq, options.asCaseSensitiveMap,
+      limit, partitionCols)
+  override def equals(other: Any): Boolean = other match {
+    case o: ColumnFileScan => identityKey == o.identityKey
+    case _ => false
+  }
+  override def hashCode(): Int = identityKey.hashCode()
+
   /** Runtime (dynamic) filtering: Spark hands us join-key filters (e.g.
     * the In-set of dimension keys that survived the build side) after
     * the build side executes and before our partitions are planned. They
@@ -187,20 +205,33 @@ class ColumnFileScan(
   private var runtimeFilters: Array[Filter] = Array.empty
 
   // only output columns are valid runtime-filter attributes (Spark
-  // resolves them against the scan's pruned output)
+  // resolves them against the scan's pruned output).
+  //
+  // `runtimeFiltering=false` opts a relation out entirely: for a tiny
+  // table (e.g. the IVF router) a runtime filter saves nothing, but its
+  // DynamicPruningSubquery rewrites the relation's Filter — which then
+  // defeats `sameResult` broadcast-reuse matching for the DPP that
+  // MATTERS (the big fact/index side keyed by this table's join column),
+  // degrading it to `dynamicpruningexpression(true)`. Dimension-style
+  // reads should opt out so their broadcast stays reusable.
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    requiredSchema.fields.map(f =>
+    if (Option(options.get("runtimeFiltering")).contains("false"))
+      Array.empty
+    else requiredSchema.fields.map(f =>
       org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
   override def filter(filters: Array[Filter]): Unit = {
     runtimeFilters = filters.filter(f => FilterEval.evaluable(f, tableSchema))
-    // Re-plan so runtime filters prune chunks — EXCEPT for partitioned
-    // tables, whose split list must stay exactly as reported under
-    // KeyGroupedPartitioning (a changed split count would break the
-    // storage-partitioned-join contract). Their runtime filters still
-    // evaluate task-side via allFilters, so only the chunk-prune step is
-    // forgone.
-    if (partitionCols.isEmpty) plannedPartitions = null
+    // Re-plan so runtime filters prune chunks AND partition directories.
+    // This is within the KeyGroupedPartitioning contract: Spark's
+    // BatchScanExec explicitly allows runtime filtering to report "a
+    // subset of partition values from the original" (it regroups; only
+    // NEW values or key-less partitions are errors), and pruning can
+    // only ever drop splits — every survivor still carries its key. For
+    // a cell-partitioned IVF index this is the production path: the
+    // broadcast router relation's runtime In-filter prunes the index to
+    // the probed directories before any I/O.
+    plannedPartitions = null
   }
 
   /** Hive-partitioned tables report `KeyGroupedPartitioning` over the

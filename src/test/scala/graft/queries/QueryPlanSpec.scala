@@ -168,37 +168,59 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("v05 probe scan plans only the probed cells' directories") {
+  test("v05 probe scan reads only the probed cells' directories") {
     import org.apache.spark.sql.functions.col
-    val df = graft.SparkEntry.queries("v05_knn_ivf_indexed")(spark, dir)
     val idxPath = ExtQueries.ivfIndexPath(spark, dir)
     val allCells = new java.io.File(idxPath).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName)
     assert(allCells.length == 10, s"expected 10 cell dirs: ${allCells.toSeq}")
 
-    def plannedCells(d: org.apache.spark.sql.DataFrame): Set[String] = {
+    // the cells the scan ACTUALLY read: pruning now happens via runtime
+    // filtering (the broadcast router relation → In-filter → directory
+    // prune at execution), so inspect the executed scan's RDD partitions
+    // AFTER running the query, not the static planInputPartitions.
+    def executedCells(d: org.apache.spark.sql.DataFrame): Set[String] = {
+      d.collect()
       val scans = d.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
       }
       val idxScans = scans.filter(_.output.exists(_.name == "cell"))
       assert(idxScans.nonEmpty, "index scan not found in plan")
-      idxScans.flatMap(_.inputPartitions).flatMap {
+      idxScans.flatMap(_.inputRDD.partitions).flatMap {
+        case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          p.inputPartitions
+      }.flatMap {
         case p: graft.spark.CfPartition => p.partitionValues.toSeq
       }.toSet
     }
-    // the composed 20-query batch: planned dirs == union of probed cells
+    // expected probe cells, computed by the spec (the collect lives HERE,
+    // not in the query path)
+    def probes(maxQid: Long): Seq[(Long, Int)] =
+      spark.sql(ExtQueries.ivfProbesSql(maxQid)).collect().toSeq
+        .map(r => (r.getLong(0), r.getAs[Number]("pcell").intValue))
+    // the composed 20-query batch: executed dirs == union of probed cells
     // (at this tiny sf the 20 queries' probes happen to cover all 10
     // cells — the single-query case below shows the strict pruning)
-    val probed = ExtQueries.ivfProbes(spark, dir, 20L).map(_._2.toString).toSet
-    val planned = plannedCells(df)
-    assert(planned == probed,
-      s"planned $planned, probed $probed of ${allCells.length} dirs")
-    // a single query vector: exactly nprobe=2 of the 10 directories
-    val one = ExtQueries.ivfProbes(spark, dir, 1L).map(_._2)
+    val df = graft.SparkEntry.queries("v05_knn_ivf_indexed")(spark, dir)
+    val probed = probes(20L).map(_._2.toString).toSet
+    val executed = executedCells(df)
+    assert(executed == probed,
+      s"executed $executed, probed $probed of ${allCells.length} dirs")
+    // a single query vector: exactly nprobe=2 of the 10 directories —
+    // asserted through the SAME runtime-filter path the query uses (the
+    // materialized router table, range-filtered, broadcast to the join;
+    // no isin literals anywhere)
+    val one = probes(1L).map(_._2)
     assert(one.length == 2)
-    val oneScan = spark.read.format("columnfile").load(idxPath)
-      .where(col("cell").isin(one: _*))
-    assert(plannedCells(oneScan) == one.map(_.toString).toSet)
+    val routerPath = ExtQueries.ivfRouterPath(spark, dir)
+    spark.read.format("columnfile").option("runtimeFiltering", "false")
+      .load(routerPath).where("qid < 1").createOrReplaceTempView("ivf_probe1")
+    spark.read.format("columnfile").load(idxPath)
+      .createOrReplaceTempView("ivf_idx_plan")
+    val oneScan = spark.sql(
+      """SELECT /*+ BROADCAST(p) */ n.vec_id, n.cell
+        |FROM ivf_probe1 p JOIN ivf_idx_plan n ON n.cell = p.pcell""".stripMargin)
+    assert(executedCells(oneScan) == one.map(_.toString).toSet)
   }
 
   test("q21 prunes the read schema to the projected columns") {
