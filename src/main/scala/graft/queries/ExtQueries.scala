@@ -391,10 +391,63 @@ object ExtQueries {
        |  SELECT grp.rep AS i, dig.doc_id AS j FROM dig
        |  JOIN grp ON dig.dg = grp.dg WHERE dig.doc_id <> grp.rep)""".stripMargin
 
+  /** d03: the RAW near-dup pair list. Its contract is the pair list
+    * itself, which grows ~n² when the corpus is flooded with exact
+    * duplicates (every copy pairs with every copy) — that is an
+    * output-size fact, not a plan defect (SCALE.md "Measured
+    * scale-step"). PRECONDITION: run after exact dedup (d01/d02), or
+    * use [[minhashCollapsed]] (d12), whose bounded rep-level contract
+    * carries the same information with member counts.
+    */
   private def minhashLsh: Q = Q("d03_dedup_minhash_lsh", (spark, dir) => {
     Tables.registerAll(spark, dir)
     minhashPairsDF(spark)
   }, Some(minhashSql(DuckD)))
+
+  /** d12: d03's bounded-output twin (round 10, VERDICT r9 #2) — the
+    * collapsed near-dup CONTRACT: exact-dup groups collapse to their
+    * representative first (one hash shuffle), MinHash-LSH pairs are
+    * emitted at REP level only, and each side carries its group's
+    * member count, so total output is bounded by the number of
+    * *distinct* texts regardless of duplication (a 100×-replicated
+    * corpus emits the same pair rows with 100× the counts — measured
+    * sublinear in SCALE.md where d03's raw expansion is ~n²). Everything
+    * a raw pair consumer needs is recoverable: a raw (i,j) pair exists
+    * iff its reps pair here or share a group, and the ni·nj product
+    * gives the raw multiplicity.
+    */
+  private def minhashCollapsed: Q = {
+    val oracle = {
+      val d = DuckD
+      s"""WITH dig AS (SELECT doc_id, md5(text) AS dg FROM documents),
+         |grp AS (SELECT dg, MIN(doc_id) AS rep, COUNT(*) AS members
+         |        FROM dig GROUP BY dg),
+         |rep_documents AS (
+         |  SELECT d2.* FROM documents d2 JOIN grp ON d2.doc_id = grp.rep),
+         |mh AS (${minhashSql(d, "rep_documents")})
+         |SELECT mh.i, mh.j, mh.jaccard,
+         |  CAST(gi.members AS BIGINT) AS ni, CAST(gj.members AS BIGINT) AS nj
+         |FROM mh JOIN grp gi ON gi.rep = mh.i
+         |JOIN grp gj ON gj.rep = mh.j""".stripMargin
+    }
+    Q("d12_dedup_minhash_collapsed", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val grp = spark.sql(
+        """SELECT md5(text) AS dg, MIN(doc_id) AS rep, COUNT(*) AS members
+          |FROM documents GROUP BY md5(text)""".stripMargin)
+      grp.cache().createOrReplaceTempView("mhc_grp")
+      spark.sql(
+        "SELECT d2.* FROM documents d2 JOIN mhc_grp g ON d2.doc_id = g.rep")
+        .createOrReplaceTempView("mhc_rep_documents")
+      minhashPairsDF(spark, "mhc_rep_documents", "mhc")
+        .createOrReplaceTempView("mhc_pairs")
+      spark.sql(
+        """SELECT p.i, p.j, p.jaccard,
+          |  CAST(gi.members AS BIGINT) AS ni, CAST(gj.members AS BIGINT) AS nj
+          |FROM mhc_pairs p JOIN mhc_grp gi ON gi.rep = p.i
+          |JOIN mhc_grp gj ON gj.rep = p.j""".stripMargin)
+    }, Some(oracle))
+  }
 
   /** q59: ONLINE near-dup detection — the real streaming pipeline
     * (columnfile stream source → the same codegen MinHash banding as
@@ -1601,6 +1654,8 @@ object ExtQueries {
     decontaminate,
     // Cap/recall observability: what did the hot-bucket caps drop?
     dialect("d11_lsh_cap_report", lshCapReportSql),
+    // d03's bounded-output twin: rep-level pairs + member counts.
+    minhashCollapsed,
     // Online near-dup detection (streaming MinHash-LSH band state).
     streamNearDup,
     dialect("v06_ann_cap_report", annCapReportSql),

@@ -66,14 +66,17 @@ object ColumnFileColumnarReader {
   }
 
   /** Collection ELEMENT types with an append path on the child vector:
-    * atomics, decimals, and nested structs/arrays/maps thereof. Only
-    * variant elements stay on the row reader.
+    * atomics, decimals, variants, and nested structs/arrays/maps
+    * thereof — i.e. everything the format can store (round 10 closed
+    * the last gap, variant elements; `vectorize=false` still forces the
+    * row reader for debugging).
     */
   private[spark] def vectorizableElement(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | ShortType | ByteType | BooleanType |
          FloatType | DoubleType | DateType | TimestampType |
          TimestampNTZType | StringType | BinaryType => true
     case _: DecimalType => true
+    case _: VariantType => true
     case st: StructType => st.fields.forall(f => vectorizableElement(f.dataType))
     case ArrayType(et, _) => vectorizableElement(et)
     case MapType(kt, vt, _) => vectorizableElement(kt) && vectorizableElement(vt)
@@ -575,6 +578,28 @@ class ColumnFileColumnarPartitionReader(
         }
         ()
       }
+    // variant elements: varint(totalLen) outer frame (writeElement's
+    // byte-typed framing), then the variant cell's own two varint-framed
+    // parts; value/metadata land in the struct-shaped variant vector's
+    // binary children (same layout the top-level variant column uses)
+    case _: VariantType =>
+      (c, cell, cur) => {
+        val total = framedCount(cell, cur)
+        val end = cur.pos + total
+        val vLen = framedCount(cell, cur)
+        val vOff = cur.pos
+        cur.pos += vLen
+        val mLen = framedCount(cell, cur)
+        val mOff = cur.pos
+        cur.pos += mLen
+        if (cur.pos != end)
+          throw new graft.format.CorruptColumnFileException(
+            "trailing bytes decoding variant element")
+        c.appendStruct(false)
+        c.getChild(0).appendByteArray(cell, vOff, vLen)
+        c.getChild(1).appendByteArray(cell, mOff, mLen)
+        ()
+      }
     // struct elements: presence byte + element per field (no count
     // prefix — mirrors CellCodec.writeFramed's struct layout)
     case st: StructType =>
@@ -633,14 +658,15 @@ class ColumnFileColumnarPartitionReader(
       throw new IllegalStateException(s"non-vectorizable element type $other")
   }
 
-  /** Append a null ELEMENT to a child vector. Struct children must go
-    * through appendStruct(true) so their own field vectors stay aligned
-    * (a bare appendNull would leave them one row short).
+  /** Append a null ELEMENT to a child vector. Struct children — and
+    * variant children, whose vector is struct-shaped (value, metadata) —
+    * must go through appendStruct(true) so their own field vectors stay
+    * aligned (a bare appendNull would leave them one row short).
     */
   private def appendNullElem(
       c: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
       dt: DataType): Unit = dt match {
-    case _: StructType => c.appendStruct(true); ()
+    case _: StructType | _: VariantType => c.appendStruct(true); ()
     case _ => c.appendNull(); ()
   }
 }

@@ -152,6 +152,42 @@ class CollectionVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vec._2 == (0 until 100).count(_ % 9 == 0))
   }
 
+  test("variant elements inside collections vectorize; both readers agree") {
+    // round 10: the last row-path fallback closed — variants as ARRAY
+    // elements, MAP values, and (via struct shredding) struct fields all
+    // take the batched path now.
+    val dir = Files.createTempDirectory("cf-vec-varel").toString
+    spark.range(200)
+      .selectExpr("id",
+        "CASE WHEN id % 13 = 0 THEN NULL ELSE array(" +
+          "parse_json(concat('{\"a\":', id, '}')), " +
+          "CASE WHEN id % 7 = 0 THEN NULL " +
+          "ELSE parse_json(concat('[', id, ']')) END) END AS va",
+        "named_struct('tag', id % 5, " +
+          "'v', parse_json(concat('{\"b\":', id * 2, '}'))) AS sv",
+        "map(concat('k', id % 3), parse_json(cast(id AS STRING))) AS mv")
+      .write.format("columnfile").mode("overwrite").save(dir)
+    val back = spark.read.format("columnfile").load(dir)
+    assert(columnar(back.select("id", "va", "sv", "mv")),
+      "variant-in-collection projection should use the columnar reader")
+    def answer(df: org.apache.spark.sql.DataFrame): (Long, Long, Long, Long, Long) = (
+      df.selectExpr("sum(cast(variant_get(va[0], '$.a') AS BIGINT))").head.getLong(0),
+      df.where(col("va").isNull).count(),
+      df.selectExpr("count(1) FILTER (WHERE va IS NOT NULL AND va[1] IS NULL)").head.getLong(0),
+      df.selectExpr("sum(cast(variant_get(sv.v, '$.b') AS BIGINT))").head.getLong(0),
+      df.selectExpr("sum(cast(variant_get(map_values(mv)[0], '$') AS BIGINT))").head.getLong(0))
+    val vec = answer(back)
+    val row = answer(spark.read.format("columnfile")
+      .option("vectorize", "false").load(dir))
+    assert(vec == row, s"reader paths disagree: $vec vs $row")
+    val live = (0 until 200).filter(_ % 13 != 0)
+    assert(vec._1 == live.map(_.toLong).sum)
+    assert(vec._2 == (0 until 200).count(_ % 13 == 0))
+    assert(vec._3 == live.count(_ % 7 == 0))
+    assert(vec._4 == (0 until 200).map(_.toLong * 2).sum)
+    assert(vec._5 == (0 until 200).map(_.toLong).sum)
+  }
+
   test("property: columnar and row readers agree on random nested data") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(20260813L) // seeded: deterministic
