@@ -122,6 +122,52 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s".${ManifestFile.Name}.tmp".startsWith("."))
   }
 
+  test("racing committers cannot lose manifest entries (fence + validated merge)") {
+    val dir = Files.createTempDirectory("cf-manifest-race").toString
+    val conf = new Configuration()
+    val root = new Path(dir)
+    val threads = 4
+    val commitsPerThread = 10
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        try {
+          start.await()
+          (0 until commitsPerThread).foreach { k =>
+            ManifestFile.append(conf, root,
+              Seq(ManifestFile.Entry(s"t$t-c$k.cf", t * 1000L + k, k.toLong)))
+          }
+        } catch { case e: Throwable => errs.add(e); () }
+      })
+    }
+    ts.foreach(_.start()); start.countDown(); ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"racing commit threw: ${errs.peek()}")
+    val finalRels = ManifestFile.read(conf, root).get.map(_.rel).toSet
+    val expected = (for (t <- 0 until threads; k <- 0 until commitsPerThread)
+      yield s"t$t-c$k.cf").toSet
+    assert(finalRels == expected,
+      s"lost ${expected.diff(finalRels).size} entries to the race: " +
+        expected.diff(finalRels).take(5))
+    // the lock is released afterwards
+    assert(!new java.io.File(dir, ManifestFile.LockName).exists())
+  }
+
+  test("an abandoned (stale) manifest lock is broken, not waited on forever") {
+    val dir = Files.createTempDirectory("cf-manifest-stale").toString
+    val conf = new Configuration()
+    val root = new Path(dir)
+    val lock = new java.io.File(dir, ManifestFile.LockName)
+    assert(lock.createNewFile())
+    // backdate past the staleness threshold: a crashed committer's leftovers
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - ManifestFile.LockStaleMs - 60000L))
+    ManifestFile.append(conf, root,
+      Seq(ManifestFile.Entry("after-crash.cf", 1L, 1L)))
+    assert(ManifestFile.read(conf, root).get.map(_.rel) == Seq("after-crash.cf"))
+    assert(!lock.exists(), "stale lock must be cleaned up")
+  }
+
   test("partitioned and streaming commits keep the manifest complete") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-manifest-part").toString
