@@ -4,6 +4,44 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Pre-gate sanity sweep (VERDICT r9 #5): register every view and
+    * function ONCE and probe each with a 1-row read before any query
+    * runs. A drifted table vintage or broken registration then shows up
+    * as one loud, named `[preflight]` line at the top of the log —
+    * instead of 20 downstream query failures with misleading messages
+    * (the round-8 incident shape). Diagnostic only: queries still run,
+    * so a single bad table costs exactly the queries that read it.
+    */
+  private def preflight(spark: SparkSession, sfDir: String): Unit = {
+    try graft.queries.Tables.registerAll(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[preflight] registerAll FAILED: ${e.getMessage}") }
+    val tables = Seq("lineitem", "orders", "customer", "supplier", "part",
+      "nation", "region", "documents", "embeddings", "events")
+    var bad = 0
+    tables.foreach { n =>
+      try {
+        if (spark.catalog.tableExists(n)) { spark.table(n).limit(1).collect(); () }
+        else { bad += 1
+          System.err.println(s"[preflight] view MISSING: $n") }
+      } catch { case e: Throwable => bad += 1
+        System.err.println(s"[preflight] view UNREADABLE: $n: ${e.getMessage}") }
+    }
+    Seq("graft_polyhash('x')", "graft_simhash31(array(1L))",
+      "graft_minhash_sig(array(1L))", "graft_shingle_hashes('a b c d e f')",
+      "graft_dot(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT)))",
+      "graft_idot(array(1), array(2))")
+      .foreach { probe =>
+        try { spark.sql(s"SELECT $probe AS v").collect(); () }
+        catch { case e: Throwable => bad += 1
+          System.err.println(s"[preflight] function probe FAILED: $probe: ${e.getMessage}") }
+      }
+    System.err.println(
+      if (bad == 0) s"[preflight] OK: ${tables.size} views + functions healthy"
+      else s"[preflight] $bad problem(s) — see lines above")
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional local-iteration filter: comma-separated query names (the
@@ -35,6 +73,7 @@ object Verify {
     }
     if (outRoot.exists()) rm(outRoot)
     outRoot.mkdirs()
+    preflight(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -198,18 +198,25 @@ case class SimHash31(child: Expression) extends TextHashUnary {
   * query texts (`graft_*` functions).
   */
 object TextHashFunctions {
+  // Deterministic singleton builders: re-registering is always a no-op
+  // semantically, so skip when present instead of replace — a second
+  // registrar (e.g. a streaming query sharing the session with
+  // Tables.registerAll) must not emit a `replaced a previously
+  // registered function` warning per function per run.
+  private def registerOnce(registry: FunctionRegistry, name: String)(
+      builder: Seq[Expression] => Expression): Unit =
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+
   def register(registry: FunctionRegistry): Unit = {
-    registry.createOrReplaceTempFunction("graft_polyhash",
-      (e: Seq[Expression]) => PolyHash(e.head), "built-in")
-    registry.createOrReplaceTempFunction("graft_shingle_hashes",
-      (e: Seq[Expression]) => ShingleHashes(e.head, distinct = true), "built-in")
-    registry.createOrReplaceTempFunction("graft_shingle_hashes_all",
-      (e: Seq[Expression]) => ShingleHashes(e.head, distinct = false), "built-in")
-    registry.createOrReplaceTempFunction("graft_gram_hashes",
-      (e: Seq[Expression]) => GramHashes(e.head, 5), "built-in")
-    registry.createOrReplaceTempFunction("graft_minhash_sig",
-      (e: Seq[Expression]) => MinHashSig(e.head), "built-in")
-    registry.createOrReplaceTempFunction("graft_simhash31",
-      (e: Seq[Expression]) => SimHash31(e.head), "built-in")
+    registerOnce(registry, "graft_polyhash")(e => PolyHash(e.head))
+    registerOnce(registry, "graft_shingle_hashes")(
+      e => ShingleHashes(e.head, distinct = true))
+    registerOnce(registry, "graft_shingle_hashes_all")(
+      e => ShingleHashes(e.head, distinct = false))
+    registerOnce(registry, "graft_gram_hashes")(e => GramHashes(e.head, 5))
+    registerOnce(registry, "graft_minhash_sig")(e => MinHashSig(e.head))
+    registerOnce(registry, "graft_simhash31")(e => SimHash31(e.head))
   }
 }

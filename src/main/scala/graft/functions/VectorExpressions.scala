@@ -174,18 +174,24 @@ case class IntDotProduct(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
+  // Same skip-if-present discipline as TextHashFunctions: deterministic
+  // builders, so a second registrar in the session is a silent no-op.
+  private def registerOnce(registry: FunctionRegistry, name: String)(
+      builder: Seq[Expression] => Expression): Unit =
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+
   def register(registry: FunctionRegistry): Unit = {
-    registry.createOrReplaceTempFunction("graft_dot",
-      (e: Seq[Expression]) => {
-        if (e.length != 2) throw new IllegalArgumentException(
-          s"graft_dot takes exactly 2 arguments, got ${e.length}")
-        DotProduct(e(0), e(1))
-      }, "built-in")
-    registry.createOrReplaceTempFunction("graft_idot",
-      (e: Seq[Expression]) => {
-        if (e.length != 2) throw new IllegalArgumentException(
-          s"graft_idot takes exactly 2 arguments, got ${e.length}")
-        IntDotProduct(e(0), e(1))
-      }, "built-in")
+    registerOnce(registry, "graft_dot") { e =>
+      if (e.length != 2) throw new IllegalArgumentException(
+        s"graft_dot takes exactly 2 arguments, got ${e.length}")
+      DotProduct(e(0), e(1))
+    }
+    registerOnce(registry, "graft_idot") { e =>
+      if (e.length != 2) throw new IllegalArgumentException(
+        s"graft_idot takes exactly 2 arguments, got ${e.length}")
+      IntDotProduct(e(0), e(1))
+    }
   }
 }

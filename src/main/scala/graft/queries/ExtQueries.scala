@@ -323,6 +323,18 @@ object ExtQueries {
        |SELECT i, j, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin
   }
 
+  /** Cache `df` unless an identical plan is already in the session's
+    * cache (CacheManager matches on the canonicalized plan): several
+    * queries share relations (the band/edge set feeds d08, d09, and
+    * p02), and a second `.cache()` on the same plan is a no-op that
+    * logs a `CacheManager: Asked to cache already cached data` warning
+    * on every bench run — noise that buries real warnings.
+    */
+  private def cacheOnce(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache()
+    else df
+
   /** Spark-side MinHash pairs with the hash-set scan AND the capped band
     * relation each materialized once (cached temp views) — one
     * Generate/Exchange/Window total, self-join reads the cache.
@@ -331,9 +343,9 @@ object ExtQueries {
       from: String = "documents", tag: String = "mh")
       : org.apache.spark.sql.DataFrame = {
     val hs = spark.sql(minhashHsSql(SparkD, from))
-    hs.cache().createOrReplaceTempView(s"${tag}_hs")
+    cacheOnce(hs).createOrReplaceTempView(s"${tag}_hs")
     val ex = spark.sql(minhashExSql(SparkD, s"${tag}_hs"))
-    ex.cache().createOrReplaceTempView(s"${tag}_ex")
+    cacheOnce(ex).createOrReplaceTempView(s"${tag}_ex")
     spark.sql(minhashPairsFrom(SparkD, s"${tag}_ex", s"${tag}_hs"))
   }
 
@@ -356,7 +368,7 @@ object ExtQueries {
     import org.apache.spark.sql.functions.col
     val grp = spark.sql(
       "SELECT md5(text) AS dg, MIN(doc_id) AS rep FROM documents GROUP BY md5(text)")
-    grp.cache().createOrReplaceTempView("mh_grp")
+    cacheOnce(grp).createOrReplaceTempView("mh_grp")
     spark.sql(
       "SELECT d2.* FROM documents d2 JOIN mh_grp g ON d2.doc_id = g.rep")
       .createOrReplaceTempView("rep_documents")
@@ -435,7 +447,7 @@ object ExtQueries {
       val grp = spark.sql(
         """SELECT md5(text) AS dg, MIN(doc_id) AS rep, COUNT(*) AS members
           |FROM documents GROUP BY md5(text)""".stripMargin)
-      grp.cache().createOrReplaceTempView("mhc_grp")
+      cacheOnce(grp).createOrReplaceTempView("mhc_grp")
       spark.sql(
         "SELECT d2.* FROM documents d2 JOIN mhc_grp g ON d2.doc_id = g.rep")
         .createOrReplaceTempView("mhc_rep_documents")
@@ -629,9 +641,9 @@ object ExtQueries {
   private def simhashPairs: Q = Q("d05_dedup_simhash_pairs", (spark, dir) => {
     Tables.registerAll(spark, dir)
     val s = spark.sql(simhashSql(SparkD))
-    s.cache().createOrReplaceTempView("sh_s")
+    cacheOnce(s).createOrReplaceTempView("sh_s")
     val ex = spark.sql(simhashExSql(SparkD, "sh_s"))
-    ex.cache().createOrReplaceTempView("sh_ex")
+    cacheOnce(ex).createOrReplaceTempView("sh_ex")
     spark.sql(simhashPairsFrom(SparkD, "sh_ex"))
   }, Some(simhashPairsSql(DuckD)))
 
@@ -691,9 +703,9 @@ object ExtQueries {
   private def ngramJaccard: Q = Q("d06_dedup_ngram_jaccard", (spark, dir) => {
     Tables.registerAll(spark, dir)
     val g = spark.sql(gramSetSql(SparkD))
-    g.cache().createOrReplaceTempView("ng_g")
+    cacheOnce(g).createOrReplaceTempView("ng_g")
     val rare = spark.sql(ngramRareSql(SparkD, "ng_g"))
-    rare.cache().createOrReplaceTempView("ng_rare")
+    cacheOnce(rare).createOrReplaceTempView("ng_rare")
     spark.sql(ngramPairsFrom(SparkD, "ng_rare", "ng_g"))
   }, Some(ngramJaccardSql(DuckD)))
 
@@ -716,7 +728,7 @@ object ExtQueries {
   private def keepBest: Q = Q("d08_dedup_keep_best", (spark, dir) => {
     Tables.registerAll(spark, dir)
     val pairs = ccEdgesDF(spark)
-    pairs.cache().createOrReplaceTempView("cc_edges")
+    cacheOnce(pairs).createOrReplaceTempView("cc_edges")
     spark.sql(keepBestBody("cc_edges", SparkD))
   }, Some(s"WITH ${ccEdgesCtes(DuckD)}\n" +
     keepBestBody("all_edges", DuckD)))
@@ -1176,7 +1188,7 @@ object ExtQueries {
   private def knnSignLshQ: Q = Q("v02_knn_sign_lsh", (spark, dir) => {
     Tables.registerAll(spark, dir)
     val bc = spark.sql(knnSignLshBcSql(SparkD))
-    bc.cache().createOrReplaceTempView("sl_bc")
+    cacheOnce(bc).createOrReplaceTempView("sl_bc")
     spark.sql(knnSignLshFrom(SparkD, "sl_bc"))
   }, Some(knnSignLshSql(DuckD)))
 
@@ -1296,9 +1308,9 @@ object ExtQueries {
   private def embeddingDedupQ: Q = Q("d07_dedup_embedding_cosine", (spark, dir) => {
     Tables.registerAll(spark, dir)
     val z = spark.sql(s"WITH ${embeddingZCtes(SparkD)} SELECT * FROM zq")
-    z.cache().createOrReplaceTempView("ed_z")
+    cacheOnce(z).createOrReplaceTempView("ed_z")
     val ex = spark.sql(embeddingExFrom(SparkD, "ed_z"))
-    ex.cache().createOrReplaceTempView("ed_ex")
+    cacheOnce(ex).createOrReplaceTempView("ed_ex")
     spark.sql(embeddingPairsFrom(SparkD, "ed_ex", "ed_z"))
   }, Some(embeddingDedupSql(DuckD)))
 
@@ -1356,7 +1368,7 @@ object ExtQueries {
   private def decontaminate: Q = Q("d10_decontaminate", (spark, dir) => {
     Tables.registerAll(spark, dir)
     val sh = spark.sql(decontaminateShSql(SparkD))
-    sh.cache().createOrReplaceTempView("dc_sh")
+    cacheOnce(sh).createOrReplaceTempView("dc_sh")
     spark.sql("WITH " + decontaminateBody(SparkD, "dc_sh"))
   }, Some(decontaminateSql(DuckD)))
 

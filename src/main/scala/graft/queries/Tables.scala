@@ -12,26 +12,93 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  import org.apache.spark.sql.types._
 
-  /** events.ts has shipped as TIMESTAMP(NANOS) (which Spark 4 only reads
-    * as long via the nanosAsLong legacy conf) and as TIMESTAMP(MICROS)
-    * with isAdjustedToUTC=false (which Spark reads as TIMESTAMP_NTZ).
-    * Normalize either to a session-TZ TimestampType column so every
-    * downstream query sees one ts type regardless of data vintage.
+  /** Canonical column types per table, pinned to the shipped vintage the
+    * query inventory (and its DuckDB oracle twins) were hash-matched
+    * against. Round 8 lost ~20 queries to ONE drifted column
+    * (`events.ts`); this generalizes that fix to every table: a future
+    * vintage that widens an int, turns a DOUBLE price into DECIMAL, ships
+    * `embeddings.embedding` as list<double>, or moves a date column
+    * between DATE/TIMESTAMP/TIMESTAMP_NTZ is cast back to the canonical
+    * type at load, so every downstream query sees one stable schema.
+    * On the current vintage every rule is a no-op.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = t(spark, dir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
+  private val canonical: Map[String, Seq[(String, DataType)]] = Map(
+    "lineitem" -> Seq(
+      "l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      // shipped vintage is TIMESTAMP_NTZ (isAdjustedToUTC=false) and the
+      // inventory hash-matched against it — pin NTZ, not TimestampType
+      "l_shipdate" -> TimestampNTZType),
+    "orders" -> Seq(
+      "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+    "customer" -> Seq(
+      "c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq(
+      "s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq(
+      "p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "nation" -> Seq(
+      "n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "region" -> Seq(
+      "r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "documents" -> Seq(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq(
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+      "label" -> IntegerType),
+    "events" -> Seq(
+      "event_id" -> LongType, "ts" -> TimestampType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType))
+
+  /** Cast drifted columns back to their canonical type. One special
+    * rule beyond plain CAST: a LONG column whose canonical type is a
+    * timestamp is the TIMESTAMP(NANOS) parquet vintage (Spark 4 reads
+    * it as long only under the `nanosAsLong` legacy conf) — epoch-nanos,
+    * not epoch-seconds, so it converts via `timestamp_micros(v/1000)`.
+    * Comparison is on `catalogString` (ignores nullability flags).
+    */
+  private def coerce(name: String, df: DataFrame): DataFrame =
+    canonical.get(name).fold(df) { fields =>
+      fields.foldLeft(df) { case (d, (cname, target)) =>
+        if (!d.columns.contains(cname)) d
+        else d.schema(cname).dataType match {
+          case actual if actual.catalogString == target.catalogString => d
+          case LongType
+              if target == TimestampType || target == TimestampNTZType =>
+            d.withColumn(cname,
+              expr(s"timestamp_micros($cname div 1000)").cast(target))
+          case _ => d.withColumn(cname, col(cname).cast(target))
+        }
+      }
     }
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Set BEFORE the read: a TIMESTAMP(NANOS) vintage throws without it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    coerce(name, spark.read.parquet(s"$dir/$name.parquet"))
   }
+
+  /** events with `ts` normalized to session-TZ TimestampType regardless
+    * of shipped vintage (nanos-as-long, TIMESTAMP_NTZ, or TIMESTAMP) —
+    * the general canonical-schema path via [[t]].
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
 
   /** Cache-format version: bump when the on-disk format or the writer
     * changes so stale caches from older code can't poison results.
@@ -98,6 +165,17 @@ object Tables {
     s"${sys.props("java.io.tmpdir")}/graft_cf_cache/$CacheVersion/$key/$name"
   }
 
+  /** Dimension-style tables opt OUT of runtime (dynamic) filtering on
+    * their cf scans: a runtime filter INTO a dimension is keyed by the
+    * fact side, which is never broadcast, so Spark's speculative DPP
+    * degrades to `dynamicpruningexpression(true)` at execution (a warning
+    * per run, zero pruning) — and per ColumnFileScan.filterAttributes,
+    * the rewrite can also defeat `sameResult` broadcast reuse for the
+    * DPP that matters on the fact side. Facts keep runtime filtering.
+    */
+  private val dimensionTables =
+    Set("customer", "supplier", "nation", "region", "part")
+
   /** Route a table through the columnfile format (cached per dir/codec). */
   def viaCF(spark: SparkSession, dir: String, name: String,
             compression: String = "lz4"): DataFrame = {
@@ -107,7 +185,9 @@ object Tables {
       t(spark, dir, name).write.format("columnfile")
         .option("compression", compression).mode("overwrite").save(out)
     }
-    spark.read.format("columnfile").load(out)
+    val reader = spark.read.format("columnfile")
+    if (dimensionTables(name)) reader.option("runtimeFiltering", "false")
+    reader.load(out)
   }
 
   // last-registered dir per session: views are session-global, so a dir

@@ -68,6 +68,86 @@ class TablesSchemaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.sameElements(b), s"${a.toSeq} vs ${b.toSeq}")
   }
 
+  test("lineitem vintages: decimal prices, int32 keys, DATE shipdate") {
+    // a plausible future vintage: DECIMAL(12,2) money columns, narrow
+    // int keys, shipdate as DATE — every one must coerce back to the
+    // canonical (hash-matched) schema
+    val d = tmpDir()
+    spark.sql(
+      """SELECT CAST(1 AS INT) AS l_orderkey, CAST(2 AS INT) AS l_partkey,
+        |  CAST(3 AS INT) AS l_suppkey, CAST(1 AS SMALLINT) AS l_linenumber,
+        |  CAST(17.5 AS DECIMAL(12,2)) AS l_quantity,
+        |  CAST(1234.56 AS DECIMAL(12,2)) AS l_extendedprice,
+        |  CAST(0.05 AS DECIMAL(12,2)) AS l_discount,
+        |  CAST(0.02 AS DECIMAL(12,2)) AS l_tax,
+        |  'N' AS l_returnflag, 'O' AS l_linestatus,
+        |  DATE'1996-03-13' AS l_shipdate""".stripMargin)
+      .write.parquet(s"$d/lineitem.parquet")
+    val li = Tables.t(spark, d, "lineitem")
+    assert(li.schema("l_orderkey").dataType == LongType)
+    assert(li.schema("l_linenumber").dataType == IntegerType)
+    assert(li.schema("l_quantity").dataType == DoubleType)
+    assert(li.schema("l_extendedprice").dataType == DoubleType)
+    // canonical = the shipped NTZ vintage (what the inventory hash-matched on)
+    assert(li.schema("l_shipdate").dataType == TimestampNTZType)
+    val r = li.selectExpr("l_extendedprice", "CAST(l_shipdate AS STRING) s")
+      .collect().head
+    assert(r.getDouble(0) == 1234.56)
+    assert(r.getString(1).startsWith("1996-03-13"))
+  }
+
+  test("embeddings vintages: double elements coerce to array<float>") {
+    val d = tmpDir()
+    spark.sql(
+      """SELECT CAST(1 AS INT) AS vec_id,
+        |  array(CAST(0.25 AS DOUBLE), CAST(-1.5 AS DOUBLE)) AS embedding,
+        |  CAST(7 AS BIGINT) AS label""".stripMargin)
+      .write.parquet(s"$d/embeddings.parquet")
+    val e = Tables.t(spark, d, "embeddings")
+    assert(e.schema("vec_id").dataType == LongType)
+    assert(e.schema("embedding").dataType.catalogString == "array<float>")
+    assert(e.schema("label").dataType == IntegerType)
+    val v = e.selectExpr("embedding[0]", "embedding[1]").collect().head
+    assert(v.getFloat(0) == 0.25f && v.getFloat(1) == -1.5f)
+  }
+
+  test("documents/orders vintages: int widths and NTZ dates coerce") {
+    val d = tmpDir()
+    spark.sql(
+      """SELECT CAST(1 AS INT) AS doc_id, 'hello' AS text, 'en' AS lang,
+        |  'web' AS source, CAST(5 AS INT) AS n_chars""".stripMargin)
+      .write.parquet(s"$d/documents.parquet")
+    spark.sql(
+      """SELECT CAST(9 AS INT) AS o_orderkey, CAST(4 AS INT) AS o_custkey,
+        |  'O' AS o_orderstatus, CAST(10.5 AS FLOAT) AS o_totalprice,
+        |  DATE'1970-01-02' AS o_orderdate,
+        |  '1-URGENT' AS o_orderpriority""".stripMargin)
+      .write.parquet(s"$d/orders.parquet")
+    val docs = Tables.t(spark, d, "documents")
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.schema("n_chars").dataType == LongType)
+    val ord = Tables.t(spark, d, "orders")
+    assert(ord.schema("o_orderkey").dataType == LongType)
+    assert(ord.schema("o_totalprice").dataType == DoubleType)
+    assert(ord.schema("o_orderdate").dataType == TimestampNTZType)
+    assert(ord.selectExpr("CAST(o_orderdate AS STRING) s").collect()
+      .head.getString(0).startsWith("1970-01-02"))
+  }
+
+  test("current vintage: coercion is a no-op on every shipped table") {
+    // events excluded: its shipped vintage is TIMESTAMP_NTZ, which the
+    // canonical map intentionally normalizes to TimestampType (covered
+    // by the vintage test above)
+    for (n <- Seq("lineitem", "orders", "customer", "supplier", "part",
+                  "nation", "region", "documents", "embeddings")) {
+      val raw = spark.read.parquet(s"$sfDir/$n.parquet")
+      val normalized = Tables.t(spark, sfDir, n)
+      assert(normalized.schema.map(f => (f.name, f.dataType.catalogString))
+        == raw.schema.map(f => (f.name, f.dataType.catalogString)),
+        s"table $n: canonical map drifted from the shipped vintage")
+    }
+  }
+
   test("registerAll survives a bad events table: functions + views stay") {
     // a dir whose events.parquet has a ts type the normalizer does not
     // accept pairs with good copies of the other tables
