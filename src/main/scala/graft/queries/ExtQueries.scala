@@ -1226,7 +1226,7 @@ object ExtQueries {
     * integer scores are engine-portable BY CONSTRUCTION — no float
     * summation order to pin. The oracle twin quantizes identically.
     */
-  private def embeddingZCtes(d: Dial): String = {
+  private def embeddingZCtes(d: Dial, from: String = "embeddings"): String = {
     val nbits = nbitsCase("COUNT(*)", 8, 16)
     val mx = d match {
       case SparkD => "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
@@ -1237,10 +1237,10 @@ object ExtQueries {
     val bks = (0 until 4).map { t =>
       s"CAST(${signBucket(d, "embedding", 16 * t, 16, "nb.nbits")} AS BIGINT) AS bk$t"
     }.mkString(",\n    ")
-    s"""nb AS (SELECT $nbits AS nbits FROM embeddings),
+    s"""nb AS (SELECT $nbits AS nbits FROM $from),
        |zq0 AS (SELECT vec_id, embedding, $mx AS mx,
        |    $bks
-       |  FROM embeddings CROSS JOIN nb),
+       |  FROM $from CROSS JOIN nb),
        |zq1 AS (SELECT vec_id, $q8 AS q8, bk0, bk1, bk2, bk3
        |  FROM zq0 WHERE mx > 0),
        |zq AS (SELECT vec_id, q8, ${d.intDot8("q8", "q8")} AS qq,
@@ -1314,6 +1314,62 @@ object ExtQueries {
     spark.sql(embeddingPairsFrom(SparkD, "ed_ex", "ed_z"))
   }, Some(embeddingDedupSql(DuckD)))
 
+  /** d14: d07's bounded-output twin (the d12 contract, for vectors) —
+    * exact-duplicate embeddings collapse to their representative FIRST
+    * (one hash aggregation on the vector value), the sign-LSH/int8
+    * cosine pipeline runs over representatives only, and each emitted
+    * pair carries both groups' member counts. Output is bounded by the
+    * number of *distinct* vectors regardless of duplication: a
+    * replicated corpus emits the same pair rows with scaled counts,
+    * where d07's raw pair list grows ~n² (replica cliques fill the LSH
+    * buckets to the cap — SCALE.md's measured 100× step). Raw pairs
+    * are recoverable as in d12: (i,j) raw-pairs iff reps pair here or
+    * share a group; ni·nj is the raw multiplicity. This is also the
+    * production ordering: identical vectors are exact dedup's job
+    * (d01's content digest), not the ANN stage's.
+    */
+  private def embeddingDedupCollapsed: Q = {
+    val memberJoin =
+      """SELECT p.i, p.j, p.cos,
+        |  CAST(gi.members AS BIGINT) AS ni, CAST(gj.members AS BIGINT) AS nj""".stripMargin
+    val oracle = {
+      val d = DuckD
+      s"""WITH grp AS (SELECT embedding, MIN(vec_id) AS rep,
+         |             COUNT(*) AS members
+         |      FROM embeddings GROUP BY embedding),
+         |rep_embeddings AS (
+         |  SELECT e.* FROM embeddings e JOIN grp ON e.vec_id = grp.rep),
+         |${embeddingZCtes(d, "rep_embeddings")},
+         |exq AS (${embeddingExFrom(d, "zq")})
+         |$memberJoin
+         |FROM (${embeddingPairsFrom(d, "exq", "zq")}) p
+         |JOIN grp gi ON gi.rep = p.i
+         |JOIN grp gj ON gj.rep = p.j""".stripMargin
+    }
+    Q("d14_embedding_dedup_collapsed", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val grp = spark.sql(
+        """SELECT embedding, MIN(vec_id) AS rep, COUNT(*) AS members
+          |FROM embeddings GROUP BY embedding""".stripMargin)
+      cacheOnce(grp).createOrReplaceTempView("edc_grp")
+      spark.sql(
+        "SELECT e.* FROM embeddings e JOIN edc_grp g ON e.vec_id = g.rep")
+        .createOrReplaceTempView("edc_rep_embeddings")
+      val z = spark.sql(
+        s"WITH ${embeddingZCtes(SparkD, "edc_rep_embeddings")} SELECT * FROM zq")
+      cacheOnce(z).createOrReplaceTempView("edc_z")
+      val ex = spark.sql(embeddingExFrom(SparkD, "edc_z"))
+      cacheOnce(ex).createOrReplaceTempView("edc_ex")
+      spark.sql(embeddingPairsFrom(SparkD, "edc_ex", "edc_z"))
+        .createOrReplaceTempView("edc_pairs")
+      spark.sql(
+        s"""$memberJoin
+           |FROM edc_pairs p
+           |JOIN edc_grp gi ON gi.rep = p.i
+           |JOIN edc_grp gj ON gj.rep = p.j""".stripMargin)
+    }, Some(oracle))
+  }
+
   // ---------------------------------------------------------------- multimodal
 
   /** Multimodal PLUMBING-ONLY twin (hence `stubmeta` in the name): the
@@ -1371,6 +1427,62 @@ object ExtQueries {
     cacheOnce(sh).createOrReplaceTempView("dc_sh")
     spark.sql("WITH " + decontaminateBody(SparkD, "dc_sh"))
   }, Some(decontaminateSql(DuckD)))
+
+  /** The per-doc distinct-shingle relation d13 builds its index over. */
+  private def dupCovShSql(d: Dial): String =
+    s"""SELECT doc_id, lang, ${d.shingleHashSet("text")} AS hset
+       |FROM documents WHERE ${d.size(d.split("text"))} >= 3""".stripMargin
+
+  /** d13: corpus-level duplicated-shingle coverage — the MassiveText/
+    * Gopher-family signal t08 does NOT cover: t08's repetition rules are
+    * intra-document, while a training corpus also drops documents whose
+    * content is mostly duplicated ELSEWHERE in the corpus (boilerplate,
+    * mirrored pages, license blocks). Per doc: the per-mille of its
+    * distinct 3-word shingles that appear in at least one other
+    * document; reported as a per-(lang, decile-bucket) histogram — the
+    * observability product a curation run thresholds on (bucket >= 8 ≈
+    * ">=80% duplicated content, drop").
+    *
+    * Scale shape (100 TB): the duplicated-shingle index `dup` is built
+    * by one hash aggregation on shingle hash (HAVING >= 2 — classic
+    * map-side-combinable count) and is FAR smaller than the corpus (only
+    * shingles that actually repeat); n_dup is a shuffle join on shingle
+    * hash against that index; n_sh needs no join at all (array size);
+    * the histogram is langs x 11 rows. Everything is linear, partial-
+    * aggregable, integer-deterministic. No all-pairs product anywhere —
+    * this query costs one explode + two hash shuffles regardless of how
+    * duplicated the corpus is (contrast d03, whose raw pair output
+    * grows ~n² under replication).
+    */
+  private def dupCoverageBody(d: Dial, sh: String): String =
+    s"""ex AS (SELECT doc_id, h FROM $sh ${d.explode("hset", "h")}),
+       |dup AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) >= 2),
+       |nd AS (SELECT ex.doc_id, COUNT(*) AS n_dup
+       |       FROM ex JOIN dup ON ex.h = dup.h GROUP BY ex.doc_id),
+       |cov AS (SELECT s.doc_id, s.lang,
+       |    CAST(${d.size("s.hset")} AS BIGINT) AS n_sh,
+       |    COALESCE(nd.n_dup, 0) AS n_dup
+       |  FROM $sh s LEFT JOIN nd ON s.doc_id = nd.doc_id),
+       |b AS (SELECT lang,
+       |    CAST(${d.intDiv(d.intDiv("(1000 * n_dup)", "n_sh"), "100")}
+       |      AS BIGINT) AS bucket
+       |  FROM cov)
+       |SELECT lang AS l, bucket, COUNT(*) AS n_docs
+       |FROM b GROUP BY lang, bucket""".stripMargin
+
+  private def dupCoverageSql(d: Dial): String =
+    s"WITH sh AS (${dupCovShSql(d)}),\n" + dupCoverageBody(d, "sh")
+
+  /** Spark side materializes the shingle scan once (cached view): the
+    * index build and the coverage join both read it, and Spark inlines
+    * WITH subqueries (same fix as d10).
+    */
+  private def dupCoverage: Q = Q("d13_dup_shingle_coverage", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    val sh = spark.sql(dupCovShSql(SparkD))
+    cacheOnce(sh).createOrReplaceTempView("dupcov_sh")
+    spark.sql("WITH " + dupCoverageBody(SparkD, "dupcov_sh"))
+  }, Some(dupCoverageSql(DuckD)))
 
   /** p03: deterministic stratified sampling — train/validation splits
     * that are reproducible across runs and engines: keep a doc iff a
@@ -1668,6 +1780,11 @@ object ExtQueries {
     dialect("d11_lsh_cap_report", lshCapReportSql),
     // d03's bounded-output twin: rep-level pairs + member counts.
     minhashCollapsed,
+    // Corpus-level duplicated-shingle coverage histogram (Gopher-family
+    // "mostly duplicated elsewhere" drop signal; linear, bounded output).
+    dupCoverage,
+    // d07's bounded-output twin: rep-level vector pairs + member counts.
+    embeddingDedupCollapsed,
     // Online near-dup detection (streaming MinHash-LSH band state).
     streamNearDup,
     dialect("v06_ann_cap_report", annCapReportSql),
