@@ -444,21 +444,26 @@ object ExtQueries {
     }
     Q("d12_dedup_minhash_collapsed", (spark, dir) => {
       Tables.registerAll(spark, dir)
-      val grp = spark.sql(
-        """SELECT md5(text) AS dg, MIN(doc_id) AS rep, COUNT(*) AS members
-          |FROM documents GROUP BY md5(text)""".stripMargin)
-      cacheOnce(grp).createOrReplaceTempView("mhc_grp")
-      spark.sql(
-        "SELECT d2.* FROM documents d2 JOIN mhc_grp g ON d2.doc_id = g.rep")
-        .createOrReplaceTempView("mhc_rep_documents")
-      minhashPairsDF(spark, "mhc_rep_documents", "mhc")
-        .createOrReplaceTempView("mhc_pairs")
-      spark.sql(
-        """SELECT p.i, p.j, p.jaccard,
-          |  CAST(gi.members AS BIGINT) AS ni, CAST(gj.members AS BIGINT) AS nj
-          |FROM mhc_pairs p JOIN mhc_grp gi ON gi.rep = p.i
-          |JOIN mhc_grp gj ON gj.rep = p.j""".stripMargin)
+      minhashCollapsedDF(spark)
     }, Some(oracle))
+  }
+
+  private def minhashCollapsedDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val grp = spark.sql(
+      """SELECT md5(text) AS dg, MIN(doc_id) AS rep, COUNT(*) AS members
+        |FROM documents GROUP BY md5(text)""".stripMargin)
+    cacheOnce(grp).createOrReplaceTempView("mhc_grp")
+    spark.sql(
+      "SELECT d2.* FROM documents d2 JOIN mhc_grp g ON d2.doc_id = g.rep")
+      .createOrReplaceTempView("mhc_rep_documents")
+    minhashPairsDF(spark, "mhc_rep_documents", "mhc")
+      .createOrReplaceTempView("mhc_pairs")
+    spark.sql(
+      """SELECT p.i, p.j, p.jaccard,
+        |  CAST(gi.members AS BIGINT) AS ni, CAST(gj.members AS BIGINT) AS nj
+        |FROM mhc_pairs p JOIN mhc_grp gi ON gi.rep = p.i
+        |JOIN mhc_grp gj ON gj.rep = p.j""".stripMargin)
   }
 
   /** q59: ONLINE near-dup detection — the real streaming pipeline
@@ -1348,26 +1353,33 @@ object ExtQueries {
     }
     Q("d14_embedding_dedup_collapsed", (spark, dir) => {
       Tables.registerAll(spark, dir)
-      val grp = spark.sql(
-        """SELECT embedding, MIN(vec_id) AS rep, COUNT(*) AS members
-          |FROM embeddings GROUP BY embedding""".stripMargin)
-      cacheOnce(grp).createOrReplaceTempView("edc_grp")
-      spark.sql(
-        "SELECT e.* FROM embeddings e JOIN edc_grp g ON e.vec_id = g.rep")
-        .createOrReplaceTempView("edc_rep_embeddings")
-      val z = spark.sql(
-        s"WITH ${embeddingZCtes(SparkD, "edc_rep_embeddings")} SELECT * FROM zq")
-      cacheOnce(z).createOrReplaceTempView("edc_z")
-      val ex = spark.sql(embeddingExFrom(SparkD, "edc_z"))
-      cacheOnce(ex).createOrReplaceTempView("edc_ex")
-      spark.sql(embeddingPairsFrom(SparkD, "edc_ex", "edc_z"))
-        .createOrReplaceTempView("edc_pairs")
-      spark.sql(
-        s"""$memberJoin
-           |FROM edc_pairs p
-           |JOIN edc_grp gi ON gi.rep = p.i
-           |JOIN edc_grp gj ON gj.rep = p.j""".stripMargin)
+      embeddingDedupCollapsedDF(spark)
     }, Some(oracle))
+  }
+
+  private def embeddingDedupCollapsedDF(
+      spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val grp = spark.sql(
+      """SELECT embedding, MIN(vec_id) AS rep, COUNT(*) AS members
+        |FROM embeddings GROUP BY embedding""".stripMargin)
+    cacheOnce(grp).createOrReplaceTempView("edc_grp")
+    spark.sql(
+      "SELECT e.* FROM embeddings e JOIN edc_grp g ON e.vec_id = g.rep")
+      .createOrReplaceTempView("edc_rep_embeddings")
+    val z = spark.sql(
+      s"WITH ${embeddingZCtes(SparkD, "edc_rep_embeddings")} SELECT * FROM zq")
+    cacheOnce(z).createOrReplaceTempView("edc_z")
+    val ex = spark.sql(embeddingExFrom(SparkD, "edc_z"))
+    cacheOnce(ex).createOrReplaceTempView("edc_ex")
+    spark.sql(embeddingPairsFrom(SparkD, "edc_ex", "edc_z"))
+      .createOrReplaceTempView("edc_pairs")
+    spark.sql(
+      """SELECT p.i, p.j, p.cos,
+        |  CAST(gi.members AS BIGINT) AS ni, CAST(gj.members AS BIGINT) AS nj
+        |FROM edc_pairs p
+        |JOIN edc_grp gi ON gi.rep = p.i
+        |JOIN edc_grp gj ON gj.rep = p.j""".stripMargin)
   }
 
   // ---------------------------------------------------------------- multimodal
@@ -1479,10 +1491,15 @@ object ExtQueries {
     */
   private def dupCoverage: Q = Q("d13_dup_shingle_coverage", (spark, dir) => {
     Tables.registerAll(spark, dir)
+    dupCoverageDF(spark)
+  }, Some(dupCoverageSql(DuckD)))
+
+  private def dupCoverageDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
     val sh = spark.sql(dupCovShSql(SparkD))
     cacheOnce(sh).createOrReplaceTempView("dupcov_sh")
     spark.sql("WITH " + dupCoverageBody(SparkD, "dupcov_sh"))
-  }, Some(dupCoverageSql(DuckD)))
+  }
 
   /** p03: deterministic stratified sampling — train/validation splits
     * that are reproducible across runs and engines: keep a doc iff a
@@ -1863,6 +1880,12 @@ object ExtQueries {
       ccEdgesDF(spark).createOrReplaceTempView("cc_edges_test")
       spark.sql(keepBestBody("cc_edges_test", SparkD))
     }
+    def minhashCollapsed(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = minhashCollapsedDF(spark)
+    def embeddingDedupCollapsed(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = embeddingDedupCollapsedDF(spark)
+    def dupCoverage(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = dupCoverageDF(spark)
   }
 
   /** m02: REAL image-header decode through the multimodal seam. The

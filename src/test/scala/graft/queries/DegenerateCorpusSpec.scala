@@ -116,6 +116,67 @@ class DegenerateCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 1L), (1000L, 1000L)))
   }
 
+  test("d12 collapsed minhash: a pure-exact-dup corpus emits zero pairs, bounded") {
+    // every duplicate structure here is EXACT (the flood and the planted
+    // pair are both identical texts), so after collapse the two reps
+    // share no shingles — the bounded contract's answer is empty, and
+    // the query finishes without the cap ever being the thing that
+    // saves it (the band relation is rep-level: 2 rows, not 10k)
+    assert(ExtQueries.TestSql.minhashCollapsed(spark).collect().isEmpty)
+  }
+
+  test("d14 collapsed embedding dedup: rep-level pair with member counts under a flood") {
+    // extend the corpus with ONE near-but-not-exact duplicate of the
+    // cool vector: the collapsed contract must emit exactly the
+    // rep-level pair (cool-rep, near) with the cool group's full
+    // member count — while the 10 raw cool vectors' C(10,2) pairs and
+    // the 10k flood clique collapse away entirely
+    val sp = spark; import sp.implicits._
+    val coolVec = Array.fill(64)(1.0f)
+    val nearVec = Array.fill(64)(1.0f); nearVec(63) = 0.5f
+    val floodVec = Array.fill(64)(-1.0f)
+    val vecs =
+      (0L until 10L).map(i => (i, coolVec)) ++
+        Seq((500L, nearVec)) ++
+        (1000L until (1000L + Flood)).map(i => (i, floodVec))
+    try {
+      vecs.toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+      val got = ExtQueries.TestSql.embeddingDedupCollapsed(spark).collect()
+      assert(got.length == 1, got.mkString(";"))
+      val r = got.head
+      assert((r.getLong(0), r.getLong(1)) == ((0L, 500L)))
+      assert(r.getDouble(2) > 0.95)
+      assert((r.getLong(3), r.getLong(4)) == ((10L, 1L))) // ni, nj
+    } finally {
+      // restore the shared corpus for any later test
+      ((0L until 10L).map(i => (i, coolVec)) ++
+        (1000L until (1000L + Flood)).map(i => (i, floodVec)))
+        .toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+    }
+  }
+
+  test("d13 dup coverage: flood-immune by construction (no pair stage)") {
+    // a corpus that is ~100% duplicated content: every doc's shingles
+    // all appear in >= 2 docs, so every doc lands in the top decile —
+    // and the query needs no hot-bucket cap to survive because it
+    // never forms candidate pairs at all
+    val sp = spark; import sp.implicits._
+    val floodText = "the quick brown fox jumps over the lazy dog again and again"
+    val plantedText = "distributed columnar analytics engines shred nested rows into typed column streams"
+    val docs =
+      Seq((1L, plantedText, "en"), (2L, plantedText, "en")) ++
+        (1000L until (1000L + Flood)).map(i => (i, floodText, "en"))
+    try {
+      docs.toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+      val got = ExtQueries.TestSql.dupCoverage(spark).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq(("en", 10L, (Flood + 2).toLong)), got.toString)
+    } finally {
+      docs.map { case (i, t, _) => (i, t) }
+        .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    }
+  }
+
   test("v06 cap report: flooded ANN table drops are visible per hash table") {
     val cap = ExtQueries.TestSql.hotBucketCap
     val rows = spark.sql(ExtQueries.TestSql.annCapReport).collect()
