@@ -132,6 +132,15 @@ object ExtQueries {
     }
     /** rolling-hash of a whole string column */
     def rollHash(s: String): String = polyhash(s)
+
+    /** Encode each element of a BIGINT-array expression with its 0-based
+      * position: element e at index i becomes e * 2^20 + i. Decoded with
+      * intDiv/% after an explode — positional explode without a
+      * posexplode dialect divergence (values here are 31-bit hashes, so
+      * h * 2^20 + i stays under 2^51; shingle counts are bounded far
+      * below 2^20 by document length).
+      */
+    def withIdx(l: String): String
   }
 
   object SparkD extends Dial {
@@ -178,6 +187,8 @@ object ExtQueries {
     def gramHashSet(text: String) = s"graft_gram_hashes($text)"
     override def simhashOf(hs: String) = s"graft_simhash31($hs)"
     override def rollHash(s: String) = s"graft_polyhash($s)"
+    def withIdx(l: String) =
+      s"zip_with($l, sequence(0, size($l) - 1), (h, i) -> h * 1048576 + i)"
   }
 
   object DuckD extends Dial {
@@ -222,6 +233,8 @@ object ExtQueries {
       distinct(transform(
         s"list_transform(range(1, length($text) - 3), i -> substr($text, i, 5))",
         "s", polyhash("s")))
+    def withIdx(l: String) =
+      s"list_transform(range(1, len($l) + 1), i -> $l[i] * 1048576 + (i - 1))"
   }
 
   // ---------------------------------------------------------------- dedup
@@ -1382,6 +1395,96 @@ object ExtQueries {
         |JOIN edc_grp gj ON gj.rep = p.j""".stripMargin)
   }
 
+  /** d16's similarity threshold: within-cell cosines top out at ~0.49 on
+    * the synthetic embeddings, so 0.4 (d07's near-dup threshold) marks
+    * the genuinely-closest pairs semantic duplicates.
+    */
+  private val SemTau = "0.4"
+
+  /** The within-cell prune + per-cell report over views/CTEs `assign`
+    * (vec_id, clabel), `emb` (vec_id, embedding, enorm), `grp`
+    * (rep, members). Min-id-wins one-hop keep rule (d08's gkey
+    * contract): j is dropped iff some same-cell i < j has cos >= tau.
+    */
+  private def semFinal(d: Dial, assign: String, emb: String,
+      grp: String): String =
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j
+       |  FROM $assign a JOIN $assign b
+       |    ON a.clabel = b.clabel AND a.vec_id < b.vec_id
+       |  JOIN $emb x ON x.vec_id = a.vec_id
+       |  JOIN $emb y ON y.vec_id = b.vec_id
+       |  WHERE ${d.dot("x.embedding", "y.embedding")} / (x.enorm * y.enorm)
+       |    >= $SemTau),
+       |dropped AS (SELECT DISTINCT j FROM pairs)
+       |SELECT a.clabel AS cell, COUNT(*) AS n_reps,
+       |  CAST(SUM(CASE WHEN dr.j IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  CAST(SUM(g.members) AS BIGINT) AS n_members
+       |FROM $assign a
+       |LEFT JOIN dropped dr ON a.vec_id = dr.j
+       |JOIN $grp g ON g.rep = a.vec_id
+       |GROUP BY a.clabel""".stripMargin
+
+  /** d16: SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding space coarsely, then prune near-identical vectors WITHIN
+    * each cluster only — the cluster stage bounds the pairwise work that
+    * a global cosine sweep can't. Exact-duplicate vectors collapse to a
+    * representative FIRST (one hash aggregation — same production
+    * ordering as d12/d14: exact dedup owns identical content), clusters
+    * are v03's deterministic per-label centroids, and within each cell
+    * the min-id-wins rule keeps one vector per semantic group at
+    * cos >= 0.4. Output: per cell, representatives seen / dropped and
+    * the member total — the bounded curation report (cells rows, never
+    * pair-list-sized).
+    *
+    * 100 TB shape: the within-cell product is the SemDeDup CONTRACT —
+    * production scales the cluster count k with corpus size (k ∝ n
+    * keeps E[cell] constant, so total pair work stays ~n·E[cell]); here
+    * k is the label count. The exact collapse makes replica floods a
+    * non-event (buckets hold distinct vectors only), centroids are a
+    * broadcast relation, and the report aggregates in one hash shuffle.
+    */
+  private def semanticDedup: Q = {
+    val oracle = {
+      val d = DuckD
+      s"""WITH grp AS (SELECT embedding, MIN(vec_id) AS rep,
+         |             COUNT(*) AS members
+         |      FROM embeddings GROUP BY embedding),
+         |reps AS (
+         |  SELECT e.* FROM embeddings e JOIN grp ON e.vec_id = grp.rep),
+         |${ivfCommonCtes(d, "reps")},
+         |assign AS (SELECT vec_id, clabel FROM best WHERE rn = 1),
+         |${semFinal(d, "assign", "emb", "grp").replaceFirst("^WITH ", "")}"""
+        .stripMargin
+    }
+    Q("d16_semantic_dedup", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      semanticDedupDF(spark)
+    }, Some(oracle))
+  }
+
+  private def semanticDedupDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val grp = spark.sql(
+      """SELECT embedding, MIN(vec_id) AS rep, COUNT(*) AS members
+        |FROM embeddings GROUP BY embedding""".stripMargin)
+    cacheOnce(grp).createOrReplaceTempView("sem_grp")
+    spark.sql(
+      "SELECT e.* FROM embeddings e JOIN sem_grp g ON e.vec_id = g.rep")
+      .createOrReplaceTempView("sem_reps")
+    val assign = spark.sql(
+      s"""WITH ${ivfCommonCtes(SparkD, "sem_reps")}
+         |SELECT vec_id, clabel FROM best WHERE rn = 1""".stripMargin)
+    cacheOnce(assign).createOrReplaceTempView("sem_assign")
+    val emb = spark.sql(
+      s"""SELECT vec_id, embedding,
+         |  sqrt(${SparkD.dot("embedding", "embedding")}) AS enorm
+         |FROM sem_reps""".stripMargin)
+    cacheOnce(emb).createOrReplaceTempView("sem_emb")
+    spark.sql(semFinal(SparkD, "sem_assign", "sem_emb", "sem_grp"))
+  }
+
   // ---------------------------------------------------------------- multimodal
 
   /** Multimodal PLUMBING-ONLY twin (hence `stubmeta` in the name): the
@@ -1499,6 +1602,76 @@ object ExtQueries {
     val sh = spark.sql(dupCovShSql(SparkD))
     cacheOnce(sh).createOrReplaceTempView("dupcov_sh")
     spark.sql("WITH " + dupCoverageBody(SparkD, "dupcov_sh"))
+  }
+
+  /** The positional shingle explode d15 runs over: (doc_id, lang,
+    * shingle hash, 0-based shingle position). Positions ride the hash
+    * list as h*2^20+i (see [[Dial.withIdx]]) so both dialects explode
+    * the same BIGINT array — no posexplode divergence.
+    */
+  private def dupSpanExSql(d: Dial): String =
+    s"""SELECT doc_id, lang, ${d.intDiv("e", "1048576")} AS h,
+       |  e % 1048576 AS pos
+       |FROM (SELECT doc_id, lang,
+       |        ${d.withIdx(d.shingleHashList("text"))} AS hl
+       |      FROM documents WHERE ${d.size(d.split("text"))} >= 3) s
+       |${d.explode("hl", "e")}""".stripMargin
+
+  /** d15: longest duplicated-shingle RUN per document — the ExactSubstr
+    * decision signal (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): d13 measures how MUCH of a doc is
+    * duplicated elsewhere in the corpus; this measures whether that
+    * duplication is CONTIGUOUS (a mirrored paragraph / license block /
+    * boilerplate footer — the thing ExactSubstr cuts) versus incidental
+    * shared shingles. Per doc: the longest run of consecutive 3-word
+    * shingles that each appear in >= 2 distinct documents, in words
+    * (run + 2); reported as a per-(lang, span-bucket) histogram with the
+    * bucket's max span — the observability product a curation run
+    * thresholds on (the reference cut is span >= 50 tokens).
+    *
+    * A true suffix-array ExactSubstr is a cross-document byte-level scan
+    * that doesn't decompose over partitions; the shingle-run formulation
+    * keeps the same signal and is CANDIDATE-FREE like d13: one
+    * positional explode, one (hash, doc) -> distinct-doc index
+    * (HAVING >= 2 — map-side combinable), one hash semi-join back, and
+    * a per-doc gaps-and-islands window whose state is bounded by doc
+    * length. No pair stage anywhere — cost is linear in corpus size
+    * regardless of duplication structure (contrast d03's raw pair list).
+    */
+  private def dupSpanBody(d: Dial, ex: String): String =
+    s"""hd AS (SELECT h, doc_id FROM $ex GROUP BY h, doc_id),
+       |dup AS (SELECT h FROM hd GROUP BY h HAVING COUNT(*) >= 2),
+       |dex AS (SELECT e.doc_id, e.pos FROM $ex e JOIN dup ON e.h = dup.h),
+       |runs AS (SELECT doc_id, pos,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM dex),
+       |rl AS (SELECT doc_id, grp, COUNT(*) AS run_len
+       |  FROM runs GROUP BY doc_id, grp),
+       |mx AS (SELECT doc_id, CAST(MAX(run_len) + 2 AS BIGINT) AS span
+       |  FROM rl GROUP BY doc_id),
+       |base AS (SELECT doc_id, lang FROM $ex GROUP BY doc_id, lang),
+       |cov AS (SELECT b.lang, COALESCE(mx.span, 0) AS span
+       |  FROM base b LEFT JOIN mx ON b.doc_id = mx.doc_id)
+       |SELECT lang AS l,
+       |  CAST(LEAST(${d.intDiv("span", "8")}, 7) AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_docs, CAST(MAX(span) AS BIGINT) AS max_span
+       |FROM cov GROUP BY lang, bucket""".stripMargin
+
+  /** Spark side materializes the positional explode once (cached view):
+    * the dup index, the position semi-join, and the doc base all read
+    * it (same single-scan discipline as d13/d10).
+    */
+  private def dupSpan: Q = Q("d15_dup_span_longest", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    dupSpanDF(spark)
+  }, Some(s"WITH ex AS (${dupSpanExSql(DuckD)}),\n" +
+    dupSpanBody(DuckD, "ex")))
+
+  private def dupSpanDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val ex = spark.sql(dupSpanExSql(SparkD))
+    cacheOnce(ex).createOrReplaceTempView("dupspan_ex")
+    spark.sql("WITH " + dupSpanBody(SparkD, "dupspan_ex"))
   }
 
   /** p03: deterministic stratified sampling — train/validation splits
@@ -1689,6 +1862,54 @@ object ExtQueries {
        |FROM probed GROUP BY k""".stripMargin
   }
 
+  /** p11: HyperLogLog distinct-count sketch (m = 64 registers) of users
+    * per event type — the industry-standard cardinality sketch next to
+    * p07's KMV: 64 six-bit registers (vs KMV's k 31-bit values), with
+    * the same mergeability story (register-wise MAX across shards/days)
+    * and ~1.04/sqrt(64) ≈ 13% expected error. Everything is exact
+    * integer so both engines agree bit-for-bit: the hash is the shared
+    * bijection mod the Mersenne prime; the register index is hv % 64;
+    * rho (leading-zero rank of the remaining 25 bits) is a CASE chain,
+    * not a float log2; the harmonic mean's 2^-Mj terms are summed as
+    * 2^(26-Mj) integers (empty registers contribute 2^26); and the
+    * alpha_64·m² bias constant rides the numerator as a precomputed
+    * integer, one div at the end. No small-range linear-counting branch:
+    * it needs a float ln, and the exact count alongside measures the
+    * raw estimator's bias directly (the audit p07/p08/p10 all ship).
+    * Scale shape: one DISTINCT shuffle keyed (event_type, hash), then a
+    * 64-cell-per-group rollup — constant-size, partial-aggregable,
+    * mergeable state; the probe joins back on the group key.
+    */
+  private def hllSql(d: Dial): String = {
+    // rho = 25-bit leading-zero count + 1 (rest < 2^25; 26 when rest=0)
+    val rho = (1 to 25)
+      .map(j => s"WHEN rest >= ${1L << (25 - j)} THEN $j").mkString(" ")
+    // 2^(26 - mj) for mj in [1, 26]
+    val pow = (1 to 26)
+      .map(j => s"WHEN mj = $j THEN ${1L << (26 - j)}").mkString(" ")
+    // alpha_64 = 0.7213/(1 + 1.079/64) ~= 0.709340; numerator =
+    // alpha_64 * m^2 * 2^26 scaled by 1e6 (exact: 709340 * 4096 * 2^26)
+    val num = 709340L * 4096L * 67108864L
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type, ((user_id % $P) * 2654435761) % $P AS hv
+       |  FROM events),
+       |b AS (SELECT event_type, hv % 64 AS bucket,
+       |    (CASE $rho ELSE 26 END) AS rho
+       |  FROM (SELECT event_type, hv, ${d.intDiv("hv", "64")} AS rest
+       |        FROM h) x),
+       |r AS (SELECT event_type, bucket, MAX(rho) AS mj
+       |  FROM b GROUP BY event_type, bucket),
+       |s AS (SELECT event_type,
+       |    CAST(SUM(CASE $pow ELSE 67108864 END)
+       |      + (64 - COUNT(*)) * 67108864 AS BIGINT) AS ssum
+       |  FROM r GROUP BY event_type),
+       |cnt AS (SELECT event_type, COUNT(*) AS nd FROM h GROUP BY event_type)
+       |SELECT s.event_type AS et, cnt.nd AS exact_distinct,
+       |  CAST(${d.intDiv(num.toString, "(1000000 * s.ssum)")} AS BIGINT)
+       |    AS hll_estimate
+       |FROM s JOIN cnt ON s.event_type = cnt.event_type""".stripMargin
+  }
+
   /** t10: PII scrub — the redaction pass every training-corpus build
     * runs before anything else sees the text. Synthetic PII (an email
     * and a phone derived from doc_id) is planted deterministically so
@@ -1802,6 +2023,12 @@ object ExtQueries {
     dupCoverage,
     // d07's bounded-output twin: rep-level vector pairs + member counts.
     embeddingDedupCollapsed,
+    // Longest duplicated-shingle run per doc (ExactSubstr signal;
+    // candidate-free, linear like d13).
+    dupSpan,
+    // SemDeDup: cluster-then-prune semantic dedup over exact-collapsed
+    // embedding representatives; bounded per-cell report.
+    semanticDedup,
     // Online near-dup detection (streaming MinHash-LSH band state).
     streamNearDup,
     dialect("v06_ann_cap_report", annCapReportSql),
@@ -1850,6 +2077,9 @@ object ExtQueries {
     dialect("p09_token_budget_mix", budgetMixSql),
     // Histogram quantile sketch vs the exact percentiles it replaces.
     dialect("p10_quantile_histogram", quantileHistSql),
+    // HyperLogLog cardinality sketch (64 registers, integer-exact) vs
+    // the exact distinct count it replaces.
+    dialect("p11_sketch_distinct_hll", hllSql),
     dialect("v01_knn_brute", knnBruteSql),
     knnSignLshQ,
     dialect("v03_knn_ivf_assign", ivfAssignSql),
@@ -1886,6 +2116,11 @@ object ExtQueries {
         : org.apache.spark.sql.DataFrame = embeddingDedupCollapsedDF(spark)
     def dupCoverage(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = dupCoverageDF(spark)
+    def dupSpan(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = dupSpanDF(spark)
+    def semanticDedup(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = semanticDedupDF(spark)
+    val hll: String = hllSql(SparkD)
   }
 
   /** m02: REAL image-header decode through the multimodal seam. The
@@ -1974,7 +2209,7 @@ object ExtQueries {
     * cross join: each vector's ||e|| computes once (not once per
     * centroid) — same IEEE ops, same bits, 1/3 the fold work.
     */
-  private def ivfCommonCtes(d: Dial): String = {
+  private def ivfCommonCtes(d: Dial, from: String = "embeddings"): String = {
     val dim = 64 // embeddings.embedding arity (TESTDATA.md)
     val comps = (0 until dim).map { i =>
       s"CAST(CAST(SUM(CAST(ROUND(CAST(${d.at("embedding", i)} AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE) / (1000000.0 * COUNT(*))"
@@ -1986,7 +2221,7 @@ object ExtQueries {
     s"""cent0 AS (
        |  SELECT label AS clabel,
        |    $centroidArr AS centroid
-       |  FROM embeddings GROUP BY label),
+       |  FROM $from GROUP BY label),
        |cent AS (
        |  SELECT clabel, centroid,
        |    sqrt(${d.dot("centroid", "centroid")}) AS cnorm
@@ -1994,7 +2229,7 @@ object ExtQueries {
        |emb AS (
        |  SELECT vec_id, label, embedding,
        |    sqrt(${d.dot("embedding", "embedding")}) AS enorm
-       |  FROM embeddings),
+       |  FROM $from),
        |scored AS (
        |  SELECT e.vec_id, e.label, c.clabel,
        |    ${d.dot("e.embedding", "c.centroid")} / (e.enorm * c.cnorm) AS cos
