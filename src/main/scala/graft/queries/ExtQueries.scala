@@ -1880,35 +1880,50 @@ object ExtQueries {
     * 64-cell-per-group rollup — constant-size, partial-aggregable,
     * mergeable state; the probe joins back on the group key.
     */
-  private def hllSql(d: Dial): String = {
+  /** The HLL register relation (event_type, bucket, mj) over `from` —
+    * the sketch's whole mergeable state: registers from two shards
+    * merge by register-wise MAX (PipelineOpsSpec proves it equals the
+    * whole-corpus registers).
+    */
+  private def hllRegistersSql(d: Dial, from: String = "events"): String = {
     // rho = 25-bit leading-zero count + 1 (rest < 2^25; 26 when rest=0)
     val rho = (1 to 25)
       .map(j => s"WHEN rest >= ${1L << (25 - j)} THEN $j").mkString(" ")
+    s"""SELECT event_type, bucket, MAX(rho) AS mj FROM (
+       |  SELECT event_type, hv % 64 AS bucket,
+       |    (CASE $rho ELSE 26 END) AS rho
+       |  FROM (SELECT event_type, hv, ${d.intDiv("hv", "64")} AS rest
+       |        FROM (SELECT DISTINCT event_type,
+       |                ((user_id % $P) * 2654435761) % $P AS hv
+       |              FROM $from) hh) x) b
+       |GROUP BY event_type, bucket""".stripMargin
+  }
+
+  /** The estimate readout over a register relation `regs`. */
+  private def hllEstimateSql(d: Dial, regs: String): String = {
     // 2^(26 - mj) for mj in [1, 26]
     val pow = (1 to 26)
       .map(j => s"WHEN mj = $j THEN ${1L << (26 - j)}").mkString(" ")
     // alpha_64 = 0.7213/(1 + 1.079/64) ~= 0.709340; numerator =
     // alpha_64 * m^2 * 2^26 scaled by 1e6 (exact: 709340 * 4096 * 2^26)
     val num = 709340L * 4096L * 67108864L
-    s"""WITH h AS (
-       |  SELECT DISTINCT event_type, ((user_id % $P) * 2654435761) % $P AS hv
-       |  FROM events),
-       |b AS (SELECT event_type, hv % 64 AS bucket,
-       |    (CASE $rho ELSE 26 END) AS rho
-       |  FROM (SELECT event_type, hv, ${d.intDiv("hv", "64")} AS rest
-       |        FROM h) x),
-       |r AS (SELECT event_type, bucket, MAX(rho) AS mj
-       |  FROM b GROUP BY event_type, bucket),
-       |s AS (SELECT event_type,
+    s"""SELECT event_type AS et,
+       |  CAST(${d.intDiv(num.toString, "(1000000 * ssum)")} AS BIGINT)
+       |    AS hll_estimate
+       |FROM (SELECT event_type,
        |    CAST(SUM(CASE $pow ELSE 67108864 END)
        |      + (64 - COUNT(*)) * 67108864 AS BIGINT) AS ssum
-       |  FROM r GROUP BY event_type),
-       |cnt AS (SELECT event_type, COUNT(*) AS nd FROM h GROUP BY event_type)
-       |SELECT s.event_type AS et, cnt.nd AS exact_distinct,
-       |  CAST(${d.intDiv(num.toString, "(1000000 * s.ssum)")} AS BIGINT)
-       |    AS hll_estimate
-       |FROM s JOIN cnt ON s.event_type = cnt.event_type""".stripMargin
+       |  FROM $regs GROUP BY event_type) s""".stripMargin
   }
+
+  private def hllSql(d: Dial): String =
+    s"""WITH r AS (${hllRegistersSql(d)}),
+       |est AS (${hllEstimateSql(d, "r")}),
+       |cnt AS (SELECT event_type, COUNT(DISTINCT
+       |    ((user_id % $P) * 2654435761) % $P) AS nd
+       |  FROM events GROUP BY event_type)
+       |SELECT est.et, cnt.nd AS exact_distinct, est.hll_estimate
+       |FROM est JOIN cnt ON est.et = cnt.event_type""".stripMargin
 
   /** t10: PII scrub — the redaction pass every training-corpus build
     * runs before anything else sees the text. Synthetic PII (an email
@@ -2121,6 +2136,8 @@ object ExtQueries {
     def semanticDedup(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = semanticDedupDF(spark)
     val hll: String = hllSql(SparkD)
+    def hllRegisters(from: String): String = hllRegistersSql(SparkD, from)
+    def hllEstimate(regs: String): String = hllEstimateSql(SparkD, regs)
   }
 
   /** m02: REAL image-header decode through the multimodal seam. The

@@ -100,4 +100,43 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pin determinism and positivity here
     assert(got("y")._2 > 0L)
   }
+
+  test("p11: registers merge by register-wise MAX across shards") {
+    val sp = spark; import sp.implicits._
+    val events = (1L to 2000L).map(u => ("x", u))
+    events.toDF("event_type", "user_id").createOrReplaceTempView("ev_all")
+    // shard split that partitions the users (any disjoint cover works)
+    spark.sql("SELECT * FROM ev_all WHERE user_id % 2 = 0")
+      .createOrReplaceTempView("ev_a")
+    spark.sql("SELECT * FROM ev_all WHERE user_id % 2 = 1")
+      .createOrReplaceTempView("ev_b")
+
+    val whole = spark.sql(ExtQueries.TestSql.hllRegisters("ev_all"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    val merged = spark.sql(
+      s"""SELECT event_type, bucket, MAX(mj) AS mj FROM (
+         |  ${ExtQueries.TestSql.hllRegisters("ev_a")}
+         |  UNION ALL
+         |  ${ExtQueries.TestSql.hllRegisters("ev_b")}) u
+         |GROUP BY event_type, bucket""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(whole == merged)
+    // and the estimate readout over merged registers equals the whole's
+    spark.sql(ExtQueries.TestSql.hllRegisters("ev_all"))
+      .createOrReplaceTempView("regs_whole")
+    spark.sql(
+      s"""SELECT event_type, bucket, MAX(mj) AS mj FROM (
+         |  ${ExtQueries.TestSql.hllRegisters("ev_a")}
+         |  UNION ALL
+         |  ${ExtQueries.TestSql.hllRegisters("ev_b")}) u
+         |GROUP BY event_type, bucket""".stripMargin)
+      .createOrReplaceTempView("regs_merged")
+    val eW = spark.sql(ExtQueries.TestSql.hllEstimate("regs_whole"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eM = spark.sql(ExtQueries.TestSql.hllEstimate("regs_merged"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(eW == eM)
+  }
 }
