@@ -1925,6 +1925,41 @@ object ExtQueries {
        |SELECT est.et, cnt.nd AS exact_distinct, est.hll_estimate
        |FROM est JOIN cnt ON est.et = cnt.event_type""".stripMargin
 
+  /** t11: hashed linear quality classifier — the fasttext-shaped scorer
+    * of CCNet/GPT-3-style quality filtering, the learned complement to
+    * t02's rule-based signals: tokens hash into a 1024-bucket feature
+    * space, each bucket carries a weight, a document's score is the
+    * integer mean of its buckets' weights, and the class is its sign.
+    * Weights are pseudo-random integers in [-1000, 1000] derived from
+    * the bucket id — a planted stand-in for trained weights (the m01
+    * stub-metadata discipline: the plumbing — hashing, feature lookup,
+    * integer scoring, per-class rollup — is the artifact; swapping in
+    * trained weights is a data change, via a vocabulary-sized broadcast
+    * relation exactly like t09's unigram model). Computed inline here,
+    * the scorer is a PURE SCAN: no join, no shuffle before the final
+    * per-(lang, class) rollup — corpus-linear at any scale, and every
+    * score is an exact BIGINT for the cross-engine hash match.
+    */
+  private def qualityClassifierSql(d: Dial): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, ${d.rollHash("w")} % 1024 AS bucket
+       |  FROM (SELECT doc_id, lang, w
+       |        FROM documents ${d.explode(d.split("lower(text)"), "w")}) t
+       |  WHERE w <> ''),
+       |feat AS (SELECT doc_id, lang,
+       |    ((bucket * 2654435761) % $P) % 2001 - 1000 AS wt
+       |  FROM toks),
+       |doc AS (SELECT doc_id, lang,
+       |    ${d.intDiv("CAST(SUM(wt) AS BIGINT)", "COUNT(*)")} AS score
+       |  FROM feat GROUP BY doc_id, lang)
+       |SELECT lang AS l,
+       |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS cls,
+       |  COUNT(*) AS n_docs,
+       |  CAST(MIN(score) AS BIGINT) AS min_score,
+       |  CAST(MAX(score) AS BIGINT) AS max_score,
+       |  CAST(SUM(score) AS BIGINT) AS sum_score
+       |FROM doc GROUP BY lang, cls""".stripMargin
+
   /** t10: PII scrub — the redaction pass every training-corpus build
     * runs before anything else sees the text. Synthetic PII (an email
     * and a phone derived from doc_id) is planted deterministically so
@@ -2060,6 +2095,8 @@ object ExtQueries {
     dialect("t09_unigram_commonness", unigramSql),
     // PII scrub: per-category match counts + verifiable redaction digest.
     dialect("t10_pii_scrub", piiScrubSql),
+    // Hashed linear quality classifier (fasttext-shaped scoring pass).
+    dialect("t11_quality_classifier", qualityClassifierSql),
     // End-to-end corpus curation: quality filter -> exact dedup ->
     // per-language corpus stats; the composed pipeline in one plan.
     dialect("p01_pipeline_curate", curateSql),
