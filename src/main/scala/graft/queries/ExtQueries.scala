@@ -1464,25 +1464,52 @@ object ExtQueries {
     }, Some(oracle))
   }
 
+  /** The pair/report stage runs through the DataFrame API over the
+    * CACHED DF instances rather than a multi-reference SQL view: with
+    * three view references in one statement, the analyzer's relation
+    * de-duplication re-aliases one subtree in a way the cache manager's
+    * canonicalized lookup no longer matches, silently re-executing the
+    * whole centroid pipeline (cartesian + window) once per query —
+    * caught by QueryPlanSpec's live-CartesianProduct assertion.
+    * Structural references to the cached DFs substitute reliably.
+    */
   private def semanticDedupDF(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
-    val grp = spark.sql(
+    import org.apache.spark.sql.functions._
+    val grp = cacheOnce(spark.sql(
       """SELECT embedding, MIN(vec_id) AS rep, COUNT(*) AS members
-        |FROM embeddings GROUP BY embedding""".stripMargin)
-    cacheOnce(grp).createOrReplaceTempView("sem_grp")
+        |FROM embeddings GROUP BY embedding""".stripMargin))
+    grp.createOrReplaceTempView("sem_grp")
     spark.sql(
       "SELECT e.* FROM embeddings e JOIN sem_grp g ON e.vec_id = g.rep")
       .createOrReplaceTempView("sem_reps")
-    val assign = spark.sql(
+    val assign = cacheOnce(spark.sql(
       s"""WITH ${ivfCommonCtes(SparkD, "sem_reps")}
-         |SELECT vec_id, clabel FROM best WHERE rn = 1""".stripMargin)
-    cacheOnce(assign).createOrReplaceTempView("sem_assign")
-    val emb = spark.sql(
+         |SELECT vec_id, clabel FROM best WHERE rn = 1""".stripMargin))
+    val emb = cacheOnce(spark.sql(
       s"""SELECT vec_id, embedding,
          |  sqrt(${SparkD.dot("embedding", "embedding")}) AS enorm
-         |FROM sem_reps""".stripMargin)
-    cacheOnce(emb).createOrReplaceTempView("sem_emb")
-    spark.sql(semFinal(SparkD, "sem_assign", "sem_emb", "sem_grp"))
+         |FROM sem_reps""".stripMargin))
+    val a = assign.toDF("i", "ca")
+    val b = assign.toDF("j", "cb")
+    val x = emb.toDF("xi", "xe", "xn")
+    val y = emb.toDF("yi", "ye", "yn")
+    val pairs = a
+      .join(b, col("ca") === col("cb") && col("i") < col("j"))
+      .join(x, col("xi") === col("i"))
+      .join(y, col("yi") === col("j"))
+      .where(expr(s"graft_dot(xe, ye) / (xn * yn) >= $SemTau"))
+      .select(col("j"))
+    val dropped = pairs.distinct()
+    assign
+      .join(dropped, assign("vec_id") === dropped("j"), "left")
+      .join(grp.select(col("rep"), col("members")),
+        assign("vec_id") === col("rep"))
+      .groupBy(col("clabel").as("cell"))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(when(col("j").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_dropped"),
+        sum(col("members")).cast("long").as("n_members"))
   }
 
   // ---------------------------------------------------------------- multimodal

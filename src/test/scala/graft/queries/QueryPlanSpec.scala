@@ -168,6 +168,65 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d15 reads the cached positional explode; no pair stage anywhere") {
+    // The positional explode is materialized once (like d03's band
+    // relation): the query plan itself must contain no Generate — and,
+    // the operator's core claim, no join wider than the hash semi-join
+    // (no nested loop, no cartesian; candidate-free by construction).
+    val exec = graft.SparkEntry.queries("d15_dup_span_longest")(spark, dir)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"d15 plans a nested loop:\n$p")
+    val gens = exec.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.isEmpty, s"d15 re-runs the explode outside the cache:\n$p")
+    val cacheScans = exec.collect {
+      case s if s.nodeName.contains("InMemoryTableScan") => s }
+    assert(cacheScans.size >= 3,
+      s"d15: dup index, semi-join, and doc base should all read the " +
+        s"cached explode:\n$p")
+  }
+
+  test("d16 pair stage is an equi-join over the cached assignment") {
+    // The centroid cross product lives inside the cached assign build;
+    // the LIVE pair query must be equi-joins only (clabel + vec_id),
+    // reading the assign/emb caches on every side. Node COLLECTION, not
+    // string matching: InMemoryRelation prints its one-time build plan
+    // (which legitimately contains the tiny centroid cartesian), so a
+    // string check can't tell a cached build from a live re-execution —
+    // and the live re-execution is exactly the regression this guards
+    // (a view-based formulation re-ran the whole centroid pipeline,
+    // cartesian + window, once per query).
+    val exec = graft.SparkEntry.queries("d16_semantic_dedup")(spark, dir)
+      .queryExecution.executedPlan
+    val cart = exec.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c }
+    val wins = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(cart.isEmpty && wins.isEmpty,
+      s"d16 re-executes the centroid pipeline outside the cache:\n$exec")
+    val cacheScans = exec.collect {
+      case s if s.nodeName.contains("InMemoryTableScan") => s }
+    assert(cacheScans.size >= 4,
+      s"d16: pair sides and scoring sides should read caches:\n$exec")
+  }
+
+  test("t11 classifier is a pure scan (no join anywhere in the plan)") {
+    val exec = graft.SparkEntry.queries("t11_quality_classifier")(spark, dir)
+      .queryExecution.executedPlan
+    val joins = exec.collect {
+      case j if j.nodeName.contains("Join") => j }
+    assert(joins.isEmpty, s"t11 should be join-free:\n$exec")
+  }
+
+  test("p11 sketch has no product joins; register rollup aggregates") {
+    val p = plan("p11_sketch_distinct_hll")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"p11 plans a product:\n$p")
+    assert(p.contains("HashAggregate"), s"p11 register rollup missing:\n$p")
+  }
+
   test("v05 probe scan reads only the probed cells' directories") {
     import org.apache.spark.sql.functions.col
     val idxPath = ExtQueries.ivfIndexPath(spark, dir)
