@@ -212,6 +212,36 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"d16: pair sides and scoring sides should read caches:\n$exec")
   }
 
+  test("t06/t07 tokenize once: no live Generate outside the cache") {
+    // t06 caches the (doc, term, tf) relation (aggregated below the
+    // explode — compact); t07 caches the term-FILTERED postings plus an
+    // explode-free array-size length relation. In both, every consumer
+    // reads a cache and the corpus is tokenized exactly once, where the
+    // CTE forms re-ran the explode per consumer (2-3 live GenerateExecs).
+    // d13 is deliberately NOT here: its re-used relation cannot
+    // aggregate below the explode, and caching the exploded rows
+    // measured SLOWER than re-exploding the cached arrays (see the
+    // dupCoverage scaladoc) — its contract is cache >= 2 instead.
+    Seq("t06_tfidf_topterms", "t07_bm25_search").foreach { q =>
+      val exec = graft.SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan
+      val gens = exec.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }
+      assert(gens.isEmpty,
+        s"$q re-runs the tokenize explode outside the cache:\n$exec")
+      val cacheScans = exec.collect {
+        case s if s.nodeName.contains("InMemoryTableScan") => s }
+      assert(cacheScans.size >= 2,
+        s"$q: consumers should read the cached token relation:\n$exec")
+    }
+    val d13 = graft.SparkEntry.queries("d13_dup_shingle_coverage")(spark, dir)
+      .queryExecution.executedPlan
+    val d13Scans = d13.collect {
+      case s if s.nodeName.contains("InMemoryTableScan") => s }
+    assert(d13Scans.size >= 2,
+      s"d13: both consumers should read the cached array scan:\n$d13")
+  }
+
   test("t11 classifier is a pure scan (no join anywhere in the plan)") {
     val exec = graft.SparkEntry.queries("t11_quality_classifier")(spark, dir)
       .queryExecution.executedPlan
