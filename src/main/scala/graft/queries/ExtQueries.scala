@@ -1637,18 +1637,20 @@ object ExtQueries {
     spark.sql("WITH " + dupCoverageBody(SparkD, "dupcov_sh"))
   }
 
-  /** The positional shingle explode d15 runs over: (doc_id, lang,
-    * shingle hash, 0-based shingle position). Positions ride the hash
-    * list as h*2^20+i (see [[Dial.withIdx]]) so both dialects explode
-    * the same BIGINT array — no posexplode divergence.
+  /** The array-valued positional shingle scan d15 runs over: per doc,
+    * the hash list with positions encoded as h*2^20+i (see
+    * [[Dial.withIdx]]) — both dialects explode the same BIGINT array,
+    * no posexplode divergence.
     */
-  private def dupSpanExSql(d: Dial): String =
-    s"""SELECT doc_id, lang, ${d.intDiv("e", "1048576")} AS h,
+  private def dupSpanShSql(d: Dial): String =
+    s"""SELECT doc_id, lang, ${d.withIdx(d.shingleHashList("text"))} AS hl
+       |FROM documents WHERE ${d.size(d.split("text"))} >= 3""".stripMargin
+
+  /** The decoded positional explode of `sh`. */
+  private def dupSpanExFrom(d: Dial, sh: String): String =
+    s"""SELECT doc_id, ${d.intDiv("e", "1048576")} AS h,
        |  e % 1048576 AS pos
-       |FROM (SELECT doc_id, lang,
-       |        ${d.withIdx(d.shingleHashList("text"))} AS hl
-       |      FROM documents WHERE ${d.size(d.split("text"))} >= 3) s
-       |${d.explode("hl", "e")}""".stripMargin
+       |FROM $sh ${d.explode("hl", "e")}""".stripMargin
 
   /** d15: longest duplicated-shingle RUN per document — the ExactSubstr
     * decision signal (Lee et al. 2022, "Deduplicating Training Data
@@ -1671,7 +1673,7 @@ object ExtQueries {
     * length. No pair stage anywhere — cost is linear in corpus size
     * regardless of duplication structure (contrast d03's raw pair list).
     */
-  private def dupSpanBody(d: Dial, ex: String): String =
+  private def dupSpanBody(d: Dial, ex: String, sh: String): String =
     s"""hd AS (SELECT h, doc_id FROM $ex GROUP BY h, doc_id),
        |dup AS (SELECT h FROM hd GROUP BY h HAVING COUNT(*) >= 2),
        |dex AS (SELECT e.doc_id, e.pos FROM $ex e JOIN dup ON e.h = dup.h),
@@ -1682,29 +1684,34 @@ object ExtQueries {
        |  FROM runs GROUP BY doc_id, grp),
        |mx AS (SELECT doc_id, CAST(MAX(run_len) + 2 AS BIGINT) AS span
        |  FROM rl GROUP BY doc_id),
-       |base AS (SELECT doc_id, lang FROM $ex GROUP BY doc_id, lang),
        |cov AS (SELECT b.lang, COALESCE(mx.span, 0) AS span
-       |  FROM base b LEFT JOIN mx ON b.doc_id = mx.doc_id)
+       |  FROM $sh b LEFT JOIN mx ON b.doc_id = mx.doc_id)
        |SELECT lang AS l,
        |  CAST(LEAST(${d.intDiv("span", "8")}, 7) AS BIGINT) AS bucket,
        |  COUNT(*) AS n_docs, CAST(MAX(span) AS BIGINT) AS max_span
        |FROM cov GROUP BY lang, bucket""".stripMargin
 
-  /** Spark side materializes the positional explode once (cached view):
-    * the dup index, the position semi-join, and the doc base all read
-    * it (same single-scan discipline as d13/d10).
+  /** Spark side caches the ARRAY-valued positional scan (d13's lesson,
+    * measured for d15 too: the row-per-position cache is ~6 columns-of-
+    * BIGINT wide per shingle and loses to re-exploding the dense cached
+    * arrays — 6.7 vs 5.7 s at the 100× step). The index build and the
+    * semi-join each re-explode the cache; the doc base reads it
+    * directly, explode-free.
     */
   private def dupSpan: Q = Q("d15_dup_span_longest", (spark, dir) => {
     Tables.registerAll(spark, dir)
     dupSpanDF(spark)
-  }, Some(s"WITH ex AS (${dupSpanExSql(DuckD)}),\n" +
-    dupSpanBody(DuckD, "ex")))
+  }, Some(s"WITH sh AS (${dupSpanShSql(DuckD)}),\n" +
+    s"ex AS (${dupSpanExFrom(DuckD, "sh")}),\n" +
+    dupSpanBody(DuckD, "ex", "sh")))
 
   private def dupSpanDF(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
-    val ex = spark.sql(dupSpanExSql(SparkD))
-    cacheOnce(ex).createOrReplaceTempView("dupspan_ex")
-    spark.sql("WITH " + dupSpanBody(SparkD, "dupspan_ex"))
+    val sh = cacheOnce(spark.sql(dupSpanShSql(SparkD)))
+    sh.createOrReplaceTempView("dupspan_sh")
+    spark.sql(dupSpanExFrom(SparkD, "dupspan_sh"))
+      .createOrReplaceTempView("dupspan_ex")
+    spark.sql("WITH " + dupSpanBody(SparkD, "dupspan_ex", "dupspan_sh"))
   }
 
   /** p03: deterministic stratified sampling — train/validation splits

@@ -168,11 +168,13 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("d15 reads the cached positional explode; no pair stage anywhere") {
-    // The positional explode is materialized once (like d03's band
-    // relation): the query plan itself must contain no Generate — and,
-    // the operator's core claim, no join wider than the hash semi-join
-    // (no nested loop, no cartesian; candidate-free by construction).
+  test("d15 consumers read the cached array scan; no pair stage anywhere") {
+    // The array-valued positional scan is cached (d13's lesson: denser
+    // than row-per-position); the dup index and the semi-join each
+    // re-explode it (exactly two live Generates, both over the cache),
+    // the doc base reads it explode-free. The operator's core claim:
+    // no join wider than the hash semi-join — no nested loop, no
+    // cartesian; candidate-free by construction.
     val exec = graft.SparkEntry.queries("d15_dup_span_longest")(spark, dir)
       .queryExecution.executedPlan
     val p = exec.toString
@@ -180,12 +182,13 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("CartesianProduct"), s"d15 plans a nested loop:\n$p")
     val gens = exec.collect {
       case g: org.apache.spark.sql.execution.GenerateExec => g }
-    assert(gens.isEmpty, s"d15 re-runs the explode outside the cache:\n$p")
+    assert(gens.size <= 2,
+      s"d15: more explodes than the two cache consumers:\n$p")
     val cacheScans = exec.collect {
       case s if s.nodeName.contains("InMemoryTableScan") => s }
     assert(cacheScans.size >= 3,
       s"d15: dup index, semi-join, and doc base should all read the " +
-        s"cached explode:\n$p")
+        s"cached array scan:\n$p")
   }
 
   test("d16 pair stage is an equi-join over the cached assignment") {
