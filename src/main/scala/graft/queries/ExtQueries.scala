@@ -2022,6 +2022,110 @@ object ExtQueries {
        |SELECT est.et, cnt.nd AS exact_distinct, est.hll_estimate
        |FROM est JOIN cnt ON est.et = cnt.event_type""".stripMargin
 
+  /** q60: STREAMING HyperLogLog — p11's sketch maintained online over
+    * the event stream (columnfile stream source →
+    * [[graft.streaming.StreamingSketch.hllRegisterRaises]] → columnfile
+    * streaming sink), then the raise log read back and folded to
+    * registers with one MAX per (group, bucket). The register raises
+    * are MONOTONE, so the log is append-mode-safe with no windowing,
+    * no end-of-stream flush, and replay-proof readout (MAX is
+    * idempotent). The oracle is the batch sketch over the same events
+    * — stream and batch share the exact-integer hash/rho pipeline, so
+    * the registers (and therefore the estimate) match bit-for-bit.
+    */
+  private def streamHll: Q = Q("q60_stream_hll_sketch", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    val src = Tables.cachePath(dir, "events_hll_stream")
+    if (!new java.io.File(src, "_SUCCESS").exists()) {
+      spark.table("events")
+        .selectExpr("event_id", "event_type", "user_id")
+        .repartition(1).sortWithinPartitions("event_id")
+        .write.format("columnfile").mode("overwrite").save(src)
+    }
+    val out = Tables.cachePath(dir, "hll_raises")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      val schema = spark.read.format("columnfile").load(src).schema
+      val stream = spark.readStream.format("columnfile")
+        .schema(schema).load(src)
+      val raises = graft.streaming.StreamingSketch.hllRegisterRaises(stream)
+      val q = raises.writeStream.format("columnfile")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.format("columnfile").load(out)
+      .createOrReplaceTempView("cf_hll_raises")
+    spark.sql(
+      s"""WITH r AS (SELECT event_type, bucket, MAX(mj) AS mj
+         |  FROM cf_hll_raises GROUP BY event_type, bucket),
+         |est AS (${hllEstimateSql(SparkD, "r")}),
+         |cnt AS (SELECT event_type, COUNT(DISTINCT
+         |    ((user_id % $P) * 2654435761) % $P) AS nd
+         |  FROM events GROUP BY event_type)
+         |SELECT est.et, cnt.nd AS exact_distinct, est.hll_estimate
+         |FROM est JOIN cnt ON est.et = cnt.event_type""".stripMargin)
+  }, Some(hllSql(DuckD)))
+
+  /** q61: STREAMING count-min — p08's frequency sketch maintained
+    * online as per-micro-batch PARTIALS (the shard/day shape): counts
+    * are linear, so each batch's 3×512-cell partial appends to a log
+    * and the readout merges by cell-wise SUM — stateless (no
+    * flatMapGroupsWithState at all), and boundary-independent
+    * (SUM of partials ≡ the batch sketch of the union, which is why
+    * the batch oracle matches regardless of how the stream was
+    * micro-batched). Batch 0 overwrites so a from-scratch replay is
+    * idempotent; production appends batch-id-named shard files for
+    * mid-stream restart idempotence (the cf streaming sink's epoch
+    * fencing shape).
+    */
+  private def streamCms: Q = Q("q61_stream_cms_sketch", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    val src = Tables.cachePath(dir, "events_hll_stream")
+    if (!new java.io.File(src, "_SUCCESS").exists()) {
+      spark.table("events")
+        .selectExpr("event_id", "event_type", "user_id")
+        .repartition(1).sortWithinPartitions("event_id")
+        .write.format("columnfile").mode("overwrite").save(src)
+    }
+    val out = Tables.cachePath(dir, "cms_partials")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      val schema = spark.read.format("columnfile").load(src).schema
+      val stream = spark.readStream.format("columnfile")
+        .schema(schema).load(src)
+      val q = stream.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.streaming.StreamingSketch.cmsPartial(df)
+            .write.format("columnfile")
+            .mode(if (id == 0L) "overwrite" else "append").save(out)
+          ()
+        }
+        .option("checkpointLocation", out + "_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.format("columnfile").load(out)
+      .createOrReplaceTempView("cf_cms_partials")
+    val hashes = "(VALUES (0, 1299721, 1299827), (1, 2750161, 2750357), " +
+      "(2, 4256233, 4256249)) AS h(i, a, b)"
+    spark.sql(
+      s"""WITH cms AS (SELECT i, bucket, CAST(SUM(c) AS BIGINT) AS c
+         |  FROM cf_cms_partials GROUP BY i, bucket),
+         |keys AS (SELECT user_id AS k FROM events),
+         |exact AS (
+         |  SELECT k, COUNT(*) AS n FROM keys GROUP BY k
+         |  ORDER BY n DESC, k LIMIT 10),
+         |probed AS (
+         |  SELECT exact.k, exact.n, cms.c
+         |  FROM exact CROSS JOIN $hashes
+         |  JOIN cms ON cms.i = h.i
+         |    AND cms.bucket = ((exact.k % $P) * h.a + h.b) % $P % 512)
+         |SELECT k, MAX(n) AS exact_count, MIN(c) AS cms_estimate
+         |FROM probed GROUP BY k""".stripMargin)
+  }, Some(cmsSql(DuckD)))
+
   /** t11: hashed linear quality classifier — the fasttext-shaped scorer
     * of CCNet/GPT-3-style quality filtering, the learned complement to
     * t02's rule-based signals: tokens hash into a 1024-bucket feature
@@ -2230,6 +2334,12 @@ object ExtQueries {
     // HyperLogLog cardinality sketch (64 registers, integer-exact) vs
     // the exact distinct count it replaces.
     dialect("p11_sketch_distinct_hll", hllSql),
+    // The same sketch maintained ONLINE over the event stream via a
+    // monotone register-raise log (append-safe, replay-proof readout).
+    streamHll,
+    // Count-min maintained ONLINE as per-batch partial shards merged
+    // by cell-wise SUM at read time (stateless, boundary-independent).
+    streamCms,
     dialect("v01_knn_brute", knnBruteSql),
     knnSignLshQ,
     dialect("v03_knn_ivf_assign", ivfAssignSql),
