@@ -177,6 +177,59 @@ class DegenerateCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d15 dup-span: a 10k-dup flood stays bounded (no pair stage to explode)") {
+    // EVERY shingle of a flooded doc is corpus-duplicated, so every doc's
+    // span is its whole length — the worst case for the island windows —
+    // yet there is no candidate pair stage anywhere, so the flood costs
+    // one linear pass, not N^2/2 candidates. floodText is 12 words,
+    // plantedText 11 — all 10,002 docs land in span bucket 1.
+    val sp = spark; import sp.implicits._
+    val floodText = "the quick brown fox jumps over the lazy dog again and again"
+    val plantedText = "distributed columnar analytics engines shred nested rows into typed column streams"
+    val docs =
+      (Seq((1L, plantedText), (2L, plantedText)) ++
+        (1000L until (1000L + Flood)).map(i => (i, floodText)))
+        .map { case (i, t) => (i, t, "en") }
+    try {
+      docs.toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+      val got = ExtQueries.TestSql.dupSpan(spark).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == Seq(("en", 1L, (Flood + 2).toLong, 12L)), got.toString)
+    } finally {
+      docs.map { case (i, t, _) => (i, t) }
+        .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    }
+  }
+
+  test("d16 semantic dedup: a 10k-identical-vector flood collapses to one rep") {
+    // Exact collapse means the flood contributes ONE representative to
+    // the within-cell pair stage (3 reps total -> 3 candidate pairs, not
+    // ~50M): the near vector is dropped by its cool representative, the
+    // anti-aligned flood rep pairs with nothing, and the member total
+    // carries the full corpus.
+    val sp = spark; import sp.implicits._
+    val coolVec = Array.fill(64)(1.0f)
+    val nearVec = Array.fill(64)(1.0f); nearVec(63) = 0.5f
+    val floodVec = Array.fill(64)(-1.0f)
+    val vecs =
+      (0L until 10L).map(i => (i, coolVec, 0)) ++
+        Seq((500L, nearVec, 0)) ++
+        (1000L until (1000L + Flood)).map(i => (i, floodVec, 0))
+    try {
+      vecs.toDF("vec_id", "embedding", "label")
+        .createOrReplaceTempView("embeddings")
+      val got = ExtQueries.TestSql.semanticDedup(spark).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == Seq((0, 3L, 1L, (Flood + 11).toLong)), got.toString)
+    } finally {
+      // restore the shared fixture (cool + flood, no near, no label)
+      vecs.filter(_._1 != 500L).map { case (i, v, _) => (i, v) }
+        .toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+    }
+  }
+
   test("v06 cap report: flooded ANN table drops are visible per hash table") {
     val cap = ExtQueries.TestSql.hotBucketCap
     val rows = spark.sql(ExtQueries.TestSql.annCapReport).collect()
