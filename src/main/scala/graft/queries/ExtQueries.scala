@@ -1570,6 +1570,66 @@ object ExtQueries {
     spark.sql("WITH " + decontaminateBody(SparkD, "dc_sh"))
   }, Some(decontaminateSql(DuckD)))
 
+  /** q62: STREAMING decontamination — d10 applied at INGEST, the shape a
+    * production corpus build actually runs: the eval suite's shingle
+    * grams are a small STATIC relation (benchmark-sized, broadcast), and
+    * every arriving micro-batch of training docs stream-static-joins
+    * against it — stateless (no watermark, no stateful operator: the
+    * static side never grows and the join emits per-batch), so admission
+    * decisions are made the moment a doc arrives instead of in a
+    * nightly batch pass. The emitted hit log carries (doc, lang, gram);
+    * the readout collapses it to d10's exact contract (contaminated
+    * docs per language), and the oracle IS d10's batch SQL — stream and
+    * batch agree because both sides share the codegen shingle pipeline.
+    */
+  private def streamDecontaminate: Q = Q("q62_stream_decontaminate",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val src = Tables.cachePath(dir, "documents_neardup_stream")
+      if (!new java.io.File(src, "_SUCCESS").exists()) {
+        spark.table("documents")
+          .selectExpr("doc_id",
+            "timestamp_micros(doc_id * 1000000) AS ts", "text")
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.format("columnfile").mode("overwrite").save(src)
+      }
+      val out = Tables.cachePath(dir, "decont_hits")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        // static eval-gram relation: benchmark-sized, broadcastable
+        val evg = spark.sql(
+          s"""SELECT DISTINCT g FROM (
+             |  SELECT ${SparkD.shingleHashSet("text")} AS hs
+             |  FROM documents
+             |  WHERE doc_id % 101 = 7 AND ${SparkD.size(
+                  SparkD.split("text"))} >= 3) e
+             |LATERAL VIEW explode(hs) _ex AS g""".stripMargin)
+        val schema = spark.read.format("columnfile").load(src).schema
+        val stream = spark.readStream.format("columnfile")
+          .schema(schema).load(src)
+        val hits = stream
+          .where(s"doc_id % 101 <> 7 AND ${SparkD.size(
+            SparkD.split("text"))} >= 3")
+          .selectExpr("doc_id", s"${SparkD.shingleHashSet("text")} AS hs")
+          .selectExpr("doc_id", "explode(hs) AS g")
+          .join(org.apache.spark.sql.functions.broadcast(evg), "g")
+          .select("doc_id", "g")
+        val q = hits.writeStream.format("columnfile")
+          .option("path", out)
+          .option("checkpointLocation", out + "_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      spark.read.format("columnfile").load(out)
+        .createOrReplaceTempView("cf_decont_hits")
+      spark.sql(
+        """WITH hit AS (SELECT DISTINCT h.doc_id, d.lang
+          |  FROM cf_decont_hits h JOIN documents d ON h.doc_id = d.doc_id)
+          |SELECT lang AS l, COUNT(*) AS contaminated,
+          |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+          |FROM hit GROUP BY lang""".stripMargin)
+    }, Some(decontaminateSql(DuckD)))
+
   /** The per-doc distinct-shingle relation d13 builds its index over. */
   private def dupCovShSql(d: Dial): String =
     s"""SELECT doc_id, lang, ${d.shingleHashSet("text")} AS hset
@@ -2340,6 +2400,9 @@ object ExtQueries {
     // Count-min maintained ONLINE as per-batch partial shards merged
     // by cell-wise SUM at read time (stateless, boundary-independent).
     streamCms,
+    // Decontamination at INGEST: stream-static broadcast join against
+    // the benchmark-sized eval-gram relation (oracle = d10's batch SQL).
+    streamDecontaminate,
     dialect("v01_knn_brute", knnBruteSql),
     knnSignLshQ,
     dialect("v03_knn_ivf_assign", ivfAssignSql),
