@@ -1127,6 +1127,55 @@ object ExtQueries {
        |WHERE rn <= 10""".stripMargin
   }
 
+  /** v08: two-stage retrieval — the standard production ANN serving
+    * shape: a cheap int8 SHORTLIST pass (v07's quantized vectors, 64 B
+    * each — the stage that touches many candidates) keeps top-20 per
+    * query, then an exact float re-rank touches ONLY those 20 and
+    * emits the final top-5. At 100 TB the shortlist stage composes
+    * with sign-LSH/IVF bucketing (v02/v05) so it never scans the
+    * corpus either; the re-rank cost is queries × shortlist — corpus-
+    * independent — and recovers the full-precision ordering the int8
+    * scores can only approximate. Exact integer dots for stage 1 and
+    * fixed-order float folds for stage 2 keep both stages engine-
+    * deterministic (same discipline as v01/v07).
+    */
+  private def knnRerankSql(d: Dial): String = {
+    val mx = d match {
+      case SparkD => "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+      case DuckD  => "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    }
+    val q8 = d.transform("embedding", "x",
+      "CAST(floor((127 * CAST(x AS DOUBLE)) / mx) AS BIGINT)")
+    val cos8 =
+      s"""CAST(${d.intDot("q.q8", "e.q8")} AS DOUBLE) /
+         |    (sqrt(CAST(q.qq AS DOUBLE)) * sqrt(CAST(e.qq AS DOUBLE)))""".stripMargin
+    val cosf =
+      s"""${d.dot("qe.embedding", "ne.embedding")} /
+         |    (sqrt(${d.dot("qe.embedding", "qe.embedding")}) *
+         |     sqrt(${d.dot("ne.embedding", "ne.embedding")}))""".stripMargin
+    s"""WITH z0 AS (SELECT vec_id, embedding, $mx AS mx FROM embeddings),
+       |z1 AS (SELECT vec_id, $q8 AS q8 FROM z0 WHERE mx > 0),
+       |z AS (SELECT vec_id, q8, ${d.intDot("q8", "q8")} AS qq FROM z1),
+       |c AS (SELECT q.vec_id AS qid, e.vec_id AS nid, $cos8 AS cos8
+       |  FROM (SELECT * FROM z WHERE vec_id < 5) q
+       |  CROSS JOIN z e WHERE e.vec_id <> q.vec_id),
+       |short AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos8 DESC, nid)
+       |        AS rn8
+       |    FROM c) x
+       |  WHERE rn8 <= 20),
+       |r AS (SELECT s.qid, s.nid, $cosf AS cos
+       |  FROM short s
+       |  JOIN embeddings qe ON qe.vec_id = s.qid
+       |  JOIN embeddings ne ON ne.vec_id = s.nid)
+       |SELECT qid, nid, cos FROM (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |  FROM r) y
+       |WHERE rn <= 5""".stripMargin
+  }
+
   private def knnBruteSql(d: Dial): String = {
     val cos =
       s"""${d.dot("qe", "e.embedding")} /
@@ -2408,6 +2457,8 @@ object ExtQueries {
     dialect("v03_knn_ivf_assign", ivfAssignSql),
     dialect("v04_knn_ivf_search", ivfSearchSql),
     dialect("v07_knn_quantized", knnQuantizedSql),
+    // Two-stage retrieval: int8 shortlist -> exact float re-rank.
+    dialect("v08_knn_rerank", knnRerankSql),
     // v05 = v04 over a materialized cell-partitioned index (same oracle).
     ivfIndexed,
     dialect("m01_multimodal_stubmeta", multimodalSql),

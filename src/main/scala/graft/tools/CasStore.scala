@@ -85,10 +85,17 @@ object CasStore {
     p.toString
   }
 
-  /** Re-hash a stored object against its urn (bit-rot detection). */
+  /** Re-hash a stored object against its urn (bit-rot detection). An
+    * object that cannot be read back cleanly (e.g. the filesystem's own
+    * checksum layer already rejects it) fails verification rather than
+    * throwing — the caller's question is "is this object good", and an
+    * unreadable object is not.
+    */
   def verify(conf: Configuration, storeDir: String, urn: String): Boolean = {
     val p = new Path(resolve(conf, storeDir, urn))
-    val hex = digestHex(p.getFileSystem(conf), p)
-    UrnPrefix + hex == urn
+    try {
+      val hex = digestHex(p.getFileSystem(conf), p)
+      UrnPrefix + hex == urn
+    } catch { case _: java.io.IOException => false }
   }
 }

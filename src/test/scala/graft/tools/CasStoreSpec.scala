@@ -45,7 +45,7 @@ class CasStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val table = new java.io.File(dir, "t").getAbsolutePath
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
       .repartition(1)
-      .write.format("columnfile").save(table)
+      .write.format("columnfile").mode("overwrite").save(table)
     val dataFile = new java.io.File(table).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".cf"))
       .head.getAbsolutePath
@@ -54,8 +54,9 @@ class CasStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val urn1 = CasStore.put(conf, store, dataFile)
     val urn2 = CasStore.put(conf, store, dataFile)
     assert(urn1 == urn2, "same content must map to one urn")
-    // exactly one stored object (plus its 2-hex shard dir)
+    // exactly one stored object (the local FS adds .crc sidecars)
     val objects = new java.io.File(store).listFiles().flatMap(_.listFiles())
+      .filterNot(_.getName.startsWith("."))
     assert(objects.length == 1)
 
     // a DIFFERENT content gets a different urn and its own object
@@ -64,11 +65,14 @@ class CasStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val urn3 = CasStore.put(conf, store, other.getAbsolutePath)
     assert(urn3 != urn1)
 
-    // resolve + read the cf object back: identical rows
+    // resolve: byte-identical object (the CAS contract), and still a
+    // readable columnfile — a lone data file reads untyped (binary
+    // cells, the reference's byte-string cell model), all rows present
     val resolved = CasStore.resolve(conf, store, urn1)
-    val back = spark.read.format("columnfile").load(resolved)
-      .as[(Long, String)].collect().sortBy(_._1).toSeq
-    assert(back == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(new java.io.File(dataFile).toPath),
+      Files.readAllBytes(new java.io.File(resolved).toPath)))
+    assert(spark.read.format("columnfile").load(resolved).count() == 3)
     assert(CasStore.verify(conf, store, urn1))
   }
 
@@ -81,7 +85,9 @@ class CasStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       CasStore.resolve(conf, store, "urn:other:thing")
     }
-    // corrupt a stored object in place: verify must report it
+    // corrupt a stored object in place (bypassing the local FS's own
+    // .crc layer, which then ALSO rejects the read — either path must
+    // come back as "verification failed", never as "good")
     val f = new java.io.File(dir, "payload.bin")
     Files.write(f.toPath, "hello cas".getBytes)
     val urn = CasStore.put(conf, store, f.getAbsolutePath)
