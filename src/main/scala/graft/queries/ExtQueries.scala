@@ -1062,6 +1062,49 @@ object ExtQueries {
        |FROM r WHERE cum - n_tok < 2000
        |GROUP BY lang""".stripMargin
 
+  /** p12: temperature-based mixture reweighting — the multilingual
+    * upsampling knob every LLM data mix has (sample language l with
+    * probability ∝ T_l^alpha, alpha < 1, so low-resource languages are
+    * upsampled relative to their raw share; alpha = 0.5 here). The
+    * per-language weight is the exact INTEGER square root of its token
+    * count: `FLOOR(SQRT(x))` alone is wrong just below perfect squares
+    * (the correctly-rounded double sqrt of k²-1 can round UP to k), so
+    * the candidate is decremented when s·s > x — bit-identical in both
+    * engines for any BIGINT within double's 2^53 exact range. Quotas
+    * split a 20k-token budget ∝ weight; admission is p09's
+    * deterministic hash-order running-sum cut. Scale shape: the totals
+    * are one partial-aggregable rollup (langs rows — broadcastable
+    * back); admission is the same bounded per-group window as p09.
+    */
+  private def mixTemperatureSql(d: Dial): String = {
+    val isqrt =
+      """CAST(FLOOR(SQRT(CAST(tot AS DOUBLE))) AS BIGINT)
+        | - (CASE WHEN CAST(FLOOR(SQRT(CAST(tot AS DOUBLE))) AS BIGINT)
+        |          * CAST(FLOOR(SQRT(CAST(tot AS DOUBLE))) AS BIGINT) > tot
+        |     THEN 1 ELSE 0 END)""".stripMargin
+    s"""WITH t AS (SELECT doc_id, lang, ${d.size(d.split("text"))} AS n_tok
+       |           FROM documents),
+       |tl AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS tot
+       |       FROM t GROUP BY lang),
+       |w AS (SELECT lang, tot, $isqrt AS wt FROM tl),
+       |ws AS (SELECT CAST(SUM(wt) AS BIGINT) AS wsum FROM w),
+       |quota AS (SELECT lang, tot, wt,
+       |    ${d.intDiv("(20000 * wt)", "(SELECT wsum FROM ws)")} AS q
+       |  FROM w),
+       |r AS (SELECT doc_id, lang, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY lang
+       |      ORDER BY ((doc_id % $P) * 2654435761) % $P, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT r.lang AS l, CAST(MAX(quota.q) AS BIGINT) AS quota_toks,
+       |  CAST(MAX(quota.wt) AS BIGINT) AS weight,
+       |  COUNT(*) AS n_admitted,
+       |  CAST(SUM(r.n_tok) AS BIGINT) AS admitted_toks
+       |FROM r JOIN quota ON r.lang = quota.lang
+       |WHERE r.cum - r.n_tok < quota.q
+       |GROUP BY r.lang""".stripMargin
+  }
+
   /** Quality-filter → md5 exact-dedup (keep min doc_id) → per-language
     * token/char stats of the surviving corpus.
     */
@@ -2438,6 +2481,9 @@ object ExtQueries {
     dialect("p08_sketch_heavy_hitters", cmsSql),
     // Token-budget mixture sampling (per-language quota admission).
     dialect("p09_token_budget_mix", budgetMixSql),
+    // Temperature-based mixture reweighting (alpha=0.5 upsampling via
+    // exact integer sqrt weights; p09's admission under those quotas).
+    dialect("p12_mixture_temperature", mixTemperatureSql),
     // Histogram quantile sketch vs the exact percentiles it replaces.
     dialect("p10_quantile_histogram", quantileHistSql),
     // HyperLogLog cardinality sketch (64 registers, integer-exact) vs
