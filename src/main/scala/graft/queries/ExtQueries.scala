@@ -2313,6 +2313,40 @@ object ExtQueries {
        |  CAST(SUM(score) AS BIGINT) AS sum_score
        |FROM doc GROUP BY lang, cls""".stripMargin
 
+  /** t12: BPE first-merge statistics — the tokenizer-training side of a
+    * corpus build (BPE/WordPiece training starts from exactly this
+    * relation: adjacent-symbol pair frequencies over the word-split
+    * corpus; the highest-count pair is the first merge). Reported: the
+    * top-10 adjacent CHARACTER pairs by corpus frequency with
+    * deterministic (count DESC, pair) ordering, plus each pair's
+    * distinct-word support (a merge that only helps one word is noise —
+    * the support column is the audit a tokenizer build thresholds on).
+    * Scale shape: explode words (map-side), per-word pair lists from a
+    * sequence transform (no UDF), one hash aggregate keyed by the
+    * 2-char pair (tiny key domain — alphabet²), top-10 via one ordered
+    * limit. Pure integer counts — engine-portable by construction.
+    */
+  private def bpePairsSql(d: Dial): String = {
+    val pairs2 = d match {
+      case SparkD =>
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+      case DuckD =>
+        "list_transform(range(1, length(w)), i -> substr(w, i, 2))"
+    }
+    s"""WITH words AS (
+       |  SELECT w FROM (
+       |    SELECT w FROM documents
+       |    ${d.explode(d.split("lower(text)"), "w")}) t
+       |  WHERE length(w) >= 2),
+       |pw AS (SELECT w, p FROM (
+       |    SELECT w, $pairs2 AS ps FROM words) x
+       |  ${d.explode("ps", "p")}),
+       |agg AS (SELECT p, COUNT(*) AS n, COUNT(DISTINCT w) AS n_words
+       |  FROM pw GROUP BY p)
+       |SELECT p AS pair, n AS pair_count, n_words AS word_support
+       |FROM agg ORDER BY n DESC, p LIMIT 10""".stripMargin
+  }
+
   /** t10: PII scrub — the redaction pass every training-corpus build
     * runs before anything else sees the text. Synthetic PII (an email
     * and a phone derived from doc_id) is planted deterministically so
@@ -2451,6 +2485,8 @@ object ExtQueries {
     dialect("t10_pii_scrub", piiScrubSql),
     // Hashed linear quality classifier (fasttext-shaped scoring pass).
     dialect("t11_quality_classifier", qualityClassifierSql),
+    // BPE first-merge pair statistics (tokenizer-training input).
+    dialect("t12_bpe_pair_counts", bpePairsSql),
     // End-to-end corpus curation: quality filter -> exact dedup ->
     // per-language corpus stats; the composed pipeline in one plan.
     dialect("p01_pipeline_curate", curateSql),
