@@ -2579,6 +2579,9 @@ object ExtQueries {
     val hll: String = hllSql(SparkD)
     def hllRegisters(from: String): String = hllRegistersSql(SparkD, from)
     def hllEstimate(regs: String): String = hllEstimateSql(SparkD, regs)
+    val mixTemperature: String = mixTemperatureSql(SparkD)
+    val bpePairs: String = bpePairsSql(SparkD)
+    val knnRerank: String = knnRerankSql(SparkD)
   }
 
   /** m02: REAL image-header decode through the multimodal seam. The

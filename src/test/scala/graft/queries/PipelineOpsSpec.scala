@@ -101,6 +101,62 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("y")._2 > 0L)
   }
 
+  test("p12: temperature reweighting upsamples the low-resource language") {
+    val sp = spark; import sp.implicits._
+    // lang A: 4 docs x 100 tokens = 400; lang B: 1 doc x 100 = 100.
+    // raw shares 4/5 vs 1/5; sqrt weights 20 vs 10 -> quotas 2/3 vs 1/3.
+    val doc100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 4L).map(i => (i, doc100, "A")) :+ ((9L, doc100, "B"))
+    docs.toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val got = spark.sql(ExtQueries.TestSql.mixTemperature)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got("A")._2 == 20L && got("B")._2 == 10L, got.toString)
+    assert(got("A")._1 == 20000L * 20 / 30 && got("B")._1 == 20000L * 10 / 30)
+    // the whole point: B's quota share (1/3) far exceeds its raw share (1/5)
+    assert(got("B")._1 * 5 > 20000L)
+  }
+
+  test("t12: planted corpus yields the known top merge pair") {
+    val sp = spark; import sp.implicits._
+    // "ababab" contributes pairs ab x3, ba x2 per occurrence; "cd" adds cd.
+    val docs = Seq(
+      (1L, "ababab ababab cd", "en"),
+      (2L, "ababab cd cd", "en"))
+    docs.toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val got = spark.sql(ExtQueries.TestSql.bpePairs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 3 occurrences of "ababab": ab = 3 each = 9; ba = 2 each = 6; cd = 3
+    assert(got.take(2).toSeq == Seq(("ab", 9L, 1L), ("ba", 6L, 1L)),
+      got.mkString(", "))
+    assert(got.contains(("cd", 3L, 1L)))
+  }
+
+  test("v08: float re-rank orders candidates the int8 stage cannot split") {
+    val sp = spark; import sp.implicits._
+    def vec(pairs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      pairs.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    // query 0 = e1. Candidates 10/11 differ only in the 8th decimal of
+    // a second dimension: int8 quantization maps both to the same
+    // codes (identical cos8 -> shortlist order falls to the id
+    // tiebreak), but the float stage must put 11 (the closer one) first.
+    val q = vec(0 -> 1.0f)
+    val c10 = vec(0 -> 1.0f, 1 -> 0.0101f)
+    val c11 = vec(0 -> 1.0f, 1 -> 0.0100f)
+    val far = vec(2 -> 1.0f)
+    Seq((0L, q, 0), (10L, c10, 0), (11L, c11, 0), (20L, far, 0))
+      .toDF("vec_id", "embedding", "label")
+      .createOrReplaceTempView("embeddings")
+    val got = spark.sql(ExtQueries.TestSql.knnRerank)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // int8: floor(127*0.0101/1)=1 and floor(127*0.0100/1)=1 — identical
+    // codes; only the exact float cosine can rank 11 above 10
+    assert(got.take(2) == Seq((0L, 11L), (0L, 10L)), got.mkString(", "))
+  }
+
   test("p11: registers merge by register-wise MAX across shards") {
     val sp = spark; import sp.implicits._
     val events = (1L to 2000L).map(u => ("x", u))
