@@ -461,6 +461,61 @@ object ExtQueries {
     }, Some(oracle))
   }
 
+  /** d17: d05's bounded-output twin — completing the twin set (d03→d12,
+    * d07→d14, d05→d17): exact-duplicate texts collapse to a
+    * representative FIRST, the SimHash pigeonhole band join runs over
+    * representatives only, and each hamming≤3 pair carries both groups'
+    * member counts. Output bounded by DISTINCT texts under any
+    * duplication (replica cliques share every band value and would
+    * otherwise fill buckets to the cap); raw pairs recoverable as rep
+    * pairs × ni·nj. Same production ordering as the other twins: exact
+    * dedup owns identical content, signature stages run over reps.
+    */
+  private def simhashCollapsed: Q = {
+    val memberJoin =
+      """SELECT p.i, p.j, p.hamming,
+        |  CAST(gi.members AS BIGINT) AS ni, CAST(gj.members AS BIGINT) AS nj""".stripMargin
+    val oracle = {
+      val d = DuckD
+      s"""WITH dig AS (SELECT doc_id, md5(text) AS dg FROM documents),
+         |grp AS (SELECT dg, MIN(doc_id) AS rep, COUNT(*) AS members
+         |        FROM dig GROUP BY dg),
+         |rep_documents AS (
+         |  SELECT d2.* FROM documents d2 JOIN grp ON d2.doc_id = grp.rep),
+         |sp0 AS (
+         |${simhashPairsSql(d, "rep_documents")})
+         |$memberJoin
+         |FROM sp0 p JOIN grp gi ON gi.rep = p.i
+         |JOIN grp gj ON gj.rep = p.j""".stripMargin
+    }
+    Q("d17_dedup_simhash_collapsed", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      simhashCollapsedDF(spark)
+    }, Some(oracle))
+  }
+
+  private def simhashCollapsedDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val grp = spark.sql(
+      """SELECT md5(text) AS dg, MIN(doc_id) AS rep, COUNT(*) AS members
+        |FROM documents GROUP BY md5(text)""".stripMargin)
+    cacheOnce(grp).createOrReplaceTempView("shc_grp")
+    spark.sql(
+      "SELECT d2.* FROM documents d2 JOIN shc_grp g ON d2.doc_id = g.rep")
+      .createOrReplaceTempView("shc_rep_documents")
+    val s = spark.sql(simhashSql(SparkD, "shc_rep_documents"))
+    cacheOnce(s).createOrReplaceTempView("shc_s")
+    val ex = spark.sql(simhashExSql(SparkD, "shc_s"))
+    cacheOnce(ex).createOrReplaceTempView("shc_ex")
+    spark.sql(simhashPairsFrom(SparkD, "shc_ex"))
+      .createOrReplaceTempView("shc_pairs")
+    spark.sql(
+      """SELECT p.i, p.j, p.hamming,
+        |  CAST(gi.members AS BIGINT) AS ni, CAST(gj.members AS BIGINT) AS nj
+        |FROM shc_pairs p JOIN shc_grp gi ON gi.rep = p.i
+        |JOIN shc_grp gj ON gj.rep = p.j""".stripMargin)
+  }
+
   private def minhashCollapsedDF(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
     val grp = spark.sql(
@@ -586,9 +641,9 @@ object ExtQueries {
   }
 
   /** Shingle-level 31-bit SimHash signature per document. */
-  private def simhashSql(d: Dial): String =
+  private def simhashSql(d: Dial, from: String = "documents"): String =
     s"""WITH hh AS (SELECT doc_id, ${d.shingleHashList("text")} AS hs
-       |       FROM documents WHERE ${d.size(d.split("text"))} >= 3)
+       |       FROM $from WHERE ${d.size(d.split("text"))} >= 3)
        |SELECT doc_id, ${d.simhashOf("hs")} AS simhash FROM hh""".stripMargin
 
   /** Hamming<=3 SimHash pairs WITHOUT an all-pairs product: the 31-bit
@@ -636,8 +691,9 @@ object ExtQueries {
        |WHERE bit_count(${d.xor("sa", "sb")}) <= 3""".stripMargin
 
   /** Single-statement form (DuckDB oracle + DegenerateCorpusSpec). */
-  private def simhashPairsSql(d: Dial): String = {
-    s"""WITH s AS (${simhashSql(d)}),
+  private def simhashPairsSql(d: Dial,
+      from: String = "documents"): String = {
+    s"""WITH s AS (${simhashSql(d, from)}),
        |ex0 AS (
        |  ${simhashBandExprs(d, "s")}),
        |ex AS (SELECT doc_id, simhash, band, bv FROM (
@@ -2439,7 +2495,7 @@ object ExtQueries {
         |  COUNT(*) AS group_size
         |FROM documents GROUP BY lang, source""".stripMargin),
     minhashLsh,
-    dialect("d04_dedup_simhash", simhashSql),
+    dialect("d04_dedup_simhash", d => simhashSql(d)),
     simhashPairs,
     ngramJaccard,
     embeddingDedupQ,
@@ -2455,6 +2511,8 @@ object ExtQueries {
     dialect("d11_lsh_cap_report", lshCapReportSql),
     // d03's bounded-output twin: rep-level pairs + member counts.
     minhashCollapsed,
+    // d05's bounded-output twin — completes the twin set (d12/d14/d17).
+    simhashCollapsed,
     // Corpus-level duplicated-shingle coverage histogram (Gopher-family
     // "mostly duplicated elsewhere" drop signal; linear, bounded output).
     dupCoverage,
@@ -2568,6 +2626,8 @@ object ExtQueries {
     }
     def minhashCollapsed(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = minhashCollapsedDF(spark)
+    def simhashCollapsed(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = simhashCollapsedDF(spark)
     def embeddingDedupCollapsed(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = embeddingDedupCollapsedDF(spark)
     def dupCoverage(spark: org.apache.spark.sql.SparkSession)

@@ -125,6 +125,18 @@ class DegenerateCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtQueries.TestSql.minhashCollapsed(spark).collect().isEmpty)
   }
 
+  test("d17 collapsed simhash: a pure-exact-dup corpus stays rep-level bounded") {
+    // Same corpus as d12's test: both duplicate structures are EXACT, so
+    // after collapse the band self-join sees TWO representatives (not
+    // 10k) — the flood never reaches the pair stage. Whether the two
+    // unrelated rep texts collide on a band is signature luck; the
+    // contract here is boundedness + hamming > 3 for unrelated text
+    // (no emitted pair), not a specific candidate count.
+    val got = ExtQueries.TestSql.simhashCollapsed(spark).collect()
+    assert(got.isEmpty,
+      s"unrelated rep texts must not pair at hamming<=3: ${got.mkString(",")}")
+  }
+
   test("d14 collapsed embedding dedup: rep-level pair with member counts under a flood") {
     // extend the corpus with ONE near-but-not-exact duplicate of the
     // cool vector: the collapsed contract must emit exactly the
