@@ -64,9 +64,9 @@ class AdaptivePlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def flatten(p: SparkPlan): Seq[SparkPlan] =
     p +: kids(p).flatMap(flatten)
 
-  test("p06/t06/p07 keep WindowGroupLimit under AQE re-planning") {
+  test("p06/t06/p07/v08 keep WindowGroupLimit under AQE re-planning") {
     Seq("p06_sample_pergroup_topk", "t06_tfidf_topterms",
-        "p07_sketch_distinct_kmv").foreach { q =>
+        "p07_sketch_distinct_kmv", "v08_knn_rerank").foreach { q =>
       val nodes = flatten(finalPlan(q))
       assert(nodes.exists(_.nodeName.contains("WindowGroupLimit")),
         s"$q: WindowGroupLimit lost under AQE:\n" +
