@@ -141,6 +141,13 @@ object ExtQueries {
       * below 2^20 by document length).
       */
     def withIdx(l: String): String
+
+    /** Fixed-width 10-word "lines" of word array `w`, each re-joined
+      * with single spaces: the deterministic segmentation the
+      * line-level dedup pass (d18) hashes. The last segment may be
+      * shorter; a 1-word doc yields one 1-word segment.
+      */
+    def segments10(w: String): String
   }
 
   object SparkD extends Dial {
@@ -189,6 +196,8 @@ object ExtQueries {
     override def rollHash(s: String) = s"graft_polyhash($s)"
     def withIdx(l: String) =
       s"zip_with($l, sequence(0, size($l) - 1), (h, i) -> h * 1048576 + i)"
+    def segments10(w: String) =
+      s"transform(sequence(0, (size($w) - 1) div 10), i -> array_join(slice($w, i * 10 + 1, 10), ' '))"
   }
 
   object DuckD extends Dial {
@@ -235,6 +244,8 @@ object ExtQueries {
         "s", polyhash("s")))
     def withIdx(l: String) =
       s"list_transform(range(1, len($l) + 1), i -> $l[i] * 1048576 + (i - 1))"
+    def segments10(w: String) =
+      s"list_transform(range(0, (len($w) - 1) // 10 + 1), i -> array_to_string($w[i * 10 + 1:i * 10 + 10], ' '))"
   }
 
   // ---------------------------------------------------------------- dedup
@@ -1161,6 +1172,71 @@ object ExtQueries {
        |GROUP BY r.lang""".stripMargin
   }
 
+  /** t13: source/domain-level filtering — the URL/domain reputation
+    * pass of a web-corpus pipeline (C4's blocklist, RefinedWeb's URL
+    * scoring): decisions are made per SOURCE, not per document, because
+    * a domain's pages share boilerplate, register, and spam profile.
+    * Two verdict paths compose: (a) an external blocklist, stood in for
+    * by a deterministic hash predicate on the source name (production
+    * swaps in a broadcast anti-join against the real blocklist
+    * relation — domain lists are KBs, broadcastable at any corpus
+    * scale); (b) a data-derived quality floor — sources whose mean
+    * per-doc stopword per-mille falls below 80% of the corpus-wide
+    * mean (rare-word soup relative to the corpus's own register).
+    * Scale shape: one partial-aggregable doc scan, one source-keyed
+    * rollup (domains ≪ docs), one 1-row corpus mean cross-joined in;
+    * the verdict relation this emits is itself broadcastable back
+    * against the corpus for enforcement.
+    */
+  private def domainFilterSql(d: Dial): String = {
+    val nTok = d.size("w")
+    val nStop = d.size(d.filter("w", "t", s"t IN ${inList(stop("en"))}"))
+    s"""WITH tok AS (SELECT doc_id, source, ${d.split("lower(text)")} AS w
+       |  FROM documents),
+       |doc AS (SELECT doc_id, source, $nTok AS n_tok,
+       |    CAST(${d.intDiv(s"(1000 * $nStop)", nTok)} AS BIGINT) AS stop_milli
+       |  FROM tok WHERE $nTok >= 1),
+       |src AS (SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(${d.intDiv("SUM(stop_milli)", "COUNT(*)")} AS BIGINT)
+       |      AS mean_stop_milli
+       |  FROM doc GROUP BY source),
+       |cm AS (SELECT CAST(${d.intDiv(
+             "SUM(CAST(n_docs AS BIGINT) * mean_stop_milli)", "SUM(n_docs)")}
+       |    AS BIGINT) AS corpus_milli FROM src)
+       |SELECT source, n_docs, n_tokens, mean_stop_milli,
+       |  CASE WHEN ${d.rollHash("source")} % 10 = 0 THEN 'blocklist'
+       |       WHEN mean_stop_milli * 10 < (SELECT corpus_milli FROM cm) * 8
+       |         THEN 'low_quality'
+       |       ELSE 'keep' END AS verdict
+       |FROM src""".stripMargin
+  }
+
+  /** p13: deterministic train/validation/test split — the holdout-split
+    * pass of a training-data build (98/1/1 here): membership is a pure
+    * function of doc_id via the multiplicative hash (engine- and
+    * run-reproducible, no RNG state, stable under corpus growth — an
+    * added doc never moves an existing doc's split). The checksum pins
+    * the exact membership, not just the counts: SUM over docs of
+    * (doc_id mod P)·(permille+1) mod P — two splits with equal sizes
+    * but different members hash apart. Scale shape: a pure scan (the
+    * split column is map-side arithmetic) plus a tiny rollup; the split
+    * write is a partitioned append, no shuffle anywhere.
+    */
+  private def trainSplitSql(d: Dial): String =
+    s"""WITH t AS (SELECT doc_id, lang, ${d.size(d.split("text"))} AS n_tok,
+       |    ((doc_id % $P) * 2654435761) % $P % 1000 AS pm
+       |  FROM documents),
+       |s AS (SELECT lang, n_tok, doc_id, pm,
+       |    CASE WHEN pm < 980 THEN 'train'
+       |         WHEN pm < 990 THEN 'val' ELSE 'test' END AS split
+       |  FROM t)
+       |SELECT split, lang AS l, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(((doc_id % $P) * (pm + 1)) % $P) % $P AS BIGINT)
+       |    AS membership_checksum
+       |FROM s GROUP BY split, lang""".stripMargin
+
   /** Quality-filter → md5 exact-dedup (keep min doc_id) → per-language
     * token/char stats of the surviving corpus.
     */
@@ -1357,6 +1433,53 @@ object ExtQueries {
     cacheOnce(bc).createOrReplaceTempView("sl_bc")
     spark.sql(knnSignLshFrom(SparkD, "sl_bc"))
   }, Some(knnSignLshSql(DuckD)))
+
+  /** v09: measured ANN recall — the evaluation harness every production
+    * ANN deployment runs before trusting an index: v02's sign-LSH top-5
+    * (the approximate path) scored against the exact brute-force top-5
+    * for the same query sample, reported as a recall histogram
+    * (n_hits ∈ 0..5 → query count). Both sides use the identical cosine
+    * spelling and the identical (cos DESC, nid) tie-break, so recall is
+    * well-defined cross-engine; a query the hot-bucket cap dropped from
+    * v02 honestly scores 0 hits. Completes the observability family:
+    * d11/v06 report what the caps DROPPED, v09 reports what the
+    * approximation COSTS. On this synthetic corpus the measured recall
+    * is near zero — the honest answer: isotropic random embeddings
+    * have no cluster structure for the hyperplanes to exploit (every
+    * cosine is near 0, the "true" top-5 is noise-ranked), which is
+    * exactly the degenerate case a recall harness exists to catch
+    * before an index ships. Scale shape: the ground truth is
+    * queries × corpus by contract — production measures recall on a
+    * bounded query SAMPLE (50 here), so the expensive stage is
+    * sample-sized, broadcastable on the query side, and
+    * corpus-linear; the ANN side is v02's capped bucket join unchanged.
+    */
+  private def annRecallBody(d: Dial, bc: String): String = {
+    val cos =
+      s"""${d.dot("q.embedding", "e.embedding")} /
+         |    (sqrt(${d.dot("q.embedding", "q.embedding")}) * sqrt(${d.dot("e.embedding", "e.embedding")}))""".stripMargin
+    s"""gt AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |    FROM (SELECT q.vec_id AS qid, e.vec_id AS nid, $cos AS cos
+       |          FROM embeddings q CROSS JOIN embeddings e
+       |          WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id) c) x
+       |  WHERE rn <= 5),
+       |ann AS (${knnSignLshFrom(d, bc)}),
+       |hits AS (SELECT gt.qid, COUNT(ann.nid) AS n_hits
+       |  FROM gt LEFT JOIN ann ON gt.qid = ann.qid AND gt.nid = ann.nid
+       |  GROUP BY gt.qid)
+       |SELECT n_hits, COUNT(*) AS n_queries
+       |FROM hits GROUP BY n_hits""".stripMargin
+  }
+
+  private def annRecallQ: Q = Q("v09_ann_recall", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    val bc = cacheOnce(spark.sql(knnSignLshBcSql(SparkD)))
+    bc.createOrReplaceTempView("v09_bc")
+    spark.sql("WITH " + annRecallBody(SparkD, "v09_bc"))
+  }, Some(s"WITH bc AS (${knnSignLshBcSql(DuckD)}),\n" +
+    annRecallBody(DuckD, "bc")))
 
   /** Embedding-cosine near-dup: candidate pairs from sign-LSH buckets
     * (shuffle on the bucket key — no all-pairs product), exact cosine on
@@ -1921,6 +2044,83 @@ object ExtQueries {
       .createOrReplaceTempView("dupspan_ex")
     spark.sql("WITH " + dupSpanBody(SparkD, "dupspan_ex", "dupspan_sh"))
   }
+
+  /** The array-valued positional segment scan d18 runs over: per doc,
+    * the polyhashes of its fixed-width 10-word "lines" with positions
+    * encoded as h*2^20+i ([[Dial.withIdx]]).
+    */
+  private def lineDedupSegSql(d: Dial): String =
+    s"""SELECT doc_id, lang,
+       |  ${d.withIdx(d.transform(d.segments10("w"), "s", d.rollHash("s")))} AS hl
+       |FROM (SELECT doc_id, lang, ${d.split("lower(text)")} AS w
+       |      FROM documents) t
+       |WHERE ${d.size("w")} >= 1""".stripMargin
+
+  /** The decoded positional explode of the segment scan. */
+  private def lineDedupExFrom(d: Dial, sg: String): String =
+    s"""SELECT doc_id, lang, ${d.intDiv("e", "1048576")} AS h,
+       |  e % 1048576 AS pos
+       |FROM $sg ${d.explode("hl", "e")}""".stripMargin
+
+  /** d18: line-level exact dedup — the sub-document dedup pass of
+    * C4/RefinedWeb-style pipelines (Raffel et al. 2020 dedup three-
+    * sentence spans; Penedo et al. 2023 drop lines duplicated across
+    * documents): boilerplate headers, license blocks, and navigation
+    * footers repeat across documents whose FULL texts are unique, so
+    * document-level dedup (d01/d03) never sees them. Documents are
+    * segmented into deterministic 10-word lines; a line whose hash
+    * appears in >= 2 distinct documents is removed from every document
+    * carrying it; the output is the per-(lang, removal-octile)
+    * accounting of the rewrite plus an order-sensitive checksum of each
+    * doc's KEPT segment sequence (SUM((pos+1)*(h mod 1000003)) mod P) —
+    * the rewritten corpus is pinned by the oracle without shipping
+    * text. Scale shape: candidate-free like d13/d15 — one positional
+    * explode, one (hash, doc) distinct + HAVING>=2 hash aggregate for
+    * the duplicated-line index (map-side combinable), one hash join
+    * back to mark lines, one per-doc rollup. No pair stage; cost is
+    * linear in corpus size regardless of duplication structure, and the
+    * duplicated-line index is the only corpus-wide relation (bounded by
+    * distinct duplicated lines, the analog of d10's gram relation).
+    */
+  private def lineDedupBody(d: Dial, ex: String): String =
+    s"""hd AS (SELECT h, doc_id FROM $ex GROUP BY h, doc_id),
+       |dup AS (SELECT h FROM hd GROUP BY h HAVING COUNT(*) >= 2),
+       |mk AS (SELECT e.doc_id, e.lang, e.pos, e.h,
+       |    CASE WHEN dup.h IS NULL THEN 1 ELSE 0 END AS keep
+       |  FROM $ex e LEFT JOIN dup ON e.h = dup.h),
+       |doc AS (SELECT doc_id, lang, COUNT(*) AS n_seg,
+       |    CAST(SUM(1 - keep) AS BIGINT) AS n_rm,
+       |    CAST(SUM(CASE WHEN keep = 1
+       |      THEN ((pos + 1) * (h % 1000003)) % $P ELSE 0 END) % $P
+       |      AS BIGINT) AS kept_digest
+       |  FROM mk GROUP BY doc_id, lang)
+       |SELECT lang AS l,
+       |  CAST(${d.intDiv(s"LEAST(${d.intDiv("(1000 * n_rm)", "n_seg")}, 999)",
+             "125")} AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_seg) AS BIGINT) AS segs_total,
+       |  CAST(SUM(n_rm) AS BIGINT) AS segs_removed,
+       |  CAST(SUM(kept_digest) % $P AS BIGINT) AS checksum
+       |FROM doc GROUP BY lang, bucket""".stripMargin
+
+  private def lineDedupSql(d: Dial): String =
+    s"""WITH sg AS (${lineDedupSegSql(d)}),
+       |ex AS (${lineDedupExFrom(d, "sg")}),
+       |${lineDedupBody(d, "ex")}""".stripMargin
+
+  /** Spark side caches the ARRAY-valued segment scan (d13/d15's
+    * measured trade: the dense array cache beats a row-per-segment
+    * cache) and re-explodes it per consumer — the index build and the
+    * mark join each read the cache, one tokenize pass total.
+    */
+  private def lineDedup: Q = Q("d18_line_dedup", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    val sg = cacheOnce(spark.sql(lineDedupSegSql(SparkD)))
+    sg.createOrReplaceTempView("linededup_sg")
+    spark.sql(lineDedupExFrom(SparkD, "linededup_sg"))
+      .createOrReplaceTempView("linededup_ex")
+    spark.sql("WITH " + lineDedupBody(SparkD, "linededup_ex"))
+  }, Some(lineDedupSql(DuckD)))
 
   /** p03: deterministic stratified sampling — train/validation splits
     * that are reproducible across runs and engines: keep a doc iff a
@@ -2521,6 +2721,9 @@ object ExtQueries {
     // Longest duplicated-shingle run per doc (ExactSubstr signal;
     // candidate-free, linear like d13).
     dupSpan,
+    // Line-level exact dedup (C4/RefinedWeb sub-document pass):
+    // duplicated 10-word lines removed corpus-wide, checksummed rewrite.
+    lineDedup,
     // SemDeDup: cluster-then-prune semantic dedup over exact-collapsed
     // embedding representatives; bounded per-cell report.
     semanticDedup,
@@ -2545,6 +2748,9 @@ object ExtQueries {
     dialect("t11_quality_classifier", qualityClassifierSql),
     // BPE first-merge pair statistics (tokenizer-training input).
     dialect("t12_bpe_pair_counts", bpePairsSql),
+    // Source/domain-level filtering: blocklist + data-derived quality
+    // floor, decided per source (the URL-reputation pass).
+    dialect("t13_domain_filter", domainFilterSql),
     // End-to-end corpus curation: quality filter -> exact dedup ->
     // per-language corpus stats; the composed pipeline in one plan.
     dialect("p01_pipeline_curate", curateSql),
@@ -2578,6 +2784,8 @@ object ExtQueries {
     // Temperature-based mixture reweighting (alpha=0.5 upsampling via
     // exact integer sqrt weights; p09's admission under those quotas).
     dialect("p12_mixture_temperature", mixTemperatureSql),
+    // Deterministic 98/1/1 train/val/test split with membership checksum.
+    dialect("p13_train_split", trainSplitSql),
     // Histogram quantile sketch vs the exact percentiles it replaces.
     dialect("p10_quantile_histogram", quantileHistSql),
     // HyperLogLog cardinality sketch (64 registers, integer-exact) vs
@@ -2599,6 +2807,9 @@ object ExtQueries {
     dialect("v07_knn_quantized", knnQuantizedSql),
     // Two-stage retrieval: int8 shortlist -> exact float re-rank.
     dialect("v08_knn_rerank", knnRerankSql),
+    // Measured recall of the sign-LSH ANN vs exact brute force on a
+    // bounded query sample (what the approximation costs).
+    annRecallQ,
     // v05 = v04 over a materialized cell-partitioned index (same oracle).
     ivfIndexed,
     dialect("m01_multimodal_stubmeta", multimodalSql),
