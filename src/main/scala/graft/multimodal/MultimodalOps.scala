@@ -233,6 +233,98 @@ object MultimodalOps {
          |    (acc, i) -> concat(acc, substring($binaryCol, i, 1)))
          |END""".stripMargin))
 
+  /** PGM (P5, Netpbm binary graymap): ASCII header `P5 <w> <h> <maxval>`
+    * with `#` comments and arbitrary whitespace, one whitespace byte,
+    * then w*h raw gray bytes (maxval <= 255). A real container parse —
+    * pure byte reads, no codec.
+    */
+  def parsePgm(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b == null || b.length < 4 || b(0) != 'P' || b(1) != '5') return None
+    var i = 2
+    def skipToToken(): Boolean = {
+      var in = true
+      while (in && i < b.length) {
+        val c = b(i)
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else in = false
+      }
+      i < b.length
+    }
+    def readInt(): Option[Int] = {
+      if (!skipToToken()) return None
+      var v = 0L
+      val start = i
+      while (i < b.length && b(i) >= '0' && b(i) <= '9' && v <= Int.MaxValue) {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      if (i == start || v > Int.MaxValue) None else Some(v.toInt)
+    }
+    for {
+      w <- readInt()
+      h <- readInt()
+      maxval <- readInt()
+      if w > 0 && h > 0 && maxval > 0 && maxval <= 255
+      // exactly one whitespace byte separates maxval from the raster
+      if i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\t' || b(i) == '\r')
+      if { i += 1; b.length - i >= w.toLong * h }
+    } yield (w, h, java.util.Arrays.copyOfRange(b, i, i + w * h))
+  }
+
+  /** Perceptual difference-hash (dHash) of a PGM payload: parse the
+    * raster, 2x2 integer box-downsample to a 9x8 grid (the input
+    * contract is 18x16 — exactly 2x the dHash grid, so the downsample
+    * is exact integer arithmetic with no resample kernel ambiguity),
+    * then the classic horizontal-gradient hash: bit(x, y) = 1 iff
+    * cell(x, y) < cell(x+1, y), 64 bits packed MSB-first into four
+    * 16-bit band values (b0..b3) — the band split IS the pigeonhole
+    * LSH key downstream. Adds b0..b3 (LongType, null when the payload
+    * is not an 18x16 PGM). Runs in `mapPartitions` like [[decode]]:
+    * per-task batch work, no driver gather, no UDF registry.
+    */
+  def dhashBands(df: DataFrame, binaryCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ (0 until 4).map(t =>
+      StructField(s"b$t", LongType, nullable = true)))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](binIdx)
+        val bands: Seq[Any] = parsePgm(payload) match {
+          case Some((18, 16, px)) =>
+            def p(cx: Int, cy: Int): Int = px(cy * 18 + cx) & 0xff
+            def avg(x: Int, y: Int): Int =
+              (p(2 * x, 2 * y) + p(2 * x + 1, 2 * y) +
+                p(2 * x, 2 * y + 1) + p(2 * x + 1, 2 * y + 1)) / 4
+            (0 until 4).map { t =>
+              var v = 0L
+              var i = 0
+              while (i < 16) {
+                val k = t * 16 + i
+                val x = k % 8
+                val y = k / 8
+                v = v * 2 + (if (avg(x, y) < avg(x + 1, y)) 1L else 0L)
+                i += 1
+              }
+              v: Any
+            }
+          case _ => Seq[Any](null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ bands)
+      }
+    }
+  }
+
+  /** PGM P5 container with the given raster. */
+  def pgmBytes(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+    require(px.length == w * h)
+    val header = s"P5\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + px.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(px, 0, out, header.length, px.length)
+    out
+  }
+
   // ---- deterministic container builders (tests + oracle fixtures) ----
 
   /** Minimal well-formed PNG header (signature + IHDR) with the given

@@ -2814,7 +2814,10 @@ object ExtQueries {
     ivfIndexed,
     dialect("m01_multimodal_stubmeta", multimodalSql),
     multimodalDecode,
-    multimodalAvDecode
+    multimodalAvDecode,
+    // Perceptual-hash (dHash) image near-dup through the real PGM
+    // container parse + exact box-downsample; pigeonhole band join.
+    imageDhashDedup
   )
 
   /** Spark-dialect SQL for DegenerateCorpusSpec: the candidate-generator
@@ -2923,6 +2926,130 @@ object ExtQueries {
       |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 1080 ELSE 0 END AS INT) AS height,
       |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS fmt
       |FROM documents""".stripMargin))
+
+  /** m04 planted-pixel dHash band value for band `t` (16 bits packed
+    * MSB-first by an `acc*2+v` fold): the oracle's closed-form twin of
+    * the REAL raster path ([[graft.multimodal.MultimodalOps.dhashBands]]).
+    * Pixel formula (g = doc_id div 5 groups 5 near-dup images, r =
+    * doc_id mod 5 perturbs one pixel per doc):
+    * `px(idx) = (g*(idx+7) + idx*idx) % 251`, `+ r*29` at
+    * `idx = (r*53) % 288`. The g-dependent gradient makes cross-group
+    * hashes far apart (measured min hamming 16) while the one-pixel
+    * perturbation keeps within-group hamming <= 3 — a global brightness
+    * shift would be dHash-invariant, so the group term multiplies the
+    * index instead of offsetting it.
+    */
+  private def m04BandExpr(d: Dial, t: Int): String = {
+    def pix(cx: String, cy: String): String = {
+      val idx = s"(($cy) * 18 + ($cx))"
+      val base = s"((g * ($idx + 7) + $idx * $idx) % 251)"
+      s"(CASE WHEN $idx = (r * 53) % 288 THEN ($base + r * 29) % 251 ELSE $base END)"
+    }
+    def avg(x: String, y: String): String = {
+      val sum = Seq(
+        pix(s"2 * ($x)", s"2 * ($y)"), pix(s"2 * ($x) + 1", s"2 * ($y)"),
+        pix(s"2 * ($x)", s"2 * ($y) + 1"), pix(s"2 * ($x) + 1", s"2 * ($y) + 1"))
+        .mkString("(", " + ", ")")
+      d.intDiv(sum, "4")
+    }
+    val k = s"(${t * 16} + i)"
+    val x = s"($k % 8)"
+    val y = d.intDiv(k, "8")
+    val bit = s"CASE WHEN ${avg(x, y)} < ${avg(s"($x + 1)", y)} THEN 1 ELSE 0 END"
+    val s16 = d match {
+      case SparkD => "sequence(0, 15)"
+      case DuckD  => "range(0, 16)"
+    }
+    d.fold0(d.transform(s16, "i", bit), "acc", "v", "acc * 2 + v")
+  }
+
+  /** The m04 pipeline downstream of the per-image band relation `h`
+    * (doc_id, b0..b3): pigeonhole candidate join on any equal 16-bit
+    * band (4-way band explode, [[HotBucketCap]]-capped — hamming <= 3
+    * over 64 bits guarantees >= 1 of 4 bands equal), exact hamming
+    * verify via XOR popcount on candidates only, bounded histogram
+    * readout (hamming -> pair count + an order-insensitive pair
+    * checksum pinning WHICH pairs matched).
+    */
+  private def m04Body(d: Dial, h: String): String = {
+    val probes = d match {
+      case SparkD =>
+        s"""SELECT doc_id, pr.t AS t, pr.bv AS bv FROM $h
+           |  LATERAL VIEW explode(array(
+           |    named_struct('t', CAST(0 AS BIGINT), 'bv', b0),
+           |    named_struct('t', CAST(1 AS BIGINT), 'bv', b1),
+           |    named_struct('t', CAST(2 AS BIGINT), 'bv', b2),
+           |    named_struct('t', CAST(3 AS BIGINT), 'bv', b3))) _prs AS pr""".stripMargin
+      case DuckD =>
+        (0 until 4).map { t =>
+          s"SELECT doc_id, CAST($t AS BIGINT) AS t, b$t AS bv FROM $h"
+        }.mkString("\n  UNION ALL ")
+    }
+    val hamming = (0 until 4)
+      .map(t => s"bit_count(${d.xor(s"x.b$t", s"y.b$t")})").mkString(" + ")
+    s"""bd AS (SELECT doc_id, t, bv FROM (
+       |    SELECT doc_id, t, bv, COUNT(*) OVER (PARTITION BY t, bv) AS bn
+       |    FROM ($probes) p) cp
+       |  WHERE bn <= $HotBucketCap),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bd a JOIN bd b ON a.t = b.t AND a.bv = b.bv
+       |    AND a.doc_id < b.doc_id),
+       |ver AS (SELECT i, j, CAST($hamming AS BIGINT) AS hamming
+       |  FROM cand JOIN $h x ON cand.i = x.doc_id
+       |    JOIN $h y ON cand.j = y.doc_id)
+       |SELECT hamming, COUNT(*) AS n_pairs,
+       |  CAST(SUM(((i % $P) * 31 + (j % $P)) % $P) % $P AS BIGINT) AS checksum
+       |FROM ver WHERE hamming <= 4 GROUP BY hamming""".stripMargin
+  }
+
+  /** m04: perceptual-hash image near-dup — image dedup as a first-class
+    * pipeline operator (the visual analog of d05's SimHash): every doc
+    * carries a planted 18x16 PGM image (a REAL Netpbm container; groups
+    * of 5 docs share a base image, each doc perturbs one pixel). The
+    * Spark side does the real pixel work — PGM container parse, exact
+    * 2x2 integer box-downsample to the 9x8 dHash grid, horizontal-
+    * gradient hash packed into four 16-bit bands — inside the
+    * mapPartitions decode seam ([[graft.multimodal.MultimodalOps.dhashBands]]);
+    * the oracle recomputes the bands from the planted formula in closed
+    * form, so any parser/downsample/pack bug breaks the hash match.
+    * Candidates come from a pigeonhole equi-join on band values (never
+    * an all-pairs product; capped per bucket); exact hamming runs on
+    * candidates only. Scale shape: identical to d05/d07 — the band
+    * relation shuffles on (t, bv), in-bucket work is bounded by the
+    * cap, and the histogram readout is O(5) rows regardless of corpus
+    * size. At replication scale the pair LIST would grow like any raw
+    * LSH contract (d03's caveat); the histogram contract emitted here
+    * is already the bounded form.
+    */
+  private def imageDhashDedup: Q = Q("m04_image_dhash_dedup", (spark, dir) => {
+    val sp = spark; import sp.implicits._
+    Tables.registerAll(spark, dir)
+    val ids = Tables.t(spark, dir, "documents").select("doc_id").as[Long]
+    val payloads = ids.map { id =>
+      val g = id / 5
+      val r = id % 5
+      val px = Array.tabulate(288) { idx =>
+        val base = ((g * (idx + 7) + idx.toLong * idx) % 251).toInt
+        (if (idx == ((r * 53) % 288)) ((base + r * 29) % 251).toInt else base).toByte
+      }
+      (id, graft.multimodal.MultimodalOps.pgmBytes(18, 16, px))
+    }.toDF("doc_id", "payload")
+    val h = cacheOnce(graft.multimodal.MultimodalOps
+      .dhashBands(payloads, "payload")
+      .select("doc_id", "b0", "b1", "b2", "b3"))
+    h.createOrReplaceTempView("m04_h")
+    spark.sql("WITH " + m04Body(SparkD, "m04_h"))
+  }, Some {
+    val bands = (0 until 4)
+      .map(t => s"CAST(${m04BandExpr(DuckD, t)} AS BIGINT) AS b$t")
+      .mkString(",\n    ")
+    s"""WITH dd AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS r
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |    $bands
+       |  FROM dd),
+       |${m04Body(DuckD, "h")}""".stripMargin
+  })
 
   /** IVF-style coarse quantization, oracle-checked: per-label centroids,
     * each vector assigned to its nearest-by-cosine centroid, output =

@@ -287,4 +287,54 @@ class ToolsAndMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(octet_length(col("payload_resized"))).collect()
     assert(resized.forall(_.getInt(0) == 10))
   }
+
+  test("multimodal: PGM parse (comments, whitespace, truncation) + dHash bands") {
+    // round-trip with a messy-but-legal header
+    val px = Array.tabulate(288)(i => (i % 251).toByte)
+    val clean = MultimodalOps.pgmBytes(18, 16, px)
+    assert(MultimodalOps.parsePgm(clean).exists {
+      case (w, h, p) => w == 18 && h == 16 && p.sameElements(px)
+    })
+    val messy = ("P5  # a comment\n  18\t16 # dims\n255\n")
+      .getBytes("US-ASCII") ++ px
+    assert(MultimodalOps.parsePgm(messy).exists {
+      case (w, h, p) => w == 18 && h == 16 && p.sameElements(px)
+    })
+    // rejections: wrong magic, truncated raster, maxval > 255, no digits
+    assert(MultimodalOps.parsePgm("P6\n18 16\n255\n".getBytes("US-ASCII") ++ px).isEmpty)
+    assert(MultimodalOps.parsePgm(clean.dropRight(1)).isEmpty)
+    assert(MultimodalOps.parsePgm("P5\n18 16\n65535\n".getBytes("US-ASCII") ++ px).isEmpty)
+    assert(MultimodalOps.parsePgm("P5\nx 16\n255\n".getBytes("US-ASCII") ++ px).isEmpty)
+
+    // dHash intent on planted images: a one-pixel perturbation stays
+    // within hamming 3 of its base; a different gradient group is far.
+    val sp = spark; import sp.implicits._
+    def planted(g: Long, r: Long): Array[Byte] = {
+      val pix = Array.tabulate(288) { idx =>
+        val base = ((g * (idx + 7) + idx.toLong * idx) % 251).toInt
+        (if (idx == ((r * 53) % 288)) ((base + r * 29) % 251).toInt else base).toByte
+      }
+      MultimodalOps.pgmBytes(18, 16, pix)
+    }
+    // (g=0, r=3) is a perturbation that provably flips bits (hamming 2
+    // to its base); many perturbations land between gradient steps and
+    // flip none, which is fine for the operator (hamming-0 pairs) but
+    // not for this flip-detection assertion.
+    val df = Seq(
+      (0L, planted(0, 0)), (1L, planted(0, 3)), (2L, planted(7, 0)),
+      (3L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val bands = MultimodalOps.dhashBands(df, "payload")
+      .select("id", "b0", "b1", "b2", "b3").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))))
+      .toMap
+    def hamming(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3) + java.lang.Long.bitCount(a._4 ^ b._4)
+    val Seq(h0, h1, h2) = Seq(0L, 1L, 2L).map(bands(_).get)
+    assert(bands(3L).isEmpty) // non-PGM payload -> null bands
+    assert(h0.productIterator.forall { case v: Long => v >= 0 && v < 65536 })
+    assert(hamming(h0, h1) <= 3 && hamming(h0, h1) >= 1)
+    assert(hamming(h0, h2) > 4) // different group: no near-dup
+  }
 }
