@@ -1473,11 +1473,16 @@ object ExtQueries {
        |FROM hits GROUP BY n_hits""".stripMargin
   }
 
-  private def annRecallQ: Q = Q("v09_ann_recall", (spark, dir) => {
-    Tables.registerAll(spark, dir)
+  private def annRecallDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
     val bc = cacheOnce(spark.sql(knnSignLshBcSql(SparkD)))
     bc.createOrReplaceTempView("v09_bc")
     spark.sql("WITH " + annRecallBody(SparkD, "v09_bc"))
+  }
+
+  private def annRecallQ: Q = Q("v09_ann_recall", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    annRecallDF(spark)
   }, Some(s"WITH bc AS (${knnSignLshBcSql(DuckD)}),\n" +
     annRecallBody(DuckD, "bc")))
 
@@ -2113,13 +2118,18 @@ object ExtQueries {
     * cache) and re-explodes it per consumer — the index build and the
     * mark join each read the cache, one tokenize pass total.
     */
-  private def lineDedup: Q = Q("d18_line_dedup", (spark, dir) => {
-    Tables.registerAll(spark, dir)
+  private def lineDedupDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
     val sg = cacheOnce(spark.sql(lineDedupSegSql(SparkD)))
     sg.createOrReplaceTempView("linededup_sg")
     spark.sql(lineDedupExFrom(SparkD, "linededup_sg"))
       .createOrReplaceTempView("linededup_ex")
     spark.sql("WITH " + lineDedupBody(SparkD, "linededup_ex"))
+  }
+
+  private def lineDedup: Q = Q("d18_line_dedup", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    lineDedupDF(spark)
   }, Some(lineDedupSql(DuckD)))
 
   /** p03: deterministic stratified sampling — train/validation splits
@@ -2856,6 +2866,12 @@ object ExtQueries {
     val mixTemperature: String = mixTemperatureSql(SparkD)
     val bpePairs: String = bpePairsSql(SparkD)
     val knnRerank: String = knnRerankSql(SparkD)
+    def lineDedup(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = lineDedupDF(spark)
+    val domainFilter: String = domainFilterSql(SparkD)
+    val trainSplit: String = trainSplitSql(SparkD)
+    def annRecall(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = annRecallDF(spark)
   }
 
   /** m02: REAL image-header decode through the multimodal seam. The

@@ -195,4 +195,92 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(eW == eM)
   }
+
+  test("d18: aligned duplicated lines removed everywhere; misaligned kept") {
+    val sp = spark; import sp.implicits._
+    val line = (1 to 10).map(i => s"l$i").mkString(" ")
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      // shared line at aligned offsets 0, 0, and 10 -> removed in all 3
+      (1L, s"$line ${uniq("a", 10)}", "en"),
+      (2L, s"$line ${uniq("b", 10)}", "en"),
+      (3L, s"${uniq("c", 10)} $line", "en"),
+      // nothing shared -> bucket 0, nothing removed
+      (4L, uniq("d", 8), "en"),
+      // the same line at a MISALIGNED offset (1) -> its windows differ,
+      // nothing removed: the fixed-window contract (d15's shingle spans
+      // are the alignment-free signal)
+      (5L, s"e0 $line", "en"))
+    docs.toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+
+    val got = ExtQueries.TestSql.lineDedup(spark)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // docs 1-3: 2 segments, 1 removed -> 500 per-mille -> bucket 4
+    // docs 4-5: bucket 0 (doc 4: 1 seg; doc 5: 2 segs), nothing removed
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)) ==
+      Set(("en", 4L, 3L, 6L, 3L), ("en", 0L, 2L, 3L, 0L)))
+  }
+
+  test("t13: blocklist beats quality; low-quality floor is corpus-relative") {
+    val sp = spark; import sp.implicits._
+    val stopRich = "the of and to in a is that for it" // 10/10 stopwords
+    val stopFree = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"    // 0/10
+    // 'src4' polyhashes to 0 mod 10 -> blocklisted regardless of quality
+    val docs = Seq(
+      (1L, stopRich, "good"), (2L, stopRich, "good"),
+      (3L, stopFree, "bad"),
+      (4L, stopRich, "src4"))
+    docs.toDF("doc_id", "text", "source").createOrReplaceTempView("documents")
+
+    val got = spark.sql(ExtQueries.TestSql.domainFilter)
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    // corpus mean stop-milli = (1000+1000+0+1000)/4 = 750; floor = 600
+    assert(got == Map("good" -> "keep", "bad" -> "low_quality",
+      "src4" -> "blocklist"))
+  }
+
+  test("p13: split shares and the exact membership checksum") {
+    val sp = spark; import sp.implicits._
+    val P = 2147483647L
+    val n = 2000
+    (0 until n).map(i => (i.toLong, "a b c", "en"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+
+    val got = spark.sql(ExtQueries.TestSql.trainSplit)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4)))
+    val counts = got.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(counts.values.sum == n)
+    assert(counts("train") > n * 95 / 100 && counts("train") < n)
+    assert(counts.getOrElse("val", 0L) > 0 && counts.getOrElse("test", 0L) > 0)
+    // recompute the membership checksum exactly
+    def pm(id: Long) = ((id % P) * 2654435761L) % P % 1000
+    val expect = (0 until n).map(_.toLong).groupBy { id =>
+      val p = pm(id)
+      if (p < 980) "train" else if (p < 990) "val" else "test"
+    }.view.mapValues(ids =>
+      ids.map(id => ((id % P) * (pm(id) + 1)) % P).sum % P).toMap
+    val gotSum = got.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum % P).toMap
+    assert(gotSum == expect)
+  }
+
+  test("v09: perfect recall when buckets hold the truth; honest zero under the cap") {
+    val sp = spark; import sp.implicits._
+    def emb(rows: Int): Unit =
+      (0 until rows).map(i => (i.toLong, Array.fill(64)(1.0f)))
+        .toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+    // 60 identical vectors, one bucket of 60 (under the cap): the ANN
+    // list equals the ground truth (same cos, same nid tie-break)
+    emb(60)
+    val perfect = ExtQueries.TestSql.annRecall(spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perfect == Map(5L -> 50L))
+    // 1001 identical vectors: the hot-bucket cap drops the only bucket,
+    // the ANN returns nothing, and every query scores an honest zero
+    emb(1001)
+    val capped = ExtQueries.TestSql.annRecall(spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(0L -> 50L))
+  }
 }
