@@ -1906,6 +1906,85 @@ object ExtQueries {
           |FROM hit GROUP BY lang""".stripMargin)
     }, Some(decontaminateSql(DuckD)))
 
+  /** q63: line-level scrub at INGEST — d18's duplicated-line index
+    * enforced on arriving documents, the third member of the
+    * "batch-derived curation relation, streaming enforcement" family
+    * (q62 = decontamination grams, q59 = first-claimant band keys):
+    * the duplicated-line index is computed from the existing corpus
+    * (one HAVING>=2 hash aggregate, the nightly-batch product), then
+    * every arriving micro-batch marks and accounts its documents'
+    * duplicated lines via a stream-static equi-join — STATELESS, no
+    * watermark, no stateful operator; a doc's scrub record is complete
+    * the moment it arrives because each document is one row (the
+    * per-doc aggregation never spans batches, so micro-batch
+    * boundaries are semantically invisible). The per-doc records land
+    * in a columnfile sink; the readout rolls them up to EXACTLY d18's
+    * batch contract, which is the oracle. Scale: the index is bounded
+    * by distinct duplicated lines (broadcast when it fits, shuffled
+    * stream-static join otherwise); everything else is per-batch-local.
+    */
+  /** The Spark-dialect positional segment-hash expression shared by the
+    * q63 per-batch scrub and its spec (identical to d18's scan).
+    */
+  private[graft] def lineScrubSegExpr: String =
+    SparkD.withIdx(SparkD.transform(
+      SparkD.segments10("split(lower(text), ' ')"), "s",
+      SparkD.rollHash("s")))
+
+  private def streamLineScrub: Q = Q("q63_stream_line_scrub",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val src = Tables.cachePath(dir, "documents_neardup_stream")
+      if (!new java.io.File(src, "_SUCCESS").exists()) {
+        spark.table("documents")
+          .selectExpr("doc_id",
+            "timestamp_micros(doc_id * 1000000) AS ts", "text")
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.format("columnfile").mode("overwrite").save(src)
+      }
+      val out = Tables.cachePath(dir, "line_scrub_docs")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        // the batch-derived duplicated-line index (static relation)
+        val dup = spark.sql(
+          s"""SELECT h FROM (
+             |  SELECT h, doc_id FROM (
+             |    SELECT doc_id, ${SparkD.intDiv("e", "1048576")} AS h
+             |    FROM (${lineDedupSegSql(SparkD)}) sg
+             |    ${SparkD.explode("hl", "e")}) x
+             |  GROUP BY h, doc_id) hd
+             |GROUP BY h HAVING COUNT(*) >= 2""".stripMargin)
+        val schema = spark.read.format("columnfile").load(src).schema
+        val stream = spark.readStream.format("columnfile")
+          .schema(schema).load(src)
+        val q = stream.writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.streaming.LineScrub
+              .perDocRecords(df, dup, lineScrubSegExpr)
+              .write.format("columnfile")
+              .mode(if (id == 0L) "overwrite" else "append").save(out)
+            ()
+          }
+          .option("checkpointLocation", out + "_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      spark.read.format("columnfile").load(out)
+        .createOrReplaceTempView("cf_line_scrub")
+      spark.sql(
+        s"""WITH doc AS (SELECT p.doc_id, d.lang, p.n_seg, p.n_rm,
+           |    p.kept_digest
+           |  FROM cf_line_scrub p JOIN documents d ON p.doc_id = d.doc_id)
+           |SELECT lang AS l,
+           |  CAST((LEAST((1000 * n_rm) div n_seg, 999) div 125) AS BIGINT)
+           |    AS bucket,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(n_seg) AS BIGINT) AS segs_total,
+           |  CAST(SUM(n_rm) AS BIGINT) AS segs_removed,
+           |  CAST(SUM(kept_digest) % $P AS BIGINT) AS checksum
+           |FROM doc GROUP BY lang, bucket""".stripMargin)
+    }, Some(lineDedupSql(DuckD)))
+
   /** The per-doc distinct-shingle relation d13 builds its index over. */
   private def dupCovShSql(d: Dial): String =
     s"""SELECT doc_id, lang, ${d.shingleHashSet("text")} AS hset
@@ -2810,6 +2889,9 @@ object ExtQueries {
     // Decontamination at INGEST: stream-static broadcast join against
     // the benchmark-sized eval-gram relation (oracle = d10's batch SQL).
     streamDecontaminate,
+    // Line-level scrub at INGEST: d18's duplicated-line index enforced
+    // per arriving micro-batch, stateless (oracle = d18's batch SQL).
+    streamLineScrub,
     dialect("v01_knn_brute", knnBruteSql),
     knnSignLshQ,
     dialect("v03_knn_ivf_assign", ivfAssignSql),
