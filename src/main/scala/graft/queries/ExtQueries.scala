@@ -3030,17 +3030,25 @@ object ExtQueries {
     * the REAL raster path ([[graft.multimodal.MultimodalOps.dhashBands]]).
     * Pixel formula (g = doc_id div 5 groups 5 near-dup images, r =
     * doc_id mod 5 perturbs one pixel per doc):
-    * `px(idx) = (g*(idx+7) + idx*idx) % 251`, `+ r*29` at
-    * `idx = (r*53) % 288`. The g-dependent gradient makes cross-group
-    * hashes far apart (measured min hamming 16) while the one-pixel
-    * perturbation keeps within-group hamming <= 3 — a global brightness
-    * shift would be dHash-invariant, so the group term multiplies the
-    * index instead of offsetting it.
+    * `px(idx) = (g*(idx+7) + (g div 251)*(idx*idx+13) + idx*idx) % 251`,
+    * `+ r*29` at `idx = (r*53) % 288`. The g-dependent gradient makes
+    * cross-group hashes far apart (measured: min hamming 14 over a
+    * 300-group random sample) while the one-pixel perturbation keeps
+    * within-group hamming <= 3 — a global brightness shift would be
+    * dHash-invariant, so the group terms multiply the index instead of
+    * offsetting it, and the `g div 251` term breaks the mod-251
+    * periodicity that would otherwise make every 251st group an
+    * identical image family (a bucket flood at replication scale).
     */
   private def m04BandExpr(d: Dial, t: Int): String = {
     def pix(cx: String, cy: String): String = {
       val idx = s"(($cy) * 18 + ($cx))"
-      val base = s"((g * ($idx + 7) + $idx * $idx) % 251)"
+      // the (g div 251) term breaks the mod-251 periodicity in g: without
+      // it every 251st group is an identical image family, and at
+      // replication scale those families flood the hamming-0 buckets
+      // (measured: 31 s at the 30x step, cap-dropped at 100x)
+      val base =
+        s"((g * ($idx + 7) + ${d.intDiv("g", "251")} * ($idx * $idx + 13) + $idx * $idx) % 251)"
       s"(CASE WHEN $idx = (r * 53) % 288 THEN ($base + r * 29) % 251 ELSE $base END)"
     }
     def avg(x: String, y: String): String = {
@@ -3127,7 +3135,8 @@ object ExtQueries {
       val g = id / 5
       val r = id % 5
       val px = Array.tabulate(288) { idx =>
-        val base = ((g * (idx + 7) + idx.toLong * idx) % 251).toInt
+        val base = ((g * (idx + 7) + (g / 251) * (idx.toLong * idx + 13) +
+          idx.toLong * idx) % 251).toInt
         (if (idx == ((r * 53) % 288)) ((base + r * 29) % 251).toInt else base).toByte
       }
       (id, graft.multimodal.MultimodalOps.pgmBytes(18, 16, px))

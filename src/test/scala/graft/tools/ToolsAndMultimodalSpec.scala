@@ -311,7 +311,8 @@ class ToolsAndMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark; import sp.implicits._
     def planted(g: Long, r: Long): Array[Byte] = {
       val pix = Array.tabulate(288) { idx =>
-        val base = ((g * (idx + 7) + idx.toLong * idx) % 251).toInt
+        val base = ((g * (idx + 7) + (g / 251) * (idx.toLong * idx + 13) +
+          idx.toLong * idx) % 251).toInt
         (if (idx == ((r * 53) % 288)) ((base + r * 29) % 251).toInt else base).toByte
       }
       MultimodalOps.pgmBytes(18, 16, pix)
