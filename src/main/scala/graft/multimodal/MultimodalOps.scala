@@ -283,8 +283,9 @@ object MultimodalOps {
     * per-task batch work, no driver gather, no UDF registry.
     */
   def dhashBands(df: DataFrame, binaryCol: String): DataFrame = {
-    val outSchema = StructType(df.schema.fields ++ (0 until 4).map(t =>
-      StructField(s"b$t", LongType, nullable = true)))
+    val outSchema = StructType(df.schema.fields ++ ((0 until 4).map(t =>
+      StructField(s"b$t", LongType, nullable = true)) :+
+      StructField("pdigest", LongType, nullable = true)))
     val binIdx = df.schema.fieldIndex(binaryCol)
     implicit val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
@@ -296,7 +297,7 @@ object MultimodalOps {
             def avg(x: Int, y: Int): Int =
               (p(2 * x, 2 * y) + p(2 * x + 1, 2 * y) +
                 p(2 * x, 2 * y + 1) + p(2 * x + 1, 2 * y + 1)) / 4
-            (0 until 4).map { t =>
+            val bs = (0 until 4).map { t =>
               var v = 0L
               var i = 0
               while (i < 16) {
@@ -308,7 +309,14 @@ object MultimodalOps {
               }
               v: Any
             }
-          case _ => Seq[Any](null, null, null, null)
+            // exact-duplicate collapse key: rolling hash of the RAW
+            // raster bytes in index order (mod the shared Mersenne
+            // prime) — equal payloads, not merely equal hashes
+            var d = 0L
+            var i = 0
+            while (i < px.length) { d = (d * 31 + (px(i) & 0xff)) % 2147483647L; i += 1 }
+            bs :+ (d: Any)
+          case _ => Seq[Any](null, null, null, null, null)
         }
         Row.fromSeq(r.toSeq ++ bands)
       }

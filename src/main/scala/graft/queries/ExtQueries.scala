@@ -1105,6 +1105,74 @@ object ExtQueries {
        |  n_tok
        |FROM doc""".stripMargin
 
+  /** t14: bigram-LM conditional commonness — the next step up from
+    * t09's unigram model toward the KenLM-style perplexity filter
+    * (CCNet's quality dimension): a document scores high when each word
+    * is LIKELY GIVEN ITS PREDECESSOR under the corpus's own bigram
+    * statistics, which separates fluent word order from bag-of-common-
+    * words soup (t09 cannot tell those apart). Per bigram (w1 w2) the
+    * conditional is exact-integer ppm: count(w1 w2) * 1e6 div
+    * count(w1 ·) — the denominator is w1's count as a PREDECESSOR
+    * (derived from the bigram relation itself, one aggregation, no
+    * separate unigram pass); a doc's score is the integer mean over
+    * its bigrams. Scale shape: the bigram score relation is
+    * vocabulary²-bounded but corpus-bounded in practice — unlike t09's
+    * broadcastable unigram table it may exceed broadcast at 100 TB, so
+    * the score join shuffles on the gram key (the same partial-
+    * aggregable explode+join shape as t05/t09); the per-doc SUM is
+    * map-side combinable.
+    */
+  /** The per-doc 2-gram ARRAY scan — the tokenize-once cache unit
+    * (d13/t06's measured lesson: cache the dense array, re-explode per
+    * consumer; the row-per-gram cache is fatter and loses).
+    */
+  private def bigramGramsSql(d: Dial): String =
+    s"""SELECT doc_id, ${d.grams2("w")} AS ga
+       |FROM (SELECT doc_id, ${d.split("lower(text)")} AS w
+       |      FROM documents) t
+       |WHERE ${d.size("w")} >= 2""".stripMargin
+
+  /** The pipeline downstream of the exploded (doc_id, g) relation. */
+  private def bigramBody(d: Dial, bg: String): String =
+    s"""bc AS (SELECT g, COUNT(*) AS c FROM $bg GROUP BY g),
+       |uc AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw FROM (
+       |    SELECT ${d.at(d.split("g"), 0)} AS w1, c FROM bc) x
+       |  GROUP BY w1),
+       |sc AS (SELECT bc.g, CAST(${d.intDiv("(bc.c * 1000000)", "uc.cw")}
+       |    AS BIGINT) AS ppm
+       |  FROM bc JOIN uc ON ${d.at(d.split("bc.g"), 0)} = uc.w1),
+       |doc AS (SELECT b.doc_id, CAST(SUM(sc.ppm) AS BIGINT) AS sum_ppm,
+       |    COUNT(*) AS n_bg
+       |  FROM $bg b JOIN sc ON b.g = sc.g GROUP BY b.doc_id)
+       |SELECT doc_id, CAST(${d.intDiv("sum_ppm", "n_bg")} AS BIGINT)
+       |    AS mean_cond_ppm,
+       |  n_bg
+       |FROM doc""".stripMargin
+
+  private def bigramSql(d: Dial): String =
+    s"""WITH ga AS (${bigramGramsSql(d)}),
+       |bg AS (SELECT doc_id, g FROM ga ${d.explode("ga", "g")}),
+       |${bigramBody(d, "bg")}""".stripMargin
+
+  /** Spark side caches the gram-array scan once and re-explodes per
+    * consumer (measured back-to-back at the 100× step: 8.50 s plain
+    * CTE → 4.87 s array cache — the plain form runs the tokenize
+    * explode once per bg reference).
+    */
+  private def bigramDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val ga = cacheOnce(spark.sql(bigramGramsSql(SparkD)))
+    ga.createOrReplaceTempView("t14_ga")
+    spark.sql(s"SELECT doc_id, g FROM t14_ga ${SparkD.explode("ga", "g")}")
+      .createOrReplaceTempView("t14_bg")
+    spark.sql("WITH " + bigramBody(SparkD, "t14_bg"))
+  }
+
+  private def bigramQ: Q = Q("t14_bigram_commonness", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    bigramDF(spark)
+  }, Some(bigramSql(DuckD)))
+
   /** p09: token-budget mixture sampling — the "take N tokens per
     * language/domain" pass that assembles a training mix from a curated
     * pool. Docs are admitted in deterministic multiplicative-hash order
@@ -2831,6 +2899,9 @@ object ExtQueries {
     // Gopher repetition signals + unigram-LM commonness (quality family).
     dialect("t08_text_repetition", repetitionSql),
     dialect("t09_unigram_commonness", unigramSql),
+    // Bigram-LM conditional commonness (the KenLM-shaped perplexity
+    // filter's next step: word order, not just word frequency).
+    bigramQ,
     // PII scrub: per-category match counts + verifiable redaction digest.
     dialect("t10_pii_scrub", piiScrubSql),
     // Hashed linear quality classifier (fasttext-shaped scoring pass).
@@ -2909,7 +2980,10 @@ object ExtQueries {
     multimodalAvDecode,
     // Perceptual-hash (dHash) image near-dup through the real PGM
     // container parse + exact box-downsample; pigeonhole band join.
-    imageDhashDedup
+    imageDhashDedup,
+    // m04's bounded twin: exact-dup images collapse by raster digest,
+    // band join over representatives, pairs carry member counts.
+    imageDhashCollapsed
   )
 
   /** Spark-dialect SQL for DegenerateCorpusSpec: the candidate-generator
@@ -2954,6 +3028,13 @@ object ExtQueries {
     val trainSplit: String = trainSplitSql(SparkD)
     def annRecall(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = annRecallDF(spark)
+    def imageDhashCollapsed(spark: org.apache.spark.sql.SparkSession,
+        payloads: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      imageDhashCollapsedDF(spark, payloads)
+    def plantedImage(id: Long): Array[Byte] = plantedPgm(id)
+    def bigram(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = bigramDF(spark)
   }
 
   /** m02: REAL image-header decode through the multimodal seam. The
@@ -3131,16 +3212,8 @@ object ExtQueries {
     val sp = spark; import sp.implicits._
     Tables.registerAll(spark, dir)
     val ids = Tables.t(spark, dir, "documents").select("doc_id").as[Long]
-    val payloads = ids.map { id =>
-      val g = id / 5
-      val r = id % 5
-      val px = Array.tabulate(288) { idx =>
-        val base = ((g * (idx + 7) + (g / 251) * (idx.toLong * idx + 13) +
-          idx.toLong * idx) % 251).toInt
-        (if (idx == ((r * 53) % 288)) ((base + r * 29) % 251).toInt else base).toByte
-      }
-      (id, graft.multimodal.MultimodalOps.pgmBytes(18, 16, px))
-    }.toDF("doc_id", "payload")
+    val payloads = ids.map(id => (id, plantedPgm(id)))
+      .toDF("doc_id", "payload")
     val h = cacheOnce(graft.multimodal.MultimodalOps
       .dhashBands(payloads, "payload")
       .select("doc_id", "b0", "b1", "b2", "b3"))
@@ -3157,6 +3230,125 @@ object ExtQueries {
        |  FROM dd),
        |${m04Body(DuckD, "h")}""".stripMargin
   })
+
+  /** The closed-form twin of the seam's raster digest: rolling hash of
+    * the 288 planted pixel values in index order, mod P.
+    */
+  private def m04PixDigestExpr(d: Dial): String = {
+    val base =
+      s"((g * (i + 7) + ${d.intDiv("g", "251")} * (i * i + 13) + i * i) % 251)"
+    val pix = s"(CASE WHEN i = (r * 53) % 288 THEN ($base + r * 29) % 251 ELSE $base END)"
+    val seq = d match {
+      case SparkD => "sequence(0, 287)"
+      case DuckD  => "range(0, 288)"
+    }
+    d.fold0(d.transform(seq, "i", pix), "acc", "v", s"(acc * 31 + v) % $P")
+  }
+
+  /** The m05 pipeline downstream of the per-rep relation `reps`
+    * (rep, cnt, b0..b3): the band join runs over REPRESENTATIVES only,
+    * pairs carry member-count multiplicity (d12/d14/d17's contract for
+    * images).
+    */
+  private def m05Body(d: Dial, reps: String): String = {
+    val probes = d match {
+      case SparkD =>
+        s"""SELECT rep, cnt, pr.t AS t, pr.bv AS bv FROM $reps
+           |  LATERAL VIEW explode(array(
+           |    named_struct('t', CAST(0 AS BIGINT), 'bv', b0),
+           |    named_struct('t', CAST(1 AS BIGINT), 'bv', b1),
+           |    named_struct('t', CAST(2 AS BIGINT), 'bv', b2),
+           |    named_struct('t', CAST(3 AS BIGINT), 'bv', b3))) _prs AS pr""".stripMargin
+      case DuckD =>
+        (0 until 4).map { t =>
+          s"SELECT rep, cnt, CAST($t AS BIGINT) AS t, b$t AS bv FROM $reps"
+        }.mkString("\n  UNION ALL ")
+    }
+    val hamming = (0 until 4)
+      .map(t => s"bit_count(${d.xor(s"x.b$t", s"y.b$t")})").mkString(" + ")
+    s"""bd AS (SELECT rep, cnt, t, bv FROM (
+       |    SELECT rep, cnt, t, bv, COUNT(*) OVER (PARTITION BY t, bv) AS bn
+       |    FROM ($probes) p) cp
+       |  WHERE bn <= $HotBucketCap),
+       |cand AS (SELECT DISTINCT a.rep AS i, a.cnt AS ci, b.rep AS j,
+       |    b.cnt AS cj
+       |  FROM bd a JOIN bd b ON a.t = b.t AND a.bv = b.bv
+       |    AND a.rep < b.rep),
+       |ver AS (SELECT i, j, ci * cj AS mult,
+       |    CAST($hamming AS BIGINT) AS hamming
+       |  FROM cand JOIN $reps x ON cand.i = x.rep
+       |    JOIN $reps y ON cand.j = y.rep)
+       |SELECT hamming, COUNT(*) AS n_rep_pairs,
+       |  CAST(SUM(mult) AS BIGINT) AS raw_pairs,
+       |  CAST(SUM(((i % $P) * 31 + (j % $P)) % $P) % $P AS BIGINT) AS checksum
+       |FROM ver WHERE hamming <= 4 GROUP BY hamming""".stripMargin
+  }
+
+  private def m05RepsSql(d: Dial, h: String): String =
+    s"""SELECT MIN(doc_id) AS rep, COUNT(*) AS cnt,
+       |  MIN(b0) AS b0, MIN(b1) AS b1, MIN(b2) AS b2, MIN(b3) AS b3
+       |FROM $h GROUP BY pdigest""".stripMargin
+
+  /** m05: m04's bounded-contract twin — exact-duplicate IMAGES collapse
+    * to a representative first (one hash aggregate on the raster
+    * digest), the dHash band join runs over representatives only, and
+    * pairs carry ni*cj member multiplicity so the raw pair list stays
+    * recoverable (the d12/d14/d17 contract, completing the collapse
+    * discipline for the image family). Under an n-fold replica flood
+    * the rep relation is constant-size, so — unlike m04, whose
+    * candidate intermediate grows with replica cliques (SCALE.md) —
+    * the pair stage never sees the flood. The digest groups equal
+    * PAYLOADS (rolling hash of raw raster bytes, computed by the real
+    * decode seam; the oracle recomputes it from the planted pixel
+    * formula in closed form).
+    */
+  /** The planted m04/m05 image payload for a doc id. */
+  private def plantedPgm(id: Long): Array[Byte] = {
+    val g = id / 5
+    val r = id % 5
+    val px = Array.tabulate(288) { idx =>
+      val base = ((g * (idx + 7) + (g / 251) * (idx.toLong * idx + 13) +
+        idx.toLong * idx) % 251).toInt
+      (if (idx == ((r * 53) % 288)) ((base + r * 29) % 251).toInt else base).toByte
+    }
+    graft.multimodal.MultimodalOps.pgmBytes(18, 16, px)
+  }
+
+  /** The m05 pipeline over an arbitrary (doc_id, payload) relation —
+    * shared by the query and the flood spec.
+    */
+  private def imageDhashCollapsedDF(spark: org.apache.spark.sql.SparkSession,
+      payloads: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.multimodal.MultimodalOps.dhashBands(payloads, "payload")
+      .select("doc_id", "b0", "b1", "b2", "b3", "pdigest")
+      .createOrReplaceTempView("m05_h")
+    val reps = cacheOnce(spark.sql(m05RepsSql(SparkD, "m05_h")))
+    reps.createOrReplaceTempView("m05_reps")
+    spark.sql("WITH " + m05Body(SparkD, "m05_reps"))
+  }
+
+  private def imageDhashCollapsed: Q = Q("m05_image_dhash_collapsed",
+    (spark, dir) => {
+      val sp = spark; import sp.implicits._
+      Tables.registerAll(spark, dir)
+      val ids = Tables.t(spark, dir, "documents").select("doc_id").as[Long]
+      val payloads = ids.map(id => (id, plantedPgm(id)))
+        .toDF("doc_id", "payload")
+      imageDhashCollapsedDF(spark, payloads)
+    }, Some {
+      val bands = (0 until 4)
+        .map(t => s"CAST(${m04BandExpr(DuckD, t)} AS BIGINT) AS b$t")
+        .mkString(",\n    ")
+      s"""WITH dd AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS r
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    $bands,
+         |    ${m04PixDigestExpr(DuckD)} AS pdigest
+         |  FROM dd),
+         |reps AS (${m05RepsSql(DuckD, "h")}),
+         |${m05Body(DuckD, "reps")}""".stripMargin
+    })
 
   /** IVF-style coarse quantization, oracle-checked: per-label centroids,
     * each vector assigned to its nearest-by-cosine centroid, output =

@@ -242,6 +242,28 @@ class DegenerateCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("m05 collapsed image dedup: a replica flood never reaches the pair stage") {
+    val sp = spark; import sp.implicits._
+    // 10k copies of image A (doc 0's payload), 3 copies of its one-pixel
+    // twin (doc 3: same group g=0, a perturbation that flips bits), one
+    // far image from another gradient group. m04's raw contract would
+    // band-join 10k-row hamming-0 cliques; the collapsed contract's rep
+    // relation is 3 rows and the pair multiplicity carries the flood.
+    val payloads = (
+      (0L until Flood.toLong).map(i => (i, ExtQueries.TestSql.plantedImage(0L))) ++
+        (20000L until 20003L).map(i => (i, ExtQueries.TestSql.plantedImage(3L))) ++
+        Seq((30000L, ExtQueries.TestSql.plantedImage(7L * 5L)))
+      ).toDF("doc_id", "payload")
+    val got = ExtQueries.TestSql.imageDhashCollapsed(spark, payloads)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // exactly one rep pair: A-rep (doc 0, 10k members) x twin-rep
+    // (doc 20000, 3 members) at the planted within-group hamming;
+    // raw multiplicity = 10000 * 3. The far image pairs with nothing.
+    assert(got.map(t => (t._2, t._3)) == List((1L, 30000L)),
+      s"expected one rep pair carrying the flood: $got")
+    assert(got.head._1 >= 1L && got.head._1 <= 3L)
+  }
+
   test("v06 cap report: flooded ANN table drops are visible per hash table") {
     val cap = ExtQueries.TestSql.hotBucketCap
     val rows = spark.sql(ExtQueries.TestSql.annCapReport).collect()

@@ -265,6 +265,23 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotSum == expect)
   }
 
+  test("t14: scrambled word order scores below fluent order (what t09 can't see)") {
+    val sp = spark; import sp.implicits._
+    // 10 docs share the transition chain a->b->c->d->e; one doc carries
+    // the SAME WORDS reversed. A unigram model (t09) scores both
+    // identically; the bigram conditionals punish the rare transitions.
+    val docs = (1L to 10L).map(i => (i, "a b c d e")) :+ (99L, "e d c b a")
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = ExtQueries.TestSql.bigram(spark)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.values.forall(_._2 == 4L)) // every doc has 4 bigrams
+    val scrambled = got(99L)._1
+    val fluent = (1L to 10L).map(got(_)._1).distinct
+    assert(fluent.size == 1) // identical docs, identical scores
+    assert(scrambled < fluent.head,
+      s"scrambled $scrambled should score below fluent ${fluent.head}")
+  }
+
   test("v09: perfect recall when buckets hold the truth; honest zero under the cap") {
     val sp = spark; import sp.implicits._
     def emb(rows: Int): Unit =
