@@ -1305,6 +1305,54 @@ object ExtQueries {
        |    AS membership_checksum
        |FROM s GROUP BY split, lang""".stripMargin
 
+  /** p14: split-leakage audit — the check every train/val/test split
+    * needs before the held-out loss means anything: does the TEST
+    * split share content with TRAIN? Two leakage signals per test doc,
+    * both over p13's deterministic split: exact (its md5 also appears
+    * in train — a duplicate document straddling the split boundary)
+    * and near (the fraction of its distinct 3-word shingles that occur
+    * anywhere in train — d10's decontamination machinery pointed at
+    * the pipeline's own split instead of an external benchmark).
+    * Reported per language: test-doc count, exact leaks, corpus-level
+    * gram-overlap per-mille, and docs over the 50% flag line. Scale
+    * shape: the train-gram index is the corpus-sized relation (shuffle
+    * join on the gram key — NOT broadcastable, unlike d10's
+    * benchmark-sized eval grams); the test side is split-fraction-
+    * sized (~1%) so the expensive explode runs over train once and
+    * the join's probe side is small. On a clean random corpus the
+    * audit reports ~zero overlap — the correct answer; the spec plants
+    * real leakage to pin the semantics.
+    */
+  private def splitLeakageSql(d: Dial): String = {
+    val pm = s"((doc_id % $P) * 2654435761) % $P % 1000"
+    s"""WITH s AS (SELECT doc_id, lang, text, md5(text) AS fp,
+       |    CASE WHEN $pm < 980 THEN 'train'
+       |         WHEN $pm < 990 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents),
+       |ex AS (SELECT fp FROM s WHERE split = 'train' GROUP BY fp),
+       |te AS (SELECT doc_id, lang, fp, ${d.shingleHashSet("text")} AS hs
+       |  FROM s WHERE split = 'test' AND ${d.size(d.split("text"))} >= 3),
+       |trg AS (SELECT DISTINCT g FROM (
+       |    SELECT ${d.shingleHashSet("text")} AS hs FROM s
+       |    WHERE split = 'train' AND ${d.size(d.split("text"))} >= 3) t
+       |  ${d.explode("hs", "g")}),
+       |tex AS (SELECT doc_id, g FROM te ${d.explode("hs", "g")}),
+       |ov AS (SELECT tex.doc_id, COUNT(*) AS n_hit
+       |  FROM tex JOIN trg ON tex.g = trg.g GROUP BY tex.doc_id),
+       |doc AS (SELECT te.doc_id, te.lang,
+       |    CASE WHEN ex.fp IS NULL THEN 0 ELSE 1 END AS exact_leak,
+       |    ${d.size("te.hs")} AS n_g, COALESCE(ov.n_hit, 0) AS n_hit
+       |  FROM te LEFT JOIN ex ON te.fp = ex.fp
+       |    LEFT JOIN ov ON te.doc_id = ov.doc_id)
+       |SELECT lang AS l, COUNT(*) AS n_test_docs,
+       |  CAST(SUM(exact_leak) AS BIGINT) AS n_exact_leaked,
+       |  CAST(${d.intDiv("SUM(1000 * n_hit)", "SUM(n_g)")} AS BIGINT)
+       |    AS gram_overlap_milli,
+       |  CAST(SUM(CASE WHEN 1000 * n_hit >= 500 * n_g THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_flagged
+       |FROM doc GROUP BY lang""".stripMargin
+  }
+
   /** Quality-filter → md5 exact-dedup (keep min doc_id) → per-language
     * token/char stats of the surviving corpus.
     */
@@ -2946,6 +2994,9 @@ object ExtQueries {
     dialect("p12_mixture_temperature", mixTemperatureSql),
     // Deterministic 98/1/1 train/val/test split with membership checksum.
     dialect("p13_train_split", trainSplitSql),
+    // Split-leakage audit: exact + shingle-gram leakage from train
+    // into the test split (d10's machinery on the pipeline's own split).
+    dialect("p14_split_leakage", splitLeakageSql),
     // Histogram quantile sketch vs the exact percentiles it replaces.
     dialect("p10_quantile_histogram", quantileHistSql),
     // HyperLogLog cardinality sketch (64 registers, integer-exact) vs
@@ -3035,6 +3086,7 @@ object ExtQueries {
     def plantedImage(id: Long): Array[Byte] = plantedPgm(id)
     def bigram(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = bigramDF(spark)
+    val splitLeakage: String = splitLeakageSql(SparkD)
   }
 
   /** m02: REAL image-header decode through the multimodal seam. The

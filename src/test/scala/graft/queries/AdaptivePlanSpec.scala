@@ -120,4 +120,23 @@ class AdaptivePlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"d09: shuffle between the stacked windows under AQE: " +
         nodes.map(_.nodeName).mkString(", "))
   }
+
+  test("m04/m05 image decode seam runs once under AQE (cached, never live)") {
+    // The d16 failure class: a cached relation referenced 3+ times from
+    // one SQL statement can silently lose cache substitution, here
+    // re-running the mapPartitions PGM decode per reference. flatten()
+    // does not descend into InMemoryTableScan children, so any LIVE
+    // MapPartitions node means the seam re-executed.
+    Seq("m04_image_dhash_dedup" -> 3, "m05_image_dhash_collapsed" -> 3)
+      .foreach { case (q, minCacheScans) =>
+        val nodes = flatten(finalPlan(q))
+        val liveDecode = nodes.filter(_.nodeName.contains("MapPartitions"))
+        assert(liveDecode.isEmpty,
+          s"$q: decode seam re-executed live under AQE: " +
+            nodes.map(_.nodeName).mkString(", "))
+        val cacheScans = nodes.count(_.nodeName.contains("InMemoryTableScan"))
+        assert(cacheScans >= minCacheScans,
+          s"$q: expected >= $minCacheScans cache scans, got $cacheScans")
+      }
+  }
 }

@@ -282,6 +282,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scrambled $scrambled should score below fluent ${fluent.head}")
   }
 
+  test("p14: planted exact and near leakage from train into test is reported") {
+    val sp = spark; import sp.implicits._
+    // ids 0..19 are train under the split hash; 132/163/326 are test
+    val trainText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // 10 words, 8 shingles, 6 of them inside the shared 8-word prefix
+    // -> 75% overlap, over the 50% flag line
+    val halfText = "alpha beta gamma delta epsilon zeta eta theta nu xi"
+    val cleanText = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    val docs =
+      (0L until 20L).map(i => (i, trainText, "en")) ++ Seq(
+        (132L, trainText, "en"), // exact leak: train doc verbatim in test
+        (163L, halfText, "en"),  // near leak: shares the leading shingles
+        (326L, cleanText, "en")) // clean test doc
+    docs.toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+
+    val got = spark.sql(ExtQueries.TestSql.splitLeakage)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(got.size == 1)
+    val (_, nTest, nExact, overlapMilli, nFlagged) = got.head
+    assert(nTest == 3L)
+    assert(nExact == 1L)       // only the verbatim copy
+    // the verbatim doc overlaps fully, halfText partially, clean not at
+    // all; the corpus-level per-mille lands strictly between 0 and 1000
+    assert(overlapMilli > 0L && overlapMilli < 1000L, s"milli $overlapMilli")
+    assert(nFlagged == 2L,     // verbatim + the >=50% sharer
+      s"flagged $nFlagged")
+  }
+
   test("v09: perfect recall when buckets hold the truth; honest zero under the cap") {
     val sp = spark; import sp.implicits._
     def emb(rows: Int): Unit =
