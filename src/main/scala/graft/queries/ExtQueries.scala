@@ -3014,6 +3014,9 @@ object ExtQueries {
     // Line-level scrub at INGEST: d18's duplicated-line index enforced
     // per arriving micro-batch, stateless (oracle = d18's batch SQL).
     streamLineScrub,
+    // Image-dedup admission at INGEST: arriving images decoded by the
+    // real seam per batch, band-joined against m05's rep index.
+    streamImageDedup,
     dialect("v01_knn_brute", knnBruteSql),
     knnSignLshQ,
     dialect("v03_knn_ivf_assign", ivfAssignSql),
@@ -3024,6 +3027,8 @@ object ExtQueries {
     // Measured recall of the sign-LSH ANN vs exact brute force on a
     // bounded query sample (what the approximation costs).
     annRecallQ,
+    // The same harness for the IVF path: what nprobe=2 costs.
+    dialect("v10_ivf_recall", ivfRecallSql),
     // v05 = v04 over a materialized cell-partitioned index (same oracle).
     ivfIndexed,
     dialect("m01_multimodal_stubmeta", multimodalSql),
@@ -3087,6 +3092,26 @@ object ExtQueries {
     def bigram(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = bigramDF(spark)
     val splitLeakage: String = splitLeakageSql(SparkD)
+    /** The q64 admission pipeline over planted (doc_id, payload)
+      * relations — index build + arrival scoring in one batch call.
+      */
+    def imageAdmission(spark: org.apache.spark.sql.SparkSession,
+        existing: org.apache.spark.sql.DataFrame,
+        arrivals: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      graft.multimodal.MultimodalOps.dhashBands(existing, "payload")
+        .select("doc_id", "b0", "b1", "b2", "b3", "pdigest")
+        .createOrReplaceTempView("m06t_h")
+      spark.sql(
+        s"""SELECT MIN(doc_id) AS rep, MIN(b0) AS b0, MIN(b1) AS b1,
+           |  MIN(b2) AS b2, MIN(b3) AS b3, pdigest
+           |FROM m06t_h GROUP BY pdigest""".stripMargin)
+        .createOrReplaceTempView("m06t_idx")
+      graft.multimodal.MultimodalOps.dhashBands(arrivals, "payload")
+        .select("doc_id", "b0", "b1", "b2", "b3", "pdigest")
+        .createOrReplaceTempView("m06t_arr")
+      spark.sql("WITH " + m06Body(SparkD, "m06t_idx", "m06t_arr"))
+    }
   }
 
   /** m02: REAL image-header decode through the multimodal seam. The
@@ -3402,6 +3427,164 @@ object ExtQueries {
          |${m05Body(DuckD, "reps")}""".stripMargin
     })
 
+  /** The q64 match pipeline downstream of the index rep relation `idx`
+    * (rep, b0..b3, pdigest) and the arriving-image relation `arr`
+    * (doc_id, b0..b3, pdigest): band-probe candidates, best match per
+    * arrival by (hamming, rep), verdict rollup. `exact` = identical
+    * raster (digest match, checked on the best band-mate), `dup` =
+    * hamming <= 4, `new` = no band-sharing rep at all (or over the
+    * line). Shared verbatim by the Spark stream readout side and the
+    * closed-form oracle.
+    */
+  private def m06Body(d: Dial, idx: String, arr: String): String = {
+    val probesIdx = d match {
+      case SparkD =>
+        s"""SELECT rep, pr.t AS t, pr.bv AS bv FROM $idx
+           |  LATERAL VIEW explode(array(
+           |    named_struct('t', CAST(0 AS BIGINT), 'bv', b0),
+           |    named_struct('t', CAST(1 AS BIGINT), 'bv', b1),
+           |    named_struct('t', CAST(2 AS BIGINT), 'bv', b2),
+           |    named_struct('t', CAST(3 AS BIGINT), 'bv', b3))) _prs AS pr""".stripMargin
+      case DuckD =>
+        (0 until 4).map { t =>
+          s"SELECT rep, CAST($t AS BIGINT) AS t, b$t AS bv FROM $idx"
+        }.mkString("\n  UNION ALL ")
+    }
+    val probesArr = d match {
+      case SparkD =>
+        s"""SELECT doc_id, pr.t AS t, pr.bv AS bv FROM $arr
+           |  LATERAL VIEW explode(array(
+           |    named_struct('t', CAST(0 AS BIGINT), 'bv', b0),
+           |    named_struct('t', CAST(1 AS BIGINT), 'bv', b1),
+           |    named_struct('t', CAST(2 AS BIGINT), 'bv', b2),
+           |    named_struct('t', CAST(3 AS BIGINT), 'bv', b3))) _prs AS pr""".stripMargin
+      case DuckD =>
+        (0 until 4).map { t =>
+          s"SELECT doc_id, CAST($t AS BIGINT) AS t, b$t AS bv FROM $arr"
+        }.mkString("\n  UNION ALL ")
+    }
+    val hamming = (0 until 4)
+      .map(t => s"bit_count(${d.xor(s"x.b$t", s"y.b$t")})").mkString(" + ")
+    s"""ib AS ($probesIdx),
+       |ab AS ($probesArr),
+       |cand AS (SELECT DISTINCT ab.doc_id, ib.rep
+       |  FROM ab JOIN ib ON ab.t = ib.t AND ab.bv = ib.bv),
+       |scored AS (SELECT c.doc_id, c.rep,
+       |    CAST($hamming AS BIGINT) AS hamming,
+       |    CASE WHEN x.pdigest = y.pdigest THEN 1 ELSE 0 END AS is_exact
+       |  FROM cand c JOIN $arr x ON c.doc_id = x.doc_id
+       |    JOIN $idx y ON c.rep = y.rep),
+       |best AS (SELECT doc_id, rep, hamming, is_exact FROM (
+       |    SELECT doc_id, rep, hamming, is_exact,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY hamming, rep) AS rn
+       |    FROM scored) b WHERE rn = 1),
+       |vd AS (SELECT a.doc_id,
+       |    CASE WHEN best.doc_id IS NULL OR best.hamming > 4 THEN 'new'
+       |         WHEN best.is_exact = 1 THEN 'exact'
+       |         ELSE 'dup' END AS verdict,
+       |    COALESCE(CASE WHEN best.hamming <= 4 THEN best.hamming END, -1)
+       |      AS ham,
+       |    COALESCE(CASE WHEN best.hamming <= 4 THEN best.rep END, -1)
+       |      AS mrep
+       |  FROM $arr a LEFT JOIN best ON a.doc_id = best.doc_id)
+       |SELECT verdict, ham AS hamming, COUNT(*) AS n_arrivals,
+       |  CAST(SUM(((doc_id % $P) * 31 + (mrep % $P + 1)) % $P) % $P
+       |    AS BIGINT) AS checksum
+       |FROM vd GROUP BY verdict, ham""".stripMargin
+  }
+
+  /** q64: streaming image-dedup ADMISSION — "have we seen this image?"
+    * at ingest, the multimodal member of the batch-derived-relation
+    * streaming-enforcement family (q62 grams, q63 lines): the static
+    * index is m05's collapsed representative band relation built from
+    * the EXISTING corpus (here: even doc_ids); arriving images (odd
+    * doc_ids) are decoded by the REAL seam per micro-batch
+    * (PGM parse → box-downsample → dHash bands + raster digest), then
+    * stream-static band-joined against the index — stateless, no
+    * watermark; an arrival's admission record (best-matching rep,
+    * hamming, exact/dup/new verdict) is complete the moment it arrives.
+    * Per-arrival records land in a cf sink; the readout rolls them up
+    * to the shared contract, and the oracle recomputes everything from
+    * the planted pixel formula in closed form — a decode bug on EITHER
+    * the index build or the arrival path breaks the hash match.
+    * Scale: the index is rep-level (replica-invariant, the m05
+    * argument); per-batch work is band-join + one window over the
+    * batch's own arrivals only.
+    */
+  private def streamImageDedup: Q = Q("q64_stream_image_dedup",
+    (spark, dir) => {
+      val sp = spark; import sp.implicits._
+      Tables.registerAll(spark, dir)
+      val src = Tables.cachePath(dir, "image_arrivals_stream")
+      if (!new java.io.File(src, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "documents").select("doc_id").as[Long]
+          .filter((id: Long) => id % 2 == 1)
+          .map(id => (id, plantedPgm(id)))
+          .toDF("doc_id", "payload")
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.format("columnfile").mode("overwrite").save(src)
+      }
+      val out = Tables.cachePath(dir, "image_admission_log")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        // the existing corpus's rep index (m05's collapse, even ids)
+        val existing = Tables.t(spark, dir, "documents")
+          .select("doc_id").as[Long]
+          .filter((id: Long) => id % 2 == 0)
+          .map(id => (id, plantedPgm(id)))
+          .toDF("doc_id", "payload")
+        graft.multimodal.MultimodalOps.dhashBands(existing, "payload")
+          .select("doc_id", "b0", "b1", "b2", "b3", "pdigest")
+          .createOrReplaceTempView("q64_h")
+        val idx = cacheOnce(spark.sql(
+          s"""SELECT MIN(doc_id) AS rep, MIN(b0) AS b0, MIN(b1) AS b1,
+             |  MIN(b2) AS b2, MIN(b3) AS b3, pdigest
+             |FROM q64_h GROUP BY pdigest""".stripMargin))
+        idx.createOrReplaceTempView("q64_idx")
+        val schema = spark.read.format("columnfile").load(src).schema
+        val stream = spark.readStream.format("columnfile")
+          .schema(schema).load(src)
+        val q = stream.writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.multimodal.MultimodalOps.dhashBands(df, "payload")
+              .select("doc_id", "b0", "b1", "b2", "b3", "pdigest")
+              .createOrReplaceTempView("q64_arr")
+            df.sparkSession
+              .sql("WITH " + m06Body(SparkD, "q64_idx", "q64_arr"))
+              .write.format("columnfile")
+              .mode(if (id == 0L) "overwrite" else "append").save(out)
+            ()
+          }
+          .option("checkpointLocation", out + "_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      spark.read.format("columnfile").load(out)
+        .createOrReplaceTempView("cf_image_admissions")
+      spark.sql(
+        s"""SELECT verdict, hamming, CAST(SUM(n_arrivals) AS BIGINT)
+           |    AS n_arrivals,
+           |  CAST(SUM(checksum) % $P AS BIGINT) AS checksum
+           |FROM cf_image_admissions GROUP BY verdict, hamming""".stripMargin)
+    }, Some {
+      val bands = (0 until 4)
+        .map(t => s"CAST(${m04BandExpr(DuckD, t)} AS BIGINT) AS b$t")
+        .mkString(",\n    ")
+      s"""WITH dd AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS r
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    $bands,
+         |    ${m04PixDigestExpr(DuckD)} AS pdigest
+         |  FROM dd),
+         |idx AS (SELECT MIN(doc_id) AS rep, MIN(b0) AS b0, MIN(b1) AS b1,
+         |    MIN(b2) AS b2, MIN(b3) AS b3, pdigest
+         |  FROM h WHERE doc_id % 2 = 0 GROUP BY pdigest),
+         |arr AS (SELECT doc_id, b0, b1, b2, b3, pdigest FROM h
+         |  WHERE doc_id % 2 = 1),
+         |${m06Body(DuckD, "idx", "arr")}""".stripMargin
+    })
+
   /** IVF-style coarse quantization, oracle-checked: per-label centroids,
     * each vector assigned to its nearest-by-cosine centroid, output =
     * label x assigned confusion counts.
@@ -3463,8 +3646,12 @@ object ExtQueries {
     * the whole corpus. Same deterministic math as v03, so the oracle
     * hash-matches the top-k exactly (cos DESC, neighbor-id tiebreak).
     */
-  private def ivfSearchSql(d: Dial): String =
-    s"""WITH ${ivfCommonCtes(d)},
+  /** The v04 probe-search CTE chain (shared with v10's recall harness):
+    * assignment, nprobe=2 probes for qid < 20, in-cell candidates,
+    * exact cosines, ranked `topk`.
+    */
+  private def ivfSearchCtes(d: Dial): String =
+    s"""${ivfCommonCtes(d)},
        |assign AS (SELECT vec_id, clabel FROM best WHERE rn = 1),
        |probe AS (
        |  SELECT vec_id AS qid, clabel AS pcell
@@ -3482,8 +3669,38 @@ object ExtQueries {
        |topk AS (
        |  SELECT qid, nid, cos,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
-       |  FROM pairs)
+       |  FROM pairs)""".stripMargin
+
+  private def ivfSearchSql(d: Dial): String =
+    s"""WITH ${ivfSearchCtes(d)}
        |SELECT qid, nid, cos FROM topk WHERE rn <= 5""".stripMargin
+
+  /** v10: measured IVF recall — v09's harness pointed at the second ANN
+    * path: v04's nprobe=2 probe search scored against exact brute-force
+    * top-5 for the same 20-query sample (the ground truth reuses the
+    * `emb` norm relation, so both sides share one cosine spelling and
+    * the (cos DESC, nid) tie-break). This is the nprobe dial's
+    * measurement: recall lost to probing 2 of ~10 cells is REPORTED,
+    * per query, as a histogram — the number a production IVF deployment
+    * tunes nprobe against. Scale shape: identical to v09 (ground truth
+    * is sample × corpus by contract; the ANN side is v04 unchanged).
+    */
+  private def ivfRecallSql(d: Dial): String =
+    s"""WITH ${ivfSearchCtes(d)},
+       |ann AS (SELECT qid, nid FROM topk WHERE rn <= 5),
+       |gt AS (SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
+       |          DESC, n.vec_id) AS rn
+       |    FROM emb q CROSS JOIN emb n
+       |    WHERE q.vec_id < 20 AND n.vec_id <> q.vec_id) x
+       |  WHERE rn <= 5),
+       |hits AS (SELECT gt.qid, COUNT(ann.nid) AS n_hits
+       |  FROM gt LEFT JOIN ann ON gt.qid = ann.qid AND gt.nid = ann.nid
+       |  GROUP BY gt.qid)
+       |SELECT n_hits, COUNT(*) AS n_queries
+       |FROM hits GROUP BY n_hits""".stripMargin
 
   /** Materialize the IVF assignment as a cell-partitioned columnfile
     * table (vec_id, embedding, cell): the persistent index v04 lacks.

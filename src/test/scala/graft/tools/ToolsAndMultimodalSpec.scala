@@ -338,4 +338,25 @@ class ToolsAndMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hamming(h0, h1) <= 3 && hamming(h0, h1) >= 1)
     assert(hamming(h0, h2) > 4) // different group: no near-dup
   }
+
+  test("image admission verdicts: exact copy, near twin, unseen image") {
+    val sp = spark; import sp.implicits._
+    import graft.queries.ExtQueries.TestSql
+    // index: the base images of groups 0 and 1 (planted ids 0 and 5)
+    val existing = Seq((0L, TestSql.plantedImage(0L)),
+      (5L, TestSql.plantedImage(5L))).toDF("doc_id", "payload")
+    // arrivals: a byte-identical copy of image 0 ('exact'), its
+    // one-pixel twin that provably flips bits ('dup', hamming 2,
+    // sharing bands 0/1/3), and a group-7 image sharing NO band with
+    // either index rep ('new') — all verified deterministic offline
+    val arrivals = Seq(
+      (100L, TestSql.plantedImage(0L)),
+      (101L, TestSql.plantedImage(3L)),
+      (102L, TestSql.plantedImage(35L))).toDF("doc_id", "payload")
+    val got = TestSql.imageAdmission(spark, existing, arrivals)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(("exact", 0L, 1L), ("dup", 2L, 1L), ("new", -1L, 1L)),
+      s"verdicts: $got")
+  }
 }
