@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""Adversarial-corpus harness for the cross-engine oracle gate.
+
+The driver's correctness gate runs over one fixed synthetic corpus; a
+dialect divergence that happens not to trigger there (unicode ascii(),
+empty split tokens, duplicate texts, degenerate doc lengths) would ship
+unnoticed. This script generates randomized + adversarial documents and
+embeddings tables (other tables copied from a base SF dir), then runs
+the SAME verify_local gate over them.
+
+Usage: python3 scripts/fuzz_corpus_verify.py [--seeds N] [--base sfdir]
+"""
+import argparse
+import os
+import random
+import shutil
+import subprocess
+import sys
+
+BASE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(BASE)
+
+# text/dedup/sampling/vector/multimodal families: everything that reads
+# only documents/embeddings (cf connector + streaming + relational
+# families are exercised by the main gate; re-running them per corpus
+# would dominate the runtime without adding dialect coverage)
+QUERIES = ",".join(
+    [f"d{i:02d}_" for i in range(1, 19)] +
+    [f"t{i:02d}_" for i in range(1, 15)] +
+    ["p01_", "p02_", "p03_", "p04_", "p05_", "p06_", "p07_", "p08_",
+     "p09_", "p10_", "p11_", "p12_", "p13_", "p14_"] +
+    [f"v{i:02d}_" for i in range(1, 11)] +
+    ["m01_", "m02_", "m03_", "m04_", "m05_"])
+
+WORDS = ("the a of and to in is it for on big data spark row column "
+         "merge sort join filter agg window hash key value stream batch "
+         "table scan query fast slow small line part order customer "
+         "naive uber cafe").split()
+UNICODE_WORDS = ["café", "naïve", "über", "日本",
+                 "élève", "straße"]
+
+
+def gen_documents(rng, n, adversarial):
+    rows = []
+    langs = ["en", "de", "es", "fr", "ja"]
+    for i in range(n):
+        wl = rng.choice([1, 2, 3, 5, 12, 40, 120]) if adversarial \
+            else rng.randint(3, 80)
+        words = [rng.choice(WORDS) for _ in range(wl)]
+        if adversarial and rng.random() < 0.3:
+            words[rng.randrange(len(words))] = rng.choice(UNICODE_WORDS)
+        if adversarial and rng.random() < 0.2:
+            words.insert(rng.randrange(len(words) + 1), "")  # double space
+        if adversarial and rng.random() < 0.15:
+            words = [w.upper() if rng.random() < 0.5 else w for w in words]
+        text = " ".join(words)
+        if adversarial and rng.random() < 0.1:
+            text = " " + text  # leading space -> empty first token
+        rows.append((i, text, rng.choice(langs), f"src{rng.randrange(7)}",
+                     len(text)))
+    # plant exact duplicates and a shared-paragraph pair
+    if n >= 10:
+        rows[3] = (3, rows[1][1], rows[1][2], rows[3][3], len(rows[1][1]))
+        shared = " ".join(rng.choice(WORDS) for _ in range(15))
+        rows[5] = (5, shared + " tailA one two", "en", "src0", 0)
+        rows[5] = (5, rows[5][1], "en", "src0", len(rows[5][1]))
+        rows[7] = (7, shared + " tailB three", "en", "src1",
+                   len(shared + " tailB three"))
+    return rows
+
+
+def gen_embeddings(rng, n, adversarial):
+    rows = []
+    for i in range(n):
+        if adversarial and i % 17 == 0:
+            vec = [0.0] * 64  # zero vector (no direction)
+        elif adversarial and i % 11 == 0 and i > 0:
+            vec = rows[i - 1][1]  # exact duplicate vector
+        else:
+            vec = [round(rng.uniform(-1, 1), 4) for _ in range(64)]
+        rows.append((i, vec, rng.randrange(10)))
+    return rows
+
+
+def build_corpus(seed, base, out, adversarial):
+    import duckdb
+    rng = random.Random(seed)
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    for f in os.listdir(base):
+        if f.endswith(".parquet") and f not in ("documents.parquet",
+                                                "embeddings.parquet"):
+            shutil.copy(os.path.join(base, f), os.path.join(out, f))
+    con = duckdb.connect()
+    docs = gen_documents(rng, 400, adversarial)
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, "
+                "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", docs)
+    con.execute(f"COPY d TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    embs = gen_embeddings(rng, 400, adversarial)
+    con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], "
+                "label INT)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", embs)
+    con.execute(f"COPY e TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--base", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+
+    # expand prefixes to exact names using SparkEntry's oracle dump from
+    # any previous verify run; else run a quick name dump via sbt
+    names_file = "/tmp/fuzz_query_names.txt"
+    if not os.path.exists(names_file):
+        r = subprocess.run(
+            ["sbt", "-batch",
+             "runMain graft.Verify --dump-names " + names_file],
+            cwd=REPO, capture_output=True, text=True)
+        if not os.path.exists(names_file):
+            print("could not dump query names; falling back to full run")
+    selected = None
+    if os.path.exists(names_file):
+        all_names = open(names_file).read().split()
+        prefixes = QUERIES.split(",")
+        selected = [n for n in all_names
+                    if any(n.startswith(p) for p in prefixes)]
+        print(f"fuzzing {len(selected)} of {len(all_names)} queries")
+
+    failures = 0
+    runs = [("adversarial", 42, True)] + [
+        (f"seed{s}", s, False) for s in range(args.seeds)]
+    for tag, seed, adv in runs:
+        out = f"/tmp/fuzz_corpus_{tag}"
+        build_corpus(seed, args.base, out, adv)
+        env = dict(os.environ)
+        if selected:
+            env["GRAFT_VERIFY_ONLY"] = ",".join(selected)
+        r = subprocess.run(
+            [sys.executable, os.path.join(BASE, "verify_local.py"),
+             out, f"/tmp/fuzz_out_{tag}"],
+            cwd=REPO, env=env, capture_output=True, text=True)
+        tail = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "?"
+        print(f"[{tag}] {tail}")
+        if r.returncode != 0:
+            failures += 1
+            for line in r.stdout.splitlines():
+                if line.startswith("FAIL"):
+                    print("   ", line[:300])
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

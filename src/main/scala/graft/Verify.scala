@@ -43,6 +43,15 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
+    // Tooling mode: dump the inventory's query names (one per line) and
+    // exit — used by scripts/fuzz_corpus_verify.py to expand family
+    // prefixes without starting a Spark session.
+    if (args.length >= 2 && args(0) == "--dump-names") {
+      val out = new java.io.PrintWriter(args(1))
+      try SparkEntry.queries.keys.toSeq.sorted.foreach(out.println)
+      finally out.close()
+      return
+    }
     val (sfDir, outDir) = (args(0), args(1))
     // Optional local-iteration filter: comma-separated query names (the
     // driver never sets it, so driver runs always cover the full

@@ -224,7 +224,11 @@ object ExtQueries {
     // DuckDB replaces the first match unless the 'g' flag is given
     def regexpReplaceAll(s: String, p: String, r: String) =
       s"regexp_replace($s, '$p', '$r', 'g')"
-    def toBlob(s: String) = s"CAST($s AS BLOB)"
+    // encode(), not CAST AS BLOB: the cast REJECTS non-ASCII strings
+    // ("must be escaped with hex codes") while Spark's CAST(s AS BINARY)
+    // yields the UTF-8 bytes; encode() is DuckDB's UTF-8-bytes twin
+    // (fuzzer-found divergence on unicode corpora)
+    def toBlob(s: String) = s"encode($s)"
     def shingles3(w: String) =
       s"list_transform(range(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])"
     def grams2(w: String) =
@@ -1471,10 +1475,12 @@ object ExtQueries {
     val cos =
       s"""${d.dot("qe", "e.embedding")} /
          |    (sqrt(${d.dot("qe", "qe")}) * sqrt(${d.dot("e.embedding", "e.embedding")}))""".stripMargin
-    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    s"""WITH enz AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE ${d.dot("embedding", "embedding")} > 0),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM enz WHERE vec_id < 5),
        |c AS (SELECT qid, e.vec_id AS nid,
        |    $cos AS cos
-       |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> qid)
+       |  FROM q CROSS JOIN enz e WHERE e.vec_id <> qid)
        |SELECT qid, nid, cos FROM (
        |  SELECT qid, nid, cos,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
@@ -1506,9 +1512,15 @@ object ExtQueries {
   private def knnSignLshBcSql(d: Dial): String = {
     val nbits = nbitsCase("COUNT(*)", 8, 24)
     val bucket = signBucket(d, "embedding", 0, 24, "nb.nbits")
-    s"""WITH nb AS (SELECT $nbits AS nbits FROM embeddings),
+    // zero vectors have no direction: ANSI Spark raises DIVIDE_BY_ZERO
+    // on their cosines where DuckDB returns inf (a fuzzer-found
+    // divergence), so cosine-space operators exclude them corpus-wide —
+    // d07's contract, enforced in-query
+    s"""WITH enz AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE ${d.dot("embedding", "embedding")} > 0),
+       |nb AS (SELECT $nbits AS nbits FROM enz),
        |b AS (SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket
-       |  FROM embeddings CROSS JOIN nb)
+       |  FROM enz CROSS JOIN nb)
        |SELECT vec_id, embedding, bucket FROM (
        |  SELECT vec_id, embedding, bucket,
        |    COUNT(*) OVER (PARTITION BY bucket) AS bn
@@ -1574,11 +1586,13 @@ object ExtQueries {
     val cos =
       s"""${d.dot("q.embedding", "e.embedding")} /
          |    (sqrt(${d.dot("q.embedding", "q.embedding")}) * sqrt(${d.dot("e.embedding", "e.embedding")}))""".stripMargin
-    s"""gt AS (SELECT qid, nid FROM (
+    s"""genz AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE ${d.dot("embedding", "embedding")} > 0),
+       |gt AS (SELECT qid, nid FROM (
        |    SELECT qid, nid,
        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
        |    FROM (SELECT q.vec_id AS qid, e.vec_id AS nid, $cos AS cos
-       |          FROM embeddings q CROSS JOIN embeddings e
+       |          FROM genz q CROSS JOIN genz e
        |          WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id) c) x
        |  WHERE rn <= 5),
        |ann AS (${knnSignLshFrom(d, bc)}),
@@ -3622,7 +3636,8 @@ object ExtQueries {
        |emb AS (
        |  SELECT vec_id, label, embedding,
        |    sqrt(${d.dot("embedding", "embedding")}) AS enorm
-       |  FROM $from),
+       |  FROM $from
+       |  WHERE ${d.dot("embedding", "embedding")} > 0),
        |scored AS (
        |  SELECT e.vec_id, e.label, c.clabel,
        |    ${d.dot("e.embedding", "c.centroid")} / (e.enorm * c.cnorm) AS cos
