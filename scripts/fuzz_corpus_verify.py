@@ -30,7 +30,11 @@ QUERIES = ",".join(
     ["p01_", "p02_", "p03_", "p04_", "p05_", "p06_", "p07_", "p08_",
      "p09_", "p10_", "p11_", "p12_", "p13_", "p14_"] +
     [f"v{i:02d}_" for i in range(1, 11)] +
-    ["m01_", "m02_", "m03_", "m04_", "m05_"])
+    ["m01_", "m02_", "m03_", "m04_", "m05_"] +
+    # events-based batch family: time-series agg, sessionization twin,
+    # as-of/range/interval/salted joins, funnel (ties + boundaries are
+    # where tie-break discipline would crack)
+    ["q17_", "q18_", "q50_", "q51_", "q52_", "q53_", "q55_"])
 
 WORDS = ("the a of and to in is it for on big data spark row column "
          "merge sort join filter agg window hash key value stream batch "
@@ -82,6 +86,31 @@ def gen_embeddings(rng, n, adversarial):
     return rows
 
 
+def gen_events(rng, n, adversarial):
+    """(event_id, ts_micros, user_id, event_type, value, props)."""
+    base_us = 1_700_000_000_000_000  # stable epoch base
+    rows = []
+    types = ["view", "click", "purchase", "scroll"]
+    for i in range(n):
+        ts = base_us + rng.randrange(0, 7 * 24 * 3600) * 1_000_000 \
+            + rng.randrange(0, 1_000_000)
+        if adversarial and i % 13 == 0:
+            ts = (ts // 3_600_000_000) * 3_600_000_000  # exact hour edge
+        uid = rng.randrange(40) if not adversarial else rng.randrange(12)
+        val = round(rng.uniform(-100, 100), 3)
+        if adversarial and i % 29 == 0:
+            val = rng.choice([0.0, -0.0, 1e15, -1e15])
+        rows.append((i, ts, uid, rng.choice(types), val, f"p{i % 7}"))
+    if adversarial and n >= 30:
+        # planted ties: same user, same timestamp, different events
+        # (as-of/window tie-break discipline), plus a duplicate event_id
+        t0 = rows[10][1]
+        rows[11] = (11, t0, rows[10][2], "click", 1.5, "tie")
+        rows[12] = (12, t0, rows[10][2], "view", 2.5, "tie")
+        rows[13] = (10, t0 + 5, rows[10][2], "purchase", 3.5, "dupid")
+    return rows
+
+
 def build_corpus(seed, base, out, adversarial):
     import duckdb
     rng = random.Random(seed)
@@ -90,7 +119,8 @@ def build_corpus(seed, base, out, adversarial):
     os.makedirs(out)
     for f in os.listdir(base):
         if f.endswith(".parquet") and f not in ("documents.parquet",
-                                                "embeddings.parquet"):
+                                                "embeddings.parquet",
+                                                "events.parquet"):
             shutil.copy(os.path.join(base, f), os.path.join(out, f))
     con = duckdb.connect()
     docs = gen_documents(rng, 400, adversarial)
@@ -103,6 +133,14 @@ def build_corpus(seed, base, out, adversarial):
                 "label INT)")
     con.executemany("INSERT INTO e VALUES (?, ?, ?)", embs)
     con.execute(f"COPY e TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+    evs = gen_events(rng, 800, adversarial)
+    con.execute("CREATE TABLE ev0 (event_id BIGINT, ts_us BIGINT, "
+                "user_id BIGINT, event_type VARCHAR, value DOUBLE, "
+                "props VARCHAR)")
+    con.executemany("INSERT INTO ev0 VALUES (?, ?, ?, ?, ?, ?)", evs)
+    con.execute(f"""COPY (SELECT event_id, make_timestamp(ts_us) AS ts,
+        user_id, event_type, value, props FROM ev0)
+        TO '{out}/events.parquet' (FORMAT PARQUET)""")
 
 
 def main():
