@@ -66,10 +66,10 @@ def gen_documents(rng, n, adversarial):
     if n >= 10:
         rows[3] = (3, rows[1][1], rows[1][2], rows[3][3], len(rows[1][1]))
         shared = " ".join(rng.choice(WORDS) for _ in range(15))
-        rows[5] = (5, shared + " tailA one two", "en", "src0", 0)
-        rows[5] = (5, rows[5][1], "en", "src0", len(rows[5][1]))
-        rows[7] = (7, shared + " tailB three", "en", "src1",
-                   len(shared + " tailB three"))
+        text5 = shared + " tailA one two"
+        rows[5] = (5, text5, "en", "src0", len(text5))
+        text7 = shared + " tailB three"
+        rows[7] = (7, text7, "en", "src1", len(text7))
     return rows
 
 
@@ -149,16 +149,17 @@ def main():
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     args = ap.parse_args()
 
-    # expand prefixes to exact names using SparkEntry's oracle dump from
-    # any previous verify run; else run a quick name dump via sbt
+    # dump the CURRENT inventory's names every run (a cached dump would
+    # silently exclude queries added after the first fuzzer run)
     names_file = "/tmp/fuzz_query_names.txt"
+    if os.path.exists(names_file):
+        os.remove(names_file)
+    subprocess.run(
+        ["sbt", "-batch",
+         "runMain graft.Verify --dump-names " + names_file],
+        cwd=REPO, capture_output=True, text=True)
     if not os.path.exists(names_file):
-        r = subprocess.run(
-            ["sbt", "-batch",
-             "runMain graft.Verify --dump-names " + names_file],
-            cwd=REPO, capture_output=True, text=True)
-        if not os.path.exists(names_file):
-            print("could not dump query names; falling back to full run")
+        print("could not dump query names; falling back to full run")
     selected = None
     if os.path.exists(names_file):
         all_names = open(names_file).read().split()

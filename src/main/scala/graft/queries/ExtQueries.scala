@@ -148,6 +148,11 @@ object ExtQueries {
       * shorter; a 1-word doc yields one 1-word segment.
       */
     def segments10(w: String): String
+
+    /** An empty BIGINT-array literal (typed — a bare [] is untyped in
+      * both engines).
+      */
+    def emptyBigintArr: String
   }
 
   object SparkD extends Dial {
@@ -198,6 +203,7 @@ object ExtQueries {
       s"zip_with($l, sequence(0, size($l) - 1), (h, i) -> h * 1048576 + i)"
     def segments10(w: String) =
       s"transform(sequence(0, (size($w) - 1) div 10), i -> array_join(slice($w, i * 10 + 1, 10), ' '))"
+    def emptyBigintArr = "CAST(array() AS ARRAY<BIGINT>)"
   }
 
   object DuckD extends Dial {
@@ -250,6 +256,7 @@ object ExtQueries {
       s"list_transform(range(1, len($l) + 1), i -> $l[i] * 1048576 + (i - 1))"
     def segments10(w: String) =
       s"list_transform(range(0, (len($w) - 1) // 10 + 1), i -> array_to_string($w[i * 10 + 1:i * 10 + 10], ' '))"
+    def emptyBigintArr = "CAST([] AS BIGINT[])"
   }
 
   // ---------------------------------------------------------------- dedup
@@ -1318,7 +1325,11 @@ object ExtQueries {
     * anywhere in train — d10's decontamination machinery pointed at
     * the pipeline's own split instead of an external benchmark).
     * Reported per language: test-doc count, exact leaks, corpus-level
-    * gram-overlap per-mille, and docs over the 50% flag line. Scale
+    * gram-overlap per-mille, and docs over the 50% flag line. Every
+    * test doc participates in the exact-leak and count columns —
+    * documents under 3 words simply carry an empty shingle set (the
+    * md5 check needs no shingles), and the flag line requires a
+    * non-empty gram set. Scale
     * shape: the train-gram index is the corpus-sized relation (shuffle
     * join on the gram key — NOT broadcastable, unlike d10's
     * benchmark-sized eval grams); the test side is split-fraction-
@@ -1334,8 +1345,11 @@ object ExtQueries {
        |         WHEN $pm < 990 THEN 'val' ELSE 'test' END AS split
        |  FROM documents),
        |ex AS (SELECT fp FROM s WHERE split = 'train' GROUP BY fp),
-       |te AS (SELECT doc_id, lang, fp, ${d.shingleHashSet("text")} AS hs
-       |  FROM s WHERE split = 'test' AND ${d.size(d.split("text"))} >= 3),
+       |te AS (SELECT doc_id, lang, fp,
+       |    CASE WHEN ${d.size(d.split("text"))} >= 3
+       |      THEN ${d.shingleHashSet("text")}
+       |      ELSE ${d.emptyBigintArr} END AS hs
+       |  FROM s WHERE split = 'test'),
        |trg AS (SELECT DISTINCT g FROM (
        |    SELECT ${d.shingleHashSet("text")} AS hs FROM s
        |    WHERE split = 'train' AND ${d.size(d.split("text"))} >= 3) t
@@ -1350,10 +1364,11 @@ object ExtQueries {
        |    LEFT JOIN ov ON te.doc_id = ov.doc_id)
        |SELECT lang AS l, COUNT(*) AS n_test_docs,
        |  CAST(SUM(exact_leak) AS BIGINT) AS n_exact_leaked,
-       |  CAST(${d.intDiv("SUM(1000 * n_hit)", "SUM(n_g)")} AS BIGINT)
+       |  CAST(CASE WHEN SUM(n_g) = 0 THEN 0
+       |    ELSE ${d.intDiv("SUM(1000 * n_hit)", "SUM(n_g)")} END AS BIGINT)
        |    AS gram_overlap_milli,
-       |  CAST(SUM(CASE WHEN 1000 * n_hit >= 500 * n_g THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_flagged
+       |  CAST(SUM(CASE WHEN n_g > 0 AND 1000 * n_hit >= 500 * n_g
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
        |FROM doc GROUP BY lang""".stripMargin
   }
 
@@ -2074,15 +2089,17 @@ object ExtQueries {
       }
       val out = Tables.cachePath(dir, "line_scrub_docs")
       if (!new java.io.File(out, "_SUCCESS").exists()) {
-        // the batch-derived duplicated-line index (static relation)
-        val dup = spark.sql(
+        // the batch-derived duplicated-line index (static relation) —
+        // cached so multi-batch AvailableNow drains don't re-run the
+        // corpus-wide index aggregation per micro-batch
+        val dup = cacheOnce(spark.sql(
           s"""SELECT h FROM (
              |  SELECT h, doc_id FROM (
              |    SELECT doc_id, ${SparkD.intDiv("e", "1048576")} AS h
              |    FROM (${lineDedupSegSql(SparkD)}) sg
              |    ${SparkD.explode("hl", "e")}) x
              |  GROUP BY h, doc_id) hd
-             |GROUP BY h HAVING COUNT(*) >= 2""".stripMargin)
+             |GROUP BY h HAVING COUNT(*) >= 2""".stripMargin))
         val schema = spark.read.format("columnfile").load(src).schema
         val stream = spark.readStream.format("columnfile")
           .schema(schema).load(src)
@@ -3116,13 +3133,13 @@ object ExtQueries {
       graft.multimodal.MultimodalOps.dhashBands(existing, "payload")
         .select("doc_id", "b0", "b1", "b2", "b3", "pdigest")
         .createOrReplaceTempView("m06t_h")
-      spark.sql(
+      cacheOnce(spark.sql(
         s"""SELECT MIN(doc_id) AS rep, MIN(b0) AS b0, MIN(b1) AS b1,
            |  MIN(b2) AS b2, MIN(b3) AS b3, pdigest
-           |FROM m06t_h GROUP BY pdigest""".stripMargin)
+           |FROM m06t_h GROUP BY pdigest""".stripMargin))
         .createOrReplaceTempView("m06t_idx")
-      graft.multimodal.MultimodalOps.dhashBands(arrivals, "payload")
-        .select("doc_id", "b0", "b1", "b2", "b3", "pdigest")
+      cacheOnce(graft.multimodal.MultimodalOps.dhashBands(arrivals, "payload")
+        .select("doc_id", "b0", "b1", "b2", "b3", "pdigest"))
         .createOrReplaceTempView("m06t_arr")
       spark.sql("WITH " + m06Body(SparkD, "m06t_idx", "m06t_arr"))
     }
@@ -3247,7 +3264,10 @@ object ExtQueries {
     * over 64 bits guarantees >= 1 of 4 bands equal), exact hamming
     * verify via XOR popcount on candidates only, bounded histogram
     * readout (hamming -> pair count + an order-insensitive pair
-    * checksum pinning WHICH pairs matched).
+    * checksum pinning WHICH pairs matched). The histogram stops at
+    * hamming 3 — the pigeonhole-COMPLETE range; a hamming-4 bucket
+    * would look authoritative while silently missing pairs whose 4
+    * flipped bits land one per band.
     */
   private def m04Body(d: Dial, h: String): String = {
     val probes = d match {
@@ -3277,7 +3297,7 @@ object ExtQueries {
        |    JOIN $h y ON cand.j = y.doc_id)
        |SELECT hamming, COUNT(*) AS n_pairs,
        |  CAST(SUM(((i % $P) * 31 + (j % $P)) % $P) % $P AS BIGINT) AS checksum
-       |FROM ver WHERE hamming <= 4 GROUP BY hamming""".stripMargin
+       |FROM ver WHERE hamming <= 3 GROUP BY hamming""".stripMargin
   }
 
   /** m04: perceptual-hash image near-dup — image dedup as a first-class
@@ -3372,7 +3392,7 @@ object ExtQueries {
        |SELECT hamming, COUNT(*) AS n_rep_pairs,
        |  CAST(SUM(mult) AS BIGINT) AS raw_pairs,
        |  CAST(SUM(((i % $P) * 31 + (j % $P)) % $P) % $P AS BIGINT) AS checksum
-       |FROM ver WHERE hamming <= 4 GROUP BY hamming""".stripMargin
+       |FROM ver WHERE hamming <= 3 GROUP BY hamming""".stripMargin
   }
 
   private def m05RepsSql(d: Dial, h: String): String =
@@ -3446,7 +3466,10 @@ object ExtQueries {
     * (doc_id, b0..b3, pdigest): band-probe candidates, best match per
     * arrival by (hamming, rep), verdict rollup. `exact` = identical
     * raster (digest match, checked on the best band-mate), `dup` =
-    * hamming <= 4, `new` = no band-sharing rep at all (or over the
+    * hamming <= 3 (the pigeonhole-complete range: 4 bands of 16 bits
+    * guarantee a shared band only up to 3 flipped bits, so any wider
+    * threshold would emit a bucket that silently misses pairs),
+    * `new` = no band-sharing rep at all (or over the
     * line). Shared verbatim by the Spark stream readout side and the
     * closed-form oracle.
     */
@@ -3491,15 +3514,15 @@ object ExtQueries {
        |best AS (SELECT doc_id, rep, hamming, is_exact FROM (
        |    SELECT doc_id, rep, hamming, is_exact,
        |      ROW_NUMBER() OVER (PARTITION BY doc_id
-       |        ORDER BY hamming, rep) AS rn
+       |        ORDER BY hamming, is_exact DESC, rep) AS rn
        |    FROM scored) b WHERE rn = 1),
        |vd AS (SELECT a.doc_id,
-       |    CASE WHEN best.doc_id IS NULL OR best.hamming > 4 THEN 'new'
+       |    CASE WHEN best.doc_id IS NULL OR best.hamming > 3 THEN 'new'
        |         WHEN best.is_exact = 1 THEN 'exact'
        |         ELSE 'dup' END AS verdict,
-       |    COALESCE(CASE WHEN best.hamming <= 4 THEN best.hamming END, -1)
+       |    COALESCE(CASE WHEN best.hamming <= 3 THEN best.hamming END, -1)
        |      AS ham,
-       |    COALESCE(CASE WHEN best.hamming <= 4 THEN best.rep END, -1)
+       |    COALESCE(CASE WHEN best.hamming <= 3 THEN best.rep END, -1)
        |      AS mrep
        |  FROM $arr a LEFT JOIN best ON a.doc_id = best.doc_id)
        |SELECT verdict, ham AS hamming, COUNT(*) AS n_arrivals,
@@ -3560,13 +3583,20 @@ object ExtQueries {
           .schema(schema).load(src)
         val q = stream.writeStream
           .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
-            graft.multimodal.MultimodalOps.dhashBands(df, "payload")
+            // cache the per-batch decode: m06Body references the
+            // arrival relation 3x (probes + scored + vd), and an
+            // uncached view would re-run the PGM decode seam per
+            // reference (the d16 class)
+            val arr = graft.multimodal.MultimodalOps
+              .dhashBands(df, "payload")
               .select("doc_id", "b0", "b1", "b2", "b3", "pdigest")
-              .createOrReplaceTempView("q64_arr")
-            df.sparkSession
+              .cache()
+            arr.createOrReplaceTempView("q64_arr")
+            try df.sparkSession
               .sql("WITH " + m06Body(SparkD, "q64_idx", "q64_arr"))
               .write.format("columnfile")
               .mode(if (id == 0L) "overwrite" else "append").save(out)
+            finally arr.unpersist()
             ()
           }
           .option("checkpointLocation", out + "_ckpt")
@@ -3632,7 +3662,8 @@ object ExtQueries {
        |cent AS (
        |  SELECT clabel, centroid,
        |    sqrt(${d.dot("centroid", "centroid")}) AS cnorm
-       |  FROM cent0),
+       |  FROM cent0
+       |  WHERE ${d.dot("centroid", "centroid")} > 0),
        |emb AS (
        |  SELECT vec_id, label, embedding,
        |    sqrt(${d.dot("embedding", "embedding")}) AS enorm

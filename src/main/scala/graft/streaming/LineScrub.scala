@@ -34,7 +34,12 @@ object LineScrub {
       .selectExpr("doc_id", s"$segExpr AS hl")
       .selectExpr("doc_id", "explode(hl) AS e")
       .selectExpr("doc_id", "(e div 1048576) AS h", "(e % 1048576) AS pos")
-      .join(broadcast(dup.select(col("h"), lit(1).as("is_dup"))),
+      // no broadcast hint: the index is broadcastable when small (the
+      // planner's stats decide) but at the documented 100 TB design
+      // point a corpus-sized duplicated-line index must be free to
+      // fall back to a shuffled equi-join instead of OOMing a forced
+      // broadcast
+      .join(dup.select(col("h"), lit(1).as("is_dup")),
         Seq("h"), "left_outer")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_seg"),
