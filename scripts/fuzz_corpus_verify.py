@@ -34,7 +34,13 @@ QUERIES = ",".join(
     # events-based batch family: time-series agg, sessionization twin,
     # as-of/range/interval/salted joins, funnel (ties + boundaries are
     # where tie-break discipline would crack)
-    ["q17_", "q18_", "q50_", "q51_", "q52_", "q53_", "q55_"])
+    ["q17_", "q18_", "q50_", "q51_", "q52_", "q53_", "q55_"] +
+    # relational shared-SQL family over fuzzed lineitem/orders: the
+    # integer-cents discipline's ROUND(double) is the divergence
+    # surface (Spark rounds the decimal string, DuckDB the binary
+    # double — .5-cent-boundary prices are the adversarial case)
+    [f"q{i:02d}_" for i in range(1, 17)] +
+    ["q28_", "q29_", "q30_", "q31_", "q32_", "q43_"])
 
 WORDS = ("the a of and to in is it for on big data spark row column "
          "merge sort join filter agg window hash key value stream batch "
@@ -111,16 +117,49 @@ def gen_events(rng, n, adversarial):
     return rows
 
 
+def gen_orders_lineitem(rng, n_orders, adversarial):
+    """FK-consistent orders + lineitem over the copied dimensions
+    (custkey 0..149, partkey 0..199, suppkey 0..9)."""
+    base_us = 820_454_400_000_000  # 1996-01-01, inside the fixture range
+    orders, items = [], []
+    for o in range(n_orders):
+        od = base_us + rng.randrange(0, 2000) * 86_400_000_000
+        price = round(rng.uniform(1, 100000), 2)
+        if adversarial and o % 19 == 0:
+            price = rng.choice([2.675, 0.615, 10.005, 1.005, 99999.995])
+        orders.append((o, rng.randrange(150), rng.choice("POF"), price,
+                       od, f"{1 + o % 5}-PRIO"))
+        for ln in range(1, 1 + rng.randrange(1, 5)):
+            qty = float(rng.randrange(1, 51))
+            ep = round(rng.uniform(1, 90000), 2)
+            disc = round(rng.uniform(0, 0.1), 2)
+            tax = round(rng.uniform(0, 0.08), 2)
+            if adversarial and (o + ln) % 17 == 0:
+                # .5-cent-boundary products: ep*(1-disc)*100 lands near
+                # x.5 — where engine ROUND semantics could split
+                ep, disc = 2.675, 0.0
+            if adversarial and (o + ln) % 23 == 0:
+                ep = 0.005
+            ship = od + rng.randrange(-30, 120) * 86_400_000_000
+            items.append((o, rng.randrange(200), rng.randrange(10), ln,
+                          qty, ep, disc, tax, rng.choice("NAR"),
+                          rng.choice("OF"), ship))
+    if adversarial and items:
+        # duplicate (orderkey, linenumber) — at-least-once ingest shape
+        items.append(items[0])
+    return orders, items
+
+
 def build_corpus(seed, base, out, adversarial):
     import duckdb
     rng = random.Random(seed)
     if os.path.exists(out):
         shutil.rmtree(out)
     os.makedirs(out)
+    fuzzed = ("documents.parquet", "embeddings.parquet", "events.parquet",
+              "orders.parquet", "lineitem.parquet")
     for f in os.listdir(base):
-        if f.endswith(".parquet") and f not in ("documents.parquet",
-                                                "embeddings.parquet",
-                                                "events.parquet"):
+        if f.endswith(".parquet") and f not in fuzzed:
             shutil.copy(os.path.join(base, f), os.path.join(out, f))
     con = duckdb.connect()
     docs = gen_documents(rng, 400, adversarial)
@@ -141,6 +180,25 @@ def build_corpus(seed, base, out, adversarial):
     con.execute(f"""COPY (SELECT event_id, make_timestamp(ts_us) AS ts,
         user_id, event_type, value, props FROM ev0)
         TO '{out}/events.parquet' (FORMAT PARQUET)""")
+    orders, items = gen_orders_lineitem(rng, 500, adversarial)
+    con.execute("CREATE TABLE o0 (o_orderkey BIGINT, o_custkey BIGINT, "
+                "o_orderstatus VARCHAR, o_totalprice DOUBLE, "
+                "od_us BIGINT, o_orderpriority VARCHAR)")
+    con.executemany("INSERT INTO o0 VALUES (?, ?, ?, ?, ?, ?)", orders)
+    con.execute(f"""COPY (SELECT o_orderkey, o_custkey, o_orderstatus,
+        o_totalprice, make_timestamp(od_us) AS o_orderdate,
+        o_orderpriority FROM o0)
+        TO '{out}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute("CREATE TABLE l0 (l_orderkey BIGINT, l_partkey BIGINT, "
+                "l_suppkey BIGINT, l_linenumber INT, l_quantity DOUBLE, "
+                "l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, "
+                "l_returnflag VARCHAR, l_linestatus VARCHAR, sd_us BIGINT)")
+    con.executemany("INSERT INTO l0 VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                    items)
+    con.execute(f"""COPY (SELECT l_orderkey, l_partkey, l_suppkey,
+        l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+        l_returnflag, l_linestatus, make_timestamp(sd_us) AS l_shipdate
+        FROM l0) TO '{out}/lineitem.parquet' (FORMAT PARQUET)""")
 
 
 def main():
