@@ -194,8 +194,13 @@ object ColumnFileReader {
     val cur = new Cursor(0)
     val compression = Varint.get(header, cur)
     val fieldCount = Varint.get(header, cur)
-    if (fieldCount > Int.MaxValue)
-      throw new CorruptColumnFileException("unreasonable field count")
+    // bound by what the header could possibly encode (each field is two
+    // varints >= 1 byte each) BEFORE allocating: a corrupt header
+    // declaring e.g. 500M fields would otherwise allocate gigabytes and
+    // OOM the task instead of raising the clean corruption error
+    // (fuzz-corpus-found — the declared count is attacker-controlled)
+    if (fieldCount < 0 || fieldCount > (header.length - cur.pos) / 2)
+      throw new CorruptColumnFileException("field count exceeds header capacity")
     val fields = new Array[(Int, Long)](fieldCount.toInt)
     var i = 0
     while (i < fieldCount) {

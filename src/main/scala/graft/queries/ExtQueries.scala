@@ -3070,7 +3070,10 @@ object ExtQueries {
     imageDhashDedup,
     // m04's bounded twin: exact-dup images collapse by raster digest,
     // band join over representatives, pairs carry member counts.
-    imageDhashCollapsed
+    imageDhashCollapsed,
+    // Capstone composition: one plan dedups across text, image, and
+    // vector modalities with first-reason-wins precedence.
+    multimodalCurate
   )
 
   /** Spark-dialect SQL for DegenerateCorpusSpec: the candidate-generator
@@ -3126,6 +3129,10 @@ object ExtQueries {
     /** The q64 admission pipeline over planted (doc_id, payload)
       * relations — index build + arrival scoring in one batch call.
       */
+    def multimodalCurate(spark: org.apache.spark.sql.SparkSession,
+        payloads: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      multimodalCurateDF(spark, payloads)
     def imageAdmission(spark: org.apache.spark.sql.SparkSession,
         existing: org.apache.spark.sql.DataFrame,
         arrivals: org.apache.spark.sql.DataFrame)
@@ -3627,6 +3634,103 @@ object ExtQueries {
          |arr AS (SELECT doc_id, b0, b1, b2, b3, pdigest FROM h
          |  WHERE doc_id % 2 = 1),
          |${m06Body(DuckD, "idx", "arr")}""".stripMargin
+    })
+
+  /** The p15 verdict pipeline downstream of the per-doc relations:
+    * `ti` (doc_id, lang, tfp), `ih` (doc_id, pdigest); `embeddings` is
+    * the standard view (vec_id ≡ doc_id). STAGED elections: each
+    * modality's min-id keeper election runs among the PREVIOUS stage's
+    * survivors (text → image → vector), the composed-pass semantic — a
+    * doc already dropped for its text never wins a downstream image or
+    * vector election away from a surviving doc. Docs without a vector
+    * can only be text/image dups. The downstream keeper columns are
+    * NULL only for docs already dropped upstream, which the CASE order
+    * never consults.
+    */
+  private def m15Body(d: Dial, ti: String, ih: String): String =
+    s"""tk AS (SELECT tfp, MIN(doc_id) AS tkeep FROM $ti GROUP BY tfp),
+       |s1 AS (SELECT t.doc_id, t.lang FROM $ti t
+       |  JOIN tk ON t.tfp = tk.tfp WHERE tk.tkeep = t.doc_id),
+       |ik AS (SELECT i.pdigest, MIN(i.doc_id) AS ikeep FROM $ih i
+       |  JOIN s1 ON i.doc_id = s1.doc_id GROUP BY i.pdigest),
+       |s2 AS (SELECT s1.doc_id FROM s1
+       |  JOIN $ih i ON s1.doc_id = i.doc_id
+       |  JOIN ik ON i.pdigest = ik.pdigest
+       |  WHERE ik.ikeep = s1.doc_id),
+       |vk0 AS (SELECT e.embedding, MIN(e.vec_id) AS vkeep
+       |  FROM embeddings e JOIN s2 ON e.vec_id = s2.doc_id
+       |  GROUP BY e.embedding),
+       |vk AS (SELECT e.vec_id, vk0.vkeep FROM embeddings e
+       |  JOIN vk0 ON e.embedding = vk0.embedding),
+       |vd AS (SELECT t.doc_id, t.lang,
+       |    CASE WHEN tk.tkeep <> t.doc_id THEN 'text_dup'
+       |         WHEN ik.ikeep <> t.doc_id THEN 'image_dup'
+       |         WHEN vk.vkeep IS NOT NULL AND vk.vkeep <> t.doc_id
+       |           THEN 'vector_dup'
+       |         ELSE 'keep' END AS verdict
+       |  FROM $ti t
+       |  JOIN tk ON t.tfp = tk.tfp
+       |  JOIN $ih i ON t.doc_id = i.doc_id
+       |  LEFT JOIN ik ON i.pdigest = ik.pdigest
+       |  LEFT JOIN vk ON t.doc_id = vk.vec_id)
+       |SELECT lang AS l, verdict, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id % $P) % $P AS BIGINT) AS checksum
+       |FROM vd GROUP BY lang, verdict""".stripMargin
+
+  /** p15: multimodal curation — the capstone composition: one
+    * declarative plan dedups a document corpus across ALL THREE
+    * modalities at once (exact text via md5, exact image via the
+    * raster digest from the REAL decode seam, exact vector via
+    * embedding-value collapse), with STAGED elections — each
+    * modality's min-id keeper election runs among the previous stage's
+    * survivors (text → image → vector), so a doc dropped upstream
+    * never wins a downstream election away from a surviving doc — and
+    * a per-(lang, verdict) accounting rollup: the admission matrix a
+    * multimodal training-data build reports per pass. Each stage's
+    * keeper rule is the min-id collapse the bounded twins
+    * (d12/d14/m05) already use. Scale
+    * shape: three independent hash-collapse aggregates (each
+    * partial-aggregable, keyed by digest/value), three equi-joins back
+    * on doc-level keys, zero pair stages anywhere — the entire pass is
+    * linear in the corpus regardless of duplication structure. The
+    * oracle recomputes the image digest from the planted pixel formula
+    * in closed form, so the seam stays bug-detecting even inside the
+    * composition.
+    */
+  /** The p15 pipeline over an arbitrary (doc_id, payload) relation —
+    * shared by the query (planted payloads, injective in doc_id, so
+    * the image branch idles on the synthetic corpus) and the intent
+    * spec (which plants dups in every modality). `documents` and
+    * `embeddings` come from the session's views.
+    */
+  private def multimodalCurateDF(spark: org.apache.spark.sql.SparkSession,
+      payloads: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.multimodal.MultimodalOps.dhashBands(payloads, "payload")
+      .select("doc_id", "pdigest")
+      .createOrReplaceTempView("p15_ih")
+    spark.sql(
+      """SELECT doc_id, lang, md5(text) AS tfp FROM documents""")
+      .createOrReplaceTempView("p15_ti")
+    spark.sql("WITH " + m15Body(SparkD, "p15_ti", "p15_ih"))
+  }
+
+  private def multimodalCurate: Q = Q("p15_multimodal_curate",
+    (spark, dir) => {
+      val sp = spark; import sp.implicits._
+      Tables.registerAll(spark, dir)
+      val ids = Tables.t(spark, dir, "documents").select("doc_id").as[Long]
+      val payloads = ids.map(id => (id, plantedPgm(id)))
+        .toDF("doc_id", "payload")
+      multimodalCurateDF(spark, payloads)
+    }, Some {
+      s"""WITH dd AS (SELECT doc_id, lang, md5(text) AS tfp,
+         |    doc_id // 5 AS g, doc_id % 5 AS r
+         |  FROM documents),
+         |ti AS (SELECT doc_id, lang, tfp FROM dd),
+         |ih AS (SELECT doc_id, ${m04PixDigestExpr(DuckD)} AS pdigest
+         |  FROM dd),
+         |${m15Body(DuckD, "ti", "ih")}""".stripMargin
     })
 
   /** IVF-style coarse quantization, oracle-checked: per-label centroids,

@@ -42,6 +42,24 @@ class MalformedInputSpec extends AnyFunSuite {
     assertThrows[CorruptColumnFileException](drain(v.take(v.length - 3)))
   }
 
+  test("field count exceeding header capacity is rejected before allocating") {
+    // A corrupt header declaring ~500M fields must raise the clean
+    // corruption error, NOT attempt a ~4 GB array allocation (the OOM
+    // class the AFL corpus exposed flakily under heap pressure): each
+    // field needs at least two header bytes, so any count beyond the
+    // header's remaining capacity is provably corrupt.
+    val header = new ByteBuf()
+    Varint.put(header, 0L)           // compression
+    Varint.put(header, 500000000L)   // absurd field count, tiny header
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(ColumnFile.Magic)
+    val n = header.size
+    bos.write(Array[Byte]((n >>> 24).toByte, (n >>> 16).toByte,
+      (n >>> 8).toByte, n.toByte))
+    bos.write(header.buf, 0, n)
+    assertThrows[CorruptColumnFileException](drain(bos.toByteArray))
+  }
+
   test("nonzero reserved varint") {
     // Hand-build a chunk whose value stream has reserved != 0.
     val block = new ByteBuf()

@@ -311,6 +311,36 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"flagged $nFlagged")
   }
 
+  test("p15: first-reason-wins verdicts across text, image, and vector dups") {
+    val sp = spark; import sp.implicits._
+    val texts = Map(
+      0L -> "zero doc words here", 1L -> "shared text body",
+      2L -> "shared text body", // text dup of 1 (and image dup of 9)
+      3L -> "three doc words", 4L -> "four doc words",
+      5L -> "five doc words", 6L -> "six doc words",
+      7L -> "seven doc words", 8L -> "eight doc words",
+      9L -> "nine doc words")
+    texts.toSeq.map { case (i, t) => (i, t, "en") }
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    def vec(seed: Int) = Array.tabulate(64)(j => (seed * 31 + j) / 100.0f)
+    // docs 3 and 4 share a vector -> 4 is a vector dup
+    Seq(0L -> vec(0), 1L -> vec(1), 2L -> vec(2), 3L -> vec(9),
+      4L -> vec(9), 5L -> vec(5), 6L -> vec(6), 7L -> vec(7),
+      8L -> vec(8), 9L -> vec(10))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+    // docs 5 and 6 share an image -> 6 is an image dup; doc 2 shares an
+    // image with doc 9 but is ALSO a text dup -> precedence says text
+    val img = Map(2L -> 9L, 6L -> 5L) // alias -> canonical planted image
+    val payloads = texts.keys.toSeq.sorted
+      .map(i => (i, ExtQueries.TestSql.plantedImage(img.getOrElse(i, i))))
+      .toDF("doc_id", "payload")
+
+    val got = ExtQueries.TestSql.multimodalCurate(spark, payloads)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map("keep" -> 7L, "text_dup" -> 1L,
+      "image_dup" -> 1L, "vector_dup" -> 1L), s"verdicts: $got")
+  }
+
   test("v09: perfect recall when buckets hold the truth; honest zero under the cap") {
     val sp = spark; import sp.implicits._
     def emb(rows: Int): Unit =
