@@ -285,7 +285,7 @@ object MultimodalOps {
   def dhashBands(df: DataFrame, binaryCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ ((0 until 4).map(t =>
       StructField(s"b$t", LongType, nullable = true)) :+
-      StructField("pdigest", LongType, nullable = true)))
+      StructField("pdigest", StringType, nullable = true)))
     val binIdx = df.schema.fieldIndex(binaryCol)
     implicit val enc = RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
@@ -309,13 +309,26 @@ object MultimodalOps {
               }
               v: Any
             }
-            // exact-duplicate collapse key: rolling hash of the RAW
-            // raster bytes in index order (mod the shared Mersenne
-            // prime) — equal payloads, not merely equal hashes
-            var d = 0L
+            // exact-duplicate collapse key: FOUR independent rolling
+            // hashes of the RAW raster bytes in index order (distinct
+            // multipliers, mod the shared Mersenne prime), joined into
+            // one ~124-bit string key. A single 31-bit hash birthday-
+            // collides past ~65k images — far below the 100 TB design
+            // point — and a collision would merge distinct images under
+            // one representative. 124 bits pushes expected collisions
+            // past ~2^62 images. Each component stays closed-form
+            // recomputable by the SQL oracle (pixel-formula fold).
+            val hs = Array(0L, 0L, 0L, 0L)
             var i = 0
-            while (i < px.length) { d = (d * 31 + (px(i) & 0xff)) % 2147483647L; i += 1 }
-            bs :+ (d: Any)
+            while (i < px.length) {
+              val b = px(i) & 0xff
+              hs(0) = (hs(0) * 31 + b) % 2147483647L
+              hs(1) = (hs(1) * 37 + b) % 2147483647L
+              hs(2) = (hs(2) * 41 + b) % 2147483647L
+              hs(3) = (hs(3) * 43 + b) % 2147483647L
+              i += 1
+            }
+            bs :+ (hs.mkString(":"): Any)
           case _ => Seq[Any](null, null, null, null, null)
         }
         Row.fromSeq(r.toSeq ++ bands)

@@ -902,7 +902,12 @@ object ExtQueries {
          |    FROM scored) x WHERE rn = 1),
          |kept AS (
          |  SELECT doc_id FROM documents
-         |  WHERE doc_id NOT IN (SELECT id FROM cc_labels)
+         |  -- NOT EXISTS, not NOT IN: doc_id is nullable in the parquet-derived
+         |  -- schema, so NOT IN would plan a null-aware anti join, which Spark
+         |  -- executes ONLY as a broadcast (corpus-proportional build side at
+         |  -- 100 TB). NOT EXISTS on the never-null cc_labels.id rewrites to a
+         |  -- plain shuffled left-anti join. Semantics identical here.
+         |  WHERE NOT EXISTS (SELECT 1 FROM cc_labels cl WHERE cl.id = documents.doc_id)
          |  UNION ALL
          |  SELECT id AS doc_id FROM reps),
          |final AS (
@@ -2088,7 +2093,11 @@ object ExtQueries {
           .write.format("columnfile").mode("overwrite").save(src)
       }
       val out = Tables.cachePath(dir, "line_scrub_docs")
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
+      if (!new java.io.File(out, "_COMPLETE").exists()) {
+        // no completion marker -> partial or absent output; rebuild from
+        // scratch (a half-written dir + stale checkpoint cannot be
+        // resumed into deterministically)
+        Tables.rmrf(out); Tables.rmrf(out + "_ckpt")
         // the batch-derived duplicated-line index (static relation) —
         // cached so multi-batch AvailableNow drains don't re-run the
         // corpus-wide index aggregation per micro-batch
@@ -2105,18 +2114,28 @@ object ExtQueries {
           .schema(schema).load(src)
         val q = stream.writeStream
           .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            // EXACTLY-ONCE per batch: each micro-batch overwrites its own
+            // batchId-keyed partition dir, so a replayed batch (crash
+            // between write and checkpoint commit, or task retry) lands
+            // on top of its own previous attempt instead of appending
+            // duplicate per-doc records (the at-least-once shape
+            // mode(append) had)
             graft.streaming.LineScrub
               .perDocRecords(df, dup, lineScrubSegExpr)
               .write.format("columnfile")
-              .mode(if (id == 0L) "overwrite" else "append").save(out)
+              .mode("overwrite").save(s"$out/batch=$id")
             ()
           }
           .option("checkpointLocation", out + "_ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        new java.io.File(out, "_COMPLETE").createNewFile()
       }
-      spark.read.format("columnfile").load(out)
+      // one cf table per micro-batch: multi-path union scan (q24's path)
+      val batchDirs = Option(new java.io.File(out).listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory).map(_.getPath).sorted
+      spark.read.format("columnfile").load(batchDirs.toIndexedSeq: _*)
         .createOrReplaceTempView("cf_line_scrub")
       spark.sql(
         s"""WITH doc AS (SELECT p.doc_id, d.lang, p.n_seg, p.n_rm,
@@ -3349,8 +3368,11 @@ object ExtQueries {
        |${m04Body(DuckD, "h")}""".stripMargin
   })
 
-  /** The closed-form twin of the seam's raster digest: rolling hash of
-    * the 288 planted pixel values in index order, mod P.
+  /** The closed-form twin of the seam's raster digest: FOUR independent
+    * rolling hashes of the 288 planted pixel values in index order
+    * (multipliers 31/37/41/43, each mod P), joined ':' into the same
+    * ~124-bit string key the decode seam emits — one 31-bit hash would
+    * birthday-collide past ~65k images, merging distinct images.
     */
   private def m04PixDigestExpr(d: Dial): String = {
     val base =
@@ -3360,7 +3382,10 @@ object ExtQueries {
       case SparkD => "sequence(0, 287)"
       case DuckD  => "range(0, 288)"
     }
-    d.fold0(d.transform(seq, "i", pix), "acc", "v", s"(acc * 31 + v) % $P")
+    val folds = Seq(31, 37, 41, 43).map(m =>
+      d.str(d.fold0(d.transform(seq, "i", pix), "acc", "v",
+        s"(acc * $m + v) % $P")))
+    s"CONCAT(${folds.mkString(", ':', ")})"
   }
 
   /** The m05 pipeline downstream of the per-rep relation `reps`
@@ -3570,7 +3595,11 @@ object ExtQueries {
           .write.format("columnfile").mode("overwrite").save(src)
       }
       val out = Tables.cachePath(dir, "image_admission_log")
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
+      if (!new java.io.File(out, "_COMPLETE").exists()) {
+        // no completion marker -> partial or absent output; rebuild (a
+        // half-written dir + stale checkpoint cannot be resumed into
+        // deterministically)
+        Tables.rmrf(out); Tables.rmrf(out + "_ckpt")
         // the existing corpus's rep index (m05's collapse, even ids)
         val existing = Tables.t(spark, dir, "documents")
           .select("doc_id").as[Long]
@@ -3599,10 +3628,14 @@ object ExtQueries {
               .select("doc_id", "b0", "b1", "b2", "b3", "pdigest")
               .cache()
             arr.createOrReplaceTempView("q64_arr")
+            // EXACTLY-ONCE per batch: the batch's grouped partial
+            // overwrites its own batchId-keyed dir — a replayed batch
+            // (crash between write and checkpoint commit, or retry)
+            // cannot double-count its partial the way mode(append) could
             try df.sparkSession
               .sql("WITH " + m06Body(SparkD, "q64_idx", "q64_arr"))
               .write.format("columnfile")
-              .mode(if (id == 0L) "overwrite" else "append").save(out)
+              .mode("overwrite").save(s"$out/batch=$id")
             finally arr.unpersist()
             ()
           }
@@ -3610,8 +3643,12 @@ object ExtQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        new java.io.File(out, "_COMPLETE").createNewFile()
       }
-      spark.read.format("columnfile").load(out)
+      // one cf table per micro-batch: multi-path union scan (q24's path)
+      val q64Dirs = Option(new java.io.File(out).listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory).map(_.getPath).sorted
+      spark.read.format("columnfile").load(q64Dirs.toIndexedSeq: _*)
         .createOrReplaceTempView("cf_image_admissions")
       spark.sql(
         s"""SELECT verdict, hamming, CAST(SUM(n_arrivals) AS BIGINT)
@@ -3706,8 +3743,17 @@ object ExtQueries {
   private def multimodalCurateDF(spark: org.apache.spark.sql.SparkSession,
       payloads: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // NULL pdigest (unparseable image) coalesces to a per-doc-unique
+    // sentinel BEFORE the image election: the ik/s2 stages inner-join on
+    // pdigest, so a NULL would silently drop the doc from the survivor
+    // chain — it would neither participate in nor be subject to the
+    // vector election (two unparseable-image docs sharing an embedding
+    // would both report 'keep'). The 'u'-prefixed sentinel cannot
+    // collide with a real digest (those start with a digit), so
+    // unparseable images are unique-by-construction and flow into s2/vk.
     graft.multimodal.MultimodalOps.dhashBands(payloads, "payload")
-      .select("doc_id", "pdigest")
+      .selectExpr("doc_id",
+        "COALESCE(pdigest, CONCAT('u', doc_id)) AS pdigest")
       .createOrReplaceTempView("p15_ih")
     spark.sql(
       """SELECT doc_id, lang, md5(text) AS tfp FROM documents""")

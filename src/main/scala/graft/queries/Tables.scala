@@ -159,6 +159,17 @@ object Tables {
     dirStamps.remove(dir); ()
   }
 
+  /** Recursive delete (no-op on a missing path) — cache-dir maintenance
+    * for query paths that must rebuild a partial or stale output.
+    */
+  def rmrf(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   /** Cache location for a columnfile copy of `dir`'s `name` table. */
   def cachePath(dir: String, name: String): String = {
     val key = java.lang.Integer.toHexString(dir.hashCode) + "-" + dirStamp(dir)

@@ -341,6 +341,31 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "image_dup" -> 1L, "vector_dup" -> 1L), s"verdicts: $got")
   }
 
+  test("p15: unparseable images stay in the survivor chain (NULL pdigest sentinel)") {
+    val sp = spark; import sp.implicits._
+    // Two docs whose payloads fail the PGM parse but which SHARE an
+    // embedding: a NULL image digest must not drop them from the
+    // survivor chain (the ik/s2 stages inner-join on pdigest) — with
+    // the per-doc-unique sentinel each is unique-by-construction in the
+    // image stage, and the VECTOR election still sees both, so exactly
+    // one survives and the other is a vector_dup. Before the sentinel,
+    // both silently vanished from s2/vk and both reported 'keep'.
+    Seq((0L, "zero unique words", "en"), (1L, "one unique words", "en"),
+      (2L, "two unique words", "en"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    def vec(seed: Int) = Array.tabulate(64)(j => (seed * 31 + j) / 100.0f)
+    Seq(0L -> vec(7), 1L -> vec(7), 2L -> vec(3)) // 0 and 1 share a vector
+      .toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+    val garbage = Array[Byte]('n', 'o', 't', 'p', 'g', 'm')
+    val payloads = Seq(
+      (0L, garbage), (1L, garbage), // unparseable, byte-identical even
+      (2L, ExtQueries.TestSql.plantedImage(2L)))
+      .toDF("doc_id", "payload")
+    val got = ExtQueries.TestSql.multimodalCurate(spark, payloads)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map("keep" -> 2L, "vector_dup" -> 1L), s"verdicts: $got")
+  }
+
   test("v09: perfect recall when buckets hold the truth; honest zero under the cap") {
     val sp = spark; import sp.implicits._
     def emb(rows: Int): Unit =
