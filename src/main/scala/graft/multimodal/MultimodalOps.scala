@@ -291,7 +291,7 @@ object MultimodalOps {
     df.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](binIdx)
-        val bands: Seq[Any] = parsePgm(payload) match {
+        val bands: Seq[Any] = parseRaster(payload) match {
           case Some((18, 16, px)) =>
             def p(cx: Int, cy: Int): Int = px(cy * 18 + cx) & 0xff
             def avg(x: Int, y: Int): Int =
@@ -334,6 +334,108 @@ object MultimodalOps {
         Row.fromSeq(r.toSeq ++ bands)
       }
     }
+  }
+
+  /** Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER family, BI_RGB)
+    * into a grayscale raster: (width, height, top-down row-major bytes).
+    * The same no-codec class as the PGM choice — the container is a
+    * fixed-offset header walk plus raw pixel rows, parseable without
+    * image libraries. Handles the two BMP-specific layout quirks:
+    * rows are padded to 4-byte boundaries, and a POSITIVE biHeight
+    * means bottom-up row order (top-down only when biHeight < 0) — the
+    * parser normalizes both so downstream consumers (dHash, digests)
+    * see the same top-down raster a PGM yields. Grayscale is the
+    * integer BT.601 luma (299r + 587g + 114b) / 1000 — exact integer
+    * arithmetic, and r=g=b=v maps to v, so a gray BMP and a PGM of the
+    * same raster are byte-identical after decode (container-independent
+    * digests). Returns None on any malformed/unsupported input: wrong
+    * magic, non-BI_RGB compression, bpp != 24, or truncated pixel data.
+    */
+  def parseBmp(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def i32(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    val off = i32(10)
+    val dibSize = i32(14)
+    // BITMAPINFOHEADER (40) or its extensions (52/56/108/124): the
+    // fields we read sit at the same offsets in all of them
+    if (dibSize < 40) return None
+    val w = i32(18)
+    val hRaw = i32(22)
+    val bpp = u16(28)
+    val compression = i32(30)
+    if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0) return None
+    val h = math.abs(hRaw)
+    val bottomUp = hRaw > 0
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (off < 14 + dibSize || off.toLong + rowSize.toLong * h > b.length)
+      return None
+    if (w.toLong * h > (1 << 26)) return None // bound decode allocations
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (bottomUp) h - 1 - y else y
+      var x = 0
+      val base = off + srcRow * rowSize
+      while (x < w) {
+        val blue = b(base + x * 3) & 0xff
+        val green = b(base + x * 3 + 1) & 0xff
+        val red = b(base + x * 3 + 2) & 0xff
+        px(y * w + x) = ((299 * red + 587 * green + 114 * blue) / 1000).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** Container-blind raster decode: PGM first (cheap magic check), then
+    * BMP — the decode seam's single entry point, so every consumer
+    * (dHash bands, raster digests) is container-independent by
+    * construction.
+    */
+  def parseRaster(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    parsePgm(b).orElse(parseBmp(b))
+
+  /** Uncompressed 24-bit gray BMP (r=g=b) with the given top-down
+    * raster; `topDown = false` stores rows bottom-up with positive
+    * biHeight (the canonical layout), `true` stores them top-down with
+    * negative biHeight. Row stride pads to 4 bytes.
+    */
+  def bmpBytes(w: Int, h: Int, px: Array[Byte],
+      topDown: Boolean = false): Array[Byte] = {
+    require(px.length == w * h)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val out = java.nio.ByteBuffer.allocate(54 + rowSize * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(54 + rowSize * h) // file size
+    out.putInt(0)                // reserved
+    out.putInt(54)               // pixel data offset
+    out.putInt(40)               // BITMAPINFOHEADER
+    out.putInt(w)
+    out.putInt(if (topDown) -h else h)
+    out.putShort(1)              // planes
+    out.putShort(24)             // bpp
+    out.putInt(0)                // BI_RGB
+    out.putInt(rowSize * h)      // image size
+    out.putInt(2835).putInt(2835) // 72 DPI
+    out.putInt(0).putInt(0)      // palette
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val base = 54 + y * rowSize
+      var x = 0
+      while (x < w) {
+        val v = px(srcRow * w + x)
+        out.put(base + x * 3, v).put(base + x * 3 + 1, v)
+          .put(base + x * 3 + 2, v)
+        x += 1
+      }
+      y += 1
+    }
+    out.array()
   }
 
   /** PGM P5 container with the given raster. */

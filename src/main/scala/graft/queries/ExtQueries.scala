@@ -2295,6 +2295,127 @@ object ExtQueries {
     spark.sql("WITH " + dupSpanBody(SparkD, "dupspan_ex", "dupspan_sh"))
   }
 
+  /** Minimum width, in words, for a corpus-duplicated span to be CUT by
+    * d19 (the ExactSubstr removal threshold; Lee et al. 2022 cut 50 BPE
+    * tokens — 8 words is the proportional analog for the synthetic
+    * corpus's short documents). A span of W words = a run of W-2
+    * consecutive duplicated 3-word shingles.
+    */
+  private val SpanRmMinWords = 8
+
+  /** The positional word-hash scan d19 rewrites over: per doc, the
+    * polyhash of each word with its 0-based index encoded as
+    * h*2^20+i ([[Dial.withIdx]]) — same token stream the shingles are
+    * built from (`split(text)`), so shingle position i covers word
+    * positions i..i+2 exactly.
+    */
+  private def spanRmWordSql(d: Dial): String =
+    s"""SELECT doc_id, lang,
+       |  ${d.withIdx(d.transform(d.split("text"), "x", d.rollHash("x")))} AS wl
+       |FROM documents WHERE ${d.size(d.split("text"))} >= 1""".stripMargin
+
+  /** The decoded positional explode of the word scan. */
+  private def spanRmWordsFrom(d: Dial, wl: String): String =
+    s"""SELECT doc_id, lang, ${d.intDiv("e", "1048576")} AS wh,
+       |  e % 1048576 AS wpos
+       |FROM $wl ${d.explode("wl", "e")}""".stripMargin
+
+  /** Qualifying dup positions: shingle positions inside a maximal run of
+    * consecutive corpus-duplicated shingles whose word span
+    * (run_len + 2) reaches [[SpanRmMinWords]]. Same dup-index and
+    * gaps-and-islands machinery as d15, with the run length attached by
+    * a second window on the SAME (doc_id[, grp]) partitioning.
+    */
+  private def spanRmQqSql(d: Dial, ex: String): String =
+    s"""SELECT doc_id, pos FROM (
+       |  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY doc_id, grp) AS rlen
+       |  FROM (SELECT doc_id, pos,
+       |      pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |    FROM (SELECT e.doc_id, e.pos FROM $ex e
+       |      JOIN (SELECT h FROM (SELECT h, doc_id FROM $ex GROUP BY h, doc_id) hd
+       |            GROUP BY h HAVING COUNT(*) >= 2) dup ON e.h = dup.h) dex
+       |  ) runs) q
+       |WHERE rlen + 2 >= $SpanRmMinWords""".stripMargin
+
+  /** d19: ExactSubstr span REMOVAL — the composition d15 and d18 leave
+    * open: d15 SCORES a doc's longest corpus-duplicated contiguous span
+    * and d18 REMOVES duplicated fixed-width lines; this pass rewrites
+    * each document with every corpus-duplicated span of >=
+    * [[SpanRmMinWords]] words cut (Lee et al. 2022's actual
+    * intervention: drop the duplicated substring, keep the rest of the
+    * doc). A qualifying run of consecutive duplicated shingles covers
+    * word positions [min_pos, max_pos + 2]; since run positions are
+    * consecutive, that interval is exactly the union of each member
+    * shingle's 3-word window — so removed words come from a bounded x3
+    * positional expansion + DISTINCT, with NO range join anywhere
+    * (point-in-interval would otherwise plan a nested loop). Output is
+    * d18's accounting shape: per-(lang, removal-octile) histogram of
+    * docs with words kept/removed totals and an order-sensitive
+    * checksum of every doc's KEPT word sequence
+    * (SUM((wpos+1)*(wh mod 1000003)) mod P) — the rewritten corpus is
+    * pinned by the oracle without shipping text.
+    *
+    * Scale shape: candidate-free like d13/d15/d18 — one positional
+    * shingle explode (the d15 scan, shared cache), one HAVING>=2 hash
+    * aggregate for the dup index, one hash semi-join, two windows on
+    * one doc-keyed partitioning, a x3 expansion of qualifying
+    * positions, and one word-keyed equi LEFT JOIN. No pair stage; cost
+    * is linear in corpus size regardless of duplication structure.
+    */
+  private def spanRemovalBody(d: Dial, qq: String, words: String): String =
+    s"""rw AS (SELECT DISTINCT doc_id, wpos FROM (
+       |    SELECT doc_id, pos AS wpos FROM $qq
+       |    UNION ALL SELECT doc_id, pos + 1 FROM $qq
+       |    UNION ALL SELECT doc_id, pos + 2 FROM $qq) u),
+       |mk AS (SELECT w.doc_id, w.lang, w.wpos, w.wh,
+       |    CASE WHEN rw.wpos IS NULL THEN 1 ELSE 0 END AS keep
+       |  FROM $words w LEFT JOIN rw
+       |    ON w.doc_id = rw.doc_id AND w.wpos = rw.wpos),
+       |doc AS (SELECT doc_id, lang, COUNT(*) AS n_w,
+       |    CAST(SUM(1 - keep) AS BIGINT) AS n_rm,
+       |    CAST(SUM(CASE WHEN keep = 1
+       |      THEN ((wpos + 1) * (wh % 1000003)) % $P ELSE 0 END) % $P
+       |      AS BIGINT) AS kept_digest
+       |  FROM mk GROUP BY doc_id, lang)
+       |SELECT lang AS l,
+       |  CAST(${d.intDiv(s"LEAST(${d.intDiv("(1000 * n_rm)", "n_w")}, 999)",
+             "125")} AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_w) AS BIGINT) AS words_total,
+       |  CAST(SUM(n_rm) AS BIGINT) AS words_removed,
+       |  CAST(SUM(kept_digest) % $P AS BIGINT) AS checksum
+       |FROM doc GROUP BY lang, bucket""".stripMargin
+
+  /** Spark side shares d15's cached array scan (identical plan — the
+    * cache manager serves both) and re-explodes it per consumer; the
+    * qualifying-position relation `qq` is cached because the x3
+    * expansion references it three times (an inlined CTE would re-run
+    * the dup-index join + windows per reference — the d16 class).
+    */
+  private def spanRemovalDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val sh = cacheOnce(spark.sql(dupSpanShSql(SparkD)))
+    sh.createOrReplaceTempView("spanrm_sh")
+    spark.sql(dupSpanExFrom(SparkD, "spanrm_sh"))
+      .createOrReplaceTempView("spanrm_ex")
+    val qq = cacheOnce(spark.sql(spanRmQqSql(SparkD, "spanrm_ex")))
+    qq.createOrReplaceTempView("spanrm_qq")
+    spark.sql(spanRmWordSql(SparkD)).createOrReplaceTempView("spanrm_wl")
+    spark.sql(spanRmWordsFrom(SparkD, "spanrm_wl"))
+      .createOrReplaceTempView("spanrm_words")
+    spark.sql("WITH " + spanRemovalBody(SparkD, "spanrm_qq", "spanrm_words"))
+  }
+
+  private def spanRemoval: Q = Q("d19_span_removal", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spanRemovalDF(spark)
+  }, Some(s"""WITH sh AS (${dupSpanShSql(DuckD)}),
+             |ex AS (${dupSpanExFrom(DuckD, "sh")}),
+             |qq AS (${spanRmQqSql(DuckD, "ex")}),
+             |wl AS (${spanRmWordSql(DuckD)}),
+             |words AS (${spanRmWordsFrom(DuckD, "wl")}),
+             |${spanRemovalBody(DuckD, "qq", "words")}""".stripMargin))
+
   /** The array-valued positional segment scan d18 runs over: per doc,
     * the polyhashes of its fixed-width 10-word "lines" with positions
     * encoded as h*2^20+i ([[Dial.withIdx]]).
@@ -2976,6 +3097,9 @@ object ExtQueries {
     // Longest duplicated-shingle run per doc (ExactSubstr signal;
     // candidate-free, linear like d13).
     dupSpan,
+    // ExactSubstr span REMOVAL: rewrite docs with corpus-duplicated
+    // spans >= 8 words cut, checksum-pinned (d15 scores, d19 cuts).
+    spanRemoval,
     // Line-level exact dedup (C4/RefinedWeb sub-document pass):
     // duplicated 10-word lines removed corpus-wide, checksummed rewrite.
     lineDedup,
@@ -3090,6 +3214,9 @@ object ExtQueries {
     // m04's bounded twin: exact-dup images collapse by raster digest,
     // band join over representatives, pairs carry member counts.
     imageDhashCollapsed,
+    // Cross-container image dedup: PGM and BMP of the same raster must
+    // collapse under one rep (BMP = padded rows, bottom-up, BT.601).
+    imageBmpDedup,
     // Capstone composition: one plan dedups across text, image, and
     // vector modalities with first-reason-wins precedence.
     multimodalCurate
@@ -3123,6 +3250,8 @@ object ExtQueries {
         : org.apache.spark.sql.DataFrame = dupCoverageDF(spark)
     def dupSpan(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = dupSpanDF(spark)
+    def spanRemoval(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = spanRemovalDF(spark)
     def semanticDedup(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = semanticDedupDF(spark)
     val hll: String = hllSql(SparkD)
@@ -3445,17 +3574,22 @@ object ExtQueries {
     * decode seam; the oracle recomputes it from the planted pixel
     * formula in closed form).
     */
-  /** The planted m04/m05 image payload for a doc id. */
-  private def plantedPgm(id: Long): Array[Byte] = {
+  /** The planted m04/m05 raster for an id — the closed-form pixel
+    * formula both the decode seam and the SQL oracle compute.
+    */
+  private def plantedPx(id: Long): Array[Byte] = {
     val g = id / 5
     val r = id % 5
-    val px = Array.tabulate(288) { idx =>
+    Array.tabulate(288) { idx =>
       val base = ((g * (idx + 7) + (g / 251) * (idx.toLong * idx + 13) +
         idx.toLong * idx) % 251).toInt
       (if (idx == ((r * 53) % 288)) ((base + r * 29) % 251).toInt else base).toByte
     }
-    graft.multimodal.MultimodalOps.pgmBytes(18, 16, px)
   }
+
+  /** The planted m04/m05 image payload for a doc id. */
+  private def plantedPgm(id: Long): Array[Byte] =
+    graft.multimodal.MultimodalOps.pgmBytes(18, 16, plantedPx(id))
 
   /** The m05 pipeline over an arbitrary (doc_id, payload) relation —
     * shared by the query and the flood spec.
@@ -3484,6 +3618,49 @@ object ExtQueries {
         .map(t => s"CAST(${m04BandExpr(DuckD, t)} AS BIGINT) AS b$t")
         .mkString(",\n    ")
       s"""WITH dd AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS r
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    $bands,
+         |    ${m04PixDigestExpr(DuckD)} AS pdigest
+         |  FROM dd),
+         |reps AS (${m05RepsSql(DuckD, "h")}),
+         |${m05Body(DuckD, "reps")}""".stripMargin
+    })
+
+  /** m06: cross-container image dedup — the BMP member of the decode
+    * seam (uncompressed 24-bit BI_RGB: fixed-offset header walk + raw
+    * padded pixel rows, the same no-codec class as the PGM choice).
+    * The corpus plants each raster TWICE: doc 2k as a PGM and doc 2k+1
+    * as a BMP of the SAME planted pixels — the collapse stage must
+    * merge every such pair under one representative, which happens only
+    * if the BMP path (bottom-up row flip, 4-byte row padding, integer
+    * BT.601 luma with r=g=b) reproduces the PGM raster byte-for-byte.
+    * Downstream is exactly m05's bounded pipeline (collapse → rep-level
+    * band join → hamming histogram with multiplicity); the oracle
+    * recomputes bands and digests from the planted formula in closed
+    * form, container-blind — any parser divergence (a padding byte, a
+    * row-order flip, a luma rounding difference) splits a pair into two
+    * reps and breaks the hash match.
+    */
+  private def imageBmpDedup: Q = Q("m06_image_bmp_dedup",
+    (spark, dir) => {
+      val sp = spark; import sp.implicits._
+      Tables.registerAll(spark, dir)
+      val ids = Tables.t(spark, dir, "documents").select("doc_id").as[Long]
+      val payloads = ids.map { id =>
+        val px = plantedPx(id / 2)
+        val payload =
+          if (id % 2 == 0) graft.multimodal.MultimodalOps.pgmBytes(18, 16, px)
+          else graft.multimodal.MultimodalOps.bmpBytes(18, 16, px)
+        (id, payload)
+      }.toDF("doc_id", "payload")
+      imageDhashCollapsedDF(spark, payloads)
+    }, Some {
+      val bands = (0 until 4)
+        .map(t => s"CAST(${m04BandExpr(DuckD, t)} AS BIGINT) AS b$t")
+        .mkString(",\n    ")
+      s"""WITH dd AS (SELECT doc_id, (doc_id // 2) // 5 AS g,
+         |    (doc_id // 2) % 5 AS r
          |  FROM documents),
          |h AS (SELECT doc_id,
          |    $bands,

@@ -311,6 +311,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"flagged $nFlagged")
   }
 
+  test("d19: planted contiguous block removed from both carriers; scattered shingles kept") {
+    val sp = spark; import sp.implicits._
+    // A and B share a contiguous 10-word block (>= the 8-word removal
+    // threshold): the block is cut from BOTH docs, their own words
+    // survive. C and D share two isolated 3-word shingles (each a
+    // 1-shingle run, span 3 < 8): nothing is removed. E is unique.
+    // One lang per doc so the histogram keys per-doc outcomes.
+    val block = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q0"
+    val docs = Seq(
+      (1L, s"aa bb $block cc", "A"),              // 13 words, 10 cut
+      (2L, s"$block zz ww", "B"),                 // 12 words, 10 cut
+      (3L, "x1 x2 cm1 cm2 cm3 x3 x4 cm4 cm5 cm6 x5", "C"), // 11, 0 cut
+      (4L, "y1 cm1 cm2 cm3 y2 y3 cm4 cm5 cm6 y4", "D"),    // 10, 0 cut
+      (5L, "e1 e2 e3 e4 e5 e6", "E"))             // 6, 0 cut
+    docs.toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val got = ExtQueries.TestSql.spanRemoval(spark)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // (bucket, n_docs, words_total, words_removed)
+    assert(got("A") == ((6L, 1L, 13L, 10L)), s"A: ${got("A")}") // 769‰→oct 6
+    assert(got("B") == ((6L, 1L, 12L, 10L)), s"B: ${got("B")}") // 833‰→oct 6
+    assert(got("C") == ((0L, 1L, 11L, 0L)), s"C: ${got("C")}")
+    assert(got("D") == ((0L, 1L, 10L, 0L)), s"D: ${got("D")}")
+    assert(got("E") == ((0L, 1L, 6L, 0L)), s"E: ${got("E")}")
+  }
+
   test("p15: first-reason-wins verdicts across text, image, and vector dups") {
     val sp = spark; import sp.implicits._
     val texts = Map(

@@ -339,6 +339,47 @@ class ToolsAndMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hamming(h0, h2) > 4) // different group: no near-dup
   }
 
+  test("multimodal: BMP parse — padding, bottom-up vs top-down, luma, rejections") {
+    // a non-multiple-of-4 row width (18*3 = 54 -> stride 56) with an
+    // asymmetric raster: any padding or row-order bug changes bytes
+    val px = Array.tabulate(288)(i => ((i * 7 + i / 18) % 251).toByte)
+    val bottomUp = MultimodalOps.bmpBytes(18, 16, px)
+    val topDown = MultimodalOps.bmpBytes(18, 16, px, topDown = true)
+    assert(bottomUp.length == 54 + 56 * 16) // padded stride exercised
+    // both layouts decode to the SAME top-down raster
+    for (bmp <- Seq(bottomUp, topDown))
+      assert(MultimodalOps.parseBmp(bmp).exists {
+        case (w, h, p) => w == 18 && h == 16 && p.sameElements(px)
+      })
+    // container-independence: the BMP decodes byte-identically to the
+    // PGM of the same raster (the m06 collapse precondition)
+    assert(MultimodalOps.parseRaster(bottomUp).get._3
+      .sameElements(MultimodalOps.parseRaster(
+        MultimodalOps.pgmBytes(18, 16, px)).get._3))
+    // BT.601 luma on a non-gray pixel: r=100 g=150 b=200 ->
+    // (299*100 + 587*150 + 114*200)/1000 = 140 (integer division)
+    val colored = MultimodalOps.bmpBytes(1, 1, Array[Byte](0))
+    colored(54) = 200.toByte  // blue
+    colored(55) = 150.toByte  // green
+    colored(56) = 100.toByte  // red
+    assert(MultimodalOps.parseBmp(colored).get._3(0) == 140.toByte)
+    // rejections: wrong magic, truncated pixels, 8-bit, RLE compression
+    val badMagic = bottomUp.clone(); badMagic(0) = 'X'
+    assert(MultimodalOps.parseBmp(badMagic).isEmpty)
+    assert(MultimodalOps.parseBmp(bottomUp.dropRight(1)).isEmpty)
+    val bpp8 = bottomUp.clone(); bpp8(28) = 8
+    assert(MultimodalOps.parseBmp(bpp8).isEmpty)
+    val rle = bottomUp.clone(); rle(30) = 1 // BI_RLE8
+    assert(MultimodalOps.parseBmp(rle).isEmpty)
+    // a BMP that fails the parse yields null bands (not a crash)
+    val sp = spark; import sp.implicits._
+    val bands = MultimodalOps.dhashBands(
+      Seq((0L, bottomUp), (1L, rle)).toDF("id", "payload"), "payload")
+      .select("id", "b0").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(bands == Map(0L -> false, 1L -> true))
+  }
+
   test("image admission verdicts: exact copy, near twin, unseen image") {
     val sp = spark; import sp.implicits._
     import graft.queries.ExtQueries.TestSql
