@@ -309,26 +309,13 @@ object MultimodalOps {
               }
               v: Any
             }
-            // exact-duplicate collapse key: FOUR independent rolling
-            // hashes of the RAW raster bytes in index order (distinct
-            // multipliers, mod the shared Mersenne prime), joined into
-            // one ~124-bit string key. A single 31-bit hash birthday-
-            // collides past ~65k images — far below the 100 TB design
-            // point — and a collision would merge distinct images under
-            // one representative. 124 bits pushes expected collisions
-            // past ~2^62 images. Each component stays closed-form
+            // exact-duplicate collapse key over the RAW raster bytes in
+            // index order: ~124 bits ([[contentDigest]]) — a single
+            // 31-bit hash birthday-collides past ~65k images, far below
+            // the 100 TB design point, merging distinct images under
+            // one representative. Each component stays closed-form
             // recomputable by the SQL oracle (pixel-formula fold).
-            val hs = Array(0L, 0L, 0L, 0L)
-            var i = 0
-            while (i < px.length) {
-              val b = px(i) & 0xff
-              hs(0) = (hs(0) * 31 + b) % 2147483647L
-              hs(1) = (hs(1) * 37 + b) % 2147483647L
-              hs(2) = (hs(2) * 41 + b) % 2147483647L
-              hs(3) = (hs(3) * 43 + b) % 2147483647L
-              i += 1
-            }
-            bs :+ (hs.mkString(":"): Any)
+            bs :+ (contentDigest(px, 0, px.length): Any)
           case _ => Seq[Any](null, null, null, null, null)
         }
         Row.fromSeq(r.toSeq ++ bands)
@@ -486,6 +473,100 @@ object MultimodalOps {
     out.array()
   }
 
+  /** The shared content-digest: four independent rolling hashes over a
+    * byte range (multipliers 31/37/41/43, each mod the Mersenne prime),
+    * joined ':' into a ~124-bit string key — the same collision story as
+    * the image pdigest, and each component stays closed-form
+    * recomputable by a SQL oracle folding the planted byte formula.
+    */
+  def contentDigest(b: Array[Byte], from: Int, len: Int): String = {
+    val P = 2147483647L
+    val hs = Array(0L, 0L, 0L, 0L)
+    var i = from
+    val end = from + len
+    while (i < end) {
+      val v = b(i) & 0xff
+      hs(0) = (hs(0) * 31 + v) % P
+      hs(1) = (hs(1) * 37 + v) % P
+      hs(2) = (hs(2) * 41 + v) % P
+      hs(3) = (hs(3) * 43 + v) % P
+      i += 1
+    }
+    hs.mkString(":")
+  }
+
+  /** Exact-duplicate digest of a WAV's AUDIO CONTENT: walk the RIFF
+    * subchunk list to the `data` subchunk and digest its PCM payload
+    * bytes — container-aware identity, so re-wrapped audio (extra JUNK
+    * chunks, different chunk order) collapses with its original while a
+    * single changed sample does not. None when the payload is not a
+    * well-formed WAV or the data subchunk is truncated.
+    */
+  def wavDataDigest(b: Array[Byte]): Option[String] = {
+    if (b == null || b.length < 12 || b(0) != 'R' || b(1) != 'I' ||
+        b(2) != 'F' || b(3) != 'F' || b(8) != 'W' || b(9) != 'A' ||
+        b(10) != 'V' || b(11) != 'E') return None
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val j = i.toInt
+      val size = leInt(b, j + 4)
+      if (size < 0) return None
+      if (b(j) == 'd' && b(j + 1) == 'a' && b(j + 2) == 't' && b(j + 3) == 'a')
+        return if (j + 8L + size <= b.length)
+          Some(contentDigest(b, j + 8, size))
+        else None
+      i += 8L + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Exact-duplicate digest of an MP4's MEDIA CONTENT: walk the
+    * top-level box list to `mdat` and digest its payload bytes — the
+    * analog of [[wavDataDigest]] for the video container (moov metadata
+    * edits don't change identity; a changed media byte does). None when
+    * the payload is not a well-formed MP4 or has no complete mdat box.
+    */
+  def mp4DataDigest(b: Array[Byte]): Option[String] = {
+    if (b == null || b.length < 16 || beInt(b, 0) < 8) return None
+    var i = 0
+    while (i + 8 <= b.length) {
+      val size = beInt(b, i)
+      if (size < 8) return None // 64-bit largesize unsupported here
+      val tpe = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (tpe == "mdat")
+        return if (i.toLong + size <= b.length)
+          Some(contentDigest(b, i + 8, size - 8))
+        else None
+      if (i.toLong + size > b.length) return None
+      i += size
+    }
+    None
+  }
+
+  /** Append audio + video content digests (`adigest`, `vdigest`,
+    * nullable strings) for two binary columns in ONE `mapPartitions`
+    * pass — the decode-seam stage the staged multimodal curation's
+    * audio/video elections key on. Same seam discipline as
+    * [[dhashBands]]: per-task batch work, no driver gather, no UDF
+    * registry.
+    */
+  def avDigests(df: DataFrame, audioCol: String,
+      videoCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("adigest", StringType, nullable = true),
+      StructField("vdigest", StringType, nullable = true)))
+    val aIdx = df.schema.fieldIndex(audioCol)
+    val vIdx = df.schema.fieldIndex(videoCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val ad = wavDataDigest(r.getAs[Array[Byte]](aIdx)).orNull
+        val vd = mp4DataDigest(r.getAs[Array[Byte]](vIdx)).orNull
+        Row.fromSeq(r.toSeq ++ Seq(ad, vd))
+      }
+    }
+  }
+
   /** Minimal WAV: RIFF/WAVE header with a junk chunk BEFORE `fmt ` (so a
     * parser that assumes fmt-first fails) and an empty data chunk.
     */
@@ -503,6 +584,43 @@ object MultimodalOps {
     out.putShort((channels * 2).toShort)  // block align
     out.putShort(16)                  // bits per sample
     out.put("data".getBytes(ascii)).putInt(0)
+    out.array()
+  }
+
+  /** WAV with PCM content: the [[wavBytes]] layout (junk chunk before
+    * `fmt `) plus a `data` subchunk carrying `data` — the fixture the
+    * audio-digest seam walks (digest identity = these bytes exactly).
+    */
+  def wavBytes(sampleRate: Int, channels: Int,
+      data: Array[Byte]): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val pad = data.length & 1 // RIFF chunks are word-aligned
+    val out = java.nio.ByteBuffer.allocate(12 + 12 + 24 + 8 + data.length + pad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(ascii)).putInt(36 + 12 + data.length + pad)
+      .put("WAVE".getBytes(ascii))
+    out.put("JUNK".getBytes(ascii)).putInt(4).putInt(0)
+    out.put("fmt ".getBytes(ascii)).putInt(16)
+    out.putShort(1)                   // PCM
+    out.putShort(channels.toShort)
+    out.putInt(sampleRate)
+    out.putInt(sampleRate * channels * 2) // byte rate
+    out.putShort((channels * 2).toShort)  // block align
+    out.putShort(16)                  // bits per sample
+    out.put("data".getBytes(ascii)).putInt(data.length).put(data)
+    out.array()
+  }
+
+  /** MP4 with media content: the [[mp4Bytes]] layout plus a trailing
+    * `mdat` box carrying `mdat` — the fixture the video-digest seam
+    * walks (digest identity = these bytes exactly).
+    */
+  def mp4Bytes(w: Int, h: Int, mdat: Array[Byte]): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val base = mp4Bytes(w, h)
+    val out = java.nio.ByteBuffer.allocate(base.length + 8 + mdat.length)
+    out.put(base)
+    out.putInt(8 + mdat.length).put("mdat".getBytes(ascii)).put(mdat)
     out.array()
   }
 

@@ -3219,7 +3219,10 @@ object ExtQueries {
     imageBmpDedup,
     // Capstone composition: one plan dedups across text, image, and
     // vector modalities with first-reason-wins precedence.
-    multimodalCurate
+    multimodalCurate,
+    // p15 extended through audio (WAV data) and video (MP4 mdat)
+    // content-digest elections from the real container walks.
+    multimodalCurateAv
   )
 
   /** Spark-dialect SQL for DegenerateCorpusSpec: the candidate-generator
@@ -3281,6 +3284,10 @@ object ExtQueries {
         payloads: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame =
       multimodalCurateDF(spark, payloads)
+    def multimodalCurateAv(spark: org.apache.spark.sql.SparkSession,
+        payloads: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      multimodalCurateAvDF(spark, payloads)
     def imageAdmission(spark: org.apache.spark.sql.SparkSession,
         existing: org.apache.spark.sql.DataFrame,
         arrivals: org.apache.spark.sql.DataFrame)
@@ -3503,18 +3510,28 @@ object ExtQueries {
     * ~124-bit string key the decode seam emits — one 31-bit hash would
     * birthday-collide past ~65k images, merging distinct images.
     */
+  /** The ~124-bit content-digest fold over a BIGINT byte-list
+    * expression — the closed-form twin of
+    * `MultimodalOps.contentDigest` (same four multipliers, same ':'
+    * join).
+    */
+  private def digestFoldExpr(d: Dial, list: String): String = {
+    val folds = Seq(31, 37, 41, 43).map(m =>
+      d.str(d.fold0(list, "acc", "v", s"(acc * $m + v) % $P")))
+    s"CONCAT(${folds.mkString(", ':', ")})"
+  }
+
+  /** 0-based index sequence of length `n` as a dialect expression. */
+  private def idxSeq(d: Dial, n: Int): String = d match {
+    case SparkD => s"sequence(0, ${n - 1})"
+    case DuckD  => s"range(0, $n)"
+  }
+
   private def m04PixDigestExpr(d: Dial): String = {
     val base =
       s"((g * (i + 7) + ${d.intDiv("g", "251")} * (i * i + 13) + i * i) % 251)"
     val pix = s"(CASE WHEN i = (r * 53) % 288 THEN ($base + r * 29) % 251 ELSE $base END)"
-    val seq = d match {
-      case SparkD => "sequence(0, 287)"
-      case DuckD  => "range(0, 288)"
-    }
-    val folds = Seq(31, 37, 41, 43).map(m =>
-      d.str(d.fold0(d.transform(seq, "i", pix), "acc", "v",
-        s"(acc * $m + v) % $P")))
-    s"CONCAT(${folds.mkString(", ':', ")})"
+    digestFoldExpr(d, d.transform(idxSeq(d, 288), "i", pix))
   }
 
   /** The m05 pipeline downstream of the per-rep relation `reps`
@@ -3954,6 +3971,152 @@ object ExtQueries {
          |ih AS (SELECT doc_id, ${m04PixDigestExpr(DuckD)} AS pdigest
          |  FROM dd),
          |${m15Body(DuckD, "ti", "ih")}""".stripMargin
+    })
+
+  /** The planted p16 audio PCM payload (64 bytes, closed-form in the
+    * audio id) and its video counterpart — the byte formulas both the
+    * digest seam and the SQL oracle compute.
+    */
+  private def plantedAudioData(aid: Long): Array[Byte] =
+    Array.tabulate(64)(i => ((aid * (i + 11) + i.toLong * i * 3 + 7) % 251).toByte)
+
+  private def plantedVideoData(vid: Long): Array[Byte] =
+    Array.tabulate(64)(i => ((vid * (i + 5) + i.toLong * i * 7 + 3) % 251).toByte)
+
+  private def audioDigestExpr(d: Dial): String =
+    digestFoldExpr(d, d.transform(idxSeq(d, 64), "i",
+      "((aid * (i + 11) + i * i * 3 + 7) % 251)"))
+
+  private def videoDigestExpr(d: Dial): String =
+    digestFoldExpr(d, d.transform(idxSeq(d, 64), "i",
+      "((vid * (i + 5) + i * i * 7 + 3) % 251)"))
+
+  /** The p16 verdict pipeline: m15's staged chain extended through ALL
+    * parsed modalities — text → image → vector → audio → video. Each
+    * stage's min-id keeper election runs among the PREVIOUS stage's
+    * survivors (`s1..s4`), so a doc dropped upstream never wins a
+    * downstream election away from a surviving doc; `ah`/`vh` carry the
+    * audio (WAV `data` subchunk) and video (MP4 `mdat` box) content
+    * digests from the real container walks. Same zero-pair-stage
+    * discipline as p15: five partial-aggregable hash collapses +
+    * doc-keyed equi-joins, linear at any duplication.
+    */
+  private def m16Body(d: Dial, ti: String, ih: String, ah: String,
+      vh: String): String =
+    s"""tk AS (SELECT tfp, MIN(doc_id) AS tkeep FROM $ti GROUP BY tfp),
+       |s1 AS (SELECT t.doc_id, t.lang FROM $ti t
+       |  JOIN tk ON t.tfp = tk.tfp WHERE tk.tkeep = t.doc_id),
+       |ik AS (SELECT i.pdigest, MIN(i.doc_id) AS ikeep FROM $ih i
+       |  JOIN s1 ON i.doc_id = s1.doc_id GROUP BY i.pdigest),
+       |s2 AS (SELECT s1.doc_id FROM s1
+       |  JOIN $ih i ON s1.doc_id = i.doc_id
+       |  JOIN ik ON i.pdigest = ik.pdigest
+       |  WHERE ik.ikeep = s1.doc_id),
+       |vk0 AS (SELECT e.embedding, MIN(e.vec_id) AS vkeep
+       |  FROM embeddings e JOIN s2 ON e.vec_id = s2.doc_id
+       |  GROUP BY e.embedding),
+       |vk AS (SELECT e.vec_id, vk0.vkeep FROM embeddings e
+       |  JOIN vk0 ON e.embedding = vk0.embedding),
+       |s3 AS (SELECT s2.doc_id FROM s2
+       |  LEFT JOIN vk ON s2.doc_id = vk.vec_id
+       |  WHERE vk.vkeep IS NULL OR vk.vkeep = s2.doc_id),
+       |ak AS (SELECT a.adigest, MIN(a.doc_id) AS akeep FROM $ah a
+       |  JOIN s3 ON a.doc_id = s3.doc_id GROUP BY a.adigest),
+       |s4 AS (SELECT s3.doc_id FROM s3
+       |  JOIN $ah a ON s3.doc_id = a.doc_id
+       |  JOIN ak ON a.adigest = ak.adigest
+       |  WHERE ak.akeep = s3.doc_id),
+       |wk AS (SELECT v.vdigest, MIN(v.doc_id) AS wkeep FROM $vh v
+       |  JOIN s4 ON v.doc_id = s4.doc_id GROUP BY v.vdigest),
+       |vd AS (SELECT t.doc_id, t.lang,
+       |    CASE WHEN tk.tkeep <> t.doc_id THEN 'text_dup'
+       |         WHEN ik.ikeep <> t.doc_id THEN 'image_dup'
+       |         WHEN vk.vkeep IS NOT NULL AND vk.vkeep <> t.doc_id
+       |           THEN 'vector_dup'
+       |         WHEN ak.akeep <> t.doc_id THEN 'audio_dup'
+       |         WHEN wk.wkeep <> t.doc_id THEN 'video_dup'
+       |         ELSE 'keep' END AS verdict
+       |  FROM $ti t
+       |  JOIN tk ON t.tfp = tk.tfp
+       |  JOIN $ih i ON t.doc_id = i.doc_id
+       |  LEFT JOIN ik ON i.pdigest = ik.pdigest
+       |  LEFT JOIN vk ON t.doc_id = vk.vec_id
+       |  JOIN $ah a ON t.doc_id = a.doc_id
+       |  LEFT JOIN ak ON a.adigest = ak.adigest
+       |  JOIN $vh v ON t.doc_id = v.doc_id
+       |  LEFT JOIN wk ON v.vdigest = wk.vdigest)
+       |SELECT lang AS l, verdict, COUNT(*) AS n_docs,
+       |  CAST(SUM(doc_id % $P) % $P AS BIGINT) AS checksum
+       |FROM vd GROUP BY lang, verdict""".stripMargin
+
+  /** The p16 pipeline over arbitrary (doc_id, payload [image],
+    * apayload [WAV], vpayload [MP4]) relations — shared by the query
+    * and the intent spec. The image/audio/video digest seams each run
+    * ONCE (cached relations — the election + verdict stages reference
+    * them 2-3 times each); NULL digests (unparseable payloads)
+    * coalesce to per-doc-unique sentinels, p15's survivor-chain rule
+    * applied to all three parsed-digest modalities.
+    */
+  private def multimodalCurateAvDF(spark: org.apache.spark.sql.SparkSession,
+      payloads: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ih = cacheOnce(graft.multimodal.MultimodalOps
+      .dhashBands(payloads.select("doc_id", "payload"), "payload")
+      .selectExpr("doc_id",
+        "COALESCE(pdigest, CONCAT('u', doc_id)) AS pdigest"))
+    ih.createOrReplaceTempView("p16_ih")
+    val avh = cacheOnce(graft.multimodal.MultimodalOps
+      .avDigests(payloads.select("doc_id", "apayload", "vpayload"),
+        "apayload", "vpayload")
+      .selectExpr("doc_id",
+        "COALESCE(adigest, CONCAT('ua', doc_id)) AS adigest",
+        "COALESCE(vdigest, CONCAT('uv', doc_id)) AS vdigest"))
+    avh.createOrReplaceTempView("p16_avh")
+    spark.sql(
+      """SELECT doc_id, lang, md5(text) AS tfp FROM documents""")
+      .createOrReplaceTempView("p16_ti")
+    spark.sql("WITH " + m16Body(SparkD, "p16_ti", "p16_ih", "p16_avh",
+      "p16_avh"))
+  }
+
+  /** p16: the capstone curation over ALL FIVE modalities — p15's staged
+    * min-id election chain (text → image → vector) extended with audio
+    * and video stages keyed on content digests from the REAL container
+    * walks (WAV RIFF subchunk list → `data` PCM bytes; MP4 box list →
+    * `mdat` media bytes — metadata rewraps don't change identity, one
+    * changed sample does). The planted corpus shares each audio track
+    * among 3 consecutive docs and each video among 7, so both elections
+    * actually fire and their interleaving with the upstream stages is
+    * oracle-pinned: the oracle recomputes every digest from the planted
+    * byte formulas in closed form, so a container-walk bug on either
+    * seam breaks the hash match. Scale shape unchanged from p15: hash
+    * collapses + equi-joins, zero pair stages, linear in the corpus.
+    */
+  private def multimodalCurateAv: Q = Q("p16_multimodal_curate_av",
+    (spark, dir) => {
+      val sp = spark; import sp.implicits._
+      Tables.registerAll(spark, dir)
+      val ids = Tables.t(spark, dir, "documents").select("doc_id").as[Long]
+      val payloads = ids.map { id =>
+        (id, plantedPgm(id),
+          graft.multimodal.MultimodalOps
+            .wavBytes(16000, 1, plantedAudioData(id / 3)),
+          graft.multimodal.MultimodalOps
+            .mp4Bytes(320, 240, plantedVideoData(id / 7)))
+      }.toDF("doc_id", "payload", "apayload", "vpayload")
+      multimodalCurateAvDF(spark, payloads)
+    }, Some {
+      s"""WITH dd AS (SELECT doc_id, lang, md5(text) AS tfp,
+         |    doc_id // 5 AS g, doc_id % 5 AS r,
+         |    doc_id // 3 AS aid, doc_id // 7 AS vid
+         |  FROM documents),
+         |ti AS (SELECT doc_id, lang, tfp FROM dd),
+         |ih AS (SELECT doc_id, ${m04PixDigestExpr(DuckD)} AS pdigest
+         |  FROM dd),
+         |avh AS (SELECT doc_id, ${audioDigestExpr(DuckD)} AS adigest,
+         |    ${videoDigestExpr(DuckD)} AS vdigest
+         |  FROM dd),
+         |${m16Body(DuckD, "ti", "ih", "avh", "avh")}""".stripMargin
     })
 
   /** IVF-style coarse quantization, oracle-checked: per-label centroids,

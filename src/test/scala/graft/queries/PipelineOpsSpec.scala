@@ -392,6 +392,67 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("keep" -> 2L, "vector_dup" -> 1L), s"verdicts: $got")
   }
 
+  test("p16: staged elections through all five modalities, upstream drops never steal") {
+    val sp = spark; import sp.implicits._
+    import graft.multimodal.MultimodalOps
+    // One lang per doc so the per-(lang, verdict) rollup keys per-doc
+    // outcomes. Planted dup pairs per modality, plus the two staged
+    // cases: 11 shares an embedding with keeper 5 (vector_dup) AND
+    // audio with 12 — the dropped 11 must NOT win that audio election,
+    // so 12 keeps; 13 shares audio with keeper 7 (audio_dup) AND video
+    // with 14 — 14 must keep.
+    val audOf = Map(8L -> 7L, 12L -> 11L, 13L -> 7L)
+    val vidOf = Map(10L -> 9L, 14L -> 13L)
+    val embOf = Map(6L -> 5L, 11L -> 5L)
+    val imgOf = Map(4L -> 3L)
+    val txtOf = Map(2L -> 1L)
+    val ids = (0L to 14L)
+    ids.map(i => (i, s"text ${txtOf.getOrElse(i, i)} words", s"L$i"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    def vec(seed: Long) = Array.tabulate(64)(j => (seed * 31 + j) / 100.0f)
+    ids.map(i => (i, vec(100 + embOf.getOrElse(i, i))))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+    def aud(i: Long) = MultimodalOps.wavBytes(16000, 1,
+      Array.tabulate(64)(j => ((audOf.getOrElse(i, i) * 7 + j) % 251).toByte))
+    def vid(i: Long) = MultimodalOps.mp4Bytes(320, 240,
+      Array.tabulate(64)(j => ((vidOf.getOrElse(i, i) * 13 + j) % 251).toByte))
+    val payloads = ids.map(i => (i,
+      ExtQueries.TestSql.plantedImage(imgOf.getOrElse(i, i)),
+      aud(i), vid(i)))
+      .toDF("doc_id", "payload", "apayload", "vpayload")
+    val got = ExtQueries.TestSql.multimodalCurateAv(spark, payloads)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val expected = Map(
+      "L0" -> "keep", "L1" -> "keep", "L2" -> "text_dup",
+      "L3" -> "keep", "L4" -> "image_dup", "L5" -> "keep",
+      "L6" -> "vector_dup", "L7" -> "keep", "L8" -> "audio_dup",
+      "L9" -> "keep", "L10" -> "video_dup", "L11" -> "vector_dup",
+      "L12" -> "keep", "L13" -> "audio_dup", "L14" -> "keep")
+    assert(got == expected, s"verdicts: $got")
+  }
+
+  test("p16: unparseable audio/video stay in the survivor chain (sentinel)") {
+    val sp = spark; import sp.implicits._
+    import graft.multimodal.MultimodalOps
+    // Two docs with garbage audio AND video payloads sharing an
+    // embedding: the NULL digests must not drop them from the chain —
+    // one keeps, the other is a vector_dup (p15's sentinel rule applied
+    // to the new stages).
+    Seq((0L, "zero words", "en"), (1L, "one words", "en"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    def vec(seed: Long) = Array.tabulate(64)(j => (seed * 31 + j) / 100.0f)
+    Seq(0L -> vec(7), 1L -> vec(7))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("embeddings")
+    val garbage = Array[Byte](1, 2, 3, 4)
+    val payloads = Seq(
+      (0L, ExtQueries.TestSql.plantedImage(0L), garbage, garbage),
+      (1L, ExtQueries.TestSql.plantedImage(1L), garbage, garbage))
+      .toDF("doc_id", "payload", "apayload", "vpayload")
+    val got = ExtQueries.TestSql.multimodalCurateAv(spark, payloads)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map("keep" -> 1L, "vector_dup" -> 1L), s"verdicts: $got")
+  }
+
   test("v09: perfect recall when buckets hold the truth; honest zero under the cap") {
     val sp = spark; import sp.implicits._
     def emb(rows: Int): Unit =

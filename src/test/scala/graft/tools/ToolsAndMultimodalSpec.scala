@@ -380,6 +380,35 @@ class ToolsAndMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bands == Map(0L -> false, 1L -> true))
   }
 
+  test("multimodal: WAV/MP4 content digests — rewrap-invariant, sample-sensitive") {
+    val data = Array.tabulate(64)(i => (i * 3 % 251).toByte)
+    // identity = PCM/mdat bytes: a different container wrapping (other
+    // sample rate / channel count / track dims) digests identically...
+    val a1 = MultimodalOps.wavDataDigest(MultimodalOps.wavBytes(16000, 1, data))
+    val a2 = MultimodalOps.wavDataDigest(MultimodalOps.wavBytes(8000, 2, data))
+    assert(a1.isDefined && a1 == a2)
+    val v1 = MultimodalOps.mp4DataDigest(MultimodalOps.mp4Bytes(320, 240, data))
+    val v2 = MultimodalOps.mp4DataDigest(MultimodalOps.mp4Bytes(64, 64, data))
+    assert(v1.isDefined && v1 == v2)
+    // ...while one changed media byte does not
+    val tweaked = data.clone(); tweaked(17) = (tweaked(17) + 1).toByte
+    assert(MultimodalOps.wavDataDigest(
+      MultimodalOps.wavBytes(16000, 1, tweaked)) != a1)
+    assert(MultimodalOps.mp4DataDigest(
+      MultimodalOps.mp4Bytes(320, 240, tweaked)) != v1)
+    // digest matches the shared contentDigest over the raw bytes
+    assert(a1.contains(MultimodalOps.contentDigest(data, 0, data.length)))
+    assert(v1.contains(MultimodalOps.contentDigest(data, 0, data.length)))
+    // rejections: truncated data subchunk / mdat box, no mdat at all,
+    // non-RIFF garbage
+    assert(MultimodalOps.wavDataDigest(
+      MultimodalOps.wavBytes(16000, 1, data).dropRight(1)).isEmpty)
+    assert(MultimodalOps.mp4DataDigest(
+      MultimodalOps.mp4Bytes(320, 240, data).dropRight(1)).isEmpty)
+    assert(MultimodalOps.mp4DataDigest(MultimodalOps.mp4Bytes(320, 240)).isEmpty)
+    assert(MultimodalOps.wavDataDigest(Array[Byte](1, 2, 3, 4)).isEmpty)
+  }
+
   test("image admission verdicts: exact copy, near twin, unseen image") {
     val sp = spark; import sp.implicits._
     import graft.queries.ExtQueries.TestSql
