@@ -25,12 +25,12 @@ REPO = os.path.dirname(BASE)
 # families are exercised by the main gate; re-running them per corpus
 # would dominate the runtime without adding dialect coverage)
 QUERIES = ",".join(
-    [f"d{i:02d}_" for i in range(1, 19)] +
+    [f"d{i:02d}_" for i in range(1, 20)] +
     [f"t{i:02d}_" for i in range(1, 15)] +
     ["p01_", "p02_", "p03_", "p04_", "p05_", "p06_", "p07_", "p08_",
-     "p09_", "p10_", "p11_", "p12_", "p13_", "p14_"] +
-    [f"v{i:02d}_" for i in range(1, 11)] +
-    ["m01_", "m02_", "m03_", "m04_", "m05_"] +
+     "p09_", "p10_", "p11_", "p12_", "p13_", "p14_", "p15_", "p16_"] +
+    [f"v{i:02d}_" for i in range(1, 12)] +
+    ["m01_", "m02_", "m03_", "m04_", "m05_", "m06_"] +
     # events-based batch family: time-series agg, sessionization twin,
     # as-of/range/interval/salted joins, funnel (ties + boundaries are
     # where tie-break discipline would crack)
@@ -76,6 +76,24 @@ def gen_documents(rng, n, adversarial):
         rows[5] = (5, text5, "en", "src0", len(text5))
         text7 = shared + " tailB three"
         rows[7] = (7, text7, "en", "src1", len(text7))
+    if adversarial and n >= 40:
+        # duplicate FLOOD: one text verbatim in 10 docs (collapse paths,
+        # hot-bucket caps, line/span dedup all see a real flood)
+        flood = "license boilerplate block repeated across many documents"
+        for k in range(10):
+            rows[20 + k] = (20 + k, flood, "en", f"src{k % 3}", len(flood))
+        # whitespace-only and empty texts (split() edge tokens)
+        rows[31] = (31, "   ", "en", "src0", 3)
+        rows[32] = (32, "", "de", "src1", 0)
+        # the same text under two different langs (lang-keyed rollups)
+        rows[34] = (34, rows[33][1], "ja", rows[34][3], len(rows[33][1]))
+        # huge sparse doc_ids: stress the planted-payload formulas
+        # (image/audio/video byte folds), id-hash sampling, and pos
+        # encodings far beyond the dense 0..n range
+        for k in range(4):
+            big = 10_000_000_000_000 + k * 7 + (k % 2)
+            text = " ".join(rng.choice(WORDS) for _ in range(9))
+            rows.append((big, text, "es", "srcbig", len(text)))
     return rows
 
 
@@ -86,9 +104,26 @@ def gen_embeddings(rng, n, adversarial):
             vec = [0.0] * 64  # zero vector (no direction)
         elif adversarial and i % 11 == 0 and i > 0:
             vec = rows[i - 1][1]  # exact duplicate vector
+        elif adversarial and i % 13 == 0 and i > 0:
+            # scaled copy: same direction, different magnitude — every
+            # cosine TIES with the previous vector's (tie-break surface)
+            vec = [round(x * 2, 4) for x in rows[i - 1][1]]
         else:
             vec = [round(rng.uniform(-1, 1), 4) for _ in range(64)]
+        if adversarial and i % 23 == 0 and i > 0:
+            vec = vec.copy()
+            vec[i % 64] = -0.0  # negative zero component
         rows.append((i, vec, rng.randrange(10)))
+    if adversarial and n >= 40:
+        # embedding flood: ten identical vectors (collapse + cap paths)
+        base = [round(rng.uniform(-1, 1), 4) for _ in range(64)]
+        for k in range(10):
+            rows[25 + k] = (25 + k, base, rows[25 + k][2])
+        # vec_ids matching the huge sparse doc_ids (p15/p16 vector stage)
+        for k in range(4):
+            big = 10_000_000_000_000 + k * 7 + (k % 2)
+            rows.append((big, [round(rng.uniform(-1, 1), 4)
+                               for _ in range(64)], rng.randrange(10)))
     return rows
 
 

@@ -212,11 +212,16 @@ object ExtQueries {
     def transform(l: String, v: String, body: String) = s"list_transform($l, $v -> $body)"
     def filter(l: String, v: String, body: String) = s"list_filter($l, $v -> $body)"
     // DuckDB list_reduce seeds with the first element; equal to Spark's
-    // 0-seeded fold for ops f with f(0, x1) = x1 (ours: *31+c, +v).
+    // DuckDB list_reduce has no seed parameter and ERRORS on an empty
+    // list (Spark's aggregate() returns the seed); prepending an
+    // explicit 0 seed element makes it exactly Spark's 0-seeded fold
+    // for every op and every input — including the empty char list of
+    // an empty-string token (the fuzzer's empty/whitespace-only docs
+    // hit this through polyhash).
     def fold0(l: String, acc: String, v: String, body: String) =
-      s"list_reduce($l, ($acc, $v) -> $body)"
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $l), ($acc, $v) -> $body)"
     def fold0d(l: String, acc: String, v: String, body: String) =
-      s"list_reduce($l, ($acc, $v) -> $body)"
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $l), ($acc, $v) -> $body)"
     def arrayMin(l: String) = s"list_min($l)"
     def distinct(l: String) = s"list_distinct($l)"
     def intersect(a: String, b: String) = s"list_intersect($a, $b)"
@@ -585,10 +590,15 @@ object ExtQueries {
       val src = Tables.cachePath(dir, "documents_neardup_stream")
       if (!new java.io.File(src, "_SUCCESS").exists()) {
         // one sorted file: arrival order == doc_id order even if the
-        // source ever splits the backlog into multiple micro-batches
+        // source ever splits the backlog into multiple micro-batches.
+        // ts is (doc_id + 1) seconds, NOT doc_id: a row at exactly
+        // epoch 0 equals the initial watermark and Spark's stateful-op
+        // late filter drops rows with ts <= watermark — doc 0 would
+        // silently never claim its band keys (found by the sf0.001
+        // gate: its dup partner then mis-claimed them).
         spark.table("documents")
           .selectExpr("doc_id",
-            "timestamp_micros(doc_id * 1000000) AS ts", "text")
+            "timestamp_micros((doc_id + 1) * 1000000) AS ts", "text")
           .repartition(1).sortWithinPartitions("doc_id")
           .write.format("columnfile").mode("overwrite").save(src)
       }
@@ -1007,8 +1017,9 @@ object ExtQueries {
        |  $nTok AS n_tokens,
        |  CAST(n_chars AS DOUBLE) / $nTok AS avg_token_len,
        |  CAST($nStop AS DOUBLE) / $nTok AS stopword_ratio,
-       |  CAST(length(text) - ${d.size(d.regexpExtractAll("text", "[a-z0-9 ]"))} AS DOUBLE)
-       |    / n_chars AS punct_ratio,
+       |  CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE)
+       |    ELSE CAST(length(text) - ${d.size(d.regexpExtractAll("text", "[a-z0-9 ]"))} AS DOUBLE)
+       |      / n_chars END AS punct_ratio,
        |  CASE WHEN $nTok >= 10 AND $nTok <= 1000 THEN 1 ELSE 0 END AS len_ok
        |FROM tok""".stripMargin
   }
@@ -2015,7 +2026,7 @@ object ExtQueries {
       if (!new java.io.File(src, "_SUCCESS").exists()) {
         spark.table("documents")
           .selectExpr("doc_id",
-            "timestamp_micros(doc_id * 1000000) AS ts", "text")
+            "timestamp_micros((doc_id + 1) * 1000000) AS ts", "text")
           .repartition(1).sortWithinPartitions("doc_id")
           .write.format("columnfile").mode("overwrite").save(src)
       }
@@ -2088,7 +2099,7 @@ object ExtQueries {
       if (!new java.io.File(src, "_SUCCESS").exists()) {
         spark.table("documents")
           .selectExpr("doc_id",
-            "timestamp_micros(doc_id * 1000000) AS ts", "text")
+            "timestamp_micros((doc_id + 1) * 1000000) AS ts", "text")
           .repartition(1).sortWithinPartitions("doc_id")
           .write.format("columnfile").mode("overwrite").save(src)
       }
@@ -3203,6 +3214,8 @@ object ExtQueries {
     annRecallQ,
     // The same harness for the IVF path: what nprobe=2 costs.
     dialect("v10_ivf_recall", ivfRecallSql),
+    // The nprobe sweep: the recall-vs-nprobe (1/2/4) tuning curve.
+    dialect("v11_ivf_nprobe_sweep", ivfNprobeSweepSql),
     // v05 = v04 over a materialized cell-partitioned index (same oracle).
     ivfIndexed,
     dialect("m01_multimodal_stubmeta", multimodalSql),
@@ -4237,6 +4250,61 @@ object ExtQueries {
        |  GROUP BY gt.qid)
        |SELECT n_hits, COUNT(*) AS n_queries
        |FROM hits GROUP BY n_hits""".stripMargin
+
+  /** v11: the nprobe SWEEP — v10 measures what nprobe=2 costs; this
+    * produces the recall-vs-nprobe CURVE (nprobe ∈ {1, 2, 4}) on the
+    * same 20-query sample: the actual tuning artifact a production IVF
+    * deployment reads to place the dial. One probe pass at the widest
+    * setting (rn <= 4) with the probe rank kept; each candidate carries
+    * the BEST probe rank that reached it (MIN over shared cells), so
+    * "the nprobe=L candidate set" is one filter `min_prank <= L` — the
+    * levels fan out over a 3-row VALUES relation (the p08 shape:
+    * constant build side, broadcast by contract, bounded by
+    * levels × sample × cell population). Ground truth and cosine
+    * spelling are v10's exactly, so the three histograms are directly
+    * comparable and recall is monotone in nprobe BY CONSTRUCTION of the
+    * candidate-set nesting — the spec asserts the measured curve is.
+    */
+  private def ivfNprobeSweepSql(d: Dial): String = {
+    val levels = "(VALUES (1), (2), (4)) AS lv(nprobe)"
+    s"""WITH ${ivfCommonCtes(d)},
+       |assign AS (SELECT vec_id, clabel FROM best WHERE rn = 1),
+       |probe4 AS (
+       |  SELECT vec_id AS qid, clabel AS pcell, rn AS prank
+       |  FROM best WHERE vec_id < 20 AND rn <= 4),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid, MIN(p.prank) AS min_prank
+       |  FROM probe4 p JOIN assign a ON a.clabel = p.pcell
+       |  WHERE a.vec_id <> p.qid GROUP BY p.qid, a.vec_id),
+       |pairs AS (
+       |  SELECT c.qid, c.nid, c.min_prank,
+       |    ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm) AS cos
+       |  FROM cand c
+       |  JOIN emb q ON q.vec_id = c.qid
+       |  JOIN emb n ON n.vec_id = c.nid),
+       |ranked AS (
+       |  SELECT lv.nprobe, p.qid, p.nid,
+       |    ROW_NUMBER() OVER (PARTITION BY lv.nprobe, p.qid
+       |      ORDER BY p.cos DESC, p.nid) AS rn
+       |  FROM pairs p CROSS JOIN $levels
+       |  WHERE p.min_prank <= lv.nprobe),
+       |ann AS (SELECT nprobe, qid, nid FROM ranked WHERE rn <= 5),
+       |gt AS (SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
+       |          DESC, n.vec_id) AS rn
+       |    FROM emb q CROSS JOIN emb n
+       |    WHERE q.vec_id < 20 AND n.vec_id <> q.vec_id) x
+       |  WHERE rn <= 5),
+       |hits AS (SELECT lv.nprobe, gt.qid, COUNT(ann.nid) AS n_hits
+       |  FROM gt CROSS JOIN $levels
+       |  LEFT JOIN ann ON ann.nprobe = lv.nprobe AND gt.qid = ann.qid
+       |    AND gt.nid = ann.nid
+       |  GROUP BY lv.nprobe, gt.qid)
+       |SELECT nprobe, n_hits, COUNT(*) AS n_queries
+       |FROM hits GROUP BY nprobe, n_hits""".stripMargin
+  }
 
   /** Materialize the IVF assignment as a cell-partitioned columnfile
     * table (vec_id, embedding, cell): the persistent index v04 lacks.

@@ -103,7 +103,9 @@ object Tables {
   /** Cache-format version: bump when the on-disk format or the writer
     * changes so stale caches from older code can't poison results.
     */
-  private val CacheVersion = "v3" // v3: sidecars carry chunk offsets
+  // v4: stream fixtures shifted off epoch 0 (ts = doc_id + 1 s) — a
+  // row at exactly the initial watermark is dropped by stateful ops
+  private val CacheVersion = "v4"
 
   // per-dir content stamp, memoized: (name, length, mtime) over the
   // dir's parquet files — RECURSIVE, because a Spark-written table is a

@@ -33,7 +33,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *   (each flood row emits one hit and leaves state untouched).
   * - Late rows beyond the watermark are dropped by the watermark
   *   filter before the stateful operator, so replayed history cannot
-  *   resurrect expired state.
+  *   resurrect expired state. NOTE the boundary is inclusive: Spark
+  *   drops rows with ts <= watermark, and the INITIAL watermark is 0 —
+  *   a row at exactly epoch 0 (or exactly at the current watermark in
+  *   a later batch) never reaches the state op. Callers' event times
+  *   must be strictly positive.
   *
   * Works on a batch DataFrame too (same plan minus state/timeouts),
   * which the spec uses for stream/batch parity.

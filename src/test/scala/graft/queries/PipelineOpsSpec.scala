@@ -453,6 +453,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("keep" -> 1L, "vector_dup" -> 1L), s"verdicts: $got")
   }
 
+  test("v11: recall is monotone in nprobe and covers the full query sample") {
+    // The sweep's contract: candidate sets nest (nprobe=1 ⊂ 2 ⊂ 4), so
+    // total recalled ground-truth neighbors must be non-decreasing in
+    // nprobe, and each level scores the SAME 20-query sample.
+    val rows = graft.SparkEntry
+      .queries("v11_ivf_nprobe_sweep")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val byLevel = rows.groupBy(_._1)
+    assert(byLevel.keySet == Set(1, 2, 4), s"levels: ${byLevel.keySet}")
+    byLevel.foreach { case (lv, rs) =>
+      assert(rs.map(_._3).sum == 20L, s"nprobe=$lv should score 20 queries")
+    }
+    val totalHits = Seq(1, 2, 4)
+      .map(lv => byLevel(lv).map(r => r._2 * r._3).sum)
+    assert(totalHits == totalHits.sorted,
+      s"recall not monotone in nprobe: $totalHits")
+    // the widest setting must actually help on this corpus (otherwise
+    // the sweep measures nothing)
+    assert(totalHits.last > totalHits.head, s"flat curve: $totalHits")
+  }
+
   test("v09: perfect recall when buckets hold the truth; honest zero under the cap") {
     val sp = spark; import sp.implicits._
     def emb(rows: Int): Unit =
