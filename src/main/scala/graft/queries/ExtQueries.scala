@@ -3958,9 +3958,11 @@ object ExtQueries {
     // would both report 'keep'). The 'u'-prefixed sentinel cannot
     // collide with a real digest (those start with a digit), so
     // unparseable images are unique-by-construction and flow into s2/vk.
-    graft.multimodal.MultimodalOps.dhashBands(payloads, "payload")
+    // Cached: the election + verdict stages reference ih three times,
+    // and an uncached view would re-run the decode seam per reference.
+    cacheOnce(graft.multimodal.MultimodalOps.dhashBands(payloads, "payload")
       .selectExpr("doc_id",
-        "COALESCE(pdigest, CONCAT('u', doc_id)) AS pdigest")
+        "COALESCE(pdigest, CONCAT('u', doc_id)) AS pdigest"))
       .createOrReplaceTempView("p15_ih")
     spark.sql(
       """SELECT doc_id, lang, md5(text) AS tfp FROM documents""")

@@ -127,7 +127,9 @@ class AdaptivePlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // re-running the mapPartitions PGM decode per reference. flatten()
     // does not descend into InMemoryTableScan children, so any LIVE
     // MapPartitions node means the seam re-executed.
-    Seq("m04_image_dhash_dedup" -> 3, "m05_image_dhash_collapsed" -> 3)
+    Seq("m04_image_dhash_dedup" -> 3, "m05_image_dhash_collapsed" -> 3,
+      "m06_image_bmp_dedup" -> 3, "p15_multimodal_curate" -> 3,
+      "p16_multimodal_curate_av" -> 5)
       .foreach { case (q, minCacheScans) =>
         val nodes = flatten(finalPlan(q))
         val liveDecode = nodes.filter(_.nodeName.contains("MapPartitions"))

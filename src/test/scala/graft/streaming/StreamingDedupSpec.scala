@@ -115,4 +115,39 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((2L, 1L), (5L, 1L)), s"unexpected pairs: $pairs")
   }
+
+  test("epoch-zero boundary: a row at exactly the initial watermark is dropped " +
+    "(Spark semantics — callers must keep event times strictly positive)") {
+    // Pins the behavior the round-12 fuzzer surfaced: Spark's
+    // stateful-op late filter drops rows with ts <= watermark, and the
+    // INITIAL watermark is 0 — so a doc at exactly epoch 0 never
+    // reaches the state op, and its duplicate partner mis-claims the
+    // band keys (emitting nothing). If a Spark upgrade changes the
+    // boundary, this test fails and the q59-family fixtures can drop
+    // their +1s shift.
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingDedup.nearDupPairs(input.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("dup_epoch0")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Doc(1, new Timestamp(0L), base), // exactly epoch 0 == watermark
+        Doc(2, new Timestamp(1000L), base))
+      q.processAllAvailable()
+      val pairs = sp.sql("SELECT DISTINCT doc_id, dup_of FROM dup_epoch0")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // doc 1 was dropped pre-state, so doc 2 claimed the keys: NO hit
+      assert(pairs == Set.empty[(Long, Long)],
+        s"epoch-0 row reached the state op (boundary changed?): $pairs")
+      // a third duplicate hits doc 2 — proving doc 2 (not 1) owns state
+      input.addData(Doc(3, new Timestamp(2000L), base))
+      q.processAllAvailable()
+      val pairs2 = sp.sql("SELECT DISTINCT doc_id, dup_of FROM dup_epoch0")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs2 == Set((3L, 2L)), s"unexpected pairs: $pairs2")
+    } finally q.stop()
+  }
 }
