@@ -2420,12 +2420,98 @@ object ExtQueries {
   private def spanRemoval: Q = Q("d19_span_removal", (spark, dir) => {
     Tables.registerAll(spark, dir)
     spanRemovalDF(spark)
-  }, Some(s"""WITH sh AS (${dupSpanShSql(DuckD)}),
-             |ex AS (${dupSpanExFrom(DuckD, "sh")}),
-             |qq AS (${spanRmQqSql(DuckD, "ex")}),
-             |wl AS (${spanRmWordSql(DuckD)}),
-             |words AS (${spanRmWordsFrom(DuckD, "wl")}),
-             |${spanRemovalBody(DuckD, "qq", "words")}""".stripMargin))
+  }, Some(spanRemovalOracle))
+
+  private def spanRemovalOracle: String =
+    s"""WITH sh AS (${dupSpanShSql(DuckD)}),
+       |ex AS (${dupSpanExFrom(DuckD, "sh")}),
+       |qq AS (${spanRmQqSql(DuckD, "ex")}),
+       |wl AS (${spanRmWordSql(DuckD)}),
+       |words AS (${spanRmWordsFrom(DuckD, "wl")}),
+       |${spanRemovalBody(DuckD, "qq", "words")}""".stripMargin
+
+  /** The Spark-dialect positional hash expressions shared by the q65
+    * per-batch scrub and its spec (identical to d19's scans).
+    */
+  private[graft] def spanScrubShExpr: String =
+    SparkD.withIdx(SparkD.shingleHashList("text"))
+  private[graft] def spanScrubWordExpr: String =
+    SparkD.withIdx(SparkD.transform(SparkD.split("text"), "x",
+      SparkD.rollHash("x")))
+  private[graft] def spanScrubMinWords: Int = SpanRmMinWords
+
+  /** q65: span scrub at INGEST — d19's ExactSubstr removal enforced on
+    * arriving documents, completing the streaming-enforcement family
+    * across every batch-derived curation relation (q62 grams, q63
+    * lines, q64 image bands, q65 spans): the corpus-wide
+    * duplicated-shingle index is the nightly-batch product (cached —
+    * multi-batch drains must not re-run the corpus aggregation); each
+    * arriving micro-batch computes its docs' qualifying spans and
+    * word-level rewrite accounting batch-locally (STATELESS — a doc is
+    * one row, so its explodes, index join, doc-partitioned windows,
+    * and rollup never span batches; SpanScrubSpec proves boundary
+    * independence by re-chunking); per-doc records land exactly-once
+    * in batchId-keyed cf dirs, and the readout rolls up to EXACTLY
+    * d19's batch contract (its oracle).
+    */
+  private def streamSpanScrub: Q = Q("q65_stream_span_scrub",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val src = Tables.cachePath(dir, "documents_neardup_stream")
+      if (!new java.io.File(src, "_SUCCESS").exists()) {
+        spark.table("documents")
+          .selectExpr("doc_id",
+            "timestamp_micros((doc_id + 1) * 1000000) AS ts", "text")
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.format("columnfile").mode("overwrite").save(src)
+      }
+      val out = Tables.cachePath(dir, "span_scrub_docs")
+      if (!new java.io.File(out, "_COMPLETE").exists()) {
+        Tables.rmrf(out); Tables.rmrf(out + "_ckpt")
+        // the batch-derived duplicated-shingle index (static relation)
+        val sh = cacheOnce(spark.sql(dupSpanShSql(SparkD)))
+        sh.createOrReplaceTempView("q65_sh")
+        spark.sql(dupSpanExFrom(SparkD, "q65_sh"))
+          .createOrReplaceTempView("q65_ex")
+        val dup = cacheOnce(spark.sql(
+          """SELECT h FROM (SELECT h, doc_id FROM q65_ex
+            |  GROUP BY h, doc_id) hd
+            |GROUP BY h HAVING COUNT(*) >= 2""".stripMargin))
+        val schema = spark.read.format("columnfile").load(src).schema
+        val stream = spark.readStream.format("columnfile")
+          .schema(schema).load(src)
+        val q = stream.writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.streaming.SpanScrub
+              .perDocRecords(df, dup, spanScrubShExpr, spanScrubWordExpr,
+                SpanRmMinWords)
+              .write.format("columnfile")
+              .mode("overwrite").save(s"$out/batch=$id")
+            ()
+          }
+          .option("checkpointLocation", out + "_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        new java.io.File(out, "_COMPLETE").createNewFile()
+      }
+      val batchDirs = Option(new java.io.File(out).listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory).map(_.getPath).sorted
+      spark.read.format("columnfile").load(batchDirs.toIndexedSeq: _*)
+        .createOrReplaceTempView("cf_span_scrub")
+      spark.sql(
+        s"""WITH doc AS (SELECT p.doc_id, d.lang, p.n_w, p.n_rm,
+           |    p.kept_digest
+           |  FROM cf_span_scrub p JOIN documents d ON p.doc_id = d.doc_id)
+           |SELECT lang AS l,
+           |  CAST((LEAST((1000 * n_rm) div n_w, 999) div 125) AS BIGINT)
+           |    AS bucket,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(n_w) AS BIGINT) AS words_total,
+           |  CAST(SUM(n_rm) AS BIGINT) AS words_removed,
+           |  CAST(SUM(kept_digest) % $P AS BIGINT) AS checksum
+           |FROM doc GROUP BY lang, bucket""".stripMargin)
+    }, Some(spanRemovalOracle))
 
   /** The array-valued positional segment scan d18 runs over: per doc,
     * the polyhashes of its fixed-width 10-word "lines" with positions
@@ -3111,6 +3197,9 @@ object ExtQueries {
     // ExactSubstr span REMOVAL: rewrite docs with corpus-duplicated
     // spans >= 8 words cut, checksum-pinned (d15 scores, d19 cuts).
     spanRemoval,
+    // d19 at INGEST: span scrub per arriving micro-batch against the
+    // batch-derived duplicated-shingle index (stateless enforcement).
+    streamSpanScrub,
     // Line-level exact dedup (C4/RefinedWeb sub-document pass):
     // duplicated 10-word lines removed corpus-wide, checksummed rewrite.
     lineDedup,
