@@ -353,6 +353,9 @@ object MultimodalOps {
     val bpp = u16(28)
     val compression = i32(30)
     if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0) return None
+    // math.abs(Int.MinValue) is still negative — it would slip every
+    // size guard below and crash the raster allocation
+    if (hRaw == Int.MinValue) return None
     val h = math.abs(hRaw)
     val bottomUp = hRaw > 0
     val rowSize = ((w * 3 + 3) / 4) * 4

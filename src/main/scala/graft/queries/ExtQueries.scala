@@ -211,7 +211,6 @@ object ExtQueries {
     def size(l: String) = s"len($l)"
     def transform(l: String, v: String, body: String) = s"list_transform($l, $v -> $body)"
     def filter(l: String, v: String, body: String) = s"list_filter($l, $v -> $body)"
-    // DuckDB list_reduce seeds with the first element; equal to Spark's
     // DuckDB list_reduce has no seed parameter and ERRORS on an empty
     // list (Spark's aggregate() returns the seed); prepending an
     // explicit 0 seed element makes it exactly Spark's 0-seeded fold
@@ -2104,11 +2103,8 @@ object ExtQueries {
           .write.format("columnfile").mode("overwrite").save(src)
       }
       val out = Tables.cachePath(dir, "line_scrub_docs")
-      if (!new java.io.File(out, "_COMPLETE").exists()) {
-        // no completion marker -> partial or absent output; rebuild from
-        // scratch (a half-written dir + stale checkpoint cannot be
-        // resumed into deterministically)
-        Tables.rmrf(out); Tables.rmrf(out + "_ckpt")
+      if (!Tables.batchOutputComplete(out)) {
+        Tables.resetBatchOutput(out)
         // the batch-derived duplicated-line index (static relation) —
         // cached so multi-batch AvailableNow drains don't re-run the
         // corpus-wide index aggregation per micro-batch
@@ -2125,12 +2121,9 @@ object ExtQueries {
           .schema(schema).load(src)
         val q = stream.writeStream
           .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
-            // EXACTLY-ONCE per batch: each micro-batch overwrites its own
-            // batchId-keyed partition dir, so a replayed batch (crash
-            // between write and checkpoint commit, or task retry) lands
-            // on top of its own previous attempt instead of appending
-            // duplicate per-doc records (the at-least-once shape
-            // mode(append) had)
+            // EXACTLY-ONCE per batch: overwrite the batchId-keyed dir
+            // (Tables batch-output protocol) — a replayed batch lands on
+            // its own previous attempt instead of appending duplicates
             graft.streaming.LineScrub
               .perDocRecords(df, dup, lineScrubSegExpr)
               .write.format("columnfile")
@@ -2141,12 +2134,10 @@ object ExtQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        new java.io.File(out, "_COMPLETE").createNewFile()
+        Tables.markBatchOutputComplete(out)
       }
-      // one cf table per micro-batch: multi-path union scan (q24's path)
-      val batchDirs = Option(new java.io.File(out).listFiles())
-        .getOrElse(Array.empty).filter(_.isDirectory).map(_.getPath).sorted
-      spark.read.format("columnfile").load(batchDirs.toIndexedSeq: _*)
+      Tables.loadBatchDirs(spark, out,
+        "doc_id BIGINT, n_seg BIGINT, n_rm BIGINT, kept_digest BIGINT")
         .createOrReplaceTempView("cf_line_scrub")
       spark.sql(
         s"""WITH doc AS (SELECT p.doc_id, d.lang, p.n_seg, p.n_rm,
@@ -2466,8 +2457,8 @@ object ExtQueries {
           .write.format("columnfile").mode("overwrite").save(src)
       }
       val out = Tables.cachePath(dir, "span_scrub_docs")
-      if (!new java.io.File(out, "_COMPLETE").exists()) {
-        Tables.rmrf(out); Tables.rmrf(out + "_ckpt")
+      if (!Tables.batchOutputComplete(out)) {
+        Tables.resetBatchOutput(out)
         // the batch-derived duplicated-shingle index (static relation)
         val sh = cacheOnce(spark.sql(dupSpanShSql(SparkD)))
         sh.createOrReplaceTempView("q65_sh")
@@ -2493,11 +2484,10 @@ object ExtQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        new java.io.File(out, "_COMPLETE").createNewFile()
+        Tables.markBatchOutputComplete(out)
       }
-      val batchDirs = Option(new java.io.File(out).listFiles())
-        .getOrElse(Array.empty).filter(_.isDirectory).map(_.getPath).sorted
-      spark.read.format("columnfile").load(batchDirs.toIndexedSeq: _*)
+      Tables.loadBatchDirs(spark, out,
+        "doc_id BIGINT, n_w BIGINT, n_rm BIGINT, kept_digest BIGINT")
         .createOrReplaceTempView("cf_span_scrub")
       spark.sql(
         s"""WITH doc AS (SELECT p.doc_id, d.lang, p.n_w, p.n_rm,
@@ -3606,16 +3596,10 @@ object ExtQueries {
        |${m04Body(DuckD, "h")}""".stripMargin
   })
 
-  /** The closed-form twin of the seam's raster digest: FOUR independent
-    * rolling hashes of the 288 planted pixel values in index order
-    * (multipliers 31/37/41/43, each mod P), joined ':' into the same
-    * ~124-bit string key the decode seam emits — one 31-bit hash would
-    * birthday-collide past ~65k images, merging distinct images.
-    */
   /** The ~124-bit content-digest fold over a BIGINT byte-list
     * expression — the closed-form twin of
     * `MultimodalOps.contentDigest` (same four multipliers, same ':'
-    * join).
+    * join; one 31-bit hash would birthday-collide past ~65k payloads).
     */
   private def digestFoldExpr(d: Dial, list: String): String = {
     val folds = Seq(31, 37, 41, 43).map(m =>
@@ -3629,6 +3613,9 @@ object ExtQueries {
     case DuckD  => s"range(0, $n)"
   }
 
+  /** The closed-form twin of the seam's raster digest: the 288 planted
+    * pixel values in index order through [[digestFoldExpr]].
+    */
   private def m04PixDigestExpr(d: Dial): String = {
     val base =
       s"((g * (i + 7) + ${d.intDiv("g", "251")} * (i * i + 13) + i * i) % 251)"
@@ -3891,11 +3878,8 @@ object ExtQueries {
           .write.format("columnfile").mode("overwrite").save(src)
       }
       val out = Tables.cachePath(dir, "image_admission_log")
-      if (!new java.io.File(out, "_COMPLETE").exists()) {
-        // no completion marker -> partial or absent output; rebuild (a
-        // half-written dir + stale checkpoint cannot be resumed into
-        // deterministically)
-        Tables.rmrf(out); Tables.rmrf(out + "_ckpt")
+      if (!Tables.batchOutputComplete(out)) {
+        Tables.resetBatchOutput(out)
         // the existing corpus's rep index (m05's collapse, even ids)
         val existing = Tables.t(spark, dir, "documents")
           .select("doc_id").as[Long]
@@ -3925,9 +3909,8 @@ object ExtQueries {
               .cache()
             arr.createOrReplaceTempView("q64_arr")
             // EXACTLY-ONCE per batch: the batch's grouped partial
-            // overwrites its own batchId-keyed dir — a replayed batch
-            // (crash between write and checkpoint commit, or retry)
-            // cannot double-count its partial the way mode(append) could
+            // overwrites its batchId-keyed dir (Tables batch-output
+            // protocol) — a replayed batch cannot double-count
             try df.sparkSession
               .sql("WITH " + m06Body(SparkD, "q64_idx", "q64_arr"))
               .write.format("columnfile")
@@ -3939,12 +3922,10 @@ object ExtQueries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        new java.io.File(out, "_COMPLETE").createNewFile()
+        Tables.markBatchOutputComplete(out)
       }
-      // one cf table per micro-batch: multi-path union scan (q24's path)
-      val q64Dirs = Option(new java.io.File(out).listFiles())
-        .getOrElse(Array.empty).filter(_.isDirectory).map(_.getPath).sorted
-      spark.read.format("columnfile").load(q64Dirs.toIndexedSeq: _*)
+      Tables.loadBatchDirs(spark, out,
+        "verdict STRING, hamming BIGINT, n_arrivals BIGINT, checksum BIGINT")
         .createOrReplaceTempView("cf_image_admissions")
       spark.sql(
         s"""SELECT verdict, hamming, CAST(SUM(n_arrivals) AS BIGINT)

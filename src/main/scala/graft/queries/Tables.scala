@@ -172,6 +172,48 @@ object Tables {
     rm(new java.io.File(path))
   }
 
+  // ---- exactly-once foreachBatch output protocol (q63/q64/q65) ----
+  // Each micro-batch OVERWRITES its own batchId-keyed dir under `out`
+  // (idempotent under replay/retry), completion is a `_COMPLETE` marker
+  // written only after the stream drains, and a missing marker means
+  // the output is partial or absent — it is rebuilt, never resumed
+  // into (a half-written dir + stale checkpoint cannot be resumed into
+  // deterministically). One implementation so a protocol fix cannot
+  // silently miss a sink.
+
+  /** True when `out` carries the post-drain completion marker. */
+  def batchOutputComplete(out: String): Boolean =
+    new java.io.File(out, "_COMPLETE").exists()
+
+  /** Clear a partial/absent batch output and its checkpoint. */
+  def resetBatchOutput(out: String): Unit = {
+    rmrf(out); rmrf(out + "_ckpt")
+  }
+
+  /** Mark a drained batch output complete (an empty drain writes no
+    * batch dir, so the parent may not exist yet — create it).
+    */
+  def markBatchOutputComplete(out: String): Unit = {
+    new java.io.File(out).mkdirs()
+    new java.io.File(out, "_COMPLETE").createNewFile()
+    ()
+  }
+
+  /** Union-scan every batchId-keyed dir under `out` (the q24 multi-path
+    * scan). `ddl` is the record schema, used to produce a typed EMPTY
+    * relation when the drain wrote no batches (zero-path load throws).
+    */
+  def loadBatchDirs(spark: SparkSession, out: String,
+      ddl: String): DataFrame = {
+    val dirs = Option(new java.io.File(out).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getPath).sorted
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    else spark.read.format("columnfile").load(dirs.toIndexedSeq: _*)
+  }
+
   /** Cache location for a columnfile copy of `dir`'s `name` table. */
   def cachePath(dir: String, name: String): String = {
     val key = java.lang.Integer.toHexString(dir.hashCode) + "-" + dirStamp(dir)
