@@ -4086,15 +4086,14 @@ object ExtQueries {
     * discipline as p15: five partial-aggregable hash collapses +
     * doc-keyed equi-joins, linear at any duplication.
     */
-  private def m16Body(d: Dial, ti: String, ih: String, ah: String,
-      vh: String): String =
+  private def m16Body(d: Dial, ti: String, dg: String): String =
     s"""tk AS (SELECT tfp, MIN(doc_id) AS tkeep FROM $ti GROUP BY tfp),
        |s1 AS (SELECT t.doc_id, t.lang FROM $ti t
        |  JOIN tk ON t.tfp = tk.tfp WHERE tk.tkeep = t.doc_id),
-       |ik AS (SELECT i.pdigest, MIN(i.doc_id) AS ikeep FROM $ih i
+       |ik AS (SELECT i.pdigest, MIN(i.doc_id) AS ikeep FROM $dg i
        |  JOIN s1 ON i.doc_id = s1.doc_id GROUP BY i.pdigest),
        |s2 AS (SELECT s1.doc_id FROM s1
-       |  JOIN $ih i ON s1.doc_id = i.doc_id
+       |  JOIN $dg i ON s1.doc_id = i.doc_id
        |  JOIN ik ON i.pdigest = ik.pdigest
        |  WHERE ik.ikeep = s1.doc_id),
        |vk0 AS (SELECT e.embedding, MIN(e.vec_id) AS vkeep
@@ -4105,13 +4104,13 @@ object ExtQueries {
        |s3 AS (SELECT s2.doc_id FROM s2
        |  LEFT JOIN vk ON s2.doc_id = vk.vec_id
        |  WHERE vk.vkeep IS NULL OR vk.vkeep = s2.doc_id),
-       |ak AS (SELECT a.adigest, MIN(a.doc_id) AS akeep FROM $ah a
+       |ak AS (SELECT a.adigest, MIN(a.doc_id) AS akeep FROM $dg a
        |  JOIN s3 ON a.doc_id = s3.doc_id GROUP BY a.adigest),
        |s4 AS (SELECT s3.doc_id FROM s3
-       |  JOIN $ah a ON s3.doc_id = a.doc_id
+       |  JOIN $dg a ON s3.doc_id = a.doc_id
        |  JOIN ak ON a.adigest = ak.adigest
        |  WHERE ak.akeep = s3.doc_id),
-       |wk AS (SELECT v.vdigest, MIN(v.doc_id) AS wkeep FROM $vh v
+       |wk AS (SELECT v.vdigest, MIN(v.doc_id) AS wkeep FROM $dg v
        |  JOIN s4 ON v.doc_id = s4.doc_id GROUP BY v.vdigest),
        |vd AS (SELECT t.doc_id, t.lang,
        |    CASE WHEN tk.tkeep <> t.doc_id THEN 'text_dup'
@@ -4123,13 +4122,11 @@ object ExtQueries {
        |         ELSE 'keep' END AS verdict
        |  FROM $ti t
        |  JOIN tk ON t.tfp = tk.tfp
-       |  JOIN $ih i ON t.doc_id = i.doc_id
-       |  LEFT JOIN ik ON i.pdigest = ik.pdigest
+       |  JOIN $dg g ON t.doc_id = g.doc_id
+       |  LEFT JOIN ik ON g.pdigest = ik.pdigest
        |  LEFT JOIN vk ON t.doc_id = vk.vec_id
-       |  JOIN $ah a ON t.doc_id = a.doc_id
-       |  LEFT JOIN ak ON a.adigest = ak.adigest
-       |  JOIN $vh v ON t.doc_id = v.doc_id
-       |  LEFT JOIN wk ON v.vdigest = wk.vdigest)
+       |  LEFT JOIN ak ON g.adigest = ak.adigest
+       |  LEFT JOIN wk ON g.vdigest = wk.vdigest)
        |SELECT lang AS l, verdict, COUNT(*) AS n_docs,
        |  CAST(SUM(doc_id % $P) % $P AS BIGINT) AS checksum
        |FROM vd GROUP BY lang, verdict""".stripMargin
@@ -4145,23 +4142,22 @@ object ExtQueries {
   private def multimodalCurateAvDF(spark: org.apache.spark.sql.SparkSession,
       payloads: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val ih = cacheOnce(graft.multimodal.MultimodalOps
-      .dhashBands(payloads.select("doc_id", "payload"), "payload")
+    // ONE seam pass computes all three digests (image bands/digest,
+    // then WAV/MP4 walks chained on the same batch iterator) — the
+    // payloads relation is generated and decoded once, and the single
+    // cached digest relation serves every election and the verdict join
+    val dg = cacheOnce(graft.multimodal.MultimodalOps
+      .avDigests(graft.multimodal.MultimodalOps
+        .dhashBands(payloads, "payload"), "apayload", "vpayload")
       .selectExpr("doc_id",
-        "COALESCE(pdigest, CONCAT('u', doc_id)) AS pdigest"))
-    ih.createOrReplaceTempView("p16_ih")
-    val avh = cacheOnce(graft.multimodal.MultimodalOps
-      .avDigests(payloads.select("doc_id", "apayload", "vpayload"),
-        "apayload", "vpayload")
-      .selectExpr("doc_id",
+        "COALESCE(pdigest, CONCAT('u', doc_id)) AS pdigest",
         "COALESCE(adigest, CONCAT('ua', doc_id)) AS adigest",
         "COALESCE(vdigest, CONCAT('uv', doc_id)) AS vdigest"))
-    avh.createOrReplaceTempView("p16_avh")
+    dg.createOrReplaceTempView("p16_dg")
     spark.sql(
       """SELECT doc_id, lang, md5(text) AS tfp FROM documents""")
       .createOrReplaceTempView("p16_ti")
-    spark.sql("WITH " + m16Body(SparkD, "p16_ti", "p16_ih", "p16_avh",
-      "p16_avh"))
+    spark.sql("WITH " + m16Body(SparkD, "p16_ti", "p16_dg"))
   }
 
   /** p16: the capstone curation over ALL FIVE modalities — p15's staged
@@ -4196,12 +4192,11 @@ object ExtQueries {
          |    doc_id // 3 AS aid, doc_id // 7 AS vid
          |  FROM documents),
          |ti AS (SELECT doc_id, lang, tfp FROM dd),
-         |ih AS (SELECT doc_id, ${m04PixDigestExpr(DuckD)} AS pdigest
-         |  FROM dd),
-         |avh AS (SELECT doc_id, ${audioDigestExpr(DuckD)} AS adigest,
+         |dg AS (SELECT doc_id, ${m04PixDigestExpr(DuckD)} AS pdigest,
+         |    ${audioDigestExpr(DuckD)} AS adigest,
          |    ${videoDigestExpr(DuckD)} AS vdigest
          |  FROM dd),
-         |${m16Body(DuckD, "ti", "ih", "avh", "avh")}""".stripMargin
+         |${m16Body(DuckD, "ti", "dg")}""".stripMargin
     })
 
   /** IVF-style coarse quantization, oracle-checked: per-label centroids,
