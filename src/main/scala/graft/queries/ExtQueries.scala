@@ -3295,6 +3295,9 @@ object ExtQueries {
     dialect("v10_ivf_recall", ivfRecallSql),
     // The nprobe sweep: the recall-vs-nprobe (1/2/4) tuning curve.
     dialect("v11_ivf_nprobe_sweep", ivfNprobeSweepSql),
+    // Hybrid retrieval: RRF fusion of sign-LSH + IVF, recall per
+    // retriever and fused — rank fusion needs no score calibration.
+    dialect("v12_hybrid_rrf_recall", hybridRrfSql),
     // v05 = v04 over a materialized cell-partitioned index (same oracle).
     ivfIndexed,
     dialect("m01_multimodal_stubmeta", multimodalSql),
@@ -4371,6 +4374,70 @@ object ExtQueries {
        |  GROUP BY lv.nprobe, gt.qid)
        |SELECT nprobe, n_hits, COUNT(*) AS n_queries
        |FROM hits GROUP BY nprobe, n_hits""".stripMargin
+  }
+
+  /** v12: hybrid retrieval via Reciprocal Rank Fusion — the standard
+    * production answer when no single ANN index dominates: fuse the
+    * sign-LSH (v02) and IVF (v04) top-5 lists per query with
+    * RRF(score) = Σ_retriever 1e6 div (60 + rank) — exact integer, the
+    * classic k=60 constant — and report the recall-vs-exact histogram
+    * for LSH alone, IVF alone, and the fusion on the shared 20-query
+    * sample. On this corpus the artifact shows WHY hybrid exists: LSH
+    * scores ~0 (v09's honest isotropic-vector result), IVF recovers
+    * 1–4 of top-5 (v10), and the fusion tracks the stronger retriever
+    * without knowing in advance which one that is — rank fusion needs
+    * no score calibration between retrievers (ranks, not cosines, are
+    * fused), which is precisely its production appeal.
+    *
+    * Scale shape: both retrievers are their existing bounded pipelines
+    * (capped bucket join; probed-cell scan); the fusion itself is a
+    * FULL OUTER equi-join of two (sample × 5)-row lists + one window —
+    * negligible at any corpus size. Ground truth is the
+    * contract-bounded sample × corpus stage (v09/v10's harness).
+    */
+  private def hybridRrfSql(d: Dial): String = {
+    val rrf = (r: String) =>
+      s"COALESCE(${d.intDiv("1000000", s"(60 + $r)")}, 0)"
+    s"""WITH ${ivfSearchCtes(d)},
+       |ivfr AS (SELECT qid, nid, rn AS rank FROM topk WHERE rn <= 5),
+       |bc AS (${knnSignLshBcSql(d)}),
+       |lshr AS (SELECT qid, nid,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+       |      AS rank
+       |  FROM (${knnSignLshFrom(d, "bc")}) l WHERE qid < 20),
+       |rcand AS (SELECT qid, nid FROM ivfr
+       |  UNION SELECT qid, nid FROM lshr),
+       |rscored AS (SELECT c.qid, c.nid,
+       |    ${rrf("i.rank")} + ${rrf("l.rank")} AS score
+       |  FROM rcand c
+       |  LEFT JOIN ivfr i ON c.qid = i.qid AND c.nid = i.nid
+       |  LEFT JOIN lshr l ON c.qid = l.qid AND c.nid = l.nid),
+       |fused AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid)
+       |        AS rn
+       |    FROM rscored) f WHERE rn <= 5),
+       |gt AS (SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
+       |          DESC, n.vec_id) AS rn
+       |    FROM emb q CROSS JOIN emb n
+       |    WHERE q.vec_id < 20 AND n.vec_id <> q.vec_id) x
+       |  WHERE rn <= 5),
+       |hl AS (SELECT 'lsh' AS retriever, gt.qid, COUNT(l.nid) AS n_hits
+       |  FROM gt LEFT JOIN lshr l ON gt.qid = l.qid AND gt.nid = l.nid
+       |  GROUP BY gt.qid),
+       |hi AS (SELECT 'ivf' AS retriever, gt.qid, COUNT(i.nid) AS n_hits
+       |  FROM gt LEFT JOIN ivfr i ON gt.qid = i.qid AND gt.nid = i.nid
+       |  GROUP BY gt.qid),
+       |hf AS (SELECT 'rrf' AS retriever, gt.qid, COUNT(f.nid) AS n_hits
+       |  FROM gt LEFT JOIN fused f ON gt.qid = f.qid AND gt.nid = f.nid
+       |  GROUP BY gt.qid),
+       |hits AS (SELECT * FROM hl UNION ALL SELECT * FROM hi
+       |  UNION ALL SELECT * FROM hf)
+       |SELECT retriever, n_hits, COUNT(*) AS n_queries
+       |FROM hits GROUP BY retriever, n_hits""".stripMargin
   }
 
   /** Materialize the IVF assignment as a cell-partitioned columnfile

@@ -56,7 +56,8 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "p08_sketch_heavy_hitters", "q61_stream_cms_sketch",
     "v01_knn_brute", "v03_knn_ivf_assign", "v04_knn_ivf_search",
     "v06_ann_cap_report", "v07_knn_quantized", "v08_knn_rerank",
-    "v09_ann_recall", "v10_ivf_recall", "v11_ivf_nprobe_sweep")
+    "v09_ann_recall", "v10_ivf_recall", "v11_ivf_nprobe_sweep",
+    "v12_hybrid_rrf_recall")
 
   test("no null-aware anti join, cartesian, or unexpected nested loop " +
     "anywhere in the inventory") {

@@ -474,6 +474,28 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totalHits.last > totalHits.head, s"flat curve: $totalHits")
   }
 
+  test("v12: RRF fusion covers the sample and tracks the stronger retriever") {
+    // Deterministic against the fixed sf0.001 corpus: three histograms
+    // (lsh / ivf / rrf), each over the full 20-query sample; the fused
+    // ranking must not collapse toward the weak retriever (on this
+    // corpus LSH scores ~0 — v09's honest isotropic result — while IVF
+    // recovers 1-4 of top-5, so a fusion below LSH or far below IVF
+    // means rank handling is broken).
+    val rows = graft.SparkEntry
+      .queries("v12_hybrid_rrf_recall")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val by = rows.groupBy(_._1)
+    assert(by.keySet == Set("lsh", "ivf", "rrf"), s"retrievers: ${by.keySet}")
+    by.foreach { case (ret, rs) =>
+      assert(rs.map(_._3).sum == 20L, s"$ret should score 20 queries")
+    }
+    def total(ret: String) = by(ret).map(r => r._2 * r._3).sum
+    assert(total("rrf") >= total("lsh"),
+      s"fusion below the weak retriever: rrf=${total("rrf")} lsh=${total("lsh")}")
+    assert(total("rrf") * 2 >= total("ivf"),
+      s"fusion far below the strong retriever: rrf=${total("rrf")} ivf=${total("ivf")}")
+  }
+
   test("v09: perfect recall when buckets hold the truth; honest zero under the cap") {
     val sp = spark; import sp.implicits._
     def emb(rows: Int): Unit =
