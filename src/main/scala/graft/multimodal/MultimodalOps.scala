@@ -388,6 +388,124 @@ object MultimodalOps {
   def parseRaster(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     parsePgm(b).orElse(parseBmp(b))
 
+  /** Nearest-neighbor raster resize — the REAL scaler the resize stub
+    * stands in for on codec formats: destination pixel (x, y) samples
+    * source pixel (x * w / ow, y * h / oh) with floor division (the
+    * OpenCV INTER_NEAREST convention). Pure integer arithmetic, so the
+    * mapping is deterministic and a SQL oracle can recompute it in
+    * closed form — a round-vs-floor or x/y-transposition bug moves
+    * which source pixels survive and breaks the digest match.
+    */
+  def resizeRaster(w: Int, h: Int, px: Array[Byte],
+      ow: Int, oh: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && ow > 0 && oh > 0 && px.length == w * h)
+    Array.tabulate(ow * oh) { i =>
+      val x = i % ow
+      val y = i / ow
+      px((y * h / oh) * w + (x * w / ow))
+    }
+  }
+
+  /** Decode-seam stage for [[resizeRaster]]: parse the raster
+    * (container-blind — PGM or BMP), resize to `ow` x `oh`, and append
+    * the ~124-bit content digests of the ORIGINAL and the RESIZED
+    * raster (`pdigest`, `rdigest`; null when unparseable). One
+    * `mapPartitions` pass, same seam discipline as [[dhashBands]].
+    */
+  def resizeDigests(df: DataFrame, binaryCol: String,
+      ow: Int, oh: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("pdigest", StringType, nullable = true),
+      StructField("rdigest", StringType, nullable = true)))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val digests: Seq[Any] =
+          parseRaster(r.getAs[Array[Byte]](binIdx)) match {
+            case Some((w, h, px)) =>
+              val rz = resizeRaster(w, h, px, ow, oh)
+              Seq(contentDigest(px, 0, px.length),
+                contentDigest(rz, 0, rz.length))
+            case None => Seq(null, null)
+          }
+        Row.fromSeq(r.toSeq ++ digests)
+      }
+    }
+  }
+
+  /** Locate the `mdat` box payload: (offset, length) of the media bytes
+    * inside an MP4 payload — the container walk [[mp4DataDigest]] does,
+    * exposed for consumers that need the byte RANGE (frame sampling)
+    * rather than one digest over it.
+    */
+  def mp4DataRange(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b == null || b.length < 16 || beInt(b, 0) < 8) return None
+    var i = 0
+    while (i + 8 <= b.length) {
+      val size = beInt(b, i)
+      if (size < 8) return None // 64-bit largesize unsupported here
+      val tpe = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (tpe == "mdat")
+        return if (i.toLong + size <= b.length) Some((i + 8, size - 8))
+        else None
+      if (i.toLong + size > b.length) return None
+      i += size
+    }
+    None
+  }
+
+  /** Decode-seam stage for REAL video frame sampling: walk the MP4 box
+    * list to `mdat`, split its media bytes into fixed-size samples
+    * ("frames" — the fixture's mdat is a flat sample array, the shape a
+    * real stsz/stsc walk would yield), keep every `stride`-th frame
+    * starting at 0, and append per-payload accounting: `n_frames`
+    * (complete frames in mdat), `n_sampled`, and `sdigest` — a 31-bit
+    * fold over the sampled frames' own 31-bit digests in frame order
+    * (multiplier 37 outer, 31 inner), so a sampler that slices at the
+    * wrong boundary, keeps the wrong phase, or includes a partial tail
+    * frame breaks the digest. Nulls when the payload has no complete
+    * mdat box. One `mapPartitions` pass, no driver gather.
+    */
+  def frameSampleDigests(df: DataFrame, binaryCol: String,
+      frameSize: Int, stride: Int): DataFrame = {
+    require(frameSize > 0 && stride > 0)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("n_frames", LongType, nullable = true),
+      StructField("n_sampled", LongType, nullable = true),
+      StructField("sdigest", LongType, nullable = true)))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    val P = 2147483647L
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](binIdx)
+        val fields: Seq[Any] = mp4DataRange(payload) match {
+          case Some((off, len)) =>
+            val nFrames = len / frameSize
+            var sdigest = 0L
+            var nSampled = 0L
+            var k = 0
+            while (k < nFrames) {
+              var fd = 0L
+              var i = off + k * frameSize
+              val end = i + frameSize
+              while (i < end) {
+                fd = (fd * 31 + (payload(i) & 0xff)) % P
+                i += 1
+              }
+              sdigest = (sdigest * 37 + fd) % P
+              nSampled += 1
+              k += stride
+            }
+            Seq(nFrames.toLong, nSampled, sdigest)
+          case None => Seq(null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ fields)
+      }
+    }
+  }
+
   /** Uncompressed 24-bit gray BMP (r=g=b) with the given top-down
     * raster; `topDown = false` stores rows bottom-up with positive
     * biHeight (the canonical layout), `true` stores them top-down with

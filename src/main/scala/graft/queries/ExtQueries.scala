@@ -3312,6 +3312,12 @@ object ExtQueries {
     // Cross-container image dedup: PGM and BMP of the same raster must
     // collapse under one rep (BMP = padded rows, bottom-up, BT.601).
     imageBmpDedup,
+    // REAL nearest-neighbor resize on the decoded raster: which planted
+    // perturbations survive sampling is the oracle-pinned contract.
+    imageResize,
+    // REAL frame sampling: mdat box walk -> fixed-size samples ->
+    // stride-2 keep, digest-pinned boundaries and phase.
+    videoFrameSample,
     // Capstone composition: one plan dedups across text, image, and
     // vector modalities with first-reason-wins precedence.
     multimodalCurate,
@@ -3777,6 +3783,154 @@ object ExtQueries {
          |  FROM dd),
          |reps AS (${m05RepsSql(DuckD, "h")}),
          |${m05Body(DuckD, "reps")}""".stripMargin
+    })
+
+  /** The closed-form twin of the RESIZED raster digest: nearest-neighbor
+    * 18x16 -> 12x10, so destination index i samples source index
+    * j = ((i div 12) * 16 div 10) * 18 + ((i % 12) * 18 div 12) — the
+    * INTER_NEAREST floor-division mapping. The 120 sampled planted
+    * pixels in destination order through [[digestFoldExpr]]; a
+    * round-vs-floor or x/y-transposition bug in the scaler samples
+    * different source pixels and breaks the fold.
+    */
+  private def m07RzDigestExpr(d: Dial): String = {
+    val jy = d.intDiv(s"(${d.intDiv("i", "12")} * 16)", "10")
+    val jx = d.intDiv("((i % 12) * 18)", "12")
+    val j = s"($jy * 18 + $jx)"
+    val base =
+      s"((g * ($j + 7) + ${d.intDiv("g", "251")} * ($j * $j + 13) + $j * $j) % 251)"
+    val pix =
+      s"(CASE WHEN $j = (r * 53) % 288 THEN ($base + r * 29) % 251 ELSE $base END)"
+    digestFoldExpr(d, d.transform(idxSeq(d, 120), "i", pix))
+  }
+
+  /** The m07 readout downstream of the per-image relation `h`
+    * (doc_id, rdigest): collapse on the resized digest, histogram of
+    * group sizes with a rep checksum.
+    */
+  private def m07Body(d: Dial, h: String): String =
+    s"""SELECT cnt, COUNT(*) AS n_groups,
+       |  CAST(SUM(rep % $P) % $P AS BIGINT) AS checksum
+       |FROM (SELECT MIN(doc_id) AS rep, COUNT(*) AS cnt
+       |  FROM $h GROUP BY rdigest) reps
+       |GROUP BY cnt""".stripMargin
+
+  /** m07: REAL image resize — the feature-extract/resize member of the
+    * multimodal family, upgraded from the byte-decimation stub to a
+    * true nearest-neighbor scaler running on the DECODED raster at the
+    * seam ([[graft.multimodal.MultimodalOps.resizeRaster]]): 18x16 ->
+    * 12x10 with floor-division source mapping, container-blind (the
+    * corpus alternates PGM and BMP payloads). The contract exposes the
+    * resize's semantic effect: each 5-doc group shares a base image
+    * with a one-pixel perturbation per member, and nearest-neighbor
+    * sampling KEEPS the perturbation only when its source index is
+    * sampled — for the planted indices (r*53)%288 that is r in {0, 3}
+    * (row in {0,1,3,4,6,8,9,11,12,14} AND col in the 12 sampled cols),
+    * so collapsing on the resized digest yields exactly two
+    * singleton groups + one 3-member group per full 5-doc group. The
+    * oracle recomputes the resized digest closed-form pixel-by-pixel;
+    * any scaler bug (rounding, transposed axes, wrong stride) moves a
+    * perturbation in or out of the sampled set and breaks the
+    * histogram checksum. Scale shape: one seam pass + one hash
+    * aggregate on the digest + an O(groups) histogram — linear, zero
+    * pair stages.
+    */
+  private def imageResize: Q = Q("m07_image_resize",
+    (spark, dir) => {
+      val sp = spark; import sp.implicits._
+      Tables.registerAll(spark, dir)
+      val ids = Tables.t(spark, dir, "documents").select("doc_id").as[Long]
+      val payloads = ids.map { id =>
+        val px = plantedPx(id)
+        val payload =
+          if (id % 2 == 0) graft.multimodal.MultimodalOps.pgmBytes(18, 16, px)
+          else graft.multimodal.MultimodalOps.bmpBytes(18, 16, px)
+        (id, payload)
+      }.toDF("doc_id", "payload")
+      graft.multimodal.MultimodalOps
+        .resizeDigests(payloads, "payload", 12, 10)
+        .select("doc_id", "rdigest")
+        .createOrReplaceTempView("m07_h")
+      spark.sql(m07Body(SparkD, "m07_h"))
+    }, Some {
+      s"""WITH dd AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS r
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${m07RzDigestExpr(DuckD)} AS rdigest
+         |  FROM dd)
+         |${m07Body(DuckD, "h")}""".stripMargin
+    })
+
+  /** The planted m08 mdat media bytes: nf = 3 + id % 5 frames of 16
+    * bytes, byte i = (id * (i + 11) + i*i*5 + 13) % 251 — closed-form
+    * in the doc id, computed identically by the fixture generator and
+    * the SQL oracle.
+    */
+  private def plantedMdat(id: Long): Array[Byte] = {
+    val nf = (3 + id % 5).toInt
+    Array.tabulate(nf * 16)(i =>
+      ((id * (i + 11) + i.toLong * i * 5 + 13) % 251).toByte)
+  }
+
+  /** The closed-form twin of the seam's sampled-frames digest: frames
+    * k in {0, 2, 4, ...} < nf, frame digest = 31-fold over its 16
+    * planted bytes, doc digest = 37-fold over the frame digests in
+    * frame order.
+    */
+  private def m08SdigestExpr(d: Dial): String = {
+    val frames = d match {
+      case SparkD => "sequence(0, nf - 1)"
+      case DuckD  => "range(0, nf)"
+    }
+    val byte =
+      s"((doc_id * (k * 16 + fi + 11) + (k * 16 + fi) * (k * 16 + fi) * 5 + 13) % 251)"
+    val fd = d.fold0(idxSeq(d, 16), "fa", "fi", s"(fa * 31 + $byte) % $P")
+    d.fold0(d.filter(frames, "k", "k % 2 = 0"), "acc", "k",
+      s"(acc * 37 + $fd) % $P")
+  }
+
+  /** m08: REAL video frame sampling — the frame-sample member of the
+    * multimodal family, upgraded from the byte-slice stub to a true
+    * container walk at the seam
+    * ([[graft.multimodal.MultimodalOps.frameSampleDigests]]): locate
+    * the MP4 `mdat` box (skipping ftyp/moov like the digest walk),
+    * split its media bytes into complete 16-byte samples, keep every
+    * 2nd frame starting at frame 0, and digest the kept frames in
+    * order. The planted corpus varies the frame COUNT per doc
+    * (3 + doc_id % 5), so the rollup by n_frames pins the complete-
+    * frame accounting, the stride phase, and the per-frame boundaries
+    * at once: a sampler that slices at the wrong offset (e.g. includes
+    * the mdat header), keeps odd frames, or counts a partial tail
+    * frame lands in the wrong group or breaks the digest checksum.
+    * Scale shape: one seam pass + one 5-row hash aggregate — linear,
+    * no shuffle beyond the final rollup.
+    */
+  private def videoFrameSample: Q = Q("m08_video_frame_sample",
+    (spark, dir) => {
+      val sp = spark; import sp.implicits._
+      Tables.registerAll(spark, dir)
+      val ids = Tables.t(spark, dir, "documents").select("doc_id").as[Long]
+      val payloads = ids.map { id =>
+        (id, graft.multimodal.MultimodalOps.mp4Bytes(320, 240, plantedMdat(id)))
+      }.toDF("doc_id", "payload")
+      graft.multimodal.MultimodalOps
+        .frameSampleDigests(payloads, "payload", 16, 2)
+        .select("doc_id", "n_frames", "n_sampled", "sdigest")
+        .createOrReplaceTempView("m08_h")
+      spark.sql(
+        s"""SELECT n_frames, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_sampled) AS BIGINT) AS n_sampled_total,
+           |  CAST(SUM(sdigest) % $P AS BIGINT) AS checksum
+           |FROM m08_h GROUP BY n_frames""".stripMargin)
+    }, Some {
+      s"""WITH dd AS (SELECT doc_id, 3 + doc_id % 5 AS nf FROM documents),
+         |h AS (SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+         |    (nf + 1) // 2 AS n_sampled,
+         |    ${m08SdigestExpr(DuckD)} AS sdigest
+         |  FROM dd)
+         |SELECT n_frames, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_sampled) AS BIGINT) AS n_sampled_total,
+         |  CAST(SUM(sdigest) % $P AS BIGINT) AS checksum
+         |FROM h GROUP BY n_frames""".stripMargin
     })
 
   /** The q64 match pipeline downstream of the index rep relation `idx`

@@ -288,6 +288,94 @@ class ToolsAndMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resized.forall(_.getInt(0) == 10))
   }
 
+  test("multimodal: REAL nearest-neighbor resize — floor mapping, container-blind, unparseable") {
+    // unit mapping: 4x2 -> 2x1 samples src (x*4/2, y*2/1) = indices 0, 2
+    val small = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
+    assert(MultimodalOps.resizeRaster(4, 2, small, 2, 1)
+      .sameElements(Array[Byte](10, 30)))
+
+    // perturbation survival through 18x16 -> 12x10: sampled rows are
+    // {0,1,3,4,6,8,9,11,12,14}, sampled cols {0,1,3,4,6,7,9,10,12,13,15,16}.
+    // idx 0 = (row 0, col 0) is sampled; idx 53 = (row 2, col 17) is not.
+    val base = Array.tabulate(288)(i => (i % 251).toByte)
+    def perturb(idx: Int): Array[Byte] = {
+      val p = base.clone(); p(idx) = ((p(idx) + 1) % 251).toByte; p
+    }
+    val rzBase = MultimodalOps.resizeRaster(18, 16, base, 12, 10)
+    assert(!MultimodalOps.resizeRaster(18, 16, perturb(0), 12, 10)
+      .sameElements(rzBase))
+    assert(MultimodalOps.resizeRaster(18, 16, perturb(53), 12, 10)
+      .sameElements(rzBase))
+
+    // seam: PGM and BMP of the same raster yield the same rdigest;
+    // an unparseable payload yields nulls
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (0L, MultimodalOps.pgmBytes(18, 16, base)),
+      (1L, MultimodalOps.bmpBytes(18, 16, base)),
+      (2L, Array[Byte](9, 9, 9))).toDF("id", "payload")
+    val out = MultimodalOps.resizeDigests(df, "payload", 12, 10)
+      .select("id", "pdigest", "rdigest").collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), Option(r.getString(2))))
+      .toMap
+    assert(out(0L)._2.isDefined && out(0L) == out(1L))
+    assert(out(0L)._1 != out(0L)._2) // resize changes the digest
+    assert(out(2L) == ((None, None)))
+  }
+
+  test("multimodal: REAL frame sampling — mdat walk, stride phase, partial tail, rejections") {
+    val P = 2147483647L
+    def mdatOf(frames: Array[Array[Byte]], tail: Array[Byte] = Array.empty) =
+      MultimodalOps.mp4Bytes(320, 240, frames.flatten ++ tail)
+    def expect(frames: Array[Array[Byte]]): Long = {
+      var sd = 0L
+      frames.indices.by(2).foreach { k =>
+        var fd = 0L
+        frames(k).foreach(b => fd = (fd * 31 + (b & 0xff)) % P)
+        sd = (sd * 37 + fd) % P
+      }
+      sd
+    }
+    val frames = Array.tabulate(5)(k =>
+      Array.tabulate(16)(i => ((k * 31 + i * 7) % 251).toByte))
+    val sp = spark; import sp.implicits._
+
+    def run(payloads: Seq[(Long, Array[Byte])]) =
+      MultimodalOps.frameSampleDigests(
+        payloads.toDF("id", "payload"), "payload", 16, 2)
+        .select("id", "n_frames", "n_sampled", "sdigest").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+          else Some((r.getLong(1), r.getLong(2), r.getLong(3))))).toMap
+
+    // phase: frame 1 (odd) is skipped — changing it keeps the digest;
+    // frame 2 (even) is kept — changing it breaks the digest. A partial
+    // 7-byte tail is not a complete frame and never contributes.
+    val odd = frames.clone(); odd(1) = odd(1).map(b => (b + 1).toByte)
+    val even = frames.clone(); even(2) = even(2).map(b => (b + 1).toByte)
+    val out = run(Seq(
+      (0L, mdatOf(frames)),
+      (1L, mdatOf(odd)),
+      (2L, mdatOf(even)),
+      (3L, mdatOf(frames, tail = Array.fill(7)(99.toByte))),
+      (4L, Array[Byte](1, 2, 3, 4))))
+    assert(out(0L).contains((5L, 3L, expect(frames))))
+    assert(out(1L) == out(0L))
+    assert(out(2L).exists(_._3 != expect(frames)))
+    assert(out(3L) == out(0L))
+    assert(out(4L).isEmpty)
+
+    // rewrap invariance: an extra `free` box before mdat moves the byte
+    // range but not the sampled content
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val data = frames.flatten
+    val free = java.nio.ByteBuffer.allocate(16)
+      .putInt(16).put("free".getBytes(ascii)).put(Array.fill(8)(0.toByte)).array()
+    val mdatBox = java.nio.ByteBuffer.allocate(8 + data.length)
+      .putInt(8 + data.length).put("mdat".getBytes(ascii)).put(data).array()
+    val rewrapped = MultimodalOps.mp4Bytes(320, 240) ++ free ++ mdatBox
+    assert(run(Seq((0L, rewrapped)))(0L).contains((5L, 3L, expect(frames))))
+  }
+
   test("multimodal: PGM parse (comments, whitespace, truncation) + dHash bands") {
     // round-trip with a messy-but-legal header
     val px = Array.tabulate(288)(i => (i % 251).toByte)
