@@ -153,6 +153,11 @@ object ExtQueries {
       * both engines).
       */
     def emptyBigintArr: String
+
+    /** 1 << bit as BIGINT (bit is a dynamic expression, 0..62). */
+    def shl1(bit: String): String
+    /** arithmetic right shift of a BIGINT by a dynamic bit count. */
+    def shr(a: String, bits: String): String
   }
 
   object SparkD extends Dial {
@@ -204,6 +209,8 @@ object ExtQueries {
     def segments10(w: String) =
       s"transform(sequence(0, (size($w) - 1) div 10), i -> array_join(slice($w, i * 10 + 1, 10), ' '))"
     def emptyBigintArr = "CAST(array() AS ARRAY<BIGINT>)"
+    def shl1(bit: String) = s"shiftleft(CAST(1 AS BIGINT), CAST($bit AS INT))"
+    def shr(a: String, bits: String) = s"shiftright($a, CAST($bits AS INT))"
   }
 
   object DuckD extends Dial {
@@ -261,6 +268,8 @@ object ExtQueries {
     def segments10(w: String) =
       s"list_transform(range(0, (len($w) - 1) // 10 + 1), i -> array_to_string($w[i * 10 + 1:i * 10 + 10], ' '))"
     def emptyBigintArr = "CAST([] AS BIGINT[])"
+    def shl1(bit: String) = s"(CAST(1 AS BIGINT) << $bit)"
+    def shr(a: String, bits: String) = s"($a >> $bits)"
   }
 
   // ---------------------------------------------------------------- dedup
@@ -1199,6 +1208,85 @@ object ExtQueries {
     bigramDF(spark)
   }, Some(bigramSql(DuckD)))
 
+  /** t15's per-doc gram-array scan (tokenize once, d13/t14's lesson);
+    * carries lang + source because the bucket stats need the target
+    * membership and the readout groups by language.
+    */
+  private def dsirGramsSql(d: Dial): String =
+    s"""SELECT doc_id, lang, source, ${d.grams2("w")} AS ga
+       |FROM (SELECT doc_id, lang, source, ${d.split("lower(text)")} AS w
+       |      FROM documents) t
+       |WHERE ${d.size("w")} >= 2""".stripMargin
+
+  /** The t15 pipeline downstream of the exploded hashed-gram relation
+    * `bg` (doc_id, lang, source, b): ONE aggregation yields each
+    * bucket's raw count and its target count (no second corpus pass),
+    * fixed-point Laplace-smoothed likelihood ratios, per-doc mean
+    * ratio, per-language top-10. Fixed point is counts-per-100k
+    * ((c+1)*100000 stays within BIGINT to ~9e13 grams — past the
+    * 100 TB design point); q's floor is GREATEST(.., 1) so an
+    * adversarially empty bucket divides by 1, not 0.
+    */
+  private def dsirBody(d: Dial, bg: String): String = {
+    val p100k = d.intDiv("((tc + 1) * 100000)", "((SELECT tt FROM tot) + 64)")
+    val q100k = d.intDiv("((rc + 1) * 100000)", "((SELECT rt FROM tot) + 64)")
+    s"""st AS (SELECT b, COUNT(*) AS rc,
+       |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS tc
+       |  FROM $bg GROUP BY b),
+       |tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS rt,
+       |    CAST(SUM(tc) AS BIGINT) AS tt FROM st),
+       |sc AS (SELECT b,
+       |    ${d.intDiv(s"($p100k * 1000)", s"GREATEST($q100k, 1)")} AS ratio_fp
+       |  FROM st),
+       |doc AS (SELECT g.doc_id, g.lang,
+       |    CAST(SUM(sc.ratio_fp) AS BIGINT) AS s, COUNT(*) AS n_g
+       |  FROM $bg g JOIN sc ON g.b = sc.b GROUP BY g.doc_id, g.lang),
+       |r AS (SELECT doc_id, lang, ${d.intDiv("s", "n_g")} AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY ${d.intDiv("s", "n_g")} DESC, doc_id) AS rn
+       |  FROM doc)
+       |SELECT lang, doc_id, CAST(score AS BIGINT) AS dsir_score
+       |FROM r WHERE rn <= 10""".stripMargin
+  }
+
+  private def dsirSql(d: Dial): String =
+    s"""WITH ga AS (${dsirGramsSql(d)}),
+       |bg AS (SELECT doc_id, lang, source, ${d.rollHash("g")} % 64 AS b
+       |  FROM ga ${d.explode("ga", "g")}),
+       |${dsirBody(d, "bg")}""".stripMargin
+
+  /** t15: DSIR-shaped importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling") — the
+    * data-selection pass that upweights documents resembling a trusted
+    * TARGET domain: hashed word-bigram features (64 buckets), target
+    * distribution = the corpus's own `src0` slice (the "curated sample"
+    * a production run would point at a quality corpus), raw
+    * distribution = the whole corpus, and each doc scores the mean
+    * Laplace-smoothed likelihood ratio p_target(bucket)/p_raw(bucket)
+    * over its bigrams — the paper's log-ratio sum traded for a
+    * fixed-point mean ratio so the score stays exact-integer and
+    * cross-engine (rank order, which is all selection uses, is
+    * preserved for the bounded ratios here). Selection = per-language
+    * top-10 by (score, doc_id). Scale shape: the bucket-stats relation
+    * is 64 rows computed in ONE pass over the exploded grams (target
+    * count via conditional SUM — no second corpus scan), broadcast
+    * back for scoring; the per-doc SUM is partial-aggregable; the
+    * rank <= 10 filter is WindowGroupLimit-pushable like p06. The
+    * gram scan is cached once on the Spark side (t14's array-cache
+    * lesson).
+    */
+  private def dsirQ: Q = Q("t15_dsir_importance", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    val ga = cacheOnce(spark.sql(dsirGramsSql(SparkD)))
+    ga.createOrReplaceTempView("t15_ga")
+    spark.sql(
+      s"""SELECT doc_id, lang, source, ${SparkD.rollHash("g")} % 64 AS b
+         |FROM t15_ga ${SparkD.explode("ga", "g")}""".stripMargin)
+      .createOrReplaceTempView("t15_bg")
+    spark.sql("WITH " + dsirBody(SparkD, "t15_bg"))
+  }, Some(dsirSql(DuckD)))
+
   /** p09: token-budget mixture sampling — the "take N tokens per
     * language/domain" pass that assembles a training mix from a curated
     * pool. Docs are admitted in deterministic multiplicative-hash order
@@ -1408,6 +1496,126 @@ object ExtQueries {
        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        |  MIN(doc_id) AS first_doc
        |FROM kept GROUP BY lang""".stripMargin
+  }
+
+  /** p17: curriculum ordering — the pass that turns a curated pool into
+    * an easy-to-hard training schedule (curriculum learning; Bengio et
+    * al. 2009's recipe as a data op): each doc's "easiness" is its
+    * t09-style mean unigram commonness in ppm (docs of globally common
+    * words first), epochs are NTILE(4) over (easiness DESC, doc_id) —
+    * equal-sized phases, deterministic tie-break — and WITHIN an epoch
+    * docs are shuffled in multiplicative-hash order (the reproducible
+    * "random" order p06/p09 use; epoch-major + hash-minor is exactly
+    * the read order a packing pass (p04) would consume). The rollup
+    * pins the whole permutation: the order checksum folds each doc's
+    * within-epoch rank, so an off-by-one in tiling, a tie broken
+    * differently, or a drifted shuffle order all break the hash. Scale
+    * shape: the unigram score join is t09's (vocabulary-sized relation,
+    * broadcastable); NTILE is one global range-partitioned sort and
+    * the per-epoch rank one more partitioned sort — the honest cost of
+    * a total curriculum order, and the only total sorts in the
+    * pipeline family.
+    */
+  private def curriculumSql(d: Dial): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, w FROM documents
+       |        ${d.explode(d.split("lower(text)"), "w")}) t
+       |  WHERE w <> ''),
+       |cf AS (SELECT w, COUNT(*) AS wc FROM toks GROUP BY w),
+       |tot AS (SELECT CAST(SUM(wc) AS BIGINT) AS n FROM cf),
+       |doc AS (
+       |  SELECT toks.doc_id,
+       |    CAST(SUM(${d.intDiv("(cf.wc * 1000000)", "(SELECT n FROM tot)")})
+       |      AS BIGINT) AS sum_ppm,
+       |    COUNT(*) AS n_tok
+       |  FROM toks JOIN cf ON toks.w = cf.w GROUP BY toks.doc_id),
+       |e AS (SELECT doc_id, ${d.intDiv("sum_ppm", "n_tok")} AS easiness,
+       |    CAST(NTILE(4) OVER (ORDER BY ${d.intDiv("sum_ppm", "n_tok")} DESC,
+       |      doc_id) AS BIGINT) AS epoch
+       |  FROM doc),
+       |r AS (SELECT doc_id, easiness, epoch,
+       |    ROW_NUMBER() OVER (PARTITION BY epoch
+       |      ORDER BY ((doc_id % $P) * 2654435761) % $P, doc_id) AS rn
+       |  FROM e)
+       |SELECT epoch, COUNT(*) AS n_docs,
+       |  CAST(MIN(easiness) AS BIGINT) AS min_easiness,
+       |  CAST(MAX(easiness) AS BIGINT) AS max_easiness,
+       |  CAST(SUM(((rn % $P) * (doc_id % $P)) % $P) % $P AS BIGINT)
+       |    AS order_checksum
+       |FROM r GROUP BY epoch""".stripMargin
+
+  /** p18: Bloom-filter membership sketch — the probabilistic gate a
+    * 100 TB ingest uses before paying for an exact-dedup shuffle
+    * ("definitely new" skips the lookup; "maybe seen" pays it): build
+    * the filter over the TRAIN split's document hashes, probe it with
+    * the TEST split, and report the MEASURED false-positive rate
+    * against exact membership — the observability discipline of
+    * d11/v06/v09 applied to the sketch family (p07/p08/p10/p11 gain
+    * their probabilistic sibling). The filter is k=3 double-hashed
+    * probes into m bits packed 32-per-word via BIT_OR — constant-size,
+    * mergeable across shards by OR, partial-aggregable. m follows the
+    * d11 sizing rule: 16 bits per expected item (theoretical FP with
+    * k=3 ~ 0.5%), word-aligned, floored at 32 and CAPPED at 2^20 bits
+    * — past the cap the filter saturates and the report SHOWS the FP
+    * rate rising instead of silently growing state. `n_missed` is the
+    * no-false-negative invariant (must be 0 — a Bloom filter that
+    * misses a true member is broken, and the column proves per-run it
+    * did not). All arithmetic is exact-integer (31-bit text hash,
+    * integer probe positions, BIT_OR/bit_count words), so the oracle
+    * hash-match pins the full probe geometry cross-engine.
+    */
+  private def bloomSql(d: Dial): String = {
+    val m = "(SELECT m FROM sz)"
+    val pos = s"((h1 + i * h2) % $m)"
+    s"""WITH s AS (SELECT doc_id, md5(text) AS fp,
+       |    ${d.rollHash("text")} AS h,
+       |    ((doc_id % $P) * 2654435761) % $P % 1000 AS pm
+       |  FROM documents),
+       |tr AS (SELECT fp, (h * 2654435761) % $P AS h1,
+       |    (h * 40503 + 97) % $P AS h2
+       |  FROM s WHERE pm < 980),
+       |te AS (SELECT doc_id, fp, (h * 2654435761) % $P AS h1,
+       |    (h * 40503 + 97) % $P AS h2
+       |  FROM s WHERE pm >= 990),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr),
+       |sz AS (SELECT LEAST(GREATEST(
+       |    ${d.intDiv("(16 * (SELECT n FROM tot) + 31)", "32")} * 32,
+       |    32), 1048576) AS m),
+       |probes AS (SELECT CAST(0 AS BIGINT) AS i
+       |  UNION ALL SELECT 1 UNION ALL SELECT 2),
+       |bloom AS (SELECT ${d.intDiv("pos", "32")} AS word,
+       |    BIT_OR(${d.shl1("(pos % 32)")}) AS wv
+       |  FROM (SELECT $pos AS pos FROM tr CROSS JOIN probes) tp
+       |  GROUP BY ${d.intDiv("pos", "32")}),
+       |pv AS (SELECT doc_id, MIN(hit) AS maybe FROM (
+       |    SELECT t.doc_id,
+       |      CASE WHEN b.wv IS NOT NULL
+       |        AND ${d.shr("b.wv", "(t.pos % 32)")} % 2 = 1
+       |        THEN 1 ELSE 0 END AS hit
+       |    FROM (SELECT doc_id, $pos AS pos
+       |          FROM te CROSS JOIN probes) t
+       |    LEFT JOIN bloom b ON ${d.intDiv("t.pos", "32")} = b.word) x
+       |  GROUP BY doc_id),
+       |mem AS (SELECT te.doc_id,
+       |    CASE WHEN EXISTS (SELECT 1 FROM tr WHERE tr.fp = te.fp)
+       |      THEN 1 ELSE 0 END AS member
+       |  FROM te),
+       |agg AS (SELECT COUNT(*) AS n_test,
+       |    CAST(SUM(mem.member) AS BIGINT) AS n_member,
+       |    CAST(SUM(pv.maybe) AS BIGINT) AS n_maybe,
+       |    CAST(SUM(CASE WHEN pv.maybe = 1 AND mem.member = 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+       |    CAST(SUM(CASE WHEN mem.member = 1 AND pv.maybe = 0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+       |  FROM pv JOIN mem ON pv.doc_id = mem.doc_id)
+       |SELECT (SELECT n FROM tot) AS n_train,
+       |  CAST($m AS BIGINT) AS m_bits,
+       |  (SELECT CAST(SUM(bit_count(wv)) AS BIGINT) FROM bloom) AS bits_set,
+       |  n_test, n_member, n_maybe, n_fp, n_missed,
+       |  CAST(${d.intDiv("(n_fp * 1000)", "GREATEST(n_test - n_member, 1)")}
+       |    AS BIGINT) AS fp_per_mille
+       |FROM agg""".stripMargin
   }
 
   // ---------------------------------------------------------------- vectors
@@ -3214,6 +3422,9 @@ object ExtQueries {
     // Bigram-LM conditional commonness (the KenLM-shaped perplexity
     // filter's next step: word order, not just word frequency).
     bigramQ,
+    // DSIR-shaped importance resampling: hashed-bigram likelihood
+    // ratios against a target domain, per-language top-k selection.
+    dsirQ,
     // PII scrub: per-category match counts + verifiable redaction digest.
     dialect("t10_pii_scrub", piiScrubSql),
     // Hashed linear quality classifier (fasttext-shaped scoring pass).
@@ -3261,6 +3472,12 @@ object ExtQueries {
     // Split-leakage audit: exact + shingle-gram leakage from train
     // into the test split (d10's machinery on the pipeline's own split).
     dialect("p14_split_leakage", splitLeakageSql),
+    // Curriculum ordering: easiness-tiled epochs + hash-shuffled
+    // within-epoch order, permutation pinned by the rank checksum.
+    dialect("p17_curriculum_order", curriculumSql),
+    // Bloom membership sketch over the train split, probed by test,
+    // with MEASURED FP rate and the no-false-negative invariant.
+    dialect("p18_bloom_membership", bloomSql),
     // Histogram quantile sketch vs the exact percentiles it replaces.
     dialect("p10_quantile_histogram", quantileHistSql),
     // HyperLogLog cardinality sketch (64 registers, integer-exact) vs
@@ -3368,6 +3585,9 @@ object ExtQueries {
         : org.apache.spark.sql.DataFrame = lineDedupDF(spark)
     val domainFilter: String = domainFilterSql(SparkD)
     val trainSplit: String = trainSplitSql(SparkD)
+    val dsir: String = dsirSql(SparkD)
+    val curriculum: String = curriculumSql(SparkD)
+    val bloom: String = bloomSql(SparkD)
     def annRecall(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = annRecallDF(spark)
     def imageDhashCollapsed(spark: org.apache.spark.sql.SparkSession,

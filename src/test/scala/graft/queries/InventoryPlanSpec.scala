@@ -49,11 +49,13 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     * BroadcastNestedLoopJoin over a CONSTANT-size build side (by
     * contract): the 3-row VALUES probe relation (p08/q61), the
     * query-vector / centroid constant relations (v01/v03/v04/v07/v08),
-    * the 1-row `nb` sizing relation (v06), and the bounded query-sample
-    * ground-truth stages of the recall harnesses (v09/v10).
+    * the 1-row `nb` sizing relation (v06), the bounded query-sample
+    * ground-truth stages of the recall harnesses (v09/v10), and p18's
+    * 3-row probe-index relation fanned over each split (the p08 shape).
     */
   private val bnljAllowlist = Set(
     "p08_sketch_heavy_hitters", "q61_stream_cms_sketch",
+    "p18_bloom_membership",
     "v01_knn_brute", "v03_knn_ivf_assign", "v04_knn_ivf_search",
     "v06_ann_cap_report", "v07_knn_quantized", "v08_knn_rerank",
     "v09_ann_recall", "v10_ivf_recall", "v11_ivf_nprobe_sweep",

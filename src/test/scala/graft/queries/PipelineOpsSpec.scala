@@ -282,6 +282,72 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scrambled $scrambled should score below fluent ${fluent.head}")
   }
 
+  test("t15: target-resembling doc outscores gibberish under the importance ratio") {
+    val sp = spark; import sp.implicits._
+    // target domain src0 is all about one phrase; outside it, doc 50
+    // repeats the target's bigrams while doc 60 is word soup none of
+    // whose bigrams occur in the target. The likelihood ratio must
+    // rank 50 above 60 (that separation IS the DSIR selection signal).
+    val docs =
+      (1L to 8L).map(i => (i, "the quick brown fox jumps over it", "en", "src0")) ++
+        Seq((50L, "the quick brown fox jumps again", "en", "src9"),
+          (60L, "zq xv wk jj pf qg lm", "en", "src9"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .createOrReplaceTempView("documents")
+    val got = spark.sql(ExtQueries.TestSql.dsir)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got.contains(50L) && got.contains(60L)) // 10 docs -> all selected
+    assert(got(50L) > got(60L),
+      s"target-like ${got(50L)} should outscore gibberish ${got(60L)}")
+    assert(got(1L) >= got(50L)) // in-target docs score at least as high
+  }
+
+  test("p17: epochs tile easy-to-hard; every doc lands in exactly one epoch") {
+    val sp = spark; import sp.implicits._
+    // 4 docs of globally common words (every word appears 4+ times)
+    // and 4 docs of singleton rare words: distinct easiness levels, so
+    // the NTILE(4) boundaries are unambiguous (2 docs per epoch).
+    val docs = Seq(
+      (1L, "alpha beta alpha beta"), (2L, "alpha beta alpha beta"),
+      (3L, "alpha beta gamma gamma"), (4L, "alpha gamma delta delta"),
+      (5L, "r1 r2 r3 alpha"), (6L, "r4 r5 r6 beta"),
+      (7L, "r7 r8 r9 r10"), (8L, "r11 r12 r13 r14"))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = spark.sql(ExtQueries.TestSql.curriculum)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got.values.map(_._1).sum == 8L) // partition of the corpus
+    // easiness is non-increasing across epoch boundaries
+    (1L to 3L).foreach { e =>
+      assert(got(e)._2 >= got(e + 1)._3,
+        s"epoch $e min ${got(e)._2} < epoch ${e + 1} max ${got(e + 1)._3}")
+    }
+  }
+
+  test("p18: planted cross-split duplicate is found (no false negative)") {
+    val sp = spark; import sp.implicits._
+    val P = 2147483647L
+    def pm(id: Long): Long = ((id % P) * 2654435761L) % P % 1000
+    // pick real split members by the query's own hash rule
+    val trainIds = (0L to 400L).filter(pm(_) < 980)
+    val testIds = (0L to 400L).filter(pm(_) >= 990)
+    assert(trainIds.size >= 3 && testIds.size >= 2)
+    // test doc testIds(0) duplicates a train doc; testIds(1) is unique
+    val docs =
+      trainIds.take(3).map(i => (i, s"train only text $i")) ++
+        Seq((trainIds(3), "shared corpus document"),
+          (testIds(0), "shared corpus document"),
+          (testIds(1), "unique test document"))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val r = spark.sql(ExtQueries.TestSql.bloom).collect().head
+    val (nTest, nMember, nMaybe, nMissed) =
+      (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(7))
+    assert(nTest == 2 && nMember == 1)
+    assert(nMissed == 0, "bloom must never miss a true member")
+    assert(nMaybe >= 1) // the member is at least a maybe
+  }
+
   test("p14: planted exact and near leakage from train into test is reported") {
     val sp = spark; import sp.implicits._
     // ids 0..19 are train under the split hash; 132/163/326 are test
