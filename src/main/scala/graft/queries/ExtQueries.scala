@@ -1502,21 +1502,33 @@ object ExtQueries {
     * an easy-to-hard training schedule (curriculum learning; Bengio et
     * al. 2009's recipe as a data op): each doc's "easiness" is its
     * t09-style mean unigram commonness in ppm (docs of globally common
-    * words first), epochs are NTILE(4) over (easiness DESC, doc_id) —
-    * equal-sized phases, deterministic tie-break — and WITHIN an epoch
-    * docs are shuffled in multiplicative-hash order (the reproducible
-    * "random" order p06/p09 use; epoch-major + hash-minor is exactly
-    * the read order a packing pass (p04) would consume). The rollup
-    * pins the whole permutation: the order checksum folds each doc's
-    * within-epoch rank, so an off-by-one in tiling, a tie broken
-    * differently, or a drifted shuffle order all break the hash. Scale
-    * shape: the unigram score join is t09's (vocabulary-sized relation,
-    * broadcastable); NTILE is one global range-partitioned sort and
-    * the per-epoch rank one more partitioned sort — the honest cost of
-    * a total curriculum order, and the only total sorts in the
-    * pipeline family.
+    * words first), epochs are NTILE(4)-equivalent tiles over
+    * (easiness DESC, doc_id) — equal-sized phases, deterministic
+    * tie-break — and WITHIN an epoch docs are shuffled in
+    * multiplicative-hash order (the reproducible "random" order
+    * p06/p09 use; epoch-major + hash-minor is exactly the read order a
+    * packing pass (p04) would consume). The rollup pins the whole
+    * permutation: the order checksum folds each doc's (hash-bucket,
+    * within-bucket rank), so an off-by-one in tiling, a tie broken
+    * differently, or a drifted shuffle order all break the hash.
+    *
+    * Scale shape — a literal `NTILE() OVER (ORDER BY ...)` would move
+    * the WHOLE CORPUS to one partition (Spark executes unpartitioned
+    * windows single-task), so the global rank is decomposed: easiness
+    * lives in a BOUNDED domain (ppm, <= 1e6+1 values), so `vh` is a
+    * value histogram, the only unpartitioned window runs over that
+    * bounded histogram (`cg`, cumulative count of strictly-easier
+    * docs), and each doc's global rank = nbefore(easiness) + its
+    * within-value rank — a window PARTITIONED by easiness. The epoch
+    * is then the closed-form NTILE formula over (rank, n). The
+    * within-epoch shuffle rank is likewise partitioned by (epoch,
+    * hash-bucket): buckets are contiguous hash ranges, so (epoch,
+    * bucket, rank) IS the total order without any single-task window
+    * over corpus-sized data.
     */
-  private def curriculumSql(d: Dial): String =
+  private def curriculumSql(d: Dial): String = {
+    val q4 = d.intDiv("(SELECT n FROM cn)", "4")   // rows per small tile
+    val rem = "((SELECT n FROM cn) % 4)"           // tiles holding q4+1
     s"""WITH toks AS (
        |  SELECT doc_id, w
        |  FROM (SELECT doc_id, w FROM documents
@@ -1530,20 +1542,40 @@ object ExtQueries {
        |      AS BIGINT) AS sum_ppm,
        |    COUNT(*) AS n_tok
        |  FROM toks JOIN cf ON toks.w = cf.w GROUP BY toks.doc_id),
-       |e AS (SELECT doc_id, ${d.intDiv("sum_ppm", "n_tok")} AS easiness,
-       |    CAST(NTILE(4) OVER (ORDER BY ${d.intDiv("sum_ppm", "n_tok")} DESC,
-       |      doc_id) AS BIGINT) AS epoch
+       |e AS (SELECT doc_id, ${d.intDiv("sum_ppm", "n_tok")} AS easiness
        |  FROM doc),
+       |cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+       |vh AS (SELECT easiness, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM e GROUP BY easiness),
+       |cg AS (SELECT easiness,
+       |    CAST(SUM(c) OVER (ORDER BY easiness DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+       |      AS BIGINT) AS nbefore
+       |  FROM vh),
+       |rk AS (SELECT e.doc_id, e.easiness,
+       |    cg.nbefore + ROW_NUMBER() OVER (PARTITION BY e.easiness
+       |      ORDER BY e.doc_id) AS rnk
+       |  FROM e JOIN cg ON e.easiness = cg.easiness),
+       |ep AS (SELECT doc_id, easiness,
+       |    CAST(CASE WHEN rnk <= $rem * ($q4 + 1)
+       |      THEN ${d.intDiv("(rnk - 1)", s"($q4 + 1)")} + 1
+       |      ELSE $rem + ${d.intDiv(s"(rnk - $rem * ($q4 + 1) - 1)",
+              s"GREATEST($q4, 1)")} + 1
+       |    END AS BIGINT) AS epoch,
+       |    ((doc_id % $P) * 2654435761) % $P AS h
+       |  FROM rk),
        |r AS (SELECT doc_id, easiness, epoch,
-       |    ROW_NUMBER() OVER (PARTITION BY epoch
-       |      ORDER BY ((doc_id % $P) * 2654435761) % $P, doc_id) AS rn
-       |  FROM e)
+       |    ${d.intDiv("h", "524288")} AS bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY epoch, ${d.intDiv("h", "524288")}
+       |      ORDER BY h, doc_id) AS rn
+       |  FROM ep)
        |SELECT epoch, COUNT(*) AS n_docs,
        |  CAST(MIN(easiness) AS BIGINT) AS min_easiness,
        |  CAST(MAX(easiness) AS BIGINT) AS max_easiness,
-       |  CAST(SUM(((rn % $P) * (doc_id % $P)) % $P) % $P AS BIGINT)
-       |    AS order_checksum
+       |  CAST(SUM((((bucket * 8191 + rn) % $P) * (doc_id % $P)) % $P) % $P
+       |    AS BIGINT) AS order_checksum
        |FROM r GROUP BY epoch""".stripMargin
+  }
 
   /** p18: Bloom-filter membership sketch — the probabilistic gate a
     * 100 TB ingest uses before paying for an exact-dedup shuffle

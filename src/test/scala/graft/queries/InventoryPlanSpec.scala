@@ -61,8 +61,21 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "v09_ann_recall", "v10_ivf_recall", "v11_ivf_nprobe_sweep",
     "v12_hybrid_rrf_recall")
 
-  test("no null-aware anti join, cartesian, or unexpected nested loop " +
-    "anywhere in the inventory") {
+  /** Queries whose plans legitimately contain a window with NO
+    * partitionSpec (Spark executes those single-task, so they are a
+    * 100 TB scale-killer UNLESS the windowed relation is provably
+    * bounded). Exactly one exists in the inventory: p17's cumulative
+    * count over its easiness VALUE HISTOGRAM, bounded by the ppm
+    * domain (<= 1e6+1 rows at any corpus size); p17's corpus-sized
+    * ranks are decomposed onto partitioned windows. The gate exists so
+    * a corpus-sized unpartitioned window (like p17's first literal-
+    * NTILE draft, which moved the whole corpus to one task) can never
+    * land silently.
+    */
+  private val unpartWindowAllowlist = Set("p17_curriculum_order")
+
+  test("no null-aware anti join, cartesian, unexpected nested loop, or " +
+    "unpartitioned corpus window anywhere in the inventory") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val exec = graft.SparkEntry.queries(name)(spark, dir)
@@ -71,6 +84,14 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         case b: BroadcastHashJoinExec if b.isNullAwareAntiJoin => b }
       val cart = exec.collect { case c: CartesianProductExec => c }
       val bnlj = exec.collect { case b: BroadcastNestedLoopJoinExec => b }
+      val unpartWin = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty => w }
+      if (unpartWin.nonEmpty && !unpartWindowAllowlist.contains(name))
+        failures += s"$name: ${unpartWin.size} unpartitioned window(s) — " +
+          "single-task at any size; bound the input or partition the spec"
       val badBnlj = bnlj.filter(b =>
         !Set("Inner", "Cross").contains(b.joinType.toString) ||
           !bnljAllowlist.contains(name))

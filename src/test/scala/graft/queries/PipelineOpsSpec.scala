@@ -323,6 +323,15 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(e)._2 >= got(e + 1)._3,
         s"epoch $e min ${got(e)._2} < epoch ${e + 1} max ${got(e + 1)._3}")
     }
+
+    // non-divisible n exercises the closed-form NTILE split: 10 docs
+    // over 4 epochs must tile 3/3/2/2 (the first n%4 tiles get the
+    // extra row), pinning the decomposed global-rank formula
+    val more = docs ++ Seq((9L, "s1 s2 s3 s4"), (10L, "s5 s6 s7 s8"))
+    more.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val sizes = spark.sql(ExtQueries.TestSql.curriculum)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 2L), s"$sizes")
   }
 
   test("p18: planted cross-split duplicate is found (no false negative)") {
