@@ -3547,6 +3547,9 @@ object ExtQueries {
     // Hybrid retrieval: RRF fusion of sign-LSH + IVF, recall per
     // retriever and fused — rank fusion needs no score calibration.
     dialect("v12_hybrid_rrf_recall", hybridRrfSql),
+    // Lexical (BM25) + vector (IVF) hybrid search fused by RRF — the
+    // production RAG retrieval stack; output IS the fused result list.
+    hybridBm25Vec,
     // v05 = v04 over a materialized cell-partitioned index (same oracle).
     ivfIndexed,
     dialect("m01_multimodal_stubmeta", multimodalSql),
@@ -3620,6 +3623,8 @@ object ExtQueries {
     val dsir: String = dsirSql(SparkD)
     val curriculum: String = curriculumSql(SparkD)
     val bloom: String = bloomSql(SparkD)
+    def hybridBm25Vec(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = hybridBm25VecDF(spark)
     def annRecall(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = annRecallDF(spark)
     def imageDhashCollapsed(spark: org.apache.spark.sql.SparkSession,
@@ -4845,6 +4850,127 @@ object ExtQueries {
        |SELECT retriever, n_hits, COUNT(*) AS n_queries
        |FROM hits GROUP BY retriever, n_hits""".stripMargin
   }
+
+  /** v13: hybrid LEXICAL + VECTOR retrieval — the production RAG
+    * retrieval stack in one plan: for each query doc in the shared
+    * sample (id < 20), a BM25 retriever over the corpus text (t07's
+    * exact-integer spellings — k1 = 1.2, b = 0.75 in milli-units,
+    * integer idf — with the query's OWN distinct words as terms and
+    * self excluded) and the IVF vector retriever (v04's probed top-5)
+    * produce top-5 lists, fused by Reciprocal Rank Fusion (v12's exact
+    * integer k=60). The output IS the fused search result (qid, nid,
+    * fused rank, RRF score, and each retriever's rank with 0 = absent)
+    * — the list a RAG pipeline would feed its reader. Documents and
+    * embeddings share the id space at every SF, which is what makes
+    * cross-modal fusion by id well-defined.
+    *
+    * Scale shape: the BM25 posting relation is pruned BELOW the
+    * aggregation by a semi join against the bounded query vocabulary
+    * (t07's measured lesson — |sample vocab| postings, never the full
+    * tf), df/dl join on the posting's own keys, and the per-(qid, doc)
+    * score sum is partial-aggregable; the IVF side is v04 unchanged;
+    * the fusion is a full-outer equi-join of two (sample x 5)-row
+    * lists. No corpus-sized pair stage anywhere.
+    */
+  /** v13's query-term relation: each sample doc's distinct non-empty
+    * words (bounded: 20 docs' vocabulary at any corpus size).
+    */
+  private def hybridQtSql(d: Dial): String =
+    s"""SELECT doc_id AS qid, w FROM (
+       |  SELECT doc_id, w
+       |  FROM documents ${d.explode(d.split("lower(text)"), "w")}) t
+       |WHERE doc_id < 20 AND w <> '' GROUP BY doc_id, w""".stripMargin
+
+  /** v13's posting relation, pruned BELOW the aggregation by the
+    * bounded query vocabulary `qv` (t07's posting-prune lesson).
+    */
+  private def hybridTfqSql(d: Dial, qv: String): String =
+    s"""SELECT doc_id, w, COUNT(*) AS tf FROM (
+       |  SELECT doc_id, w
+       |  FROM documents ${d.explode(d.split("lower(text)"), "w")}) t
+       |WHERE w IN (SELECT w FROM $qv) GROUP BY doc_id, w""".stripMargin
+
+  /** The v13 pipeline downstream of `qt` (qid, w), `tfq` (doc_id, w,
+    * tf) and `dlq` (doc_id, dl): BM25 per-(query, doc) scores -> top-5
+    * lexical lists, IVF top-5 from the shared CTEs, RRF fusion.
+    */
+  private def hybridBody(d: Dial, qt: String, tfq: String,
+      dlq: String): String = {
+    val rrf = (r: String) =>
+      s"COALESCE(${d.intDiv("1000000", s"(60 + $r)")}, 0)"
+    s"""${ivfSearchCtes(d)},
+       |ivfr AS (SELECT qid, nid, rn AS rank FROM topk WHERE rn <= 5),
+       |stats AS (SELECT ${d.intDiv("SUM(dl) * 1000", "COUNT(*)")}
+       |    AS avgdl_milli FROM $dlq),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |df AS (SELECT w, COUNT(*) AS df FROM $tfq GROUP BY w),
+       |per_term AS (
+       |  SELECT qt.qid, t.doc_id, t.w,
+       |    ${d.intDiv(
+             s"${d.intDiv("((SELECT n FROM n) * 1000000)", "df.df")} * (t.tf * 2200)",
+             s"(t.tf * 1000 + ${d.intDiv(
+               s"1200 * (250 + ${d.intDiv("750 * l.dl * 1000",
+                 "(SELECT avgdl_milli FROM stats)")})",
+               "1000")})")} AS score_micro
+       |  FROM $qt qt JOIN $tfq t ON qt.w = t.w AND t.doc_id <> qt.qid
+       |  JOIN df ON t.w = df.w
+       |  JOIN $dlq l ON l.doc_id = t.doc_id),
+       |bmr AS (SELECT qid, nid, rank FROM (
+       |    SELECT qid, doc_id AS nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY score DESC, doc_id) AS rank
+       |    FROM (SELECT qid, doc_id,
+       |        CAST(SUM(score_micro) AS BIGINT) AS score
+       |      FROM per_term GROUP BY qid, doc_id) s) r
+       |  WHERE rank <= 5),
+       |rcand AS (SELECT qid, nid FROM ivfr
+       |  UNION SELECT qid, nid FROM bmr),
+       |rscored AS (SELECT c.qid, c.nid,
+       |    ${rrf("i.rank")} + ${rrf("b.rank")} AS score,
+       |    COALESCE(b.rank, 0) AS bm_rank,
+       |    COALESCE(i.rank, 0) AS ivf_rank
+       |  FROM rcand c
+       |  LEFT JOIN ivfr i ON c.qid = i.qid AND c.nid = i.nid
+       |  LEFT JOIN bmr b ON c.qid = b.qid AND c.nid = b.nid)
+       |SELECT qid, nid, fused_rank, score, bm_rank, ivf_rank FROM (
+       |  SELECT qid, nid, score, bm_rank, ivf_rank,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid)
+       |      AS fused_rank
+       |  FROM rscored) f
+       |WHERE fused_rank <= 5""".stripMargin
+  }
+
+  private def hybridBm25VecSql(d: Dial): String =
+    s"""WITH qt AS (${hybridQtSql(d)}),
+       |qv AS (SELECT w FROM qt GROUP BY w),
+       |tfq AS (${hybridTfqSql(d, "qv")}),
+       |dlq AS (${bm25DlSql(d)}),
+       |${hybridBody(d, "qt", "tfq", "dlq")}""".stripMargin
+
+  /** Spark side caches the corpus-tokenize-derived relations referenced
+    * more than once (the pruned postings and the doc lengths — t07's
+    * measured discipline; a plain CTE re-runs the tokenize Generate per
+    * consumer), then runs the fusion body over the cached views. The
+    * bounded `qt` relation is cached too: it feeds both the posting
+    * prune's vocabulary and the scoring join.
+    */
+  private def hybridBm25VecDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    cacheOnce(spark.sql(hybridQtSql(SparkD)))
+      .createOrReplaceTempView("v13_qt")
+    spark.sql("SELECT w FROM v13_qt GROUP BY w")
+      .createOrReplaceTempView("v13_qv")
+    cacheOnce(spark.sql(hybridTfqSql(SparkD, "v13_qv")))
+      .createOrReplaceTempView("v13_tfq")
+    cacheOnce(spark.sql(bm25DlSql(SparkD)))
+      .createOrReplaceTempView("v13_dl")
+    spark.sql("WITH " + hybridBody(SparkD, "v13_qt", "v13_tfq", "v13_dl"))
+  }
+
+  private def hybridBm25Vec: Q = Q("v13_hybrid_bm25_vec", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    hybridBm25VecDF(spark)
+  }, Some(hybridBm25VecSql(DuckD)))
 
   /** Materialize the IVF assignment as a cell-partitioned columnfile
     * table (vec_id, embedding, cell): the persistent index v04 lacks.

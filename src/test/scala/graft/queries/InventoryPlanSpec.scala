@@ -59,7 +59,9 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "v01_knn_brute", "v03_knn_ivf_assign", "v04_knn_ivf_search",
     "v06_ann_cap_report", "v07_knn_quantized", "v08_knn_rerank",
     "v09_ann_recall", "v10_ivf_recall", "v11_ivf_nprobe_sweep",
-    "v12_hybrid_rrf_recall")
+    "v12_hybrid_rrf_recall",
+    // v13 inherits v04's centroid cross join (constant centroid table)
+    "v13_hybrid_bm25_vec")
 
   /** Queries whose plans legitimately contain a window with NO
     * partitionSpec (Spark executes those single-task, so they are a

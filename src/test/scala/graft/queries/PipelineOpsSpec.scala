@@ -302,6 +302,44 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) >= got(50L)) // in-target docs score at least as high
   }
 
+  test("v13: a doc both retrievers surface out-fuses single-retriever docs") {
+    val sp = spark; import sp.implicits._
+    // corpus of 40 docs; query doc 0. Doc 21 shares doc 0's words AND
+    // its exact embedding (both retrievers rank it); doc 22 shares only
+    // words (lexical-only); doc 23 shares only the embedding
+    // (vector-only). RRF must place 21 first: two rank sources beat one.
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(i => (((seed * 37 + i * 13) % 19) - 9) / 9.0f)
+    val qv = vec(1)
+    val texts = (0L until 40L).map {
+      case 0L  => (0L, "alpha beta gamma delta epsilon zeta")
+      case 21L => (21L, "alpha beta gamma delta shared words")
+      case 22L => (22L, "alpha beta gamma delta epsilon other")
+      case 23L => (23L, "completely unrelated vocabulary here")
+      case i   => (i, s"filler${i} nothing${i} common${i}")
+    }
+    texts.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    (0L until 40L).map {
+      case 0L  => (0L, qv, 0)
+      case 21L => (21L, qv, 1)
+      case 23L => (23L, qv, 2)
+      case i   => (i, vec(100 + i.toInt), (i % 10).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .createOrReplaceTempView("embeddings")
+    def l(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    val got = ExtQueries.TestSql.hybridBm25Vec(spark)
+      .filter("qid = 0").collect()
+      .map(r => l(r, 1) -> (l(r, 2), l(r, 3), l(r, 4), l(r, 5))).toMap
+    assert(got.contains(21L) && got(21L)._3 > 0 && got(21L)._4 > 0,
+      s"doc 21 must carry both retriever ranks: $got")
+    assert(got(21L)._1 == 1L, s"doc 21 should fuse first: $got")
+    Seq(22L, 23L).filter(got.contains).foreach { d =>
+      assert(got(21L)._2 > got(d)._2,
+        s"two-source RRF ${got(21L)._2} must beat single-source ${got(d)._2}")
+    }
+  }
+
   test("p17: epochs tile easy-to-hard; every doc lands in exactly one epoch") {
     val sp = spark; import sp.implicits._
     // 4 docs of globally common words (every word appears 4+ times)
