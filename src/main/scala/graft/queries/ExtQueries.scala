@@ -1287,6 +1287,102 @@ object ExtQueries {
     spark.sql("WITH " + dsirBody(SparkD, "t15_bg"))
   }, Some(dsirSql(DuckD)))
 
+  /** t16 vocabulary scan — the ONLY corpus pass of the BPE trainer:
+    * distinct lowercase-alphabetic words (>= 2 chars) with corpus
+    * counts, plus the round-0 delimited symbol sequence `(h)(e)(l)(l)(o)`
+    * (one `(c)` cell per character). BPE trains on this word-count
+    * histogram, never on the corpus again — the histogram SATURATES
+    * under corpus growth (new docs mostly repeat known words), which is
+    * why the classic trainer scales.
+    */
+  private def bpeVocabSql(d: Dial): String = {
+    val seq0 = d match {
+      case SparkD => "regexp_replace(w, '(.)', '($1)')"
+      case DuckD  => "regexp_replace(w, '(.)', '(\\1)', 'g')"
+    }
+    s"""SELECT w, n, $seq0 AS s FROM (
+       |  SELECT w, COUNT(*) AS n
+       |  FROM (SELECT w FROM documents
+       |        ${d.explode(d.split("lower(text)"), "w")}) t0
+       |  WHERE length(w) >= 2 AND regexp_extract(w, '^[a-z]+$$', 0) = w
+       |  GROUP BY w) t1""".stripMargin
+  }
+
+  /** Delimited symbol string -> symbol array (strip outer parens, turn
+    * the `)(` separators into spaces, split). Symbols are [a-z]+ by
+    * construction of the training vocabulary, so the delimiters cannot
+    * collide with symbol content.
+    */
+  private def bpeSyms(d: Dial, s: String): String =
+    d.split(s"replace(${d.substr(s, "2", s"length($s) - 2")}, ')(', ' ')")
+
+  /** The t16 training loop downstream of the vocabulary relation `w0`
+    * (w, n, s): three merge rounds, each one vocabulary-sized pass —
+    * pair counts weighted by word count, top-1 merge via ORDER BY/LIMIT
+    * (TakeOrdered: map-side top-1 + driver merge, NO unpartitioned
+    * window), and greedy application as ONE literal string replace.
+    * `replace` scans left-to-right and resumes AFTER each replacement,
+    * which is exactly greedy BPE: `(a)(a)(a)(a)` under merge a+a
+    * becomes `(aa)(aa)`, `(a)(a)(a)` becomes `(aa)(a)`. The per-round
+    * output row carries the merge chosen, its weighted count, the
+    * corpus token total after applying it, and a vocabulary checksum
+    * over the rewritten sequences — a wrong merge pick, wrong
+    * application order, or missed occurrence all break the hash.
+    */
+  private def bpeBody(d: Dial, w0: String): String = {
+    def aggOver(wr: String): String =
+      s"""SELECT CAST(COALESCE(SUM(n * ${d.size(bpeSyms(d, "s"))}), 0)
+         |      AS BIGINT) AS toks,
+         |    CAST(COALESCE(SUM(((n % $P) * (${d.polyhash("s")} % 1000000))
+         |      % $P), 0) % $P AS BIGINT) AS ck
+         |  FROM $wr""".stripMargin
+    def round(r: Int, prev: String): String =
+      s"""p$r AS (SELECT pr, CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, ${d.grams2("sy")} AS ps
+         |        FROM (SELECT n, ${bpeSyms(d, "s")} AS sy FROM $prev) y
+         |        WHERE ${d.size("sy")} >= 2) x
+         |  ${d.explode("ps", "pr")}
+         |  GROUP BY pr),
+         |m$r AS (SELECT pr AS mp, cnt FROM p$r ORDER BY cnt DESC, pr LIMIT 1),
+         |w$r AS (SELECT w, n,
+         |    replace(s, '(' || replace(mp, ' ', ')(') || ')',
+         |               '(' || replace(mp, ' ', '') || ')') AS s
+         |  FROM $prev CROSS JOIN m$r),
+         |a$r AS (${aggOver(s"w$r")})""".stripMargin
+    s"""a0 AS (${aggOver(w0)}),
+       |${round(1, w0)},
+       |${round(2, "w1")},
+       |${round(3, "w2")}
+       |SELECT CAST(0 AS BIGINT) AS step, '' AS merge_pair,
+       |  CAST(0 AS BIGINT) AS pair_count,
+       |  toks AS corpus_tokens, ck AS vocab_checksum FROM a0
+       |UNION ALL SELECT CAST(1 AS BIGINT), mp, cnt, toks, ck
+       |  FROM m1 CROSS JOIN a1
+       |UNION ALL SELECT CAST(2 AS BIGINT), mp, cnt, toks, ck
+       |  FROM m2 CROSS JOIN a2
+       |UNION ALL SELECT CAST(3 AS BIGINT), mp, cnt, toks, ck
+       |  FROM m3 CROSS JOIN a3""".stripMargin
+  }
+
+  /** t16: BPE tokenizer TRAINING — the actual learn→apply loop
+    * (Sennrich et al. 2016) that t12's pair statistics are the first
+    * step of: three rounds, each selecting the highest-count adjacent
+    * symbol pair over the vocabulary histogram (count DESC, pair ASC
+    * tiebreak) and applying it greedily to every word before the next
+    * count. Scale shape: the corpus is touched ONCE (the vocabulary
+    * aggregation, cached on the Spark side); every round is
+    * vocabulary-sized — pair stats partial-aggregable, top-1 via
+    * TakeOrdered, and the 1-row merge relation broadcast into the
+    * rewrite. The reference has no tokenizer trainer; this extends the
+    * text family the way a training-data pipeline needs.
+    */
+  private def bpeTrainQ: Q = Q("t16_bpe_train", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    val w0 = cacheOnce(spark.sql(bpeVocabSql(SparkD)))
+    w0.createOrReplaceTempView("t16_w0")
+    spark.sql("WITH " + bpeBody(SparkD, "t16_w0"))
+  }, Some(s"WITH w0 AS (${bpeVocabSql(DuckD)}),\n" + bpeBody(DuckD, "w0")))
+
   /** p09: token-budget mixture sampling — the "take N tokens per
     * language/domain" pass that assembles a training mix from a curated
     * pool. Docs are admitted in deterministic multiplicative-hash order
@@ -3457,6 +3553,9 @@ object ExtQueries {
     // DSIR-shaped importance resampling: hashed-bigram likelihood
     // ratios against a target domain, per-language top-k selection.
     dsirQ,
+    // BPE tokenizer TRAINING: the learn->apply merge loop over the
+    // vocabulary histogram (t12's pair stats iterated, checksum-pinned).
+    bpeTrainQ,
     // PII scrub: per-category match counts + verifiable redaction digest.
     dialect("t10_pii_scrub", piiScrubSql),
     // Hashed linear quality classifier (fasttext-shaped scoring pass).
