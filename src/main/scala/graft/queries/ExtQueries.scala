@@ -1490,6 +1490,49 @@ object ExtQueries {
        |FROM src""".stripMargin
   }
 
+  /** p19: weighted PRIORITY sampling (Duffield, Lund & Thorup 2007) —
+    * the weighted counterpart of p03's uniform sample: a size-64
+    * token-weighted doc sample whose Horvitz-Thompson estimator
+    * `max(w, tau)` reconstructs any subset-sum of the weights
+    * unbiasedly (tau = the (k+1)-th largest priority). Priorities are
+    * exact integers: w * P div (h + 1) with h the multiplicative hash
+    * in [0, P) — the integer form of w/u, u uniform — so the sample
+    * is RNG-free, engine-reproducible, and stable under reruns. The
+    * report compares each language's exact token total against what
+    * the 64-doc sample estimates for it — the estimator-quality
+    * readout a production sampler monitors. Scale shape: one scan
+    * computes (w, priority); the top-65 is ORDER BY/LIMIT
+    * (TakeOrderedAndProject — per-partition top-65, driver merges
+    * 65 rows per partition, NO unpartitioned window, no shuffle);
+    * exact totals are one partial-aggregable rollup. At 100 TB the
+    * sample is still 64 rows and tau is still one min over 65.
+    */
+  private def prioritySampleSql(d: Dial): String =
+    s"""WITH t AS (SELECT doc_id, lang, ${d.size(d.split("text"))} AS w,
+       |    ((doc_id % $P) * 2654435761) % $P AS h
+       |  FROM documents),
+       |pr AS (SELECT doc_id, lang, w,
+       |    ${d.intDiv(s"(CAST(w AS BIGINT) * $P)", "(h + 1)")} AS priority
+       |  FROM t WHERE w >= 1),
+       |t65 AS (SELECT doc_id, lang, w, priority FROM pr
+       |  ORDER BY priority DESC, doc_id LIMIT 65),
+       |tau AS (SELECT CASE WHEN (SELECT COUNT(*) FROM t65) >= 65
+       |    THEN (SELECT MIN(priority) FROM t65) ELSE 0 END AS tau),
+       |samp AS (SELECT doc_id, lang, w FROM t65
+       |  ORDER BY priority DESC, doc_id LIMIT 64),
+       |est AS (SELECT lang, COUNT(*) AS n_sampled,
+       |    CAST(SUM(GREATEST(w, (SELECT tau FROM tau))) AS BIGINT)
+       |      AS est_tokens
+       |  FROM samp GROUP BY lang),
+       |ex AS (SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(w) AS BIGINT) AS exact_tokens
+       |  FROM pr GROUP BY lang)
+       |SELECT ex.lang AS l, ex.n_docs, ex.exact_tokens,
+       |  CAST(COALESCE(est.n_sampled, 0) AS BIGINT) AS n_sampled,
+       |  CAST(COALESCE(est.est_tokens, 0) AS BIGINT) AS est_tokens,
+       |  (SELECT tau FROM tau) AS tau
+       |FROM ex LEFT JOIN est ON ex.lang = est.lang""".stripMargin
+
   /** p13: deterministic train/validation/test split — the holdout-split
     * pass of a training-data build (98/1/1 here): membership is a pure
     * function of doc_id via the multiplicative hash (engine- and
@@ -3600,6 +3643,9 @@ object ExtQueries {
     dialect("p12_mixture_temperature", mixTemperatureSql),
     // Deterministic 98/1/1 train/val/test split with membership checksum.
     dialect("p13_train_split", trainSplitSql),
+    // Weighted priority sampling (exact-integer w/u priorities) with
+    // the Horvitz-Thompson estimate reported against exact totals.
+    dialect("p19_priority_sample", prioritySampleSql),
     // Split-leakage audit: exact + shingle-gram leakage from train
     // into the test split (d10's machinery on the pipeline's own split).
     dialect("p14_split_leakage", splitLeakageSql),
