@@ -50,8 +50,14 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     * contract): the 3-row VALUES probe relation (p08/q61), the
     * query-vector / centroid constant relations (v01/v03/v04/v07/v08),
     * the 1-row `nb` sizing relation (v06), the bounded query-sample
-    * ground-truth stages of the recall harnesses (v09/v10), and p18's
-    * 3-row probe-index relation fanned over each split (the p08 shape).
+    * ground-truth stages of the recall harnesses (v09/v10), p18's
+    * 3-row probe-index relation fanned over each split (the p08 shape),
+    * and t16's BPE training rounds: each round CROSS JOINs the
+    * vocabulary relation against `m$r` (a LIMIT-1 TakeOrdered top merge
+    * pick) and the readout against `a$r` (a scalar aggregate) — both
+    * 1-row BY CONTRACT (LIMIT 1 / ungrouped aggregate), so the BNLJ
+    * build side is a single row at any corpus size (adjudicated round
+    * 13; the p08 precedent).
     */
   private val bnljAllowlist = Set(
     "p08_sketch_heavy_hitters", "q61_stream_cms_sketch",
@@ -61,7 +67,9 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "v09_ann_recall", "v10_ivf_recall", "v11_ivf_nprobe_sweep",
     "v12_hybrid_rrf_recall",
     // v13 inherits v04's centroid cross join (constant centroid table)
-    "v13_hybrid_bm25_vec")
+    "v13_hybrid_bm25_vec",
+    // t16: LIMIT-1 merge picks + 1-row scalar aggregates (see scaladoc)
+    "t16_bpe_train")
 
   /** Queries whose plans legitimately contain a window with NO
     * partitionSpec (Spark executes those single-task, so they are a
