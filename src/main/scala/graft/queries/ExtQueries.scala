@@ -183,10 +183,19 @@ object ExtQueries {
     def regexpReplaceAll(s: String, p: String, r: String) =
       s"regexp_replace($s, '$p', '$r')"
     def toBlob(s: String) = s"CAST($s AS BINARY)"
+    // get() (NULL on out-of-range), not $w[i]: sequence(0, n) with
+    // n < 0 is a DESCENDING sequence in Spark, so on short arrays the
+    // lambda probes indices -1/-2 — an ANSI INVALID_ARRAY_INDEX crash
+    // whenever the optimizer evaluates the transform before the
+    // caller's size guard (seen: a guard collapsed into a BNLJ bound
+    // condition). NULL elements are dropped by those same guards, so
+    // results are identical; DuckDB's range() is empty-safe as is.
     def shingles3(w: String) =
-      s"transform(sequence(0, size($w) - 3), i -> concat($w[i], ' ', $w[i+1], ' ', $w[i+2]))"
+      s"transform(sequence(0, size($w) - 3), " +
+        s"i -> concat(get($w, i), ' ', get($w, i+1), ' ', get($w, i+2)))"
     def grams2(w: String) =
-      s"transform(sequence(0, size($w) - 2), i -> concat($w[i], ' ', $w[i+1]))"
+      s"transform(sequence(0, size($w) - 2), " +
+        s"i -> concat(get($w, i), ' ', get($w, i+1)))"
     def charCodes(s: String) =
       s"transform(sequence(1, length($s)), i -> CAST(ascii(substring($s, i, 1)) AS BIGINT))"
     def at(l: String, i0: Int) = s"$l[$i0]"
@@ -1376,11 +1385,16 @@ object ExtQueries {
     * rewrite. The reference has no tokenizer trainer; this extends the
     * text family the way a training-data pipeline needs.
     */
-  private def bpeTrainQ: Q = Q("t16_bpe_train", (spark, dir) => {
-    Tables.registerAll(spark, dir)
+  private def bpeTrainDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
     val w0 = cacheOnce(spark.sql(bpeVocabSql(SparkD)))
     w0.createOrReplaceTempView("t16_w0")
     spark.sql("WITH " + bpeBody(SparkD, "t16_w0"))
+  }
+
+  private def bpeTrainQ: Q = Q("t16_bpe_train", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    bpeTrainDF(spark)
   }, Some(s"WITH w0 AS (${bpeVocabSql(DuckD)}),\n" + bpeBody(DuckD, "w0")))
 
   /** p09: token-budget mixture sampling — the "take N tokens per
@@ -1822,7 +1836,8 @@ object ExtQueries {
        |z1 AS (SELECT vec_id, $q8 AS q8 FROM z0 WHERE mx > 0),
        |z AS (SELECT vec_id, q8, ${d.intDot("q8", "q8")} AS qq FROM z1),
        |c AS (SELECT q.vec_id AS qid, e.vec_id AS nid, $cos AS cos
-       |  FROM (SELECT * FROM z WHERE vec_id < 5) q
+       |  FROM (SELECT * FROM z WHERE vec_id < 5
+       |        ORDER BY vec_id LIMIT 5) q
        |  CROSS JOIN z e WHERE e.vec_id <> q.vec_id)
        |SELECT qid, nid, cos FROM (
        |  SELECT qid, nid, cos,
@@ -1861,7 +1876,8 @@ object ExtQueries {
        |z1 AS (SELECT vec_id, $q8 AS q8 FROM z0 WHERE mx > 0),
        |z AS (SELECT vec_id, q8, ${d.intDot("q8", "q8")} AS qq FROM z1),
        |c AS (SELECT q.vec_id AS qid, e.vec_id AS nid, $cos8 AS cos8
-       |  FROM (SELECT * FROM z WHERE vec_id < 5) q
+       |  FROM (SELECT * FROM z WHERE vec_id < 5
+       |        ORDER BY vec_id LIMIT 5) q
        |  CROSS JOIN z e WHERE e.vec_id <> q.vec_id),
        |short AS (SELECT qid, nid FROM (
        |    SELECT qid, nid,
@@ -1886,7 +1902,8 @@ object ExtQueries {
          |    (sqrt(${d.dot("qe", "qe")}) * sqrt(${d.dot("e.embedding", "e.embedding")}))""".stripMargin
     s"""WITH enz AS (SELECT vec_id, embedding FROM embeddings
        |  WHERE ${d.dot("embedding", "embedding")} > 0),
-       |q AS (SELECT vec_id AS qid, embedding AS qe FROM enz WHERE vec_id < 5),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM enz
+       |  WHERE vec_id < 5 ORDER BY vec_id LIMIT 5),
        |c AS (SELECT qid, e.vec_id AS nid,
        |    $cos AS cos
        |  FROM q CROSS JOIN enz e WHERE e.vec_id <> qid)
@@ -2001,8 +2018,10 @@ object ExtQueries {
        |    SELECT qid, nid,
        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
        |    FROM (SELECT q.vec_id AS qid, e.vec_id AS nid, $cos AS cos
-       |          FROM genz q CROSS JOIN genz e
-       |          WHERE q.vec_id < 50 AND e.vec_id <> q.vec_id) c) x
+       |          FROM (SELECT * FROM genz WHERE vec_id < 50
+       |                ORDER BY vec_id LIMIT 50) q
+       |          CROSS JOIN genz e
+       |          WHERE e.vec_id <> q.vec_id) c) x
        |  WHERE rn <= 5),
        |ann AS (${knnSignLshFrom(d, bc)}),
        |hits AS (SELECT gt.qid, COUNT(ann.nid) AS n_hits
@@ -3760,6 +3779,9 @@ object ExtQueries {
     def hllEstimate(regs: String): String = hllEstimateSql(SparkD, regs)
     val mixTemperature: String = mixTemperatureSql(SparkD)
     val bpePairs: String = bpePairsSql(SparkD)
+    def bpeTrain(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = bpeTrainDF(spark)
+    val prioritySample: String = prioritySampleSql(SparkD)
     val knnRerank: String = knnRerankSql(SparkD)
     def lineDedup(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = lineDedupDF(spark)
@@ -4792,7 +4814,8 @@ object ExtQueries {
        |  SELECT clabel, centroid,
        |    sqrt(${d.dot("centroid", "centroid")}) AS cnorm
        |  FROM cent0
-       |  WHERE ${d.dot("centroid", "centroid")} > 0),
+       |  WHERE ${d.dot("centroid", "centroid")} > 0
+       |  ORDER BY clabel LIMIT 64),
        |emb AS (
        |  SELECT vec_id, label, embedding,
        |    sqrt(${d.dot("embedding", "embedding")}) AS enorm
@@ -4868,8 +4891,10 @@ object ExtQueries {
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
        |        ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
        |          DESC, n.vec_id) AS rn
-       |    FROM emb q CROSS JOIN emb n
-       |    WHERE q.vec_id < 20 AND n.vec_id <> q.vec_id) x
+       |    FROM (SELECT * FROM emb WHERE vec_id < 20
+       |          ORDER BY vec_id LIMIT 20) q
+       |    CROSS JOIN emb n
+       |    WHERE n.vec_id <> q.vec_id) x
        |  WHERE rn <= 5),
        |hits AS (SELECT gt.qid, COUNT(ann.nid) AS n_hits
        |  FROM gt LEFT JOIN ann ON gt.qid = ann.qid AND gt.nid = ann.nid
@@ -4920,8 +4945,10 @@ object ExtQueries {
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
        |        ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
        |          DESC, n.vec_id) AS rn
-       |    FROM emb q CROSS JOIN emb n
-       |    WHERE q.vec_id < 20 AND n.vec_id <> q.vec_id) x
+       |    FROM (SELECT * FROM emb WHERE vec_id < 20
+       |          ORDER BY vec_id LIMIT 20) q
+       |    CROSS JOIN emb n
+       |    WHERE n.vec_id <> q.vec_id) x
        |  WHERE rn <= 5),
        |hits AS (SELECT lv.nprobe, gt.qid, COUNT(ann.nid) AS n_hits
        |  FROM gt CROSS JOIN $levels
@@ -4978,8 +5005,10 @@ object ExtQueries {
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
        |        ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
        |          DESC, n.vec_id) AS rn
-       |    FROM emb q CROSS JOIN emb n
-       |    WHERE q.vec_id < 20 AND n.vec_id <> q.vec_id) x
+       |    FROM (SELECT * FROM emb WHERE vec_id < 20
+       |          ORDER BY vec_id LIMIT 20) q
+       |    CROSS JOIN emb n
+       |    WHERE n.vec_id <> q.vec_id) x
        |  WHERE rn <= 5),
        |hl AS (SELECT 'lsh' AS retriever, gt.qid, COUNT(l.nid) AS n_hits
        |  FROM gt LEFT JOIN lshr l ON gt.qid = l.qid AND gt.nid = l.nid

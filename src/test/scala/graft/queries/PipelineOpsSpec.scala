@@ -627,4 +627,77 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(capped == Map(0L -> 50L))
   }
+
+  test("t16: greedy merge application changes round-2 pair counts " +
+    "((a)(a)(a) -> (aa)(a))") {
+    val sp = spark; import sp.implicits._
+    // Vocabulary: "aaa" x4, "ab" x5 ("x" filtered: length < 2).
+    // Round 1 pairs: "a a" 2-per-word x4 = 8 beats "a b" = 5, so the
+    // first merge is a+a. GREEDY application turns (a)(a)(a) into
+    // (aa)(a) — ONE merged pair plus a leftover 'a', never (aa)(aa) —
+    // so round 2 sees "aa a" at weight 4, not 8: "a b" (5) wins round
+    // 2 and "aa a" (4) wins round 3. A non-greedy or no-op application
+    // would pick a different round-2/3 merge or wrong token totals.
+    Seq(
+      (1L, "aaa aaa ab", "en"),
+      (2L, "aaa aaa ab ab", "en"),
+      (3L, "ab ab x", "en"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val got = ExtQueries.TestSql.bpeTrain(spark)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq == Seq(
+      (0L, "", 0L, 22L),      // 4x3 + 5x2 symbols before any merge
+      (1L, "a a", 8L, 18L),   // aaa -> (aa)(a): 4x2 + 5x2
+      (2L, "a b", 5L, 13L),   // ab -> (ab): 8 + 5x1
+      (3L, "aa a", 4L, 9L))) // aaa -> (aaa): 4x1 + 5
+    // every merge rewrites the vocabulary: checksums pairwise distinct
+    assert(got.map(_._5).distinct.size == 4)
+  }
+
+  test("p19: under 65 docs tau is 0 and the HT estimate is exact") {
+    val sp = spark; import sp.implicits._
+    // 10 docs -> t65 holds all of them -> tau = 0 -> max(w, tau) = w
+    // for every sampled doc: the "sample" is a census and the
+    // Horvitz-Thompson estimate must equal the exact totals.
+    (1L to 10L).map(i => (i, Seq.fill(i.toInt)("w").mkString(" "),
+        if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val got = ExtQueries.TestSql.prioritySample
+    val rows = spark.sql(got).collect().map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("de", 5L, 25L, 5L, 25L, 0L),   // 1+3+5+7+9
+      ("en", 5L, 30L, 5L, 30L, 0L))) // 2+4+6+8+10
+  }
+
+  test("p19: heavy-tailed corpus — heavy docs estimated exactly, light " +
+    "mass reconstructed by tau") {
+    val sp = spark; import sp.implicits._
+    // 5 docs of 5000 tokens (lang big) + 195 docs of 2 tokens (lang
+    // small): every big doc's priority w*P div (h+1) >= w = 5000 and
+    // no small doc's deterministic hash beats that, so all 5 big docs
+    // are sampled and tau (the 65th priority, a small doc's) is far
+    // below 5000 -> max(w, tau) = w -> the big lang's estimate is
+    // EXACT. The small lang is estimated as 59 sampled docs x tau —
+    // the DLT subset-sum reconstruction — and must land near its 390
+    // exact tokens (deterministic run: 354, a 9% error on a 64-of-200
+    // sample).
+    val docs =
+      (1L to 5L).map(i => (i, Seq.fill(5000)("w").mkString(" "), "big")) ++
+      (6L to 200L).map(i => (i, "w w", "small"))
+    docs.toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val rows = spark.sql(ExtQueries.TestSql.prioritySample)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val big = rows.find(_._1 == "big").get
+    val small = rows.find(_._1 == "small").get
+    val tau = big._6
+    assert(tau > 0 && tau < 5000, s"tau=$tau")
+    assert(big == ("big", 5L, 25000L, 5L, 25000L, tau))
+    assert(small._2 == 195L && small._3 == 390L && small._4 == 59L)
+    assert(math.abs(small._5 - 390L) <= 60L,
+      s"small-lang HT estimate ${small._5} too far from exact 390")
+  }
 }
