@@ -76,17 +76,29 @@ object Bench {
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
   }
 
-  /** The PRINTED line: headline q-family queries only, with the total
-    * still summed over the FULL inventory. The harness tail-captures
-    * the last ~2000 bytes of stdout — the full 100-query line (~2.9 KB)
-    * truncates there and records as unparseable (rounds 7 and 8 both
-    * lost their bench artifact this way). The q-family line is ~1.7 KB
-    * and the complete per-query inventory is always in the committed
-    * BENCH_LOCAL.json (written before printing).
+  /** The PRINTED line: the FULL inventory, but under SHORT query ids
+    * (the `q01`/`d03`/`t16` prefix before the first underscore — unique
+    * across the inventory) at ms precision. The harness tail-captures
+    * the last ~2000 bytes of stdout — a full-name full-precision line
+    * (~3.3 KB) truncates there and records as unparseable (rounds 7
+    * and 8 both lost their bench artifact this way), and the q-family
+    * subset rounds 9-13 printed instead left the 75 extension queries
+    * invisible to round-over-round comparison (round-13 verdict task).
+    * Short ids keep all ~141 queries inside ~1.8 KB; the id -> name
+    * mapping is the inventory's own naming rule, and the full-name
+    * full-precision inventory is always in the committed
+    * BENCH_LOCAL.json (written before printing). If two names ever
+    * shared a prefix the colliding entries fall back to full names
+    * (costs bytes, never correctness).
     */
   def toJsonHeadline(results: Seq[(String, Double)], sf: String): String = {
-    val qs = results.filter(_._1.startsWith("q"))
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def shortMs(v: Double): String =
+      if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val ids = results.map(_._1.takeWhile(_ != '_'))
+    val dup = ids.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.toSet
+    val qs = results.zip(ids).map { case ((k, v), id) =>
+      "\"" + (if (dup(id)) k else id) + "\":" + shortMs(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""

@@ -3118,10 +3118,11 @@ object ExtQueries {
        |    AS BIGINT) AS dl
        |FROM documents""".stripMargin
 
-  private def bm25Body(d: Dial, tf: String, dl: String): String = {
+  private def bm25Body(d: Dial, tf: String, dl: String,
+      nFrom: String = "documents"): String = {
     s"""stats AS (SELECT ${d.intDiv("SUM(dl) * 1000", "COUNT(*)")} AS avgdl_milli
        |          FROM $dl),
-       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM $nFrom),
        |df AS (SELECT w, COUNT(*) AS df FROM $tf GROUP BY w),
        |per_term AS (
        |  SELECT t.doc_id, t.w,
@@ -3716,6 +3717,11 @@ object ExtQueries {
     hybridBm25Vec,
     // v05 = v04 over a materialized cell-partitioned index (same oracle).
     ivfIndexed,
+    // t17/v14: lexical retrieval over the MATERIALIZED inverted text
+    // index (build-once/scan-many; term-bucket partition pruning);
+    // v14 = v13 with both retrievers index-served (same oracles).
+    bm25IndexedQ,
+    hybridIndexedQ,
     dialect("m01_multimodal_stubmeta", multimodalSql),
     multimodalDecode,
     multimodalAvDecode,
@@ -5069,14 +5075,24 @@ object ExtQueries {
     * lexical lists, IVF top-5 from the shared CTEs, RRF fusion.
     */
   private def hybridBody(d: Dial, qt: String, tfq: String,
-      dlq: String): String = {
-    val rrf = (r: String) =>
-      s"COALESCE(${d.intDiv("1000000", s"(60 + $r)")}, 0)"
+      dlq: String): String =
     s"""${ivfSearchCtes(d)},
        |ivfr AS (SELECT qid, nid, rn AS rank FROM topk WHERE rn <= 5),
-       |stats AS (SELECT ${d.intDiv("SUM(dl) * 1000", "COUNT(*)")}
+       |${hybridFusionBody(d, qt, tfq, dlq)}""".stripMargin
+
+  /** The BM25 + RRF-fusion tail of the hybrid pipeline, downstream of
+    * an `ivfr` (qid, nid, rank) CTE — shared verbatim between v13 (IVF
+    * inline, postings from the corpus tokenize) and v14 (both sides
+    * served from materialized indexes), which is what makes their
+    * results — and oracle — identical by construction.
+    */
+  private def hybridFusionBody(d: Dial, qt: String, tfq: String,
+      dlq: String, nFrom: String = "documents"): String = {
+    val rrf = (r: String) =>
+      s"COALESCE(${d.intDiv("1000000", s"(60 + $r)")}, 0)"
+    s"""stats AS (SELECT ${d.intDiv("SUM(dl) * 1000", "COUNT(*)")}
        |    AS avgdl_milli FROM $dlq),
-       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM $nFrom),
        |df AS (SELECT w, COUNT(*) AS df FROM $tfq GROUP BY w),
        |per_term AS (
        |  SELECT qt.qid, t.doc_id, t.w,
@@ -5207,6 +5223,33 @@ object ExtQueries {
     out
   }
 
+  /** v05's probe pipeline over the materialized IVF index (views
+    * `probeView` = router slice, `idxView` = cell-partitioned index) as
+    * CTEs ending in `ivtopk` (qid, nid, cos, rn) — factored so v14 can
+    * reuse the identical indexed retriever under its fusion. CTE names
+    * are iv-prefixed to keep them disjoint from the fusion body's.
+    */
+  private def ivfIndexedTopkCtes(probeView: String, idxView: String): String =
+    s"""ivq AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${SparkD.dot("embedding", "embedding")}) AS enorm
+       |  FROM embeddings WHERE vec_id < 20),
+       |ivn AS (
+       |  SELECT vec_id, cell, embedding,
+       |    sqrt(${SparkD.dot("embedding", "embedding")}) AS enorm
+       |  FROM $idxView),
+       |ivpairs AS (
+       |  SELECT /*+ BROADCAST(p) */ p.qid, n.vec_id AS nid,
+       |    ${SparkD.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm) AS cos
+       |  FROM $probeView p
+       |  JOIN ivn n ON n.cell = p.pcell
+       |  JOIN ivq q ON q.vec_id = p.qid
+       |  WHERE n.vec_id <> p.qid),
+       |ivtopk AS (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |  FROM ivpairs)""".stripMargin
+
   private def ivfIndexed: Q = Q("v05_knn_ivf_indexed", (spark, dir) => {
     Tables.registerAll(spark, dir)
     val idxPath = ivfIndexPath(spark, dir)
@@ -5233,25 +5276,146 @@ object ExtQueries {
     spark.read.format("columnfile").load(idxPath)
       .createOrReplaceTempView("ivf_idx")
     spark.sql(
-      s"""WITH q AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(${SparkD.dot("embedding", "embedding")}) AS enorm
-         |  FROM embeddings WHERE vec_id < 20),
-         |n AS (
-         |  SELECT vec_id, cell, embedding,
-         |    sqrt(${SparkD.dot("embedding", "embedding")}) AS enorm
-         |  FROM ivf_idx),
-         |pairs AS (
-         |  SELECT /*+ BROADCAST(p) */ p.qid, n.vec_id AS nid,
-         |    ${SparkD.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm) AS cos
-         |  FROM ivf_probe p
-         |  JOIN n ON n.cell = p.pcell
-         |  JOIN q ON q.vec_id = p.qid
-         |  WHERE n.vec_id <> p.qid),
-         |topk AS (
-         |  SELECT qid, nid, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
-         |  FROM pairs)
-         |SELECT qid, nid, cos FROM topk WHERE rn <= 5""".stripMargin)
+      s"""WITH ${ivfIndexedTopkCtes("ivf_probe", "ivf_idx")}
+         |SELECT qid, nid, cos FROM ivtopk WHERE rn <= 5""".stripMargin)
   }, Some(ivfSearchSql(DuckD)))
+
+  // ------------------------------------------- materialized text index
+
+  /** Term-bucket assignment for the inverted text index: the
+    * engine-shared polynomial hash mod 64 buckets. FOLDABLE for literal
+    * terms, which is what makes t17's probe a STATIC partition prune
+    * (the filter constant-folds to `tb IN (<ints>)` before pushdown).
+    * Bucket count: 64 directories keeps per-bucket postings ~1/64 of
+    * the vocabulary's postings at any corpus size; at 100 TB the knob
+    * rises with the cluster (a build-time option, not a format fact).
+    */
+  private val InvNBuckets = 64
+
+  private def invTb(expr: String): String =
+    s"CAST(pmod(graft_polyhash($expr), $InvNBuckets) AS INT)"
+
+  /** Materialize the inverted text index — the v05 build-once/scan-many
+    * move applied to lexical retrieval (the reference's sort economics:
+    * pay one corpus pass to make every later probe sublinear,
+    * tools/columnfile-sort.cc:337-342). The postings relation
+    * (doc_id, term, tf) — t06/t07's tokenize output, the thing v13
+    * recomputes from raw text on every run — is persisted ONCE as a
+    * columnfile table partitioned by term bucket, so a term probe reads
+    * only its buckets' directories; rows are doc-ordered within each
+    * bucket so chunk min/max stats also serve doc-keyed probes.
+    */
+  private[graft] def invIndexPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = Tables.cachePath(dir, "inv_index")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.registerAll(spark, dir)
+      spark.sql(
+        s"""SELECT doc_id, w, tf, ${invTb("w")} AS tb
+           |FROM (${tfRelSql(SparkD)}) p""".stripMargin)
+        .repartition(org.apache.spark.sql.functions.col("tb"))
+        .sortWithinPartitions("doc_id")
+        .write.format("columnfile").partitionBy("tb")
+        .mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** Doc-length sidecar of the text index (doc_id, dl — one row per
+    * document, the explode-free array-size lengths): what lets an
+    * index-served BM25 compute avgdl and N without touching raw text.
+    */
+  private[graft] def invDlPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = Tables.cachePath(dir, "inv_dl")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.registerAll(spark, dir)
+      spark.sql(bm25DlSql(SparkD))
+        .write.format("columnfile").mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** Query-token router of the text index (qid, term, term bucket for
+    * query ids < 100) — the lexical twin of v05's IVF router: keeping
+    * the query workload's tokens as a TABLE (not a driver collect) is
+    * what lets the probe plan stay fully distributed, and its simple
+    * scan+filter shape is what runtime filtering's broadcast-reuse
+    * matching can recognize. Derived from the postings index itself
+    * (a doc's posting rows ARE its distinct words).
+    */
+  private[graft] def invQtPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = Tables.cachePath(dir, "inv_qt")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      val post = invIndexPath(spark, dir)
+      spark.read.format("columnfile").load(post)
+        .where("doc_id < 100").selectExpr("doc_id AS qid", "w", "tb")
+        .coalesce(1)
+        .write.format("columnfile").mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** t17: BM25 served from the MATERIALIZED inverted index — t07's
+    * exact query (same terms, same integer arithmetic, same oracle)
+    * with the corpus tokenize replaced by an index probe: the fixed
+    * term literals constant-fold through [[invTb]], so the postings
+    * scan carries a static `tb IN (...)` partition filter and reads
+    * only the probed term buckets' directories (QueryPlanSpec asserts
+    * this on the executed scan). df/avgdl/N all come from the index
+    * and its doc-length sidecar; raw text is never touched.
+    */
+  private def bm25IndexedQ: Q = Q("t17_bm25_indexed", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spark.read.format("columnfile").load(invIndexPath(spark, dir))
+      .createOrReplaceTempView("t17_post")
+    cacheOnce(spark.read.format("columnfile").load(invDlPath(spark, dir)))
+      .createOrReplaceTempView("t17_dl")
+    val termTbs = Seq("hash", "join", "vector")
+      .map(t => invTb(s"'$t'")).mkString(", ")
+    cacheOnce(spark.sql(
+      s"""SELECT doc_id, w, tf FROM t17_post
+         |WHERE w IN $BmTerms AND tb IN ($termTbs)""".stripMargin))
+      .createOrReplaceTempView("t17_tfq")
+    spark.sql("WITH " + bm25Body(SparkD, "t17_tfq", "t17_dl",
+      nFrom = "t17_dl"))
+  }, Some(bm25Sql(DuckD)))
+
+  /** v14: v13's hybrid BM25+IVF retrieval with BOTH retrievers served
+    * from materialized indexes — the production serving shape (v13 is
+    * the build-side formulation; v14 is what answers queries at
+    * 100 TB). Lexical: postings probed by the sample vocabulary via a
+    * (tb, w) semi join against the query-token router — the broadcast
+    * router's tb keys runtime-prune the term-bucket directories (the
+    * v05 mechanism); df/avgdl/N from the index + sidecar; raw text
+    * untouched. Vector: v05's router + cell-partitioned index probe.
+    * The fusion tail is [[hybridFusionBody]] verbatim, so the output —
+    * and the oracle — are v13's exactly.
+    */
+  private def hybridIndexedQ: Q = Q("v14_hybrid_indexed", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spark.read.format("columnfile").option("runtimeFiltering", "false")
+      .load(ivfRouterPath(spark, dir))
+      .where("qid < 20").createOrReplaceTempView("v14_probe")
+    spark.read.format("columnfile").load(ivfIndexPath(spark, dir))
+      .createOrReplaceTempView("v14_ivf")
+    spark.read.format("columnfile").option("runtimeFiltering", "false")
+      .load(invQtPath(spark, dir))
+      .where("qid < 20").createOrReplaceTempView("v14_qt")
+    spark.read.format("columnfile").load(invIndexPath(spark, dir))
+      .createOrReplaceTempView("v14_post")
+    cacheOnce(spark.read.format("columnfile").load(invDlPath(spark, dir)))
+      .createOrReplaceTempView("v14_dl")
+    cacheOnce(spark.sql(
+      s"""SELECT /*+ BROADCAST(q) */ p.doc_id, p.w, p.tf
+         |FROM v14_post p LEFT SEMI JOIN v14_qt q
+         |  ON p.tb = q.tb AND p.w = q.w""".stripMargin))
+      .createOrReplaceTempView("v14_tfq")
+    spark.sql(
+      s"""WITH ${ivfIndexedTopkCtes("v14_probe", "v14_ivf")},
+         |ivfr AS (SELECT qid, nid, rn AS rank FROM ivtopk WHERE rn <= 5),
+         |${hybridFusionBody(SparkD, "v14_qt", "v14_tfq", "v14_dl",
+             nFrom = "v14_dl")}""".stripMargin)
+  }, Some(hybridBm25VecSql(DuckD)))
 }

@@ -315,6 +315,57 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(executedCells(oneScan) == one.map(_.toString).toSet)
   }
 
+  test("t17 probe scan reads only the probed term-bucket directories") {
+    val idxPath = ExtQueries.invIndexPath(spark, dir)
+    val allTb = new java.io.File(idxPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("tb=")).map(_.getName)
+    assert(allTb.length >= 10, s"expected many tb dirs: ${allTb.length}")
+    // the buckets the three literal terms constant-fold to
+    val expected = spark.sql(
+      "SELECT CAST(pmod(graft_polyhash('hash'), 64) AS INT), " +
+        "CAST(pmod(graft_polyhash('join'), 64) AS INT), " +
+        "CAST(pmod(graft_polyhash('vector'), 64) AS INT)")
+      .first().toSeq.map(_.toString).toSet
+    assert(expected.size <= 3 && allTb.length > expected.size)
+    // the same probe shape t17 builds (uncached so the scan executes
+    // here); the tb IN (...) filter must fold to literals and prune
+    val probe = spark.read.format("columnfile").load(idxPath)
+      .where("w IN ('hash', 'join', 'vector') AND tb IN (" +
+        "CAST(pmod(graft_polyhash('hash'), 64) AS INT), " +
+        "CAST(pmod(graft_polyhash('join'), 64) AS INT), " +
+        "CAST(pmod(graft_polyhash('vector'), 64) AS INT))")
+    probe.collect()
+    val read = probe.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.inputRDD.partitions).flatMap {
+      case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+        p.inputPartitions
+    }.flatMap {
+      case p: graft.spark.CfPartition => p.partitionValues.toSeq.map(_.toString)
+    }.toSet
+    assert(read == expected,
+      s"probe read dirs $read, expected $expected of ${allTb.length}")
+  }
+
+  test("t17 and v14 never touch raw text (no tokenize in any plan or " +
+    "cache build)") {
+    // The index queries' whole point: the corpus tokenize (a Generate
+    // over documents.text) happens ONCE at index build, never at query
+    // time. Typed check for live Generates plus a conservative string
+    // check that no documents scan appears anywhere — including inside
+    // InMemoryRelation build plans (printed inline), so a cached
+    // tokenize can't hide.
+    for (name <- Seq("t17_bm25_indexed", "v14_hybrid_indexed")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val exec = df.queryExecution.executedPlan
+      val gens = exec.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }
+      assert(gens.isEmpty, s"$name has a live tokenize Generate:\n$exec")
+      assert(!exec.toString.contains("documents.parquet"),
+        s"$name reads raw documents:\n$exec")
+    }
+  }
+
   test("q21 prunes the read schema to the projected columns") {
     val p = plan("q21_cf_projection")
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>") ||
