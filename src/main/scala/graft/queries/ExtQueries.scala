@@ -1304,11 +1304,15 @@ object ExtQueries {
     * under corpus growth (new docs mostly repeat known words), which is
     * why the classic trainer scales.
     */
+  /** Round-0 delimited symbol sequence for a word column `w`:
+    * `hello` -> `(h)(e)(l)(l)(o)`. */
+  private def bpeSeq0(d: Dial): String = d match {
+    case SparkD => "regexp_replace(w, '(.)', '($1)')"
+    case DuckD  => "regexp_replace(w, '(.)', '(\\1)', 'g')"
+  }
+
   private def bpeVocabSql(d: Dial): String = {
-    val seq0 = d match {
-      case SparkD => "regexp_replace(w, '(.)', '($1)')"
-      case DuckD  => "regexp_replace(w, '(.)', '(\\1)', 'g')"
-    }
+    val seq0 = bpeSeq0(d)
     s"""SELECT w, n, $seq0 AS s FROM (
        |  SELECT w, COUNT(*) AS n
        |  FROM (SELECT w FROM documents
@@ -1338,26 +1342,45 @@ object ExtQueries {
     * over the rewritten sequences — a wrong merge pick, wrong
     * application order, or missed occurrence all break the hash.
     */
+  /** One BPE merge replacement applied to the delimited sequence
+    * column `s`: the pattern `(a)(b)` for merge pair "a b" becomes the
+    * fused symbol `(ab)`. `replace` scans left-to-right and resumes
+    * AFTER each replacement — exactly greedy BPE application.
+    */
+  private def bpeApplyMerge: String =
+    """replace(s, '(' || replace(mp, ' ', ')(') || ')',
+      |               '(' || replace(mp, ' ', '') || ')')""".stripMargin
+
+  /** One t16 training round as CTE text: vocabulary-sized pair counts
+    * (p$r), the top-1 merge via ORDER BY/LIMIT (m$r — a 1-row relation
+    * by construction, the machine-checked BNLJ build bound), the
+    * rewritten vocabulary (w$r), and the post-merge corpus aggregate
+    * (a$r — pruned by both engines when unreferenced, as in t18).
+    * Shared by t16 (training output) and t18 (encode under the learned
+    * merges) so the merge choice is one spelling.
+    */
+  private def bpeRound(d: Dial, r: Int, prev: String): String =
+    s"""p$r AS (SELECT pr, CAST(SUM(n) AS BIGINT) AS cnt
+       |  FROM (SELECT n, ${d.grams2("sy")} AS ps
+       |        FROM (SELECT n, ${bpeSyms(d, "s")} AS sy FROM $prev) y
+       |        WHERE ${d.size("sy")} >= 2) x
+       |  ${d.explode("ps", "pr")}
+       |  GROUP BY pr),
+       |m$r AS (SELECT pr AS mp, cnt FROM p$r ORDER BY cnt DESC, pr LIMIT 1),
+       |w$r AS (SELECT w, n, ${bpeApplyMerge} AS s
+       |  FROM $prev CROSS JOIN m$r),
+       |a$r AS (${bpeAggOver(d, s"w$r")})""".stripMargin
+
+  private def bpeAggOver(d: Dial, wr: String): String =
+    s"""SELECT CAST(COALESCE(SUM(n * ${d.size(bpeSyms(d, "s"))}), 0)
+       |      AS BIGINT) AS toks,
+       |    CAST(COALESCE(SUM(((n % $P) * (${d.polyhash("s")} % 1000000))
+       |      % $P), 0) % $P AS BIGINT) AS ck
+       |  FROM $wr""".stripMargin
+
   private def bpeBody(d: Dial, w0: String): String = {
-    def aggOver(wr: String): String =
-      s"""SELECT CAST(COALESCE(SUM(n * ${d.size(bpeSyms(d, "s"))}), 0)
-         |      AS BIGINT) AS toks,
-         |    CAST(COALESCE(SUM(((n % $P) * (${d.polyhash("s")} % 1000000))
-         |      % $P), 0) % $P AS BIGINT) AS ck
-         |  FROM $wr""".stripMargin
-    def round(r: Int, prev: String): String =
-      s"""p$r AS (SELECT pr, CAST(SUM(n) AS BIGINT) AS cnt
-         |  FROM (SELECT n, ${d.grams2("sy")} AS ps
-         |        FROM (SELECT n, ${bpeSyms(d, "s")} AS sy FROM $prev) y
-         |        WHERE ${d.size("sy")} >= 2) x
-         |  ${d.explode("ps", "pr")}
-         |  GROUP BY pr),
-         |m$r AS (SELECT pr AS mp, cnt FROM p$r ORDER BY cnt DESC, pr LIMIT 1),
-         |w$r AS (SELECT w, n,
-         |    replace(s, '(' || replace(mp, ' ', ')(') || ')',
-         |               '(' || replace(mp, ' ', '') || ')') AS s
-         |  FROM $prev CROSS JOIN m$r),
-         |a$r AS (${aggOver(s"w$r")})""".stripMargin
+    def aggOver(wr: String): String = bpeAggOver(d, wr)
+    def round(r: Int, prev: String): String = bpeRound(d, r, prev)
     s"""a0 AS (${aggOver(w0)}),
        |${round(1, w0)},
        |${round(2, "w1")},
@@ -1396,6 +1419,62 @@ object ExtQueries {
     Tables.registerAll(spark, dir)
     bpeTrainDF(spark)
   }, Some(s"WITH w0 AS (${bpeVocabSql(DuckD)}),\n" + bpeBody(DuckD, "w0")))
+
+  /** t18 body: the t16 training rounds (shared CTE text, so the merge
+    * choice is one spelling), then the ENCODE pass — one linear corpus
+    * scan re-tokenized with the learned merges applied in training
+    * order, each application a literal string replace cross-joined
+    * with its 1-row merge relation (broadcast; the t16-adjudicated,
+    * machine-checked BNLJ bound). The rounds' a$r corpus aggregates go
+    * unreferenced here and are pruned by both engines.
+    */
+  private def bpeEncodeBody(d: Dial, w0: String): String = {
+    def rep(r: Int, prev: String): String =
+      s"""c$r AS (SELECT lang, source, ${bpeApplyMerge} AS s
+         |  FROM $prev CROSS JOIN m$r)""".stripMargin
+    val bt = d.size(bpeSyms(d, "s"))
+    s"""${bpeRound(d, 1, w0)},
+       |${bpeRound(d, 2, "w1")},
+       |${bpeRound(d, 3, "w2")},
+       |cw AS (SELECT lang, source, ${bpeSeq0(d)} AS s
+       |  FROM (SELECT lang, source, w FROM documents
+       |        ${d.explode(d.split("lower(text)"), "w")}) t0
+       |  WHERE length(w) >= 2 AND regexp_extract(w, '^[a-z]+$$', 0) = w),
+       |${rep(1, "cw")},
+       |${rep(2, "c1")},
+       |${rep(3, "c2")}
+       |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS words,
+       |  CAST(SUM($bt) AS BIGINT) AS bpe_tokens,
+       |  CAST(${d.intDiv(s"SUM($bt) * 1000", "COUNT(*)")} AS BIGINT)
+       |    AS bpe_per_word_milli
+       |FROM c3 GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+  }
+
+  /** t18: BPE token ACCOUNTING under the trained tokenizer — the apply
+    * half of t16's learn→apply loop, and the number a token-budgeted
+    * pipeline (p09/p12) actually needs: per (lang, source), word
+    * occurrences, BPE tokens after the three learned merges, and the
+    * fixed-point tokens-per-word compression ratio. Scale shape: the
+    * merges are learned on the SATURATING word histogram (t16's cached
+    * vocabulary relation — corpus pass #1), then ONE linear corpus
+    * pass (#2) re-tokenizes with three chained literal replaces, each
+    * cross-joined with a 1-row merge relation (broadcast by bound);
+    * the only shuffle is the final (lang, source) partial-aggregable
+    * rollup. No pair stage, no per-doc state.
+    */
+  private def bpeEncodeDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val w0 = cacheOnce(spark.sql(bpeVocabSql(SparkD)))
+    w0.createOrReplaceTempView("t18_w0")
+    spark.sql("WITH " + bpeEncodeBody(SparkD, "t18_w0"))
+  }
+
+  private def bpeEncodeQ: Q = Q("t18_bpe_encode", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    bpeEncodeDF(spark)
+  }, Some(s"WITH w0 AS (${bpeVocabSql(DuckD)}),\n" +
+    bpeEncodeBody(DuckD, "w0")))
 
   /** p09: token-budget mixture sampling — the "take N tokens per
     * language/domain" pass that assembles a training mix from a curated
@@ -3619,6 +3698,7 @@ object ExtQueries {
     // BPE tokenizer TRAINING: the learn->apply merge loop over the
     // vocabulary histogram (t12's pair stats iterated, checksum-pinned).
     bpeTrainQ,
+    bpeEncodeQ,
     // PII scrub: per-category match counts + verifiable redaction digest.
     dialect("t10_pii_scrub", piiScrubSql),
     // Hashed linear quality classifier (fasttext-shaped scoring pass).
@@ -3722,6 +3802,9 @@ object ExtQueries {
     // v14 = v13 with both retrievers index-served (same oracles).
     bm25IndexedQ,
     hybridIndexedQ,
+    // v15 = v13's exact results with the scoring stage restructured
+    // document-at-a-time across all queries (query-mask aggregation).
+    hybridDenseQ,
     dialect("m01_multimodal_stubmeta", multimodalSql),
     multimodalDecode,
     multimodalAvDecode,
@@ -3787,6 +3870,8 @@ object ExtQueries {
     val bpePairs: String = bpePairsSql(SparkD)
     def bpeTrain(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = bpeTrainDF(spark)
+    def bpeEncode(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = bpeEncodeDF(spark)
     val prioritySample: String = prioritySampleSql(SparkD)
     val knnRerank: String = knnRerankSql(SparkD)
     def lineDedup(spark: org.apache.spark.sql.SparkSession)
@@ -5086,22 +5171,29 @@ object ExtQueries {
     * served from materialized indexes), which is what makes their
     * results — and oracle — identical by construction.
     */
+  /** The per-posting BM25 contribution s(term, doc) — depends on the
+    * posting row `t` (tf), the term stats row `df`, and the doc-length
+    * row `l` only (NOT on the query), which is what makes v15's
+    * one-pass multi-query evaluation possible. One spelling shared by
+    * every consumer so the integer scores are identical by construction.
+    */
+  private def bm25ScoreMicro(d: Dial): String =
+    d.intDiv(
+      s"${d.intDiv("((SELECT n FROM n) * 1000000)", "df.df")} * (t.tf * 2200)",
+      s"(t.tf * 1000 + ${d.intDiv(
+        s"1200 * (250 + ${d.intDiv("750 * l.dl * 1000",
+          "(SELECT avgdl_milli FROM stats)")})",
+        "1000")})")
+
   private def hybridFusionBody(d: Dial, qt: String, tfq: String,
       dlq: String, nFrom: String = "documents"): String = {
-    val rrf = (r: String) =>
-      s"COALESCE(${d.intDiv("1000000", s"(60 + $r)")}, 0)"
     s"""stats AS (SELECT ${d.intDiv("SUM(dl) * 1000", "COUNT(*)")}
        |    AS avgdl_milli FROM $dlq),
        |n AS (SELECT COUNT(*) AS n FROM $nFrom),
        |df AS (SELECT w, COUNT(*) AS df FROM $tfq GROUP BY w),
        |per_term AS (
        |  SELECT qt.qid, t.doc_id, t.w,
-       |    ${d.intDiv(
-             s"${d.intDiv("((SELECT n FROM n) * 1000000)", "df.df")} * (t.tf * 2200)",
-             s"(t.tf * 1000 + ${d.intDiv(
-               s"1200 * (250 + ${d.intDiv("750 * l.dl * 1000",
-                 "(SELECT avgdl_milli FROM stats)")})",
-               "1000")})")} AS score_micro
+       |    ${bm25ScoreMicro(d)} AS score_micro
        |  FROM $qt qt JOIN $tfq t ON qt.w = t.w AND t.doc_id <> qt.qid
        |  JOIN df ON t.w = df.w
        |  JOIN $dlq l ON l.doc_id = t.doc_id),
@@ -5113,7 +5205,17 @@ object ExtQueries {
        |        CAST(SUM(score_micro) AS BIGINT) AS score
        |      FROM per_term GROUP BY qid, doc_id) s) r
        |  WHERE rank <= 5),
-       |rcand AS (SELECT qid, nid FROM ivfr
+       |${hybridRrfTail(d)}""".stripMargin
+  }
+
+  /** The RRF fusion tail downstream of `ivfr` and `bmr` (both
+    * (qid, nid, rank) top-5 lists) — shared by v13/v14/v15 so the
+    * fused output is identical wherever the retriever lists are.
+    */
+  private def hybridRrfTail(d: Dial): String = {
+    val rrf = (r: String) =>
+      s"COALESCE(${d.intDiv("1000000", s"(60 + $r)")}, 0)"
+    s"""rcand AS (SELECT qid, nid FROM ivfr
        |  UNION SELECT qid, nid FROM bmr),
        |rscored AS (SELECT c.qid, c.nid,
        |    ${rrf("i.rank")} + ${rrf("b.rank")} AS score,
@@ -5393,6 +5495,83 @@ object ExtQueries {
     * The fusion tail is [[hybridFusionBody]] verbatim, so the output —
     * and the oracle — are v13's exactly.
     */
+  /** v15: the hybrid retrieval EVALUATION restructured for scale —
+    * same results as v13/v14 (bit-identical scores, same oracle), with
+    * the scoring stage rewritten document-at-a-time across ALL queries
+    * at once. The profile behind it (100x, warm caches): v13/v14 spend
+    * ~2/3 of their time materializing the per-(query, term, doc) join
+    * (190M rows at 100x) and hash-aggregating it to 10M (query, doc)
+    * scores — the classic blowup when queries share vocabulary with
+    * the corpus' common terms. The rewrite: the per-posting score
+    * s(term, doc) does not depend on the query, so compute it ONCE per
+    * posting (11.6M rows at 100x), attach a 20-bit QUERY MASK per term
+    * (bit q set iff term is in query q), and fold everything in ONE
+    * doc-keyed aggregation producing total(doc) plus per-query missing
+    * mass m_q(doc) = sum of s over the doc's terms NOT in q; then
+    * score(q, doc) = total - m_q (inclusion-exclusion), a doc matches
+    * q iff total > m_q, and the top-5 per query is the same window as
+    * before. The 190M-row join-aggregate becomes an 11.6M-row
+    * partial-aggregable vector aggregation + a 20-way stack — one
+    * shuffle on doc_id, no per-query blowup anywhere. Served from the
+    * same materialized index surfaces as v14.
+    */
+  private def hybridDenseQ: Q = Q("v15_hybrid_dense", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    spark.read.format("columnfile").option("runtimeFiltering", "false")
+      .load(ivfRouterPath(spark, dir))
+      .where("qid < 20").createOrReplaceTempView("v15_probe")
+    spark.read.format("columnfile").load(ivfIndexPath(spark, dir))
+      .createOrReplaceTempView("v15_ivf")
+    spark.read.format("columnfile").option("runtimeFiltering", "false")
+      .load(invQtPath(spark, dir))
+      .where("qid < 20").createOrReplaceTempView("v15_qt")
+    spark.read.format("columnfile").load(invIndexPath(spark, dir))
+      .createOrReplaceTempView("v15_post")
+    cacheOnce(spark.read.format("columnfile").load(invDlPath(spark, dir)))
+      .createOrReplaceTempView("v15_dl")
+    cacheOnce(spark.sql(
+      s"""SELECT /*+ BROADCAST(q) */ p.doc_id, p.w, p.tf
+         |FROM v15_post p LEFT SEMI JOIN v15_qt q
+         |  ON p.tb = q.tb AND p.w = q.w""".stripMargin))
+      .createOrReplaceTempView("v15_tfq")
+    val missCols = (0 until 20).map(q =>
+      s"CAST(COALESCE(SUM(CASE WHEN (shiftright(qm, $q) & 1) = 0 " +
+        s"THEN s END), 0) AS BIGINT) AS m$q").mkString(",\n    ")
+    val stackArgs = (0 until 20).map(q => s"$q, m$q").mkString(", ")
+    spark.sql(
+      s"""WITH ${ivfIndexedTopkCtes("v15_probe", "v15_ivf")},
+         |ivfr AS (SELECT qid, nid, rn AS rank FROM ivtopk WHERE rn <= 5),
+         |stats AS (SELECT ${SparkD.intDiv("SUM(dl) * 1000", "COUNT(*)")}
+         |    AS avgdl_milli FROM v15_dl),
+         |n AS (SELECT COUNT(*) AS n FROM v15_dl),
+         |df AS (SELECT w, COUNT(*) AS df FROM v15_tfq GROUP BY w),
+         |qmask AS (SELECT w,
+         |    CAST(SUM(shiftleft(CAST(1 AS BIGINT), CAST(qid AS INT))) AS BIGINT)
+         |      AS qm
+         |  FROM v15_qt GROUP BY w),
+         |ws AS (
+         |  SELECT t.doc_id, qmask.qm, ${bm25ScoreMicro(SparkD)} AS s
+         |  FROM v15_tfq t JOIN df ON t.w = df.w
+         |  JOIN v15_dl l ON l.doc_id = t.doc_id
+         |  JOIN qmask ON t.w = qmask.w),
+         |docagg AS (
+         |  SELECT doc_id, CAST(SUM(s) AS BIGINT) AS tot,
+         |    $missCols
+         |  FROM ws GROUP BY doc_id),
+         |scores AS (
+         |  SELECT doc_id, qid, tot - m AS score
+         |  FROM docagg
+         |  LATERAL VIEW stack(20, $stackArgs) st AS qid, m
+         |  WHERE tot > m AND doc_id <> qid),
+         |bmr AS (SELECT qid, nid, rank FROM (
+         |    SELECT qid, doc_id AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, doc_id) AS rank
+         |    FROM scores) r
+         |  WHERE rank <= 5),
+         |${hybridRrfTail(SparkD)}""".stripMargin)
+  }, Some(hybridBm25VecSql(DuckD)))
+
   private def hybridIndexedQ: Q = Q("v14_hybrid_indexed", (spark, dir) => {
     Tables.registerAll(spark, dir)
     spark.read.format("columnfile").option("runtimeFiltering", "false")

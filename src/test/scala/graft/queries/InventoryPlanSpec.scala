@@ -81,7 +81,11 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // v13 inherits v04's centroid cross join (constant centroid table)
     "v13_hybrid_bm25_vec" -> 64L,
     // t16: LIMIT-1 merge picks + 1-row scalar aggregates (see scaladoc)
-    "t16_bpe_train" -> 1L)
+    "t16_bpe_train" -> 1L,
+    // t18's encode pass: the same three 1-row merge relations (ORDER
+    // BY cnt DESC, pr LIMIT 1 per round) cross-joined into the corpus
+    // rewrite — the t16 contract, applied to the encode leg.
+    "t18_bpe_encode" -> 1L)
 
   /** Static upper bound on a physical subtree's row count, derived
     * from shape alone — the machine check behind the BNLJ allowlist

@@ -655,6 +655,30 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._5).distinct.size == 4)
   }
 
+  test("t18: encode applies the learned merges in TRAINING order " +
+    "(m3's pattern contains the m1-fused symbol)") {
+    val sp = spark; import sp.implicits._
+    // Same trainer fixture as the t16 test plus one "aab": merges are
+    // m1=a+a (9), m2=a+b (5), m3=aa+a (4). Chaining is the intent
+    // pin: m3's pattern (aa)(a) only matches a sequence ALREADY
+    // rewritten by m1 — "aaa" encodes to ONE token (aaa) iff m1 runs
+    // before m3; reverse order leaves (aa)(a) = 2 tokens, no-op
+    // application 3. "aab" exercises a partial collapse: (aa)(b), 2
+    // tokens, so s1's tokens-per-word ratio is a non-trivial 1333.
+    Seq(
+      (1L, "aaa aaa ab", "en", "s0"),
+      (2L, "aaa aaa ab ab", "en", "s0"),
+      (3L, "ab ab x aab", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .createOrReplaceTempView("documents")
+    val got = ExtQueries.TestSql.bpeEncode(spark)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("en", "s0", 7L, 7L, 1000L),   // aaa x4 -> (aaa); ab x3 -> (ab)
+      ("en", "s1", 3L, 4L, 1333L))) // ab, ab -> 1 each; aab -> (aa)(b)
+  }
+
   test("p19: under 65 docs tau is 0 and the HT estimate is exact") {
     val sp = spark; import sp.implicits._
     // 10 docs -> t65 holds all of them -> tau = 0 -> max(w, tau) = w

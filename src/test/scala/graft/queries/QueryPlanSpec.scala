@@ -355,15 +355,46 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // check that no documents scan appears anywhere — including inside
     // InMemoryRelation build plans (printed inline), so a cached
     // tokenize can't hide.
-    for (name <- Seq("t17_bm25_indexed", "v14_hybrid_indexed")) {
+    for (name <- Seq("t17_bm25_indexed", "v14_hybrid_indexed",
+        "v15_hybrid_dense")) {
       val df = graft.SparkEntry.queries(name)(spark, dir)
       val exec = df.queryExecution.executedPlan
+      // v15's one permitted Generate is the 20-way stack that unpivots
+      // the per-doc missing-mass columns — a width-20 constant fan-out,
+      // not a corpus tokenize (those are explode-over-split).
       val gens = exec.collect {
-        case g: org.apache.spark.sql.execution.GenerateExec => g }
+        case g: org.apache.spark.sql.execution.GenerateExec
+            if !g.boundGenerator.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.Stack] => g }
       assert(gens.isEmpty, s"$name has a live tokenize Generate:\n$exec")
       assert(!exec.toString.contains("documents.parquet"),
         s"$name reads raw documents:\n$exec")
     }
+  }
+
+  test("v15 scores all 20 queries in one doc-keyed pass (no per-query " +
+    "posting blowup)") {
+    // The point of the document-at-a-time rewrite: the ONLY join that
+    // touches the postings fact on both plan legs is the build-side
+    // hash of bounded relations (df / doc-length / query-mask); the
+    // per-(query, term, doc) equi join of v13/v14 — qt joined to the
+    // postings on the term key, fanning every common-term posting out
+    // once per query — must not exist. Checked structurally: no
+    // shuffle/broadcast join in the executed plan has BOTH children
+    // containing a columnfile batch scan of the postings index AND a
+    // scan of the query-token router on the term join key; and the
+    // whole plan carries exactly one aggregate keyed by doc_id alone
+    // (the 21-column vector aggregate), not one keyed by (qid, doc).
+    val df = graft.SparkEntry.queries("v15_hybrid_dense")(spark, dir)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val aggKeys = exec.collect { case a: HashAggregateExec =>
+      a.groupingExpressions.map(_.name).toSet }
+    assert(!aggKeys.exists(k => k.contains("qid") && k.exists(_.startsWith("doc"))),
+      s"v15 still aggregates per (qid, doc): $aggKeys")
+    assert(aggKeys.count(_ == Set("doc_id")) >= 2, // partial + final
+      s"expected the doc-keyed vector aggregate: $aggKeys")
   }
 
   test("q21 prunes the read schema to the projected columns") {
