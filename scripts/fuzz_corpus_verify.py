@@ -36,6 +36,10 @@ QUERIES = ",".join(
     # as-of/range/interval/salted joins, funnel (ties + boundaries are
     # where tie-break discipline would crack)
     ["q17_", "q18_", "q50_", "q51_", "q52_", "q53_", "q55_"] +
+    # streaming index maintenance: documents-based, and the empty/
+    # whitespace-text docs fuzzed corpora plant are exactly its
+    # dl-row-without-postings edge
+    ["q66_"] +
     # relational shared-SQL family over fuzzed lineitem/orders: the
     # integer-cents discipline's ROUND(double) is the divergence
     # surface (Spark rounds the decimal string, DuckDB the binary

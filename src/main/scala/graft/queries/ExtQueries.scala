@@ -3668,6 +3668,7 @@ object ExtQueries {
     // d19 at INGEST: span scrub per arriving micro-batch against the
     // batch-derived duplicated-shingle index (stateless enforcement).
     streamSpanScrub,
+    streamIndexMaintain,
     // Line-level exact dedup (C4/RefinedWeb sub-document pass):
     // duplicated 10-word lines removed corpus-wide, checksummed rewrite.
     lineDedup,
@@ -3872,6 +3873,9 @@ object ExtQueries {
         : org.apache.spark.sql.DataFrame = bpeTrainDF(spark)
     def bpeEncode(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = bpeEncodeDF(spark)
+    def streamIndexMaintain(spark: org.apache.spark.sql.SparkSession,
+        dir: String): org.apache.spark.sql.DataFrame =
+      streamIndexMaintainDF(spark, dir)
     val prioritySample: String = prioritySampleSql(SparkD)
     val knnRerank: String = knnRerankSql(SparkD)
     def lineDedup(spark: org.apache.spark.sql.SparkSession)
@@ -5483,6 +5487,119 @@ object ExtQueries {
     spark.sql("WITH " + bm25Body(SparkD, "t17_tfq", "t17_dl",
       nFrom = "t17_dl"))
   }, Some(bm25Sql(DuckD)))
+
+  /** q66: streaming incremental MAINTENANCE of the inverted text index
+    * — the missing half of t17's build-once/scan-many story for a
+    * corpus that keeps growing. Half the corpus (even doc_ids) is the
+    * batch-built base index (t17's layout: term-bucket-partitioned
+    * postings + doc-length sidecar); the other half ARRIVES AS A
+    * STREAM and is indexed incrementally by a stateless streaming
+    * query (per-row tokenize via array functions — explode of the
+    * row's distinct words with an array-count tf, no streaming
+    * aggregation, no state) appending postings and doc-length rows to
+    * delta sinks. The gate: a BM25 probe served from base ∪ delta must
+    * hash-match t07's full-corpus oracle EXACTLY — df, avgdl, N and
+    * every score — i.e. incremental maintenance converges to the full
+    * rebuild. Scale shape: the delta is append-only and unpartitioned
+    * (the probe prunes the base by term bucket and filters the small
+    * delta by term — the LSM pattern: pruned main + scanned tail), and
+    * a periodic compaction into the partitioned base is the q39
+    * compacted-scan move. Per-row work is O(words in the doc);
+    * per-batch sink writes are the only I/O.
+    */
+  private def streamIndexMaintain: Q = Q("q66_stream_index_maintain",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      streamIndexMaintainDF(spark, dir)
+    }, Some(bm25Sql(DuckD)))
+
+  /** q66 body against whatever `documents` relation is registered —
+    * split out so the maintenance invariant (base ∪ delta == full
+    * rebuild) is testable on planted fixtures. Also registers
+    * `q66_post_all` (the UNFILTERED base ∪ delta postings) and
+    * `q66_dl` for the invariant check.
+    */
+  private def streamIndexMaintainDF(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+      // batch-built base index over the even half
+      val base = Tables.cachePath(dir, "inv_base_even")
+      if (!new java.io.File(base, "_SUCCESS").exists()) {
+        spark.sql(
+          s"""SELECT doc_id, w, tf, ${invTb("w")} AS tb
+             |FROM (${tfRelSql(SparkD)}) p WHERE doc_id % 2 = 0""".stripMargin)
+          .repartition(org.apache.spark.sql.functions.col("tb"))
+          .sortWithinPartitions("doc_id")
+          .write.format("columnfile").partitionBy("tb")
+          .mode("overwrite").save(base)
+      }
+      val baseDl = Tables.cachePath(dir, "inv_base_even_dl")
+      if (!new java.io.File(baseDl, "_SUCCESS").exists()) {
+        spark.sql(bm25DlSql(SparkD)).where("doc_id % 2 = 0")
+          .write.format("columnfile").mode("overwrite").save(baseDl)
+      }
+      // the odd half arrives as a stream
+      val src = Tables.cachePath(dir, "documents_idx_stream")
+      if (!new java.io.File(src, "_SUCCESS").exists()) {
+        spark.table("documents").where("doc_id % 2 = 1")
+          .selectExpr("doc_id", "text")
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.format("columnfile").mode("overwrite").save(src)
+      }
+      val post = Tables.cachePath(dir, "inv_delta_post")
+      val dl = Tables.cachePath(dir, "inv_delta_dl")
+      def drain(outPath: String, f: org.apache.spark.sql.DataFrame
+          => org.apache.spark.sql.DataFrame): Unit =
+        if (!new java.io.File(outPath, "_SUCCESS").exists()) {
+          val schema = spark.read.format("columnfile").load(src).schema
+          val q = f(spark.readStream.format("columnfile")
+              .schema(schema).load(src))
+            .writeStream.format("columnfile")
+            .option("path", outPath)
+            .option("checkpointLocation", outPath + "_ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      // postings delta: per-row tokenize — distinct words exploded,
+      // tf as an array count. Stateless (the doc arrives whole), so
+      // no watermark, no streaming aggregation, O(doc) per row.
+      drain(post, df => {
+        df.createOrReplaceTempView("q66_stream_post")
+        df.sparkSession.sql(
+          s"""SELECT doc_id, w,
+             |  CAST(size(filter(ws, x -> x = w)) AS BIGINT) AS tf,
+             |  ${invTb("w")} AS tb
+             |FROM (SELECT doc_id,
+             |        filter(split(lower(text), ' '), x -> x <> '') AS ws
+             |      FROM q66_stream_post)
+             |LATERAL VIEW explode(array_distinct(ws)) _e AS w""".stripMargin)
+      })
+      // doc-length delta: one row per doc even when it has no postings
+      // (empty/whitespace-only text still counts toward N and avgdl)
+      drain(dl, df => df.selectExpr("doc_id",
+        "CAST(size(filter(split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS dl"))
+      // probe base ∪ delta: term-bucket partition prune on the base,
+      // term filter on the small append-only delta
+      val termTbs = Seq("hash", "join", "vector")
+        .map(t => invTb(s"'$t'")).mkString(", ")
+      spark.read.format("columnfile").load(base)
+        .where(s"w IN $BmTerms AND tb IN ($termTbs)")
+        .selectExpr("doc_id", "w", "tf")
+        .union(spark.read.format("columnfile").load(post)
+          .where(s"w IN $BmTerms").selectExpr("doc_id", "w", "tf"))
+        .createOrReplaceTempView("q66_tf")
+      spark.read.format("columnfile").load(base)
+        .selectExpr("doc_id", "w", "tf")
+        .union(spark.read.format("columnfile").load(post)
+          .selectExpr("doc_id", "w", "tf"))
+        .createOrReplaceTempView("q66_post_all")
+      spark.read.format("columnfile").load(baseDl)
+        .union(spark.read.format("columnfile").load(dl))
+        .createOrReplaceTempView("q66_dl")
+      spark.sql("WITH " + bm25Body(SparkD, "q66_tf", "q66_dl",
+        nFrom = "q66_dl"))
+  }
 
   /** v14: v13's hybrid BM25+IVF retrieval with BOTH retrievers served
     * from materialized indexes — the production serving shape (v13 is

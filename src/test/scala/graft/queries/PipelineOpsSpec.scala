@@ -679,6 +679,40 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("en", "s1", 3L, 4L, 1333L))) // ab, ab -> 1 each; aab -> (aa)(b)
   }
 
+  test("q66: incremental index maintenance converges to the full " +
+    "rebuild (base ∪ delta == batch postings; empty docs still count)") {
+    val sp = spark; import sp.implicits._
+    // fresh fixture dir => fresh cache key => base build + stream
+    // drain actually run here, not served from a prior run's cache
+    val fixdir = java.nio.file.Files
+      .createTempDirectory("q66fix").toFile.getAbsolutePath
+    Seq(
+      (0L, "hash join hash"),        // even -> batch base; tf=2 for hash
+      (1L, "vector hash"),           // odd  -> streamed
+      (2L, ""),                      // even, EMPTY text: dl row, no postings
+      (3L, "  "),                    // odd, whitespace-only: same, via the stream
+      (4L, "join vector join join"), // even
+      (5L, "zzz"))                   // odd, term outside the probe set
+      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    ExtQueries.TestSql.streamIndexMaintain(spark, fixdir).collect()
+    // invariant 1: unfiltered base ∪ delta postings == batch rebuild
+    val got = spark.sql("SELECT doc_id, w, tf FROM q66_post_all")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = spark.sql(
+      """SELECT doc_id, w, COUNT(*) AS tf FROM (
+        |  SELECT doc_id, w FROM documents
+        |  LATERAL VIEW explode(split(lower(text), ' ')) _e AS w) t
+        |WHERE w <> '' GROUP BY doc_id, w""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length == want.length && got.toSet == want.toSet)
+    // invariant 2: every doc has exactly one length row — including
+    // the no-posting docs 2 and 3, which still count toward N/avgdl
+    val dl = spark.sql("SELECT doc_id, dl FROM q66_dl")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dl.length == 6 && dl.toMap == Map(0L -> 3L, 1L -> 2L,
+      2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 1L))
+  }
+
   test("p19: under 65 docs tau is 0 and the HT estimate is exact") {
     val sp = spark; import sp.implicits._
     // 10 docs -> t65 holds all of them -> tau = 0 -> max(w, tau) = w
