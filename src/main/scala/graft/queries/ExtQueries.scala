@@ -1975,6 +1975,111 @@ object ExtQueries {
        |WHERE rn <= 5""".stripMargin
   }
 
+  /** v16: product quantization + ADC (Jegou/Douze/Schmid 2011) — the
+    * third leg of the memory-lever family after int8 (v07) and IVF
+    * (v05): the 64-dim corpus vector becomes M=4 subspace codes into
+    * K=16 learned codebooks (4 small ints ~ 4 BYTES per vector at
+    * production width vs 256 B float — a 64x scan-size lever), and the
+    * query-time scan touches ONLY the codes: per query, a 4x16
+    * distance TABLE to the codebooks is computed once (asymmetric
+    * distance computation), each candidate's approximate distance is 4
+    * table lookups summed, the top-20 shortlist is re-ranked exact
+    * (v08's float spelling) to the final top-5.
+    *
+    * Exact-integer discipline: vectors and centroids live in micro
+    * units (ROUND(x*1e6) — the ivfCommonCtes spelling); codebook
+    * centroids are per-label floor-means computed with an explicitly
+    * DIVISIBLE floor division ((a - posmod(a,n)) div n) because Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors — they
+    * agree only when the numerator is adjusted to a multiple of the
+    * divisor; all subspace L2^2 distances expand to three exact
+    * integer dots (aa - 2ab + bb). Scale shape: codebooks are a K-row
+    * LIMIT-capped relation (broadcast), encoding is one linear pass
+    * (4n subvector rows x 16 broadcast centroids, argmin via a
+    * (vec, s)-partitioned window), the distance table is queries x 64
+    * rows (broadcast), the ADC aggregate groups 4 rows per
+    * (query, candidate), and the exact re-rank touches 20 rows per
+    * query — corpus-independent.
+    */
+  private def knnPqSql(d: Dial): String = {
+    val M = 4
+    val K = 16
+    def sl(arr: String, s: Int) = d match {
+      case SparkD => s"slice($arr, ${16 * s + 1}, 16)"
+      case DuckD  => s"$arr[${16 * s + 1}:${16 * s + 16}]"
+    }
+    val micro = "CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)"
+    val vm = d.transform("embedding", "x", micro)
+    val sums = (0 until 64).map { i =>
+      s"CAST(SUM(CAST(ROUND(CAST(${d.at("embedding", i)} AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT)"
+    }
+    val snArr = d match {
+      case SparkD => s"array(${sums.mkString(",\n      ")})"
+      case DuckD  => s"[${sums.mkString(",\n      ")}]"
+    }
+    // floor division that both engines compute identically for negative
+    // numerators: subtract the positive remainder first, then the
+    // (now-exact) integer division cannot disagree on rounding
+    val fdiv = d.intDiv("(v - (((v % n) + n) % n))", "n")
+    def l2(a: String, b: String) =
+      s"(${d.intDot(a, a)} - 2 * ${d.intDot(a, b)} + ${d.intDot(b, b)})"
+    val subU = (0 until M).map(s =>
+      s"SELECT vec_id, $s AS s, ${sl("vm", s)} AS sv FROM em")
+      .mkString("\n  UNION ALL ")
+    val subcU = (0 until M).map(s =>
+      s"SELECT c, $s AS s, ${sl("cm", s)} AS sc FROM cb")
+      .mkString("\n  UNION ALL ")
+    val qsubU = (0 until M).map(s =>
+      s"SELECT qid, $s AS s, ${sl("qm", s)} AS qv FROM qs")
+      .mkString("\n  UNION ALL ")
+    val cosf =
+      s"""${d.dot("qe.embedding", "ne.embedding")} /
+         |    (sqrt(${d.dot("qe.embedding", "qe.embedding")}) *
+         |     sqrt(${d.dot("ne.embedding", "ne.embedding")}))""".stripMargin
+    s"""WITH em AS (SELECT vec_id, label, $vm AS vm FROM embeddings
+       |  WHERE ${d.dot("embedding", "embedding")} > 0),
+       |cbn AS (SELECT label AS c, COUNT(*) AS n, $snArr AS sn
+       |  FROM embeddings
+       |  WHERE ${d.dot("embedding", "embedding")} > 0 GROUP BY label),
+       |cb0 AS (SELECT c, ${d.transform("sn", "v", fdiv)} AS cm FROM cbn),
+       |cb AS (SELECT c, cm FROM cb0 ORDER BY c LIMIT $K),
+       |sub AS (
+       |  $subU),
+       |subc AS (
+       |  $subcU),
+       |enc AS (SELECT vec_id, s, c AS code FROM (
+       |    SELECT v.vec_id, v.s, c.c,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+       |        ORDER BY ${l2("v.sv", "c.sc")}, c.c) AS rn
+       |    FROM sub v JOIN subc c ON c.s = v.s) x
+       |  WHERE rn = 1),
+       |qs AS (SELECT vec_id AS qid, vm AS qm FROM em
+       |  WHERE vec_id < 5 ORDER BY vec_id LIMIT 5),
+       |qsub AS (
+       |  $qsubU),
+       |dt AS (SELECT q.qid, c.s, c.c, ${l2("q.qv", "c.sc")} AS d2
+       |  FROM qsub q JOIN subc c ON c.s = q.s),
+       |adc AS (SELECT t.qid, k.vec_id AS nid,
+       |    CAST(SUM(t.d2) AS BIGINT) AS adc
+       |  FROM enc k JOIN dt t ON t.s = k.s AND t.c = k.code
+       |  WHERE k.vec_id <> t.qid
+       |  GROUP BY t.qid, k.vec_id),
+       |short AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
+       |    FROM adc) y
+       |  WHERE rn <= 20),
+       |r AS (SELECT s.qid, s.nid, $cosf AS cos
+       |  FROM short s
+       |  JOIN embeddings qe ON qe.vec_id = s.qid
+       |  JOIN embeddings ne ON ne.vec_id = s.nid)
+       |SELECT qid, nid, cos FROM (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |  FROM r) z
+       |WHERE rn <= 5""".stripMargin
+  }
+
   private def knnBruteSql(d: Dial): String = {
     val cos =
       s"""${d.dot("qe", "e.embedding")} /
@@ -3806,6 +3911,7 @@ object ExtQueries {
     // v15 = v13's exact results with the scoring stage restructured
     // document-at-a-time across all queries (query-mask aggregation).
     hybridDenseQ,
+    dialect("v16_pq_adc", knnPqSql),
     dialect("m01_multimodal_stubmeta", multimodalSql),
     multimodalDecode,
     multimodalAvDecode,
@@ -3878,6 +3984,7 @@ object ExtQueries {
       streamIndexMaintainDF(spark, dir)
     val prioritySample: String = prioritySampleSql(SparkD)
     val knnRerank: String = knnRerankSql(SparkD)
+    val knnPq: String = knnPqSql(SparkD)
     def lineDedup(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = lineDedupDF(spark)
     val domainFilter: String = domainFilterSql(SparkD)

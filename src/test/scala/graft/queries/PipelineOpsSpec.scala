@@ -679,6 +679,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("en", "s1", 3L, 4L, 1333L))) // ab, ab -> 1 each; aab -> (aa)(b)
   }
 
+  test("v16: PQ retrieves a mixed-subspace vector no training label " +
+    "matches (independent per-subspace codes)") {
+    val sp = spark; import sp.implicits._
+    // Two training populations: label 0 = all dims +1, label 1 = all
+    // dims -1 (one doc -1.25 in every dim, making label 1's centroid
+    // mean NON-divisible: -11.25e6 // 11 exercises the portable floor
+    // division on a negative numerator). The query (vec 0) and its
+    // true neighbor (vec 5) are MIXED: +1 on subspaces 0-1, -1 on 2-3
+    // — a shape NO label group has, so a whole-vector codebook could
+    // only place them with one of the pure populations; PQ's
+    // independent per-subspace codes assign (c0, c0, c1, c1) and the
+    // ADC scan puts vec 5 at distance ~0. Exact rerank: cos(0,5) = 1,
+    // every pure doc has cos 0 (the +/- halves cancel), ties broken
+    // by nid — the bottom of the top-5 is docs 10..13 by id.
+    val mixed = Array.fill(32)(1.0f) ++ Array.fill(32)(-1.0f)
+    val docs =
+      Seq((0L, 0L, mixed), (5L, 0L, mixed)) ++
+      (10L to 19L).map(i => (i, 0L, Array.fill(64)(1.0f))) ++
+      (20L to 29L).map(i => (i, 1L, Array.fill(64)(-1.0f))) ++
+      Seq((30L, 1L, Array.fill(64)(-1.25f)))
+    docs.toDF("vec_id", "label", "embedding")
+      .createOrReplaceTempView("embeddings")
+    val got = spark.sql(ExtQueries.TestSql.knnPq)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == Seq((0L, 5L, 1.0), (0L, 10L, 0.0), (0L, 11L, 0.0),
+      (0L, 12L, 0.0), (0L, 13L, 0.0)), s"got $got")
+  }
+
   test("q66: incremental index maintenance converges to the full " +
     "rebuild (base ∪ delta == batch postings; empty docs still count)") {
     val sp = spark; import sp.implicits._
