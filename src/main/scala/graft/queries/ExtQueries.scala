@@ -2001,13 +2001,29 @@ object ExtQueries {
     * (query, candidate), and the exact re-rank touches 20 rows per
     * query — corpus-independent.
     */
-  private def knnPqSql(d: Dial): String = {
-    val M = 4
-    val K = 16
-    def sl(arr: String, s: Int) = d match {
-      case SparkD => s"slice($arr, ${16 * s + 1}, 16)"
-      case DuckD  => s"$arr[${16 * s + 1}:${16 * s + 16}]"
-    }
+  private val PqM = 4  // subspaces (16 dims each over the 64-dim vectors)
+  private val PqK = 16 // codebook entries per subspace (declared cap)
+
+  /** 16-dim subvector s of a micro-int array — 1-based slice in both
+    * dialects. */
+  private def pqSl(d: Dial, arr: String, s: Int): String = d match {
+    case SparkD => s"slice($arr, ${16 * s + 1}, 16)"
+    case DuckD  => s"$arr[${16 * s + 1}:${16 * s + 16}]"
+  }
+
+  /** Exact-integer squared L2 between two micro-int subvectors,
+    * expanded to three integer dots (no per-dim float math). */
+  private def pqL2(d: Dial, a: String, b: String): String =
+    s"(${d.intDot(a, a)} - 2 * ${d.intDot(a, b)} + ${d.intDot(b, b)})"
+
+  /** PQ foundation CTEs over `embeddings`: `em` (micro-int vectors),
+    * `cbn`/`cb0`/`cb` (per-label floor-mean codebooks, K-capped),
+    * `sub` (corpus subvectors), `subc` (codebook subvectors), `enc`
+    * (the per-(vec, subspace) argmin code). The floor division
+    * subtracts the positive remainder first so Spark's truncating
+    * `div` and DuckDB's flooring `//` agree on negative numerators.
+    */
+  private def pqCtes(d: Dial): String = {
     val micro = "CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)"
     val vm = d.transform("embedding", "x", micro)
     val sums = (0 until 64).map { i =>
@@ -2017,32 +2033,20 @@ object ExtQueries {
       case SparkD => s"array(${sums.mkString(",\n      ")})"
       case DuckD  => s"[${sums.mkString(",\n      ")}]"
     }
-    // floor division that both engines compute identically for negative
-    // numerators: subtract the positive remainder first, then the
-    // (now-exact) integer division cannot disagree on rounding
     val fdiv = d.intDiv("(v - (((v % n) + n) % n))", "n")
-    def l2(a: String, b: String) =
-      s"(${d.intDot(a, a)} - 2 * ${d.intDot(a, b)} + ${d.intDot(b, b)})"
-    val subU = (0 until M).map(s =>
-      s"SELECT vec_id, $s AS s, ${sl("vm", s)} AS sv FROM em")
+    val subU = (0 until PqM).map(s =>
+      s"SELECT vec_id, $s AS s, ${pqSl(d, "vm", s)} AS sv FROM em")
       .mkString("\n  UNION ALL ")
-    val subcU = (0 until M).map(s =>
-      s"SELECT c, $s AS s, ${sl("cm", s)} AS sc FROM cb")
+    val subcU = (0 until PqM).map(s =>
+      s"SELECT c, $s AS s, ${pqSl(d, "cm", s)} AS sc FROM cb")
       .mkString("\n  UNION ALL ")
-    val qsubU = (0 until M).map(s =>
-      s"SELECT qid, $s AS s, ${sl("qm", s)} AS qv FROM qs")
-      .mkString("\n  UNION ALL ")
-    val cosf =
-      s"""${d.dot("qe.embedding", "ne.embedding")} /
-         |    (sqrt(${d.dot("qe.embedding", "qe.embedding")}) *
-         |     sqrt(${d.dot("ne.embedding", "ne.embedding")}))""".stripMargin
-    s"""WITH em AS (SELECT vec_id, label, $vm AS vm FROM embeddings
+    s"""em AS (SELECT vec_id, label, $vm AS vm FROM embeddings
        |  WHERE ${d.dot("embedding", "embedding")} > 0),
        |cbn AS (SELECT label AS c, COUNT(*) AS n, $snArr AS sn
        |  FROM embeddings
        |  WHERE ${d.dot("embedding", "embedding")} > 0 GROUP BY label),
        |cb0 AS (SELECT c, ${d.transform("sn", "v", fdiv)} AS cm FROM cbn),
-       |cb AS (SELECT c, cm FROM cb0 ORDER BY c LIMIT $K),
+       |cb AS (SELECT c, cm FROM cb0 ORDER BY c LIMIT $PqK),
        |sub AS (
        |  $subU),
        |subc AS (
@@ -2050,26 +2054,41 @@ object ExtQueries {
        |enc AS (SELECT vec_id, s, c AS code FROM (
        |    SELECT v.vec_id, v.s, c.c,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
-       |        ORDER BY ${l2("v.sv", "c.sc")}, c.c) AS rn
+       |        ORDER BY ${pqL2(d, "v.sv", "c.sc")}, c.c) AS rn
        |    FROM sub v JOIN subc c ON c.s = v.s) x
-       |  WHERE rn = 1),
-       |qs AS (SELECT vec_id AS qid, vm AS qm FROM em
-       |  WHERE vec_id < 5 ORDER BY vec_id LIMIT 5),
-       |qsub AS (
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** Query-side PQ CTEs downstream of `em`/`subc`: subvectors of the
+    * query sample `qs` (qid, qm) and the per-query asymmetric distance
+    * table `dt` (qid, s, c, d2). */
+  private def pqDtCtes(d: Dial): String = {
+    val qsubU = (0 until PqM).map(s =>
+      s"SELECT qid, $s AS s, ${pqSl(d, "qm", s)} AS qv FROM qs")
+      .mkString("\n  UNION ALL ")
+    s"""qsub AS (
        |  $qsubU),
-       |dt AS (SELECT q.qid, c.s, c.c, ${l2("q.qv", "c.sc")} AS d2
-       |  FROM qsub q JOIN subc c ON c.s = q.s),
-       |adc AS (SELECT t.qid, k.vec_id AS nid,
-       |    CAST(SUM(t.d2) AS BIGINT) AS adc
-       |  FROM enc k JOIN dt t ON t.s = k.s AND t.c = k.code
-       |  WHERE k.vec_id <> t.qid
-       |  GROUP BY t.qid, k.vec_id),
-       |short AS (SELECT qid, nid FROM (
+       |dt AS (SELECT q.qid, c.s, c.c, ${pqL2(d, "q.qv", "c.sc")} AS d2
+       |  FROM qsub q JOIN subc c ON c.s = q.s)""".stripMargin
+  }
+
+  /** v08's exact float rerank spelling (fixed-order dot folds). */
+  private def pqCosf(d: Dial): String =
+    s"""${d.dot("qe.embedding", "ne.embedding")} /
+       |    (sqrt(${d.dot("qe.embedding", "qe.embedding")}) *
+       |     sqrt(${d.dot("ne.embedding", "ne.embedding")}))""".stripMargin
+
+  /** Shortlist → exact-rerank tail downstream of `adc` (qid, nid, adc):
+    * top-20 by approximate distance, exact cosine over those 20, final
+    * top-5 — shared by v16 and v17 so the serving tail is one spelling.
+    */
+  private def pqRerankTail(d: Dial): String =
+    s"""short AS (SELECT qid, nid FROM (
        |    SELECT qid, nid,
        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
        |    FROM adc) y
        |  WHERE rn <= 20),
-       |r AS (SELECT s.qid, s.nid, $cosf AS cos
+       |r AS (SELECT s.qid, s.nid, ${pqCosf(d)} AS cos
        |  FROM short s
        |  JOIN embeddings qe ON qe.vec_id = s.qid
        |  JOIN embeddings ne ON ne.vec_id = s.nid)
@@ -2078,6 +2097,122 @@ object ExtQueries {
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
        |  FROM r) z
        |WHERE rn <= 5""".stripMargin
+
+  private def knnPqSql(d: Dial): String =
+    s"""WITH ${pqCtes(d)},
+       |qs AS (SELECT vec_id AS qid, vm AS qm FROM em
+       |  WHERE vec_id < 5 ORDER BY vec_id LIMIT 5),
+       |${pqDtCtes(d)},
+       |adc AS (SELECT t.qid, k.vec_id AS nid,
+       |    CAST(SUM(t.d2) AS BIGINT) AS adc
+       |  FROM enc k JOIN dt t ON t.s = k.s AND t.c = k.code
+       |  WHERE k.vec_id <> t.qid
+       |  GROUP BY t.qid, k.vec_id),
+       |${pqRerankTail(d)}""".stripMargin
+
+  /** Materialized PQ codebooks (c, cm) — K rows, the quantizer half of
+    * the IVFPQ index. */
+  private[graft] def pqCbPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = Tables.cachePath(dir, "pq_cb")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.registerAll(spark, dir)
+      spark.sql(s"WITH ${pqCtes(SparkD)} SELECT c, cm FROM cb").coalesce(1)
+        .write.format("columnfile").mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** Materialized PQ codes partitioned by IVF cell — the inverted
+    * lists of a FAISS-style IVFPQ index: per vector, its cell (from
+    * the v05 assignment) and its M=4 subspace codes. At production
+    * width this table is ~4 bytes of payload per vector where the
+    * embedding is 256 B — the scan-size lever the ADC probe rides.
+    */
+  private[graft] def pqCodesPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = Tables.cachePath(dir, "pq_codes")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.registerAll(spark, dir)
+      spark.read.format("columnfile").load(ivfIndexPath(spark, dir))
+        .selectExpr("vec_id", "cell").createOrReplaceTempView("pq_ivf_b")
+      spark.sql(
+        s"""WITH ${pqCtes(SparkD)}
+           |SELECT e.vec_id, i.cell, e.s, e.code
+           |FROM enc e JOIN pq_ivf_b i ON i.vec_id = e.vec_id""".stripMargin)
+        .repartition(org.apache.spark.sql.functions.col("cell"))
+        .sortWithinPartitions("vec_id")
+        .write.format("columnfile").partitionBy("cell")
+        .mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** v17: IVFPQ — the composed production ANN index (Jegou et al.
+    * 2011; the FAISS IVFPQ serving shape): v05's IVF cell routing
+    * prunes the candidate set to nprobe=2 cells per query, v16's PQ
+    * codes + per-query asymmetric distance table score those
+    * candidates with 4 integer lookups each, and v08's exact rerank
+    * recovers full precision over the top-20. Both halves are
+    * MATERIALIZED: the cell-partitioned code table ([[pqCodesPath]])
+    * and the K-row codebook table ([[pqCbPath]]) are built once; the
+    * probe reads the router slice (broadcast), the probed cells' code
+    * directories (partition pruning via the same runtime-filter path
+    * as v05), the codebook table, and 20 full vectors per query by
+    * vec_id — never the corpus embeddings. The oracle recomputes
+    * assignment + codes + ADC inline from the same CTE spellings, so
+    * the output is identical by construction.
+    */
+  private def knnIvfPqQ: Q = {
+    val oracle =
+      s"""WITH ${ivfCommonCtes(DuckD)},
+         |assign AS (SELECT vec_id, clabel AS cell FROM best WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, clabel AS pcell FROM best
+         |  WHERE vec_id < 20 AND rn <= 2),
+         |${pqCtes(DuckD)},
+         |qs AS (SELECT vec_id AS qid, vm AS qm FROM em WHERE vec_id < 20),
+         |${pqDtCtes(DuckD)},
+         |adc AS (SELECT p.qid, a.vec_id AS nid,
+         |    CAST(SUM(t.d2) AS BIGINT) AS adc
+         |  FROM probes p
+         |  JOIN assign a ON a.cell = p.pcell
+         |  JOIN enc k ON k.vec_id = a.vec_id
+         |  JOIN dt t ON t.qid = p.qid AND t.s = k.s AND t.c = k.code
+         |  WHERE a.vec_id <> p.qid
+         |  GROUP BY p.qid, a.vec_id),
+         |${pqRerankTail(DuckD)}""".stripMargin
+    Q("v17_knn_ivfpq", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val codes = pqCodesPath(spark, dir)
+      val cbp = pqCbPath(spark, dir)
+      spark.read.format("columnfile").option("runtimeFiltering", "false")
+        .load(ivfRouterPath(spark, dir)).where("qid < 20")
+        .createOrReplaceTempView("v17_probe")
+      spark.read.format("columnfile").load(codes)
+        .createOrReplaceTempView("v17_codes")
+      spark.read.format("columnfile").load(cbp)
+        .createOrReplaceTempView("v17_cb")
+      val micro = "CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)"
+      val subcU = (0 until PqM).map(s =>
+        s"SELECT c, $s AS s, ${pqSl(SparkD, "cm", s)} AS sc FROM v17_cb")
+        .mkString("\n  UNION ALL ")
+      spark.sql(
+        s"""WITH qs AS (SELECT vec_id AS qid,
+           |    ${SparkD.transform("embedding", "x", micro)} AS qm
+           |  FROM embeddings WHERE vec_id < 20
+           |    AND ${SparkD.dot("embedding", "embedding")} > 0),
+           |subc AS (
+           |  $subcU),
+           |${pqDtCtes(SparkD)},
+           |adc AS (SELECT /*+ BROADCAST(p) */ p.qid, k.vec_id AS nid,
+           |    CAST(SUM(t.d2) AS BIGINT) AS adc
+           |  FROM v17_probe p
+           |  JOIN v17_codes k ON k.cell = p.pcell
+           |  JOIN dt t ON t.qid = p.qid AND t.s = k.s AND t.c = k.code
+           |  WHERE k.vec_id <> p.qid
+           |  GROUP BY p.qid, k.vec_id),
+           |${pqRerankTail(SparkD)}""".stripMargin)
+    }, Some(oracle))
   }
 
   private def knnBruteSql(d: Dial): String = {
@@ -3774,6 +3909,7 @@ object ExtQueries {
     // batch-derived duplicated-shingle index (stateless enforcement).
     streamSpanScrub,
     streamIndexMaintain,
+    streamIndexCompact,
     // Line-level exact dedup (C4/RefinedWeb sub-document pass):
     // duplicated 10-word lines removed corpus-wide, checksummed rewrite.
     lineDedup,
@@ -3912,6 +4048,7 @@ object ExtQueries {
     // document-at-a-time across all queries (query-mask aggregation).
     hybridDenseQ,
     dialect("v16_pq_adc", knnPqSql),
+    knnIvfPqQ,
     dialect("m01_multimodal_stubmeta", multimodalSql),
     multimodalDecode,
     multimodalAvDecode,
@@ -5618,6 +5755,49 @@ object ExtQueries {
     (spark, dir) => {
       Tables.registerAll(spark, dir)
       streamIndexMaintainDF(spark, dir)
+    }, Some(bm25Sql(DuckD)))
+
+  /** q67: COMPACTION of the incrementally-maintained index — the LSM
+    * merge that bounds q66's delta-scan tax. q66 leaves the index as
+    * a term-bucket-partitioned base plus an append-only unpartitioned
+    * delta (every probe pays a full delta scan); compaction rewrites
+    * base ∪ delta as ONE term-bucket-partitioned table (doc-ordered
+    * within buckets for chunk min/max skip), after which the probe's
+    * static `tb IN (...)` partition prune applies to EVERY posting —
+    * the q39 compacted-scan move applied to the index lifecycle
+    * (build t17 → maintain q66 → compact q67). The gate: the probe
+    * over the compacted table still hash-matches t07's full-corpus
+    * oracle, and QueryPlanSpec asserts the executed scan reads exactly
+    * the probed term-bucket directories — the delta's rows are now
+    * inside the prune.
+    */
+  private def streamIndexCompact: Q = Q("q67_index_compact",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      // ensure the q66 base + delta exist (cached, idempotent), and
+      // get its registered views for the doc-length relation
+      streamIndexMaintainDF(spark, dir)
+      val base = Tables.cachePath(dir, "inv_base_even")
+      val post = Tables.cachePath(dir, "inv_delta_post")
+      val compacted = Tables.cachePath(dir, "inv_compacted")
+      if (!new java.io.File(compacted, "_SUCCESS").exists()) {
+        spark.read.format("columnfile").load(base)
+          .selectExpr("doc_id", "w", "tf", "CAST(tb AS INT) AS tb")
+          .union(spark.read.format("columnfile").load(post)
+            .selectExpr("doc_id", "w", "tf", "CAST(tb AS INT) AS tb"))
+          .repartition(org.apache.spark.sql.functions.col("tb"))
+          .sortWithinPartitions("doc_id")
+          .write.format("columnfile").partitionBy("tb")
+          .mode("overwrite").save(compacted)
+      }
+      val termTbs = Seq("hash", "join", "vector")
+        .map(t => invTb(s"'$t'")).mkString(", ")
+      spark.read.format("columnfile").load(compacted)
+        .where(s"w IN $BmTerms AND tb IN ($termTbs)")
+        .selectExpr("doc_id", "w", "tf")
+        .createOrReplaceTempView("q67_tf")
+      spark.sql("WITH " + bm25Body(SparkD, "q67_tf", "q66_dl",
+        nFrom = "q66_dl"))
     }, Some(bm25Sql(DuckD)))
 
   /** q66 body against whatever `documents` relation is registered —

@@ -315,6 +315,76 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(executedCells(oneScan) == one.map(_.toString).toSet)
   }
 
+  test("v17 code scan prunes to one query's probed cells; the probe " +
+    "never scans corpus embeddings") {
+    // The IVFPQ probe rides the SAME runtime-filter path as v05 (the
+    // broadcast router → In-filter → directory prune), but over the
+    // CODE table — 4 small ints per vector, not the 256 B embedding.
+    Tables.registerAll(spark, dir) // graft_* functions for ivfProbesSql
+    val codesPath = ExtQueries.pqCodesPath(spark, dir)
+    val allCells = new java.io.File(codesPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName)
+    assert(allCells.length == 10, s"expected 10 cell dirs: ${allCells.toSeq}")
+    def executedCells(d: org.apache.spark.sql.DataFrame): Set[String] = {
+      d.collect()
+      val scans = d.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      val idxScans = scans.filter(s => s.output.exists(_.name == "cell") &&
+        s.output.exists(_.name == "code"))
+      assert(idxScans.nonEmpty, "code-table scan not found in plan")
+      idxScans.flatMap(_.inputRDD.partitions).flatMap {
+        case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          p.inputPartitions
+      }.flatMap {
+        case p: graft.spark.CfPartition => p.partitionValues.toSeq
+      }.toSet
+    }
+    val one = spark.sql(ExtQueries.ivfProbesSql(1L)).collect().toSeq
+      .map(_.getAs[Number]("pcell").intValue)
+    assert(one.length == 2)
+    val routerPath = ExtQueries.ivfRouterPath(spark, dir)
+    spark.read.format("columnfile").option("runtimeFiltering", "false")
+      .load(routerPath).where("qid < 1").createOrReplaceTempView("pq_probe1")
+    spark.read.format("columnfile").load(codesPath)
+      .createOrReplaceTempView("pq_codes_plan")
+    val oneScan = spark.sql(
+      """SELECT /*+ BROADCAST(p) */ k.vec_id, k.cell, k.code
+        |FROM pq_probe1 p JOIN pq_codes_plan k ON k.cell = p.pcell""".stripMargin)
+    assert(executedCells(oneScan) == one.map(_.toString).toSet,
+      s"executed ${executedCells(oneScan)}, probed $one")
+    // and in the full v17 plan the ADC aggregate is fed by the CODE
+    // table (4 small ints per candidate), never by a corpus-embedding
+    // scan: the only embeddings leaves under it are the vec_id < 20
+    // query-vector scan behind the distance table
+    val v17 = graft.SparkEntry.queries("v17_knn_ivfpq")(spark, dir)
+    v17.collect()
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val adcAggs = v17.queryExecution.executedPlan.collect {
+      case a: HashAggregateExec
+          if a.groupingExpressions.map(_.name).toSet == Set("qid", "vec_id") => a
+    }
+    assert(adcAggs.nonEmpty, "ADC aggregate not found")
+    adcAggs.foreach { a =>
+      val leafCols = a.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.output.map(_.name).toSet
+      }
+      assert(leafCols.exists(_.contains("code")),
+        s"ADC aggregate not fed by the code table: $leafCols")
+      leafCols.filter(_.contains("embedding")).foreach { cols =>
+        // an embeddings leaf is only acceptable as the bounded
+        // query-vector scan (its scan prints the pushed vec_id range)
+        val scans = a.collectLeaves().collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+              if b.output.map(_.name).toSet == cols => b.toString
+        }
+        assert(scans.forall(_.contains("vec_id")),
+          s"unbounded corpus embedding scan under the ADC aggregate")
+      }
+    }
+  }
+
   test("t17 probe scan reads only the probed term-bucket directories") {
     val idxPath = ExtQueries.invIndexPath(spark, dir)
     val allTb = new java.io.File(idxPath).listFiles()
@@ -329,6 +399,38 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.size <= 3 && allTb.length > expected.size)
     // the same probe shape t17 builds (uncached so the scan executes
     // here); the tb IN (...) filter must fold to literals and prune
+    val probe = spark.read.format("columnfile").load(idxPath)
+      .where("w IN ('hash', 'join', 'vector') AND tb IN (" +
+        "CAST(pmod(graft_polyhash('hash'), 64) AS INT), " +
+        "CAST(pmod(graft_polyhash('join'), 64) AS INT), " +
+        "CAST(pmod(graft_polyhash('vector'), 64) AS INT))")
+    probe.collect()
+    val read = probe.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.inputRDD.partitions).flatMap {
+      case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+        p.inputPartitions
+    }.flatMap {
+      case p: graft.spark.CfPartition => p.partitionValues.toSeq.map(_.toString)
+    }.toSet
+    assert(read == expected,
+      s"probe read dirs $read, expected $expected of ${allTb.length}")
+  }
+
+  test("q67 compacted probe reads only the probed term-bucket dirs " +
+    "(the former delta is inside the prune)") {
+    Tables.registerAll(spark, dir)
+    // run once: builds base+delta (q66) and the compacted table
+    graft.SparkEntry.queries("q67_index_compact")(spark, dir).collect()
+    val idxPath = Tables.cachePath(dir, "inv_compacted")
+    val allTb = new java.io.File(idxPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("tb=")).map(_.getName)
+    assert(allTb.length >= 10, s"expected many tb dirs: ${allTb.length}")
+    val expected = spark.sql(
+      "SELECT CAST(pmod(graft_polyhash('hash'), 64) AS INT), " +
+        "CAST(pmod(graft_polyhash('join'), 64) AS INT), " +
+        "CAST(pmod(graft_polyhash('vector'), 64) AS INT)")
+      .first().toSeq.map(_.toString).toSet
     val probe = spark.read.format("columnfile").load(idxPath)
       .where("w IN ('hash', 'join', 'vector') AND tb IN (" +
         "CAST(pmod(graft_polyhash('hash'), 64) AS INT), " +
