@@ -1426,7 +1426,13 @@ object ExtQueries {
     * order, each application a literal string replace cross-joined
     * with its 1-row merge relation (broadcast; the t16-adjudicated,
     * machine-checked BNLJ bound). The rounds' a$r corpus aggregates go
-    * unreferenced here and are pruned by both engines.
+    * unreferenced here and are pruned by both engines. Each m$r is
+    * referenced twice (next round's w-chain + this round's c-chain),
+    * so CTE inlining may evaluate a round's pair aggregation twice —
+    * accepted: the aggregation is VOCABULARY-sized (the histogram
+    * saturates under corpus growth; measured flat ~2.2 s through
+    * 100×), and caching would fork the Spark text away from the
+    * shared-oracle spelling.
     */
   private def bpeEncodeBody(d: Dial, w0: String): String = {
     def rep(r: Int, prev: String): String =
@@ -3459,7 +3465,13 @@ object ExtQueries {
        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
   }
 
-  private val BmTerms = "('hash', 'join', 'vector')"
+  /** The fixed probe terms — ONE spelling feeding both the `w IN`
+    * filter (BmTerms) and every index probe's `tb IN` bucket prune
+    * (via [[invTb]] over BmTermSeq); a desynchronized pair would prune
+    * away the postings the term filter asks for.
+    */
+  private val BmTermSeq = Seq("hash", "join", "vector")
+  private val BmTerms = BmTermSeq.map(t => s"'$t'").mkString("(", ", ", ")")
 
   private def bm25Sql(d: Dial): String =
     s"WITH tfq AS (${bm25TfSql(d)}),\ndlq AS (${bm25DlSql(d)}),\n" +
@@ -5722,7 +5734,7 @@ object ExtQueries {
       .createOrReplaceTempView("t17_post")
     cacheOnce(spark.read.format("columnfile").load(invDlPath(spark, dir)))
       .createOrReplaceTempView("t17_dl")
-    val termTbs = Seq("hash", "join", "vector")
+    val termTbs = BmTermSeq
       .map(t => invTb(s"'$t'")).mkString(", ")
     cacheOnce(spark.sql(
       s"""SELECT doc_id, w, tf FROM t17_post
@@ -5790,7 +5802,7 @@ object ExtQueries {
           .write.format("columnfile").partitionBy("tb")
           .mode("overwrite").save(compacted)
       }
-      val termTbs = Seq("hash", "join", "vector")
+      val termTbs = BmTermSeq
         .map(t => invTb(s"'$t'")).mkString(", ")
       spark.read.format("columnfile").load(compacted)
         .where(s"w IN $BmTerms AND tb IN ($termTbs)")
@@ -5868,7 +5880,7 @@ object ExtQueries {
         "CAST(size(filter(split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS dl"))
       // probe base ∪ delta: term-bucket partition prune on the base,
       // term filter on the small append-only delta
-      val termTbs = Seq("hash", "join", "vector")
+      val termTbs = BmTermSeq
         .map(t => invTb(s"'$t'")).mkString(", ")
       spark.read.format("columnfile").load(base)
         .where(s"w IN $BmTerms AND tb IN ($termTbs)")
@@ -5913,8 +5925,10 @@ object ExtQueries {
     * doc-keyed aggregation producing total(doc) plus per-query missing
     * mass m_q(doc) = sum of s over the doc's terms NOT in q; then
     * score(q, doc) = total - m_q (inclusion-exclusion), a doc matches
-    * q iff total > m_q, and the top-5 per query is the same window as
-    * before. The 190M-row join-aggregate becomes an 11.6M-row
+    * q iff its shared-TERM count is positive (tc > mc_q — candidacy by
+    * count, not mass: integer scores can floor to 0 on degenerate
+    * corpora and v13 keeps those candidates), and the top-5 per query
+    * is the same window as before. The 190M-row join-aggregate becomes an 11.6M-row
     * partial-aggregable vector aggregation + a 20-way stack — one
     * shuffle on doc_id, no per-query blowup anywhere. Served from the
     * same materialized index surfaces as v14.
@@ -5938,10 +5952,20 @@ object ExtQueries {
          |FROM v15_post p LEFT SEMI JOIN v15_qt q
          |  ON p.tb = q.tb AND p.w = q.w""".stripMargin))
       .createOrReplaceTempView("v15_tfq")
+    // per query q: missing MASS m$q (sum of s over the doc's terms not
+    // in q) and missing term COUNT mc$q. Candidacy must be decided on
+    // the COUNT (tc > mc: the doc shares >= 1 term with q), not on
+    // tot > m: integer BM25 contributions can floor to 0 on degenerate
+    // corpora (dl >> avgdl), and v13's formulation keeps such zero-
+    // score candidates in its per-(q, doc) aggregate — they can enter
+    // the top-5 when a query has < 5 positive matches, so dropping
+    // them would diverge from the shared oracle exactly there.
     val missCols = (0 until 20).map(q =>
       s"CAST(COALESCE(SUM(CASE WHEN (shiftright(qm, $q) & 1) = 0 " +
-        s"THEN s END), 0) AS BIGINT) AS m$q").mkString(",\n    ")
-    val stackArgs = (0 until 20).map(q => s"$q, m$q").mkString(", ")
+        s"THEN s END), 0) AS BIGINT) AS m$q,\n    " +
+      s"CAST(COALESCE(SUM(CASE WHEN (shiftright(qm, $q) & 1) = 0 " +
+        s"THEN 1 ELSE 0 END), 0) AS BIGINT) AS mc$q").mkString(",\n    ")
+    val stackArgs = (0 until 20).map(q => s"$q, m$q, mc$q").mkString(", ")
     spark.sql(
       s"""WITH ${ivfIndexedTopkCtes("v15_probe", "v15_ivf")},
          |ivfr AS (SELECT qid, nid, rn AS rank FROM ivtopk WHERE rn <= 5),
@@ -5960,13 +5984,14 @@ object ExtQueries {
          |  JOIN qmask ON t.w = qmask.w),
          |docagg AS (
          |  SELECT doc_id, CAST(SUM(s) AS BIGINT) AS tot,
+         |    CAST(COUNT(*) AS BIGINT) AS tc,
          |    $missCols
          |  FROM ws GROUP BY doc_id),
          |scores AS (
          |  SELECT doc_id, qid, tot - m AS score
          |  FROM docagg
-         |  LATERAL VIEW stack(20, $stackArgs) st AS qid, m
-         |  WHERE tot > m AND doc_id <> qid),
+         |  LATERAL VIEW stack(20, $stackArgs) st AS qid, m, mc
+         |  WHERE tc > mc AND doc_id <> qid),
          |bmr AS (SELECT qid, nid, rank FROM (
          |    SELECT qid, doc_id AS nid,
          |      ROW_NUMBER() OVER (PARTITION BY qid

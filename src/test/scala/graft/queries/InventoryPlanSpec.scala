@@ -106,9 +106,19 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
         staticBound(c.relation.cachedPlan)
       case t: TakeOrderedAndProjectExec => Some(t.limit.toLong)
       case g: GlobalLimitExec => Some(g.limit.toLong)
-      case l: LocalLimitExec => Some(l.limit.toLong)
+      // LocalLimit bounds rows PER PARTITION, not globally — a bare
+      // LocalLimit(k) over an n-partition scan is k*n rows, so it
+      // proves nothing here (the GlobalLimit above it, when present,
+      // is what carries the global bound).
+      case l: LocalLimitExec => staticBound(l.child)
+      // an ungrouped aggregate is 1 row only in Final/Complete mode;
+      // a bare Partial ungrouped aggregate emits one row PER PARTITION
       case a: aggregate.BaseAggregateExec
-        if a.groupingExpressions.isEmpty => Some(1L)
+        if a.groupingExpressions.isEmpty &&
+          a.aggregateExpressions.forall(e =>
+            e.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Final ||
+            e.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Complete) =>
+        Some(1L)
       case u: UnionExec =>
         val bs = u.children.map(staticBound)
         if (bs.forall(_.isDefined)) Some(bs.flatten.sum) else None
