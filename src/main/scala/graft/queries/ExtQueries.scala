@@ -2116,6 +2116,70 @@ object ExtQueries {
        |  GROUP BY t.qid, k.vec_id),
        |${pqRerankTail(d)}""".stripMargin
 
+  /** v18: measured PQ recall — v09/v10's harness pointed at the third
+    * ANN path, and the rerank dial's measurement: recall@5 of (a) the
+    * RAW ADC top-5 (what 4-codes-per-vector quantization alone keeps)
+    * and (b) v16's served result (exact rerank over the ADC top-20),
+    * both scored against exact brute-force top-5 for the same
+    * 20-query sample with v10's cosine spelling and (cos DESC, nid)
+    * tie-break. Rerank recall dominates raw-ADC recall BY CONSTRUCTION
+    * (the rerank re-orders a superset of the ADC top-5 by the true
+    * cosine — the spec asserts the measured dominance), and the gap is
+    * the number a production PQ deployment tunes the shortlist width
+    * against. Scale shape: ground truth is sample × corpus by
+    * contract; both measured sides are v16's plan unchanged.
+    */
+  private def pqRecallSql(d: Dial): String = {
+    val stages = "(VALUES ('adc'), ('rerank')) AS st(stage)"
+    val cosn = (q: String, n: String) =>
+      s"${d.dot(s"$q.embedding", s"$n.embedding")} / ($q.enorm * $n.enorm)"
+    s"""WITH ${pqCtes(d)},
+       |qs AS (SELECT vec_id AS qid, vm AS qm FROM em
+       |  WHERE vec_id < 20 ORDER BY vec_id LIMIT 20),
+       |${pqDtCtes(d)},
+       |adc AS (SELECT t.qid, k.vec_id AS nid,
+       |    CAST(SUM(t.d2) AS BIGINT) AS adc
+       |  FROM enc k JOIN dt t ON t.s = k.s AND t.c = k.code
+       |  WHERE k.vec_id <> t.qid
+       |  GROUP BY t.qid, k.vec_id),
+       |ranked AS (SELECT qid, nid,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
+       |  FROM adc),
+       |adc5 AS (SELECT qid, nid FROM ranked WHERE rn <= 5),
+       |embn AS (SELECT vec_id, embedding,
+       |    sqrt(${d.dot("embedding", "embedding")}) AS enorm
+       |  FROM embeddings WHERE ${d.dot("embedding", "embedding")} > 0),
+       |rr AS (SELECT s.qid, s.nid, ${cosn("qe", "ne")} AS cos
+       |  FROM (SELECT qid, nid FROM ranked WHERE rn <= 20) s
+       |  JOIN embn qe ON qe.vec_id = s.qid
+       |  JOIN embn ne ON ne.vec_id = s.nid),
+       |rr5 AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+       |        AS rn
+       |    FROM rr) y
+       |  WHERE rn <= 5),
+       |ann AS (SELECT 'adc' AS stage, qid, nid FROM adc5
+       |  UNION ALL SELECT 'rerank' AS stage, qid, nid FROM rr5),
+       |gt AS (SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cosn("q", "n")} DESC, n.vec_id) AS rn
+       |    FROM (SELECT * FROM embn WHERE vec_id < 20
+       |          ORDER BY vec_id LIMIT 20) q
+       |    CROSS JOIN embn n
+       |    WHERE n.vec_id <> q.vec_id) x
+       |  WHERE rn <= 5),
+       |hits AS (SELECT st.stage, gt.qid, COUNT(ann.nid) AS n_hits
+       |  FROM gt CROSS JOIN $stages
+       |  LEFT JOIN ann ON ann.stage = st.stage AND ann.qid = gt.qid
+       |    AND ann.nid = gt.nid
+       |  GROUP BY st.stage, gt.qid)
+       |SELECT stage, n_hits, COUNT(*) AS n_queries
+       |FROM hits GROUP BY stage, n_hits
+       |ORDER BY stage, n_hits""".stripMargin
+  }
+
   /** Materialized PQ codebooks (c, cm) — K rows, the quantizer half of
     * the IVFPQ index. */
   private[graft] def pqCbPath(spark: org.apache.spark.sql.SparkSession,
@@ -3922,6 +3986,7 @@ object ExtQueries {
     streamSpanScrub,
     streamIndexMaintain,
     streamIndexCompact,
+    streamIvfMaintain,
     // Line-level exact dedup (C4/RefinedWeb sub-document pass):
     // duplicated 10-word lines removed corpus-wide, checksummed rewrite.
     lineDedup,
@@ -4061,6 +4126,7 @@ object ExtQueries {
     hybridDenseQ,
     dialect("v16_pq_adc", knnPqSql),
     knnIvfPqQ,
+    dialect("v18_pq_recall", pqRecallSql),
     dialect("m01_multimodal_stubmeta", multimodalSql),
     multimodalDecode,
     multimodalAvDecode,
@@ -4131,9 +4197,15 @@ object ExtQueries {
     def streamIndexMaintain(spark: org.apache.spark.sql.SparkSession,
         dir: String): org.apache.spark.sql.DataFrame =
       streamIndexMaintainDF(spark, dir)
+    def streamIvfIndex(spark: org.apache.spark.sql.SparkSession,
+        dir: String): Unit = streamIvfIndexViews(spark, dir)
+    def ivfAssignAllSql: String =
+      s"WITH ${ivfCommonCtes(SparkD)} " +
+        "SELECT vec_id, clabel AS cell FROM best WHERE rn = 1"
     val prioritySample: String = prioritySampleSql(SparkD)
     val knnRerank: String = knnRerankSql(SparkD)
     val knnPq: String = knnPqSql(SparkD)
+    val pqRecall: String = pqRecallSql(SparkD)
     def lineDedup(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = lineDedupDF(spark)
     val domainFilter: String = domainFilterSql(SparkD)
@@ -5611,6 +5683,112 @@ object ExtQueries {
        |  SELECT qid, nid, cos,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
        |  FROM ivpairs)""".stripMargin
+
+  /** q68: streaming incremental MAINTENANCE of the IVF index — the
+    * vector twin of q66: half the corpus (even vec_ids) is the
+    * batch-built cell-partitioned base; the other half ARRIVES AS A
+    * STREAM and is assigned incrementally against the FIXED centroid
+    * model (the production semantics: the quantizer is trained once
+    * and reused; re-training per batch would make cells non-
+    * deterministic). Assignment is a foreachBatch stream-static join:
+    * each micro-batch cross-joins the 64-row cached centroid relation
+    * (bounded broadcast) and takes the per-vector argmax cosine with
+    * v03/v04/v05's exact spelling and (cos DESC, clabel) tie-break —
+    * batch-local windows are correct because each vector arrives
+    * exactly once. Records land exactly-once in batchId-keyed cf dirs
+    * (the q65 sink protocol). The gate: v05's probe served from
+    * base ∪ delta hash-matches the full-corpus oracle — incremental
+    * assignment converges to the full rebuild.
+    */
+  private def streamIvfMaintain: Q = Q("q68_stream_ivf_maintain",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      streamIvfMaintainDF(spark, dir)
+    }, Some(ivfSearchSql(DuckD)))
+
+  private def streamIvfMaintainDF(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    streamIvfIndexViews(spark, dir)
+    spark.read.format("columnfile").option("runtimeFiltering", "false")
+      .load(ivfRouterPath(spark, dir))
+      .where("qid < 20").createOrReplaceTempView("q68_probe")
+    spark.sql(
+      s"""WITH ${ivfIndexedTopkCtes("q68_probe", "q68_idx")}
+         |SELECT qid, nid, cos FROM ivtopk WHERE rn <= 5""".stripMargin)
+  }
+
+  /** q68's maintenance half against whatever `embeddings` relation is
+    * registered — split out (router-free) so the invariant (base ∪
+    * delta assignment == full rebuild) is testable on planted
+    * fixtures; registers `q68_idx` (the maintained union index).
+    */
+  private def streamIvfIndexViews(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+      // the fixed centroid model — the same relation the oracle's
+      // assignment uses, cached and registered BEFORE the stream
+      // starts (the foreachBatch clone copies the view registry)
+      cacheOnce(spark.sql(
+        s"WITH ${ivfCommonCtes(SparkD)} SELECT clabel, centroid, cnorm FROM cent"))
+        .createOrReplaceTempView("q68_cent")
+      val base = Tables.cachePath(dir, "ivf_base_even")
+      if (!new java.io.File(base, "_SUCCESS").exists()) {
+        spark.sql(
+          s"""WITH ${ivfCommonCtes(SparkD)},
+             |a AS (SELECT vec_id, clabel AS cell FROM best WHERE rn = 1)
+             |SELECT a.vec_id, e.embedding, a.cell
+             |FROM a JOIN embeddings e ON e.vec_id = a.vec_id
+             |WHERE a.vec_id % 2 = 0""".stripMargin)
+          .write.format("columnfile").partitionBy("cell")
+          .mode("overwrite").save(base)
+      }
+      val src = Tables.cachePath(dir, "embeddings_ivf_stream")
+      if (!new java.io.File(src, "_SUCCESS").exists()) {
+        spark.table("embeddings").where("vec_id % 2 = 1")
+          .selectExpr("vec_id", "embedding")
+          .repartition(1).sortWithinPartitions("vec_id")
+          .write.format("columnfile").mode("overwrite").save(src)
+      }
+      val out = Tables.cachePath(dir, "ivf_delta")
+      if (!Tables.batchOutputComplete(out)) {
+        Tables.resetBatchOutput(out)
+        val schema = spark.read.format("columnfile").load(src).schema
+        val q = spark.readStream.format("columnfile").schema(schema)
+          .load(src)
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            df.createOrReplaceTempView("q68_batch")
+            df.sparkSession.sql(
+              s"""SELECT vec_id, embedding, cell FROM (
+                 |  SELECT b.vec_id, b.embedding, c.clabel AS cell,
+                 |    ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+                 |      ${SparkD.dot("b.embedding", "c.centroid")} /
+                 |        (b.enorm * c.cnorm) DESC, c.clabel) AS rn
+                 |  FROM (SELECT vec_id, embedding,
+                 |          sqrt(${SparkD.dot("embedding", "embedding")})
+                 |            AS enorm
+                 |        FROM q68_batch
+                 |        WHERE ${SparkD.dot("embedding", "embedding")} > 0) b
+                 |  CROSS JOIN q68_cent c) x
+                 |WHERE rn = 1""".stripMargin)
+              .write.format("columnfile")
+              .mode("overwrite").save(s"$out/batch=$id")
+            ()
+          }
+          .option("checkpointLocation", out + "_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Tables.markBatchOutputComplete(out)
+      }
+      spark.read.format("columnfile").load(base)
+        .selectExpr("vec_id", "embedding", "CAST(cell AS INT) AS cell")
+        .union(Tables.loadBatchDirs(spark, out,
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, cell INT")
+          .selectExpr("vec_id", "embedding", "CAST(cell AS INT) AS cell"))
+        .createOrReplaceTempView("q68_idx")
+      ()
+  }
 
   private def ivfIndexed: Q = Q("v05_knn_ivf_indexed", (spark, dir) => {
     Tables.registerAll(spark, dir)

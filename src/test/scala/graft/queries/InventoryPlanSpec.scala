@@ -85,7 +85,11 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // t18's encode pass: the same three 1-row merge relations (ORDER
     // BY cnt DESC, pr LIMIT 1 per round) cross-joined into the corpus
     // rewrite — the t16 contract, applied to the encode leg.
-    "t18_bpe_encode" -> 1L)
+    "t18_bpe_encode" -> 1L,
+    // v18's recall harness: the 2-row VALUES stage relation (the p08
+    // constant-build shape) and the LIMIT-20 query/ground-truth sample
+    // cross joins — the v09/v10 sample-by-contract bound.
+    "v18_pq_recall" -> 20L)
 
   /** Static upper bound on a physical subtree's row count, derived
     * from shape alone — the machine check behind the BNLJ allowlist

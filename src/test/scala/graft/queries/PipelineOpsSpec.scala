@@ -708,6 +708,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L, 12L, 0.0), (0L, 13L, 0.0)), s"got $got")
   }
 
+  test("v18: exact rerank recovers the recall PQ quantization erases " +
+    "(and dominates raw ADC by construction)") {
+    val sp = spark; import sp.implicits._
+    // One query (vec 0) = u + strong tilt on dim 17 (subspace s1).
+    // Group X (label 0, ids 20-29) = u + i*0.01 on dim 17: the
+    // codebook mean COLLAPSES the tilt, so all X members share one
+    // code and the raw ADC top-5 is decided by the nid tie-break —
+    // the five LOWEST ids — while the true top-5 (and the ground
+    // truth) are the five HIGHEST-tilt members 25..29. Every
+    // candidate fits the top-20 shortlist, so the exact rerank
+    // returns the ground truth exactly: adc scores 0 hits, rerank 5.
+    // Group Y (label 1, orthogonal direction, dim 17 = -1 so every X
+    // member's small positive tilt is nearest X's OWN subspace
+    // centroid, keeping the X codes identical) keeps K >= 2 codebooks
+    // and fills the shortlist tail.
+    def vec(dir17: Double, base: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(base) = 1.0f
+      a(17) = dir17.toFloat; a
+    }
+    val docs =
+      Seq((0L, 0L, vec(0.5, 0))) ++
+      (20L to 29L).map(i => (i, 0L, vec((i - 19) * 0.01, 0))) ++
+      (30L to 39L).map(i => (i, 1L, vec(-1.0, 33)))
+    docs.toDF("vec_id", "label", "embedding")
+      .createOrReplaceTempView("embeddings")
+    val got = spark.sql(ExtQueries.TestSql.pqRecall)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq(("adc", 0L, 1L), ("rerank", 5L, 1L)), s"got $got")
+  }
+
   test("q66: incremental index maintenance converges to the full " +
     "rebuild (base ∪ delta == batch postings; empty docs still count)") {
     val sp = spark; import sp.implicits._
@@ -740,6 +771,37 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(dl.length == 6 && dl.toMap == Map(0L -> 3L, 1L -> 2L,
       2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 1L))
+  }
+
+  test("q68: incremental IVF assignment converges to the full rebuild " +
+    "(including vectors whose nearest centroid is another label's)") {
+    val sp = spark; import sp.implicits._
+    val fixdir = java.nio.file.Files
+      .createTempDirectory("q68fix").toFile.getAbsolutePath
+    // Label 0 centroid ~ e0; label 1 centroid ~ e1. Vec 7 (odd ->
+    // STREAMED) carries label 0 but points at e1: its nearest centroid
+    // is label 1's, so a lazy "cell = label" maintenance would place
+    // it wrong — the invariant catches assignment, not label echo.
+    def e(i: Int, v: Double = 1.0): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = v.toFloat; a
+    }
+    val vecs =
+      (0L to 5L).map(i => (i, 0L, e(0, 1.0 + 0.01 * i))) ++
+      (10L to 15L).map(i => (i, 1L, e(1, 1.0 + 0.01 * i))) ++
+      Seq((7L, 0L, e(1)))
+    vecs.toDF("vec_id", "label", "embedding")
+      .createOrReplaceTempView("embeddings")
+    ExtQueries.TestSql.streamIvfIndex(spark, fixdir)
+    val got = spark.sql("SELECT vec_id, cell FROM q68_idx")
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+    val want = spark.sql(ExtQueries.TestSql.ivfAssignAllSql)
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+    assert(got.length == want.length && got.toSet == want.toSet,
+      s"got ${got.sorted.toSeq}, want ${want.sorted.toSeq}")
+    // and the cross-label vector was streamed into label 1's cell
+    val v7 = got.find(_._1 == 7L).get._2
+    val l1cell = want.find(_._1 == 10L).get._2
+    assert(v7 == l1cell, s"vec 7 in cell $v7, label-1 cell is $l1cell")
   }
 
   test("p19: under 65 docs tau is 0 and the HT estimate is exact") {
