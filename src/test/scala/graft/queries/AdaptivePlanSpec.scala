@@ -74,6 +74,24 @@ class AdaptivePlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("v15 keeps the doc-at-a-time shape under AQE (no (qid, doc) " +
+    "aggregate reappears)") {
+    // The round-14 rewrite's invariant, re-asserted against the FINAL
+    // adaptive plan: the per-query scoring must stay ONE doc_id-keyed
+    // vector aggregate; an AQE re-plan that resurrected a
+    // (qid, doc)-keyed aggregate would reintroduce the 190M-row
+    // blowup the rewrite exists to remove.
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val nodes = flatten(finalPlan("v15_hybrid_dense"))
+    val aggKeys = nodes.collect { case a: HashAggregateExec =>
+      a.groupingExpressions.map(_.name).toSet }
+    assert(!aggKeys.exists(k => k.contains("qid") &&
+        k.exists(_.startsWith("doc"))),
+      s"v15 re-planned into a per-(qid, doc) aggregate: $aggKeys")
+    assert(aggKeys.count(_ == Set("doc_id")) >= 2,
+      s"doc-keyed vector aggregate missing under AQE: $aggKeys")
+  }
+
   test("q37 storage-partitioned join stays exchange-free under AQE") {
     val nodes = flatten(finalPlan("q37_cf_spj_join"))
     val shuffles = nodes.filter(n => n.isInstanceOf[ShuffleExchangeExec] ||
