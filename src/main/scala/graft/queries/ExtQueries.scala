@@ -3509,7 +3509,8 @@ object ExtQueries {
 
   private def bm25Body(d: Dial, tf: String, dl: String,
       nFrom: String = "documents"): String = {
-    s"""stats AS (SELECT ${d.intDiv("SUM(dl) * 1000", "COUNT(*)")} AS avgdl_milli
+    s"""stats AS (SELECT GREATEST(${d.intDiv("SUM(dl) * 1000", "COUNT(*)")}, 1)
+       |            AS avgdl_milli
        |          FROM $dl),
        |n AS (SELECT COUNT(*) AS n FROM $nFrom),
        |df AS (SELECT w, COUNT(*) AS df FROM $tf GROUP BY w),
@@ -3547,13 +3548,18 @@ object ExtQueries {
     * tokenized exactly once (inside the postings cache build) and
     * scanned once more for the array-size lengths.
     */
-  private def bm25Q: Q = Q("t07_bm25_search", (spark, dir) => {
-    Tables.registerAll(spark, dir)
+  private def bm25DF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
     cacheOnce(spark.sql(bm25TfSql(SparkD)))
       .createOrReplaceTempView("bm25_tf")
     cacheOnce(spark.sql(bm25DlSql(SparkD)))
       .createOrReplaceTempView("bm25_dl")
     spark.sql("WITH " + bm25Body(SparkD, "bm25_tf", "bm25_dl"))
+  }
+
+  private def bm25Q: Q = Q("t07_bm25_search", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    bm25DF(spark)
   }, Some(bm25Sql(DuckD)))
 
   // --------------------------------------------------------------- sketches
@@ -4206,6 +4212,8 @@ object ExtQueries {
     val knnRerank: String = knnRerankSql(SparkD)
     val knnPq: String = knnPqSql(SparkD)
     val pqRecall: String = pqRecallSql(SparkD)
+    def bm25(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = bm25DF(spark)
     def lineDedup(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = lineDedupDF(spark)
     val domainFilter: String = domainFilterSql(SparkD)
@@ -5519,7 +5527,7 @@ object ExtQueries {
 
   private def hybridFusionBody(d: Dial, qt: String, tfq: String,
       dlq: String, nFrom: String = "documents"): String = {
-    s"""stats AS (SELECT ${d.intDiv("SUM(dl) * 1000", "COUNT(*)")}
+    s"""stats AS (SELECT GREATEST(${d.intDiv("SUM(dl) * 1000", "COUNT(*)")}, 1)
        |    AS avgdl_milli FROM $dlq),
        |n AS (SELECT COUNT(*) AS n FROM $nFrom),
        |df AS (SELECT w, COUNT(*) AS df FROM $tfq GROUP BY w),
@@ -6147,7 +6155,7 @@ object ExtQueries {
     spark.sql(
       s"""WITH ${ivfIndexedTopkCtes("v15_probe", "v15_ivf")},
          |ivfr AS (SELECT qid, nid, rn AS rank FROM ivtopk WHERE rn <= 5),
-         |stats AS (SELECT ${SparkD.intDiv("SUM(dl) * 1000", "COUNT(*)")}
+         |stats AS (SELECT GREATEST(${SparkD.intDiv("SUM(dl) * 1000", "COUNT(*)")}, 1)
          |    AS avgdl_milli FROM v15_dl),
          |n AS (SELECT COUNT(*) AS n FROM v15_dl),
          |df AS (SELECT w, COUNT(*) AS df FROM v15_tfq GROUP BY w),

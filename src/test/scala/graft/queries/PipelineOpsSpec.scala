@@ -804,6 +804,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v7 == l1cell, s"vec 7 in cell $v7, label-1 cell is $l1cell")
   }
 
+  test("t07/BM25 family: a sub-milli average doc length is floored, " +
+    "not divided by zero") {
+    val sp = spark; import sp.implicits._
+    // 10k empty docs + ONE one-word doc: SUM(dl)*1000 div COUNT(*)
+    // floors to 0, and without the GREATEST(.., 1) floor the score
+    // expression divides by (SELECT avgdl_milli) = 0 on the posting
+    // row — an ANSI runtime error in Spark and an error in DuckDB.
+    // The floor makes the degenerate corpus return the defined
+    // answer: the one posting doc, positive score, one term.
+    val docs = Seq((1L, "hash")) ++
+      (1000L until 11000L).map(i => (i, ""))
+    docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val got = ExtQueries.TestSql.bm25(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 1 && got(0)._1 == 1L && got(0)._2 > 0L &&
+      got(0)._3 == 1L, s"got ${got.toSeq}")
+  }
+
   test("p19: under 65 docs tau is 0 and the HT estimate is exact") {
     val sp = spark; import sp.implicits._
     // 10 docs -> t65 holds all of them -> tau = 0 -> max(w, tau) = w
