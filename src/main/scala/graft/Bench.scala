@@ -92,9 +92,11 @@ object Bench {
     * (costs bytes, never correctness).
     */
   def toJsonHeadline(results: Seq[(String, Double)], sf: String): String = {
+    // Negatives are sentinels; format them with the same %.3f path so
+    // a non(-1) sentinel (e.g. timeout vs failure) keeps its identity
+    // relative to BENCH_LOCAL.json instead of collapsing to "-1.0".
     def shortMs(v: Double): String =
-      if (v < 0) "-1.0"
-      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val ids = results.map(_._1.takeWhile(_ != '_'))
     val dup = ids.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }.toSet
     val qs = results.zip(ids).map { case ((k, v), id) =>

@@ -5227,6 +5227,17 @@ object ExtQueries {
     * the per-vector centroid ranking (`best`). norms factored out of the
     * cross join: each vector's ||e|| computes once (not once per
     * centroid) — same IEEE ops, same bits, 1/3 the fold work.
+    *
+    * SEMANTIC CAP: `cent` keeps at most 64 centroids (ORDER BY clabel
+    * LIMIT 64). On this corpus (10 labels) it is a no-op plan bound,
+    * but on a corpus with more than 64 labels the ENTIRE IVF family
+    * (v03–v05, v10–v14, q68, the ivf_index/router/pq caches) drops
+    * high-label centroids and reassigns their vectors — by design:
+    * the coarse quantizer's K is a model constant, and both dialects
+    * share this spelling so the oracle sees the same model. Any change
+    * to the cap must bump [[Tables.CacheVersion]] (stale materialized
+    * indexes built under another K would silently serve a different
+    * model than the oracle recomputes).
     */
   private def ivfCommonCtes(d: Dial, from: String = "embeddings"): String = {
     val dim = 64 // embeddings.embedding arity (TESTDATA.md)
@@ -6033,9 +6044,15 @@ object ExtQueries {
       }
       val post = Tables.cachePath(dir, "inv_delta_post")
       val dl = Tables.cachePath(dir, "inv_delta_dl")
+      // Completion gate is the q65/q68 _COMPLETE protocol, NOT the
+      // sink's _SUCCESS: ColumnFileStreamingSink writes _SUCCESS on
+      // EVERY epoch commit, so a crash mid-drain would leave a partial
+      // delta that later runs (this probe, q67's compaction) treat as
+      // complete — silent divergence until the cache dir is wiped.
       def drain(outPath: String, f: org.apache.spark.sql.DataFrame
           => org.apache.spark.sql.DataFrame): Unit =
-        if (!new java.io.File(outPath, "_SUCCESS").exists()) {
+        if (!Tables.batchOutputComplete(outPath)) {
+          Tables.resetBatchOutput(outPath)
           val schema = spark.read.format("columnfile").load(src).schema
           val q = f(spark.readStream.format("columnfile")
               .schema(schema).load(src))
@@ -6045,6 +6062,7 @@ object ExtQueries {
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          Tables.markBatchOutputComplete(outPath)
         }
       // postings delta: per-row tokenize — distinct words exploded,
       // tf as an array count. Stateless (the doc arrives whole), so

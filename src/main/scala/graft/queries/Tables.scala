@@ -105,7 +105,11 @@ object Tables {
     */
   // v4: stream fixtures shifted off epoch 0 (ts = doc_id + 1 s) — a
   // row at exactly the initial watermark is dropped by stateful ops
-  private val CacheVersion = "v4"
+  // v5: ivfCommonCtes gained the explicit 64-centroid model cap —
+  // materialized IVF/PQ indexes built before the cap carry a
+  // (potentially) different coarse model; also retires pre-_COMPLETE
+  // q66 delta dirs gated only by the sink's per-epoch _SUCCESS
+  private[queries] val CacheVersion = "v5"
 
   // per-dir content stamp, memoized: (name, length, mtime) over the
   // dir's parquet files — RECURSIVE, because a Spark-written table is a
