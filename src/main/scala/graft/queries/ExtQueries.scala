@@ -4122,6 +4122,12 @@ object ExtQueries {
     hybridBm25Vec,
     // v05 = v04 over a materialized cell-partitioned index (same oracle).
     ivfIndexed,
+    // k-means (Lloyd) training of the coarse quantizer: deterministic
+    // min-hash init, 3 exact-integer rounds, per-round checksums.
+    kmeansTrainQ,
+    // v05's serving shape over the LEARNED model: materialized
+    // cell-partitioned index + router, probe prunes to learned cells.
+    kmeansProbeQ,
     // t17/v14: lexical retrieval over the MATERIALIZED inverted text
     // index (build-once/scan-many; term-bucket partition pruning);
     // v14 = v13 with both retrievers index-served (same oracles).
@@ -4205,6 +4211,10 @@ object ExtQueries {
       streamIndexMaintainDF(spark, dir)
     def streamIvfIndex(spark: org.apache.spark.sql.SparkSession,
         dir: String): Unit = streamIvfIndexViews(spark, dir)
+    def kmeansTrain(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = kmTrainDF(spark)
+    def kmeansSeedHash(id: Long): Long =
+      ((id % 2147483647L) * 2654435761L) % 2147483647L
     def ivfAssignAllSql: String =
       s"WITH ${ivfCommonCtes(SparkD)} " +
         "SELECT vec_id, clabel AS cell FROM best WHERE rn = 1"
@@ -5838,6 +5848,269 @@ object ExtQueries {
       s"""WITH ${ivfIndexedTopkCtes("ivf_probe", "ivf_idx")}
          |SELECT qid, nid, cos FROM ivtopk WHERE rn <= 5""".stripMargin)
   }, Some(ivfSearchSql(DuckD)))
+
+  // ----------------------------------------------- k-means training
+
+  /** K for the LEARNED coarse quantizer (v19/v20). Like the IVF
+    * family's 64-centroid cap, this is a MODEL constant shared by both
+    * dialects; changing it invalidates the kmeans_* cf caches (covered
+    * by Tables.CacheVersion discipline).
+    */
+  // `final` without a type annotation = compile-time constant: `val all`
+  // (declared ABOVE this line) builds the oracle SQL during object init,
+  // before later plain vals initialize — a plain val here reads as 0.
+  private final val KmK = 8
+
+  /** Exact-integer micro-unit sum of embedding component `i` — the
+    * ivfCommonCtes centroid spelling (SUM of ROUND(x*1e6) as BIGINT:
+    * addition order can't matter), here kept as the RAW BIGINT so one
+    * relation serves both the centroid update (divide once by
+    * 1e6*count) and the training readout (exact component checksums).
+    */
+  private def kmMicro(d: Dial, i: Int): String =
+    s"CAST(SUM(CAST(ROUND(CAST(${d.at("e.embedding", i)} AS DOUBLE)" +
+      s" * 1000000.0) AS BIGINT)) AS BIGINT)"
+
+  /** Non-degenerate vectors with factored norms — the family's shared
+    * `emb` spelling, named kemb so v20's probe chain can coexist with
+    * ivfCommonCtes-derived CTEs in one statement.
+    */
+  private def kmEmbSql(d: Dial): String =
+    s"""SELECT vec_id, label, embedding,
+       |  sqrt(${d.dot("embedding", "embedding")}) AS enorm
+       |FROM embeddings
+       |WHERE ${d.dot("embedding", "embedding")} > 0""".stripMargin
+
+  /** Deterministic k-means init: the $KmK vectors with the smallest
+    * multiplicative hash of their id (TakeOrdered — map-side top-K at
+    * any corpus size; the t16 merge-pick discipline). The cluster id
+    * IS the seed's vec_id — stable, unique, and window-free (a
+    * ROW_NUMBER renumbering would be an unpartitioned window).
+    */
+  private def kmSeedSql(d: Dial, emb: String): String =
+    s"""SELECT cid, centroid,
+       |  sqrt(${d.dot("centroid", "centroid")}) AS cnorm
+       |FROM (SELECT vec_id AS cid, embedding AS centroid FROM $emb
+       |      ORDER BY ((vec_id % $P) * 2654435761) % $P, vec_id
+       |      LIMIT $KmK) s""".stripMargin
+
+  /** One Lloyd ASSIGNMENT ranking: every vector scored against the
+    * current centroid relation `k` (bounded broadcast: <= $KmK rows by
+    * the ORDER BY/LIMIT identity on every k-relation) with the
+    * family's argmax-cosine spelling and (cos DESC, cid) tie-break.
+    * Emits the full ranking so v20 can take rn <= 2 probes from the
+    * same relation v19's update takes rn = 1 from.
+    */
+  private def kmRankSql(d: Dial, emb: String, k: String): String =
+    s"""SELECT e.vec_id, k.cid,
+       |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${d.dot("e.embedding", "k.centroid")}
+       |      / (e.enorm * k.cnorm) DESC, k.cid) AS rn
+       |FROM $emb e CROSS JOIN $k k""".stripMargin
+
+  /** One Lloyd UPDATE's sufficient statistics: per assigned cluster,
+    * member count + all 64 exact micro-unit component sums — ONE
+    * corpus-sized hash aggregate (partial-aggregable; the only shuffle
+    * of a round). The centroid is these sums divided once; the readout
+    * is these sums verbatim — so the relation is computed once per
+    * round (cached on the Spark side) and serves both.
+    */
+  private def kmStatsSql(d: Dial, emb: String, k: String): String = {
+    val sums = (0 until 64).map(i => s"${kmMicro(d, i)} AS s$i")
+      .mkString(",\n    ")
+    s"""SELECT a.cid, COUNT(*) AS n,
+       |    $sums
+       |FROM (SELECT vec_id, cid FROM (${kmRankSql(d, emb, k)}) r
+       |      WHERE rn = 1) a
+       |JOIN $emb e ON e.vec_id = a.vec_id
+       |GROUP BY a.cid""".stripMargin
+  }
+
+  /** Centroids from a stats relation: each component one IEEE division
+    * of an exact integer (engine-identical bits), degenerate centroids
+    * dropped, and the ORDER BY cid LIMIT $KmK identity that makes the
+    * next assignment's broadcast bound provable from plan shape.
+    */
+  private def kmCentSql(d: Dial, s: String): String = {
+    val comps = (0 until 64)
+      .map(i => s"CAST(s$i AS DOUBLE) / (1000000.0 * n)")
+    val arr = d match {
+      case SparkD => s"array(${comps.mkString(",\n      ")})"
+      case DuckD  => s"[${comps.mkString(",\n      ")}]"
+    }
+    s"""SELECT cid, centroid,
+       |  sqrt(${d.dot("centroid", "centroid")}) AS cnorm
+       |FROM (SELECT cid, $arr AS centroid FROM $s) c
+       |WHERE ${d.dot("centroid", "centroid")} > 0
+       |ORDER BY cid LIMIT $KmK""".stripMargin
+  }
+
+  /** The full unrolled training chain (init + 3 assignment rounds,
+    * 2 centroid updates) as CTE text — the oracle's spelling; the
+    * Spark side iterates the same SQL over cached per-round stats so
+    * each corpus pass runs exactly once.
+    */
+  private def kmChainCtes(d: Dial): String =
+    s"""kemb AS (${kmEmbSql(d)}),
+       |k0 AS (${kmSeedSql(d, "kemb")}),
+       |s1 AS (${kmStatsSql(d, "kemb", "k0")}),
+       |k1 AS (${kmCentSql(d, "s1")}),
+       |s2 AS (${kmStatsSql(d, "kemb", "k1")}),
+       |k2 AS (${kmCentSql(d, "s2")}),
+       |b3 AS (${kmRankSql(d, "kemb", "k2")}),
+       |s3 AS (${kmStatsSql(d, "kemb", "k2")})""".stripMargin
+
+  private def kmReadout(round: Int, s: String): String =
+    s"""SELECT CAST($round AS BIGINT) AS step, CAST(cid AS BIGINT) AS cid,
+       |  CAST(n AS BIGINT) AS n_members,
+       |  CAST(s0 AS BIGINT) AS cs0, CAST(s63 AS BIGINT) AS cs63
+       |FROM $s""".stripMargin
+
+  private def kmTrainSql(d: Dial): String =
+    s"""WITH ${kmChainCtes(d)}
+       |${kmReadout(1, "s1")}
+       |UNION ALL ${kmReadout(2, "s2")}
+       |UNION ALL ${kmReadout(3, "s3")}""".stripMargin
+
+  /** Registers the cached per-round training relations (one corpus
+    * pass per Lloyd round — the WITH chain would re-evaluate shared
+    * rounds once per reference) and returns the view names of the
+    * final stats/centroid/ranking relations. Shared by v19, v20's
+    * index build, and the spec fixtures.
+    */
+  private def kmTrainViews(spark: org.apache.spark.sql.SparkSession)
+      : Unit = {
+    cacheOnce(spark.sql(kmEmbSql(SparkD)))
+      .createOrReplaceTempView("v19_emb")
+    spark.sql(kmSeedSql(SparkD, "v19_emb"))
+      .createOrReplaceTempView("v19_k0")
+    for (r <- 1 to 3) {
+      cacheOnce(spark.sql(kmStatsSql(SparkD, "v19_emb", s"v19_k${r - 1}")))
+        .createOrReplaceTempView(s"v19_s$r")
+      if (r < 3)
+        spark.sql(kmCentSql(SparkD, s"v19_s$r"))
+          .createOrReplaceTempView(s"v19_k$r")
+    }
+  }
+
+  /** v19: k-means (Lloyd) TRAINING of the coarse quantizer — the learn
+    * step the whole IVF/IVFPQ family (v03–v05, v16/v17, q68) assumes:
+    * those centroids are label-derived; these are LEARNED from the
+    * vectors alone. t16's learn→apply discipline applied to vectors:
+    * deterministic init (min-hash pick of $KmK seeds), assignment =
+    * the family's shared argmax-cosine spelling, update = exact
+    * integer micro-unit centroid sums divided once — so every round's
+    * model is bit-identical across engines and the oracle hash-matches
+    * per-round membership counts and component checksums. Scale shape:
+    * each round is ONE corpus pass (assignment is a scan against a
+    * <= $KmK-row broadcast centroid relation; the update is one
+    * partial-aggregable hash aggregate), the per-round stats relation
+    * is K rows, and the Spark side caches it so the unrolled chain
+    * never re-evaluates a round. Reference economics:
+    * tools/columnfile-sort.cc:337-342 (train once, serve many).
+    */
+  private def kmTrainDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    kmTrainViews(spark)
+    spark.sql(
+      s"""${kmReadout(1, "v19_s1")}
+         |UNION ALL ${kmReadout(2, "v19_s2")}
+         |UNION ALL ${kmReadout(3, "v19_s3")}""".stripMargin)
+  }
+
+  private def kmeansTrainQ: Q = Q("v19_kmeans_train", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    kmTrainDF(spark)
+  }, Some(kmTrainSql(DuckD)))
+
+  /** Materialized LEARNED-centroid IVF index: the v05 build applied to
+    * v19's trained model — final-round assignment (rank 1 under k2)
+    * joined back to the vectors, persisted cell-partitioned so a probe
+    * prunes to its cells' directories.
+    */
+  private[graft] def kmeansIndexPath(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = Tables.cachePath(dir, "kmeans_index")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.registerAll(spark, dir)
+      kmTrainViews(spark)
+      spark.sql(
+        s"""WITH b3 AS (${kmRankSql(SparkD, "v19_emb", "v19_k2")})
+           |SELECT a.vec_id, e.embedding, a.cell
+           |FROM (SELECT vec_id, cid AS cell FROM b3 WHERE rn = 1) a
+           |JOIN embeddings e ON e.vec_id = a.vec_id""".stripMargin)
+        .write.format("columnfile").partitionBy("cell")
+        .mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** Router table of the learned index (qid → nprobe=2 learned cells,
+    * query ids < 100) — the ivfRouterPath shape over v19's model.
+    */
+  private[graft] def kmeansRouterPath(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = Tables.cachePath(dir, "kmeans_router")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.registerAll(spark, dir)
+      kmTrainViews(spark)
+      spark.sql(
+        s"""WITH b3 AS (${kmRankSql(SparkD, "v19_emb", "v19_k2")})
+           |SELECT vec_id AS qid, cid AS pcell
+           |FROM b3 WHERE vec_id < 100 AND rn <= 2""".stripMargin)
+        .coalesce(1)
+        .write.format("columnfile").mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** The v20 probe chain in oracle SQL: the training chain to k2, the
+    * final ranking b3 serving both assignment (rn = 1) and probes
+    * (rn <= 2), then v04's candidate/exact-cosine/top-5 tail.
+    */
+  private def kmProbeSql(d: Dial): String =
+    s"""WITH ${kmChainCtes(d)},
+       |kassign AS (SELECT vec_id, cid FROM b3 WHERE rn = 1),
+       |kprobe AS (SELECT vec_id AS qid, cid AS pcell
+       |  FROM b3 WHERE vec_id < 20 AND rn <= 2),
+       |kcand AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM kprobe p JOIN kassign a ON a.cid = p.pcell
+       |  WHERE a.vec_id <> p.qid),
+       |kpairs AS (
+       |  SELECT c.qid, c.nid,
+       |    ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm) AS cos
+       |  FROM kcand c
+       |  JOIN kemb q ON q.vec_id = c.qid
+       |  JOIN kemb n ON n.vec_id = c.nid),
+       |ktopk AS (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |  FROM kpairs)
+       |SELECT qid, nid, cos FROM ktopk WHERE rn <= 5""".stripMargin
+
+  /** v20: probe search over the MATERIALIZED learned index — v05's
+    * serving shape with v19's trained model: the router slice
+    * broadcasts into the cell-partitioned index scan (runtime pruning
+    * to the probed cells' directories), exact cosines within cells,
+    * top-5 per query. Training cost is paid once in the index build;
+    * the probe plan touches centroid-model relations only through the
+    * KB-sized router table. Gate: hash-matches the full inline
+    * recompute (the oracle runs the entire training chain + probe).
+    */
+  private def kmeansProbeQ: Q = Q("v20_knn_kmeans_indexed", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    val idxPath = kmeansIndexPath(spark, dir)
+    val routerPath = kmeansRouterPath(spark, dir)
+    spark.read.format("columnfile").option("runtimeFiltering", "false")
+      .load(routerPath)
+      .where("qid < 20").createOrReplaceTempView("v20_probe")
+    spark.read.format("columnfile").load(idxPath)
+      .createOrReplaceTempView("v20_idx")
+    spark.sql(
+      s"""WITH ${ivfIndexedTopkCtes("v20_probe", "v20_idx")}
+         |SELECT qid, nid, cos FROM ivtopk WHERE rn <= 5""".stripMargin)
+  }, Some(kmProbeSql(DuckD)))
 
   // ------------------------------------------- materialized text index
 

@@ -89,7 +89,12 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // v18's recall harness: the 2-row VALUES stage relation (the p08
     // constant-build shape) and the LIMIT-20 query/ground-truth sample
     // cross joins — the v09/v10 sample-by-contract bound.
-    "v18_pq_recall" -> 20L)
+    "v18_pq_recall" -> 20L,
+    // v19's Lloyd assignments cross-join the centroid relation, which
+    // carries an ORDER BY/LIMIT identity at every round (seed = a
+    // TakeOrdered-8 min-hash pick; each update = ORDER BY cid LIMIT 8
+    // over the 8-group stats relation).
+    "v19_kmeans_train" -> 8L)
 
   /** Static upper bound on a physical subtree's row count, derived
     * from shape alone — the machine check behind the BNLJ allowlist

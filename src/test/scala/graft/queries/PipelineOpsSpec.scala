@@ -867,4 +867,56 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(small._5 - 390L) <= 60L,
       s"small-lang HT estimate ${small._5} too far from exact 390")
   }
+
+  test("v19: one Lloyd round moves a centroid and reassigns the planted " +
+    "vector; round 3 is converged") {
+    val sp = spark; import sp.implicits._
+    def vec(pairs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      pairs.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    // Seed selection is the 8 hash-smallest vec_ids, so assign ROLES by
+    // the same hash the query uses: from a candidate pool, the 8
+    // smallest-hash ids become seeds, the 5 largest-hash ids members.
+    val pool = (1L to 40L).sortBy(id =>
+      (ExtQueries.TestSql.kmeansSeedHash(id), id))
+    val Seq(sA, sB, an1, an2, an3, an4, an5, an6) = pool.take(8)
+    val Seq(m1, m2, m3, m4, mB) = pool.takeRight(5)
+    val r = pool(8) // 9th-smallest hash: never a seed
+    val vecs = Seq(
+      sA -> vec(0 -> 1.0f),                    // seed of cluster A (axis 0)
+      sB -> vec(1 -> 1.0f),                    // seed of cluster B (axis 1)
+      an1 -> vec(10 -> 1.0f), an2 -> vec(11 -> 1.0f),
+      an3 -> vec(12 -> 1.0f), an4 -> vec(13 -> 1.0f),
+      an5 -> vec(14 -> 1.0f), an6 -> vec(15 -> 1.0f), // inert singletons
+      // diagonal-leaning A members: axis-0 dominant, so they join A
+      // under the seeds and drag A's centroid toward ~38 degrees
+      m1 -> vec(0 -> 0.80f, 1 -> 0.60f),
+      m2 -> vec(0 -> 0.78f, 1 -> 0.625f),
+      m3 -> vec(0 -> 0.79f, 1 -> 0.61f),
+      m4 -> vec(0 -> 0.785f, 1 -> 0.615f),
+      mB -> vec(0 -> 0.60f, 1 -> 0.80f),       // axis-1 dominant: joins B
+      // the planted mover: 45.6 degrees — under the SEEDS it is
+      // (barely) closer to axis-1 sB (0.714 > 0.7), but after one
+      // update A's centroid (~30 deg) is closer than B's (~63 deg)
+      r -> vec(0 -> 0.70f, 1 -> 0.714f))
+    vecs.map { case (id, e) => (id, e, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .createOrReplaceTempView("embeddings")
+    val rows = ExtQueries.TestSql.kmeansTrain(spark).collect()
+      .map(row => ((row.getLong(0), row.getLong(1)), row.getLong(2))).toMap
+    // round 1 (under seeds): A = {sA, m1..m4}, B = {sB, mB, r}
+    assert(rows((1L, sA)) == 5L, s"round-1 A: ${rows((1L, sA))}")
+    assert(rows((1L, sB)) == 3L, s"round-1 B: ${rows((1L, sB))}")
+    // round 2 (after one Lloyd update): r reassigns B -> A
+    assert(rows((2L, sA)) == 6L, s"round-2 A: ${rows((2L, sA))}")
+    assert(rows((2L, sB)) == 2L, s"round-2 B: ${rows((2L, sB))}")
+    // round 3: converged — same membership as round 2, anchors inert
+    assert(rows((3L, sA)) == 6L && rows((3L, sB)) == 2L)
+    Seq(an1, an2, an3, an4, an5, an6).foreach { a =>
+      assert(Seq(1L, 2L, 3L).forall(rd => rows((rd, a)) == 1L))
+    }
+    assert(rows.size == 24, s"expected 3 rounds x 8 clusters: ${rows.size}")
+  }
 }

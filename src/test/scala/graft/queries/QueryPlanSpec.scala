@@ -315,6 +315,50 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(executedCells(oneScan) == one.map(_.toString).toSet)
   }
 
+  test("v20 learned-index probe scan reads only the probed learned " +
+    "cells' directories") {
+    val idxPath = ExtQueries.kmeansIndexPath(spark, dir)
+    val routerPath = ExtQueries.kmeansRouterPath(spark, dir)
+    val allCells = new java.io.File(idxPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName)
+    assert(allCells.length <= 8 && allCells.length >= 2,
+      s"expected 2..8 learned cell dirs: ${allCells.toSeq}")
+    def executedCells(d: org.apache.spark.sql.DataFrame): Set[String] = {
+      d.collect()
+      val scans = d.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      val idxScans = scans.filter(_.output.exists(_.name == "cell"))
+      assert(idxScans.nonEmpty, "learned index scan not found in plan")
+      idxScans.flatMap(_.inputRDD.partitions).flatMap {
+        case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          p.inputPartitions
+      }.flatMap {
+        case p: graft.spark.CfPartition => p.partitionValues.toSeq
+      }.toSet
+    }
+    def routerCells(maxQid: Long): Set[String] =
+      spark.read.format("columnfile").load(routerPath)
+        .where(s"qid < $maxQid").collect()
+        .map(_.getAs[Number]("pcell").longValue.toString).toSet
+    // the 20-query batch: executed dirs == union of the router's cells
+    val df = graft.SparkEntry.queries("v20_knn_kmeans_indexed")(spark, dir)
+    assert(executedCells(df) == routerCells(20L))
+    // a single query: exactly nprobe=2 of the learned directories,
+    // through the same runtime-filter path the query uses
+    val one = routerCells(1L)
+    assert(one.size == 2, s"one-query probes: $one")
+    spark.read.format("columnfile").option("runtimeFiltering", "false")
+      .load(routerPath).where("qid < 1")
+      .createOrReplaceTempView("km_probe1")
+    spark.read.format("columnfile").load(idxPath)
+      .createOrReplaceTempView("km_idx_plan")
+    val oneScan = spark.sql(
+      """SELECT /*+ BROADCAST(p) */ n.vec_id, n.cell
+        |FROM km_probe1 p JOIN km_idx_plan n ON n.cell = p.pcell""".stripMargin)
+    assert(executedCells(oneScan) == one)
+  }
+
   test("v17 code scan prunes to one query's probed cells; the probe " +
     "never scans corpus embeddings") {
     // The IVFPQ probe rides the SAME runtime-filter path as v05 (the
