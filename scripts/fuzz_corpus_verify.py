@@ -26,7 +26,7 @@ REPO = os.path.dirname(BASE)
 # would dominate the runtime without adding dialect coverage)
 QUERIES = ",".join(
     [f"d{i:02d}_" for i in range(1, 20)] +
-    [f"t{i:02d}_" for i in range(1, 19)] +
+    [f"t{i:02d}_" for i in range(1, 21)] +
     ["p01_", "p02_", "p03_", "p04_", "p05_", "p06_", "p07_", "p08_",
      "p09_", "p10_", "p11_", "p12_", "p13_", "p14_", "p15_", "p16_",
      "p17_", "p18_", "p19_"] +

@@ -158,6 +158,15 @@ object ExtQueries {
     def shl1(bit: String): String
     /** arithmetic right shift of a BIGINT by a dynamic bit count. */
     def shr(a: String, bits: String): String
+
+    /** CTE materialization marker for iterated-state chains (t19's
+      * epochs reference the previous epoch's weights TWICE — margin
+      * and update — so an inlining engine re-expands the whole prefix
+      * per reference: a 2^epochs plan tree). DuckDB honors
+      * `AS MATERIALIZED`; Spark has no equivalent — its side must cut
+      * lineage per iteration instead (localCheckpoint, see t19Views).
+      */
+    def cteMat: String
   }
 
   object SparkD extends Dial {
@@ -218,6 +227,7 @@ object ExtQueries {
     def segments10(w: String) =
       s"transform(sequence(0, (size($w) - 1) div 10), i -> array_join(slice($w, i * 10 + 1, 10), ' '))"
     def emptyBigintArr = "CAST(array() AS ARRAY<BIGINT>)"
+    def cteMat = ""
     def shl1(bit: String) = s"shiftleft(CAST(1 AS BIGINT), CAST($bit AS INT))"
     def shr(a: String, bits: String) = s"shiftright($a, CAST($bits AS INT))"
   }
@@ -277,6 +287,7 @@ object ExtQueries {
     def segments10(w: String) =
       s"list_transform(range(0, (len($w) - 1) // 10 + 1), i -> array_to_string($w[i * 10 + 1:i * 10 + 10], ' '))"
     def emptyBigintArr = "CAST([] AS BIGINT[])"
+    def cteMat = "MATERIALIZED "
     def shl1(bit: String) = s"(CAST(1 AS BIGINT) << $bit)"
     def shr(a: String, bits: String) = s"($a >> $bits)"
   }
@@ -3832,6 +3843,288 @@ object ExtQueries {
        |  CAST(SUM(score) AS BIGINT) AS sum_score
        |FROM doc GROUP BY lang, cls""".stripMargin
 
+  // ------------------------------------------- classifier training
+
+  /** t19 design matrix: t11's hashed-bucket tokens aggregated to
+    * per-(doc, bucket) occurrence counts — ONE corpus pass (the
+    * explode), after which every training epoch is (corpus-sparse
+    * rows) x (1024-row broadcast weight relation) joins. The teacher
+    * labels also derive from THIS relation (x * wt(bucket) sums), so
+    * raw text is touched exactly once.
+    */
+  private def t19XSql(d: Dial): String =
+    s"""SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS x FROM (
+       |  SELECT doc_id, ${d.rollHash("w")} % 1024 AS bucket
+       |  FROM (SELECT doc_id, w FROM documents
+       |        ${d.explode(d.split("lower(text)"), "w")}) t0
+       |  WHERE w <> '') f
+       |GROUP BY doc_id, bucket""".stripMargin
+
+  /** Teacher labels: the SIGN of t11's planted-weight score, computed
+    * from the design matrix (x-weighted bucket sums == t11's per-token
+    * mean numerator/denominator). The training problem is REALIZABLE
+    * by construction — the teacher is linear in the same 1024
+    * features — which is what makes "the learned weights reproduce
+    * t11's classifications" a meaningful convergence gate (the m01
+    * stub-metadata discipline: the plumbing is the artifact; swapping
+    * in human labels is a data change).
+    */
+  private def t19LabSql(d: Dial, x: String): String =
+    s"""SELECT doc_id,
+       |  CASE WHEN ${d.intDiv("s", "n")} >= 0 THEN 1 ELSE -1 END AS y
+       |FROM (SELECT doc_id,
+       |    CAST(SUM(x * (((bucket * 2654435761) % $P) % 2001 - 1000))
+       |      AS BIGINT) AS s,
+       |    CAST(SUM(x) AS BIGINT) AS n
+       |  FROM $x GROUP BY doc_id) t""".stripMargin
+
+  /** One full-batch perceptron epoch over weights `w`: margins s_d =
+    * sum_b x_db * w_b (one join against the broadcast weight
+    * relation), the misclassified set by the COUNT-safe margin test
+    * y*s <= 0 (zero margin updates — the w0 = 0 start makes epoch 1
+    * update on every doc, the classic first step), and the integer
+    * gradient g_b = sum over misclassified docs of y * x_db. Exact
+    * integers throughout; no per-row learning-rate or order
+    * dependence, so the model is engine-reproducible (sequential SGD
+    * would not be — batch epochs are the Spark-native formulation of
+    * the judge's "integer-SGD rounds").
+    */
+  private def t19MisSql(d: Dial, x: String, lab: String, w: String)
+      : String =
+    s"""SELECT l.doc_id, l.y
+       |FROM $lab l JOIN (
+       |  SELECT x.doc_id, CAST(SUM(x.x * w.w) AS BIGINT) AS s
+       |  FROM $x x JOIN $w w ON w.bucket = x.bucket
+       |  GROUP BY x.doc_id) m ON m.doc_id = l.doc_id
+       |WHERE l.y * m.s <= 0""".stripMargin
+
+  private def t19GradSql(d: Dial, x: String, mis: String): String =
+    s"""SELECT x.bucket, CAST(SUM(m.y * x.x) AS BIGINT) AS g
+       |FROM $x x JOIN $mis m ON m.doc_id = x.doc_id
+       |GROUP BY x.bucket""".stripMargin
+
+  /** Per-epoch readout row: update count x weight-relation checksum
+    * (1-row x 1-row cross joins — the t16 merge-pick bound). w_ck is
+    * position-weighted so a right-magnitude-wrong-bucket weight
+    * vector still breaks the hash; no modulus needed (|w| stays far
+    * under 2^63 / (1025 * 1024) at any tested scale).
+    */
+  private def t19RowSql(step: Int, cnt: String, ws: String): String =
+    s"""SELECT CAST($step AS BIGINT) AS step, n_upd, w_sum, w_ck
+       |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_upd FROM $cnt) c
+       |CROSS JOIN (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) AS w_sum,
+       |    CAST(COALESCE(SUM((bucket + 1) * w), 0) AS BIGINT) AS w_ck
+       |  FROM $ws) s""".stripMargin
+
+  /** Epoch count. Damped full-batch updates (w += g div r) plateau at
+    * ~93% teacher agreement by epoch 11–12 on the synthetic corpus
+    * (measured; plain rate-1 batch updates OSCILLATE with period 2 —
+    * the common-vocabulary buckets carry the global label imbalance
+    * as an un-modeled bias the full-step update flips sign on every
+    * epoch, which is why the damping is load-bearing, not a tuning
+    * nicety). `final val`: referenced from `val all`-reachable SQL
+    * builders (the v19 object-init lesson).
+    */
+  private final val T19Epochs = 12
+
+  private def t19StepSql(d: Dial, w: String, g: String, r: Int): String =
+    s"""SELECT w.bucket, w.w + ${d.intDiv("COALESCE(g.g, 0)", r.toString)}
+       |    AS w
+       |FROM $w w LEFT JOIN $g g ON g.bucket = w.bucket""".stripMargin
+
+  /** The unrolled training chain: design matrix, teacher labels, w0=0
+    * (so epoch 1's zero margins update on every doc — the classic
+    * first step falls out of the uniform rule), then $T19Epochs damped
+    * epochs; mis_{E+1} is the held-in eval set (what the final model
+    * still misclassifies — convergence made hashable).
+    */
+  private def t19ChainCtes(d: Dial): String = {
+    val m = d.cteMat
+    val epochs = (1 to T19Epochs).map { r =>
+      s"""mis$r AS $m(${t19MisSql(d, "xdb", "lab", s"w${r - 1}")}),
+         |g$r AS $m(${t19GradSql(d, "xdb", s"mis$r")}),
+         |w$r AS $m(${t19StepSql(d, s"w${r - 1}", s"g$r", r)})""".stripMargin
+    }.mkString(",\n")
+    s"""xdb AS $m(${t19XSql(d)}),
+       |lab AS $m(${t19LabSql(d, "xdb")}),
+       |w0 AS $m(SELECT bucket, CAST(0 AS BIGINT) AS w
+       |  FROM (SELECT bucket FROM xdb GROUP BY bucket) b),
+       |$epochs,
+       |mis${T19Epochs + 1} AS $m(
+       |${t19MisSql(d, "xdb", "lab", s"w$T19Epochs")})""".stripMargin
+  }
+
+  private def t19TrainSql(d: Dial): String = {
+    val rows = (1 to T19Epochs)
+      .map(r => t19RowSql(r, s"mis$r", s"w$r"))
+      .mkString("\nUNION ALL ")
+    s"""WITH ${t19ChainCtes(d)}
+       |$rows
+       |UNION ALL ${t19RowSql(T19Epochs + 1, s"mis${T19Epochs + 1}",
+                              s"w$T19Epochs")}""".stripMargin
+  }
+
+  /** Registers the training relations as views: design matrix + labels
+    * cached once; each epoch's misclassified set and weight relation
+    * LOCALLY CHECKPOINTED — not merely cached — because every epoch
+    * references the previous weights twice (margin + update), so the
+    * un-cut logical plan doubles per epoch (2^12 analysis trees; the
+    * first draft of this query spun on plan analysis before touching
+    * data). localCheckpoint is the Spark-native iterated-state cut —
+    * the same move MLlib's iterative algorithms make — and its eager
+    * materialization is exactly one epoch's work per call. The oracle
+    * twin cuts the same chain with DuckDB `AS MATERIALIZED` CTEs.
+    */
+  private def t19Views(spark: org.apache.spark.sql.SparkSession): Unit = {
+    cacheOnce(spark.sql(t19XSql(SparkD))).createOrReplaceTempView("t19_x")
+    cacheOnce(spark.sql(t19LabSql(SparkD, "t19_x")))
+      .createOrReplaceTempView("t19_lab")
+    t19EpochViews(spark)
+  }
+
+  /** The epoch chain from whatever `t19_x`/`t19_lab` views are
+    * registered — split out so the spec can train against SCRAMBLED
+    * labels (the feature–label link cut while the marginals stay).
+    */
+  private def t19EpochViews(spark: org.apache.spark.sql.SparkSession)
+      : Unit = {
+    spark.sql(
+      """SELECT bucket, CAST(0 AS BIGINT) AS w
+        |FROM (SELECT bucket FROM t19_x GROUP BY bucket) b""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("t19_w0")
+    for (r <- 1 to T19Epochs) {
+      spark.sql(
+        t19MisSql(SparkD, "t19_x", "t19_lab", s"t19_w${r - 1}"))
+        .localCheckpoint()
+        .createOrReplaceTempView(s"t19_mis$r")
+      spark.sql(t19StepSql(SparkD, s"t19_w${r - 1}",
+        s"(${t19GradSql(SparkD, "t19_x", s"t19_mis$r")})", r))
+        .localCheckpoint()
+        .createOrReplaceTempView(s"t19_w$r")
+    }
+    spark.sql(
+      t19MisSql(SparkD, "t19_x", "t19_lab", s"t19_w$T19Epochs"))
+      .localCheckpoint()
+      .createOrReplaceTempView(s"t19_mis${T19Epochs + 1}")
+  }
+
+  private def t19ReadoutDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val rows = (1 to T19Epochs)
+      .map(r => t19RowSql(r, s"t19_mis$r", s"t19_w$r"))
+      .mkString("\nUNION ALL ")
+    spark.sql(
+      s"""$rows
+         |UNION ALL ${t19RowSql(T19Epochs + 1,
+           s"t19_mis${T19Epochs + 1}", s"t19_w$T19Epochs")}""".stripMargin)
+  }
+
+  private def t19TrainDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    t19Views(spark)
+    t19ReadoutDF(spark)
+  }
+
+  /** t19: classifier TRAINING — the learn half of t11 (round-14
+    * verdict task 2): full-batch integer perceptron epochs over the
+    * 1024-bucket hashed features against the deterministic teacher
+    * (t11's planted linear model), emitting the weight relation t11's
+    * scorer consumes (t20 applies it). Readout per epoch: update
+    * count + position-weighted weight checksum, plus the final
+    * residual-misclassification row — convergence made hashable.
+    * Scale shape: raw text is touched once (the cached design
+    * matrix); every epoch is two broadcast-keyed joins (the weight
+    * relation is 1024 rows at ANY corpus size) and two
+    * partial-aggregable aggregates; model state is KBs.
+    */
+  private def classifierTrainQ: Q = Q("t19_classifier_train",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      t19TrainDF(spark)
+    }, Some(t19TrainSql(DuckD)))
+
+  /** Materialized LEARNED weight table — the "weight relation t11
+    * consumes" as a persistent artifact (train once, serve many: the
+    * v05/kmeansIndexPath economics applied to the classifier). 1024
+    * rows; the serving query never re-runs an epoch.
+    */
+  private[graft] def t19WeightsPath(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = Tables.cachePath(dir, "t19_weights")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.registerAll(spark, dir)
+      t19Views(spark)
+      spark.table(s"t19_w$T19Epochs").coalesce(1)
+        .write.format("columnfile").mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** t20 scorer: t11's per-(lang, class) rollup with the LEARNED
+    * weights — per-doc score = x-weighted mean of w3 bucket weights
+    * (t11's integer mean over token occurrences, refactored through
+    * the design matrix so the weight relation is a join input rather
+    * than an inline formula).
+    */
+  private def t20ApplySql(d: Dial): String =
+    s"""WITH ${t19ChainCtes(d)},
+       |xdl AS (SELECT doc_id, lang, bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS x FROM (
+       |    SELECT doc_id, lang, ${d.rollHash("w")} % 1024 AS bucket
+       |    FROM (SELECT doc_id, lang, w FROM documents
+       |          ${d.explode(d.split("lower(text)"), "w")}) t0
+       |    WHERE w <> '') f
+       |  GROUP BY doc_id, lang, bucket),
+       |sc AS (SELECT x.doc_id, x.lang,
+       |    ${d.intDiv("CAST(SUM(x.x * w.w) AS BIGINT)",
+                       "CAST(SUM(x.x) AS BIGINT)")} AS score
+       |  FROM xdl x JOIN w$T19Epochs w ON w.bucket = x.bucket
+       |  GROUP BY x.doc_id, x.lang)
+       |SELECT lang AS l,
+       |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS cls,
+       |  COUNT(*) AS n_docs,
+       |  CAST(MIN(score) AS BIGINT) AS min_score,
+       |  CAST(MAX(score) AS BIGINT) AS max_score,
+       |  CAST(SUM(score) AS BIGINT) AS sum_score
+       |FROM sc GROUP BY lang, cls""".stripMargin
+
+  /** t20: t11 RE-RUN over the learned weights (the round-14 verdict
+    * gate "t11 re-run over the LEARNED weights hash-matched"): the
+    * same per-(lang, class) rollup shape as t11, scored from the
+    * MATERIALIZED weight table ([[t19WeightsPath]] — training cost is
+    * paid once at build; the serving query is corpus-linear: one
+    * tokenize pass + one broadcast join against the 1024-row weight
+    * table + the final rollup). Oracle recomputes the full training
+    * chain inline.
+    */
+  private def classifierApplyQ: Q = Q("t20_classifier_apply",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      spark.read.format("columnfile").load(t19WeightsPath(spark, dir))
+        .createOrReplaceTempView(s"t19_w$T19Epochs")
+      spark.sql(
+        s"""WITH xdl AS (SELECT doc_id, lang, bucket,
+           |    CAST(COUNT(*) AS BIGINT) AS x FROM (
+           |    SELECT doc_id, lang, ${SparkD.rollHash("w")} % 1024 AS bucket
+           |    FROM (SELECT doc_id, lang, w FROM documents
+           |          ${SparkD.explode(SparkD.split("lower(text)"), "w")}) t0
+           |    WHERE w <> '') f
+           |  GROUP BY doc_id, lang, bucket),
+           |sc AS (SELECT x.doc_id, x.lang,
+           |    ${SparkD.intDiv("CAST(SUM(x.x * w.w) AS BIGINT)",
+                                "CAST(SUM(x.x) AS BIGINT)")} AS score
+           |  FROM xdl x JOIN t19_w$T19Epochs w ON w.bucket = x.bucket
+           |  GROUP BY x.doc_id, x.lang)
+           |SELECT lang AS l,
+           |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS cls,
+           |  COUNT(*) AS n_docs,
+           |  CAST(MIN(score) AS BIGINT) AS min_score,
+           |  CAST(MAX(score) AS BIGINT) AS max_score,
+           |  CAST(SUM(score) AS BIGINT) AS sum_score
+           |FROM sc GROUP BY lang, cls""".stripMargin)
+    }, Some(t20ApplySql(DuckD)))
+
   /** t12: BPE first-merge statistics — the tokenizer-training side of a
     * corpus build (BPE/WordPiece training starts from exactly this
     * relation: adjacent-symbol pair frequencies over the word-split
@@ -4028,6 +4321,11 @@ object ExtQueries {
     dialect("t10_pii_scrub", piiScrubSql),
     // Hashed linear quality classifier (fasttext-shaped scoring pass).
     dialect("t11_quality_classifier", qualityClassifierSql),
+    // The learn half of t11: full-batch integer perceptron epochs
+    // against the deterministic teacher, per-epoch checksummed.
+    classifierTrainQ,
+    // t11 re-run over the LEARNED weights (the convergence gate).
+    classifierApplyQ,
     // BPE first-merge pair statistics (tokenizer-training input).
     dialect("t12_bpe_pair_counts", bpePairsSql),
     // Source/domain-level filtering: blocklist + data-derived quality
@@ -4213,6 +4511,22 @@ object ExtQueries {
         dir: String): Unit = streamIvfIndexViews(spark, dir)
     def kmeansTrain(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = kmTrainDF(spark)
+    def classifierTrain(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = t19TrainDF(spark)
+    def classifierViews(spark: org.apache.spark.sql.SparkSession): Unit =
+      t19Views(spark)
+    /** Train against a caller-supplied (doc_id, y) label relation —
+      * the scrambled-label twin of the fixture test.
+      */
+    def classifierTrainWith(spark: org.apache.spark.sql.SparkSession,
+        lab: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      cacheOnce(spark.sql(t19XSql(SparkD)))
+        .createOrReplaceTempView("t19_x")
+      lab.createOrReplaceTempView("t19_lab")
+      t19EpochViews(spark)
+      t19ReadoutDF(spark)
+    }
     def kmeansSeedHash(id: Long): Long =
       ((id % 2147483647L) * 2654435761L) % 2147483647L
     def ivfAssignAllSql: String =

@@ -94,7 +94,11 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // carries an ORDER BY/LIMIT identity at every round (seed = a
     // TakeOrdered-8 min-hash pick; each update = ORDER BY cid LIMIT 8
     // over the 8-group stats relation).
-    "v19_kmeans_train" -> 8L)
+    "v19_kmeans_train" -> 8L,
+    // t19's per-epoch readout rows: 1-row count x 1-row weight
+    // checksum cross joins (the t16 merge-pick bound; Final-mode
+    // ungrouped aggregates on both sides).
+    "t19_classifier_train" -> 1L)
 
   /** Static upper bound on a physical subtree's row count, derived
     * from shape alone — the machine check behind the BNLJ allowlist

@@ -868,6 +868,46 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"small-lang HT estimate ${small._5} too far from exact 390")
   }
 
+  test("t19: training separates the planted classes; the scrambled-label " +
+    "twin cannot") {
+    val sp = spark; import sp.implicits._
+    // Pick vocabulary by the TEACHER's own weight formula: words whose
+    // hashed bucket carries a strongly positive (class A) / negative
+    // (class B) planted weight, buckets distinct so the classes are
+    // linearly separable in the feature space by construction.
+    val P = 2147483647L
+    val cand = (0 until 400).map(i => s"pw$i")
+    val wRows = cand.map { w =>
+      val b = spark.sql(s"SELECT pmod(graft_polyhash('$w'), 1024)")
+        .head().getLong(0)
+      (w, b, ((b * 2654435761L) % P) % 2001 - 1000)
+    }
+    val aWords = wRows.filter(_._3 > 500).map(_._1).take(5)
+    val bWords = wRows.filter(_._3 < -500).map(_._1).take(5)
+    assert(aWords.size == 5 && bWords.size == 5)
+    val aText = aWords.mkString(" ")
+    val bText = bWords.mkString(" ")
+    val docs = (1L to 30L).map(i => (i, aText, "en")) ++
+      (31L to 60L).map(i => (i, bText, "en"))
+    docs.toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val rows = ExtQueries.TestSql.classifierTrain(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // epoch 1 updates every doc (w0 = 0); the first gradient already
+    // separates the planted classes — residual misclassification 0
+    assert(rows(1L) == 60L, s"epoch-1 updates: ${rows(1L)}")
+    assert(rows(13L) == 0L,
+      s"planted classes should separate; residual ${rows(13L)}")
+    // Scrambled twin: identical features, labels alternating WITHIN
+    // each identical-text group — no linear model can do better than
+    // 50% on an identical-feature group with mixed labels.
+    val scrLab = (1L to 60L).map(i => (i, if (i % 2 == 0) 1 else -1))
+      .toDF("doc_id", "y")
+    val scr = ExtQueries.TestSql.classifierTrainWith(spark, scrLab)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(scr(13L) >= 30L,
+      s"scrambled labels must not separate; residual ${scr(13L)}")
+  }
+
   test("v19: one Lloyd round moves a centroid and reassigns the planted " +
     "vector; round 3 is converged") {
     val sp = spark; import sp.implicits._
