@@ -3429,6 +3429,108 @@ object ExtQueries {
        |  CAST(SUM(toks_in_bin) AS BIGINT) AS total_toks
        |FROM b GROUP BY lang""".stripMargin
 
+  /** p20 shard relation: the composed pipeline deliverable. t16's
+    * three learned merges (shared bpeRound spelling) re-tokenize every
+    * qualifying word ([a-z]{2,} — t16/t18's training domain), per-doc
+    * BPE token counts fold back onto ALL docs (LEFT JOIN + COALESCE:
+    * a doc with no qualifying words still belongs to its split and
+    * shard with 0 tokens), p13's deterministic 98/1/1 split and p04's
+    * per-(split, lang, shard) running-sum packing assign (bin, rn),
+    * and the final row set is exactly what the partitioned shard
+    * write stores: (split, lang, shard, bin, rn, doc_id, btoks).
+    * rn/bin are STORED, so the pack order survives the write and the
+    * read-back checksum is order-sensitive without depending on scan
+    * order.
+    */
+  private def p20ShardBody(d: Dial, w0: String): String = {
+    def rep(r: Int, prev: String): String =
+      s"""pc$r AS (SELECT doc_id, ${bpeApplyMerge} AS s
+         |  FROM $prev CROSS JOIN m$r)""".stripMargin
+    val pm = s"((dd.doc_id % $P) * 2654435761) % $P % 1000"
+    s"""${bpeRound(d, 1, w0)},
+       |${bpeRound(d, 2, "w1")},
+       |${bpeRound(d, 3, "w2")},
+       |pcw AS (SELECT doc_id, ${bpeSeq0(d)} AS s
+       |  FROM (SELECT doc_id, w FROM documents
+       |        ${d.explode(d.split("lower(text)"), "w")}) t0
+       |  WHERE length(w) >= 2 AND regexp_extract(w, '^[a-z]+$$', 0) = w),
+       |${rep(1, "pcw")},
+       |${rep(2, "pc1")},
+       |${rep(3, "pc2")},
+       |pbt AS (SELECT doc_id,
+       |    CAST(SUM(${d.size(bpeSyms(d, "s"))}) AS BIGINT) AS b
+       |  FROM pc3 GROUP BY doc_id),
+       |pd AS (SELECT dd.doc_id, dd.lang,
+       |    CASE WHEN $pm < 980 THEN 'train'
+       |         WHEN $pm < 990 THEN 'val' ELSE 'test' END AS split,
+       |    (dd.doc_id % 32) AS shard,
+       |    COALESCE(pbt.b, 0) AS btoks
+       |  FROM documents dd LEFT JOIN pbt ON pbt.doc_id = dd.doc_id),
+       |pk AS (SELECT doc_id, lang, split, shard, btoks,
+       |    SUM(btoks) OVER (PARTITION BY split, lang, shard
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY split, lang, shard
+       |      ORDER BY doc_id) AS BIGINT) AS rn
+       |  FROM pd),
+       |pb AS (SELECT split, lang, shard, doc_id, btoks, rn,
+       |    CAST(${d.intDiv("(cum - btoks)", "2048")} AS BIGINT) AS bin
+       |  FROM pk)""".stripMargin
+  }
+
+  /** The per-(split, lang) rollup both sides compute — Spark from the
+    * READ-BACK shards (stored rn/bin), the oracle from the relation
+    * directly. The checksum is the FIXTURES.md order-sensitive shape:
+    * any doc in the wrong shard, bin, or pack position changes it.
+    */
+  private def p20RollupSql(from: String): String =
+    s"""SELECT split, lang AS l, COUNT(*) AS n_docs,
+       |  CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+       |  CAST(COUNT(DISTINCT shard * 1000000 + bin) AS BIGINT) AS n_bins,
+       |  CAST(SUM(btoks) AS BIGINT) AS total_btoks,
+       |  CAST(SUM((((bin * 8191 + rn) % $P) * (doc_id % $P)) % $P) % $P
+       |    AS BIGINT) AS pack_checksum
+       |FROM $from GROUP BY split, lang""".stripMargin
+
+  private def p20OracleSql(d: Dial): String =
+    s"""WITH w0 AS (${bpeVocabSql(d)}),
+       |${p20ShardBody(d, "w0")}
+       |${p20RollupSql("pb")}""".stripMargin
+
+  /** p20: the tokenized-shard CAPSTONE — the pipeline's actual
+    * deliverable, composed from the layers the inventory built
+    * separately: t16's learned merges → t18's encode → p13's
+    * deterministic split → p04's token-budget packing → a cf shard
+    * write PARTITIONED BY (split, lang), then the audit readout from
+    * the written shards themselves. Scale shape: the merge relations
+    * are 1-row broadcasts (the t16 bound), the per-doc token fold and
+    * the doc join are the only corpus-keyed shuffles before the ONE
+    * pack-window shuffle (partitioned by (split, lang, shard) — never
+    * unpartitioned), and the write adds no exchange of its own (the
+    * connector requests no distribution): each task streams its
+    * window partitions straight into split=/lang= directories. The
+    * read-back rollup proves what a consumer of the shards would see,
+    * not what the writer intended.
+    */
+  private def tokenizedShardsQ: Q = Q("p20_tokenized_shards",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val out = Tables.cachePath(dir, "p20_shards")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        cacheOnce(spark.sql(bpeVocabSql(SparkD)))
+          .createOrReplaceTempView("p20_w0")
+        spark.sql(
+          s"""WITH ${p20ShardBody(SparkD, "p20_w0")}
+             |SELECT split, lang, shard, doc_id, btoks, rn, bin
+             |FROM pb""".stripMargin)
+          .write.format("columnfile").partitionBy("split", "lang")
+          .mode("overwrite").save(out)
+      }
+      spark.read.format("columnfile").load(out)
+        .createOrReplaceTempView("p20_shards")
+      spark.sql(p20RollupSql("p20_shards"))
+    }, Some(p20OracleSql(DuckD)))
+
   // ------------------------------------------------------- relevance ranking
 
   /** t06: per-document top TF-IDF terms. The idf is the integer
@@ -4366,6 +4468,9 @@ object ExtQueries {
     dialect("p12_mixture_temperature", mixTemperatureSql),
     // Deterministic 98/1/1 train/val/test split with membership checksum.
     dialect("p13_train_split", trainSplitSql),
+    // Capstone: learned BPE merges -> encode -> split -> pack ->
+    // partitioned cf shard write, audited from the written shards.
+    tokenizedShardsQ,
     // Weighted priority sampling (exact-integer w/u priorities) with
     // the Horvitz-Thompson estimate reported against exact totals.
     dialect("p19_priority_sample", prioritySampleSql),
@@ -4513,6 +4618,18 @@ object ExtQueries {
         : org.apache.spark.sql.DataFrame = kmTrainDF(spark)
     def classifierTrain(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = t19TrainDF(spark)
+    /** p20's pre-write shard relation over the registered views (the
+      * QueryPlanSpec window/shuffle probe).
+      */
+    def p20ShardRelation(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = {
+      cacheOnce(spark.sql(bpeVocabSql(SparkD)))
+        .createOrReplaceTempView("p20_w0")
+      spark.sql(
+        s"""WITH ${p20ShardBody(SparkD, "p20_w0")}
+           |SELECT split, lang, shard, doc_id, btoks, rn, bin
+           |FROM pb""".stripMargin)
+    }
     def classifierViews(spark: org.apache.spark.sql.SparkSession): Unit =
       t19Views(spark)
     /** Train against a caller-supplied (doc_id, y) label relation —

@@ -98,7 +98,10 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // t19's per-epoch readout rows: 1-row count x 1-row weight
     // checksum cross joins (the t16 merge-pick bound; Final-mode
     // ungrouped aggregates on both sides).
-    "t19_classifier_train" -> 1L)
+    "t19_classifier_train" -> 1L,
+    // p20's encode leg cross-joins the three 1-row BPE merge
+    // relations (t16/t18's machine-checked bound).
+    "p20_tokenized_shards" -> 1L)
 
   /** Static upper bound on a physical subtree's row count, derived
     * from shape alone — the machine check behind the BNLJ allowlist

@@ -315,6 +315,45 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(executedCells(oneScan) == one.map(_.toString).toSet)
   }
 
+  test("p20 shards land partitioned by (split, lang); the pack window " +
+    "is keyed (split, lang, shard); no exchange between window and sink") {
+    // run the capstone (builds the shards on first touch)
+    graft.SparkEntry.queries("p20_tokenized_shards")(spark, dir).collect()
+    val out = Tables.cachePath(dir, "p20_shards")
+    val splitDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(splitDirs.nonEmpty &&
+      splitDirs.toSet.subsetOf(Set("split=train", "split=val", "split=test")),
+      s"unexpected layout: ${splitDirs.toSeq}")
+    val langDirs = splitDirs.flatMap(s =>
+      new java.io.File(out, s).listFiles().filter(_.isDirectory).map(_.getName))
+    assert(langDirs.nonEmpty && langDirs.forall(_.startsWith("lang=")),
+      s"unexpected lang layout: ${langDirs.toSeq}")
+    // the pre-write relation: every window partitioned by the full
+    // (split, lang, shard) pack key, and the plan ABOVE the pack
+    // window (what the sink consumes) contains no further exchange —
+    // the write itself requests no distribution, so each task streams
+    // its window partitions straight into the partition directories.
+    val rel = ExtQueries.TestSql.p20ShardRelation(spark)
+    val exec = rel.queryExecution.executedPlan
+    val wins = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty, s"expected the pack window:\n$exec")
+    wins.foreach { w =>
+      assert(w.partitionSpec.size == 3,
+        s"pack window must be keyed (split, lang, shard):\n$w")
+    }
+    def above(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p match {
+        case w: org.apache.spark.sql.execution.window.WindowExec => false
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          true
+        case other => other.children.exists(above)
+      }
+    assert(!above(exec),
+      s"exchange between the pack window and the sink:\n$exec")
+  }
+
   test("v20 learned-index probe scan reads only the probed learned " +
     "cells' directories") {
     val idxPath = ExtQueries.kmeansIndexPath(spark, dir)
