@@ -4531,11 +4531,16 @@ object ExtQueries {
     // v05's serving shape over the LEARNED model: materialized
     // cell-partitioned index + router, probe prunes to learned cells.
     kmeansProbeQ,
-    // t17/v14: lexical retrieval over the MATERIALIZED inverted text
-    // index (build-once/scan-many; term-bucket partition pruning);
-    // v14 = v13 with both retrievers index-served (same oracles).
+    // t17: lexical retrieval over the MATERIALIZED inverted text
+    // index (build-once/scan-many; term-bucket partition pruning).
+    // v14_hybrid_indexed is RETIRED from the serving surface (r15):
+    // its design premise — index-served inputs accelerate v13 — was
+    // disproven by the r14 profile (the per-(q,term,doc) join blowup
+    // was the cost, not the tokenize), and it is strictly dominated
+    // by v15 reading the same index. Its one unique claim
+    // (index-served inputs == recomputed inputs) is now a direct
+    // QueryPlanSpec assertion on v15's input relations.
     bm25IndexedQ,
-    hybridIndexedQ,
     // v15 = v13's exact results with the scoring stage restructured
     // document-at-a-time across all queries (query-mask aggregation).
     hybridDenseQ,
@@ -5672,7 +5677,7 @@ object ExtQueries {
     * SEMANTIC CAP: `cent` keeps at most 64 centroids (ORDER BY clabel
     * LIMIT 64). On this corpus (10 labels) it is a no-op plan bound,
     * but on a corpus with more than 64 labels the ENTIRE IVF family
-    * (v03–v05, v10–v14, q68, the ivf_index/router/pq caches) drops
+    * (v03–v05, v10–v13, v15, q68, the ivf_index/router/pq caches) drops
     * high-label centroids and reassigns their vectors — by design:
     * the coarse quantizer's K is a model constant, and both dialects
     * share this spelling so the oracle sees the same model. Any change
@@ -5958,10 +5963,11 @@ object ExtQueries {
        |${hybridFusionBody(d, qt, tfq, dlq)}""".stripMargin
 
   /** The BM25 + RRF-fusion tail of the hybrid pipeline, downstream of
-    * an `ivfr` (qid, nid, rank) CTE — shared verbatim between v13 (IVF
-    * inline, postings from the corpus tokenize) and v14 (both sides
-    * served from materialized indexes), which is what makes their
-    * results — and oracle — identical by construction.
+    * an `ivfr` (qid, nid, rank) CTE — v13's definitional spelling (IVF
+    * inline, postings from the corpus tokenize); v15 reproduces its
+    * output bit-identically from the materialized indexes (the retired
+    * v14 shared this tail verbatim, which was its parity-by-
+    * construction argument).
     */
   /** The per-posting BM25 contribution s(term, doc) — depends on the
     * posting row `t` (tf), the term stats row `df`, and the doc-length
@@ -6001,7 +6007,7 @@ object ExtQueries {
   }
 
   /** The RRF fusion tail downstream of `ivfr` and `bmr` (both
-    * (qid, nid, rank) top-5 lists) — shared by v13/v14/v15 so the
+    * (qid, nid, rank) top-5 lists) — shared by v13/v15 so the
     * fused output is identical wherever the retriever lists are.
     */
   private def hybridRrfTail(d: Dial): String = {
@@ -6119,8 +6125,9 @@ object ExtQueries {
 
   /** v05's probe pipeline over the materialized IVF index (views
     * `probeView` = router slice, `idxView` = cell-partitioned index) as
-    * CTEs ending in `ivtopk` (qid, nid, cos, rn) — factored so v14 can
-    * reuse the identical indexed retriever under its fusion. CTE names
+    * CTEs ending in `ivtopk` (qid, nid, cos, rn) — factored so the
+    * indexed-retrieval consumers (v15's fusion, q68's maintained-index
+    * probe, v20's learned-index probe) reuse one spelling. CTE names
     * are iv-prefixed to keep them disjoint from the fusion body's.
     */
   private def ivfIndexedTopkCtes(probeView: String, idxView: String): String =
@@ -6808,21 +6815,11 @@ object ExtQueries {
         nFrom = "q66_dl"))
   }
 
-  /** v14: v13's hybrid BM25+IVF retrieval with BOTH retrievers served
-    * from materialized indexes — the production serving shape (v13 is
-    * the build-side formulation; v14 is what answers queries at
-    * 100 TB). Lexical: postings probed by the sample vocabulary via a
-    * (tb, w) semi join against the query-token router — the broadcast
-    * router's tb keys runtime-prune the term-bucket directories (the
-    * v05 mechanism); df/avgdl/N from the index + sidecar; raw text
-    * untouched. Vector: v05's router + cell-partitioned index probe.
-    * The fusion tail is [[hybridFusionBody]] verbatim, so the output —
-    * and the oracle — are v13's exactly.
-    */
   /** v15: the hybrid retrieval EVALUATION restructured for scale —
-    * same results as v13/v14 (bit-identical scores, same oracle), with
+    * same results as v13 (bit-identical scores, same oracle), with
     * the scoring stage rewritten document-at-a-time across ALL queries
-    * at once. The profile behind it (100x, warm caches): v13/v14 spend
+    * at once. The profile behind it (100x, warm caches): v13 — and
+    * r14's retired v14, which fed v13's aggregate from indexes — spend
     * ~2/3 of their time materializing the per-(query, term, doc) join
     * (190M rows at 100x) and hash-aggregating it to 10M (query, doc)
     * scores — the classic blowup when queries share vocabulary with
@@ -6839,7 +6836,10 @@ object ExtQueries {
     * is the same window as before. The 190M-row join-aggregate becomes an 11.6M-row
     * partial-aggregable vector aggregation + a 20-way stack — one
     * shuffle on doc_id, no per-query blowup anywhere. Served from the
-    * same materialized index surfaces as v14.
+    * materialized index surfaces (postings + doc-length sidecar +
+    * query-token router + IVF index/router); QueryPlanSpec asserts
+    * those index-served inputs hash-equal the from-raw-text recompute
+    * — the retired v14's parity claim, kept as a spec assertion.
     */
   private def hybridDenseQ: Q = Q("v15_hybrid_dense", (spark, dir) => {
     Tables.registerAll(spark, dir)
@@ -6909,29 +6909,4 @@ object ExtQueries {
          |${hybridRrfTail(SparkD)}""".stripMargin)
   }, Some(hybridBm25VecSql(DuckD)))
 
-  private def hybridIndexedQ: Q = Q("v14_hybrid_indexed", (spark, dir) => {
-    Tables.registerAll(spark, dir)
-    spark.read.format("columnfile").option("runtimeFiltering", "false")
-      .load(ivfRouterPath(spark, dir))
-      .where("qid < 20").createOrReplaceTempView("v14_probe")
-    spark.read.format("columnfile").load(ivfIndexPath(spark, dir))
-      .createOrReplaceTempView("v14_ivf")
-    spark.read.format("columnfile").option("runtimeFiltering", "false")
-      .load(invQtPath(spark, dir))
-      .where("qid < 20").createOrReplaceTempView("v14_qt")
-    spark.read.format("columnfile").load(invIndexPath(spark, dir))
-      .createOrReplaceTempView("v14_post")
-    cacheOnce(spark.read.format("columnfile").load(invDlPath(spark, dir)))
-      .createOrReplaceTempView("v14_dl")
-    cacheOnce(spark.sql(
-      s"""SELECT /*+ BROADCAST(q) */ p.doc_id, p.w, p.tf
-         |FROM v14_post p LEFT SEMI JOIN v14_qt q
-         |  ON p.tb = q.tb AND p.w = q.w""".stripMargin))
-      .createOrReplaceTempView("v14_tfq")
-    spark.sql(
-      s"""WITH ${ivfIndexedTopkCtes("v14_probe", "v14_ivf")},
-         |ivfr AS (SELECT qid, nid, rn AS rank FROM ivtopk WHERE rn <= 5),
-         |${hybridFusionBody(SparkD, "v14_qt", "v14_tfq", "v14_dl",
-             nFrom = "v14_dl")}""".stripMargin)
-  }, Some(hybridBm25VecSql(DuckD)))
 }

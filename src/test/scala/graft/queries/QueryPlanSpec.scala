@@ -532,15 +532,53 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"probe read dirs $read, expected $expected of ${allTb.length}")
   }
 
-  test("t17 and v14 never touch raw text (no tokenize in any plan or " +
+  test("v15's index-served inputs hash-equal the from-raw-text " +
+    "recompute (the retired v14's parity claim, as a direct assertion)") {
+    // v14_hybrid_indexed was retired in r15 (dominated by v15 on the
+    // same index; its aggregate stage was v13's documented blowup).
+    // Its one unique piece of evidence — serving retrieval inputs from
+    // the materialized index surfaces loses NOTHING vs recomputing
+    // them from raw text — is asserted here directly on the relations
+    // v15 consumes.
+    // Recomputed-from-raw-text side: v13's own input views.
+    Tables.registerAll(spark, dir)
+    ExtQueries.TestSql.hybridBm25Vec(spark).collect()
+    val rawTfq = spark.table("v13_tfq")
+      .selectExpr("doc_id", "w", "tf").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val rawDl = spark.table("v13_dl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    // Index-served side: exactly v15's input relations.
+    spark.read.format("columnfile")
+      .load(ExtQueries.invQtPath(spark, dir))
+      .where("qid < 20").createOrReplaceTempView("par_qt")
+    spark.read.format("columnfile")
+      .load(ExtQueries.invIndexPath(spark, dir))
+      .createOrReplaceTempView("par_post")
+    val servedTfq = spark.sql(
+      """SELECT p.doc_id, p.w, p.tf FROM par_post p
+        |LEFT SEMI JOIN par_qt q ON p.tb = q.tb AND p.w = q.w""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val servedDl = spark.read.format("columnfile")
+      .load(ExtQueries.invDlPath(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rawTfq.nonEmpty && rawDl.nonEmpty)
+    assert(servedTfq.toSeq == rawTfq.toSeq,
+      s"index-served postings diverge: ${servedTfq.length} vs ${rawTfq.length}")
+    assert(servedDl.toSeq == rawDl.toSeq,
+      s"index-served doc lengths diverge: ${servedDl.length} vs ${rawDl.length}")
+  }
+
+  test("t17 and v15 never touch raw text (no tokenize in any plan or " +
     "cache build)") {
     // The index queries' whole point: the corpus tokenize (a Generate
     // over documents.text) happens ONCE at index build, never at query
     // time. Typed check for live Generates plus a conservative string
     // check that no documents scan appears anywhere — including inside
     // InMemoryRelation build plans (printed inline), so a cached
-    // tokenize can't hide.
-    for (name <- Seq("t17_bm25_indexed", "v14_hybrid_indexed",
+    // tokenize can't hide. (v14 was retired in r15; v15 carries the
+    // index-served surface.)
+    for (name <- Seq("t17_bm25_indexed",
         "v15_hybrid_dense")) {
       val df = graft.SparkEntry.queries(name)(spark, dir)
       val exec = df.queryExecution.executedPlan
