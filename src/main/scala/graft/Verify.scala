@@ -71,6 +71,9 @@ object Verify {
       // flipped these mid-run).
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // variant shred rewrite (q69) — a pure optimization; results are
+      // identical in sessions without the extension
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Clear stale results: a failed query must not leave a previous

@@ -343,6 +343,10 @@ object CoreQueries {
     nestedRoundtrip,
     nestedFilter,
     widenedRead,
+    // Variant shredding: variant_get filters rewritten to stored
+    // shredded leaves -> plain pushed filters + chunk pruning; the
+    // variant payload itself pruned out of the read schema.
+    variantPushdown,
 
     // Partitioned storage: lineitem partitioned by l_returnflag; the
     // partition predicate prunes two of three directories before I/O.
@@ -1154,6 +1158,84 @@ object CoreQueries {
           sum(expr("CAST(ROUND(info.price * 100) AS BIGINT)")).as("sum_price_c"))
     }, Some(oracle))
   }
+
+  /** Shared SHREDDED-VARIANT cf table (q69): a tenth of orders as one
+    * VARIANT document column `v` plus two SHREDDED leaves stored next
+    * to it — `v_price` = variant_get(v, '$.price_c', 'bigint') and
+    * `v_status` = variant_get(v, '$.status', 'string') — whose field
+    * metadata records the provenance ([[graft.spark.VariantShred]]).
+    * Rows are ordered by the price leaf so chunk min/max stats prune
+    * range probes on it; the leaves equal the variant extraction row
+    * for row by construction (derived from the same expression at
+    * write).
+    */
+  private def shreddedOrdersPath(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    val out = Tables.cachePath(dir, "shredded_orders")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.t(spark, dir, "orders")
+        .where(expr("o_orderkey % 10 = 0"))
+        .selectExpr("o_orderkey AS okey",
+          """parse_json(to_json(named_struct(
+            |  'status', o_orderstatus,
+            |  'price_c', CAST(ROUND(o_totalprice * 100) AS BIGINT),
+            |  'prio', o_orderpriority))) AS v""".stripMargin)
+        .select(col("okey"), col("v"),
+          expr("variant_get(v, '$.price_c', 'bigint')")
+            .as("v_price",
+              graft.spark.VariantShred.shredMeta("v", "$.price_c")),
+          expr("variant_get(v, '$.status', 'string')")
+            .as("v_status",
+              graft.spark.VariantShred.shredMeta("v", "$.status")))
+        .orderBy("v_price")
+        .write.format("columnfile").mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** q69: VARIANT-PATH filter pushdown — the q57 nested-leaf move
+    * applied to variants (round-14 verdict task 6). The query filters
+    * and aggregates through `variant_get(v, '$.path', 'type')` calls
+    * only; with [[graft.spark.GraftExtensions]] loaded, the shred
+    * rewrite turns every call into its stored leaf BEFORE Spark's
+    * early scan pushdown, so the range filter reaches the scan as a
+    * plain pushed filter (chunk min/max pruning on the price-ordered
+    * leaf + late materialization) and column pruning drops the
+    * variant payload from the read schema entirely. Without the
+    * extension the same query computes the same result post-scan —
+    * the rewrite is purely an optimization, which is exactly what
+    * makes the oracle comparison meaningful.
+    */
+  private def variantPushdown: Q = {
+    val oracle =
+      """SELECT o_orderstatus AS status, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c
+        |FROM orders
+        |WHERE o_orderkey % 10 = 0
+        |  AND CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |    BETWEEN 5000000 AND 15000000
+        |GROUP BY o_orderstatus""".stripMargin
+    Q("q69_cf_variant_pushdown", (spark, dir) => {
+      spark.read.format("columnfile").load(shreddedOrdersPath(spark, dir))
+        .createOrReplaceTempView("q69_t")
+      spark.sql(
+        """SELECT CAST(variant_get(v, '$.status', 'string') AS STRING)
+          |    AS status,
+          |  COUNT(*) AS cnt,
+          |  CAST(SUM(variant_get(v, '$.price_c', 'bigint')) AS BIGINT)
+          |    AS sum_price_c
+          |FROM q69_t
+          |WHERE variant_get(v, '$.price_c', 'bigint')
+          |  BETWEEN 5000000 AND 15000000
+          |GROUP BY 1""".stripMargin)
+    }, Some(oracle))
+  }
+
+  private[graft] def shreddedOrdersPathForSpec(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String =
+    shreddedOrdersPath(spark, dir)
 
   /** q58: widening schema evolution — files written with INT columns,
     * read with a BIGINT schema (the int32→int64 ALTER TABLE contract).

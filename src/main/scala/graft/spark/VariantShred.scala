@@ -1,0 +1,91 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Variant shredding: the q57 nested-leaf pushdown move applied to
+  * VARIANT columns (reference: the nested shredding of
+  * src/columnfile.h:214-233, where typed leaves are what the scan
+  * prunes on — a variant cell is opaque to chunk statistics, its
+  * shredded leaf is an ordinary column).
+  *
+  * Write side: a table is shredded by STORING the extracted path next
+  * to the variant as a real typed column whose field METADATA names
+  * its provenance (`graft.shredOf` = the variant column, and
+  * `graft.shredPath` = the `$.path`); [[VariantShred.shredMeta]]
+  * builds it. The schema sidecar serializes field metadata verbatim,
+  * so the mapping survives the round trip and reaches the reader's
+  * attributes with zero new format surface. By construction the
+  * stored leaf equals `variant_get(v, path, type)` row for row — the
+  * writer derives it from the same expression.
+  *
+  * Read side: [[VariantShredRewrite]] (injected as a POST-HOC
+  * resolution rule: one pass over the fully-analyzed plan, BEFORE any
+  * optimizer batch — in the optimizer, column pruning can interpose a
+  * `Project [v]` between an aggregate and the relation and hide the
+  * shred attribute from a same-batch rewrite) rewrites
+  * `variant_get(v, '$.path', 'type')` — and its `try_` variant — to
+  * the shredded attribute wherever one with the exact (column, path,
+  * result type) provenance is visible in the same child's output. Everything downstream is ordinary column
+  * machinery, for free: the filter reaches the scan as a plain
+  * pushed filter (chunk min/max pruning + late materialization), and
+  * column pruning drops the variant bytes entirely when no
+  * un-shredded path remains — the scan then never reads the variant
+  * payload at all.
+  *
+  * The rewrite is a pure optimization: without the rule (a session
+  * that didn't load [[GraftExtensions]]) the same query computes the
+  * same result by evaluating variant_get post-scan.
+  */
+object VariantShred {
+  val ShredOfKey = "graft.shredOf"
+  val ShredPathKey = "graft.shredPath"
+
+  /** Field metadata marking a column as the shred of `variantCol` at
+    * `path` (e.g. `shredMeta("v", "$.price")`).
+    */
+  def shredMeta(variantCol: String, path: String): Metadata =
+    new MetadataBuilder()
+      .putString(ShredOfKey, variantCol)
+      .putString(ShredPathKey, path)
+      .build()
+}
+
+object VariantShredRewrite extends Rule[LogicalPlan] {
+  import VariantShred._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p if p.resolved && p.children.exists(_.output.exists(a =>
+        a.metadata.contains(ShredOfKey))) =>
+      p.transformExpressionsUp {
+        case vg @ VariantGet(v: AttributeReference,
+            Literal(path: UTF8String, StringType), dt, _, _) =>
+          // the shred must live in the SAME child's output as the
+          // variant column it was derived from (a name match across
+          // different join sides must not fire)
+          p.children.iterator.flatMap { ch =>
+            if (!ch.outputSet.contains(v)) Iterator.empty
+            else ch.output.iterator.filter { a =>
+              a.metadata.contains(ShredOfKey) &&
+                a.metadata.getString(ShredOfKey) == v.name &&
+                a.metadata.contains(ShredPathKey) &&
+                a.metadata.getString(ShredPathKey) == path.toString &&
+                a.dataType == dt
+            }
+          }.nextOption().getOrElse(vg)
+      }
+  }
+}
+
+/** Session extensions entry point:
+  * `.config("spark.sql.extensions", "graft.spark.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPostHocResolutionRule(_ => VariantShredRewrite)
+}

@@ -24,6 +24,8 @@ class VariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       .appName("variant-spec")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false") // crisp plan trees
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
   }
@@ -77,5 +79,67 @@ class VariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = back.selectExpr("id", "to_json(arr[0]) AS a0", "arr[1] IS NULL AS a1n",
       "st.tag AS tag", "to_json(st.payload) AS pj")
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("shredded-path variant_get filters push into the scan, prune " +
+    "chunks, and drop the variant payload from the read") {
+    import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = Files.createTempDirectory("cf-variant-shred").toString
+    // 10k docs, price == id, sorted by the shredded leaf; tiny chunks
+    // so range probes have something to prune
+    spark.sql(
+      """SELECT id, parse_json(concat('{"price":', id, ',"s":"x', id,
+        |  '"}')) AS v FROM range(10000)""".stripMargin)
+      .select(col("id"), col("v"),
+        expr("variant_get(v, '$.price', 'bigint')")
+          .as("v_price", VariantShred.shredMeta("v", "$.price")))
+      .orderBy("v_price")
+      .write.format("columnfile").option("targetChunkBytes", "4096")
+      .mode("overwrite").save(dir)
+    spark.read.format("columnfile").load(dir)
+      .createOrReplaceTempView("vshred")
+    val q = spark.sql(
+      """SELECT CAST(SUM(variant_get(v, '$.price', 'bigint')) AS BIGINT)
+        |    AS s, COUNT(*) AS n
+        |FROM vshred
+        |WHERE variant_get(v, '$.price', 'bigint')
+        |  BETWEEN 100 AND 199""".stripMargin)
+    val row = q.head()
+    assert(row.getLong(0) == (100L to 199L).sum && row.getLong(1) == 100L)
+    val exec = q.queryExecution.executedPlan
+    // the rewrite fired: no VariantGet survives anywhere in the plan
+    val vgs = exec.collect { case p => p.expressions }.flatten
+      .flatMap(_.collect { case g: VariantGet => g })
+    assert(vgs.isEmpty, s"live VariantGet in the plan:\n$exec")
+    val scan = exec.collect { case b: BatchScanExec => b }.head
+    // the variant payload is pruned from the read schema entirely
+    assert(!scan.output.map(_.name).contains("v"),
+      s"variant column still read: ${scan.output}")
+    // the range filter reached the scan as a plain pushed filter
+    assert(scan.toString.contains("v_price"),
+      s"shred filter not pushed:\n$scan")
+    // chunk pruning: the selective probe plans fewer partitions than
+    // the full scan of the same leaf
+    val fullScan = spark.sql("SELECT v_price FROM vshred")
+      .queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head
+    assert(scan.inputRDD.partitions.length <
+      fullScan.inputRDD.partitions.length,
+      s"no chunk pruning: ${scan.inputRDD.partitions.length} vs " +
+        s"${fullScan.inputRDD.partitions.length}")
+    // pruning soundness on the shredded leaf: random ranges return
+    // exactly the arithmetic truth (pruning never drops a match)
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 20).foreach { _ =>
+      val lo = rnd.nextInt(11000) - 500
+      val hi = lo + rnd.nextInt(2000)
+      val got = spark.sql(
+        s"""SELECT COUNT(*) AS n FROM vshred
+           |WHERE variant_get(v, '$$.price', 'bigint')
+           |  BETWEEN $lo AND $hi""".stripMargin).head().getLong(0)
+      val expect = math.max(0, math.min(hi, 9999) - math.max(lo, 0) + 1)
+      assert(got == expect, s"range [$lo,$hi]: $got vs $expect")
+    }
   }
 }
