@@ -93,9 +93,9 @@ object Bench {
     * (costs bytes, never correctness).
     */
   def toJsonHeadline(results: Seq[(String, Double)], sf: String): String = {
-    // Negatives are sentinels; format them with the same %.3f path so
-    // a non(-1) sentinel (e.g. timeout vs failure) keeps its identity
-    // relative to BENCH_LOCAL.json instead of collapsing to "-1.0".
+    // Failures reach here as exactly -1.0 (timeInventory collapses
+    // every failure mode to that one sentinel); the common %.3f path
+    // prints it as -1.000.
     def shortMs(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val ids = results.map(_._1.takeWhile(_ != '_'))

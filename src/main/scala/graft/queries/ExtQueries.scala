@@ -4546,6 +4546,10 @@ object ExtQueries {
     hybridDenseQ,
     dialect("v16_pq_adc", knnPqSql),
     knnIvfPqQ,
+    // v17's serving plan re-pointed at the LEARNED quantizer: learned
+    // cells route, learned-cell codebooks score — nothing label-derived
+    // anywhere in the serving path.
+    knnIvfPqLearnedQ,
     dialect("v18_pq_recall", pqRecallSql),
     dialect("m01_multimodal_stubmeta", multimodalSql),
     multimodalDecode,
@@ -6549,6 +6553,168 @@ object ExtQueries {
       s"""WITH ${ivfIndexedTopkCtes("v20_probe", "v20_idx")}
          |SELECT qid, nid, cos FROM ivtopk WHERE rn <= 5""".stripMargin)
   }, Some(kmProbeSql(DuckD)))
+
+  // ------------------------------------- IVFPQ over the learned model
+
+  /** Learned-cell PQ codebooks from the final-round training stats:
+    * each of the <= $KmK learned cells contributes one codebook entry —
+    * its exact micro-unit component sums (the `s3` relation v19 already
+    * computes) divided by the DIVISIBLE floor division of the pqCtes
+    * spelling ((v - posmod(v, n)) div n — Spark's truncating `div` and
+    * DuckDB's flooring `//` agree only on adjusted numerators). This
+    * replaces v16/v17's per-LABEL floor-mean codebooks: nothing
+    * label-derived remains anywhere in the quantization stack.
+    */
+  private def kmPqCbSql(d: Dial, s3: String): String = {
+    val comps = (0 until 64).map { i =>
+      d.intDiv(s"(s$i - (((s$i % n) + n) % n))", "n")
+    }
+    val arr = d match {
+      case SparkD => s"array(${comps.mkString(",\n      ")})"
+      case DuckD  => s"[${comps.mkString(",\n      ")}]"
+    }
+    s"""SELECT c, cm FROM (SELECT cid AS c, $arr AS cm FROM $s3) t
+       |ORDER BY c LIMIT $PqK""".stripMargin
+  }
+
+  /** PQ encode CTEs against the LEARNED codebooks: `em` (micro-int
+    * corpus vectors), `cb` (the $KmK learned-cell codebook — a view or
+    * the inline [[kmPqCbSql]]), `sub`/`subc` (subvectors), `enc` (the
+    * per-(vec, subspace) argmin code) — the pqCtes shapes with the
+    * codebook input swapped, kept name-compatible so [[pqDtCtes]] and
+    * [[pqRerankTail]] serve both stacks from one spelling.
+    */
+  private def kmPqEncCtes(d: Dial, cbDef: Option[String]): String = {
+    val micro = "CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)"
+    val vm = d.transform("embedding", "x", micro)
+    val subU = (0 until PqM).map(s =>
+      s"SELECT vec_id, $s AS s, ${pqSl(d, "vm", s)} AS sv FROM em")
+      .mkString("\n  UNION ALL ")
+    val subcU = (0 until PqM).map(s =>
+      s"SELECT c, $s AS s, ${pqSl(d, "cm", s)} AS sc FROM cb")
+      .mkString("\n  UNION ALL ")
+    val cbCte = cbDef.map(sql => s"cb AS ($sql),\n").getOrElse("")
+    s"""em AS (SELECT vec_id, $vm AS vm FROM embeddings
+       |  WHERE ${d.dot("embedding", "embedding")} > 0),
+       |${cbCte}sub AS (
+       |  $subU),
+       |subc AS (
+       |  $subcU),
+       |enc AS (SELECT vec_id, s, c AS code FROM (
+       |    SELECT v.vec_id, v.s, c.c,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+       |        ORDER BY ${pqL2(d, "v.sv", "c.sc")}, c.c) AS rn
+       |    FROM sub v JOIN subc c ON c.s = v.s) x
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** Materialized learned-cell codebook table (c, cm) — <= $KmK rows,
+    * the quantizer half of the LEARNED IVFPQ index. */
+  private[graft] def kmPqCbPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = Tables.cachePath(dir, "kmeans_pq_cb")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.registerAll(spark, dir)
+      kmTrainViews(spark)
+      spark.sql(kmPqCbSql(SparkD, "v19_s3")).coalesce(1)
+        .write.format("columnfile").mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** Materialized PQ codes partitioned by LEARNED cell: per vector, its
+    * v19-trained cell assignment (read from the kmeans index — built
+    * once, never re-derived) and its M=4 codes against the learned-cell
+    * codebooks. The [[pqCodesPath]] economics with every label-derived
+    * input replaced by the trained model.
+    */
+  private[graft] def kmPqCodesPath(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = Tables.cachePath(dir, "kmeans_pq_codes")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.registerAll(spark, dir)
+      spark.read.format("columnfile").load(kmeansIndexPath(spark, dir))
+        .selectExpr("vec_id", "cell").createOrReplaceTempView("kmpq_cells")
+      spark.read.format("columnfile").load(kmPqCbPath(spark, dir))
+        .createOrReplaceTempView("kmpq_cb")
+      spark.sql(
+        s"""WITH ${kmPqEncCtes(SparkD,
+                Some("SELECT c, cm FROM kmpq_cb"))}
+           |SELECT e.vec_id, i.cell, e.s, e.code
+           |FROM enc e JOIN kmpq_cells i ON i.vec_id = e.vec_id""".stripMargin)
+        .repartition(org.apache.spark.sql.functions.col("cell"))
+        .sortWithinPartitions("vec_id")
+        .write.format("columnfile").partitionBy("cell")
+        .mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** v21: IVFPQ over the LEARNED quantizer — v17's serving plan with
+    * nothing label-derived anywhere in it (the round-15 verdict's top
+    * task): v19's trained centroids route cells (the materialized
+    * kmeans router), the code table is partitioned by learned cell,
+    * and the codebooks are the learned cells' exact floor-means. The
+    * probe reads the router slice (broadcast), the probed learned
+    * cells' code directories (partition pruning), the <= $KmK-row
+    * codebook table, and 20 full vectors per query by vec_id — never
+    * the corpus embeddings. Train once, serve many
+    * (tools/columnfile-sort.cc:337-342), now for the ENTIRE serving
+    * path. The oracle recomputes the full chain inline: k-means
+    * training to k2, final assignment + probes from b3, learned-cell
+    * codebooks from s3, codes, ADC, exact rerank.
+    */
+  private def knnIvfPqLearnedQ: Q = {
+    val oracle =
+      s"""WITH ${kmChainCtes(DuckD)},
+         |kassign AS (SELECT vec_id, cid AS cell FROM b3 WHERE rn = 1),
+         |kprobe AS (SELECT vec_id AS qid, cid AS pcell
+         |  FROM b3 WHERE vec_id < 20 AND rn <= 2),
+         |${kmPqEncCtes(DuckD, Some(kmPqCbSql(DuckD, "s3")))},
+         |qs AS (SELECT vec_id AS qid, vm AS qm FROM em WHERE vec_id < 20),
+         |${pqDtCtes(DuckD)},
+         |adc AS (SELECT p.qid, a.vec_id AS nid,
+         |    CAST(SUM(t.d2) AS BIGINT) AS adc
+         |  FROM kprobe p
+         |  JOIN kassign a ON a.cell = p.pcell
+         |  JOIN enc k ON k.vec_id = a.vec_id
+         |  JOIN dt t ON t.qid = p.qid AND t.s = k.s AND t.c = k.code
+         |  WHERE a.vec_id <> p.qid
+         |  GROUP BY p.qid, a.vec_id),
+         |${pqRerankTail(DuckD)}""".stripMargin
+    Q("v21_knn_ivfpq_learned", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val codes = kmPqCodesPath(spark, dir)
+      val cbp = kmPqCbPath(spark, dir)
+      spark.read.format("columnfile").option("runtimeFiltering", "false")
+        .load(kmeansRouterPath(spark, dir)).where("qid < 20")
+        .createOrReplaceTempView("v21_probe")
+      spark.read.format("columnfile").load(codes)
+        .createOrReplaceTempView("v21_codes")
+      spark.read.format("columnfile").load(cbp)
+        .createOrReplaceTempView("v21_cb")
+      val micro = "CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)"
+      val subcU = (0 until PqM).map(s =>
+        s"SELECT c, $s AS s, ${pqSl(SparkD, "cm", s)} AS sc FROM v21_cb")
+        .mkString("\n  UNION ALL ")
+      spark.sql(
+        s"""WITH qs AS (SELECT vec_id AS qid,
+           |    ${SparkD.transform("embedding", "x", micro)} AS qm
+           |  FROM embeddings WHERE vec_id < 20
+           |    AND ${SparkD.dot("embedding", "embedding")} > 0),
+           |subc AS (
+           |  $subcU),
+           |${pqDtCtes(SparkD)},
+           |adc AS (SELECT /*+ BROADCAST(p) */ p.qid, k.vec_id AS nid,
+           |    CAST(SUM(t.d2) AS BIGINT) AS adc
+           |  FROM v21_probe p
+           |  JOIN v21_codes k ON k.cell = p.pcell
+           |  JOIN dt t ON t.qid = p.qid AND t.s = k.s AND t.c = k.code
+           |  WHERE k.vec_id <> p.qid
+           |  GROUP BY p.qid, k.vec_id),
+           |${pqRerankTail(SparkD)}""".stripMargin)
+    }, Some(oracle))
+  }
 
   // ------------------------------------------- materialized text index
 

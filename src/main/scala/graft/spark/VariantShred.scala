@@ -41,19 +41,56 @@ import org.apache.spark.unsafe.types.UTF8String
   * The rewrite is a pure optimization: without the rule (a session
   * that didn't load [[GraftExtensions]]) the same query computes the
   * same result by evaluating variant_get post-scan.
+  *
+  * Soundness guards (provenance is recorded by column NAME, so the
+  * rule must refuse every shape where a name is not proof):
+  *   - AMBIGUITY: the rewrite fires only when the child exposes
+  *     exactly ONE attribute named like the variant column and
+  *     exactly ONE provenance-matching shred. A Join child merging
+  *     two same-named variants (a self-join of a shredded table, or
+  *     two tables whose variant columns share a name) would otherwise
+  *     let the first name-match substitute the OTHER side's leaf.
+  *   - TYPE SAFETY: only timezone-insensitive target types are
+  *     rewritten ([[VariantShred.safeTargetType]]) — a timestamp
+  *     shred would bake the WRITER's session timezone into reads
+  *     running under a different one.
+  *   - STRICTNESS: shreds must be derived with strict `variant_get`
+  *     (the writer's contract — [[ColumnFileWrite]]'s `shred` option
+  *     and every hand-built shred in this repo do). Under that
+  *     contract a successful write proves every row casts cleanly,
+  *     so rewriting either `variant_get` or `try_variant_get` to the
+  *     stored leaf is value-identical.
   */
 object VariantShred {
   val ShredOfKey = "graft.shredOf"
   val ShredPathKey = "graft.shredPath"
 
   /** Field metadata marking a column as the shred of `variantCol` at
-    * `path` (e.g. `shredMeta("v", "$.price")`).
+    * `path` (e.g. `shredMeta("v", "$.price")`). The stored leaf MUST
+    * equal strict `variant_get(variantCol, path, <leaf type>)` row for
+    * row — derive it from exactly that expression at write time.
     */
   def shredMeta(variantCol: String, path: String): Metadata =
     new MetadataBuilder()
       .putString(ShredOfKey, variantCol)
       .putString(ShredPathKey, path)
       .build()
+
+  /** Target types the rewrite may substitute: value-complete and
+    * timezone-insensitive. Timestamps are excluded — their variant
+    * cast consults the session timezone, so a leaf materialized under
+    * the writer's zone is not the same function as a read-time
+    * `variant_get` under another.
+    */
+  def safeTargetType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+          FloatType | BooleanType | StringType | BinaryType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
 }
 
 object VariantShredRewrite extends Rule[LogicalPlan] {
@@ -64,18 +101,30 @@ object VariantShredRewrite extends Rule[LogicalPlan] {
         a.metadata.contains(ShredOfKey))) =>
       p.transformExpressionsUp {
         case vg @ VariantGet(v: AttributeReference,
-            Literal(path: UTF8String, StringType), dt, _, _) =>
+            Literal(path: UTF8String, StringType), dt, _, _)
+            if safeTargetType(dt) =>
           // the shred must live in the SAME child's output as the
           // variant column it was derived from (a name match across
-          // different join sides must not fire)
+          // different join sides must not fire), and — because the
+          // provenance key is a NAME, not an exprId — the match must
+          // be UNAMBIGUOUS: a Join is one child, so a self-join of a
+          // shredded table exposes two attributes named `v` and two
+          // matching shreds; substituting "the first" could return
+          // the other row's value. Fire only when the child shows
+          // exactly one candidate of each.
           p.children.iterator.flatMap { ch =>
             if (!ch.outputSet.contains(v)) Iterator.empty
-            else ch.output.iterator.filter { a =>
-              a.metadata.contains(ShredOfKey) &&
-                a.metadata.getString(ShredOfKey) == v.name &&
-                a.metadata.contains(ShredPathKey) &&
-                a.metadata.getString(ShredPathKey) == path.toString &&
-                a.dataType == dt
+            else {
+              val sameNamed = ch.output.count(_.name == v.name)
+              val shreds = ch.output.filter { a =>
+                a.metadata.contains(ShredOfKey) &&
+                  a.metadata.getString(ShredOfKey) == v.name &&
+                  a.metadata.contains(ShredPathKey) &&
+                  a.metadata.getString(ShredPathKey) == path.toString &&
+                  a.dataType == dt
+              }
+              if (sameNamed == 1 && shreds.size == 1) shreds.iterator
+              else Iterator.empty
             }
           }.nextOption().getOrElse(vg)
       }

@@ -468,6 +468,73 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("v21 learned-IVFPQ code scan prunes to the probed LEARNED cells; " +
+    "the ADC aggregate is fed by codes, never a corpus-embedding scan") {
+    Tables.registerAll(spark, dir)
+    val codesPath = ExtQueries.kmPqCodesPath(spark, dir)
+    val routerPath = ExtQueries.kmeansRouterPath(spark, dir)
+    val allCells = new java.io.File(codesPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName)
+    assert(allCells.length <= 8 && allCells.length >= 2,
+      s"expected 2..8 learned cell dirs: ${allCells.toSeq}")
+    def executedCells(d: org.apache.spark.sql.DataFrame): Set[String] = {
+      d.collect()
+      val scans = d.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      val idxScans = scans.filter(s => s.output.exists(_.name == "cell") &&
+        s.output.exists(_.name == "code"))
+      assert(idxScans.nonEmpty, "learned code-table scan not found in plan")
+      idxScans.flatMap(_.inputRDD.partitions).flatMap {
+        case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          p.inputPartitions
+      }.flatMap {
+        case p: graft.spark.CfPartition => p.partitionValues.toSeq
+      }.toSet
+    }
+    // single query: exactly its nprobe=2 learned cells, via the same
+    // broadcast-router runtime-filter path the query uses
+    val one = spark.read.format("columnfile").load(routerPath)
+      .where("qid < 1").collect()
+      .map(_.getAs[Number]("pcell").longValue.toString).toSet
+    assert(one.size == 2, s"one-query probes: $one")
+    spark.read.format("columnfile").option("runtimeFiltering", "false")
+      .load(routerPath).where("qid < 1").createOrReplaceTempView("kmpq_probe1")
+    spark.read.format("columnfile").load(codesPath)
+      .createOrReplaceTempView("kmpq_codes_plan")
+    val oneScan = spark.sql(
+      """SELECT /*+ BROADCAST(p) */ k.vec_id, k.cell, k.code
+        |FROM kmpq_probe1 p JOIN kmpq_codes_plan k ON k.cell = p.pcell""".stripMargin)
+    assert(executedCells(oneScan) == one,
+      s"executed ${executedCells(oneScan)}, probed $one")
+    // full v21 plan: the ADC aggregate reads the learned code table;
+    // any embeddings leaf under it is the bounded query-vector scan
+    val v21 = graft.SparkEntry.queries("v21_knn_ivfpq_learned")(spark, dir)
+    v21.collect()
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val adcAggs = v21.queryExecution.executedPlan.collect {
+      case a: HashAggregateExec
+          if a.groupingExpressions.map(_.name).toSet == Set("qid", "vec_id") => a
+    }
+    assert(adcAggs.nonEmpty, "ADC aggregate not found")
+    adcAggs.foreach { a =>
+      val leafCols = a.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.output.map(_.name).toSet
+      }
+      assert(leafCols.exists(_.contains("code")),
+        s"ADC aggregate not fed by the learned code table: $leafCols")
+      leafCols.filter(_.contains("embedding")).foreach { cols =>
+        val scans = a.collectLeaves().collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+              if b.output.map(_.name).toSet == cols => b.toString
+        }
+        assert(scans.forall(_.contains("vec_id")),
+          s"unbounded corpus embedding scan under the ADC aggregate")
+      }
+    }
+  }
+
   test("t17 probe scan reads only the probed term-bucket directories") {
     val idxPath = ExtQueries.invIndexPath(spark, dir)
     val allTb = new java.io.File(idxPath).listFiles()

@@ -142,4 +142,79 @@ class VariantSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == expect, s"range [$lo,$hi]: $got vs $expect")
     }
   }
+
+  /** Writes a tiny shredded table: (id, v variant {p: id * mult},
+    * vp = shred of $.p) and registers it as `name`. */
+  private def writeShredded(name: String, mult: Int): Unit = {
+    val dir = Files.createTempDirectory(s"cf-vs-$name").toString
+    spark.sql(
+      s"""SELECT id, parse_json(concat('{"p":', id * $mult, '}')) AS v
+         |FROM range(100)""".stripMargin)
+      .select(col("id"), col("v"),
+        expr("variant_get(v, '$.p', 'bigint')")
+          .as("vp", VariantShred.shredMeta("v", "$.p")))
+      .write.format("columnfile").mode("overwrite").save(dir)
+    spark.read.format("columnfile").load(dir).createOrReplaceTempView(name)
+  }
+
+  test("the rewrite refuses ambiguous name matches: a join exposing two " +
+    "variants named v keeps variant_get live and stays correct") {
+    import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+    writeShredded("vs_left", 1)
+    writeShredded("vs_right", 1000)
+    // Both sides expose `v` and a shred of "v": after the join, a
+    // name-keyed substitution could serve the LEFT row's leaf for the
+    // RIGHT side's variant_get. The guard must refuse to fire here.
+    val q = spark.sql(
+      """SELECT l.id,
+        |  CAST(variant_get(l.v, '$.p', 'bigint') AS BIGINT) AS lp,
+        |  CAST(variant_get(r.v, '$.p', 'bigint') AS BIGINT) AS rp
+        |FROM vs_left l JOIN vs_right r ON l.id = r.id""".stripMargin)
+    val rows = q.collect()
+    assert(rows.length == 100)
+    rows.foreach { row =>
+      val id = row.getLong(0)
+      assert(row.getLong(1) == id, s"left leaf wrong for $id: $row")
+      assert(row.getLong(2) == id * 1000L, s"right leaf wrong for $id: $row")
+    }
+    val live = q.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case g: VariantGet => g })
+    assert(live.size == 2,
+      s"ambiguous shred match must not rewrite; live VariantGets: $live")
+    // the UNAMBIGUOUS single-table query over the same view still
+    // rewrites — the guard rejects joins of same-named variants, not
+    // ordinary scans
+    val solo = spark.sql(
+      """SELECT CAST(SUM(variant_get(v, '$.p', 'bigint')) AS BIGINT) AS s
+        |FROM vs_left""".stripMargin)
+    assert(solo.head.getLong(0) == (0L until 100L).sum)
+    val soloLive = solo.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case g: VariantGet => g })
+    assert(soloLive.isEmpty, "single-table shred read must still rewrite")
+  }
+
+  test("timezone-sensitive target types are never rewritten to a leaf") {
+    import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+    val dir = Files.createTempDirectory("cf-vs-ts").toString
+    // a STRING leaf falsely claiming to shred $.t at timestamp type
+    // cannot be matched (type differs), and even a timestamp-typed
+    // leaf must not substitute: the variant->timestamp cast is
+    // session-timezone-dependent
+    spark.sql(
+      """SELECT id, parse_json(concat('{"t":"2026-0', 1 + id % 9,
+        |  '-01 00:00:00"}')) AS v FROM range(20)""".stripMargin)
+      .select(col("id"), col("v"),
+        expr("variant_get(v, '$.t', 'timestamp')")
+          .as("vt", VariantShred.shredMeta("v", "$.t")))
+      .write.format("columnfile").mode("overwrite").save(dir)
+    spark.read.format("columnfile").load(dir)
+      .createOrReplaceTempView("vs_ts")
+    val q = spark.sql(
+      "SELECT variant_get(v, '$.t', 'timestamp') AS t FROM vs_ts")
+    val live = q.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case g: VariantGet => g })
+    assert(live.nonEmpty,
+      "timestamp variant_get must stay live (timezone-sensitive)")
+    assert(q.collect().length == 20)
+  }
 }
