@@ -3431,86 +3431,106 @@ object ExtQueries {
 
   /** p20 shard relation: the composed pipeline deliverable. t16's
     * three learned merges (shared bpeRound spelling) re-tokenize every
-    * qualifying word ([a-z]{2,} — t16/t18's training domain), per-doc
-    * BPE token counts fold back onto ALL docs (LEFT JOIN + COALESCE:
-    * a doc with no qualifying words still belongs to its split and
-    * shard with 0 tokens), p13's deterministic 98/1/1 split and p04's
-    * per-(split, lang, shard) running-sum packing assign (bin, rn),
-    * and the final row set is exactly what the partitioned shard
-    * write stores: (split, lang, shard, bin, rn, doc_id, btoks).
-    * rn/bin are STORED, so the pack order survives the write and the
-    * read-back checksum is order-sensitive without depending on scan
-    * order.
+    * qualifying word ([a-z]{2,} — t16/t18's training domain) into the
+    * per-doc TOKEN-ID ARRAY a trainer actually consumes: one nested
+    * array expression per document (filter the word array, apply the
+    * three learned merges inside the lambda, split to symbols, hash
+    * each symbol to its id, flatten in word order) — NO explode, NO
+    * per-word shuffle, NO per-doc aggregate: tokenization is purely
+    * map-side against the three broadcast 1-row merge relations, and a
+    * doc with no qualifying words carries an empty array. Token ids
+    * are the engine-shared polynomial hash of the merged symbol (the
+    * hashing trick's id space: deterministic, stable under vocabulary
+    * growth, identical across engines). p13's deterministic 98/1/1
+    * split and p04's per-(split, lang, shard) running-sum packing
+    * assign (bin, rn), and the final row set is exactly what the
+    * partitioned shard write stores: (split, lang, shard, bin, rn,
+    * doc_id, btoks, toks). rn/bin are STORED, so the pack order
+    * survives the write, and `toks` makes the shards the
+    * trainer-ready artifact — the read-back checksum folds each doc's
+    * ids ORDER-SENSITIVELY.
     */
   private def p20ShardBody(d: Dial, w0: String): String = {
-    def rep(r: Int, prev: String): String =
-      s"""pc$r AS (SELECT doc_id, ${bpeApplyMerge} AS s
-         |  FROM $prev CROSS JOIN m$r)""".stripMargin
-    val pm = s"((dd.doc_id % $P) * 2654435761) % $P % 1000"
+    val pm = s"((doc_id % $P) * 2654435761) % $P % 1000"
+    // one learned merge applied to the delimited sequence EXPRESSION
+    // `s` (bpeApplyMerge's spelling over an aliased 1-row merge column)
+    def rep(s: String, mp: String): String =
+      s"replace($s, '(' || replace($mp, ' ', ')(') || ')', " +
+        s"'(' || replace($mp, ' ', '') || ')')"
+    val s3 = rep(rep(rep(bpeSeq0(d), "mp1"), "mp2"), "mp3")
+    val ids = d.transform(bpeSyms(d, s"($s3)"), "y", d.rollHash("y"))
+    val words = d.filter(d.split("lower(dd.text)"), "w",
+      "length(w) >= 2 AND regexp_extract(w, '^[a-z]+$$', 0) = w")
     s"""${bpeRound(d, 1, w0)},
        |${bpeRound(d, 2, "w1")},
        |${bpeRound(d, 3, "w2")},
-       |pcw AS (SELECT doc_id, ${bpeSeq0(d)} AS s
-       |  FROM (SELECT doc_id, w FROM documents
-       |        ${d.explode(d.split("lower(text)"), "w")}) t0
-       |  WHERE length(w) >= 2 AND regexp_extract(w, '^[a-z]+$$', 0) = w),
-       |${rep(1, "pcw")},
-       |${rep(2, "pc1")},
-       |${rep(3, "pc2")},
-       |pbt AS (SELECT doc_id,
-       |    CAST(SUM(${d.size(bpeSyms(d, "s"))}) AS BIGINT) AS b
-       |  FROM pc3 GROUP BY doc_id),
-       |pd AS (SELECT dd.doc_id, dd.lang,
+       |ptok AS (SELECT dd.doc_id, dd.lang,
+       |    flatten(${d.transform(words, "w", ids)}) AS toks
+       |  FROM documents dd
+       |  CROSS JOIN (SELECT mp AS mp1 FROM m1) _m1
+       |  CROSS JOIN (SELECT mp AS mp2 FROM m2) _m2
+       |  CROSS JOIN (SELECT mp AS mp3 FROM m3) _m3),
+       |pd AS (SELECT doc_id, lang,
        |    CASE WHEN $pm < 980 THEN 'train'
        |         WHEN $pm < 990 THEN 'val' ELSE 'test' END AS split,
-       |    (dd.doc_id % 32) AS shard,
-       |    COALESCE(pbt.b, 0) AS btoks
-       |  FROM documents dd LEFT JOIN pbt ON pbt.doc_id = dd.doc_id),
-       |pk AS (SELECT doc_id, lang, split, shard, btoks,
+       |    (doc_id % 32) AS shard,
+       |    CAST(${d.size("toks")} AS BIGINT) AS btoks, toks
+       |  FROM ptok),
+       |pk AS (SELECT doc_id, lang, split, shard, btoks, toks,
        |    SUM(btoks) OVER (PARTITION BY split, lang, shard
        |      ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY split, lang, shard
        |      ORDER BY doc_id) AS BIGINT) AS rn
        |  FROM pd),
-       |pb AS (SELECT split, lang, shard, doc_id, btoks, rn,
+       |pb AS (SELECT split, lang, shard, doc_id, btoks, rn, toks,
        |    CAST(${d.intDiv("(cum - btoks)", "2048")} AS BIGINT) AS bin
        |  FROM pk)""".stripMargin
   }
 
   /** The per-(split, lang) rollup both sides compute — Spark from the
-    * READ-BACK shards (stored rn/bin), the oracle from the relation
-    * directly. The checksum is the FIXTURES.md order-sensitive shape:
-    * any doc in the wrong shard, bin, or pack position changes it.
+    * READ-BACK shards (stored rn/bin/toks), the oracle from the
+    * relation directly. pack_checksum is the FIXTURES.md
+    * order-sensitive shape over pack positions; tok_checksum folds
+    * each doc's STORED token ids in sequence order ((acc*31 + id) mod
+    * P), doc-weighted — a wrong id, a swapped pair, or a truncated
+    * array all break the hash, so the check proves the written arrays
+    * order-exactly as a shard consumer would read them.
     */
-  private def p20RollupSql(from: String): String =
+  private def p20RollupSql(d: Dial, from: String): String = {
+    val tokFold = d.fold0("toks", "acc", "v", s"(acc * 31 + v) % $P")
     s"""SELECT split, lang AS l, COUNT(*) AS n_docs,
        |  CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
        |  CAST(COUNT(DISTINCT shard * 1000000 + bin) AS BIGINT) AS n_bins,
        |  CAST(SUM(btoks) AS BIGINT) AS total_btoks,
        |  CAST(SUM((((bin * 8191 + rn) % $P) * (doc_id % $P)) % $P) % $P
-       |    AS BIGINT) AS pack_checksum
+       |    AS BIGINT) AS pack_checksum,
+       |  CAST(SUM((($tokFold % $P) * ((doc_id % $P) % 8191 + 1)) % $P)
+       |    % $P AS BIGINT) AS tok_checksum
        |FROM $from GROUP BY split, lang""".stripMargin
+  }
 
   private def p20OracleSql(d: Dial): String =
     s"""WITH w0 AS (${bpeVocabSql(d)}),
        |${p20ShardBody(d, "w0")}
-       |${p20RollupSql("pb")}""".stripMargin
+       |${p20RollupSql(d, "pb")}""".stripMargin
 
   /** p20: the tokenized-shard CAPSTONE — the pipeline's actual
     * deliverable, composed from the layers the inventory built
     * separately: t16's learned merges → t18's encode → p13's
     * deterministic split → p04's token-budget packing → a cf shard
-    * write PARTITIONED BY (split, lang), then the audit readout from
-    * the written shards themselves. Scale shape: the merge relations
-    * are 1-row broadcasts (the t16 bound), the per-doc token fold and
-    * the doc join are the only corpus-keyed shuffles before the ONE
+    * write PARTITIONED BY (split, lang) — each row carrying the doc's
+    * encoded TOKEN-ID ARRAY (the array<bigint> leaf a trainer reads) —
+    * then the audit readout from the written shards themselves. Scale
+    * shape: the merge relations are 1-row broadcasts (the t16 bound)
+    * and tokenization is a pure map-side array expression, so the ONE
     * pack-window shuffle (partitioned by (split, lang, shard) — never
-    * unpartitioned), and the write adds no exchange of its own (the
-    * connector requests no distribution): each task streams its
-    * window partitions straight into split=/lang= directories. The
-    * read-back rollup proves what a consumer of the shards would see,
-    * not what the writer intended.
+    * unpartitioned) is the only corpus exchange in the whole plan, and
+    * the write adds no exchange of its own (the connector requests no
+    * distribution): each task streams its window partitions straight
+    * into split=/lang= directories. The read-back rollup proves what a
+    * consumer of the shards would see — including the order-sensitive
+    * fold of the stored token sequences — not what the writer intended.
     */
   private def tokenizedShardsQ: Q = Q("p20_tokenized_shards",
     (spark, dir) => {
@@ -3521,14 +3541,14 @@ object ExtQueries {
           .createOrReplaceTempView("p20_w0")
         spark.sql(
           s"""WITH ${p20ShardBody(SparkD, "p20_w0")}
-             |SELECT split, lang, shard, doc_id, btoks, rn, bin
+             |SELECT split, lang, shard, doc_id, btoks, rn, bin, toks
              |FROM pb""".stripMargin)
           .write.format("columnfile").partitionBy("split", "lang")
           .mode("overwrite").save(out)
       }
       spark.read.format("columnfile").load(out)
         .createOrReplaceTempView("p20_shards")
-      spark.sql(p20RollupSql("p20_shards"))
+      spark.sql(p20RollupSql(SparkD, "p20_shards"))
     }, Some(p20OracleSql(DuckD)))
 
   // ------------------------------------------------------- relevance ranking
@@ -4636,7 +4656,7 @@ object ExtQueries {
         .createOrReplaceTempView("p20_w0")
       spark.sql(
         s"""WITH ${p20ShardBody(SparkD, "p20_w0")}
-           |SELECT split, lang, shard, doc_id, btoks, rn, bin
+           |SELECT split, lang, shard, doc_id, btoks, rn, bin, toks
            |FROM pb""".stripMargin)
     }
     def classifierViews(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -109,7 +109,7 @@ object Tables {
   // materialized IVF/PQ indexes built before the cap carry a
   // (potentially) different coarse model; also retires pre-_COMPLETE
   // q66 delta dirs gated only by the sink's per-epoch _SUCCESS
-  private[queries] val CacheVersion = "v5"
+  private[queries] val CacheVersion = "v6"
 
   // per-dir content stamp, memoized: (name, length, mtime) over the
   // dir's parquet files — RECURSIVE, because a Spark-written table is a
