@@ -4247,6 +4247,166 @@ object ExtQueries {
            |FROM sc GROUP BY lang, cls""".stripMargin)
     }, Some(t20ApplySql(DuckD)))
 
+  // --------------------------------------- held-out classifier eval
+
+  /** p13's deterministic split hash over a doc_id column (train < 980,
+    * test >= 990 — the same spelling p13/p14/p20 share). */
+  private def t21Pm(col: String): String =
+    s"(($col % $P) * 2654435761) % $P % 1000"
+
+  /** Scrambled teacher labels: a deterministic pseudo-random HALF of
+    * the docs get their label flipped (multiplier 1103515245 — a
+    * DIFFERENT public LCG constant than the split hash, so the flip
+    * set is uncorrelated with split membership). Cuts the
+    * feature–label link while preserving both marginals — the null
+    * model the learned numbers are read against.
+    */
+  private def t21ScrLabSql(lab: String): String =
+    s"""SELECT doc_id,
+       |  CASE WHEN ((doc_id % $P) * 1103515245) % $P % 2 = 0
+       |       THEN y ELSE -y END AS y
+       |FROM $lab""".stripMargin
+
+  /** Test-split predictions under weight relation `w`: one join of the
+    * test design-matrix rows against the <= 1024-row broadcast weight
+    * relation; pred = sign(margin), t19's margin convention (>= 0 ->
+    * +1). */
+  private def t21PredSql(xte: String, w: String): String =
+    s"""SELECT x.doc_id,
+       |  CASE WHEN CAST(SUM(x.x * w.w) AS BIGINT) >= 0
+       |       THEN 1 ELSE -1 END AS p
+       |FROM $xte x JOIN $w w ON w.bucket = x.bucket
+       |GROUP BY x.doc_id""".stripMargin
+
+  /** Per-language confusion counts of predictions `pred` against the
+    * TRUE teacher labels — both models are scored against the same
+    * truth; the scrambled model's row is the chance floor. */
+  private def t21ConfSql(model: String, pred: String, lab: String): String =
+    s"""SELECT '$model' AS model, dd.lang AS l,
+       |  CAST(SUM(CASE WHEN p.p = 1 AND l.y = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN p.p = 1 AND l.y = -1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN p.p = -1 AND l.y = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS fn,
+       |  CAST(SUM(CASE WHEN p.p = -1 AND l.y = -1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS tn
+       |FROM ($pred) p
+       |JOIN $lab l ON l.doc_id = p.doc_id
+       |JOIN documents dd ON dd.doc_id = p.doc_id
+       |GROUP BY dd.lang""".stripMargin
+
+  /** Final readout over the union of both models' confusion relations:
+    * fixed-point precision/recall (div-by-zero guarded with GREATEST —
+    * a class absent from a language's test slice reads 0, not an
+    * error). */
+  private def t21ReadoutSql(d: Dial, confUnion: String): String =
+    s"""SELECT model, l, tp, fp, fn, tn,
+       |  CAST(${d.intDiv("tp * 1000", "GREATEST(tp + fp, 1)")} AS BIGINT)
+       |    AS prec_milli,
+       |  CAST(${d.intDiv("tp * 1000", "GREATEST(tp + fn, 1)")} AS BIGINT)
+       |    AS rec_milli
+       |FROM ($confUnion) u""".stripMargin
+
+  /** The oracle's unrolled double chain: design matrix + teacher
+    * labels, TRAIN-split rows, zero weights, then $T19Epochs damped
+    * epochs twice — once on true labels (tw*), once on scrambled
+    * (sw*) — each CTE materialized (the t19 2^epochs lesson), then
+    * test-split predictions and confusion rows for both models.
+    */
+  private def t21EvalSql(d: Dial): String = {
+    val m = d.cteMat
+    def chain(pfx: String, labRel: String): String =
+      (1 to T19Epochs).map { r =>
+        val prev = if (r == 1) "zw" else s"${pfx}w${r - 1}"
+        s"""${pfx}mis$r AS $m(${t19MisSql(d, "xtr", labRel, prev)}),
+           |${pfx}w$r AS $m(${t19StepSql(d, prev,
+              s"(${t19GradSql(d, "xtr", s"${pfx}mis$r")})", r)})""".stripMargin
+      }.mkString(",\n")
+    s"""WITH xdb AS $m(${t19XSql(d)}),
+       |lab AS $m(${t19LabSql(d, "xdb")}),
+       |labs AS $m(${t21ScrLabSql("lab")}),
+       |xtr AS $m(SELECT * FROM xdb WHERE ${t21Pm("doc_id")} < 980),
+       |xte AS $m(SELECT * FROM xdb WHERE ${t21Pm("doc_id")} >= 990),
+       |zw AS $m(SELECT bucket, CAST(0 AS BIGINT) AS w
+       |  FROM (SELECT bucket FROM xdb GROUP BY bucket) b),
+       |${chain("t", "lab")},
+       |${chain("s", "labs")},
+       |ct AS (${t21ConfSql("learned",
+          t21PredSql("xte", s"tw$T19Epochs"), "lab")}),
+       |cs AS (${t21ConfSql("scrambled",
+          t21PredSql("xte", s"sw$T19Epochs"), "lab")})
+       |${t21ReadoutSql(d,
+          "SELECT * FROM ct UNION ALL SELECT * FROM cs")}""".stripMargin
+  }
+
+  /** Spark-side training relations for the eval: the shared cached
+    * design matrix/labels, the split slices, and BOTH epoch chains cut
+    * per epoch with localCheckpoint (the t19 iterated-state move,
+    * twice). */
+  private def t21Views(spark: org.apache.spark.sql.SparkSession): Unit = {
+    cacheOnce(spark.sql(t19XSql(SparkD))).createOrReplaceTempView("t19_x")
+    cacheOnce(spark.sql(t19LabSql(SparkD, "t19_x")))
+      .createOrReplaceTempView("t19_lab")
+    cacheOnce(spark.sql(t21ScrLabSql("t19_lab")))
+      .createOrReplaceTempView("t21_labs")
+    cacheOnce(spark.sql(
+      s"SELECT * FROM t19_x WHERE ${t21Pm("doc_id")} < 980"))
+      .createOrReplaceTempView("t21_xtr")
+    cacheOnce(spark.sql(
+      s"SELECT * FROM t19_x WHERE ${t21Pm("doc_id")} >= 990"))
+      .createOrReplaceTempView("t21_xte")
+    spark.sql(
+      """SELECT bucket, CAST(0 AS BIGINT) AS w
+        |FROM (SELECT bucket FROM t19_x GROUP BY bucket) b""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("t21_zw")
+    for ((pfx, labRel) <- Seq(("t", "t19_lab"), ("s", "t21_labs"));
+         r <- 1 to T19Epochs) {
+      val prev = if (r == 1) "t21_zw" else s"t21_${pfx}w${r - 1}"
+      spark.sql(t19MisSql(SparkD, "t21_xtr", labRel, prev))
+        .localCheckpoint()
+        .createOrReplaceTempView(s"t21_${pfx}mis$r")
+      spark.sql(t19StepSql(SparkD, prev,
+        s"(${t19GradSql(SparkD, "t21_xtr", s"t21_${pfx}mis$r")})", r))
+        .localCheckpoint()
+        .createOrReplaceTempView(s"t21_${pfx}w$r")
+    }
+  }
+
+  private def t21ReadoutDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    t21Views(spark)
+    spark.sql(
+      s"""WITH ct AS (${t21ConfSql("learned",
+           t21PredSql("t21_xte", s"t21_tw$T19Epochs"), "t19_lab")}),
+         |cs AS (${t21ConfSql("scrambled",
+           t21PredSql("t21_xte", s"t21_sw$T19Epochs"), "t19_lab")})
+         |${t21ReadoutSql(SparkD,
+           "SELECT * FROM ct UNION ALL SELECT * FROM cs")}""".stripMargin)
+  }
+
+  /** t21: HELD-OUT classifier evaluation — the v09/v10/v18
+    * measured-quality discipline applied to the classifier family
+    * (round-15 verdict task 3). Both models train on the p13 TRAIN
+    * split ONLY (the test docs are never in a gradient) and are scored
+    * on the TEST split against the teacher: per-language confusion
+    * counts plus fixed-point precision/recall, with the
+    * scrambled-label baseline's numbers beside the learned model's —
+    * the chance floor that makes the learned numbers meaningful (the
+    * classifier family's recall gate). Deliberately EAGER like t19,
+    * twice: 2 x $T19Epochs damped epochs per run is the honest cost of
+    * the two trainings; each epoch is two broadcast-keyed joins
+    * against a <= 1024-row weight relation over the CACHED train-split
+    * design matrix, so the per-epoch cost scales like t19's (1.4x per
+    * 10x data) and the eval itself is one test-split join + rollup.
+    */
+  private def classifierEvalQ: Q = Q("t21_classifier_eval",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      t21ReadoutDF(spark)
+    }, Some(t21EvalSql(DuckD)))
+
   /** t12: BPE first-merge statistics — the tokenizer-training side of a
     * corpus build (BPE/WordPiece training starts from exactly this
     * relation: adjacent-symbol pair frequencies over the word-split
@@ -4448,6 +4608,9 @@ object ExtQueries {
     classifierTrainQ,
     // t11 re-run over the LEARNED weights (the convergence gate).
     classifierApplyQ,
+    // HELD-OUT eval: train on the p13 train split, score the test
+    // split vs the teacher, scrambled-label chance floor beside it.
+    classifierEvalQ,
     // BPE first-merge pair statistics (tokenizer-training input).
     dialect("t12_bpe_pair_counts", bpePairsSql),
     // Source/domain-level filtering: blocklist + data-derived quality
@@ -4661,6 +4824,18 @@ object ExtQueries {
     }
     def classifierViews(spark: org.apache.spark.sql.SparkSession): Unit =
       t19Views(spark)
+    /** t21's full held-out harness over the registered `documents`
+      * view (train on the p13 train split, score the test split,
+      * scrambled twin beside it). */
+    def classifierEval(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = t21ReadoutDF(spark)
+    /** The t21 scramble membership (flip iff false) for fixture
+      * construction. */
+    def t21KeepsLabel(id: Long): Boolean =
+      ((id % 2147483647L) * 1103515245L) % 2147483647L % 2 == 0
+    /** The p13 split bucket of a doc id (train < 980, test >= 990). */
+    def splitBucket(id: Long): Long =
+      ((id % 2147483647L) * 2654435761L) % 2147483647L % 1000
     /** Train against a caller-supplied (doc_id, y) label relation —
       * the scrambled-label twin of the fixture test.
       */

@@ -908,6 +908,47 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scrambled labels must not separate; residual ${scr(13L)}")
   }
 
+  test("t21: held-out eval scores the separable fixture perfectly; the " +
+    "scrambled-label model misclassifies a planted test group") {
+    val sp = spark; import sp.implicits._
+    // Same teacher-aligned vocabulary construction as the t19 fixture:
+    // classes linearly separable in the hashed feature space.
+    val P = 2147483647L
+    val cand = (0 until 400).map(i => s"pw$i")
+    val wRows = cand.map { w =>
+      val b = spark.sql(s"SELECT pmod(graft_polyhash('$w'), 1024)")
+        .head().getLong(0)
+      (w, b, ((b * 2654435761L) % P) % 2001 - 1000)
+    }
+    val aText = wRows.filter(_._3 > 500).map(_._1).take(5).mkString(" ")
+    val bText = wRows.filter(_._3 < -500).map(_._1).take(5).mkString(" ")
+    // id range chosen so the SCRAMBLED epoch-1 residual points the
+    // planted B group's buckets the WRONG way (net flip imbalance +4):
+    // the scrambled model then predicts +1 on B's identical features
+    // while the teacher says -1 — the chance floor made visible.
+    val aIds = 4001L to 5000L
+    val bIds = 5001L to 6000L
+    val docs = aIds.map(i => (i, aText, "en")) ++
+      bIds.map(i => (i, bText, "en"))
+    docs.toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val teA = aIds.count(ExtQueries.TestSql.splitBucket(_) >= 990)
+    val teB = bIds.count(ExtQueries.TestSql.splitBucket(_) >= 990)
+    assert(teA > 3 && teB > 3, s"fixture test slice too small: $teA/$teB")
+    val rows = ExtQueries.TestSql.classifierEval(spark).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val (ltp, lfp, lfn, ltn, lprec, lrec) = rows("learned")
+    // the learned model, trained WITHOUT the test docs, is perfect on
+    // them: the classes are separable and the teacher is realizable
+    assert((ltp, lfp, lfn, ltn) == (teA.toLong, 0L, 0L, teB.toLong),
+      s"learned confusion: ${rows("learned")}")
+    assert(lprec == 1000L && lrec == 1000L)
+    val (stp, sfp, sfn, stn, _, _) = rows("scrambled")
+    assert(stp + sfp + sfn + stn == teA.toLong + teB.toLong)
+    assert(sfp + sfn >= 1L,
+      s"scrambled model must not be perfect: ${rows("scrambled")}")
+  }
+
   test("v19: one Lloyd round moves a centroid and reassigns the planted " +
     "vector; round 3 is converged") {
     val sp = spark; import sp.implicits._
