@@ -2746,6 +2746,90 @@ object ExtQueries {
         sum(col("members")).cast("long").as("n_members"))
   }
 
+  /** d20: SemDeDup over the LEARNED clustering — d16 upgraded to the
+    * paper's actual form (Abbas et al. 2023 cluster with k-means, not
+    * label-derived centroids): exact-duplicate collapse first, then
+    * each representative is assigned to its v19-trained cell (argmax
+    * cosine against the <= $KmK-row learned centroid broadcast — the
+    * training chain's own assignment spelling) and near-identical
+    * vectors are pruned WITHIN learned cells only, min-id-wins at
+    * cos >= $SemTau. This is also the proof that the trained model is
+    * consumable OUTSIDE its own retrieval family: the quantizer v19
+    * learned for ANN routing is exactly the cluster stage SemDeDup
+    * needs. 100 TB shape: identical to d16's (collapse bounds the
+    * within-cell product, centroids broadcast, one hash-shuffle
+    * report); production scales the trained k with corpus size (k ∝ n
+    * keeps E[cell] constant) — here k is the v19 model constant.
+    */
+  private def semanticDedupLearned: Q = {
+    val oracle = {
+      val d = DuckD
+      s"""WITH grp AS (SELECT embedding, MIN(vec_id) AS rep,
+         |             COUNT(*) AS members
+         |      FROM embeddings GROUP BY embedding),
+         |${kmChainCtes(d)},
+         |drep AS (SELECT k.vec_id, k.embedding, k.enorm
+         |  FROM kemb k JOIN grp g ON g.rep = k.vec_id),
+         |dassign AS (SELECT vec_id, cid AS clabel
+         |  FROM (${kmRankSql(d, "drep", "k2")}) r WHERE rn = 1),
+         |${semFinal(d, "dassign", "drep", "grp").replaceFirst("^WITH ", "")}"""
+        .stripMargin
+    }
+    Q("d20_semantic_dedup_learned", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      semanticDedupLearnedDF(spark)
+    }, Some(oracle))
+  }
+
+  /** Same cached-DF-instance discipline as [[semanticDedupDF]] (the
+    * analyzer relation-dedup cache-miss trap), with the assignment
+    * stage swapped for the learned-model ranking over the cached
+    * nonzero representative relation.
+    */
+  private def semanticDedupLearnedDF(
+      spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    kmTrainViews(spark)
+    val grp = cacheOnce(spark.sql(
+      """SELECT embedding, MIN(vec_id) AS rep, COUNT(*) AS members
+        |FROM embeddings GROUP BY embedding""".stripMargin))
+    grp.createOrReplaceTempView("sem_grp")
+    spark.sql(
+      "SELECT e.* FROM embeddings e JOIN sem_grp g ON e.vec_id = g.rep")
+      .createOrReplaceTempView("sem_reps")
+    val remb = cacheOnce(spark.sql(
+      s"""SELECT vec_id, embedding,
+         |  sqrt(${SparkD.dot("embedding", "embedding")}) AS enorm
+         |FROM sem_reps
+         |WHERE ${SparkD.dot("embedding", "embedding")} > 0""".stripMargin))
+    remb.createOrReplaceTempView("d20_remb")
+    val assign = cacheOnce(spark.sql(
+      s"""SELECT vec_id, cid AS clabel
+         |FROM (${kmRankSql(SparkD, "d20_remb", "v19_k2")}) r
+         |WHERE rn = 1""".stripMargin))
+    val a = assign.toDF("i", "ca")
+    val b = assign.toDF("j", "cb")
+    val x = remb.toDF("xi", "xe", "xn")
+    val y = remb.toDF("yi", "ye", "yn")
+    val pairs = a
+      .join(b, col("ca") === col("cb") && col("i") < col("j"))
+      .join(x, col("xi") === col("i"))
+      .join(y, col("yi") === col("j"))
+      .where(expr(s"graft_dot(xe, ye) / (xn * yn) >= $SemTau"))
+      .select(col("j"))
+    val dropped = pairs.distinct()
+    assign
+      .join(dropped, assign("vec_id") === dropped("j"), "left")
+      .join(grp.select(col("rep"), col("members")),
+        assign("vec_id") === col("rep"))
+      .groupBy(col("clabel").as("cell"))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(when(col("j").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_dropped"),
+        sum(col("members")).cast("long").as("n_members"))
+  }
+
   // ---------------------------------------------------------------- multimodal
 
   /** Multimodal PLUMBING-ONLY twin (hence `stubmeta` in the name): the
@@ -4574,6 +4658,10 @@ object ExtQueries {
     // SemDeDup: cluster-then-prune semantic dedup over exact-collapsed
     // embedding representatives; bounded per-cell report.
     semanticDedup,
+    // SemDeDup in the paper's form: the cluster stage is v19's TRAINED
+    // k-means model — the learned quantizer consumed outside its own
+    // retrieval family.
+    semanticDedupLearned,
     // Online near-dup detection (streaming MinHash-LSH band state).
     streamNearDup,
     dialect("v06_ann_cap_report", annCapReportSql),
@@ -4824,6 +4912,8 @@ object ExtQueries {
     }
     def classifierViews(spark: org.apache.spark.sql.SparkSession): Unit =
       t19Views(spark)
+    def semanticDedupLearned(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = semanticDedupLearnedDF(spark)
     /** t21's full held-out harness over the registered `documents`
       * view (train on the p13 train split, score the test split,
       * scrambled twin beside it). */

@@ -80,6 +80,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((0, 3L, 1L, 4L), (1, 2L, 0L, 2L)))
   }
 
+  test("d20: exact collapse + within-LEARNED-cell min-id-wins drop") {
+    val sp = spark; import sp.implicits._
+    def vec(pairs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      pairs.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    // Roles by the training chain's own seed hash (the v19 fixture
+    // discipline): the 8 hash-smallest present ids become the learned
+    // cells' seeds; later members join by argmax cosine.
+    val pool = (1L to 40L).sortBy(id =>
+      (ExtQueries.TestSql.kmeansSeedHash(id), id))
+    val seeds = pool.take(8)
+    val sA = seeds.head                 // axis-0 seed: the probed cell
+    val mDup = pool(8)                  // 9th hash: never a seed
+    val Seq(m1, m2) = pool.takeRight(2) // in-cell members
+    val vecs =
+      seeds.zipWithIndex.map { case (id, ax) => (id, vec(ax -> 1.0f)) } ++
+        Seq(
+          mDup -> vec(0 -> 1.0f),            // exact dup of the axis-0 vector
+          m1 -> vec(0 -> 1.0f, 1 -> 0.1f),   // cos ~0.995 vs axis-0 -> dropped
+          m2 -> vec(0 -> 0.3f, 20 -> 0.954f)) // cos 0.3 -> same cell, kept
+    vecs.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .createOrReplaceTempView("embeddings")
+    val got = ExtQueries.TestSql.semanticDedupLearned(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // cell sA: reps {min(sA,mDup) [the collapsed axis-0 rep], m1, m2},
+    // the near-dup pair drops its larger id, members 4; every other
+    // seed cell holds exactly its own seed
+    val expected = Set((sA, 3L, 1L, 4L)) ++
+      seeds.tail.map(s => (s, 1L, 0L, 1L))
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("p11: HLL estimate inside the error envelope, exact below it") {
     val sp = spark; import sp.implicits._
     val events =
