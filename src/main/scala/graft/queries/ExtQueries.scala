@@ -3035,6 +3035,67 @@ object ExtQueries {
            |FROM doc GROUP BY lang, bucket""".stripMargin)
     }, Some(lineDedupSql(DuckD)))
 
+  /** q70: streaming classifier ADMISSION — t20 at INGEST, the missing
+    * member of the streaming-enforcement family whose static relation
+    * is a LEARNED model rather than a rule-derived index: arriving
+    * documents are scored per micro-batch via a stream-static
+    * broadcast join against the MATERIALIZED 1024-row weight table
+    * ([[t19WeightsPath]] — training cost was paid once at build), each
+    * doc's integer-mean score and class landing EXACTLY-ONCE in a
+    * batchId-keyed columnfile dir (the Tables batch-output protocol: a
+    * replayed batch overwrites its own previous attempt). Stateless —
+    * no watermark, no state store; a verdict is complete the moment
+    * its doc arrives. The readout rolls the per-doc verdicts up to
+    * t20's exact per-(lang, class) contract, and the oracle IS t20's
+    * batch SQL: stream ≡ batch because both sides share the scorer's
+    * integer arithmetic. Boundary independence is proven by
+    * re-chunking in ClassifierAdmitSpec.
+    */
+  private def streamClassifierAdmit: Q = Q("q70_stream_classifier_admit",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val src = Tables.cachePath(dir, "documents_neardup_stream")
+      if (!new java.io.File(src, "_SUCCESS").exists()) {
+        spark.table("documents")
+          .selectExpr("doc_id",
+            "timestamp_micros((doc_id + 1) * 1000000) AS ts", "text")
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.format("columnfile").mode("overwrite").save(src)
+      }
+      val out = Tables.cachePath(dir, "classifier_admit_docs")
+      if (!Tables.batchOutputComplete(out)) {
+        Tables.resetBatchOutput(out)
+        val weights = cacheOnce(spark.read.format("columnfile")
+          .load(t19WeightsPath(spark, dir)))
+        val schema = spark.read.format("columnfile").load(src).schema
+        val stream = spark.readStream.format("columnfile")
+          .schema(schema).load(src)
+        val q = stream.writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.streaming.ClassifierAdmit.perDocScores(df, weights)
+              .write.format("columnfile")
+              .mode("overwrite").save(s"$out/batch=$id")
+            ()
+          }
+          .option("checkpointLocation", out + "_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Tables.markBatchOutputComplete(out)
+      }
+      Tables.loadBatchDirs(spark, out,
+        "doc_id BIGINT, score BIGINT, cls BIGINT")
+        .createOrReplaceTempView("cf_admit")
+      spark.sql(
+        """SELECT d.lang AS l, p.cls,
+          |  COUNT(*) AS n_docs,
+          |  CAST(MIN(p.score) AS BIGINT) AS min_score,
+          |  CAST(MAX(p.score) AS BIGINT) AS max_score,
+          |  CAST(SUM(p.score) AS BIGINT) AS sum_score
+          |FROM cf_admit p JOIN documents d ON p.doc_id = d.doc_id
+          |GROUP BY d.lang, p.cls""".stripMargin)
+    }, Some(t20ApplySql(DuckD)))
+
   /** The per-doc distinct-shingle relation d13 builds its index over. */
   private def dupCovShSql(d: Dial): String =
     s"""SELECT doc_id, lang, ${d.shingleHashSet("text")} AS hset
@@ -4771,6 +4832,10 @@ object ExtQueries {
     // Line-level scrub at INGEST: d18's duplicated-line index enforced
     // per arriving micro-batch, stateless (oracle = d18's batch SQL).
     streamLineScrub,
+    // Classifier admission at INGEST: t20's LEARNED scorer served from
+    // the materialized weight table per arriving micro-batch
+    // (oracle = t20's batch SQL).
+    streamClassifierAdmit,
     // Image-dedup admission at INGEST: arriving images decoded by the
     // real seam per batch, band-joined against m05's rep index.
     streamImageDedup,

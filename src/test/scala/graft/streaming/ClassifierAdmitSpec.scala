@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Intent tests for the streaming classifier admission (q70): the
+  * per-batch verdicts are boundary-independent (re-chunking the same
+  * corpus into different micro-batches yields identical per-doc rows),
+  * and the scorer is t20's exact integer arithmetic against the
+  * supplied weight relation. The q70 oracle proves end-to-end
+  * stream ≡ batch-t20 at sf0.01; these pin the per-batch function's
+  * contract in isolation.
+  */
+class ClassifierAdmitSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("classifier-admit-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.TextHashFunctions.register(
+      spark.sessionState.functionRegistry)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("per-doc verdicts are micro-batch-boundary independent and use " +
+    "the exact integer-mean scorer") {
+    val sp = spark; import sp.implicits._
+    // two marker words with known buckets; weights planted per bucket
+    val bucketOf = (w: String) =>
+      spark.sql(s"SELECT graft_polyhash('$w') % 1024").head().getLong(0)
+    val (bGood, bBad) = (bucketOf("good"), bucketOf("bad"))
+    assume(bGood != bBad)
+    val weights = Seq((bGood, 10L), (bBad, -20L))
+      .toDF("bucket", "w")
+    val docs = Seq(
+      (1L, "good good good"),        // score 10 -> cls 1
+      (2L, "bad bad"),               // score -20 -> cls 0
+      (3L, "good bad"),              // (10 - 20) div 2 = -5 -> cls 0
+      (4L, "good good bad"),         // (20 - 20) div 3 = 0 -> cls 1
+      (5L, "unknownword"))           // no weighted bucket -> no verdict
+    val all = docs.toDF("doc_id", "text")
+
+    def run(df: org.apache.spark.sql.DataFrame) =
+      ClassifierAdmit.perDocScores(df, weights)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+
+    val whole = run(all)
+    assert(whole == Set((1L, 10L, 1L), (2L, -20L, 0L),
+      (3L, -5L, 0L), (4L, 0L, 1L)), whole.toString)
+    // re-chunk: batches {1,4} / {2,5} / {3} — same verdicts
+    val chunks = Seq(Seq(1L, 4L), Seq(2L, 5L), Seq(3L))
+      .map(ids => all.where(ids.map(i => s"doc_id = $i").mkString(" OR ")))
+    val rechunked = chunks.map(run).reduce(_ ++ _)
+    assert(whole == rechunked)
+  }
+}
