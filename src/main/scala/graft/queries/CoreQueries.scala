@@ -1160,14 +1160,13 @@ object CoreQueries {
   }
 
   /** Shared SHREDDED-VARIANT cf table (q69): a tenth of orders as one
-    * VARIANT document column `v` plus two SHREDDED leaves stored next
-    * to it — `v_price` = variant_get(v, '$.price_c', 'bigint') and
-    * `v_status` = variant_get(v, '$.status', 'string') — whose field
-    * metadata records the provenance ([[graft.spark.VariantShred]]).
-    * Rows are ordered by the price leaf so chunk min/max stats prune
-    * range probes on it; the leaves equal the variant extraction row
-    * for row by construction (derived from the same expression at
-    * write).
+    * VARIANT document column `v` shredded DECLARATIVELY at write time —
+    * the writer's `shred` option derives the `v_price_c`/`v_status`
+    * leaves (strict variant_get) and stamps their provenance metadata
+    * ([[graft.spark.VariantShred]]); the caller never hand-builds a
+    * shred column. Rows are ordered by the price extraction so chunk
+    * min/max stats prune range probes on the stored leaf; the leaves
+    * equal the extraction row for row by the writer's contract.
     */
   private def shreddedOrdersPath(
       spark: org.apache.spark.sql.SparkSession, dir: String): String = {
@@ -1181,15 +1180,10 @@ object CoreQueries {
             |  'status', o_orderstatus,
             |  'price_c', CAST(ROUND(o_totalprice * 100) AS BIGINT),
             |  'prio', o_orderpriority))) AS v""".stripMargin)
-        .select(col("okey"), col("v"),
-          expr("variant_get(v, '$.price_c', 'bigint')")
-            .as("v_price",
-              graft.spark.VariantShred.shredMeta("v", "$.price_c")),
-          expr("variant_get(v, '$.status', 'string')")
-            .as("v_status",
-              graft.spark.VariantShred.shredMeta("v", "$.status")))
-        .orderBy("v_price")
-        .write.format("columnfile").mode("overwrite").save(out)
+        .orderBy(expr("variant_get(v, '$.price_c', 'bigint')"))
+        .write.format("columnfile")
+        .option("shred", "v:$.price_c:bigint,v:$.status:string")
+        .mode("overwrite").save(out)
     }
     out
   }
@@ -1232,10 +1226,6 @@ object CoreQueries {
           |GROUP BY 1""".stripMargin)
     }, Some(oracle))
   }
-
-  private[graft] def shreddedOrdersPathForSpec(
-      spark: org.apache.spark.sql.SparkSession, dir: String): String =
-    shreddedOrdersPath(spark, dir)
 
   /** q58: widening schema evolution — files written with INT columns,
     * read with a BIGINT schema (the int32→int64 ALTER TABLE contract).

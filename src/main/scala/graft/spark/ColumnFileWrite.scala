@@ -151,6 +151,79 @@ class ColumnFileWrite(
         s"columnfile: unsupported partition column type ${f.dataType} for $c")
   }
 
+  /** `shred=v:$.price_c:bigint,v:$.status:string`: DECLARATIVE
+    * write-side variant shredding — for each `col:path:type` spec the
+    * WRITER derives the typed leaf `variant_get(col, path, type)` per
+    * row (strict — the [[VariantShred]] soundness contract), stores it
+    * as an ordinary column named `<col>_<leaf>` whose field metadata
+    * records the provenance, and publishes the extended schema in the
+    * sidecar. Callers no longer hand-assemble shred columns; the read
+    * side ([[VariantShredRewrite]] + chunk stats on the leaf) is
+    * unchanged. Type must be timezone-insensitive
+    * ([[VariantShred.safeTargetType]]).
+    */
+  private val shredSpecs: Seq[(Int, String, DataType)] = {
+    import org.apache.spark.sql.types.VariantType
+    Option(options.get("shred")).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+      .map { spec =>
+        spec.split(':') match {
+          case Array(col, path, tpe) =>
+            val idx = schema.fields.indexWhere(_.name == col)
+            if (idx < 0) throw new IllegalArgumentException(
+              s"columnfile: shred column $col not in written schema " +
+                schema.catalogString)
+            if (schema.fields(idx).dataType != VariantType)
+              throw new IllegalArgumentException(
+                s"columnfile: shred column $col is not a variant " +
+                  s"(${schema.fields(idx).dataType.sql})")
+            val dt =
+              try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                .parseDataType(tpe)
+              catch { case e: Exception =>
+                throw new IllegalArgumentException(
+                  s"columnfile: shred spec '$spec': bad type '$tpe'", e) }
+            if (!VariantShred.safeTargetType(dt))
+              throw new IllegalArgumentException(
+                s"columnfile: shred spec '$spec': type ${dt.sql} is not a " +
+                  "shreddable target (timezone-insensitive scalar types only)")
+            (idx, path, dt)
+          case _ => throw new IllegalArgumentException(
+            s"columnfile: shred spec '$spec' is not col:$$.path:type")
+        }
+      }
+  }
+
+  /** Leaf name of a shred spec: variant column + sanitized last path
+    * segment (`v` + `$.price_c` -> `v_price_c`). */
+  private def shredLeafName(colIdx: Int, path: String): String = {
+    val seg = path.split('.').last.filter(ch => ch.isLetterOrDigit || ch == '_')
+    val base = s"${schema.fields(colIdx).name}_" +
+      (if (seg.nonEmpty) seg else "leaf")
+    base
+  }
+
+  /** The schema actually stored: the written columns plus one
+    * provenance-tagged leaf per shred spec. */
+  private val storedSchema: StructType = {
+    if (shredSpecs.isEmpty) schema
+    else {
+      val extra = shredSpecs.map { case (idx, path, dt) =>
+        val name = shredLeafName(idx, path)
+        if (schema.fieldNames.contains(name))
+          throw new IllegalArgumentException(
+            s"columnfile: shred leaf $name collides with a written column")
+        org.apache.spark.sql.types.StructField(name, dt, nullable = true,
+          VariantShred.shredMeta(schema.fields(idx).name, path))
+      }
+      val names = extra.map(_.name)
+      if (names.distinct.length != names.length)
+        throw new IllegalArgumentException(
+          s"columnfile: duplicate shred leaf names ${names.mkString(", ")}")
+      StructType(schema.fields ++ extra)
+    }
+  }
+
   private val compression: Int =
     Compression.fromName(Option(options.get("compression")).getOrElse("lz4"))
   private val targetChunkBytes: Long =
@@ -180,7 +253,7 @@ class ColumnFileWrite(
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
     if (names.nonEmpty) {
       val leaves = CellCodec.flatten(
-        StructType(schema.fields.filterNot(f => partitionCols.contains(f.name))))
+        StructType(storedSchema.fields.filterNot(f => partitionCols.contains(f.name))))
       val known = leaves.map(_.name).toSet
       names.foreach { n =>
         if (!known.contains(n))
@@ -212,6 +285,10 @@ class ColumnFileWrite(
       throw new UnsupportedOperationException(
         "columnfile streaming sink: reorder the stream's columns to the " +
           "table's column order before writing")
+    if (shredSpecs.nonEmpty)
+      throw new UnsupportedOperationException(
+        "columnfile streaming sink: the shred option is batch-only; " +
+          "derive shred columns in the stream projection instead")
     new ColumnFileStreamingWrite(path, schema, compression, targetChunkBytes,
       new SerializableHadoopConf(conf), partitionCols, dictionaryEncode,
       keepEpochs, bitpackEncode, bloomCols)
@@ -223,11 +300,15 @@ class ColumnFileWrite(
     if (truncateFirst && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
     val inner = new ColumnFileWriterFactory(
-      path, schema.json, compression, targetChunkBytes,
+      path, storedSchema.json, compression, targetChunkBytes,
       UUID.randomUUID().toString, new SerializableHadoopConf(conf),
       partitionCols, dictionaryEncode, bitpackEncode, bloomCols)
-    if (rowProjection.isEmpty) inner
-    else new ProjectingWriterFactory(inner, rowProjection, schema.json)
+    val shredded =
+      if (shredSpecs.isEmpty) inner
+      else new ShredAppendingWriterFactory(inner, schema.json,
+        shredSpecs.map { case (i, p, dt) => (i, p, dt.json) })
+    if (rowProjection.isEmpty) shredded
+    else new ProjectingWriterFactory(shredded, rowProjection, schema.json)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -236,7 +317,7 @@ class ColumnFileWrite(
     // atomic: a reader calling inferSchema mid-commit must never see a
     // torn/zero-byte schema sidecar
     AtomicFile.publish(fs, new Path(dir, ColumnFileDataSource.SchemaSidecar),
-      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      storedSchema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (partitionCols.nonEmpty) PartitionLayout.write(conf, dir, partitionCols)
     // maintain the file manifest (ManifestFile): commit knows exactly
     // which files it published, so readers can opt out of directory walks
@@ -350,6 +431,57 @@ class ProjectingWriterFactory(
           val o = perm(i)
           values(i) = if (row.isNullAt(o)) null else row.get(o, types(i))
           i += 1
+        }
+        delegate.write(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
+      }
+      override def commit(): WriterCommitMessage = delegate.commit()
+      override def abort(): Unit = delegate.abort()
+      override def close(): Unit = delegate.close()
+    }
+  }
+}
+
+/** Appends the declared shred leaves to each incoming row: per spec,
+  * the STRICT `variant_get(col, path, type)` expression is evaluated
+  * against the row (so a value that cannot cast FAILS the write — the
+  * rewrite-soundness contract: a committed shred equals its extraction
+  * row for row) and the result lands in the extra trailing columns the
+  * inner writer's extended schema declares.
+  */
+class ShredAppendingWriterFactory(
+    inner: DataWriterFactory,
+    baseSchemaJson: String,
+    specs: Seq[(Int, String, String)])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+    import org.apache.spark.sql.types.{StringType, VariantType}
+    val base = DataType.fromJson(baseSchemaJson).asInstanceOf[StructType]
+    val types = base.fields.map(_.dataType)
+    val exprs = specs.map { case (idx, path, dtJson) =>
+      VariantGet(
+        BoundReference(idx, VariantType, base.fields(idx).nullable),
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(path),
+          StringType),
+        DataType.fromJson(dtJson),
+        failOnError = true,
+        timeZoneId = Some("UTC"))
+    }
+    val delegate = inner.createWriter(partitionId, taskId)
+    new DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit = {
+        val values = new Array[Any](base.length + exprs.length)
+        var i = 0
+        while (i < base.length) {
+          values(i) = if (row.isNullAt(i)) null else row.get(i, types(i))
+          i += 1
+        }
+        var j = 0
+        while (j < exprs.length) {
+          values(base.length + j) = exprs(j).eval(row)
+          j += 1
         }
         delegate.write(
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))

@@ -193,6 +193,70 @@ class VariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(soloLive.isEmpty, "single-table shred read must still rewrite")
   }
 
+  test("declarative shred write option derives provenance-tagged leaves " +
+    "the rewrite consumes") {
+    import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+    val dir = Files.createTempDirectory("cf-shred-opt").toString
+    spark.sql(
+      """SELECT id, parse_json(concat('{"price_c":', id * 7,
+        |  ',"status":"s', id % 3, '"}')) AS v FROM range(500)""".stripMargin)
+      .orderBy(expr("variant_get(v, '$.price_c', 'bigint')"))
+      .write.format("columnfile")
+      .option("shred", "v:$.price_c:bigint,v:$.status:string")
+      .option("targetChunkBytes", "2048")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("columnfile").load(dir)
+    // the writer derived the leaves and published their provenance
+    val priceField = back.schema("v_price_c")
+    assert(priceField.dataType == org.apache.spark.sql.types.LongType)
+    assert(priceField.metadata.getString(VariantShred.ShredOfKey) == "v" &&
+      priceField.metadata.getString(VariantShred.ShredPathKey) == "$.price_c")
+    assert(back.schema("v_status").metadata
+      .getString(VariantShred.ShredPathKey) == "$.status")
+    // the stored leaves equal the extraction row for row
+    assert(back.where(
+      "v_price_c <> variant_get(v, '$.price_c', 'bigint') OR " +
+        "CAST(v_status AS STRING) <> " +
+        "CAST(variant_get(v, '$.status', 'string') AS STRING)")
+      .count() == 0)
+    // and the read side rides them: rewrite fires, filter pushes,
+    // variant payload pruned
+    back.createOrReplaceTempView("shred_opt")
+    val q = spark.sql(
+      """SELECT CAST(SUM(variant_get(v, '$.price_c', 'bigint')) AS BIGINT)
+        |    AS s, COUNT(*) AS n
+        |FROM shred_opt
+        |WHERE variant_get(v, '$.price_c', 'bigint') BETWEEN 70 AND 140""".stripMargin)
+    val row = q.head()
+    assert(row.getLong(1) == 11L && row.getLong(0) == (10L to 20L).map(_ * 7).sum)
+    val exec = q.queryExecution.executedPlan
+    val vgs = exec.collect { case p => p.expressions }.flatten
+      .flatMap(_.collect { case g: VariantGet => g })
+    assert(vgs.isEmpty, s"live VariantGet in the plan:\n$exec")
+    val scan = exec.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head
+    assert(!scan.output.map(_.name).contains("v"),
+      s"variant column still read: ${scan.output}")
+    // invalid specs fail at analysis, not silently
+    def fails(opt: String): Unit = {
+      val e = intercept[Exception] {
+        spark.sql("SELECT id, parse_json('1') AS v FROM range(3)")
+          .write.format("columnfile").option("shred", opt)
+          .mode("overwrite")
+          .save(Files.createTempDirectory("cf-shred-bad").toString)
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("shred")), s"for $opt got $e")
+    }
+    fails("nope:$.x:bigint")       // no such column
+    fails("id:$.x:bigint")         // not a variant
+    fails("v:$.x:timestamp")       // timezone-sensitive target
+    fails("v:$.x")                 // malformed spec
+  }
+
   test("timezone-sensitive target types are never rewritten to a leaf") {
     import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
     val dir = Files.createTempDirectory("cf-vs-ts").toString
