@@ -101,7 +101,10 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t19_classifier_train" -> 1L,
     // p20's encode leg cross-joins the three 1-row BPE merge
     // relations (t16/t18's machine-checked bound).
-    "p20_tokenized_shards" -> 1L)
+    "p20_tokenized_shards" -> 1L,
+    // d20's learned-cell assignment is v19's ranking shape: reps
+    // cross-join the ORDER BY cid LIMIT 8 centroid relation.
+    "d20_semantic_dedup_learned" -> 8L)
 
   /** Static upper bound on a physical subtree's row count, derived
     * from shape alone — the machine check behind the BNLJ allowlist
