@@ -624,9 +624,13 @@ object ExtQueries {
         // late filter drops rows with ts <= watermark — doc 0 would
         // silently never claim its band keys (found by the sf0.001
         // gate: its dup partner then mis-claimed them).
+        // pmod 1e9 (here and at every other builder of this cached
+        // source): the synthetic event time must not overflow BIGINT
+        // micros for adversarial near-MaxLong doc_ids (fuzzer-found
+        // via q70); identity for every real corpus id.
         spark.table("documents")
           .selectExpr("doc_id",
-            "timestamp_micros((doc_id + 1) * 1000000) AS ts", "text")
+            "timestamp_micros((pmod(doc_id, 1000000000) + 1) * 1000000) AS ts", "text")
           .repartition(1).sortWithinPartitions("doc_id")
           .write.format("columnfile").mode("overwrite").save(src)
       }
@@ -2907,7 +2911,7 @@ object ExtQueries {
       if (!new java.io.File(src, "_SUCCESS").exists()) {
         spark.table("documents")
           .selectExpr("doc_id",
-            "timestamp_micros((doc_id + 1) * 1000000) AS ts", "text")
+            "timestamp_micros((pmod(doc_id, 1000000000) + 1) * 1000000) AS ts", "text")
           .repartition(1).sortWithinPartitions("doc_id")
           .write.format("columnfile").mode("overwrite").save(src)
       }
@@ -2980,7 +2984,7 @@ object ExtQueries {
       if (!new java.io.File(src, "_SUCCESS").exists()) {
         spark.table("documents")
           .selectExpr("doc_id",
-            "timestamp_micros((doc_id + 1) * 1000000) AS ts", "text")
+            "timestamp_micros((pmod(doc_id, 1000000000) + 1) * 1000000) AS ts", "text")
           .repartition(1).sortWithinPartitions("doc_id")
           .write.format("columnfile").mode("overwrite").save(src)
       }
@@ -3058,7 +3062,7 @@ object ExtQueries {
       if (!new java.io.File(src, "_SUCCESS").exists()) {
         spark.table("documents")
           .selectExpr("doc_id",
-            "timestamp_micros((doc_id + 1) * 1000000) AS ts", "text")
+            "timestamp_micros((pmod(doc_id, 1000000000) + 1) * 1000000) AS ts", "text")
           .repartition(1).sortWithinPartitions("doc_id")
           .write.format("columnfile").mode("overwrite").save(src)
       }
@@ -3395,7 +3399,7 @@ object ExtQueries {
       if (!new java.io.File(src, "_SUCCESS").exists()) {
         spark.table("documents")
           .selectExpr("doc_id",
-            "timestamp_micros((doc_id + 1) * 1000000) AS ts", "text")
+            "timestamp_micros((pmod(doc_id, 1000000000) + 1) * 1000000) AS ts", "text")
           .repartition(1).sortWithinPartitions("doc_id")
           .write.format("columnfile").mode("overwrite").save(src)
       }
