@@ -3681,24 +3681,106 @@ object ExtQueries {
     * consumer of the shards would see — including the order-sensitive
     * fold of the stored token sequences — not what the writer intended.
     */
+  /** Builds (once) and returns the tokenized-shard table — the
+    * artifact p20 audits and p21 consumes. */
+  private[graft] def p20ShardsPath(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = Tables.cachePath(dir, "p20_shards")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.registerAll(spark, dir)
+      cacheOnce(spark.sql(bpeVocabSql(SparkD)))
+        .createOrReplaceTempView("p20_w0")
+      spark.sql(
+        s"""WITH ${p20ShardBody(SparkD, "p20_w0")}
+           |SELECT split, lang, shard, doc_id, btoks, rn, bin, toks
+           |FROM pb""".stripMargin)
+        .write.format("columnfile").partitionBy("split", "lang")
+        .mode("overwrite").save(out)
+    }
+    out
+  }
+
   private def tokenizedShardsQ: Q = Q("p20_tokenized_shards",
     (spark, dir) => {
       Tables.registerAll(spark, dir)
-      val out = Tables.cachePath(dir, "p20_shards")
-      if (!new java.io.File(out, "_SUCCESS").exists()) {
-        cacheOnce(spark.sql(bpeVocabSql(SparkD)))
-          .createOrReplaceTempView("p20_w0")
-        spark.sql(
-          s"""WITH ${p20ShardBody(SparkD, "p20_w0")}
-             |SELECT split, lang, shard, doc_id, btoks, rn, bin, toks
-             |FROM pb""".stripMargin)
-          .write.format("columnfile").partitionBy("split", "lang")
-          .mode("overwrite").save(out)
-      }
-      spark.read.format("columnfile").load(out)
+      spark.read.format("columnfile").load(p20ShardsPath(spark, dir))
         .createOrReplaceTempView("p20_shards")
       spark.sql(p20RollupSql(SparkD, "p20_shards"))
     }, Some(p20OracleSql(DuckD)))
+
+  /** p21 body downstream of the shard relation `sh` (split, lang,
+    * shard, doc_id, btoks, rn, bin, toks): adjacent-token BIGRAM
+    * counts from the STORED arrays (each pair packed into one BIGINT,
+    * id_left * 2^31 + id_right — ids are 31-bit polyhashes, so the
+    * pack is collision-free), per-(split, lang) top-3 by (count DESC,
+    * pair), beside sequence-length stats with a binned-length
+    * checksum. The Spark side reads the WRITTEN shards; the oracle
+    * recomputes the whole producing chain — so agreement proves the
+    * stored sequences through a second, order-sensitive consumer.
+    */
+  private def p21Body(d: Dial, sh: String): String = {
+    val pairs = d match {
+      // get() (NULL out of range), not toks[i]: sequence(0, n) with
+      // n < 0 descends and probes negative indices on 0/1-token docs
+      // (the documented shingles3 trap); NULL pairs are filtered.
+      case SparkD =>
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> get(toks, i) * 2147483648 + get(toks, i + 1))"
+      case DuckD =>
+        "list_transform(range(1, len(toks)), " +
+          "i -> toks[i] * 2147483648 + toks[i + 1])"
+    }
+    val lbin = s"LEAST(${d.intDiv("btoks", "64")}, 32)"
+    s"""p21pr AS (SELECT split, lang, pair FROM (
+       |    SELECT split, lang, $pairs AS ps FROM $sh) x
+       |  ${d.explode("ps", "pair")}
+       |  ),
+       |p21pc AS (SELECT split, lang, pair, COUNT(*) AS n
+       |  FROM p21pr WHERE pair IS NOT NULL
+       |  GROUP BY split, lang, pair),
+       |p21tp AS (SELECT split, lang, pair, n, rk FROM (
+       |    SELECT split, lang, pair, n, ROW_NUMBER() OVER (
+       |      PARTITION BY split, lang ORDER BY n DESC, pair) AS rk
+       |    FROM p21pc) y
+       |  WHERE rk <= 3),
+       |p21st AS (SELECT split, lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(btoks) AS BIGINT) AS total_btoks,
+       |    CAST(MAX(btoks) AS BIGINT) AS max_len,
+       |    CAST(SUM((($lbin + 1) * ((doc_id % $P) + 1)) % $P) % $P
+       |      AS BIGINT) AS len_ck
+       |  FROM $sh GROUP BY split, lang)
+       |SELECT t.split, t.lang AS l, CAST(t.rk AS BIGINT) AS rk,
+       |  CAST(t.pair AS BIGINT) AS pair, CAST(t.n AS BIGINT) AS pair_n,
+       |  s.n_docs, s.total_btoks, s.max_len, s.len_ck
+       |FROM p21tp t
+       |JOIN p21st s ON s.split = t.split AND s.lang = t.lang""".stripMargin
+  }
+
+  /** p21: tokenized-shard CONSUMER — the read side of the p20
+    * artifact, what a training-data loader's stats pass actually runs
+    * over stored shards: adjacent-token bigram frequencies (the
+    * next-token statistics a curriculum or tokenizer audit reads) and
+    * sequence-length statistics, computed FROM THE WRITTEN ARRAYS —
+    * never from raw text. Scale shape: the bigram expression is
+    * map-side over the array column (no raw-text tokenize anywhere in
+    * the plan — machine-checked), the only corpus-keyed shuffle is the
+    * (split, lang, pair) partial-aggregable count, the top-3 filter is
+    * a WindowGroupLimit, and the length stats are one more
+    * partial-aggregable pass. The oracle recomputes the full producing
+    * chain inline, so a wrong stored id, order, or truncation anywhere
+    * in the write path breaks this SECOND, independent reading of the
+    * shards.
+    */
+  private def shardConsumerQ: Q = Q("p21_shard_bigrams",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      spark.read.format("columnfile").load(p20ShardsPath(spark, dir))
+        .createOrReplaceTempView("p21_shards")
+      spark.sql("WITH " + p21Body(SparkD, "p21_shards"))
+    }, Some(
+      s"""WITH w0 AS (${bpeVocabSql(DuckD)}),
+         |${p20ShardBody(DuckD, "w0")},
+         |${p21Body(DuckD, "pb")}""".stripMargin))
 
   // ------------------------------------------------------- relevance ranking
 
@@ -4805,8 +4887,12 @@ object ExtQueries {
     // Deterministic 98/1/1 train/val/test split with membership checksum.
     dialect("p13_train_split", trainSplitSql),
     // Capstone: learned BPE merges -> encode -> split -> pack ->
-    // partitioned cf shard write, audited from the written shards.
+    // partitioned cf shard write (with each doc's token-id array),
+    // audited from the written shards.
     tokenizedShardsQ,
+    // The shard CONSUMER: bigram + length stats read from the STORED
+    // token arrays — the loader-side stats pass over the artifact.
+    shardConsumerQ,
     // Weighted priority sampling (exact-integer w/u priorities) with
     // the Horvitz-Thompson estimate reported against exact totals.
     dialect("p19_priority_sample", prioritySampleSql),
@@ -4871,6 +4957,9 @@ object ExtQueries {
     // v05's serving shape over the LEARNED model: materialized
     // cell-partitioned index + router, probe prunes to learned cells.
     kmeansProbeQ,
+    // Measured recall of the learned index's probe vs exact brute
+    // force — the quality number that closes the learn->serve loop.
+    kmeansRecallQ,
     // t17: lexical retrieval over the MATERIALIZED inverted text
     // index (build-once/scan-many; term-bucket partition pruning).
     // v14_hybrid_indexed is RETIRED from the serving surface (r15):
@@ -6862,11 +6951,12 @@ object ExtQueries {
 
   /** The v20 probe chain in oracle SQL: the training chain to k2, the
     * final ranking b3 serving both assignment (rn = 1) and probes
-    * (rn <= 2), then v04's candidate/exact-cosine/top-5 tail.
+    * (rn <= 2), then v04's candidate/exact-cosine/top-5 tail. The CTE
+    * list after the training chain is shared with v22's recall
+    * harness so both measure the SAME served result.
     */
-  private def kmProbeSql(d: Dial): String =
-    s"""WITH ${kmChainCtes(d)},
-       |kassign AS (SELECT vec_id, cid FROM b3 WHERE rn = 1),
+  private def kmProbeCtes(d: Dial): String =
+    s"""kassign AS (SELECT vec_id, cid FROM b3 WHERE rn = 1),
        |kprobe AS (SELECT vec_id AS qid, cid AS pcell
        |  FROM b3 WHERE vec_id < 20 AND rn <= 2),
        |kcand AS (
@@ -6882,7 +6972,11 @@ object ExtQueries {
        |ktopk AS (
        |  SELECT qid, nid, cos,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
-       |  FROM kpairs)
+       |  FROM kpairs)""".stripMargin
+
+  private def kmProbeSql(d: Dial): String =
+    s"""WITH ${kmChainCtes(d)},
+       |${kmProbeCtes(d)}
        |SELECT qid, nid, cos FROM ktopk WHERE rn <= 5""".stripMargin
 
   /** v20: probe search over the MATERIALIZED learned index — v05's
@@ -7067,6 +7161,65 @@ object ExtQueries {
            |  WHERE k.vec_id <> p.qid
            |  GROUP BY p.qid, k.vec_id),
            |${pqRerankTail(SparkD)}""".stripMargin)
+    }, Some(oracle))
+  }
+
+  /** The exact ground-truth + hits-histogram tail shared by v22's
+    * recall harness on both engines: brute-force top-5 over the
+    * nonzero relation `emb` for the same 20-query sample (v10's
+    * cosine spelling and (cos DESC, nid) tie-break), LEFT JOIN against
+    * the ANN relation `ann` (qid, nid), histogram of per-query hits.
+    */
+  private def kmRecallTail(d: Dial, emb: String): String =
+    s"""gt AS (SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
+       |          DESC, n.vec_id) AS rn
+       |    FROM (SELECT * FROM $emb WHERE vec_id < 20
+       |          ORDER BY vec_id LIMIT 20) q
+       |    CROSS JOIN $emb n
+       |    WHERE n.vec_id <> q.vec_id) x
+       |  WHERE rn <= 5),
+       |hits AS (SELECT gt.qid, COUNT(ann.nid) AS n_hits
+       |  FROM gt LEFT JOIN ann ON gt.qid = ann.qid AND gt.nid = ann.nid
+       |  GROUP BY gt.qid)
+       |SELECT n_hits, COUNT(*) AS n_queries
+       |FROM hits GROUP BY n_hits""".stripMargin
+
+  /** v22: measured recall of the LEARNED index — the v09/v10/v18
+    * recall discipline applied to the TRAINED quantizer (the number
+    * that closes the learn→serve loop: v19 trains the model, v20
+    * serves it, THIS measures what serving it costs in quality):
+    * recall@5 of the learned-index nprobe=2 probe against exact
+    * brute-force top-5 for the same 20-query sample, one spelling for
+    * cosine and tie-break on both sides. In production this is the
+    * harness a k ∝ n sweep reads — retrain v19 at several K values
+    * and this query scores each trained model's serving recall.
+    * Scale shape: ground truth is sample × corpus by contract (the
+    * v09/v10 machine-checked bound); the ANN side is v20's serving
+    * plan unchanged (broadcast router → pruned learned-cell scan).
+    */
+  private def kmeansRecallQ: Q = {
+    val oracle =
+      s"""WITH ${kmChainCtes(DuckD)},
+         |${kmProbeCtes(DuckD)},
+         |ann AS (SELECT qid, nid FROM ktopk WHERE rn <= 5),
+         |${kmRecallTail(DuckD, "kemb")}""".stripMargin
+    Q("v22_kmeans_recall", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val idxPath = kmeansIndexPath(spark, dir)
+      val routerPath = kmeansRouterPath(spark, dir)
+      spark.read.format("columnfile").option("runtimeFiltering", "false")
+        .load(routerPath)
+        .where("qid < 20").createOrReplaceTempView("v22_probe")
+      spark.read.format("columnfile").load(idxPath)
+        .createOrReplaceTempView("v22_idx")
+      spark.sql(
+        s"""WITH ${ivfIndexedTopkCtes("v22_probe", "v22_idx")},
+           |ann AS (SELECT qid, nid FROM ivtopk WHERE rn <= 5),
+           |kemb AS (${kmEmbSql(SparkD)}),
+           |${kmRecallTail(SparkD, "kemb")}""".stripMargin)
     }, Some(oracle))
   }
 

@@ -104,7 +104,10 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "p20_tokenized_shards" -> 1L,
     // d20's learned-cell assignment is v19's ranking shape: reps
     // cross-join the ORDER BY cid LIMIT 8 centroid relation.
-    "d20_semantic_dedup_learned" -> 8L)
+    "d20_semantic_dedup_learned" -> 8L,
+    // v22's ground truth: the LIMIT-20 query sample cross-joined with
+    // the corpus — the v09/v10 sample-by-contract bound.
+    "v22_kmeans_recall" -> 20L)
 
   /** Static upper bound on a physical subtree's row count, derived
     * from shape alone — the machine check behind the BNLJ allowlist

@@ -662,6 +662,32 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("p21 consumes the STORED token arrays: no raw-text tokenize, no " +
+    "documents scan, pair counts shuffle once") {
+    // The consumer's whole point: the loader-side stats pass reads the
+    // shard artifact, never the corpus. The only Generate is the
+    // explode of the map-side bigram array OVER THE STORED toks
+    // column; no explode-over-split(text), no documents scan anywhere
+    // (including cached build plans, printed inline).
+    val df = graft.SparkEntry.queries("p21_shard_bigrams")(spark, dir)
+    df.collect()
+    val exec = df.queryExecution.executedPlan
+    assert(!exec.toString.contains("documents.parquet"),
+      s"p21 reads raw documents:\n$exec")
+    assert(!exec.toString.toLowerCase.contains("split(lower(text)"),
+      s"p21 re-tokenizes raw text:\n$exec")
+    val scans = exec.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty &&
+      scans.forall(_.output.exists(n => Set("toks", "btoks", "doc_id")
+        .contains(n.name))),
+      s"p21 must scan only the shard table: ${scans.map(_.output)}")
+    // the arrays reach the plan: some scan carries the toks column
+    assert(scans.exists(_.output.exists(_.name == "toks")),
+      s"stored token arrays not read:\n$exec")
+  }
+
   test("v15 scores all 20 queries in one doc-keyed pass (no per-query " +
     "posting blowup)") {
     // The point of the document-at-a-time rewrite: the ONLY join that
