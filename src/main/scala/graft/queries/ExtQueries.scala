@@ -4960,6 +4960,10 @@ object ExtQueries {
     // Measured recall of the learned index's probe vs exact brute
     // force — the quality number that closes the learn->serve loop.
     kmeansRecallQ,
+    // The K sweep: retrain at K in {4,8,16}, score each model's
+    // serving recall vs the same ground truth — the k-per-corpus-size
+    // tuning artifact.
+    kmeansKSweepQ,
     // t17: lexical retrieval over the MATERIALIZED inverted text
     // index (build-once/scan-many; term-bucket partition pruning).
     // v14_hybrid_indexed is RETIRED from the serving surface (r15):
@@ -6772,12 +6776,12 @@ object ExtQueries {
     * IS the seed's vec_id — stable, unique, and window-free (a
     * ROW_NUMBER renumbering would be an unpartitioned window).
     */
-  private def kmSeedSql(d: Dial, emb: String): String =
+  private def kmSeedSql(d: Dial, emb: String, k: Int = KmK): String =
     s"""SELECT cid, centroid,
        |  sqrt(${d.dot("centroid", "centroid")}) AS cnorm
        |FROM (SELECT vec_id AS cid, embedding AS centroid FROM $emb
        |      ORDER BY ((vec_id % $P) * 2654435761) % $P, vec_id
-       |      LIMIT $KmK) s""".stripMargin
+       |      LIMIT $k) s""".stripMargin
 
   /** One Lloyd ASSIGNMENT ranking: every vector scored against the
     * current centroid relation `k` (bounded broadcast: <= $KmK rows by
@@ -6816,7 +6820,7 @@ object ExtQueries {
     * dropped, and the ORDER BY cid LIMIT $KmK identity that makes the
     * next assignment's broadcast bound provable from plan shape.
     */
-  private def kmCentSql(d: Dial, s: String): String = {
+  private def kmCentSql(d: Dial, s: String, k: Int = KmK): String = {
     val comps = (0 until 64)
       .map(i => s"CAST(s$i AS DOUBLE) / (1000000.0 * n)")
     val arr = d match {
@@ -6827,7 +6831,7 @@ object ExtQueries {
        |  sqrt(${d.dot("centroid", "centroid")}) AS cnorm
        |FROM (SELECT cid, $arr AS centroid FROM $s) c
        |WHERE ${d.dot("centroid", "centroid")} > 0
-       |ORDER BY cid LIMIT $KmK""".stripMargin
+       |ORDER BY cid LIMIT $k""".stripMargin
   }
 
   /** The full unrolled training chain (init + 3 assignment rounds,
@@ -7220,6 +7224,123 @@ object ExtQueries {
            |ann AS (SELECT qid, nid FROM ivtopk WHERE rn <= 5),
            |kemb AS (${kmEmbSql(SparkD)}),
            |${kmRecallTail(SparkD, "kemb")}""".stripMargin)
+    }, Some(oracle))
+  }
+
+  /** K values for the v23 sweep — nested seed sets by construction
+    * (the K hash-smallest vectors), so the K=4 model's seeds are a
+    * subset of K=16's. Compile-time constants (the v19 object-init
+    * lesson). */
+  private final val KmSweepA = 4
+  private final val KmSweepB = 8
+  private final val KmSweepC = 16
+
+  /** One trained chain of the sweep as CTE text, CTE names prefixed
+    * `sw{k}_`: init at K=k, two centroid updates, the final ranking
+    * b3 (assignment rn=1 + probes rn<=2) — v19's exact spellings with
+    * the model-size knob turned. */
+  private def kmSweepChain(d: Dial, k: Int): String = {
+    val p = s"sw${k}_"
+    s"""${p}k0 AS (${kmSeedSql(d, "kemb", k)}),
+       |${p}s1 AS (${kmStatsSql(d, "kemb", s"${p}k0")}),
+       |${p}k1 AS (${kmCentSql(d, s"${p}s1", k)}),
+       |${p}s2 AS (${kmStatsSql(d, "kemb", s"${p}k1")}),
+       |${p}k2 AS (${kmCentSql(d, s"${p}s2", k)}),
+       |${p}b3 AS (${kmRankSql(d, "kemb", s"${p}k2")})""".stripMargin
+  }
+
+  /** One model's served top-5 from its ranking relation `b3r`: the
+    * nprobe=2 probe/candidate/exact-cosine/top-5 tail as a single
+    * nested select, tagged with its K. */
+  private def kmSweepAnn(d: Dial, b3r: String, k: Int): String =
+    s"""SELECT CAST($k AS BIGINT) AS k, qid, nid FROM (
+       |  SELECT c.qid, c.nid,
+       |    ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+       |      ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
+       |        DESC, c.nid) AS rn
+       |  FROM (SELECT p.qid, a.vec_id AS nid
+       |        FROM (SELECT vec_id AS qid, cid AS pcell FROM $b3r
+       |              WHERE vec_id < 20 AND rn <= 2) p
+       |        JOIN (SELECT vec_id, cid FROM $b3r WHERE rn = 1) a
+       |          ON a.cid = p.pcell
+       |        WHERE a.vec_id <> p.qid) c
+       |  JOIN kemb q ON q.vec_id = c.qid
+       |  JOIN kemb n ON n.vec_id = c.nid) x
+       |WHERE rn <= 5""".stripMargin
+
+  /** The sweep tail downstream of `ann` (k, qid, nid) and `kemb`:
+    * shared exact ground truth, per-(K, query) hit counts (zero-hit
+    * queries kept via the VALUES level relation — the v11 shape),
+    * histogram per K. */
+  private def kmSweepTail(d: Dial): String = {
+    val ks = s"(VALUES ($KmSweepA), ($KmSweepB), ($KmSweepC)) AS ks(k)"
+    s"""gt AS (SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
+       |          DESC, n.vec_id) AS rn
+       |    FROM (SELECT * FROM kemb WHERE vec_id < 20
+       |          ORDER BY vec_id LIMIT 20) q
+       |    CROSS JOIN kemb n
+       |    WHERE n.vec_id <> q.vec_id) x
+       |  WHERE rn <= 5),
+       |hits AS (SELECT ks.k, gt.qid, COUNT(ann.nid) AS n_hits
+       |  FROM gt CROSS JOIN $ks
+       |  LEFT JOIN ann ON ann.k = ks.k AND ann.qid = gt.qid
+       |    AND ann.nid = gt.nid
+       |  GROUP BY ks.k, gt.qid)
+       |SELECT k, n_hits, COUNT(*) AS n_queries
+       |FROM hits GROUP BY k, n_hits""".stripMargin
+  }
+
+  /** v23: the K sweep — v11's tuning-curve discipline applied to the
+    * TRAINED quantizer, and the "k ∝ n" knob made measurable: the
+    * full Lloyd chain retrains at K ∈ {$KmSweepA, $KmSweepB,
+    * $KmSweepC} (v19's exact spellings — deterministic nested seed
+    * sets, exact-integer updates) and each trained model's nprobe=2
+    * serving recall is scored against the SAME exact ground truth —
+    * the artifact a production deployment reads to place the cluster
+    * count as the corpus grows. Scale shape: 3 × v19's training cost
+    * (each round one corpus pass against a ≤K-row broadcast; per-K
+    * stats cached on the Spark side so no round re-evaluates), plus
+    * v22's sample-by-contract recall tail. This is a TUNING HARNESS:
+    * it recomputes models inline by design; the production index for
+    * the chosen K is the v20/v21 materialized path.
+    */
+  private def kmeansKSweepQ: Q = {
+    val ks = Seq(KmSweepA, KmSweepB, KmSweepC)
+    val oracle =
+      s"""WITH kemb AS (${kmEmbSql(DuckD)}),
+         |${ks.map(k => kmSweepChain(DuckD, k)).mkString(",\n")},
+         |ann AS (${ks.map(k => kmSweepAnn(DuckD, s"sw${k}_b3", k))
+                     .mkString("\n  UNION ALL ")}),
+         |${kmSweepTail(DuckD)}""".stripMargin
+    Q("v23_kmeans_k_sweep", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      cacheOnce(spark.sql(kmEmbSql(SparkD)))
+        .createOrReplaceTempView("kemb")
+      for (k <- ks) {
+        val p = s"v23k${k}_"
+        spark.sql(kmSeedSql(SparkD, "kemb", k))
+          .createOrReplaceTempView(s"${p}k0")
+        cacheOnce(spark.sql(kmStatsSql(SparkD, "kemb", s"${p}k0")))
+          .createOrReplaceTempView(s"${p}s1")
+        spark.sql(kmCentSql(SparkD, s"${p}s1", k))
+          .createOrReplaceTempView(s"${p}k1")
+        cacheOnce(spark.sql(kmStatsSql(SparkD, "kemb", s"${p}k1")))
+          .createOrReplaceTempView(s"${p}s2")
+        spark.sql(kmCentSql(SparkD, s"${p}s2", k))
+          .createOrReplaceTempView(s"${p}k2")
+        // b3 is referenced twice (assignment + probes): cache it so
+        // the corpus ranking runs once per K
+        cacheOnce(spark.sql(kmRankSql(SparkD, "kemb", s"${p}k2")))
+          .createOrReplaceTempView(s"${p}b3")
+      }
+      spark.sql(
+        s"""WITH ann AS (${ks.map(k =>
+             kmSweepAnn(SparkD, s"v23k${k}_b3", k))
+             .mkString("\n  UNION ALL ")}),
+           |${kmSweepTail(SparkD)}""".stripMargin)
     }, Some(oracle))
   }
 

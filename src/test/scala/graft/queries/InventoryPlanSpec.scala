@@ -107,7 +107,11 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d20_semantic_dedup_learned" -> 8L,
     // v22's ground truth: the LIMIT-20 query sample cross-joined with
     // the corpus — the v09/v10 sample-by-contract bound.
-    "v22_kmeans_recall" -> 20L)
+    "v22_kmeans_recall" -> 20L,
+    // v23's sweep: three LIMIT-K centroid relations (K <= 16), the
+    // 3-row VALUES level relation, and the LIMIT-20 ground-truth
+    // sample — 20 bounds them all.
+    "v23_kmeans_k_sweep" -> 20L)
 
   /** Static upper bound on a physical subtree's row count, derived
     * from shape alone — the machine check behind the BNLJ allowlist
