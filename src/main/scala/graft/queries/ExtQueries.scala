@@ -3601,6 +3601,13 @@ object ExtQueries {
     */
   private def p20ShardBody(d: Dial, w0: String): String = {
     val pm = s"((doc_id % $P) * 2654435761) % $P % 1000"
+    // The merge relations arrive through ungrouped MAX aggregates
+    // (exactly one row ALWAYS): a degenerate corpus can exhaust its
+    // mergeable pairs before round 3, and a CROSS JOIN against a
+    // then-EMPTY m$r would silently drop every document from the
+    // shard artifact — invisible to the oracle, which shares this
+    // text (round-16 self-review catch). COALESCE '' is the identity
+    // merge: the pattern '()' never occurs in a delimited sequence.
     // one learned merge applied to the delimited sequence EXPRESSION
     // `s` (bpeApplyMerge's spelling over an aliased 1-row merge column)
     def rep(s: String, mp: String): String =
@@ -3616,9 +3623,9 @@ object ExtQueries {
        |ptok AS (SELECT dd.doc_id, dd.lang,
        |    flatten(${d.transform(words, "w", ids)}) AS toks
        |  FROM documents dd
-       |  CROSS JOIN (SELECT mp AS mp1 FROM m1) _m1
-       |  CROSS JOIN (SELECT mp AS mp2 FROM m2) _m2
-       |  CROSS JOIN (SELECT mp AS mp3 FROM m3) _m3),
+       |  CROSS JOIN (SELECT COALESCE(MAX(mp), '') AS mp1 FROM m1) _m1
+       |  CROSS JOIN (SELECT COALESCE(MAX(mp), '') AS mp2 FROM m2) _m2
+       |  CROSS JOIN (SELECT COALESCE(MAX(mp), '') AS mp3 FROM m3) _m3),
        |pd AS (SELECT doc_id, lang,
        |    CASE WHEN $pm < 980 THEN 'train'
        |         WHEN $pm < 990 THEN 'val' ELSE 'test' END AS split,
@@ -7026,7 +7033,7 @@ object ExtQueries {
       case DuckD  => s"[${comps.mkString(",\n      ")}]"
     }
     s"""SELECT c, cm FROM (SELECT cid AS c, $arr AS cm FROM $s3) t
-       |ORDER BY c LIMIT $PqK""".stripMargin
+       |ORDER BY c LIMIT $KmK""".stripMargin
   }
 
   /** PQ encode CTEs against the LEARNED codebooks: `em` (micro-int
@@ -7174,7 +7181,12 @@ object ExtQueries {
     * cosine spelling and (cos DESC, nid) tie-break), LEFT JOIN against
     * the ANN relation `ann` (qid, nid), histogram of per-query hits.
     */
-  private def kmRecallTail(d: Dial, emb: String): String =
+  /** The exact brute-force ground-truth CTE body (top-5 per query for
+    * the shared 20-query sample, v10's cosine spelling and tie-break)
+    * — ONE spelling consumed by both v22's recall tail and v23's
+    * sweep tail, so the two harnesses can never diverge on what
+    * "truth" means. */
+  private def kmGtCte(d: Dial, emb: String): String =
     s"""gt AS (SELECT qid, nid FROM (
        |    SELECT q.vec_id AS qid, n.vec_id AS nid,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
@@ -7184,7 +7196,10 @@ object ExtQueries {
        |          ORDER BY vec_id LIMIT 20) q
        |    CROSS JOIN $emb n
        |    WHERE n.vec_id <> q.vec_id) x
-       |  WHERE rn <= 5),
+       |  WHERE rn <= 5)""".stripMargin
+
+  private def kmRecallTail(d: Dial, emb: String): String =
+    s"""${kmGtCte(d, emb)},
        |hits AS (SELECT gt.qid, COUNT(ann.nid) AS n_hits
        |  FROM gt LEFT JOIN ann ON gt.qid = ann.qid AND gt.nid = ann.nid
        |  GROUP BY gt.qid)
@@ -7274,16 +7289,7 @@ object ExtQueries {
     * histogram per K. */
   private def kmSweepTail(d: Dial): String = {
     val ks = s"(VALUES ($KmSweepA), ($KmSweepB), ($KmSweepC)) AS ks(k)"
-    s"""gt AS (SELECT qid, nid FROM (
-       |    SELECT q.vec_id AS qid, n.vec_id AS nid,
-       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-       |        ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
-       |          DESC, n.vec_id) AS rn
-       |    FROM (SELECT * FROM kemb WHERE vec_id < 20
-       |          ORDER BY vec_id LIMIT 20) q
-       |    CROSS JOIN kemb n
-       |    WHERE n.vec_id <> q.vec_id) x
-       |  WHERE rn <= 5),
+    s"""${kmGtCte(d, "kemb")},
        |hits AS (SELECT ks.k, gt.qid, COUNT(ann.nid) AS n_hits
        |  FROM gt CROSS JOIN $ks
        |  LEFT JOIN ann ON ann.k = ks.k AND ann.qid = gt.qid

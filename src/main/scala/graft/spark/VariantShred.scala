@@ -44,12 +44,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Soundness guards (provenance is recorded by column NAME, so the
   * rule must refuse every shape where a name is not proof):
-  *   - AMBIGUITY: the rewrite fires only when the child exposes
-  *     exactly ONE attribute named like the variant column and
-  *     exactly ONE provenance-matching shred. A Join child merging
-  *     two same-named variants (a self-join of a shredded table, or
-  *     two tables whose variant columns share a name) would otherwise
-  *     let the first name-match substitute the OTHER side's leaf.
+  *   - LINEAGE: a shred substitutes only when it CO-OCCURS with the
+  *     referenced variant attribute (by exprId) in one leaf relation
+  *     under the child — the true pair always shares its leaf
+  *     because shreds are stored next to their variant, while a
+  *     cross-join-side pairing (self-joins of shredded tables, or an
+  *     orphaned shred whose own variant was projected away joined to
+  *     a different table's same-named variant) never does. Exactly
+  *     one surviving candidate, else refuse.
   *   - TYPE SAFETY: only timezone-insensitive target types are
   *     rewritten ([[VariantShred.safeTargetType]]) — a timestamp
   *     shred would bake the WRITER's session timezone into reads
@@ -103,28 +105,34 @@ object VariantShredRewrite extends Rule[LogicalPlan] {
         case vg @ VariantGet(v: AttributeReference,
             Literal(path: UTF8String, StringType), dt, _, _)
             if safeTargetType(dt) =>
-          // the shred must live in the SAME child's output as the
-          // variant column it was derived from (a name match across
-          // different join sides must not fire), and — because the
-          // provenance key is a NAME, not an exprId — the match must
-          // be UNAMBIGUOUS: a Join is one child, so a self-join of a
-          // shredded table exposes two attributes named `v` and two
-          // matching shreds; substituting "the first" could return
-          // the other row's value. Fire only when the child shows
-          // exactly one candidate of each.
+          // The provenance key is a NAME, not an exprId, so the name
+          // match alone is not proof: a Join is one child, and its
+          // output can pair a shred from one side with a same-named
+          // variant from the OTHER (self-joins of shredded tables;
+          // an orphaned leaf whose own variant was projected away
+          // joined to a different table's `v`). Bind by LINEAGE
+          // instead: the shred must co-occur with THIS variant
+          // attribute (by exprId) in the output of a single leaf
+          // relation under the child — shreds are written next to
+          // their variant, so the true pair always shares its leaf,
+          // while any cross-side pairing never does. Self-joins
+          // rewrite correctly (each side's relation copy carries its
+          // own exprIds); fire only on exactly one surviving
+          // candidate.
           p.children.iterator.flatMap { ch =>
             if (!ch.outputSet.contains(v)) Iterator.empty
             else {
-              val sameNamed = ch.output.count(_.name == v.name)
+              lazy val leaves = ch.collectLeaves()
               val shreds = ch.output.filter { a =>
                 a.metadata.contains(ShredOfKey) &&
                   a.metadata.getString(ShredOfKey) == v.name &&
                   a.metadata.contains(ShredPathKey) &&
                   a.metadata.getString(ShredPathKey) == path.toString &&
-                  a.dataType == dt
+                  a.dataType == dt &&
+                  leaves.exists(l => l.outputSet.contains(a) &&
+                    l.outputSet.contains(v))
               }
-              if (sameNamed == 1 && shreds.size == 1) shreds.iterator
-              else Iterator.empty
+              if (shreds.size == 1) shreds.iterator else Iterator.empty
             }
           }.nextOption().getOrElse(vg)
       }

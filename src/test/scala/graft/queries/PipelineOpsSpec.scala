@@ -80,6 +80,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((0, 3L, 1L, 4L), (1, 2L, 0L, 2L)))
   }
 
+  test("p20: a corpus that exhausts its merges before round 3 keeps " +
+    "EVERY document in the shard relation") {
+    val sp = spark; import sp.implicits._
+    // Vocabulary = the single word "ab": round 1 merges a+b, leaving
+    // every sequence a single symbol — rounds 2 and 3 have NO pairs
+    // and their merge relations are EMPTY. A cross join against an
+    // empty merge relation would silently drop every document (and
+    // the oracle, sharing the text, would agree — invisible to the
+    // gate). The 1-row MAX wrapper must keep all docs, each with its
+    // 1-token array.
+    val docs = (1L to 40L).map(i => (i, "ab ab", "en"))
+    docs.toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val rel = ExtQueries.TestSql.p20ShardRelation(spark)
+    val rows = rel.selectExpr("doc_id", "btoks", "size(toks) AS n").collect()
+    assert(rows.length == 40, s"docs dropped: ${rows.length} of 40")
+    rows.foreach { r =>
+      assert(r.getLong(1) == 2L && r.getInt(2) == 2,
+        s"expected 2 merged tokens per doc: $r")
+    }
+  }
+
   test("d20: exact collapse + within-LEARNED-cell min-id-wins drop") {
     val sp = spark; import sp.implicits._
     def vec(pairs: (Int, Float)*): Array[Float] = {

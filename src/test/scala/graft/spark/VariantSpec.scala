@@ -157,14 +157,16 @@ class VariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.read.format("columnfile").load(dir).createOrReplaceTempView(name)
   }
 
-  test("the rewrite refuses ambiguous name matches: a join exposing two " +
-    "variants named v keeps variant_get live and stays correct") {
+  test("lineage-bound rewrite: a join of two same-named shredded " +
+    "variants substitutes each side's OWN leaf, correctly") {
     import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
     writeShredded("vs_left", 1)
     writeShredded("vs_right", 1000)
-    // Both sides expose `v` and a shred of "v": after the join, a
-    // name-keyed substitution could serve the LEFT row's leaf for the
-    // RIGHT side's variant_get. The guard must refuse to fire here.
+    // Both sides expose `v` and a shred of "v": a name-keyed
+    // substitution could serve the LEFT row's leaf for the RIGHT
+    // side's variant_get. The lineage binding (shred co-occurs with
+    // ITS variant in one leaf relation) pairs each variant_get with
+    // its own side's leaf — both rewrite, both correct.
     val q = spark.sql(
       """SELECT l.id,
         |  CAST(variant_get(l.v, '$.p', 'bigint') AS BIGINT) AS lp,
@@ -179,11 +181,9 @@ class VariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val live = q.queryExecution.optimizedPlan.expressions
       .flatMap(_.collect { case g: VariantGet => g })
-    assert(live.size == 2,
-      s"ambiguous shred match must not rewrite; live VariantGets: $live")
-    // the UNAMBIGUOUS single-table query over the same view still
-    // rewrites — the guard rejects joins of same-named variants, not
-    // ordinary scans
+    assert(live.isEmpty,
+      s"lineage-bound matches should rewrite both sides; live: $live")
+    // single-table read still rewrites
     val solo = spark.sql(
       """SELECT CAST(SUM(variant_get(v, '$.p', 'bigint')) AS BIGINT) AS s
         |FROM vs_left""".stripMargin)
@@ -191,6 +191,38 @@ class VariantSpec extends AnyFunSuite with BeforeAndAfterAll {
     val soloLive = solo.queryExecution.optimizedPlan.expressions
       .flatMap(_.collect { case g: VariantGet => g })
     assert(soloLive.isEmpty, "single-table shred read must still rewrite")
+  }
+
+  test("an ORPHANED shred (its variant projected away) never pairs with " +
+    "a different table's same-named variant") {
+    import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+    writeShredded("vs_orph_l", 7)
+    writeShredded("vs_orph_r", 1000)
+    // Left subquery keeps only the shred leaf (drops its own `v`);
+    // right exposes an unshredded-looking `v` (its shred is also
+    // dropped). The join child then shows exactly one attribute named
+    // `v` (right's) and one provenance-matching shred (left's orphan,
+    // ShredOf = "v") — a name-count guard fires here and serves the
+    // LEFT table's values for the RIGHT variant_get. Lineage binding
+    // must refuse: the orphan and the variant live in different leaf
+    // relations.
+    val q = spark.sql(
+      """SELECT l.id, l.vp AS orphan_leaf,
+        |  CAST(variant_get(r.v, '$.p', 'bigint') AS BIGINT) AS rp
+        |FROM (SELECT id, vp FROM vs_orph_l) l
+        |JOIN (SELECT id, v FROM vs_orph_r) r ON l.id = r.id""".stripMargin)
+    val rows = q.collect()
+    assert(rows.length == 100)
+    rows.foreach { row =>
+      val id = row.getLong(0)
+      assert(row.getLong(1) == id * 7L, s"orphan leaf wrong for $id: $row")
+      assert(row.getLong(2) == id * 1000L,
+        s"right variant_get served the WRONG table's leaf for $id: $row")
+    }
+    val live = q.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case g: VariantGet => g })
+    assert(live.nonEmpty,
+      "the orphaned-shred join must keep variant_get live")
   }
 
   test("declarative shred write option derives provenance-tagged leaves " +
