@@ -39,7 +39,7 @@ QUERIES = ",".join(
     # streaming index maintenance: documents-based, and the empty/
     # whitespace-text docs fuzzed corpora plant are exactly its
     # dl-row-without-postings edge
-    ["q66_", "q67_", "q68_", "q70_"] +
+    ["q66_", "q67_", "q68_", "q70_", "q71_"] +
     # relational shared-SQL family over fuzzed lineitem/orders: the
     # integer-cents discipline's ROUND(double) is the divergence
     # surface (Spark rounds the decimal string, DuckDB the binary

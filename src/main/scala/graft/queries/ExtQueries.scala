@@ -3100,6 +3100,86 @@ object ExtQueries {
           |GROUP BY d.lang, p.cls""".stripMargin)
     }, Some(t20ApplySql(DuckD)))
 
+  /** q71: quarantine ROUTING for the streaming admission gate — q70
+    * logs verdicts into one undifferentiated per-batch dir; a
+    * production gate additionally ROUTES each document by its verdict
+    * (admitted docs land in the corpus, rejected docs in a quarantine
+    * for review — the `columnfile-cat.cc:328-341` routed-ETL-copy
+    * economics at ingest). Per micro-batch the verdicts are written
+    * with `partitionBy("cls")` under the batchId-keyed exactly-once
+    * dir, so each batch dir physically splits into `cls=1` (admit) /
+    * `cls=0` (reject) subdirectories and a replayed batch overwrites
+    * BOTH routes of its own previous attempt atomically (one dir, one
+    * overwrite — the routes cannot diverge under replay).
+    *
+    * The readout is the PHYSICAL proof: `cls` values are synthesized
+    * by partition discovery from the DIRECTORY NAMES (the data files
+    * under a `cls=` dir do not contain the column at all), so the
+    * oracle — t20's batch contract split by route — hash-matches only
+    * if every document physically landed in the directory its score
+    * dictates. admitted ∪ rejected = t20's full contract, by the same
+    * hash. Boundary independence + replay idempotence are pinned in
+    * ClassifierAdmitSpec.
+    *
+    * 100 TB design: identical to q70 (stateless stream-static
+    * broadcast join against the <=1024-row learned weight relation; no
+    * state store) plus the routing is free — partitioned write is a
+    * per-task fan-out into per-value files, no extra shuffle; and the
+    * quarantine reviewer's scan of ONE route is directory-pruned
+    * before any I/O (the PartitionLayout lever).
+    */
+  private def streamAdmitQuarantine: Q = Q("q71_stream_admit_quarantine",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val src = Tables.cachePath(dir, "documents_neardup_stream")
+      if (!new java.io.File(src, "_SUCCESS").exists()) {
+        spark.table("documents")
+          .selectExpr("doc_id",
+            "timestamp_micros((pmod(doc_id, 1000000000) + 1) * 1000000) AS ts", "text")
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.format("columnfile").mode("overwrite").save(src)
+      }
+      val out = Tables.cachePath(dir, "admit_quarantine_docs")
+      if (!Tables.batchOutputComplete(out)) {
+        Tables.resetBatchOutput(out)
+        val weights = cacheOnce(spark.read.format("columnfile")
+          .load(t19WeightsPath(spark, dir)))
+        val schema = spark.read.format("columnfile").load(src).schema
+        val stream = spark.readStream.format("columnfile")
+          .schema(schema).load(src)
+        val q = stream.writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.streaming.ClassifierAdmit.perDocScores(df, weights)
+              .write.format("columnfile").partitionBy("cls")
+              .mode("overwrite").save(s"$out/batch=$id")
+            ()
+          }
+          .option("checkpointLocation", out + "_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Tables.markBatchOutputComplete(out)
+      }
+      // cls comes from partition discovery (directory names) here — the
+      // routing itself is what the oracle hash checks
+      Tables.loadBatchDirs(spark, out,
+        "doc_id BIGINT, score BIGINT, cls BIGINT")
+        .createOrReplaceTempView("cf_quarantine")
+      spark.sql(
+        """SELECT CASE WHEN p.cls = 1 THEN 'admit' ELSE 'reject' END
+          |    AS route,
+          |  d.lang AS l, p.cls,
+          |  COUNT(*) AS n_docs,
+          |  CAST(MIN(p.score) AS BIGINT) AS min_score,
+          |  CAST(MAX(p.score) AS BIGINT) AS max_score,
+          |  CAST(SUM(p.score) AS BIGINT) AS sum_score
+          |FROM cf_quarantine p JOIN documents d ON p.doc_id = d.doc_id
+          |GROUP BY d.lang, p.cls""".stripMargin)
+    }, Some(
+      s"""SELECT CASE WHEN cls = 1 THEN 'admit' ELSE 'reject' END AS route,
+         |  l, cls, n_docs, min_score, max_score, sum_score
+         |FROM (${t20ApplySql(DuckD)}) t""".stripMargin))
+
   /** The per-doc distinct-shingle relation d13 builds its index over. */
   private def dupCovShSql(d: Dial): String =
     s"""SELECT doc_id, lang, ${d.shingleHashSet("text")} AS hset
@@ -3599,7 +3679,32 @@ object ExtQueries {
     * trainer-ready artifact — the read-back checksum folds each doc's
     * ids ORDER-SENSITIVELY.
     */
-  private def p20ShardBody(d: Dial, w0: String): String = {
+  /** The pack-window CTEs downstream of a relation `pd` with columns
+    * (doc_id, lang, split, shard, btoks, toks): p04's running-sum
+    * packing per (split, lang, shard) assigning (rn, bin). Split out of
+    * [[p20EncodeBody]] so p23's COMPACTION repacks base ∪ delta from
+    * the STORED columns with the exact same spelling — the repack
+    * never touches raw text or the tokenizer.
+    */
+  private def p20PackCtes(d: Dial, pd: String): String =
+    s"""pk AS (SELECT doc_id, lang, split, shard, btoks, toks,
+       |    SUM(btoks) OVER (PARTITION BY split, lang, shard
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY split, lang, shard
+       |      ORDER BY doc_id) AS BIGINT) AS rn
+       |  FROM $pd),
+       |pb AS (SELECT split, lang, shard, doc_id, btoks, rn, toks,
+       |    CAST(${d.intDiv("(cum - btoks)", "2048")} AS BIGINT) AS bin
+       |  FROM pk)""".stripMargin
+
+  /** The encode + split + pack chain over a documents relation `docs`
+    * (doc_id, lang, text), assuming the three 1-row-or-empty merge
+    * relations m1/m2/m3 are already in scope (either t16's training
+    * CTEs — the full-rebuild shape — or trivial selects from the
+    * MATERIALIZED frozen-tokenizer table, p22's serve-many shape).
+    */
+  private def p20EncodeBody(d: Dial, docs: String): String = {
     val pm = s"((doc_id % $P) * 2654435761) % $P % 1000"
     // The merge relations arrive through ungrouped MAX aggregates
     // (exactly one row ALWAYS): a degenerate corpus can exhaust its
@@ -3617,12 +3722,9 @@ object ExtQueries {
     val ids = d.transform(bpeSyms(d, s"($s3)"), "y", d.rollHash("y"))
     val words = d.filter(d.split("lower(dd.text)"), "w",
       "length(w) >= 2 AND regexp_extract(w, '^[a-z]+$$', 0) = w")
-    s"""${bpeRound(d, 1, w0)},
-       |${bpeRound(d, 2, "w1")},
-       |${bpeRound(d, 3, "w2")},
-       |ptok AS (SELECT dd.doc_id, dd.lang,
+    s"""ptok AS (SELECT dd.doc_id, dd.lang,
        |    flatten(${d.transform(words, "w", ids)}) AS toks
-       |  FROM documents dd
+       |  FROM $docs dd
        |  CROSS JOIN (SELECT COALESCE(MAX(mp), '') AS mp1 FROM m1) _m1
        |  CROSS JOIN (SELECT COALESCE(MAX(mp), '') AS mp2 FROM m2) _m2
        |  CROSS JOIN (SELECT COALESCE(MAX(mp), '') AS mp3 FROM m3) _m3),
@@ -3632,17 +3734,14 @@ object ExtQueries {
        |    (doc_id % 32) AS shard,
        |    CAST(${d.size("toks")} AS BIGINT) AS btoks, toks
        |  FROM ptok),
-       |pk AS (SELECT doc_id, lang, split, shard, btoks, toks,
-       |    SUM(btoks) OVER (PARTITION BY split, lang, shard
-       |      ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY split, lang, shard
-       |      ORDER BY doc_id) AS BIGINT) AS rn
-       |  FROM pd),
-       |pb AS (SELECT split, lang, shard, doc_id, btoks, rn, toks,
-       |    CAST(${d.intDiv("(cum - btoks)", "2048")} AS BIGINT) AS bin
-       |  FROM pk)""".stripMargin
+       |${p20PackCtes(d, "pd")}""".stripMargin
   }
+
+  private def p20ShardBody(d: Dial, w0: String): String =
+    s"""${bpeRound(d, 1, w0)},
+       |${bpeRound(d, 2, "w1")},
+       |${bpeRound(d, 3, "w2")},
+       |${p20EncodeBody(d, "documents")}""".stripMargin
 
   /** The per-(split, lang) rollup both sides compute — Spark from the
     * READ-BACK shards (stored rn/bin/toks), the oracle from the
@@ -3788,6 +3887,241 @@ object ExtQueries {
       s"""WITH w0 AS (${bpeVocabSql(DuckD)}),
          |${p20ShardBody(DuckD, "w0")},
          |${p21Body(DuckD, "pb")}""".stripMargin))
+
+  // ------------------------------ tokenized-shard maintenance (p22/p23)
+
+  /** The FROZEN tokenizer artifact: t16's three learned merge pairs
+    * materialized as a 3-row (r, mp) table — trained ONCE on the full
+    * corpus, then served to every incremental encode (the same
+    * train-once/serve-many economics as [[t19WeightsPath]]; a growing
+    * corpus does NOT retrain its tokenizer mid-run, or old and new
+    * shards would disagree on the id space).
+    */
+  private[graft] def p22MergesPath(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = Tables.cachePath(dir, "p22_merges")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.registerAll(spark, dir)
+      cacheOnce(spark.sql(bpeVocabSql(SparkD)))
+        .createOrReplaceTempView("p22_w0")
+      spark.sql(
+        s"""WITH ${bpeRound(SparkD, 1, "p22_w0")},
+           |${bpeRound(SparkD, 2, "w1")},
+           |${bpeRound(SparkD, 3, "w2")}
+           |SELECT CAST(1 AS BIGINT) AS r, COALESCE(MAX(mp), '') AS mp FROM m1
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), COALESCE(MAX(mp), '') FROM m2
+           |UNION ALL
+           |SELECT CAST(3 AS BIGINT), COALESCE(MAX(mp), '') FROM m3""".stripMargin)
+        .coalesce(1)
+        .write.format("columnfile").mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** p20's encode + split + pack chain over the relation `docs`, fed by
+    * the MATERIALIZED merges table `mt` (r, mp) instead of the training
+    * CTEs — the text every incremental encode shares with the full
+    * rebuild (m1/m2/m3 become trivial 1-row selects; everything
+    * downstream is character-identical to [[p20EncodeBody]]).
+    */
+  private def p20EncodeFromMerges(mt: String, docs: String): String =
+    s"""WITH m1 AS (SELECT mp FROM $mt WHERE r = 1),
+       |m2 AS (SELECT mp FROM $mt WHERE r = 2),
+       |m3 AS (SELECT mp FROM $mt WHERE r = 3),
+       |${p20EncodeBody(SparkD, docs)}
+       |SELECT split, lang, shard, doc_id, btoks, rn, bin, toks
+       |FROM pb""".stripMargin
+
+  /** One micro-batch of arriving documents (doc_id, lang, text) encoded
+    * and packed BATCH-LOCALLY against the frozen merge pairs `mps`
+    * (the 3-row merges table collected ONCE at stream start — a model
+    * constant, inlined as literals because a foreachBatch session
+    * clone copies the temp-view catalog at clone creation and cannot
+    * see views registered after it): the tokenize is map-side, and the
+    * pack window sees only this batch's rows — rn/bin restart per
+    * batch, which is exactly what makes the delta write stateless.
+    * The consumer statistics (p21's bigrams + length stats) read only
+    * per-doc columns, so they are batch-boundary independent even
+    * though rn/bin are not; compaction (p23) restores the canonical
+    * global pack. Package-visible for the spec's re-chunk proof.
+    * Everything downstream of m1/m2/m3 is character-identical to the
+    * full rebuild's [[p20EncodeBody]].
+    */
+  private[graft] def p22EncodeBatch(
+      batch: org.apache.spark.sql.DataFrame,
+      mps: Seq[String]): org.apache.spark.sql.DataFrame = {
+    // merge pairs are '[a-z]+ [a-z]+' or '' by construction — assert
+    // rather than trust, since they become SQL literals here
+    require(mps.length == 3 && mps.forall(_.matches("[a-z ]*")), mps)
+    val sp = batch.sparkSession
+    batch.createOrReplaceTempView("p22_in")
+    sp.sql(
+      s"""WITH m1 AS (SELECT '${mps(0)}' AS mp),
+         |m2 AS (SELECT '${mps(1)}' AS mp),
+         |m3 AS (SELECT '${mps(2)}' AS mp),
+         |${p20EncodeBody(SparkD, "p22_in")}
+         |SELECT split, lang, shard, doc_id, btoks, rn, bin, toks
+         |FROM pb""".stripMargin)
+  }
+
+  /** The compaction repack: the GLOBAL pack window recomputed from a
+    * shard relation's STORED per-doc columns (rn/bin in the input are
+    * ignored and reassigned). [[p20PackCtes]] — the full rebuild's own
+    * spelling — so maintain-then-compact converges to exactly the
+    * canonical artifact. Package-visible for the spec's convergence
+    * proof.
+    */
+  private[graft] def p23Repack(shards: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sp = shards.sparkSession
+    shards.selectExpr("doc_id", "lang", "split", "shard", "btoks", "toks")
+      .createOrReplaceTempView("p23_all")
+    sp.sql(
+      s"""WITH ${p20PackCtes(SparkD, "p23_all")}
+         |SELECT split, lang, shard, doc_id, btoks, rn, bin, toks
+         |FROM pb""".stripMargin)
+  }
+
+  /** The frozen merge pairs as in-order strings (r = 1, 2, 3). */
+  private[graft] def p22MergePairs(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] =
+    spark.read.format("columnfile").load(p22MergesPath(spark, dir))
+      .orderBy("r").collect().map(_.getString(1)).toSeq
+
+  /** The batch-built BASE shards (even doc_ids through the frozen
+    * tokenizer — q66's base/arriving split applied to the p20
+    * artifact), partitioned (split, lang) like the full-rebuild table.
+    */
+  private[graft] def p22BasePath(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = Tables.cachePath(dir, "p22_base")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.registerAll(spark, dir)
+      spark.read.format("columnfile").load(p22MergesPath(spark, dir))
+        .createOrReplaceTempView("p22_mt0")
+      spark.table("documents").where("doc_id % 2 = 0")
+        .selectExpr("doc_id", "lang", "text")
+        .createOrReplaceTempView("p22_even")
+      spark.sql(p20EncodeFromMerges("p22_mt0", "p22_even"))
+        .write.format("columnfile").partitionBy("split", "lang")
+        .mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** Builds (once) the p22 surfaces — base shards, the odd-docs stream
+    * source, the per-batch DELTA shard dirs — and returns base ∪ delta
+    * as one relation (split, lang, shard, doc_id, btoks, rn, bin,
+    * toks). Shared by p22 (consumer over the union) and p23
+    * (compaction input).
+    */
+  private def p22UnionDF(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val base = p22BasePath(spark, dir)
+    val src = Tables.cachePath(dir, "documents_shard_stream")
+    if (!new java.io.File(src, "_SUCCESS").exists()) {
+      spark.table("documents").where("doc_id % 2 = 1")
+        .selectExpr("doc_id", "lang", "text")
+        .repartition(1).sortWithinPartitions("doc_id")
+        .write.format("columnfile").mode("overwrite").save(src)
+    }
+    val delta = Tables.cachePath(dir, "p22_delta")
+    if (!Tables.batchOutputComplete(delta)) {
+      Tables.resetBatchOutput(delta)
+      val mps = p22MergePairs(spark, dir)
+      val schema = spark.read.format("columnfile").load(src).schema
+      val stream = spark.readStream.format("columnfile")
+        .schema(schema).load(src)
+      val q = stream.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          // EXACTLY-ONCE per batch (the Tables batch-output protocol)
+          p22EncodeBatch(df, mps)
+            .write.format("columnfile").partitionBy("split", "lang")
+            .mode("overwrite").save(s"$delta/batch=$id")
+          ()
+        }
+        .option("checkpointLocation", delta + "_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Tables.markBatchOutputComplete(delta)
+    }
+    val cols = Seq("split", "lang", "shard", "doc_id", "btoks", "rn",
+      "bin", "toks")
+    spark.read.format("columnfile").load(base)
+      .selectExpr(cols: _*)
+      .union(Tables.loadBatchDirs(spark, delta,
+        "shard BIGINT, doc_id BIGINT, btoks BIGINT, rn BIGINT, " +
+          "bin BIGINT, toks ARRAY<BIGINT>, split STRING, lang STRING")
+        .selectExpr(cols: _*))
+  }
+
+  /** p22: streaming incremental MAINTENANCE of the tokenized-shard
+    * artifact — the q66 discipline applied to p20's deliverable, so a
+    * growing corpus extends its shards instead of full-rebuilding them
+    * (the `columnfile-sort.cc:337-342` --merge economics: extend with
+    * pre-built runs, don't re-sort the world). Even doc_ids are the
+    * batch-built base (frozen tokenizer, (split, lang)-partitioned);
+    * odd doc_ids ARRIVE AS A STREAM and are encoded per micro-batch —
+    * map-side against the materialized 3-row merge table — and packed
+    * batch-locally into batchId-keyed DELTA dirs (exactly-once
+    * overwrite protocol). The gate: p21's consumer statistics over
+    * base ∪ delta hash-match the FULL-REBUILD oracle exactly — the
+    * incremental artifact serves the loader the same bytes. rn/bin in
+    * the delta are batch-local by construction (stateless streaming);
+    * they are restored to the canonical global pack by p23's
+    * compaction, and nothing in THIS readout depends on them
+    * (re-chunk-proven in PipelineOpsSpec).
+    *
+    * 100 TB design: per-batch work is O(docs in the batch) — tokenize
+    * is a map-side lambda against three broadcast 1-row relations, the
+    * pack window partitions by (split, lang, shard) WITHIN the batch;
+    * no state store, no watermark, nothing rescans the base. The
+    * consumer pays the q66 LSM tax (delta dirs unioned per read) until
+    * p23 compacts.
+    */
+  private def shardMaintainQ: Q = Q("p22_shard_maintain",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      p22UnionDF(spark, dir).createOrReplaceTempView("p22_shards")
+      spark.sql("WITH " + p21Body(SparkD, "p22_shards"))
+    }, Some(
+      s"""WITH w0 AS (${bpeVocabSql(DuckD)}),
+         |${p20ShardBody(DuckD, "w0")},
+         |${p21Body(DuckD, "pb")}""".stripMargin))
+
+  /** p23: COMPACTION of the incrementally-maintained shards — the q67
+    * move for the p20 artifact: base ∪ delta rewritten as ONE
+    * (split, lang)-partitioned table with the pack window RECOMPUTED
+    * GLOBALLY from the STORED per-doc columns (split, lang, shard,
+    * doc_id, btoks — never raw text, never the tokenizer: the repack
+    * is [[p20PackCtes]], character-identical to the full rebuild's).
+    * The gate is the strongest in the family: p20's OWN rollup —
+    * including the order-sensitive pack_checksum over (rn, bin) and
+    * the token-sequence fold — over the compacted table hash-matches
+    * the full-rebuild oracle, i.e. maintain-then-compact converges to
+    * EXACTLY the canonical artifact, pack order and all.
+    *
+    * 100 TB design: compaction is one window over stored integers
+    * (partitioned by (split, lang, shard) — never unpartitioned) plus
+    * one partitioned write; it reads token arrays only to copy them.
+    * Run it when the delta-dir union tax (p22's readout shape) exceeds
+    * the rewrite cost — the LSM knob, same as q67's.
+    */
+  private def shardCompactQ: Q = Q("p23_shard_compact",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val compacted = Tables.cachePath(dir, "p22_compacted")
+      if (!new java.io.File(compacted, "_SUCCESS").exists()) {
+        p23Repack(p22UnionDF(spark, dir))
+          .write.format("columnfile").partitionBy("split", "lang")
+          .mode("overwrite").save(compacted)
+      }
+      spark.read.format("columnfile").load(compacted)
+        .createOrReplaceTempView("p23_shards")
+      spark.sql(p20RollupSql(SparkD, "p23_shards"))
+    }, Some(p20OracleSql(DuckD)))
 
   // ------------------------------------------------------- relevance ranking
 
@@ -4900,6 +5234,14 @@ object ExtQueries {
     // The shard CONSUMER: bigram + length stats read from the STORED
     // token arrays — the loader-side stats pass over the artifact.
     shardConsumerQ,
+    // Incremental shard maintenance: arriving docs encoded against the
+    // FROZEN tokenizer into per-batch delta dirs; consumer stats over
+    // base ∪ delta hash-match the full rebuild.
+    shardMaintainQ,
+    // Shard compaction: base ∪ delta repacked GLOBALLY from stored
+    // columns into one partitioned table; p20's own rollup (incl. the
+    // pack checksum) hash-matches the full-rebuild oracle.
+    shardCompactQ,
     // Weighted priority sampling (exact-integer w/u priorities) with
     // the Horvitz-Thompson estimate reported against exact totals.
     dialect("p19_priority_sample", prioritySampleSql),
@@ -4933,6 +5275,10 @@ object ExtQueries {
     // the materialized weight table per arriving micro-batch
     // (oracle = t20's batch SQL).
     streamClassifierAdmit,
+    // Quarantine ROUTING for the admission gate: verdicts land in
+    // cls=admit/reject partitioned per-batch dirs; readout cls comes
+    // from the directory names, so the oracle hash proves the routing.
+    streamAdmitQuarantine,
     // Image-dedup admission at INGEST: arriving images decoded by the
     // real seam per batch, band-joined against m05's rep index.
     streamImageDedup,

@@ -1057,4 +1057,50 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(rows.size == 24, s"expected 3 rounds x 8 clusters: ${rows.size}")
   }
+
+  test("p22/p23: batch-local delta packing preserves per-doc encodes " +
+    "(consumer-stat independence); compaction repack equals the " +
+    "canonical global pack") {
+    val sp = spark; import sp.implicits._
+    // docs big enough that one (split, lang, shard) group crosses the
+    // 2048-token bin boundary: doc_ids 0,32,64,96 share shard 0; only
+    // the pure-[a-z] words survive the encode filter, and under the
+    // planted merges toka=1 symbol, tokb=2 — 250 repeats ≈ 750
+    // tokens/doc, so the shard-0 cum crosses 2048 at its 4th doc —
+    // bins and rn are both exercised.
+    val body = (1 to 250).map(i => s"toka tokb w${i % 7}x").mkString(" ")
+    val docs = Seq(0L, 32L, 64L, 96L, 1L, 33L, 65L)
+      .map(id => (id, "en", s"doc$id $body"))
+    val all = docs.toDF("doc_id", "lang", "text")
+    val mps = Seq("t o", "to k", "tok a") // a frozen 3-merge chain
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getSeq[Long](7).toList))
+    // canonical: the WHOLE corpus as one batch == the full-rebuild pack
+    val whole = rows(ExtQueries.p22EncodeBatch(all, mps))
+    assert(whole.length == docs.length)
+    assert(whole.exists(_._7 > 0L), // some doc starts in bin >= 1
+      s"fixture never crosses the bin boundary: ${whole.map(_._7).toSeq}")
+    // delta shape: the same corpus re-chunked into three micro-batches
+    val chunks = Seq(Seq(0L, 33L), Seq(32L, 64L, 1L), Seq(96L, 65L))
+      .map(ids => all.where(ids.map(i => s"doc_id = $i").mkString(" OR ")))
+    val union = chunks.flatMap(c => rows(ExtQueries.p22EncodeBatch(c, mps)))
+    // per-doc ENCODE columns identical (everything a consumer stat
+    // reads: split, lang, shard, doc_id, btoks, toks) ...
+    def enc(r: (String, String, Long, Long, Long, Long, Long, List[Long])) =
+      (r._1, r._2, r._3, r._4, r._5, r._8)
+    assert(union.map(enc).toSet == whole.map(enc).toSet)
+    // ... while rn/bin are batch-local (the pack is NOT global: doc 96
+    // is its chunk's first shard-0 row, rn=1; globally it is rn=4)
+    assert(union.toSet != whole.toSet,
+      "fixture too small: batch-local pack coincided with the global one")
+    // compaction: repack of the union == the canonical global pack,
+    // rn/bin and all
+    val unionDf = union.toDF(
+      "split", "lang", "shard", "doc_id", "btoks", "rn", "bin", "toks")
+    val repacked = rows(ExtQueries.p23Repack(unionDf))
+    assert(repacked.toSet == whole.toSet,
+      s"repack diverges from canonical:\n${repacked.toSet.diff(whole.toSet)}")
+  }
 }

@@ -688,6 +688,33 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stored token arrays not read:\n$exec")
   }
 
+  test("p22 readout serves base ∪ delta from SHARD scans only; p23's " +
+    "compacted readout never touches text or the tokenizer") {
+    // The maintenance story's plan claim: after build, the consumer
+    // pass reads the shard artifact (base table + delta batch dirs) —
+    // no documents scan, no re-tokenize; and the windows (pack/top-3)
+    // are always partitioned.
+    for (name <- Seq("p22_shard_maintain", "p23_shard_compact")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val exec = df.queryExecution.executedPlan
+      assert(!exec.toString.contains("documents.parquet"),
+        s"$name readout reads raw documents:\n$exec")
+      assert(!exec.toString.toLowerCase.contains("split(lower(text)"),
+        s"$name readout re-tokenizes raw text:\n$exec")
+      val windows = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$name has an unpartitioned window:\n$exec"))
+      val scans = exec.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b }
+      assert(scans.nonEmpty && scans.forall(_.output.exists(n =>
+        Set("toks", "btoks", "doc_id").contains(n.name))),
+        s"$name must scan only shard tables: ${scans.map(_.output)}")
+    }
+  }
+
   test("v15 scores all 20 queries in one doc-keyed pass (no per-query " +
     "posting blowup)") {
     // The point of the document-at-a-time rewrite: the ONLY join that

@@ -62,4 +62,60 @@ class ClassifierAdmitSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rechunked = chunks.map(run).reduce(_ ++ _)
     assert(whole == rechunked)
   }
+
+  test("quarantine routing (q71): verdicts land in cls= dirs, replay " +
+    "overwrites both routes, and directory-derived cls matches the scorer") {
+    val sp = spark; import sp.implicits._
+    val bucketOf = (w: String) =>
+      spark.sql(s"SELECT graft_polyhash('$w') % 1024").head().getLong(0)
+    val (bGood, bBad) = (bucketOf("good"), bucketOf("bad"))
+    assume(bGood != bBad)
+    val weights = Seq((bGood, 10L), (bBad, -20L)).toDF("bucket", "w")
+    val all = Seq(
+      (1L, "good good good"),        // cls 1 -> admit dir
+      (2L, "bad bad"),               // cls 0 -> reject dir
+      (3L, "good bad"),              // cls 0
+      (4L, "good good bad"))         // cls 1
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files
+      .createTempDirectory("admit-quarantine").toString
+
+    // q71's per-batch write: partitionBy(cls) under the batch dir
+    def writeBatch(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      ClassifierAdmit.perDocScores(df, weights)
+        .write.format("columnfile").partitionBy("cls")
+        .mode("overwrite").save(s"$out/batch=$id")
+
+    writeBatch(all.where("doc_id <= 2"), 0L)
+    writeBatch(all.where("doc_id >= 3"), 1L)
+    // REPLAY batch 0 (a retried micro-batch): overwrite of the ONE
+    // batch dir must leave both routes exactly as one attempt wrote them
+    writeBatch(all.where("doc_id <= 2"), 0L)
+
+    // directory shape: each batch dir holds ONLY cls= subdirs (plus
+    // sidecar files), and both routes exist where both classes occur
+    for (b <- Seq(0L, 1L)) {
+      val subs = new java.io.File(s"$out/batch=$b").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted
+      assert(subs.sameElements(Array("cls=0", "cls=1")), subs.mkString(","))
+    }
+
+    // read back with cls synthesized from the DIRECTORY names — the
+    // physical routing proof: dir-derived cls must equal the scorer's
+    val got = spark.read.format("columnfile")
+      .load(s"$out/batch=0", s"$out/batch=1")
+      .select("doc_id", "score", "cls")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 10L, 1L), (2L, -20L, 0L),
+      (3L, -5L, 0L), (4L, 0L, 1L)), got.toString)
+    // replay added nothing: 4 docs, 4 verdicts
+    assert(got.size == 4)
+
+    // a reviewer's scan of ONE route reads only that directory
+    val rejects = spark.read.format("columnfile")
+      .load(s"$out/batch=0", s"$out/batch=1")
+      .where("cls = 0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rejects == Set(2L, 3L))
+  }
 }
