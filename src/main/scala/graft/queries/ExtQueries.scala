@@ -2834,6 +2834,166 @@ object ExtQueries {
         sum(col("members")).cast("long").as("n_members"))
   }
 
+  // ------------------------------------------- measured dedup recall (d21)
+
+  /** The d21 recall-scoring body over relations `hs` (doc_id, hset —
+    * the shingle sets), `ex` (the CAPPED (doc_id, bk) band relation —
+    * the production candidate source d03 actually self-joins), `drep`
+    * (vec_id, embedding, enorm — nonzero collapsed representatives),
+    * `asg`/`asgl` (vec_id, clabel — d16's label-cell and d20's
+    * learned-cell assignments). Ground truth is EXACT similarity on a
+    * bounded sample (doc_id < 40 / vec_id < 20, each with an ORDER
+    * BY/LIMIT identity — the v09/v10 sample-by-contract bound,
+    * machine-checked); candidates are restricted to the same sample,
+    * so every relation here is sample × corpus at worst. Jaccard is
+    * scored in exact integer per-mille; cosine thresholds compare
+    * against thr/1000 (the same shared-double discipline as d07's
+    * tau filter).
+    */
+  private def dedupRecallBody(d: Dial, hs: String, ex: String,
+      drep: String, asg: String, asgl: String): String = {
+    val jpm = d.intDiv(
+      s"(1000 * ${d.size(d.intersect("q.hset", "h.hset"))})",
+      d.size(d.distinct(d.concatArr("q.hset", "h.hset"))))
+    def semBlock(method: String, cand: String): String =
+      s"""SELECT '$method' AS method, CAST(lv.thr AS BIGINT) AS thr,
+         |  COUNT(*) AS n_true,
+         |  CAST(SUM(CASE WHEN c.nid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit
+         |FROM cgt g CROSS JOIN (VALUES (400), (450), (480)) AS lv(thr)
+         |LEFT JOIN $cand c ON c.qid = g.qid AND c.nid = g.nid
+         |WHERE g.cos >= CAST(lv.thr AS DOUBLE) / 1000
+         |GROUP BY lv.thr""".stripMargin
+    s"""qs AS (SELECT doc_id, hset FROM $hs WHERE doc_id < 40
+       |  ORDER BY doc_id LIMIT 40),
+       |jgt AS (SELECT qid, nid, jpm FROM (
+       |    SELECT q.doc_id AS qid, h.doc_id AS nid, $jpm AS jpm
+       |    FROM qs q CROSS JOIN $hs h WHERE h.doc_id <> q.doc_id) x
+       |  WHERE jpm >= 500),
+       |jcand AS (SELECT DISTINCT a.doc_id AS qid, b.doc_id AS nid
+       |  FROM $ex a JOIN $ex b ON a.bk = b.bk AND b.doc_id <> a.doc_id
+       |  WHERE a.doc_id < 40),
+       |vq AS (SELECT vec_id, embedding, enorm FROM $drep
+       |  WHERE vec_id < 20 ORDER BY vec_id LIMIT 20),
+       |cgt AS (SELECT qid, nid, cos FROM (
+       |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |      ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
+       |        AS cos
+       |    FROM vq q CROSS JOIN $drep n WHERE n.vec_id <> q.vec_id) c
+       |  WHERE cos >= 0.4),
+       |scand AS (SELECT a.vec_id AS qid, b.vec_id AS nid
+       |  FROM $asg a JOIN $asg b ON a.clabel = b.clabel
+       |    AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 20),
+       |slcand AS (SELECT a.vec_id AS qid, b.vec_id AS nid
+       |  FROM $asgl a JOIN $asgl b ON a.clabel = b.clabel
+       |    AND b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 20)
+       |SELECT method, thr, n_true, n_hit FROM (
+       |  SELECT 'minhash_lsh' AS method, CAST(lv.thr AS BIGINT) AS thr,
+       |    COUNT(*) AS n_true,
+       |    CAST(SUM(CASE WHEN c.nid IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit
+       |  FROM jgt g
+       |  CROSS JOIN (VALUES (500), (600), (700), (800), (900)) AS lv(thr)
+       |  LEFT JOIN jcand c ON c.qid = g.qid AND c.nid = g.nid
+       |  WHERE g.jpm >= lv.thr
+       |  GROUP BY lv.thr
+       |  UNION ALL
+       |  ${semBlock("semdedup_cells", "scand")}
+       |  UNION ALL
+       |  ${semBlock("semdedup_learned", "slcand")}) u""".stripMargin
+  }
+
+  /** d21: MEASURED DEDUP RECALL — v22's quality-gate discipline applied
+    * to the dedup family, the last approximate family with no recall
+    * number: on a bounded sample, the EXACT ground truth (integer
+    * per-mille Jaccard for text; exact cosine for vectors, over the
+    * collapsed nonzero representatives) is scored against what each
+    * production candidate generator would actually examine — d03's
+    * CAPPED MinHash-LSH band buckets, d16's label-cell SemDeDup
+    * partition, and d20's LEARNED-cell partition — as per-threshold
+    * hit histograms (n_true / n_hit per similarity threshold). This is
+    * the number a deployment tunes bands/rows/k against: LSH recall
+    * should rise toward 1000‰ Jaccard (the S-curve), and the SemDeDup
+    * legs measure exactly what the cell partition loses to cross-cell
+    * near-dups at each tau.
+    *
+    * 100 TB shape: ground truth is sample × corpus BY CONTRACT
+    * (LIMIT-identity samples, machine-checked in InventoryPlanSpec);
+    * the candidate relations are the production ones restricted to the
+    * sample — so the harness costs one extra bounded pass over
+    * relations the dedup queries already build, at any corpus size.
+    */
+  private def dedupRecallQ: Q = {
+    val oracle = {
+      val d = DuckD
+      s"""WITH hs AS (${minhashHsSql(d)}),
+         |${minhashBandCtes(d, "hs")},
+         |ex AS (SELECT doc_id, bk FROM (
+         |         SELECT doc_id, bk, COUNT(*) OVER (PARTITION BY bk) AS bn
+         |         FROM ex0) x
+         |       WHERE bn <= $HotBucketCap),
+         |grp AS (SELECT embedding, MIN(vec_id) AS rep, COUNT(*) AS members
+         |      FROM embeddings GROUP BY embedding),
+         |reps AS (
+         |  SELECT e.* FROM embeddings e JOIN grp ON e.vec_id = grp.rep),
+         |${ivfCommonCtes(d, "reps")},
+         |lassign AS (SELECT vec_id, clabel FROM best WHERE rn = 1),
+         |${kmChainCtes(d)},
+         |drep AS (SELECT k.vec_id, k.embedding, k.enorm
+         |  FROM kemb k JOIN grp g ON g.rep = k.vec_id),
+         |dassign AS (SELECT vec_id, cid AS clabel
+         |  FROM (${kmRankSql(d, "drep", "k2")}) r WHERE rn = 1),
+         |${dedupRecallBody(d, "hs", "ex", "drep", "lassign", "dassign")}"""
+        .stripMargin
+    }
+    Q("d21_dedup_recall", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      dedupRecallDF(spark)
+    }, Some(oracle))
+  }
+
+  /** Spark side of d21 over whatever documents/embeddings relations are
+    * registered — split out so the recall semantics are testable on
+    * planted fixtures (the just-under-threshold and cross-cell cases).
+    */
+  private def dedupRecallDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+      // LSH surfaces (shared spellings with d03; cached once)
+      val hs = cacheOnce(spark.sql(minhashHsSql(SparkD)))
+      hs.createOrReplaceTempView("d21_hs")
+      val ex = cacheOnce(spark.sql(minhashExSql(SparkD, "d21_hs")))
+      ex.createOrReplaceTempView("d21_ex")
+      // SemDeDup surfaces: collapse, label cells (d16's assignment),
+      // learned cells (d20's assignment over the v19 model)
+      kmTrainViews(spark)
+      val grp = cacheOnce(spark.sql(
+        """SELECT embedding, MIN(vec_id) AS rep, COUNT(*) AS members
+          |FROM embeddings GROUP BY embedding""".stripMargin))
+      grp.createOrReplaceTempView("sem_grp")
+      spark.sql(
+        "SELECT e.* FROM embeddings e JOIN sem_grp g ON e.vec_id = g.rep")
+        .createOrReplaceTempView("sem_reps")
+      val drep = cacheOnce(spark.sql(
+        s"""SELECT vec_id, embedding,
+           |  sqrt(${SparkD.dot("embedding", "embedding")}) AS enorm
+           |FROM sem_reps
+           |WHERE ${SparkD.dot("embedding", "embedding")} > 0""".stripMargin))
+      drep.createOrReplaceTempView("d21_drep")
+      val asg = cacheOnce(spark.sql(
+        s"""WITH ${ivfCommonCtes(SparkD, "sem_reps")}
+           |SELECT vec_id, clabel FROM best WHERE rn = 1""".stripMargin))
+      asg.createOrReplaceTempView("d21_asg")
+      val asgl = cacheOnce(spark.sql(
+        s"""SELECT vec_id, cid AS clabel
+           |FROM (${kmRankSql(SparkD, "d21_drep", "v19_k2")}) r
+           |WHERE rn = 1""".stripMargin))
+      asgl.createOrReplaceTempView("d21_asgl")
+      spark.sql("WITH " + dedupRecallBody(SparkD, "d21_hs", "d21_ex",
+        "d21_drep", "d21_asg", "d21_asgl"))
+  }
+
   // ---------------------------------------------------------------- multimodal
 
   /** Multimodal PLUMBING-ONLY twin (hence `stubmeta` in the name): the
@@ -5150,6 +5310,10 @@ object ExtQueries {
     // k-means model — the learned quantizer consumed outside its own
     // retrieval family.
     semanticDedupLearned,
+    // Measured dedup recall: exact Jaccard/cosine ground truth on a
+    // bounded sample vs what the LSH buckets / SemDeDup cells would
+    // actually examine — per-threshold hit histograms.
+    dedupRecallQ,
     // Online near-dup detection (streaming MinHash-LSH band state).
     streamNearDup,
     dialect("v06_ann_cap_report", annCapReportSql),
@@ -5395,6 +5559,8 @@ object ExtQueries {
         : org.apache.spark.sql.DataFrame = spanRemovalDF(spark)
     def semanticDedup(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = semanticDedupDF(spark)
+    def dedupRecall(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = dedupRecallDF(spark)
     val hll: String = hllSql(SparkD)
     def hllRegisters(from: String): String = hllRegistersSql(SparkD, from)
     def hllEstimate(regs: String): String = hllEstimateSql(SparkD, regs)

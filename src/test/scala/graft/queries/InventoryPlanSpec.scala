@@ -111,7 +111,12 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // v23's sweep: three LIMIT-K centroid relations (K <= 16), the
     // 3-row VALUES level relation, and the LIMIT-20 ground-truth
     // sample — 20 bounds them all.
-    "v23_kmeans_k_sweep" -> 20L)
+    "v23_kmeans_k_sweep" -> 20L,
+    // d21's recall harness: the LIMIT-40 doc sample and LIMIT-20
+    // vector sample cross joins (ground truth by contract), the
+    // VALUES threshold relations, the ORDER BY clabel LIMIT 64 label
+    // centroids and the LIMIT-8 learned centroids — 64 bounds all.
+    "d21_dedup_recall" -> 64L)
 
   /** Static upper bound on a physical subtree's row count, derived
     * from shape alone — the machine check behind the BNLJ allowlist

@@ -1058,6 +1058,68 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.size == 24, s"expected 3 rounds x 8 clusters: ${rows.size}")
   }
 
+  test("d21: just-under-threshold Jaccard pair is not ground truth; " +
+    "identical pair is always an LSH hit; cross-cell near-dup is " +
+    "measured as SemDeDup recall loss") {
+    val sp = spark; import sp.implicits._
+    // Jaccard plants (per-mille, exact integers): docs 1/2 identical
+    // (J=1000); docs 3/4 share an 8-word block -> 6 shared shingles of
+    // 10 each, union 14 -> J = 428 (JUST UNDER the 500 gate); docs 5/6
+    // share a 9-word block -> 7 of 10, union 13 -> J = 538 (in the
+    // [500, 600) bucket only).
+    val x8 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val y9 = (1 to 9).map(i => s"y$i").mkString(" ")
+    Seq(
+      (1L, "a b c d e f g h i j k l", "en"),
+      (2L, "a b c d e f g h i j k l", "en"),
+      (3L, s"pa pb $x8 pc pd", "en"),
+      (4L, s"ra rb $x8 rc rd", "en"),
+      (5L, s"ua ub $y9 uc", "en"),
+      (6L, s"va vb $y9 vc", "en"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    // Cosine plants: v0/v1 nearly parallel INSIDE label-0's cell
+    // (cos ~ 0.999); v2 is label 1 and near-dup of v0/v1 only at the
+    // 0.4 tier (cos ~ 0.42) — a CROSS-CELL near-dup the cell partition
+    // must lose; v3 orthogonal filler keeping label 1's centroid away.
+    def vec(pairs: (Int, Double)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      pairs.foreach { case (i, v) => a(i) = v.toFloat }; a
+    }
+    Seq(
+      (0L, 0L, vec(0 -> 1.0, 1 -> 0.30)),
+      (1L, 0L, vec(0 -> 1.0, 1 -> 0.29)),
+      (2L, 1L, vec(0 -> 0.15, 1 -> 1.0)),
+      (3L, 1L, vec(2 -> 1.0)))
+      .toDF("vec_id", "label", "embedding")
+      .createOrReplaceTempView("embeddings")
+
+    val rows = ExtQueries.TestSql.dedupRecall(spark).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // LSH leg: thr 500 sees the identical pair (both orders) AND the
+    // J=538 pair — the 428 pair is NOT ground truth (4, not 6). The
+    // identical pair shares every band, so >= 2 hits always; the 538
+    // pair's bands may or may not collide (that S-curve shape is the
+    // thing being measured).
+    val (t500, h500) = rows(("minhash_lsh", 500L))
+    assert(t500 == 4L, s"500: $t500")
+    assert(h500 >= 2L && h500 <= t500)
+    for (thr <- Seq(600L, 700L, 800L, 900L))
+      assert(rows(("minhash_lsh", thr)) == ((2L, 2L)),
+        s"$thr: ${rows(("minhash_lsh", thr))}")
+    // Sem legs share ONE exact ground truth: 0<->1 (cos ~ .999) at
+    // every tier, plus the cross-cell 0<->2 / 1<->2 pairs at 400 only.
+    for (m <- Seq("semdedup_cells", "semdedup_learned")) {
+      assert(rows((m, 400L))._1 == 6L, s"$m 400: ${rows((m, 400L))}")
+      assert(rows((m, 450L))._1 == 2L && rows((m, 480L))._1 == 2L)
+    }
+    // the label-cell partition: same-cell 0<->1 hit, cross-cell pairs
+    // missed — recall loss is VISIBLE at 400 (2 of 6), perfect at 450+
+    assert(rows(("semdedup_cells", 400L))._2 == 2L)
+    assert(rows(("semdedup_cells", 450L))._2 == 2L)
+    assert(rows(("semdedup_cells", 480L))._2 == 2L)
+  }
+
   test("p22/p23: batch-local delta packing preserves per-doc encodes " +
     "(consumer-stat independence); compaction repack equals the " +
     "canonical global pack") {
