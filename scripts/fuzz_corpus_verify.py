@@ -30,7 +30,7 @@ QUERIES = ",".join(
     ["p01_", "p02_", "p03_", "p04_", "p05_", "p06_", "p07_", "p08_",
      "p09_", "p10_", "p11_", "p12_", "p13_", "p14_", "p15_", "p16_",
      "p17_", "p18_", "p19_", "p20_", "p21_"] +
-    [f"v{i:02d}_" for i in range(1, 24)] +
+    [f"v{i:02d}_" for i in range(1, 25)] +
     ["m01_", "m02_", "m03_", "m04_", "m05_", "m06_", "m07_", "m08_"] +
     # events-based batch family: time-series agg, sessionization twin,
     # as-of/range/interval/salted joins, funnel (ties + boundaries are

@@ -347,6 +347,9 @@ object CoreQueries {
     // shredded leaves -> plain pushed filters + chunk pruning; the
     // variant payload itself pruned out of the read schema.
     variantPushdown,
+    // The same serving shape over a table the STREAMING sink built
+    // with the shred option — stream-written ≡ batch-written.
+    variantStreamPushdown,
 
     // Partitioned storage: lineitem partitioned by l_returnflag; the
     // partition predicate prunes two of three directories before I/O.
@@ -1221,6 +1224,71 @@ object CoreQueries {
           |  CAST(SUM(variant_get(v, '$.price_c', 'bigint')) AS BIGINT)
           |    AS sum_price_c
           |FROM q69_t
+          |WHERE variant_get(v, '$.price_c', 'bigint')
+          |  BETWEEN 5000000 AND 15000000
+          |GROUP BY 1""".stripMargin)
+    }, Some(oracle))
+  }
+
+  /** q72: q69's variant pushdown over a table built by the STREAMING
+    * sink with the same declarative `shred` option — the batch/stream
+    * asymmetry closed (r16 verdict task 5): the sink's task writers
+    * derive the typed leaves per epoch (shared ShredAppend transform),
+    * the per-epoch schema sidecar carries the provenance metadata, and
+    * the q69 rewrite + pushdown serve the streamed table identically.
+    * Same oracle as q69 — stream-written ≡ batch-written, value for
+    * value.
+    */
+  private def variantStreamPushdown: Q = {
+    val oracle =
+      """SELECT o_orderstatus AS status, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c
+        |FROM orders
+        |WHERE o_orderkey % 10 = 0
+        |  AND CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |    BETWEEN 5000000 AND 15000000
+        |GROUP BY o_orderstatus""".stripMargin
+    Q("q72_cf_variant_stream_pushdown", (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      val src = Tables.cachePath(dir, "orders_variant_src")
+      if (!new java.io.File(src, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "orders")
+          .where(expr("o_orderkey % 10 = 0"))
+          .selectExpr("o_orderkey AS okey",
+            """parse_json(to_json(named_struct(
+              |  'status', o_orderstatus,
+              |  'price_c', CAST(ROUND(o_totalprice * 100) AS BIGINT),
+              |  'prio', o_orderpriority))) AS v""".stripMargin)
+          .orderBy(expr("variant_get(v, '$.price_c', 'bigint')"))
+          .write.format("columnfile").mode("overwrite").save(src)
+      }
+      val out = Tables.cachePath(dir, "shredded_orders_stream")
+      // the q66 completion protocol: the sink's _SUCCESS is per-epoch,
+      // so a crashed drain needs the post-drain _COMPLETE marker
+      if (!Tables.batchOutputComplete(out)) {
+        Tables.resetBatchOutput(out)
+        val schema = spark.read.format("columnfile").load(src).schema
+        val q = spark.readStream.format("columnfile")
+          .schema(schema).load(src)
+          .writeStream.format("columnfile")
+          .option("shred", "v:$.price_c:bigint,v:$.status:string")
+          .option("path", out)
+          .option("checkpointLocation", out + "_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Tables.markBatchOutputComplete(out)
+      }
+      spark.read.format("columnfile").load(out)
+        .createOrReplaceTempView("q72_t")
+      spark.sql(
+        """SELECT CAST(variant_get(v, '$.status', 'string') AS STRING)
+          |    AS status,
+          |  COUNT(*) AS cnt,
+          |  CAST(SUM(variant_get(v, '$.price_c', 'bigint')) AS BIGINT)
+          |    AS sum_price_c
+          |FROM q72_t
           |WHERE variant_get(v, '$.price_c', 'bigint')
           |  BETWEEN 5000000 AND 15000000
           |GROUP BY 1""".stripMargin)

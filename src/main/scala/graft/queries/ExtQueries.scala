@@ -5118,6 +5118,43 @@ object ExtQueries {
            "SELECT * FROM ct UNION ALL SELECT * FROM cs")}""".stripMargin)
   }
 
+  /** The materialized TRAIN-SPLIT model pair — t21's two final epoch
+    * weight relations (learned on true labels; scrambled chance-floor
+    * twin) persisted as ONE (model, bucket, w) cf table: train once,
+    * eval many (the [[t19WeightsPath]] economics applied to the eval
+    * family — the r16 verdict noted the double retrain as the
+    * inventory's top cost; this is the knob). The scrambled model is a
+    * frozen artifact too: the chance floor a re-run eval compares
+    * against must be the SAME floor, not a fresh training.
+    */
+  private[graft] def t21WeightsPath(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val out = Tables.cachePath(dir, "t21_weights")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.registerAll(spark, dir)
+      t21Views(spark)
+      spark.sql(
+        s"""SELECT 'learned' AS model, bucket, w FROM t21_tw$T19Epochs
+           |UNION ALL
+           |SELECT 'scrambled', bucket, w FROM t21_sw$T19Epochs""".stripMargin)
+        .coalesce(1)
+        .write.format("columnfile").mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** Eval-only relations (no training chains): the shared design
+    * matrix/labels and the TEST slice — everything the materialized-
+    * model readout needs. */
+  private def t21EvalViews(spark: org.apache.spark.sql.SparkSession): Unit = {
+    cacheOnce(spark.sql(t19XSql(SparkD))).createOrReplaceTempView("t19_x")
+    cacheOnce(spark.sql(t19LabSql(SparkD, "t19_x")))
+      .createOrReplaceTempView("t19_lab")
+    cacheOnce(spark.sql(
+      s"SELECT * FROM t19_x WHERE ${t21Pm("doc_id")} >= 990"))
+      .createOrReplaceTempView("t21_xte")
+  }
+
   /** t21: HELD-OUT classifier evaluation — the v09/v10/v18
     * measured-quality discipline applied to the classifier family
     * (round-15 verdict task 3). Both models train on the p13 TRAIN
@@ -5126,17 +5163,35 @@ object ExtQueries {
     * counts plus fixed-point precision/recall, with the
     * scrambled-label baseline's numbers beside the learned model's —
     * the chance floor that makes the learned numbers meaningful (the
-    * classifier family's recall gate). Deliberately EAGER like t19,
-    * twice: 2 x $T19Epochs damped epochs per run is the honest cost of
-    * the two trainings; each epoch is two broadcast-keyed joins
-    * against a <= 1024-row weight relation over the CACHED train-split
-    * design matrix, so the per-epoch cost scales like t19's (1.4x per
-    * 10x data) and the eval itself is one test-split join + rollup.
+    * classifier family's recall gate). Since r17 the Spark side reads
+    * the MATERIALIZED train-split model pair ([[t21WeightsPath]] —
+    * both 12-epoch trainings are paid ONCE at build, the family's own
+    * train-once/serve-many economics; the r16 verdict flagged the
+    * per-run double retrain as the inventory's top cost), so the eval
+    * itself is two test-slice broadcast joins + one rollup against a
+    * frozen model — the actual production eval shape, re-runnable
+    * against the same artifact. The oracle still recomputes BOTH
+    * chains inline, so the hash match proves the persisted weights
+    * round-trip the training exactly.
     */
   private def classifierEvalQ: Q = Q("t21_classifier_eval",
     (spark, dir) => {
       Tables.registerAll(spark, dir)
-      t21ReadoutDF(spark)
+      val w = spark.read.format("columnfile")
+        .option("runtimeFiltering", "false")
+        .load(t21WeightsPath(spark, dir))
+      cacheOnce(w.where("model = 'learned'").select("bucket", "w"))
+        .createOrReplaceTempView("t21_twm")
+      cacheOnce(w.where("model = 'scrambled'").select("bucket", "w"))
+        .createOrReplaceTempView("t21_swm")
+      t21EvalViews(spark)
+      spark.sql(
+        s"""WITH ct AS (${t21ConfSql("learned",
+             t21PredSql("t21_xte", "t21_twm"), "t19_lab")}),
+           |cs AS (${t21ConfSql("scrambled",
+             t21PredSql("t21_xte", "t21_swm"), "t19_lab")})
+           |${t21ReadoutSql(SparkD,
+             "SELECT * FROM ct UNION ALL SELECT * FROM cs")}""".stripMargin)
     }, Some(t21EvalSql(DuckD)))
 
   /** t12: BPE first-merge statistics — the tokenizer-training side of a
@@ -5481,6 +5536,10 @@ object ExtQueries {
     // serving recall vs the same ground truth — the k-per-corpus-size
     // tuning artifact.
     kmeansKSweepQ,
+    // The (K, nprobe) GRID: v23's trained chains crossed with v11's
+    // nprobe levels — one widest-probe pass per K, levels as filters;
+    // the 3x3 recall surface a deployment places both dials from.
+    kmeansGridQ,
     // t17: lexical retrieval over the MATERIALIZED inverted text
     // index (build-once/scan-many; term-bucket partition pruning).
     // v14_hybrid_indexed is RETIRED from the serving surface (r15):
@@ -7835,30 +7894,123 @@ object ExtQueries {
          |${kmSweepTail(DuckD)}""".stripMargin
     Q("v23_kmeans_k_sweep", (spark, dir) => {
       Tables.registerAll(spark, dir)
-      cacheOnce(spark.sql(kmEmbSql(SparkD)))
-        .createOrReplaceTempView("kemb")
-      for (k <- ks) {
-        val p = s"v23k${k}_"
-        spark.sql(kmSeedSql(SparkD, "kemb", k))
-          .createOrReplaceTempView(s"${p}k0")
-        cacheOnce(spark.sql(kmStatsSql(SparkD, "kemb", s"${p}k0")))
-          .createOrReplaceTempView(s"${p}s1")
-        spark.sql(kmCentSql(SparkD, s"${p}s1", k))
-          .createOrReplaceTempView(s"${p}k1")
-        cacheOnce(spark.sql(kmStatsSql(SparkD, "kemb", s"${p}k1")))
-          .createOrReplaceTempView(s"${p}s2")
-        spark.sql(kmCentSql(SparkD, s"${p}s2", k))
-          .createOrReplaceTempView(s"${p}k2")
-        // b3 is referenced twice (assignment + probes): cache it so
-        // the corpus ranking runs once per K
-        cacheOnce(spark.sql(kmRankSql(SparkD, "kemb", s"${p}k2")))
-          .createOrReplaceTempView(s"${p}b3")
-      }
+      kmSweepViews(spark, ks)
       spark.sql(
         s"""WITH ann AS (${ks.map(k =>
              kmSweepAnn(SparkD, s"v23k${k}_b3", k))
              .mkString("\n  UNION ALL ")}),
            |${kmSweepTail(SparkD)}""".stripMargin)
+    }, Some(oracle))
+  }
+
+  /** Registers (cached) the per-K sweep training chains — kemb plus,
+    * for each K, the seed/stats/centroid views and the final cached
+    * ranking `v23k{K}_b3` (referenced twice: assignment + probes).
+    * Shared by v23 and v24, so when both run in one session the three
+    * trainings happen ONCE and the grid sweep rides the K sweep's
+    * cache.
+    */
+  private def kmSweepViews(spark: org.apache.spark.sql.SparkSession,
+      ks: Seq[Int]): Unit = {
+    cacheOnce(spark.sql(kmEmbSql(SparkD)))
+      .createOrReplaceTempView("kemb")
+    for (k <- ks) {
+      val p = s"v23k${k}_"
+      spark.sql(kmSeedSql(SparkD, "kemb", k))
+        .createOrReplaceTempView(s"${p}k0")
+      cacheOnce(spark.sql(kmStatsSql(SparkD, "kemb", s"${p}k0")))
+        .createOrReplaceTempView(s"${p}s1")
+      spark.sql(kmCentSql(SparkD, s"${p}s1", k))
+        .createOrReplaceTempView(s"${p}k1")
+      cacheOnce(spark.sql(kmStatsSql(SparkD, "kemb", s"${p}k1")))
+        .createOrReplaceTempView(s"${p}s2")
+      spark.sql(kmCentSql(SparkD, s"${p}s2", k))
+        .createOrReplaceTempView(s"${p}k2")
+      // b3 is referenced twice (assignment + probes): cache it so
+      // the corpus ranking runs once per K
+      cacheOnce(spark.sql(kmRankSql(SparkD, "kemb", s"${p}k2")))
+        .createOrReplaceTempView(s"${p}b3")
+    }
+  }
+
+  /** One model's served top-5 AT EVERY nprobe LEVEL from its ranking
+    * relation `b3r`: ONE probe pass at the widest setting (rn <= 4)
+    * with each candidate carrying the BEST probe rank that reached it
+    * (MIN over shared cells — v11's inclusion-exclusion-free nesting),
+    * cosines computed once, then the 3-row VALUES level relation fans
+    * the ranking out per (nprobe, qid) with `min_prank <= nprobe` as
+    * the only per-level work. */
+  private def kmGridAnn(d: Dial, b3r: String, k: Int): String =
+    s"""SELECT k, nprobe, qid, nid FROM (
+       |  SELECT CAST($k AS BIGINT) AS k, lv.nprobe, p.qid, p.nid,
+       |    ROW_NUMBER() OVER (PARTITION BY lv.nprobe, p.qid
+       |      ORDER BY p.cos DESC, p.nid) AS rn
+       |  FROM (
+       |    SELECT c.qid, c.nid, c.min_prank,
+       |      ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
+       |        AS cos
+       |    FROM (SELECT p4.qid, a.vec_id AS nid, MIN(p4.prank) AS min_prank
+       |          FROM (SELECT vec_id AS qid, cid AS pcell, rn AS prank
+       |                FROM $b3r WHERE vec_id < 20 AND rn <= 4) p4
+       |          JOIN (SELECT vec_id, cid FROM $b3r WHERE rn = 1) a
+       |            ON a.cid = p4.pcell
+       |          WHERE a.vec_id <> p4.qid
+       |          GROUP BY p4.qid, a.vec_id) c
+       |    JOIN kemb q ON q.vec_id = c.qid
+       |    JOIN kemb n ON n.vec_id = c.nid) p
+       |  CROSS JOIN (VALUES (1), (2), (4)) AS lv(nprobe)
+       |  WHERE p.min_prank <= lv.nprobe) x
+       |WHERE rn <= 5""".stripMargin
+
+  /** The grid tail downstream of `ann` (k, nprobe, qid, nid): shared
+    * exact ground truth crossed with BOTH level relations so zero-hit
+    * (K, nprobe, query) cells are kept, histogram per grid cell. */
+  private def kmGridTail(d: Dial): String = {
+    val ks = s"(VALUES ($KmSweepA), ($KmSweepB), ($KmSweepC)) AS ks(k)"
+    val lv = "(VALUES (1), (2), (4)) AS lv(nprobe)"
+    s"""${kmGtCte(d, "kemb")},
+       |hits AS (SELECT ks.k, lv.nprobe, gt.qid, COUNT(ann.nid) AS n_hits
+       |  FROM gt CROSS JOIN $ks CROSS JOIN $lv
+       |  LEFT JOIN ann ON ann.k = ks.k AND ann.nprobe = lv.nprobe
+       |    AND ann.qid = gt.qid AND ann.nid = gt.nid
+       |  GROUP BY ks.k, lv.nprobe, gt.qid)
+       |SELECT k, nprobe, n_hits, COUNT(*) AS n_queries
+       |FROM hits GROUP BY k, nprobe, n_hits""".stripMargin
+  }
+
+  /** v24: the (K, nprobe) GRID — the full 2-D tuning surface a
+    * deployment actually reads (v11 sweeps nprobe at fixed K; v23
+    * sweeps K at fixed nprobe; the placement decision needs the
+    * cross). The three trained chains are v23's EXACT models (shared
+    * cached views — in a shared session the trainings run once for
+    * both harnesses); each model is probed ONCE at the widest nprobe
+    * with best-rank MIN per candidate, cosines computed once per
+    * (K, candidate), and the nprobe levels are FILTERS over that one
+    * pass (v11's candidate-set nesting, so recall is monotone along
+    * the nprobe axis by construction — and monotone non-increasing in
+    * K on this corpus, which the spec asserts on the measured grid).
+    * Output: per (K, nprobe) hit histograms against the ONE shared
+    * exact ground truth — the 3×3 recall grid.
+    * Scale shape: v23's training cost (cached, shared) + one
+    * sample-by-contract probe/rank pass per K; every build side
+    * carries a LIMIT identity (machine-checked bound 20).
+    */
+  private def kmeansGridQ: Q = {
+    val ks = Seq(KmSweepA, KmSweepB, KmSweepC)
+    val oracle =
+      s"""WITH kemb AS (${kmEmbSql(DuckD)}),
+         |${ks.map(k => kmSweepChain(DuckD, k)).mkString(",\n")},
+         |ann AS (${ks.map(k => kmGridAnn(DuckD, s"sw${k}_b3", k))
+                     .mkString("\n  UNION ALL ")}),
+         |${kmGridTail(DuckD)}""".stripMargin
+    Q("v24_kmeans_grid", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      kmSweepViews(spark, ks)
+      spark.sql(
+        s"""WITH ann AS (${ks.map(k =>
+             kmGridAnn(SparkD, s"v23k${k}_b3", k))
+             .mkString("\n  UNION ALL ")}),
+           |${kmGridTail(SparkD)}""".stripMargin)
     }, Some(oracle))
   }
 

@@ -41,7 +41,12 @@ final class ColumnFileStreamingWrite(
     dictionary: Boolean = false,
     keepEpochs: Long = 100L,
     bitpack: Boolean = false,
-    bloomCols: Seq[String] = Seq.empty)
+    bloomCols: Seq[String] = Seq.empty,
+    // declarative shred (batch parity): `schema` is then the EXTENDED
+    // stored schema and each task's writer appends the derived leaves
+    // (ShredAppend) to the narrower incoming rows of shredBaseJson
+    shredBaseJson: String = null,
+    shredSpecs: Seq[(Int, String, String)] = Seq.empty)
     extends StreamingWrite {
 
   private def dir = new Path(path)
@@ -49,9 +54,12 @@ final class ColumnFileStreamingWrite(
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     dir.getFileSystem(conf.conf).mkdirs(dir)
-    new ColumnFileStreamingWriterFactory(path, schema.json, compression,
-      targetChunkBytes, java.util.UUID.randomUUID().toString, conf,
-      partitionCols, dictionary, bitpack, bloomCols)
+    val inner = new ColumnFileStreamingWriterFactory(path, schema.json,
+      compression, targetChunkBytes, java.util.UUID.randomUUID().toString,
+      conf, partitionCols, dictionary, bitpack, bloomCols)
+    if (shredSpecs.isEmpty) inner
+    else new ShredAppendingStreamingWriterFactory(inner, shredBaseJson,
+      shredSpecs)
   }
 
   private def epochMarker(epochId: Long): Path =

@@ -285,13 +285,16 @@ class ColumnFileWrite(
       throw new UnsupportedOperationException(
         "columnfile streaming sink: reorder the stream's columns to the " +
           "table's column order before writing")
-    if (shredSpecs.nonEmpty)
-      throw new UnsupportedOperationException(
-        "columnfile streaming sink: the shred option is batch-only; " +
-          "derive shred columns in the stream projection instead")
-    new ColumnFileStreamingWrite(path, schema, compression, targetChunkBytes,
-      new SerializableHadoopConf(conf), partitionCols, dictionaryEncode,
-      keepEpochs, bitpackEncode, bloomCols)
+    // shred: the sink's task factory derives the typed leaves exactly
+    // like the batch writer (shared ShredAppend transform); the stored
+    // schema — data files AND the per-epoch schema sidecar — carries
+    // the provenance-tagged leaves, so q69's rewrite serves streamed
+    // tables identically to batch-written ones.
+    new ColumnFileStreamingWrite(path, storedSchema, compression,
+      targetChunkBytes, new SerializableHadoopConf(conf), partitionCols,
+      dictionaryEncode, keepEpochs, bitpackEncode, bloomCols,
+      shredBaseJson = if (shredSpecs.isEmpty) null else schema.json,
+      shredSpecs = shredSpecs.map { case (i, p, dt) => (i, p, dt.json) })
   }
 
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
@@ -454,7 +457,35 @@ class ShredAppendingWriterFactory(
     baseSchemaJson: String,
     specs: Seq[(Int, String, String)])
     extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    ShredAppend.writer(inner.createWriter(partitionId, taskId),
+      baseSchemaJson, specs)
+}
+
+/** The streaming twin: same row transform, epoch-aware factory — the
+  * shred option works identically for `writeStream` sinks (the batch/
+  * stream asymmetry closed; a streamed table gets the q69 pushdown
+  * without a rewrite pass).
+  */
+class ShredAppendingStreamingWriterFactory(
+    inner: org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory,
+    baseSchemaJson: String,
+    specs: Seq[(Int, String, String)])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    ShredAppend.writer(inner.createWriter(partitionId, taskId, epochId),
+      baseSchemaJson, specs)
+}
+
+/** The shared shred row transform: per spec, the STRICT
+  * `variant_get(col, path, type)` expression evaluated against the
+  * incoming row, appended as the trailing columns the inner writer's
+  * extended schema declares.
+  */
+object ShredAppend {
+  def writer(delegate: DataWriter[InternalRow], baseSchemaJson: String,
+      specs: Seq[(Int, String, String)]): DataWriter[InternalRow] = {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
     import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
     import org.apache.spark.sql.types.{StringType, VariantType}
@@ -469,7 +500,6 @@ class ShredAppendingWriterFactory(
         failOnError = true,
         timeZoneId = Some("UTC"))
     }
-    val delegate = inner.createWriter(partitionId, taskId)
     new DataWriter[InternalRow] {
       override def write(row: InternalRow): Unit = {
         val values = new Array[Any](base.length + exprs.length)

@@ -116,7 +116,10 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // vector sample cross joins (ground truth by contract), the
     // VALUES threshold relations, the ORDER BY clabel LIMIT 64 label
     // centroids and the LIMIT-8 learned centroids — 64 bounds all.
-    "d21_dedup_recall" -> 64L)
+    "d21_dedup_recall" -> 64L,
+    // v24's grid: v23's bounds (LIMIT-K centroids, LIMIT-20 samples)
+    // plus the two 3-row VALUES level relations.
+    "v24_kmeans_grid" -> 20L)
 
   /** Static upper bound on a physical subtree's row count, derived
     * from shape alone — the machine check behind the BNLJ allowlist

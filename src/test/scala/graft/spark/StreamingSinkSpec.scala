@@ -25,6 +25,7 @@ class StreamingSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .appName("cf-streaming-sink-spec")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
   }
@@ -249,5 +250,75 @@ class StreamingSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     write.abort(99L, Array(msg))
     assert(spark.read.format("columnfile").load(sink).count() == 60)
     assert(!filesIn(sink).contains("g=g9"), "aborted partition dir visible")
+  }
+
+  test("shred option on the streaming sink: leaves derived per epoch, " +
+    "q69 rewrite + pushdown serve the streamed table") {
+    import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val src = Files.createTempDirectory("cf-sink-vsrc").toString
+    val ckpt = Files.createTempDirectory("cf-sink-vckpt").toString
+    val sink = Files.createTempDirectory("cf-sink-vout").toString
+
+    spark.sql(
+      """SELECT id, parse_json(concat('{"price":', id, ',"s":"x', id,
+        |  '"}')) AS v FROM range(500)""".stripMargin)
+      .write.format("columnfile").mode("overwrite").save(src)
+    val schema = spark.read.format("columnfile").load(src).schema
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("columnfile").schema(schema).load(src)
+        .writeStream.format("columnfile")
+        .option("shred", "v:$.price:bigint")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+
+    // the streamed table carries the provenance-tagged leaf
+    val back = spark.read.format("columnfile").load(sink)
+    val leaf = back.schema.fields.find(_.name == "v_price")
+    assert(leaf.isDefined, back.schema.catalogString)
+    assert(leaf.get.metadata.contains(VariantShred.ShredOfKey) &&
+      leaf.get.metadata.getString(VariantShred.ShredOfKey) == "v",
+      "leaf missing shred provenance metadata")
+    assert(back.count() == 500)
+    back.createOrReplaceTempView("vstream")
+
+    // q69's serving shape on the STREAMED table: rewrite fires, filter
+    // pushes, variant payload pruned from the read (AQE off for a
+    // crisp plan tree — this suite otherwise leaves it on)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val q = spark.sql(
+      """SELECT CAST(SUM(variant_get(v, '$.price', 'bigint')) AS BIGINT)
+        |    AS s, COUNT(*) AS n
+        |FROM vstream
+        |WHERE variant_get(v, '$.price', 'bigint')
+        |  BETWEEN 100 AND 199""".stripMargin)
+    val row = q.head()
+    assert(row.getLong(0) == (100L to 199L).sum && row.getLong(1) == 100L)
+    val exec = q.queryExecution.executedPlan
+    val vgs = exec.collect { case p => p.expressions }.flatten
+      .flatMap(_.collect { case g: VariantGet => g })
+    assert(vgs.isEmpty, s"live VariantGet in the plan:\n$exec")
+    val scan = exec.collect { case b: BatchScanExec => b }.head
+    assert(!scan.output.map(_.name).contains("v"),
+      s"variant column still read: ${scan.output}")
+    assert(scan.toString.contains("v_price"),
+      s"shred filter not pushed:\n$scan")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // incremental restart: new source rows get their leaves too, and
+    // the replayed drain publishes no duplicates
+    spark.sql(
+      """SELECT id, parse_json(concat('{"price":', id, ',"s":"x', id,
+        |  '"}')) AS v FROM range(500, 800)""".stripMargin)
+      .write.format("columnfile").mode("append").save(src)
+    drain()
+    val back2 = spark.read.format("columnfile").load(sink)
+    assert(back2.count() == 800)
+    assert(back2.where("v_price = variant_get(v, '$.price', 'bigint')")
+      .count() == 800)
   }
 }
