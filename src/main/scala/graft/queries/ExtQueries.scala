@@ -316,20 +316,40 @@ object ExtQueries {
     * the cap-observability report (`d11`), so what the report counts is
     * BY CONSTRUCTION the same relation the generator caps.
     */
-  private def minhashBandCtes(d: Dial, hs: String): String = {
+  /** The MinHash signature projection pieces shared by the 4×4 band
+    * CTEs (d03 family) and d22's band-geometry sweep: the sig SELECT
+    * text and an accessor for permutation k's min value. */
+  private def minhashSigParts(d: Dial, hs: String)
+      : (String, Int => String) = d match {
     // signature: native expression on the Spark side, 16 list_min
     // permutation scans on the oracle side
-    val (sigSelect, mRef) = d match {
-      case SparkD =>
-        (s"SELECT doc_id, hset, graft_minhash_sig(hset) AS sg FROM $hs",
-          (k: Int) => s"sg[$k]")
-      case DuckD =>
-        val minExprs = AB.zipWithIndex.map { case ((a, b), k) =>
-          s"${d.arrayMin(d.transform("hset", "x", s"($a * x + $b) % $P"))} AS m$k"
-        }.mkString(",\n    ")
-        (s"SELECT doc_id, hset,\n    $minExprs\n  FROM $hs",
-          (k: Int) => s"m$k")
+    case SparkD =>
+      (s"SELECT doc_id, hset, graft_minhash_sig(hset) AS sg FROM $hs",
+        (k: Int) => s"sg[$k]")
+    case DuckD =>
+      val minExprs = AB.zipWithIndex.map { case ((a, b), k) =>
+        s"${d.arrayMin(d.transform("hset", "x", s"($a * x + $b) % $P"))} AS m$k"
+      }.mkString(",\n    ")
+      (s"SELECT doc_id, hset,\n    $minExprs\n  FROM $hs",
+        (k: Int) => s"m$k")
+  }
+
+  /** Band-key expressions for a signature split into `bands` bands of
+    * 16/bands rows each (boundaries aligned, so coarser geometries'
+    * candidate sets NEST inside finer ones' — the d22 monotonicity).
+    * Keys are prefixed with the geometry so different geometries can
+    * never collide in one relation. */
+  private def minhashBandExprs(d: Dial, mRef: Int => String,
+      bands: Int): Seq[String] = {
+    val rows = 16 / bands
+    (0 until bands).map { k =>
+      val ms = (0 until rows).map(r => d.str(mRef(rows * k + r)))
+      s"concat('b$bands:$k:', ${ms.mkString(", ',', ")})"
     }
+  }
+
+  private def minhashBandCtes(d: Dial, hs: String): String = {
+    val (sigSelect, mRef) = minhashSigParts(d, hs)
     val bandExprs = (0 until 4).map { k =>
       val ms = (0 until 4).map(r => d.str(mRef(4 * k + r)))
       s"concat('$k:', ${ms.mkString(", ',', ")})"
@@ -2850,11 +2870,24 @@ object ExtQueries {
     * against thr/1000 (the same shared-double discipline as d07's
     * tau filter).
     */
-  private def dedupRecallBody(d: Dial, hs: String, ex: String,
-      drep: String, asg: String, asgl: String): String = {
+  /** The bounded-sample exact-Jaccard ground truth (qs + jgt CTEs)
+    * shared by d21's recall harness and d22's band-geometry sweep:
+    * doc_id < 40 LIMIT-identity sample × corpus, integer per-mille
+    * Jaccard, kept at >= 500. */
+  private def jaccardGtCtes(d: Dial, hs: String): String = {
     val jpm = d.intDiv(
       s"(1000 * ${d.size(d.intersect("q.hset", "h.hset"))})",
       d.size(d.distinct(d.concatArr("q.hset", "h.hset"))))
+    s"""qs AS (SELECT doc_id, hset FROM $hs WHERE doc_id < 40
+       |  ORDER BY doc_id LIMIT 40),
+       |jgt AS (SELECT qid, nid, jpm FROM (
+       |    SELECT q.doc_id AS qid, h.doc_id AS nid, $jpm AS jpm
+       |    FROM qs q CROSS JOIN $hs h WHERE h.doc_id <> q.doc_id) x
+       |  WHERE jpm >= 500)""".stripMargin
+  }
+
+  private def dedupRecallBody(d: Dial, hs: String, ex: String,
+      drep: String, asg: String, asgl: String): String = {
     def semBlock(method: String, cand: String): String =
       s"""SELECT '$method' AS method, CAST(lv.thr AS BIGINT) AS thr,
          |  COUNT(*) AS n_true,
@@ -2864,12 +2897,7 @@ object ExtQueries {
          |LEFT JOIN $cand c ON c.qid = g.qid AND c.nid = g.nid
          |WHERE g.cos >= CAST(lv.thr AS DOUBLE) / 1000
          |GROUP BY lv.thr""".stripMargin
-    s"""qs AS (SELECT doc_id, hset FROM $hs WHERE doc_id < 40
-       |  ORDER BY doc_id LIMIT 40),
-       |jgt AS (SELECT qid, nid, jpm FROM (
-       |    SELECT q.doc_id AS qid, h.doc_id AS nid, $jpm AS jpm
-       |    FROM qs q CROSS JOIN $hs h WHERE h.doc_id <> q.doc_id) x
-       |  WHERE jpm >= 500),
+    s"""${jaccardGtCtes(d, hs)},
        |jcand AS (SELECT DISTINCT a.doc_id AS qid, b.doc_id AS nid
        |  FROM $ex a JOIN $ex b ON a.bk = b.bk AND b.doc_id <> a.doc_id
        |  WHERE a.doc_id < 40),
@@ -2992,6 +3020,93 @@ object ExtQueries {
       asgl.createOrReplaceTempView("d21_asgl")
       spark.sql("WITH " + dedupRecallBody(SparkD, "d21_hs", "d21_ex",
         "d21_drep", "d21_asg", "d21_asgl"))
+  }
+
+  /** The d22 sweep body over the signature relation `sig` and the
+    * shingle-set relation `hs`: the three aligned geometries' band
+    * keys exploded into ONE (bands, doc_id, bk) relation (keys are
+    * geometry-prefixed strings — no cross-geometry collisions), the
+    * production HotBucketCap applied per (bands, bk) bucket, sample-
+    * restricted candidate self-join per geometry, and the recall
+    * readout against the shared exact-Jaccard ground truth.
+    */
+  private def lshBandSweepBody(d: Dial, sig: String, hs: String): String = {
+    val (_, mRef) = minhashSigParts(d, hs)
+    val geoms = Seq(2, 4, 8).map { b =>
+      val arr = d match {
+        case SparkD => s"array(${minhashBandExprs(d, mRef, b).mkString(", ")})"
+        case DuckD  => s"[${minhashBandExprs(d, mRef, b).mkString(", ")}]"
+      }
+      s"""SELECT doc_id, CAST($b AS BIGINT) AS bands, bk
+         |FROM $sig ${d.explode(arr, "bk")}""".stripMargin
+    }
+    s"""${jaccardGtCtes(d, hs)},
+       |gex0 AS (${geoms.mkString("\n  UNION ALL ")}),
+       |gex AS (SELECT doc_id, bands, bk FROM (
+       |    SELECT doc_id, bands, bk,
+       |      COUNT(*) OVER (PARTITION BY bands, bk) AS bn
+       |    FROM gex0) x
+       |  WHERE bn <= $HotBucketCap),
+       |gcand AS (SELECT DISTINCT a.bands, a.doc_id AS qid, b.doc_id AS nid
+       |  FROM gex a JOIN gex b ON a.bands = b.bands AND a.bk = b.bk
+       |    AND b.doc_id <> a.doc_id
+       |  WHERE a.doc_id < 40)
+       |SELECT CAST(bs.bands AS BIGINT) AS bands,
+       |  CAST(lv.thr AS BIGINT) AS thr,
+       |  COUNT(*) AS n_true,
+       |  CAST(SUM(CASE WHEN c.nid IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit
+       |FROM jgt g
+       |CROSS JOIN (VALUES (2), (4), (8)) AS bs(bands)
+       |CROSS JOIN (VALUES (500), (600), (700), (800), (900)) AS lv(thr)
+       |LEFT JOIN gcand c ON c.bands = bs.bands AND c.qid = g.qid
+       |  AND c.nid = g.nid
+       |WHERE g.jpm >= lv.thr
+       |GROUP BY bs.bands, lv.thr""".stripMargin
+  }
+
+  /** d22: the LSH BAND-GEOMETRY SWEEP — v11/v24's tuning-curve
+    * discipline applied to the dedup dial d21 measures one point of:
+    * the 16-permutation MinHash signature split as (bands × rows) ∈
+    * {2×8, 4×4, 8×2} (4×4 is d03's production geometry), each
+    * geometry's CAPPED candidate set scored against the shared exact
+    * integer-Jaccard ground truth per threshold — the measured
+    * S-curve family a deployment picks its band count from (more
+    * bands/shorter rows pull the curve left: higher recall at low
+    * similarity, more candidates to verify). Band boundaries ALIGN
+    * across geometries (an r=4 match implies both its r=2 sub-bands
+    * match), so candidate sets NEST: recall is monotone
+    * non-decreasing in bands BY CONSTRUCTION — spec-asserted on the
+    * measured sweep, alongside ground-truth-coverage invariance.
+    * Scale shape: one signature pass (the sig relation is computed
+    * once and explodes 2+4+8 = 14 keys/doc instead of d03's 4), the
+    * cap bounds every bucket, candidates are sample-restricted; the
+    * harness costs one bounded pass over relations the dedup family
+    * already builds.
+    */
+  private def lshBandSweepQ: Q = {
+    val oracle = {
+      val d = DuckD
+      val (sigSelect, _) = minhashSigParts(d, "hs")
+      s"""WITH hs AS (${minhashHsSql(d)}),
+         |sig AS ($sigSelect),
+         |${lshBandSweepBody(d, "sig", "hs")}""".stripMargin
+    }
+    Q("d22_lsh_band_sweep", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      lshBandSweepDF(spark)
+    }, Some(oracle))
+  }
+
+  /** Spark side of d22 over whatever documents relation is registered
+    * (fixture-testable); hs and the signature each materialized once. */
+  private def lshBandSweepDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val hs = cacheOnce(spark.sql(minhashHsSql(SparkD)))
+    hs.createOrReplaceTempView("d22_hs")
+    val (sigSelect, _) = minhashSigParts(SparkD, "d22_hs")
+    cacheOnce(spark.sql(sigSelect)).createOrReplaceTempView("d22_sig")
+    spark.sql("WITH " + lshBandSweepBody(SparkD, "d22_sig", "d22_hs"))
   }
 
   // ---------------------------------------------------------------- multimodal
@@ -5369,6 +5484,10 @@ object ExtQueries {
     // bounded sample vs what the LSH buckets / SemDeDup cells would
     // actually examine — per-threshold hit histograms.
     dedupRecallQ,
+    // The LSH band-geometry sweep: (bands x rows) in {2x8, 4x4, 8x2}
+    // scored against the same exact-Jaccard ground truth — the
+    // measured S-curve family the band dial is placed from.
+    lshBandSweepQ,
     // Online near-dup detection (streaming MinHash-LSH band state).
     streamNearDup,
     dialect("v06_ann_cap_report", annCapReportSql),
@@ -5620,6 +5739,8 @@ object ExtQueries {
         : org.apache.spark.sql.DataFrame = semanticDedupDF(spark)
     def dedupRecall(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = dedupRecallDF(spark)
+    def lshBandSweep(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = lshBandSweepDF(spark)
     val hll: String = hllSql(SparkD)
     def hllRegisters(from: String): String = hllRegistersSql(SparkD, from)
     def hllEstimate(regs: String): String = hllEstimateSql(SparkD, regs)
@@ -7987,10 +8108,14 @@ object ExtQueries {
     * with best-rank MIN per candidate, cosines computed once per
     * (K, candidate), and the nprobe levels are FILTERS over that one
     * pass (v11's candidate-set nesting, so recall is monotone along
-    * the nprobe axis by construction — and monotone non-increasing in
-    * K on this corpus, which the spec asserts on the measured grid).
-    * Output: per (K, nprobe) hit histograms against the ONE shared
-    * exact ground truth — the 3×3 recall grid.
+    * the nprobe axis by construction — spec-asserted, along with the
+    * grid's nprobe=2 column equalling v23's histograms: two
+    * independent harnesses, one answer). Output: per (K, nprobe) hit
+    * histograms against the ONE shared exact ground truth — the 3×3
+    * recall grid. Measured at sf0.01: recall@5 0.47→1.00 (K=4),
+    * 0.31→0.82 (K=8), 0.22→0.54 (K=16) across nprobe 1→4 — monotone
+    * decreasing in K at every nprobe level, the coverage-vs-cell-size
+    * trade a deployment places both dials from.
     * Scale shape: v23's training cost (cached, shared) + one
     * sample-by-contract probe/rank pass per K; every build side
     * carries a LIMIT identity (machine-checked bound 20).

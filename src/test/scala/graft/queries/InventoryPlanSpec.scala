@@ -119,7 +119,10 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d21_dedup_recall" -> 64L,
     // v24's grid: v23's bounds (LIMIT-K centroids, LIMIT-20 samples)
     // plus the two 3-row VALUES level relations.
-    "v24_kmeans_grid" -> 20L)
+    "v24_kmeans_grid" -> 20L,
+    // d22's sweep: the LIMIT-40 doc sample (ground truth by contract)
+    // and the 3-row/5-row VALUES geometry/threshold relations.
+    "d22_lsh_band_sweep" -> 40L)
 
   /** Static upper bound on a physical subtree's row count, derived
     * from shape alone — the machine check behind the BNLJ allowlist

@@ -644,6 +644,41 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totalHits.last > totalHits.head, s"flat curve: $totalHits")
   }
 
+  test("v24: the grid is monotone in nprobe per K, covers every cell, " +
+    "and its nprobe=2 column IS v23's curve") {
+    // The 2-D sweep's contract: per K the candidate sets nest along
+    // nprobe (min_prank filters), so recalled neighbors are
+    // non-decreasing in nprobe; every (K, nprobe) cell scores the
+    // SAME 20-query sample; and the nprobe=2 slice must equal v23's
+    // per-K histograms — same models, same ground truth, same tail,
+    // measured through two independent harnesses.
+    val dir = "/root/testdata/sf0.001"
+    // k/nprobe come from the VALUES level relations (INT); counts are
+    // BIGINT
+    val grid = graft.SparkEntry.queries("v24_kmeans_grid")(spark, dir)
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+    val cells = grid.groupBy(_._1)
+    assert(cells.keySet ==
+      (for (k <- Set(4, 8, 16); np <- Set(1, 2, 4)) yield (k, np)),
+      s"cells: ${cells.keySet}")
+    for (k <- Seq(4, 8, 16)) {
+      for (np <- Seq(1, 2, 4))
+        assert(cells((k, np)).map(_._2._2).sum == 20L,
+          s"(K=$k, nprobe=$np) must score 20 queries")
+      val hits = Seq(1, 2, 4)
+        .map(np => cells((k, np)).map { case (_, (h, n)) => h * n }.sum)
+      assert(hits == hits.sorted, s"K=$k not monotone in nprobe: $hits")
+    }
+    val v23 = graft.SparkEntry.queries("v23_kmeans_k_sweep")(spark, dir)
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val np2 = grid.filter(_._1._2 == 2)
+      .map { case ((k, _), (h, n)) => ((k, h), n) }.toMap
+    assert(np2 == v23,
+      s"grid's nprobe=2 column diverges from v23:\n$np2\nvs\n$v23")
+  }
+
   test("v12: RRF fusion covers the sample and tracks the stronger retriever") {
     // Deterministic against the fixed sf0.001 corpus: three histograms
     // (lsh / ivf / rrf), each over the full 20-query sample; the fused
@@ -1118,6 +1153,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(("semdedup_cells", 400L))._2 == 2L)
     assert(rows(("semdedup_cells", 450L))._2 == 2L)
     assert(rows(("semdedup_cells", 480L))._2 == 2L)
+  }
+
+  test("d22: geometry candidate sets nest (recall monotone in bands), " +
+    "ground truth is geometry-invariant, identical pair hits everywhere") {
+    val sp = spark; import sp.implicits._
+    // d21's Jaccard plants: identical pair (1,2), just-under pair
+    // (3,4; J=428 — in NO geometry's ground truth), mid pair (5,6;
+    // J=538 — ground truth at thr=500 only).
+    val x8 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val y9 = (1 to 9).map(i => s"y$i").mkString(" ")
+    Seq(
+      (1L, "a b c d e f g h i j k l", "en"),
+      (2L, "a b c d e f g h i j k l", "en"),
+      (3L, s"pa pb $x8 pc pd", "en"),
+      (4L, s"ra rb $x8 rc rd", "en"),
+      (5L, s"ua ub $y9 uc", "en"),
+      (6L, s"va vb $y9 vc", "en"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val rows = ExtQueries.TestSql.lshBandSweep(spark).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // every (bands, thr) cell exists with the SAME ground truth count
+    for (thr <- Seq(500L, 600L, 700L, 800L, 900L)) {
+      val wantTrue = if (thr == 500L) 4L else 2L
+      for (b <- Seq(2L, 4L, 8L)) {
+        val (t, h) = rows((b, thr))
+        assert(t == wantTrue, s"(b=$b, thr=$thr): n_true $t != $wantTrue")
+        // the identical pair shares every band at every geometry
+        assert(h >= 2L && h <= t, s"(b=$b, thr=$thr): n_hit $h")
+      }
+      // nesting: aligned band boundaries make coarse candidates a
+      // subset of fine ones — hits non-decreasing in bands
+      val curve = Seq(2L, 4L, 8L).map(b => rows((b, thr))._2)
+      assert(curve == curve.sorted,
+        s"thr=$thr: recall not monotone in bands: $curve")
+    }
   }
 
   test("p22/p23: batch-local delta packing preserves per-doc encodes " +
