@@ -2933,6 +2933,66 @@ object ExtQueries {
        |  ${semBlock("semdedup_learned", "slcand")}) u""".stripMargin
   }
 
+  /** Data-file bytes under a shard root (recursive; counts only the
+    * format's data files, not sidecars/markers) — the signal the
+    * compaction policy reads. Package-visible for the spec. */
+  private[graft] def p24DataBytes(root: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+        .map(walk).sum
+      else if (f.getName.endsWith(".cf") && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_")) f.length()
+      else 0L
+    walk(new java.io.File(root))
+  }
+
+  /** The size-tiered trigger: compact when the delta has grown past
+    * `pct` percent of the base — the LSM dial made self-triggering
+    * (below it, the per-read union tax is cheaper than the rewrite;
+    * above it, the rewrite pays for itself). Package-visible for the
+    * spec's both-branches proof. */
+  private[graft] def p24ShouldCompact(baseBytes: Long, deltaBytes: Long,
+      pct: Long = 25L): Boolean =
+    deltaBytes * 100L >= baseBytes * pct
+
+  /** p24: POLICY-driven shard compaction — q67 and p23 compact
+    * unconditionally; a production LSM compacts when a SIZE TRIGGER
+    * fires (Delta/Iceberg auto-compaction, LevelDB's size-tiered
+    * levels): if the delta's data bytes exceed 25% of the base's, run
+    * p23's repack-and-rewrite and serve the compacted table; below
+    * the trigger, serve base ∪ delta and skip the rewrite. The
+    * consumer statistics are LAYOUT-INVARIANT by the p22/p23
+    * convergence proofs, so the oracle (the full-rebuild p21 SQL)
+    * hash-matches WHICHEVER branch the policy takes — the gate checks
+    * that the policy can never change what a loader reads, only what
+    * it costs. On the driver corpora the odd-docs delta ≈ the base,
+    * so the trigger fires and the compacted branch serves (the
+    * readout then scans ONE partitioned table). The decision function
+    * and both branches' content equality are spec-pinned.
+    */
+  private def shardCompactPolicyQ: Q = Q("p24_shard_compact_policy",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val union = p22UnionDF(spark, dir)
+      val base = Tables.cachePath(dir, "p22_base")
+      val delta = Tables.cachePath(dir, "p22_delta")
+      val serving =
+        if (p24ShouldCompact(p24DataBytes(base), p24DataBytes(delta))) {
+          val compacted = Tables.cachePath(dir, "p24_compacted")
+          if (!new java.io.File(compacted, "_SUCCESS").exists()) {
+            p23Repack(union)
+              .write.format("columnfile").partitionBy("split", "lang")
+              .mode("overwrite").save(compacted)
+          }
+          spark.read.format("columnfile").load(compacted)
+        } else union
+      serving.createOrReplaceTempView("p24_shards")
+      spark.sql("WITH " + p21Body(SparkD, "p24_shards"))
+    }, Some(
+      s"""WITH w0 AS (${bpeVocabSql(DuckD)}),
+         |${p20ShardBody(DuckD, "w0")},
+         |${p21Body(DuckD, "pb")}""".stripMargin))
+
   /** d21: MEASURED DEDUP RECALL — v22's quality-gate discipline applied
     * to the dedup family, the last approximate family with no recall
     * number: on a bounded sample, the EXACT ground truth (integer
@@ -3454,6 +3514,85 @@ object ExtQueries {
       s"""SELECT CASE WHEN cls = 1 THEN 'admit' ELSE 'reject' END AS route,
          |  l, cls, n_docs, min_score, max_score, sum_score
          |FROM (${t20ApplySql(DuckD)}) t""".stripMargin))
+
+  /** q73: SCORE-BANDED quarantine routing — q71 with the second
+    * production dial: a review queue is sharded by CONFIDENCE, not
+    * just verdict (borderline rejects get human eyes first; deep
+    * rejects can be bulk-handled), so each verdict also carries
+    * band = LEAST(abs(score) div 50, 3) — distance from the decision
+    * boundary in 4 integer buckets — and the per-batch write is
+    * `partitionBy(cls, band)`: a two-level directory tree under the
+    * batchId-keyed exactly-once dir. BOTH levels are synthesized from
+    * directory names at read time, so the oracle (t20's contract
+    * split by class and band) hash-matches only if every document
+    * landed in the exact (cls, band) directory its score dictates —
+    * and a reviewer's scan of one band of one class prunes both
+    * levels before I/O. Routing cost is unchanged from q71: per-task
+    * fan-out, no extra shuffle.
+    */
+  private def streamAdmitBanded: Q = Q("q73_stream_admit_banded",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val src = Tables.cachePath(dir, "documents_neardup_stream")
+      if (!new java.io.File(src, "_SUCCESS").exists()) {
+        spark.table("documents")
+          .selectExpr("doc_id",
+            "timestamp_micros((pmod(doc_id, 1000000000) + 1) * 1000000) AS ts", "text")
+          .repartition(1).sortWithinPartitions("doc_id")
+          .write.format("columnfile").mode("overwrite").save(src)
+      }
+      val out = Tables.cachePath(dir, "admit_banded_docs")
+      if (!Tables.batchOutputComplete(out)) {
+        Tables.resetBatchOutput(out)
+        val weights = cacheOnce(spark.read.format("columnfile")
+          .load(t19WeightsPath(spark, dir)))
+        val schema = spark.read.format("columnfile").load(src).schema
+        val stream = spark.readStream.format("columnfile")
+          .schema(schema).load(src)
+        val q = stream.writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.streaming.ClassifierAdmit.perDocScores(df, weights)
+              .selectExpr("doc_id", "score", "cls",
+                s"CAST(LEAST(${SparkD.intDiv("abs(score)", "50")}, 3)" +
+                  " AS BIGINT) AS band")
+              .write.format("columnfile").partitionBy("cls", "band")
+              .mode("overwrite").save(s"$out/batch=$id")
+            ()
+          }
+          .option("checkpointLocation", out + "_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        Tables.markBatchOutputComplete(out)
+      }
+      // cls AND band both come from partition discovery (two directory
+      // levels) — the oracle hash checks the full two-level routing
+      Tables.loadBatchDirs(spark, out,
+        "doc_id BIGINT, score BIGINT, cls BIGINT, band BIGINT")
+        .createOrReplaceTempView("cf_banded")
+      spark.sql(
+        """SELECT CASE WHEN p.cls = 1 THEN 'admit' ELSE 'reject' END
+          |    AS route,
+          |  d.lang AS l, p.cls, p.band,
+          |  COUNT(*) AS n_docs,
+          |  CAST(MIN(p.score) AS BIGINT) AS min_score,
+          |  CAST(MAX(p.score) AS BIGINT) AS max_score,
+          |  CAST(SUM(p.score) AS BIGINT) AS sum_score
+          |FROM cf_banded p JOIN documents d ON p.doc_id = d.doc_id
+          |GROUP BY d.lang, p.cls, p.band""".stripMargin)
+    }, Some({
+      val d = DuckD
+      s"""SELECT CASE WHEN cls = 1 THEN 'admit' ELSE 'reject' END AS route,
+         |  l, cls,
+         |  CAST(LEAST(${d.intDiv("abs(score)", "50")}, 3) AS BIGINT)
+         |    AS band,
+         |  COUNT(*) AS n_docs,
+         |  CAST(MIN(score) AS BIGINT) AS min_score,
+         |  CAST(MAX(score) AS BIGINT) AS max_score,
+         |  CAST(SUM(score) AS BIGINT) AS sum_score
+         |FROM (${t20PerDocSql(d)}) sc
+         |GROUP BY l, cls, band""".stripMargin
+    }))
 
   /** The per-doc distinct-shingle relation d13 builds its index over. */
   private def dupCovShSql(d: Dial): String =
@@ -5036,7 +5175,11 @@ object ExtQueries {
     * the design matrix so the weight relation is a join input rather
     * than an inline formula).
     */
-  private def t20ApplySql(d: Dial): String =
+  /** t20's PER-DOC scored relation (l, doc_id, score, cls) — the
+    * granularity the streaming admission family's routed readouts
+    * (q71/q73) aggregate with their own grouping; t20's rollup is one
+    * grouping over it. */
+  private def t20PerDocSql(d: Dial): String =
     s"""WITH ${t19ChainCtes(d)},
        |xdl AS (SELECT doc_id, lang, bucket,
        |    CAST(COUNT(*) AS BIGINT) AS x FROM (
@@ -5050,13 +5193,17 @@ object ExtQueries {
                        "CAST(SUM(x.x) AS BIGINT)")} AS score
        |  FROM xdl x JOIN w$T19Epochs w ON w.bucket = x.bucket
        |  GROUP BY x.doc_id, x.lang)
-       |SELECT lang AS l,
-       |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS cls,
+       |SELECT lang AS l, doc_id, score,
+       |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS BIGINT) AS cls
+       |FROM sc""".stripMargin
+
+  private def t20ApplySql(d: Dial): String =
+    s"""SELECT l, cls,
        |  COUNT(*) AS n_docs,
        |  CAST(MIN(score) AS BIGINT) AS min_score,
        |  CAST(MAX(score) AS BIGINT) AS max_score,
        |  CAST(SUM(score) AS BIGINT) AS sum_score
-       |FROM sc GROUP BY lang, cls""".stripMargin
+       |FROM (${t20PerDocSql(d)}) sc GROUP BY l, cls""".stripMargin
 
   /** t20: t11 RE-RUN over the learned weights (the round-14 verdict
     * gate "t11 re-run over the LEARNED weights hash-matched"): the
@@ -5580,6 +5727,10 @@ object ExtQueries {
     // columns into one partitioned table; p20's own rollup (incl. the
     // pack checksum) hash-matches the full-rebuild oracle.
     shardCompactQ,
+    // Size-tiered SELF-TRIGGERING compaction: rewrite only when the
+    // delta outgrows 25% of the base; the oracle proves the policy can
+    // never change what a loader reads, only what it costs.
+    shardCompactPolicyQ,
     // Weighted priority sampling (exact-integer w/u priorities) with
     // the Horvitz-Thompson estimate reported against exact totals.
     dialect("p19_priority_sample", prioritySampleSql),
@@ -5617,6 +5768,9 @@ object ExtQueries {
     // cls=admit/reject partitioned per-batch dirs; readout cls comes
     // from the directory names, so the oracle hash proves the routing.
     streamAdmitQuarantine,
+    // Two-level routing: verdict class AND confidence band, both
+    // synthesized from directory names — the review-queue sharding.
+    streamAdmitBanded,
     // Image-dedup admission at INGEST: arriving images decoded by the
     // real seam per batch, band-joined against m05's rep index.
     streamImageDedup,
@@ -5659,6 +5813,9 @@ object ExtQueries {
     // nprobe levels — one widest-probe pass per K, levels as filters;
     // the 3x3 recall surface a deployment places both dials from.
     kmeansGridQ,
+    // The grid as a PARETO surface: candidate COST beside recall per
+    // (K, nprobe) cell — the table both dials are actually placed from.
+    kmeansParetoQ,
     // t17: lexical retrieval over the MATERIALIZED inverted text
     // index (build-once/scan-many; term-bucket partition pruning).
     // v14_hybrid_indexed is RETIRED from the serving surface (r15):
@@ -8061,24 +8218,29 @@ object ExtQueries {
     * cosines computed once, then the 3-row VALUES level relation fans
     * the ranking out per (nprobe, qid) with `min_prank <= nprobe` as
     * the only per-level work. */
+  /** One model's widest-probe candidate pairs with best probe rank and
+    * exact cosine — the ONE pass per K that both the grid's recall
+    * (v24) and the Pareto surface's cost column (v25) read. */
+  private def kmGridPairs(d: Dial, b3r: String, k: Int): String =
+    s"""SELECT CAST($k AS BIGINT) AS k, c.qid, c.nid, c.min_prank,
+       |  ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
+       |    AS cos
+       |FROM (SELECT p4.qid, a.vec_id AS nid, MIN(p4.prank) AS min_prank
+       |      FROM (SELECT vec_id AS qid, cid AS pcell, rn AS prank
+       |            FROM $b3r WHERE vec_id < 20 AND rn <= 4) p4
+       |      JOIN (SELECT vec_id, cid FROM $b3r WHERE rn = 1) a
+       |        ON a.cid = p4.pcell
+       |      WHERE a.vec_id <> p4.qid
+       |      GROUP BY p4.qid, a.vec_id) c
+       |JOIN kemb q ON q.vec_id = c.qid
+       |JOIN kemb n ON n.vec_id = c.nid""".stripMargin
+
   private def kmGridAnn(d: Dial, b3r: String, k: Int): String =
     s"""SELECT k, nprobe, qid, nid FROM (
-       |  SELECT CAST($k AS BIGINT) AS k, lv.nprobe, p.qid, p.nid,
+       |  SELECT p.k, lv.nprobe, p.qid, p.nid,
        |    ROW_NUMBER() OVER (PARTITION BY lv.nprobe, p.qid
        |      ORDER BY p.cos DESC, p.nid) AS rn
-       |  FROM (
-       |    SELECT c.qid, c.nid, c.min_prank,
-       |      ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
-       |        AS cos
-       |    FROM (SELECT p4.qid, a.vec_id AS nid, MIN(p4.prank) AS min_prank
-       |          FROM (SELECT vec_id AS qid, cid AS pcell, rn AS prank
-       |                FROM $b3r WHERE vec_id < 20 AND rn <= 4) p4
-       |          JOIN (SELECT vec_id, cid FROM $b3r WHERE rn = 1) a
-       |            ON a.cid = p4.pcell
-       |          WHERE a.vec_id <> p4.qid
-       |          GROUP BY p4.qid, a.vec_id) c
-       |    JOIN kemb q ON q.vec_id = c.qid
-       |    JOIN kemb n ON n.vec_id = c.nid) p
+       |  FROM (${kmGridPairs(d, b3r, k)}) p
        |  CROSS JOIN (VALUES (1), (2), (4)) AS lv(nprobe)
        |  WHERE p.min_prank <= lv.nprobe) x
        |WHERE rn <= 5""".stripMargin
@@ -8136,6 +8298,75 @@ object ExtQueries {
              kmGridAnn(SparkD, s"v23k${k}_b3", k))
              .mkString("\n  UNION ALL ")}),
            |${kmGridTail(SparkD)}""".stripMargin)
+    }, Some(oracle))
+  }
+
+  /** The Pareto tail downstream of `cands` (k, qid, nid, min_prank,
+    * cos): per grid cell, the CANDIDATE COST (how many exact cosines
+    * the probe would score — the work dial) beside the total recalled
+    * neighbors and fixed-point recall@5 over the 20-query sample; the
+    * ks × lv cross frame keeps zero-candidate cells. */
+  private def kmParetoTail(d: Dial): String = {
+    val ks = s"(VALUES ($KmSweepA), ($KmSweepB), ($KmSweepC)) AS ks(k)"
+    val lv = "(VALUES (1), (2), (4)) AS lv(nprobe)"
+    s"""costs AS (SELECT c.k, lv.nprobe, COUNT(*) AS n_cand
+       |  FROM cands c CROSS JOIN $lv
+       |  WHERE c.min_prank <= lv.nprobe
+       |  GROUP BY c.k, lv.nprobe),
+       |ranked AS (SELECT c.k, lv.nprobe, c.qid, c.nid,
+       |    ROW_NUMBER() OVER (PARTITION BY c.k, lv.nprobe, c.qid
+       |      ORDER BY c.cos DESC, c.nid) AS rn
+       |  FROM cands c CROSS JOIN $lv
+       |  WHERE c.min_prank <= lv.nprobe),
+       |ann AS (SELECT k, nprobe, qid, nid FROM ranked WHERE rn <= 5),
+       |${kmGtCte(d, "kemb")},
+       |cells AS (SELECT ks.k, lv.nprobe,
+       |    CAST(COUNT(ann.nid) AS BIGINT) AS n_hit,
+       |    CAST(COUNT(*) AS BIGINT) AS n_truth
+       |  FROM gt CROSS JOIN $ks CROSS JOIN $lv
+       |  LEFT JOIN ann ON ann.k = ks.k AND ann.nprobe = lv.nprobe
+       |    AND ann.qid = gt.qid AND ann.nid = gt.nid
+       |  GROUP BY ks.k, lv.nprobe)
+       |SELECT CAST(ce.k AS BIGINT) AS k,
+       |  CAST(ce.nprobe AS BIGINT) AS nprobe,
+       |  CAST(COALESCE(co.n_cand, 0) AS BIGINT) AS n_cand,
+       |  ce.n_hit,
+       |  CAST(${d.intDiv("(1000 * ce.n_hit)", "ce.n_truth")} AS BIGINT)
+       |    AS recall_pm
+       |FROM cells ce LEFT JOIN costs co
+       |  ON co.k = ce.k AND co.nprobe = ce.nprobe""".stripMargin
+  }
+
+  /** v25: the grid as a PARETO SURFACE — v24 reads only recall; the
+    * placement decision trades recall against PROBE COST, and the
+    * cost is already deterministic in the harness: the number of
+    * candidates each (K, nprobe) cell would exactly-score (the
+    * within-probed-cells population — the dominant serving cost of an
+    * IVF probe). One row per grid cell: (k, nprobe, n_cand, n_hit,
+    * recall_pm) — the artifact where "K=4, nprobe=4 reads recall 1.0
+    * but scores the whole corpus, while K=8, nprobe=2 reads 0.54 at a
+    * third the candidates" becomes a single table. Shares v24's one
+    * widest-probe pass per K verbatim ([[kmGridPairs]]) and v23/v24's
+    * cached training chains — in one session the three trainings fund
+    * all three harnesses. Every build side LIMIT-bounded
+    * (machine-checked 20).
+    */
+  private def kmeansParetoQ: Q = {
+    val ks = Seq(KmSweepA, KmSweepB, KmSweepC)
+    val oracle =
+      s"""WITH kemb AS (${kmEmbSql(DuckD)}),
+         |${ks.map(k => kmSweepChain(DuckD, k)).mkString(",\n")},
+         |cands AS (${ks.map(k => kmGridPairs(DuckD, s"sw${k}_b3", k))
+                       .mkString("\n  UNION ALL ")}),
+         |${kmParetoTail(DuckD)}""".stripMargin
+    Q("v25_kmeans_pareto", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      kmSweepViews(spark, ks)
+      spark.sql(
+        s"""WITH cands AS (${ks.map(k =>
+             kmGridPairs(SparkD, s"v23k${k}_b3", k))
+             .mkString("\n  UNION ALL ")}),
+           |${kmParetoTail(SparkD)}""".stripMargin)
     }, Some(oracle))
   }
 

@@ -122,7 +122,9 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "v24_kmeans_grid" -> 20L,
     // d22's sweep: the LIMIT-40 doc sample (ground truth by contract)
     // and the 3-row/5-row VALUES geometry/threshold relations.
-    "d22_lsh_band_sweep" -> 40L)
+    "d22_lsh_band_sweep" -> 40L,
+    // v25's Pareto surface: v24's bounds exactly (shared pairs pass).
+    "v25_kmeans_pareto" -> 20L)
 
   /** Static upper bound on a physical subtree's row count, derived
     * from shape alone — the machine check behind the BNLJ allowlist

@@ -679,6 +679,40 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"grid's nprobe=2 column diverges from v23:\n$np2\nvs\n$v23")
   }
 
+  test("v25: the Pareto surface's cost column is monotone both ways " +
+    "and its hits agree with v24's histograms cell for cell") {
+    val dir = "/root/testdata/sf0.001"
+    val pareto = graft.SparkEntry.queries("v25_kmeans_pareto")(spark, dir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(pareto.keySet ==
+      (for (k <- Set(4L, 8L, 16L); np <- Set(1L, 2L, 4L)) yield (k, np)))
+    for (k <- Seq(4L, 8L, 16L)) {
+      // candidate sets nest along nprobe -> cost monotone increasing
+      val costs = Seq(1L, 2L, 4L).map(np => pareto((k, np))._1)
+      assert(costs == costs.sorted && costs.last > costs.head,
+        s"K=$k costs not increasing in nprobe: $costs")
+    }
+    for (np <- Seq(1L, 2L, 4L)) {
+      // finer partitions probe smaller cells -> cost decreasing in K
+      val costs = Seq(4L, 8L, 16L).map(k => pareto((k, np))._1)
+      assert(costs == costs.sorted.reverse,
+        s"nprobe=$np costs not decreasing in K: $costs")
+    }
+    // hits agree with v24's histograms, cell for cell (same pairs pass)
+    val grid = graft.SparkEntry.queries("v24_kmeans_grid")(spark, dir)
+      .collect()
+      .map(r => ((r.getInt(0).toLong, r.getInt(1).toLong),
+        r.getLong(2) * r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    pareto.foreach { case (cell, (_, nHit, recallPm)) =>
+      assert(grid(cell) == nHit,
+        s"cell $cell: v25 hits $nHit vs v24 ${grid(cell)}")
+      assert(recallPm == (1000L * nHit) / 100L, s"cell $cell recall")
+    }
+  }
+
   test("v12: RRF fusion covers the sample and tracks the stronger retriever") {
     // Deterministic against the fixed sf0.001 corpus: three histograms
     // (lsh / ivf / rrf), each over the full 20-query sample; the fused
@@ -1091,6 +1125,44 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(Seq(1L, 2L, 3L).forall(rd => rows((rd, a)) == 1L))
     }
     assert(rows.size == 24, s"expected 3 rounds x 8 clusters: ${rows.size}")
+  }
+
+  test("p24: the size trigger fires exactly at the threshold, reads " +
+    "real data bytes, and either branch serves identical consumer rows") {
+    val sp = spark; import sp.implicits._
+    // decision boundary: >= 25% of base fires (inclusive)
+    assert(!ExtQueries.p24ShouldCompact(1000L, 249L))
+    assert(ExtQueries.p24ShouldCompact(1000L, 250L))
+    assert(ExtQueries.p24ShouldCompact(0L, 0L))  // empty base: compact
+    // p24DataBytes counts data files only (no sidecars/markers), so a
+    // table's measured bytes grow with its rows
+    val d1 = java.nio.file.Files.createTempDirectory("p24a").toString
+    val d2 = java.nio.file.Files.createTempDirectory("p24b").toString
+    (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.format("columnfile").mode("overwrite").save(d1)
+    (1L to 5000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1).write.format("columnfile").mode("overwrite").save(d2)
+    val (small, big) = (ExtQueries.p24DataBytes(d1),
+      ExtQueries.p24DataBytes(d2))
+    assert(small > 0L && big > small * 5, s"bytes: $small vs $big")
+    // small delta on a big base stays un-compacted; the inverse fires
+    assert(!ExtQueries.p24ShouldCompact(big, small))
+    assert(ExtQueries.p24ShouldCompact(small, big))
+    // branch equivalence: consumer-visible columns of base ∪ delta
+    // equal the repacked table's (the p22/p23 fixture proves the full
+    // rn/bin convergence; here the policy-facing guarantee is that
+    // SWITCHING branches can never change per-doc content)
+    val body = (1 to 60).map(i => s"toka tokb").mkString(" ")
+    val docs = Seq(0L, 32L, 1L, 33L)
+      .map(id => (id, "en", s"doc$id $body")).toDF("doc_id", "lang", "text")
+    val mps = Seq("t o", "to k", "tok a")
+    val enc = ExtQueries.p22EncodeBatch(docs, mps)
+    val viaUnion = enc.selectExpr("split", "lang", "doc_id", "btoks", "toks")
+      .collect().map(_.toString).sorted
+    val viaCompact = ExtQueries.p23Repack(enc)
+      .selectExpr("split", "lang", "doc_id", "btoks", "toks")
+      .collect().map(_.toString).sorted
+    assert(viaUnion.sameElements(viaCompact))
   }
 
   test("d21: just-under-threshold Jaccard pair is not ground truth; " +

@@ -118,4 +118,48 @@ class ClassifierAdmitSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(rejects == Set(2L, 3L))
   }
+
+  test("banded routing (q73): two-level cls/band directories match the " +
+    "score arithmetic, and a one-band read sees only its shard") {
+    val sp = spark; import sp.implicits._
+    val bucketOf = (w: String) =>
+      spark.sql(s"SELECT graft_polyhash('$w') % 1024").head().getLong(0)
+    val (bGood, bBad) = (bucketOf("good"), bucketOf("bad"))
+    assume(bGood != bBad)
+    // weights chosen so scores hit bands 0, 1, and the 3 cap:
+    // doc 1: +200 -> cls 1 band 3; doc 2: -60 -> cls 0 band 1;
+    // doc 3: (200-60) div 2 = +70 -> cls 1 band 1; doc 4: -20 -> band 0
+    val weights = Seq((bGood, 200L), (bBad, -60L)).toDF("bucket", "w")
+    val all = Seq(
+      (1L, "good good"), (2L, "bad"), (3L, "good bad"),
+      (4L, "bad bad bad good"))   // (200-180) div 4 = 5 -> cls 1 band 0
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files
+      .createTempDirectory("admit-banded").toString
+    graft.streaming.ClassifierAdmit.perDocScores(all, weights)
+      .selectExpr("doc_id", "score", "cls",
+        "CAST(LEAST(abs(score) div 50, 3) AS BIGINT) AS band")
+      .write.format("columnfile").partitionBy("cls", "band")
+      .mode("overwrite").save(s"$out/batch=0")
+    // two-level directory shape
+    val lvl1 = new java.io.File(s"$out/batch=0").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(lvl1.sameElements(Array("cls=0", "cls=1")), lvl1.mkString(","))
+    val cls1bands = new java.io.File(s"$out/batch=0/cls=1").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(cls1bands.sameElements(Array("band=0", "band=1", "band=3")),
+      cls1bands.mkString(","))
+    // both levels synthesized from directory names match the scorer
+    val got = spark.read.format("columnfile").load(s"$out/batch=0")
+      .select("doc_id", "score", "cls", "band")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set((1L, 200L, 1L, 3L), (2L, -60L, 0L, 1L),
+      (3L, 70L, 1L, 1L), (4L, 5L, 1L, 0L)), got.toString)
+    // a reviewer's one-(cls, band) scan sees exactly its shard
+    val borderline = spark.read.format("columnfile").load(s"$out/batch=0")
+      .where("cls = 1 AND band = 0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(borderline == Set(4L))
+  }
 }
