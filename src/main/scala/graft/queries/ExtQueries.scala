@@ -3135,9 +3135,16 @@ object ExtQueries {
     * bands/shorter rows pull the curve left: higher recall at low
     * similarity, more candidates to verify). Band boundaries ALIGN
     * across geometries (an r=4 match implies both its r=2 sub-bands
-    * match), so candidate sets NEST: recall is monotone
-    * non-decreasing in bands BY CONSTRUCTION — spec-asserted on the
-    * measured sweep, alongside ground-truth-coverage invariance.
+    * match), so candidate sets NEST and recall is monotone
+    * non-decreasing in bands IN THE UNCAPPED REGIME — spec-asserted
+    * on an uncapped fixture, alongside ground-truth-coverage
+    * invariance. The production HotBucketCap is applied per
+    * (bands, bk) bucket (each geometry capped exactly as d03 would
+    * run it — the sweep measures the PRODUCTION candidate sets), and
+    * fine-geometry buckets are population supersets of coarse ones,
+    * so on hot-bucket corpora a pair can survive the 2-band cap while
+    * all of its 8-band buckets are capped away — the monotonicity
+    * claim does not extend to capped buckets.
     * Scale shape: one signature pass (the sig relation is computed
     * once and explodes 2+4+8 = 14 keys/doc instead of d03's 4), the
     * cap bounds every bucket, candidates are sample-restricted; the
@@ -3167,6 +3174,292 @@ object ExtQueries {
     val (sigSelect, _) = minhashSigParts(SparkD, "d22_hs")
     cacheOnce(spark.sql(sigSelect)).createOrReplaceTempView("d22_sig")
     spark.sql("WITH " + lshBandSweepBody(SparkD, "d22_sig", "d22_hs"))
+  }
+
+  // ------------------------------------------- SemDeDup tau sweep (d23)
+
+  /** The d23 sweep body over `drep` (vec_id, embedding, enorm —
+    * nonzero collapsed representatives), the sample-restricted
+    * same-cell candidate relations `scand`/`slcand` (qid, nid — d21's
+    * spellings), and the CORPUS-WIDE per-rep max within-cell cosine
+    * relations `cdrop`/`ldrop` (j, mcos — rep j's strongest same-cell
+    * smaller-id partner; a rep is dropped at dial tau iff mcos >=
+    * tau/1000). Per (method, tau): n_true = exact ground-truth pairs
+    * at cos >= tau/1000 on the bounded sample, n_hit = those inside
+    * the method's cell partition (nested hit sets: both counts are
+    * monotone non-increasing in tau BY CONSTRUCTION — a filter at a
+    * higher tau selects a subset), n_dropped = full-corpus reps the
+    * prune removes at that tau (the VOLUME dial — also nested). All
+    * tau levels come from one VALUES relation so every cell exists
+    * even when empty (COALESCE(0) readout).
+    */
+  private def semTauSweepBody(d: Dial, drep: String, scand: String,
+      slcand: String, cdrop: String, ldrop: String): String = {
+    val lv = "(VALUES (300), (400), (500)) AS lv(tau)"
+    def hitCte(name: String, cand: String): String =
+      s"""$name AS (SELECT CAST(lv.tau AS BIGINT) AS tau,
+         |    COUNT(*) AS n_true,
+         |    CAST(SUM(CASE WHEN c.nid IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hit
+         |  FROM cgt g CROSS JOIN $lv
+         |  LEFT JOIN $cand c ON c.qid = g.qid AND c.nid = g.nid
+         |  WHERE g.cos >= CAST(lv.tau AS DOUBLE) / 1000
+         |  GROUP BY lv.tau)""".stripMargin
+    def dropCte(name: String, mx: String): String =
+      s"""$name AS (SELECT CAST(lv.tau AS BIGINT) AS tau,
+         |    CAST(COUNT(*) AS BIGINT) AS n_dropped
+         |  FROM $mx CROSS JOIN $lv
+         |  WHERE mcos >= CAST(lv.tau AS DOUBLE) / 1000
+         |  GROUP BY lv.tau)""".stripMargin
+    def readout(m: String, hit: String, drop: String): String =
+      s"""SELECT '$m' AS method, CAST(lv.tau AS BIGINT) AS tau,
+         |  COALESCE(h.n_true, 0) AS n_true,
+         |  COALESCE(h.n_hit, 0) AS n_hit,
+         |  COALESCE(dr.n_dropped, 0) AS n_dropped
+         |FROM $lv
+         |LEFT JOIN $hit h ON h.tau = CAST(lv.tau AS BIGINT)
+         |LEFT JOIN $drop dr ON dr.tau = CAST(lv.tau AS BIGINT)""".stripMargin
+    s"""vq AS (SELECT vec_id, embedding, enorm FROM $drep
+       |  WHERE vec_id < 20 ORDER BY vec_id LIMIT 20),
+       |cgt AS (SELECT qid, nid, cos FROM (
+       |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |      ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
+       |        AS cos
+       |    FROM vq q CROSS JOIN $drep n WHERE n.vec_id <> q.vec_id) c
+       |  WHERE cos >= 0.3),
+       |${hitCte("chit", scand)},
+       |${hitCte("lhit", slcand)},
+       |${dropCte("cdm", cdrop)},
+       |${dropCte("ldm", ldrop)}
+       |SELECT method, tau, n_true, n_hit, n_dropped FROM (
+       |  ${readout("semdedup_cells", "chit", "cdm")}
+       |  UNION ALL
+       |  ${readout("semdedup_learned", "lhit", "ldm")}) u""".stripMargin
+  }
+
+  /** The per-rep max within-cell cosine as dialect SQL over assignment
+    * relation `asg` (vec_id, clabel) and representative relation
+    * `drep`: rep j's strongest same-cell partner with a SMALLER id —
+    * exactly the pair d16/d20's min-id-wins prune would drop j for,
+    * with the threshold LIFTED so one pair pass serves every tau
+    * level. */
+  private def semMaxCosSql(d: Dial, asg: String, drep: String): String =
+    s"""SELECT b.vec_id AS j, MAX(
+       |    ${d.dot("x.embedding", "y.embedding")} / (x.enorm * y.enorm))
+       |      AS mcos
+       |FROM $asg a JOIN $asg b
+       |  ON a.clabel = b.clabel AND a.vec_id < b.vec_id
+       |JOIN $drep x ON x.vec_id = a.vec_id
+       |JOIN $drep y ON y.vec_id = b.vec_id
+       |GROUP BY b.vec_id""".stripMargin
+
+  /** d23: the SemDeDup TAU SWEEP — d22's tuning-curve discipline on
+    * the LAST un-swept dedup knob: the prune dial tau measured at
+    * {300, 400, 500} per-mille for BOTH cell partitions (d16's
+    * label cells, d20's learned cells), from ONE ground-truth pass
+    * and ONE threshold-free pair pass per partition. Two curves per
+    * method: the sample recall curve (n_hit/n_true against exact
+    * cosine ground truth — what the cell partition loses at each
+    * tau) and the full-corpus drop curve (n_dropped — how much of
+    * the corpus the prune removes as tau moves, the aggressiveness
+    * a deployment actually budgets). Hit sets and drop sets NEST
+    * along tau by construction (a higher tau filters a subset), so
+    * all three counts are monotone non-increasing in tau —
+    * spec-asserted, with a planted pair that flips between adjacent
+    * levels. Scale shape: ground truth is sample × corpus by
+    * contract (machine-checked bound 20); the pair pass is d16/d20's
+    * own collapse-bounded within-cell product paid once with the
+    * threshold lifted — the MAX per rep replaces the >= SemTau
+    * filter, so the sweep costs what ONE SemDeDup run costs.
+    */
+  private def semTauSweepQ: Q = {
+    val oracle = {
+      val d = DuckD
+      s"""WITH grp AS (SELECT embedding, MIN(vec_id) AS rep,
+         |             COUNT(*) AS members
+         |      FROM embeddings GROUP BY embedding),
+         |reps AS (
+         |  SELECT e.* FROM embeddings e JOIN grp ON e.vec_id = grp.rep),
+         |${ivfCommonCtes(d, "reps")},
+         |lassign AS (SELECT vec_id, clabel FROM best WHERE rn = 1),
+         |${kmChainCtes(d)},
+         |drep AS (SELECT k.vec_id, k.embedding, k.enorm
+         |  FROM kemb k JOIN grp g ON g.rep = k.vec_id),
+         |dassign AS (SELECT vec_id, cid AS clabel
+         |  FROM (${kmRankSql(d, "drep", "k2")}) r WHERE rn = 1),
+         |scand AS (SELECT a.vec_id AS qid, b.vec_id AS nid
+         |  FROM lassign a JOIN lassign b ON a.clabel = b.clabel
+         |    AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 20),
+         |slcand AS (SELECT a.vec_id AS qid, b.vec_id AS nid
+         |  FROM dassign a JOIN dassign b ON a.clabel = b.clabel
+         |    AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 20),
+         |cdrop AS (${semMaxCosSql(d, "lassign", "drep")}),
+         |ldrop AS (${semMaxCosSql(d, "dassign", "drep")}),
+         |${semTauSweepBody(d, "drep", "scand", "slcand",
+              "cdrop", "ldrop")}""".stripMargin
+    }
+    Q("d23_semdedup_tau_sweep", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      semTauSweepDF(spark)
+    }, Some(oracle))
+  }
+
+  /** Spark side of d23 over whatever embeddings relation is registered
+    * (fixture-testable). Shares d21's cached surfaces — collapse,
+    * nonzero representatives, both cell assignments — and follows the
+    * cached-DF-instance discipline for the pair stages (the analyzer
+    * relation-dedup cache-miss trap, see [[semanticDedupDF]]).
+    */
+  private def semTauSweepDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    kmTrainViews(spark)
+    val grp = cacheOnce(spark.sql(
+      """SELECT embedding, MIN(vec_id) AS rep, COUNT(*) AS members
+        |FROM embeddings GROUP BY embedding""".stripMargin))
+    grp.createOrReplaceTempView("sem_grp")
+    spark.sql(
+      "SELECT e.* FROM embeddings e JOIN sem_grp g ON e.vec_id = g.rep")
+      .createOrReplaceTempView("sem_reps")
+    val drep = cacheOnce(spark.sql(
+      s"""SELECT vec_id, embedding,
+         |  sqrt(${SparkD.dot("embedding", "embedding")}) AS enorm
+         |FROM sem_reps
+         |WHERE ${SparkD.dot("embedding", "embedding")} > 0""".stripMargin))
+    drep.createOrReplaceTempView("d23_drep")
+    val asg = cacheOnce(spark.sql(
+      s"""WITH ${ivfCommonCtes(SparkD, "sem_reps")}
+         |SELECT vec_id, clabel FROM best WHERE rn = 1""".stripMargin))
+    asg.createOrReplaceTempView("d23_asg")
+    val asgl = cacheOnce(spark.sql(
+      s"""SELECT vec_id, cid AS clabel
+         |FROM (${kmRankSql(SparkD, "d23_drep", "v19_k2")}) r
+         |WHERE rn = 1""".stripMargin))
+    asgl.createOrReplaceTempView("d23_asgl")
+    // threshold-free within-cell pair MAX, via the cached DF instances
+    def maxCos(assign: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val a = assign.toDF("i", "ca")
+      val b = assign.toDF("j", "cb")
+      val x = drep.toDF("xi", "xe", "xn")
+      val y = drep.toDF("yi", "ye", "yn")
+      a.join(b, col("ca") === col("cb") && col("i") < col("j"))
+        .join(x, col("xi") === col("i"))
+        .join(y, col("yi") === col("j"))
+        .groupBy(col("j"))
+        .agg(max(expr("graft_dot(xe, ye) / (xn * yn)")).as("mcos"))
+    }
+    maxCos(asg).createOrReplaceTempView("d23_cdrop")
+    maxCos(asgl).createOrReplaceTempView("d23_ldrop")
+    spark.sql(
+      s"""WITH scand AS (SELECT a.vec_id AS qid, b.vec_id AS nid
+         |  FROM d23_asg a JOIN d23_asg b ON a.clabel = b.clabel
+         |    AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 20),
+         |slcand AS (SELECT a.vec_id AS qid, b.vec_id AS nid
+         |  FROM d23_asgl a JOIN d23_asgl b ON a.clabel = b.clabel
+         |    AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 20),
+         |${semTauSweepBody(SparkD, "d23_drep", "scand", "slcand",
+              "d23_cdrop", "d23_ldrop")}""".stripMargin)
+  }
+
+  // --------------------------------------- SimHash band sweep (d24)
+
+  /** The d24 sweep body over the signature relation `s` (doc_id,
+    * simhash): three ALIGNED pigeonhole splits of the 31-bit
+    * signature — 2 bands (16/15 bits), 4 bands (8/8/8/7 — d05's
+    * production geometry), 8 bands (4×7 + 3) — exploded into ONE
+    * (bands, band, bv) relation, the production HotBucketCap applied
+    * per (bands, band, bv) bucket, sample-restricted candidate
+    * self-join per geometry, and the recall readout against exact
+    * hamming ground truth. Every coarse band boundary is also a fine
+    * one, so a coarse-band match implies all its contained fine
+    * bands match: candidate sets NEST (fine ⊇ coarse) and hits are
+    * monotone non-decreasing in bands IN THE UNCAPPED REGIME — the
+    * same cap caveat as d22 (fine buckets are population supersets,
+    * so a hot corpus can cap away all of a pair's fine buckets while
+    * its coarse bucket survives). The pigeonhole guarantee is
+    * per-geometry: B bands catch EVERY pair at hamming <= B-1
+    * (uncapped), so the (bands=B, thr<=B-1) cells must read
+    * n_hit == n_true — spec-asserted.
+    */
+  private def simhashSweepBody(d: Dial, s: String): String = {
+    val geoms = Seq(2, 4, 8).flatMap { b =>
+      val w = 32 / b
+      (0 until b).map { k =>
+        val lo = w * k
+        val hi = math.min(w * (k + 1), 31)
+        s"""SELECT doc_id, CAST($b AS BIGINT) AS bands, $k AS band,
+           |  ${d.intDiv(s"(simhash % ${1L << hi})", (1L << lo).toString)}
+           |    AS bv FROM $s""".stripMargin
+      }
+    }
+    s"""qs AS (SELECT doc_id, simhash FROM $s WHERE doc_id < 40
+       |  ORDER BY doc_id LIMIT 40),
+       |hgt AS (SELECT qid, nid, ham FROM (
+       |    SELECT q.doc_id AS qid, h.doc_id AS nid,
+       |      bit_count(${d.xor("q.simhash", "h.simhash")}) AS ham
+       |    FROM qs q CROSS JOIN $s h WHERE h.doc_id <> q.doc_id) x
+       |  WHERE ham <= 7),
+       |sx0 AS (${geoms.mkString("\n  UNION ALL ")}),
+       |sx AS (SELECT doc_id, bands, band, bv FROM (
+       |    SELECT doc_id, bands, band, bv,
+       |      COUNT(*) OVER (PARTITION BY bands, band, bv) AS bn
+       |    FROM sx0) x
+       |  WHERE bn <= $HotBucketCap),
+       |scan AS (SELECT DISTINCT a.bands, a.doc_id AS qid, b.doc_id AS nid
+       |  FROM sx a JOIN sx b ON a.bands = b.bands AND a.band = b.band
+       |    AND a.bv = b.bv AND b.doc_id <> a.doc_id
+       |  WHERE a.doc_id < 40)
+       |SELECT CAST(bs.bands AS BIGINT) AS bands,
+       |  CAST(lv.thr AS BIGINT) AS thr,
+       |  COUNT(*) AS n_true,
+       |  CAST(SUM(CASE WHEN c.nid IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit
+       |FROM hgt g
+       |CROSS JOIN (VALUES (2), (4), (8)) AS bs(bands)
+       |CROSS JOIN (VALUES (0), (1), (3), (5), (7)) AS lv(thr)
+       |LEFT JOIN scan c ON c.bands = CAST(bs.bands AS BIGINT)
+       |  AND c.qid = g.qid AND c.nid = g.nid
+       |WHERE g.ham <= lv.thr
+       |GROUP BY bs.bands, lv.thr""".stripMargin
+  }
+
+  /** d24: the SimHash BAND-GEOMETRY SWEEP — d22's discipline applied
+    * to the OTHER text near-dup family: the pigeonhole split of
+    * d04/d05's 31-bit signatures swept across {2, 4, 8} bands and
+    * scored against EXACT hamming ground truth on the bounded
+    * LIMIT-40 sample, per hamming threshold {0, 1, 3, 5, 7}. The
+    * measured trade a deployment reads: more bands widen the
+    * pigeonhole guarantee (B bands can never miss a pair at
+    * hamming <= B-1) and pull recall up at every distance, paying
+    * more candidates per doc. Scale shape: ONE signature pass
+    * (d04's relation, computed once) explodes 2+4+8 = 14 keys/doc,
+    * the cap bounds every bucket, candidates are sample-restricted;
+    * ground truth is sample × corpus by contract (machine-checked
+    * bound 40).
+    */
+  private def simhashSweepQ: Q = {
+    val oracle = {
+      val d = DuckD
+      s"""WITH s AS (${simhashSql(d)}),
+         |${simhashSweepBody(d, "s")}""".stripMargin
+    }
+    Q("d24_simhash_band_sweep", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      simhashSweepDF(spark)
+    }, Some(oracle))
+  }
+
+  /** Spark side of d24 over whatever documents relation is registered
+    * (fixture-testable); the signature materialized once. */
+  private def simhashSweepDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    cacheOnce(spark.sql(simhashSql(SparkD)))
+      .createOrReplaceTempView("d24_s")
+    spark.sql("WITH " + simhashSweepBody(SparkD, "d24_s"))
   }
 
   // ---------------------------------------------------------------- multimodal
@@ -5616,6 +5909,10 @@ object ExtQueries {
     streamSpanScrub,
     streamIndexMaintain,
     streamIndexCompact,
+    // p24's size trigger on the text-index LSM: compaction fires on
+    // the measured delta/base byte ratio; either branch serves the
+    // same BM25 answer (oracle is t07's full-corpus SQL).
+    indexCompactPolicyQ,
     streamIvfMaintain,
     // Line-level exact dedup (C4/RefinedWeb sub-document pass):
     // duplicated 10-word lines removed corpus-wide, checksummed rewrite.
@@ -5635,6 +5932,14 @@ object ExtQueries {
     // scored against the same exact-Jaccard ground truth — the
     // measured S-curve family the band dial is placed from.
     lshBandSweepQ,
+    // The SemDeDup tau sweep: recall + drop-volume curves at
+    // tau in {300, 400, 500} per-mille for both cell partitions,
+    // from one ground-truth pass and one threshold-free pair pass.
+    semTauSweepQ,
+    // The SimHash band-geometry sweep: aligned pigeonhole splits in
+    // {2, 4, 8} bands scored against exact hamming ground truth —
+    // the guarantee-vs-candidate-volume trade, measured.
+    simhashSweepQ,
     // Online near-dup detection (streaming MinHash-LSH band state).
     streamNearDup,
     dialect("v06_ann_cap_report", annCapReportSql),
@@ -5898,6 +6203,10 @@ object ExtQueries {
         : org.apache.spark.sql.DataFrame = dedupRecallDF(spark)
     def lshBandSweep(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = lshBandSweepDF(spark)
+    def semTauSweep(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = semTauSweepDF(spark)
+    def simhashSweep(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = simhashSweepDF(spark)
     val hll: String = hllSql(SparkD)
     def hllRegisters(from: String): String = hllRegistersSql(SparkD, from)
     def hllEstimate(regs: String): String = hllEstimateSql(SparkD, regs)
@@ -5910,10 +6219,24 @@ object ExtQueries {
     def streamIndexMaintain(spark: org.apache.spark.sql.SparkSession,
         dir: String): org.apache.spark.sql.DataFrame =
       streamIndexMaintainDF(spark, dir)
+    def indexCompactPolicy(spark: org.apache.spark.sql.SparkSession,
+        dir: String): org.apache.spark.sql.DataFrame =
+      indexCompactPolicyDF(spark, dir)
     def streamIvfIndex(spark: org.apache.spark.sql.SparkSession,
         dir: String): Unit = streamIvfIndexViews(spark, dir)
     def kmeansTrain(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = kmTrainDF(spark)
+    /** Row count of the shared exact ANN ground truth ([[kmGtCte]]
+      * over the registered embeddings) — the denominator of every
+      * recall_pm in v22–v25, derived from the relation itself so specs
+      * never hardcode the 20×5 fixture shape. */
+    def kmGtCount(spark: org.apache.spark.sql.SparkSession): Long = {
+      cacheOnce(spark.sql(kmEmbSql(SparkD)))
+        .createOrReplaceTempView("kemb")
+      spark.sql(s"WITH ${kmGtCte(SparkD, "kemb")}\n" +
+          "SELECT COUNT(*) AS n FROM gt")
+        .collect()(0).getLong(0)
+    }
     def classifierTrain(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = t19TrainDF(spark)
     /** p20's pre-write shard relation over the registered views (the
@@ -8517,28 +8840,96 @@ object ExtQueries {
       // ensure the q66 base + delta exist (cached, idempotent), and
       // get its registered views for the doc-length relation
       streamIndexMaintainDF(spark, dir)
-      val base = Tables.cachePath(dir, "inv_base_even")
-      val post = Tables.cachePath(dir, "inv_delta_post")
-      val compacted = Tables.cachePath(dir, "inv_compacted")
-      if (!new java.io.File(compacted, "_SUCCESS").exists()) {
-        spark.read.format("columnfile").load(base)
-          .selectExpr("doc_id", "w", "tf", "CAST(tb AS INT) AS tb")
-          .union(spark.read.format("columnfile").load(post)
-            .selectExpr("doc_id", "w", "tf", "CAST(tb AS INT) AS tb"))
-          .repartition(org.apache.spark.sql.functions.col("tb"))
-          .sortWithinPartitions("doc_id")
-          .write.format("columnfile").partitionBy("tb")
-          .mode("overwrite").save(compacted)
-      }
       val termTbs = BmTermSeq
         .map(t => invTb(s"'$t'")).mkString(", ")
-      spark.read.format("columnfile").load(compacted)
+      spark.read.format("columnfile").load(invCompactedPath(spark, dir))
         .where(s"w IN $BmTerms AND tb IN ($termTbs)")
         .selectExpr("doc_id", "w", "tf")
         .createOrReplaceTempView("q67_tf")
       spark.sql("WITH " + bm25Body(SparkD, "q67_tf", "q66_dl",
         nFrom = "q66_dl"))
     }, Some(bm25Sql(DuckD)))
+
+  /** The q67 repack, built once per cache dir: base ∪ delta rewritten
+    * as ONE term-bucket-partitioned table, doc-ordered within buckets.
+    * Shared by q67 (unconditional compaction) and q74 (the fired
+    * branch of the size-triggered policy) so the two never diverge on
+    * what "compacted" means — and the rewrite is paid once. Requires
+    * the q66 base/delta dirs (callers run [[streamIndexMaintainDF]]
+    * first).
+    */
+  private def invCompactedPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val base = Tables.cachePath(dir, "inv_base_even")
+    val post = Tables.cachePath(dir, "inv_delta_post")
+    val compacted = Tables.cachePath(dir, "inv_compacted")
+    if (!new java.io.File(compacted, "_SUCCESS").exists()) {
+      spark.read.format("columnfile").load(base)
+        .selectExpr("doc_id", "w", "tf", "CAST(tb AS INT) AS tb")
+        .union(spark.read.format("columnfile").load(post)
+          .selectExpr("doc_id", "w", "tf", "CAST(tb AS INT) AS tb"))
+        .repartition(org.apache.spark.sql.functions.col("tb"))
+        .sortWithinPartitions("doc_id")
+        .write.format("columnfile").partitionBy("tb")
+        .mode("overwrite").save(compacted)
+    }
+    compacted
+  }
+
+  /** q74: POLICY-driven compaction of the text-index LSM — p24's size
+    * trigger applied verbatim to q66/q67's inv_base/inv_delta pair, so
+    * BOTH LSM families (inverted text index here, tokenized shards in
+    * p24) compact on the SAME measured dial, [[p24ShouldCompact]]:
+    * when the delta's data bytes reach 25% of the base's, run q67's
+    * repack and serve the compacted table (one term-bucket-partitioned
+    * scan, the delta inside the prune); below the trigger, serve q66's
+    * base ∪ delta (pruned main + term-filtered tail) and skip the
+    * rewrite. The BM25 probe is LAYOUT-INVARIANT by q66/q67's
+    * convergence gates, so the oracle (t07's full-corpus SQL)
+    * hash-matches WHICHEVER branch fires — the policy can change only
+    * cost, never content (branch-switch invariance spec-pinned, like
+    * p24's). On the driver corpora the odd-docs delta ≈ the base, so
+    * the trigger fires and the compacted branch serves. Reference
+    * economics: tools/columnfile-sort.cc:374-387 — hierarchical merge
+    * batches fire on a size bound (kMaxBatchSize), not
+    * unconditionally.
+    */
+  private def indexCompactPolicyQ: Q = Q("q74_index_compact_policy",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      indexCompactPolicyDF(spark, dir)
+    }, Some(bm25Sql(DuckD)))
+
+  /** q74's body over whatever `documents` relation is registered —
+    * split out so the branch-switch invariance is testable on planted
+    * fixtures (a delta-light corpus drives the serve-union branch, a
+    * delta-heavy one fires the repack; both must produce q66's rows).
+    */
+  private def indexCompactPolicyDF(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    streamIndexMaintainDF(spark, dir)
+    val base = Tables.cachePath(dir, "inv_base_even")
+    val post = Tables.cachePath(dir, "inv_delta_post")
+    val termTbs = BmTermSeq
+      .map(t => invTb(s"'$t'")).mkString(", ")
+    val tf =
+      if (p24ShouldCompact(p24DataBytes(base), p24DataBytes(post))) {
+        spark.read.format("columnfile")
+          .load(invCompactedPath(spark, dir))
+          .where(s"w IN $BmTerms AND tb IN ($termTbs)")
+          .selectExpr("doc_id", "w", "tf")
+      } else {
+        spark.read.format("columnfile").load(base)
+          .where(s"w IN $BmTerms AND tb IN ($termTbs)")
+          .selectExpr("doc_id", "w", "tf")
+          .union(spark.read.format("columnfile").load(post)
+            .where(s"w IN $BmTerms").selectExpr("doc_id", "w", "tf"))
+      }
+    tf.createOrReplaceTempView("q74_tf")
+    spark.sql("WITH " + bm25Body(SparkD, "q74_tf", "q66_dl",
+      nFrom = "q66_dl"))
+  }
 
   /** q66 body against whatever `documents` relation is registered —
     * split out so the maintenance invariant (base ∪ delta == full

@@ -482,6 +482,20 @@ class ShredAppendingStreamingWriterFactory(
   * `variant_get(col, path, type)` expression evaluated against the
   * incoming row, appended as the trailing columns the inner writer's
   * extended schema declares.
+  *
+  * POISON-PILL CAVEAT (streaming): `failOnError = true` is deliberate
+  * batch parity — a row whose variant is missing the shredded path, or
+  * whose value does not cast to the declared leaf type, fails the
+  * write task exactly as the batch writer would. In a `writeStream`
+  * sink, though, the failed micro-batch is RETRIED from the checkpoint
+  * and replays the same rows, so one malformed document wedges the
+  * stream permanently (batch fails once; the stream fails forever).
+  * Diagnose via the stream's exception (the variant_get error names
+  * the path); remediate by fixing/dropping the row upstream or by
+  * shredding a pre-validated derived column. A lenient
+  * write-NULL-on-error mode is intentionally NOT offered: a silent
+  * NULL leaf would diverge from the batch-written table the q72 gate
+  * proves equivalence against.
   */
 object ShredAppend {
   def writer(delegate: DataWriter[InternalRow], baseSchemaJson: String,

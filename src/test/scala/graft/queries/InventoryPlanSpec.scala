@@ -124,7 +124,17 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and the 3-row/5-row VALUES geometry/threshold relations.
     "d22_lsh_band_sweep" -> 40L,
     // v25's Pareto surface: v24's bounds exactly (shared pairs pass).
-    "v25_kmeans_pareto" -> 20L)
+    "v25_kmeans_pareto" -> 20L,
+    // d23's tau sweep: the LIMIT-20 vector sample cross-joined with
+    // the corpus (ground truth by contract), the 3-row VALUES tau
+    // relations, the ORDER BY clabel LIMIT 64 label centroids and
+    // the LIMIT-8 learned centroids — 64 bounds them all (d21's
+    // bound, same assignment chains).
+    "d23_semdedup_tau_sweep" -> 64L,
+    // d24's sweep: the LIMIT-40 signature sample (exact hamming
+    // ground truth by contract) and the 3-row/5-row VALUES
+    // geometry/threshold relations.
+    "d24_simhash_band_sweep" -> 40L)
 
   /** Static upper bound on a physical subtree's row count, derived
     * from shape alone — the machine check behind the BNLJ allowlist

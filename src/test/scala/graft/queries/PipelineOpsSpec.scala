@@ -706,10 +706,16 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => ((r.getInt(0).toLong, r.getInt(1).toLong),
         r.getLong(2) * r.getLong(3)))
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // recall_pm denominator derived from the gt relation itself (up
+    // to 5 neighbors per query — a fixture with <6 eligible vectors
+    // per query would shrink it, so never hardcode 20x5=100)
+    val nTruth = ExtQueries.TestSql.kmGtCount(spark)
+    assert(nTruth > 0L, "empty ANN ground truth")
     pareto.foreach { case (cell, (_, nHit, recallPm)) =>
       assert(grid(cell) == nHit,
         s"cell $cell: v25 hits $nHit vs v24 ${grid(cell)}")
-      assert(recallPm == (1000L * nHit) / 100L, s"cell $cell recall")
+      assert(recallPm == (1000L * nHit) / nTruth,
+        s"cell $cell recall ($recallPm vs ${1000L * nHit}/$nTruth)")
     }
   }
 
@@ -897,6 +903,38 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(dl.length == 6 && dl.toMap == Map(0L -> 3L, 1L -> 2L,
       2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 1L))
+  }
+
+  test("q74: the size trigger picks the branch from real delta/base " +
+    "bytes, and either branch serves q66's exact BM25 answer") {
+    val sp = spark; import sp.implicits._
+    def run(docs: Seq[(Long, String)]): (Set[String], Boolean) = {
+      val fixdir = java.nio.file.Files
+        .createTempDirectory("q74fix").toFile.getAbsolutePath
+      docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+      // the un-triggered reference: q66's base ∪ delta probe
+      val want = ExtQueries.TestSql.streamIndexMaintain(spark, fixdir)
+        .collect().map(_.toString).toSet
+      val got = ExtQueries.TestSql.indexCompactPolicy(spark, fixdir)
+        .collect().map(_.toString).toSet
+      assert(got == want, s"policy branch diverged from q66:\n$got\nvs\n$want")
+      val fired = new java.io.File(graft.queries.Tables
+        .cachePath(fixdir, "inv_compacted"), "_SUCCESS").exists()
+      (got, fired)
+    }
+    // delta-light: 40 long even docs vs one one-word odd doc — the
+    // delta stays under 25% of the base, the rewrite is skipped
+    val fat = (1 to 120).map(i => s"hash join vector w$i").mkString(" ")
+    val (lightRows, lightFired) = run(
+      (0 until 40).map(i => (2L * i, s"doc$i $fat")) :+ (1L, "hash"))
+    assert(!lightFired, "delta-light corpus should not fire the trigger")
+    assert(lightRows.nonEmpty)
+    // delta-heavy: two tiny even docs vs ten long odd docs — fires
+    val (heavyRows, heavyFired) = run(
+      Seq((0L, "hash"), (2L, "join")) ++
+        (0 until 10).map(i => (2L * i + 1L, s"odd$i $fat")))
+    assert(heavyFired, "delta-heavy corpus should fire the trigger")
+    assert(heavyRows.nonEmpty)
   }
 
   test("q68: incremental IVF assignment converges to the full rebuild " +
@@ -1227,12 +1265,17 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(("semdedup_cells", 480L))._2 == 2L)
   }
 
-  test("d22: geometry candidate sets nest (recall monotone in bands), " +
-    "ground truth is geometry-invariant, identical pair hits everywhere") {
+  test("d22: geometry candidate sets nest (recall monotone in bands " +
+    "in the uncapped regime), ground truth is geometry-invariant, " +
+    "identical pair hits everywhere") {
     val sp = spark; import sp.implicits._
     // d21's Jaccard plants: identical pair (1,2), just-under pair
     // (3,4; J=428 — in NO geometry's ground truth), mid pair (5,6;
-    // J=538 — ground truth at thr=500 only).
+    // J=538 — ground truth at thr=500 only). Every bucket on this
+    // 6-doc fixture is far below HotBucketCap, so the nesting claim
+    // asserted below is the UNCAPPED-regime one: with per-(bands, bk)
+    // caps active, a hot corpus can cap away all of a pair's fine
+    // buckets while its coarse bucket survives (see the d22 scaladoc).
     val x8 = (1 to 8).map(i => s"x$i").mkString(" ")
     val y9 = (1 to 9).map(i => s"y$i").mkString(" ")
     Seq(
@@ -1260,6 +1303,101 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val curve = Seq(2L, 4L, 8L).map(b => rows((b, thr))._2)
       assert(curve == curve.sorted,
         s"thr=$thr: recall not monotone in bands: $curve")
+    }
+  }
+
+  test("d24: the pigeonhole guarantee is exact (B bands never miss a " +
+    "pair at hamming <= B-1), hits are monotone in bands (uncapped), " +
+    "and ground truth is geometry-invariant") {
+    val sp = spark; import sp.implicits._
+    // d22's corpus: the identical pair (1,2) is a hamming-0 GT pair
+    // (both orders), so every (bands, thr) cell is populated; the
+    // block-sharing pairs land at whatever deterministic distance the
+    // shingle simhash gives them — the assertions below hold for ANY
+    // distances, which is the point (they are BY-CONSTRUCTION claims).
+    val x8 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val y9 = (1 to 9).map(i => s"y$i").mkString(" ")
+    Seq(
+      (1L, "a b c d e f g h i j k l", "en"),
+      (2L, "a b c d e f g h i j k l", "en"),
+      (3L, s"pa pb $x8 pc pd", "en"),
+      (4L, s"ra rb $x8 rc rd", "en"),
+      (5L, s"ua ub $y9 uc", "en"),
+      (6L, s"va vb $y9 vc", "en"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val rows = ExtQueries.TestSql.simhashSweep(spark).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val thrs = Seq(0L, 1L, 3L, 5L, 7L)
+    for (b <- Seq(2L, 4L, 8L); t <- thrs) {
+      val (nt, nh) = rows((b, t))
+      // the identical pair is ground truth (both orders) at every
+      // threshold and shares every band at every geometry
+      assert(nt >= 2L, s"(b=$b, thr=$t): n_true $nt")
+      assert(nh >= 2L && nh <= nt, s"(b=$b, thr=$t): n_hit $nh of $nt")
+      // pigeonhole: <= B-1 differing bits cannot touch all B bands
+      if (t <= b - 1)
+        assert(nh == nt, s"pigeonhole broken at (b=$b, thr=$t): $nh/$nt")
+    }
+    for (t <- thrs) {
+      assert(Seq(2L, 4L, 8L).map(b => rows((b, t))._1).distinct.size == 1,
+        s"thr=$t: ground truth varies by geometry")
+      val curve = Seq(2L, 4L, 8L).map(b => rows((b, t))._2)
+      assert(curve == curve.sorted,
+        s"thr=$t: hits not monotone in bands: $curve")
+    }
+  }
+
+  test("d23: tau-sweep counts nest and flip at BOTH adjacent levels; " +
+    "ground truth is method-invariant; drop volume tracks the dial") {
+    val sp = spark; import sp.implicits._
+    // Cosine plants (label cells {0,1,4,5} / {2,3}; centroid
+    // assignment reproduces the labels — verified by hand):
+    //   (0,1) cos=.9996  same-cell    -> GT + hit + drop at EVERY tau
+    //   (0,2),(1,2) cos=.426/.418 cross-cell -> GT at 300/400, never hit
+    //   (0,4),(1,4) cos=.428/.429 same-cell  -> flips OFF between 400/500
+    //   (0,5),(1,5) cos=.348/.349 same-cell  -> flips OFF between 300/400
+    // Ordered-pair GT: 14 / 10 / 2. Cells hits: 10 / 6 / 2 (the two
+    // cross-cell pairs are the measured loss). Drops (corpus-wide,
+    // min-id-wins): {1,4,5} / {1,4} / {1} = 3 / 2 / 1.
+    def vec(pairs: (Int, Double)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      pairs.foreach { case (i, v) => a(i) = v.toFloat }; a
+    }
+    Seq(
+      (0L, 0L, vec(0 -> 1.0, 1 -> 0.30)),
+      (1L, 0L, vec(0 -> 1.0, 1 -> 0.29)),
+      (2L, 1L, vec(0 -> 0.15, 1 -> 1.0)),
+      (3L, 1L, vec(2 -> 1.0)),
+      (4L, 0L, vec(0 -> 0.5, 3 -> 1.0)),
+      (5L, 0L, vec(0 -> 0.39, 4 -> 1.0)))
+      .toDF("vec_id", "label", "embedding")
+      .createOrReplaceTempView("embeddings")
+    val rows = ExtQueries.TestSql.semTauSweep(spark).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet == (for {
+      m <- Set("semdedup_cells", "semdedup_learned")
+      t <- Set(300L, 400L, 500L)
+    } yield (m, t)), s"cells: ${rows.keySet}")
+    // one shared ground truth: n_true identical across methods
+    for (t <- Seq(300L, 400L, 500L))
+      assert(rows(("semdedup_cells", t))._1 ==
+        rows(("semdedup_learned", t))._1, s"GT diverges at tau=$t")
+    // the exact label-cell curve (flip pairs at .43 and .35)
+    assert(rows(("semdedup_cells", 300L)) == ((14L, 10L, 3L)))
+    assert(rows(("semdedup_cells", 400L)) == ((10L, 6L, 2L)))
+    assert(rows(("semdedup_cells", 500L)) == ((2L, 2L, 1L)))
+    // nesting: every count monotone non-increasing in tau, both
+    // methods (filter levels select subsets BY CONSTRUCTION)
+    for {
+      m <- Seq("semdedup_cells", "semdedup_learned")
+      (f, nm) <- Seq[((Long, Long, Long)) => Long](_._1, _._2, _._3)
+        .zip(Seq("n_true", "n_hit", "n_dropped"))
+    } {
+      val curve = Seq(300L, 400L, 500L).map(t => f(rows((m, t))))
+      assert(curve == curve.sorted.reverse,
+        s"$m $nm not monotone non-increasing: $curve")
     }
   }
 

@@ -28,6 +28,17 @@ class StreamingSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Extensions are applied only when a session is actually BUILT: if
+    // another suite in this JVM created the default session first,
+    // getOrCreate() returns it WITHOUT the shred rewrite and the q72
+    // rewrite/pushdown assertions below would fail order-dependently.
+    // Fail fast here with a diagnosable message instead.
+    assert(
+      spark.sessionState.analyzer.postHocResolutionRules
+        .contains(VariantShredRewrite),
+      "GraftExtensions is not active on this SparkSession (a previous " +
+        "suite created the default session without it?) — the shred " +
+        "tests need spark.sql.extensions=graft.spark.GraftExtensions")
   }
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
