@@ -1346,11 +1346,11 @@ object ExtQueries {
     case DuckD  => "regexp_replace(w, '(.)', '(\\1)', 'g')"
   }
 
-  private def bpeVocabSql(d: Dial): String = {
+  private def bpeVocabSql(d: Dial, from: String = "documents"): String = {
     val seq0 = bpeSeq0(d)
     s"""SELECT w, n, $seq0 AS s FROM (
        |  SELECT w, COUNT(*) AS n
-       |  FROM (SELECT w FROM documents
+       |  FROM (SELECT w FROM $from
        |        ${d.explode(d.split("lower(text)"), "w")}) t0
        |  WHERE length(w) >= 2 AND regexp_extract(w, '^[a-z]+$$', 0) = w
        |  GROUP BY w) t1""".stripMargin
@@ -4604,6 +4604,24 @@ object ExtQueries {
     * corpus does NOT retrain its tokenizer mid-run, or old and new
     * shards would disagree on the id space).
     */
+  /** The 3-row (r, mp) merges table as a DataFrame, trained over the
+    * vocabulary view `w0View` — t16's rounds with the picks projected
+    * out. One spelling shared by p22's per-corpus freeze and p26's
+    * cross-corpus registry model (and the spec's inline recompute).
+    */
+  private[graft] def mergesTableDF(
+      spark: org.apache.spark.sql.SparkSession, w0View: String)
+      : org.apache.spark.sql.DataFrame =
+    spark.sql(
+      s"""WITH ${bpeRound(SparkD, 1, w0View)},
+         |${bpeRound(SparkD, 2, "w1")},
+         |${bpeRound(SparkD, 3, "w2")}
+         |SELECT CAST(1 AS BIGINT) AS r, COALESCE(MAX(mp), '') AS mp FROM m1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), COALESCE(MAX(mp), '') FROM m2
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), COALESCE(MAX(mp), '') FROM m3""".stripMargin)
+
   private[graft] def p22MergesPath(
       spark: org.apache.spark.sql.SparkSession, dir: String): String = {
     val out = Tables.cachePath(dir, "p22_merges")
@@ -4611,15 +4629,7 @@ object ExtQueries {
       Tables.registerAll(spark, dir)
       cacheOnce(spark.sql(bpeVocabSql(SparkD)))
         .createOrReplaceTempView("p22_w0")
-      spark.sql(
-        s"""WITH ${bpeRound(SparkD, 1, "p22_w0")},
-           |${bpeRound(SparkD, 2, "w1")},
-           |${bpeRound(SparkD, 3, "w2")}
-           |SELECT CAST(1 AS BIGINT) AS r, COALESCE(MAX(mp), '') AS mp FROM m1
-           |UNION ALL
-           |SELECT CAST(2 AS BIGINT), COALESCE(MAX(mp), '') FROM m2
-           |UNION ALL
-           |SELECT CAST(3 AS BIGINT), COALESCE(MAX(mp), '') FROM m3""".stripMargin)
+      mergesTableDF(spark, "p22_w0")
         .coalesce(1)
         .write.format("columnfile").mode("overwrite").save(out)
     }
@@ -4829,6 +4839,84 @@ object ExtQueries {
         .createOrReplaceTempView("p23_shards")
       spark.sql(p20RollupSql(SparkD, "p23_shards"))
     }, Some(p20OracleSql(DuckD)))
+
+  // --------------------------- cross-corpus tokenizer portability (p26)
+
+  /** The fixed MODEL-REGISTRY corpus the portable tokenizer trains on —
+    * deliberately a PATH, not the serving dir: the whole point is that
+    * the model's derivation cannot see the corpus being encoded.
+    * (Compile-time constant: referenced from `val all`-reachable oracle
+    * SQL — the v19 object-init lesson.) */
+  private final val P26TrainPath =
+    "/root/testdata/sf0.001/documents.parquet"
+
+  /** The PORTABLE frozen tokenizer: t16's three merges trained on the
+    * registry corpus and materialized ONCE, keyed by the REGISTRY (not
+    * the serving dir) — every serving corpus, at every scale, loads
+    * the same artifact. The builder reads the registry parquet
+    * directly; it never references the registered `documents` view, so
+    * the serving corpus's text CANNOT leak into the model (spec-pinned
+    * with a poisoned serving view on a fresh build).
+    */
+  private[graft] def p26MergesPath(
+      spark: org.apache.spark.sql.SparkSession): String = {
+    val out = Tables.cachePath("/root/testdata/sf0.001", "p26_merges")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      spark.read.parquet(P26TrainPath)
+        .createOrReplaceTempView("p26_tdocs")
+      cacheOnce(spark.sql(bpeVocabSql(SparkD, "p26_tdocs")))
+        .createOrReplaceTempView("p26_w0")
+      mergesTableDF(spark, "p26_w0")
+        .coalesce(1)
+        .write.format("columnfile").mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** p26: CROSS-CORPUS TOKENIZER PORTABILITY — the production
+    * invariant p22's per-dir freeze only simulates: a pipeline trains
+    * its tokenizer ONCE (here on the sf0.001 registry corpus) and
+    * serves it to every corpus it later encodes, including corpora
+    * 10–100× the training scale — old and new shards stay in one id
+    * space precisely because a GROWING corpus never retrains its
+    * model mid-run. The query encodes the SERVING corpus through the
+    * registry-trained merges (p20's exact encode + split + pack chain,
+    * fed from the materialized model instead of training CTEs), writes
+    * the (split, lang)-partitioned shard table, and reads back p20's
+    * full rollup — including the order-sensitive pack_checksum and
+    * token-sequence fold. The oracle RETRAINS the merges from the
+    * registry parquet in DuckDB and encodes the serving tables, so the
+    * hash proves the materialized model round-trips training exactly
+    * AND the encode consumed nothing but the frozen merges. At the
+    * registry scale itself (serving == sf0.001) the check degenerates
+    * to p20's; at sf0.01/sf0.1 it is genuinely cross-scale.
+    *
+    * 100 TB design: the model is a 3-row broadcast loaded from
+    * storage (zero training cost at serve time, any number of serving
+    * corpora); the encode is p20's map-side tokenize + one pack-window
+    * shuffle. Registry size is a model-quality knob, not a cost knob —
+    * serving cost is independent of where the merges came from.
+    */
+  private def tokenizerPortableQ: Q = Q("p26_tokenizer_portable",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      val out = Tables.cachePath(dir, "p26_shards")
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        spark.read.format("columnfile").load(p26MergesPath(spark))
+          .createOrReplaceTempView("p26_mt")
+        spark.sql(p20EncodeFromMerges("p26_mt", "documents"))
+          .write.format("columnfile").partitionBy("split", "lang")
+          .mode("overwrite").save(out)
+      }
+      spark.read.format("columnfile").load(out)
+        .createOrReplaceTempView("p26_shards")
+      spark.sql(p20RollupSql(SparkD, "p26_shards"))
+    }, Some(
+      s"""WITH tdocs AS (SELECT doc_id, lang, text
+         |  FROM read_parquet('$P26TrainPath')),
+         |w0 AS (${bpeVocabSql(DuckD, "tdocs")}),
+         |${p20ShardBody(DuckD, "w0")}
+         |${p20RollupSql(DuckD, "pb")}""".stripMargin))
 
   // ------------------------------------------------------- relevance ranking
 
@@ -6036,6 +6124,11 @@ object ExtQueries {
     // delta outgrows 25% of the base; the oracle proves the policy can
     // never change what a loader reads, only what it costs.
     shardCompactPolicyQ,
+    // Cross-corpus tokenizer portability: merges trained ONCE on the
+    // sf0.001 registry corpus, served to every corpus at every scale;
+    // the oracle retrains from the registry parquet, so the hash
+    // proves the materialized model round-trips training exactly.
+    tokenizerPortableQ,
     // Weighted priority sampling (exact-integer w/u priorities) with
     // the Horvitz-Thompson estimate reported against exact totals.
     dialect("p19_priority_sample", prioritySampleSql),
@@ -6207,6 +6300,31 @@ object ExtQueries {
         : org.apache.spark.sql.DataFrame = semTauSweepDF(spark)
     def simhashSweep(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = simhashSweepDF(spark)
+    /** t16's merge picks (r = 1, 2, 3) trained over an arbitrary
+      * documents-shaped view — the spec's inline recompute. */
+    def mergePairsOver(spark: org.apache.spark.sql.SparkSession,
+        docsView: String): Seq[String] = {
+      spark.sql(bpeVocabSql(SparkD, docsView))
+        .createOrReplaceTempView("ts_mw0")
+      mergesTableDF(spark, "ts_mw0")
+        .orderBy("r").collect().map(_.getString(1)).toSeq
+    }
+    /** The portable registry model's pairs (builds the artifact if
+      * missing — the spec deletes it to force a fresh build). */
+    def p26MergePairs(spark: org.apache.spark.sql.SparkSession)
+        : Seq[String] =
+      spark.read.format("columnfile").load(p26MergesPath(spark))
+        .orderBy("r").collect().map(_.getString(1)).toSeq
+    /** p26's encode chain over whatever `documents` view is registered,
+      * fed from the portable registry model. */
+    def p26Encode(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = {
+      spark.read.format("columnfile").load(p26MergesPath(spark))
+        .createOrReplaceTempView("ts_p26mt")
+      spark.sql(p20EncodeFromMerges("ts_p26mt", "documents"))
+    }
+    def p26MergesCacheDir: String =
+      Tables.cachePath("/root/testdata/sf0.001", "p26_merges")
     val hll: String = hllSql(SparkD)
     def hllRegisters(from: String): String = hllRegistersSql(SparkD, from)
     def hllEstimate(regs: String): String = hllEstimateSql(SparkD, regs)

@@ -1203,6 +1203,44 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaUnion.sameElements(viaCompact))
   }
 
+  test("p26: the portable tokenizer derives ONLY from the registry " +
+    "corpus — a poisoned serving corpus cannot change a fresh build — " +
+    "and the encode consumes exactly the frozen merges") {
+    val sp = spark; import sp.implicits._
+    // inline recompute from the registry parquet (t16's own spelling)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("p26t_docs")
+    val want = ExtQueries.TestSql.mergePairsOver(spark, "p26t_docs")
+    assert(want.length == 3 && want.exists(_.nonEmpty), s"registry: $want")
+    // poison the serving corpus: its own training picks different merges
+    val poison = Seq(
+      (1L, "qq qq qq qq qq", "en"),
+      (2L, "qq qq qq zz", "en"),
+      (3L, "zz zz qq", "en"))
+    poison.toDF("doc_id", "text", "lang")
+      .createOrReplaceTempView("documents")
+    val own = ExtQueries.TestSql.mergePairsOver(spark, "documents")
+    assert(own != want, "poison fixture trains to the registry's merges")
+    // FRESH build with the poisoned view registered: the registry
+    // model must come out anyway — the builder cannot see `documents`
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(ExtQueries.TestSql.p26MergesCacheDir))
+    val got = ExtQueries.TestSql.p26MergePairs(spark)
+    assert(got == want,
+      s"fresh build leaked the serving corpus: $got vs $want")
+    // encode of the poisoned serving view == the trusted frozen-merges
+    // encode under the SAME pairs (p22's batch encode, spec-proven)
+    val viaP26 = ExtQueries.TestSql.p26Encode(spark)
+      .collect().map(_.toString).sorted.toSeq
+    val viaBatch = ExtQueries.p22EncodeBatch(
+        spark.table("documents").selectExpr("doc_id", "lang", "text"), got)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaP26 == viaBatch)
+  }
+
   test("d21: just-under-threshold Jaccard pair is not ground truth; " +
     "identical pair is always an LSH hit; cross-cell near-dup is " +
     "measured as SemDeDup recall loss") {
