@@ -4918,6 +4918,160 @@ object ExtQueries {
          |${p20ShardBody(DuckD, "w0")}
          |${p20RollupSql(DuckD, "pb")}""".stripMargin))
 
+  // --------------------------------- streaming corpus refresh (p25)
+
+  /** One p25 micro-batch: score the arriving docs against the frozen
+    * admission model, ROUTE the verdicts physically (q71's
+    * partitionBy(cls) under the batchId-keyed dir), then encode ONLY
+    * the documents the admit route contains — the shard write READS
+    * BACK the routed verdict directory, so "a rejected doc never
+    * reaches a shard" is enforced by the artifact itself, not by a
+    * predicate that could drift from it. Both writes are batchId-keyed
+    * overwrites: a replayed batch atomically rewrites its own routes
+    * AND its own delta dir (replay idempotence spec-pinned).
+    * Package-visible for the spec's replay/rejection proofs.
+    */
+  private[graft] def p25ProcessBatch(
+      df: org.apache.spark.sql.DataFrame, id: Long,
+      routes: String, delta: String, mps: Seq[String],
+      weights: org.apache.spark.sql.DataFrame): Unit = {
+    val sp = df.sparkSession
+    graft.streaming.ClassifierAdmit.perDocScores(df, weights)
+      .write.format("columnfile").partitionBy("cls")
+      .mode("overwrite").save(s"$routes/batch=$id")
+    val admitted = df.join(
+      sp.read.format("columnfile").load(s"$routes/batch=$id")
+        .where("cls = 1").select("doc_id"),
+      "doc_id")
+    p22EncodeBatch(admitted.selectExpr("doc_id", "lang", "text"), mps)
+      .write.format("columnfile").partitionBy("split", "lang")
+      .mode("overwrite").save(s"$delta/batch=$id")
+    ()
+  }
+
+  /** p25: the STREAMING CORPUS-REFRESH capstone — the round's routing
+    * and LSM pieces composed end-to-end in ONE pipeline, the shape a
+    * production corpus actually runs nightly: documents ARRIVE as a
+    * stream → q71's learned admission gate routes each one physically
+    * (admit/reject directories per batch) → ONLY admitted documents
+    * are encoded against the frozen tokenizer into batch-local delta
+    * shards (p22's maintenance) → p24's size policy decides whether
+    * the read repacks base ∪ delta or serves the union. One oracle
+    * hash-matches the WHOLE chain: the full-rebuild p21 consumer SQL
+    * over the admitted documents only — training the tokenizer and
+    * the classifier inline, admitting by the same per-doc scores, and
+    * encoding/packing the admitted set from scratch. A wrong verdict,
+    * a rejected doc leaking into a shard, a dropped batch, or a
+    * policy branch that changes content all break the hash.
+    *
+    * The base is the already-curated half (admitted EVEN docs, batch
+    * encode through the same frozen artifacts); the odd half arrives
+    * through the stream. Both the admission model and the tokenizer
+    * are FROZEN materialized artifacts (t19's weight table, p22's
+    * merges table) — the refresh never retrains anything mid-run.
+    *
+    * 100 TB design: per-batch work is O(batch) — one map-side
+    * tokenize + broadcast join against the <= 1024-row model for
+    * scoring, a per-task fan-out for the routed write (no shuffle),
+    * one map-side encode + batch-local pack window for the delta; no
+    * state store, no watermark, nothing rescans the base. The read
+    * side pays the LSM union tax only while the policy says the delta
+    * is small; past 25% of base bytes the q67/p23/p24 repack fires.
+    */
+  private def corpusRefreshQ: Q = {
+    val oracle = {
+      val d = DuckD
+      s"""WITH w0 AS (${bpeVocabSql(d)}),
+         |${bpeRound(d, 1, "w0")},
+         |${bpeRound(d, 2, "w1")},
+         |${bpeRound(d, 3, "w2")},
+         |adm AS (SELECT doc_id FROM (${t20PerDocSql(d)}) s WHERE cls = 1),
+         |admdocs AS (SELECT dd.doc_id, dd.lang, dd.text
+         |  FROM documents dd JOIN adm ON adm.doc_id = dd.doc_id),
+         |${p20EncodeBody(d, "admdocs")},
+         |${p21Body(d, "pb")}""".stripMargin
+    }
+    Q("p25_corpus_refresh", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      corpusRefreshDF(spark, dir)
+    }, Some(oracle))
+  }
+
+  /** p25's body over whatever tables are registered (fixture-testable):
+    * builds the admitted-even base, drains the odd-docs stream through
+    * route-then-encode, applies the p24 policy, and reads out p21's
+    * consumer statistics over whichever layout serves.
+    */
+  private def corpusRefreshDF(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val mps = p22MergePairs(spark, dir)
+    val weights = cacheOnce(spark.read.format("columnfile")
+      .load(t19WeightsPath(spark, dir)))
+    // the already-curated base: admitted EVEN docs, batch-encoded
+    // through the SAME frozen artifacts the stream uses
+    val base = Tables.cachePath(dir, "p25_base")
+    if (!new java.io.File(base, "_SUCCESS").exists()) {
+      val evens = spark.table("documents").where("doc_id % 2 = 0")
+      val admEven = evens.join(
+        broadcast(graft.streaming.ClassifierAdmit
+          .perDocScores(evens, weights)
+          .where("cls = 1").select("doc_id")),
+        "doc_id")
+      p22EncodeBatch(admEven.selectExpr("doc_id", "lang", "text"), mps)
+        .write.format("columnfile").partitionBy("split", "lang")
+        .mode("overwrite").save(base)
+    }
+    // the odd half arrives as a stream (p22's source, shared build)
+    val src = Tables.cachePath(dir, "documents_shard_stream")
+    if (!new java.io.File(src, "_SUCCESS").exists()) {
+      spark.table("documents").where("doc_id % 2 = 1")
+        .selectExpr("doc_id", "lang", "text")
+        .repartition(1).sortWithinPartitions("doc_id")
+        .write.format("columnfile").mode("overwrite").save(src)
+    }
+    val routes = Tables.cachePath(dir, "p25_routes")
+    val delta = Tables.cachePath(dir, "p25_delta")
+    if (!Tables.batchOutputComplete(delta)) {
+      Tables.resetBatchOutput(delta)
+      Tables.resetBatchOutput(routes)
+      val schema = spark.read.format("columnfile").load(src).schema
+      val stream = spark.readStream.format("columnfile")
+        .schema(schema).load(src)
+      val q = stream.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          p25ProcessBatch(df, id, routes, delta, mps, weights)
+        }
+        .option("checkpointLocation", delta + "_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Tables.markBatchOutputComplete(routes)
+      Tables.markBatchOutputComplete(delta)
+    }
+    val cols = Seq("split", "lang", "shard", "doc_id", "btoks", "rn",
+      "bin", "toks")
+    val union = spark.read.format("columnfile").load(base)
+      .selectExpr(cols: _*)
+      .union(Tables.loadBatchDirs(spark, delta,
+        "shard BIGINT, doc_id BIGINT, btoks BIGINT, rn BIGINT, " +
+          "bin BIGINT, toks ARRAY<BIGINT>, split STRING, lang STRING")
+        .selectExpr(cols: _*))
+    // p24's dial decides the serving layout; content is invariant
+    val serving =
+      if (p24ShouldCompact(p24DataBytes(base), p24DataBytes(delta))) {
+        val compacted = Tables.cachePath(dir, "p25_compacted")
+        if (!new java.io.File(compacted, "_SUCCESS").exists()) {
+          p23Repack(union)
+            .write.format("columnfile").partitionBy("split", "lang")
+            .mode("overwrite").save(compacted)
+        }
+        spark.read.format("columnfile").load(compacted)
+      } else union
+    serving.createOrReplaceTempView("p25_shards")
+    spark.sql("WITH " + p21Body(SparkD, "p25_shards"))
+  }
+
   // ------------------------------------------------------- relevance ranking
 
   /** t06: per-document top TF-IDF terms. The idf is the integer
@@ -6129,6 +6283,11 @@ object ExtQueries {
     // the oracle retrains from the registry parquet, so the hash
     // proves the materialized model round-trips training exactly.
     tokenizerPortableQ,
+    // The streaming corpus-refresh capstone: arriving docs through the
+    // learned admission gate (routed physically), admitted docs into
+    // frozen-tokenizer delta shards, the size policy picking the
+    // serving layout — one oracle over the whole chain.
+    corpusRefreshQ,
     // Weighted priority sampling (exact-integer w/u priorities) with
     // the Horvitz-Thompson estimate reported against exact totals.
     dialect("p19_priority_sample", prioritySampleSql),
@@ -6325,6 +6484,9 @@ object ExtQueries {
     }
     def p26MergesCacheDir: String =
       Tables.cachePath("/root/testdata/sf0.001", "p26_merges")
+    def corpusRefresh(spark: org.apache.spark.sql.SparkSession,
+        dir: String): org.apache.spark.sql.DataFrame =
+      corpusRefreshDF(spark, dir)
     val hll: String = hllSql(SparkD)
     def hllRegisters(from: String): String = hllRegistersSql(SparkD, from)
     def hllEstimate(regs: String): String = hllEstimateSql(SparkD, regs)

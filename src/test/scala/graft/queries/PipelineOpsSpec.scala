@@ -1203,6 +1203,58 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaUnion.sameElements(viaCompact))
   }
 
+  test("p25: a rejected doc never reaches a shard (the encode reads " +
+    "the admit route), batch replay changes nothing, and the policy " +
+    "branch cannot change consumer-visible content") {
+    val sp = spark; import sp.implicits._
+    val bucketOf = (w: String) =>
+      spark.sql(s"SELECT graft_polyhash('$w') % 1024").head().getLong(0)
+    val (bGood, bBad) = (bucketOf("good"), bucketOf("bad"))
+    assume(bGood != bBad)
+    val weights = Seq((bGood, 10L), (bBad, -20L)).toDF("bucket", "w")
+    val mps = Seq("o o", "go od", "")  // a frozen 2-merge chain
+    val all = Seq(
+      (1L, "en", "good good good"),   // score 10  -> admit
+      (2L, "en", "bad bad"),          // score -20 -> reject
+      (3L, "en", "good bad bad"),     // score -10 -> reject
+      (4L, "en", "good good bad"))    // score 0   -> admit
+      .toDF("doc_id", "lang", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("p25fix").toString
+    val routes = s"$root/routes"
+    val delta = s"$root/delta"
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      ExtQueries.p25ProcessBatch(df, id, routes, delta, mps, weights)
+    run(all.where("doc_id <= 2"), 0L)
+    run(all.where("doc_id >= 3"), 1L)
+    val ddl = "shard BIGINT, doc_id BIGINT, btoks BIGINT, rn BIGINT, " +
+      "bin BIGINT, toks ARRAY<BIGINT>, split STRING, lang STRING"
+    def deltaRows() = graft.queries.Tables
+      .loadBatchDirs(spark, delta, ddl)
+      .selectExpr("split", "lang", "shard", "doc_id", "btoks", "rn",
+        "bin", "toks")
+      .collect().map(_.toString).sorted.toSeq
+    val once = deltaRows()
+    // only the admitted docs reached shards — rejected NEVER do,
+    // because the encode consumes the admit route DIRECTORY
+    val shardDocs = graft.queries.Tables.loadBatchDirs(spark, delta, ddl)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shardDocs == Set(1L, 4L), shardDocs.toString)
+    // REPLAY batch 0 (a retried micro-batch): both its routes and its
+    // delta dir are overwritten atomically — nothing changes
+    run(all.where("doc_id <= 2"), 0L)
+    assert(deltaRows() == once, "replay changed the shard artifact")
+    // the policy's compact branch serves the same consumer content as
+    // the union branch (rn/bin are repacked; per-doc columns are not)
+    val union = graft.queries.Tables.loadBatchDirs(spark, delta, ddl)
+      .selectExpr("split", "lang", "shard", "doc_id", "btoks", "rn",
+        "bin", "toks")
+    def consumerCols(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("split", "lang", "shard", "doc_id", "btoks", "toks")
+        .collect().map(_.toString).sorted.toSeq
+    assert(consumerCols(ExtQueries.p23Repack(union)) == consumerCols(union))
+  }
+
   test("p26: the portable tokenizer derives ONLY from the registry " +
     "corpus — a poisoned serving corpus cannot change a fresh build — " +
     "and the encode consumes exactly the frozen merges") {
