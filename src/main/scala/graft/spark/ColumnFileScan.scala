@@ -175,7 +175,8 @@ class ColumnFileScan(
     limit: Int = -1,
     partitionCols: Seq[String] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering with SupportsReportPartitioning {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning
+    with SupportsReportOrdering {
 
   /** Value equality over the scan's IMMUTABLE identity (what it reads
     * and how), so Spark's reuse machinery — ReuseExchange, subquery
@@ -251,6 +252,125 @@ class ColumnFileScan(
         partitionCols.map(c =>
           org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray,
         planInputPartitions().length)
+
+  /** Reported per-partition output ordering (the reference's sort
+    * economics lifted ABOVE the scan: `columnfile-sort.cc:337-342`
+    * trusts pre-sorted inputs instead of re-sorting them — this is the
+    * same trust, machine-validated). Two sources:
+    *
+    *  1. Partition columns are CONSTANT within every key-grouped
+    *     partition, so a Hive-partitioned table is trivially sorted by
+    *     them per partition — always reported, no option needed. This
+    *     alone removes both SortExec nodes from a storage-partitioned
+    *     sort-merge join on the partition column.
+    *  2. A `orderedBy=<col>` read option declares one DATA column
+    *     sorted ascending within the physical layout (what cfSort,
+    *     compaction, and the doc-ordered index writers produce). The
+    *     declaration is VALIDATED against the chunk-stats sidecars
+    *     before it is reported — a wrong declaration fails the query
+    *     loudly at planning, never returns wrong results:
+    *       - every chunk of every data file must carry (min, max)
+    *         stats for the column with ZERO nulls (null placement is
+    *         not provable from range stats), and consecutive chunks
+    *         must satisfy prev.max <= next.min (file-internal order);
+    *       - splits are file-internal chunk ranges in chunk order, so
+    *         per-split order follows from file order for UNPARTITIONED
+    *         tables; for key-grouped tables Spark CONCATENATES a key's
+    *         splits, so each key directory must hold exactly one data
+    *         file small enough to plan as one split.
+    *     If the declared column is pruned from the output no claim is
+    *     made (nothing to order by), and validation is skipped.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val outCols = requiredSchema.fieldNames.toSet
+    val partPrefix = partitionCols.filter(outCols.contains)
+    val dataCols = orderedByCols match {
+      case Seq(c) if outCols.contains(c) => validateOrderedBy(c); Seq(c)
+      case Seq() => Seq.empty
+      case Seq(c) => Seq.empty // declared but pruned from output
+      case many => throw new IllegalArgumentException(
+        s"columnfile: orderedBy supports exactly one column " +
+          s"(chunk range stats prove monotonicity of one key), got: " +
+          many.mkString(","))
+    }
+    (partPrefix ++ dataCols).map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+  }
+
+  private def orderedByCols: Seq[String] =
+    Option(options.get("orderedBy")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** Prove the `orderedBy` declaration from the chunk-stats sidecars or
+    * refuse it — see [[outputOrdering]]. The layout reads are the same
+    * memoized per-file sidecar reads planning does anyway.
+    */
+  private def validateOrderedBy(col: String): Unit = {
+    if (partitionCols.contains(col)) throw new IllegalArgumentException(
+      s"columnfile: orderedBy column '$col' is a partition column — " +
+        "partition-column ordering is reported automatically")
+    val partSet = partitionCols.toSet
+    val dataSchema = StructType(tableSchema.fields.filterNot(f => partSet(f.name)))
+    val leaves = CellCodec.flatten(dataSchema)
+    val ord = leaves.indexWhere(_.name == col)
+    if (ord < 0) throw new IllegalArgumentException(
+      s"columnfile: orderedBy column '$col' not found in the data schema")
+    def lohi(r: ChunkStatsIndex.Range): (Any, Any) = r match {
+      case ChunkStatsIndex.LongRange(lo, hi) => (lo, hi)
+      case ChunkStatsIndex.DoubleRange(lo, hi) => (lo, hi)
+      case ChunkStatsIndex.StringRange(lo, hi) => (lo, hi)
+    }
+    def leq(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x <= y
+      case (x: Double, y: Double) => x <= y
+      case (x: String, y: String) => x <= y
+      case _ => false
+    }
+    val files = ColumnFileDataSource.listDataFilesWithRoots(conf, paths, useManifest)
+    val maxBytes = Option(options.get("maxPartitionBytes"))
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    def fail(st: org.apache.hadoop.fs.FileStatus, why: String): Nothing =
+      throw new IllegalArgumentException(
+        s"columnfile: orderedBy=$col declaration is NOT satisfied by " +
+          s"${st.getPath}: $why (write the table doc-ordered — cfSort / " +
+          "compaction — or drop the option)")
+    files.foreach { case (_, st) =>
+      val layout = chunkLayout(st)
+      var prevHi: Option[Any] = None
+      var bytes = 0L
+      layout.zipWithIndex.foreach { case ((_, size, stOpt), i) =>
+        bytes += size
+        val ss = stOpt.getOrElse(fail(st,
+          s"chunk $i has no stats sidecar entry"))
+        val (rOpt, nulls) = ss.cols.getOrElse(ord,
+          fail(st, s"chunk $i carries no stats for '$col'"))
+        if (nulls > 0) fail(st,
+          s"chunk $i has $nulls nulls in '$col' — null placement is " +
+            "not provable from range stats")
+        val r = rOpt.getOrElse(fail(st, s"chunk $i has no range for '$col'"))
+        val (lo, hi) = lohi(r)
+        prevHi.foreach { ph =>
+          if (!leq(ph, lo)) fail(st,
+            s"chunk ${i - 1}.max > chunk $i.min ($ph > $lo) — the file " +
+              "is not sorted by this column")
+        }
+        prevHi = Some(hi)
+      }
+      if (partitionCols.nonEmpty && bytes > maxBytes) fail(st,
+        s"file is $bytes bytes > maxPartitionBytes=$maxBytes: a " +
+          "key-grouped partition would concatenate multiple splits")
+    }
+    if (partitionCols.nonEmpty) {
+      val byDir = files.groupBy(_._2.getPath.getParent.toString)
+      byDir.find(_._2.length > 1).foreach { case (dir, fs) =>
+        throw new IllegalArgumentException(
+          s"columnfile: orderedBy=$col needs exactly one data file per " +
+            s"partition directory (Spark concatenates a key's splits in " +
+            s"unspecified order); $dir has ${fs.length} — compact it")
+      }
+    }
+  }
 
   private def allFilters: Array[Filter] = filters ++ runtimeFilters
 

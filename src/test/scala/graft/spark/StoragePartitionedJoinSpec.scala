@@ -95,6 +95,83 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
   }
 
+  test("reported partition-column ordering removes BOTH sorts from the " +
+    "storage-partitioned sort-merge join") {
+    val sp = spark; import sp.implicits._
+    val dirA = Files.createTempDirectory("cf-ord-a").toString
+    val dirB = Files.createTempDirectory("cf-ord-b").toString
+    // ONE data file per key dir (what compaction writes): Spark's
+    // exec-side gate only trusts a scan's ordering when no key group
+    // concatenates multiple splits
+    (0 until 900).map(i => (i.toLong, s"g${i % 4}", i * 3.0))
+      .toDF("id", "g", "x").repartition(col("g"))
+      .write.format("columnfile").partitionBy("g").mode("overwrite").save(dirA)
+    (0 until 300).map(i => (i.toLong, s"g${i % 4}", s"n$i"))
+      .toDF("bid", "g", "name").repartition(col("g"))
+      .write.format("columnfile").partitionBy("g").mode("overwrite").save(dirB)
+    val a = spark.read.format("columnfile").load(dirA)
+    val b = spark.read.format("columnfile").load(dirB)
+    val joined = a.join(b, "g")
+    val exec = joined.queryExecution.executedPlan
+    assert(exec.toString.contains("SortMergeJoin"), exec.toString)
+    val sorts = exec.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.isEmpty,
+      s"scan-reported ordering should elide the SMJ sorts:\n$exec")
+    assert(joined.count() == (900L / 4) * (300L / 4) * 4)
+  }
+
+  test("orderedBy reports a validated data-column order: an ordered " +
+    "consumer plans zero sorts; a wrong declaration fails loudly") {
+    val sp = spark; import sp.implicits._
+    // a compacted doc-ordered table consumed IN ORDER per partition
+    // (the merge-reader shape: columnfile-sort.cc:337-342 trusts
+    // pre-sorted runs) — the report composes the partition-column
+    // prefix with the validated data column, so the per-partition
+    // sort is elided entirely
+    val dirA = Files.createTempDirectory("cf-ord2-a").toString
+    (0 until 2000).map(i => (i.toLong, s"g${i % 4}", i * 2.0))
+      .toDF("id", "g", "x")
+      .repartition(col("g")).sortWithinPartitions("id")
+      .write.format("columnfile").partitionBy("g")
+      .mode("overwrite").save(dirA)
+    val a = spark.read.format("columnfile").option("orderedBy", "id")
+      .load(dirA)
+    val q = a.where("x >= 100.0").sortWithinPartitions("g", "id")
+    val exec = q.queryExecution.executedPlan
+    val sorts = exec.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.isEmpty,
+      s"reported (partition prefix, orderedBy) should satisfy the " +
+        s"per-partition sort:\n$exec")
+    assert(q.count() == 1950)
+    // without the option the same consumer pays a real sort — the
+    // report, not some other rewrite, is what removed it
+    val plain = spark.read.format("columnfile").load(dirA)
+      .where("x >= 100.0").sortWithinPartitions("g", "id")
+    assert(plain.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }.nonEmpty)
+    // the declaration is machine-validated against chunk stats: an
+    // UNSORTED table read with orderedBy fails at planning with a
+    // diagnosable message — it can never silently serve wrong order
+    val dirC = Files.createTempDirectory("cf-ord2-c").toString
+    // small chunks so the file carries several (min, max) ranges —
+    // a single-chunk file has no chunk pair to contradict the claim
+    (0 until 5000).map(i => (((i * 7919) % 5000).toLong, s"v$i"))
+      .toDF("id", "v")
+      .coalesce(1).write.format("columnfile")
+      .option("targetChunkBytes", "4096")
+      .mode("overwrite").save(dirC)
+    val bad = spark.read.format("columnfile").option("orderedBy", "id")
+      .load(dirC)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val ex = intercept[Exception] { bad.orderBy("id").collect() }
+    assert(messages(ex).exists(_.contains("NOT satisfied")),
+      s"wrong-order declaration should fail loudly: $ex")
+  }
+
   test("non-partitioned scans still plan and join normally") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-spj-c").toString
