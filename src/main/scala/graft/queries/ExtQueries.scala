@@ -8412,6 +8412,70 @@ object ExtQueries {
     out
   }
 
+  /** BenchPareto surfaces — the MATERIALIZED serving shape of one
+    * sweep model: v20's index/router move (build once, probe many) at
+    * each sweep K, with the router carrying the probe RANK so every
+    * nprobe level reads the same table through a filter. These exist
+    * so v25's candidate-cost column gets a measured WALL-CLOCK twin
+    * (BenchPareto times each (K, nprobe) probe over these tables);
+    * they are bench plumbing, not oracle queries — timings are not
+    * deterministic, so the artifact lives in BENCH_PARETO.json.
+    */
+  private[graft] def kmSweepIndexPath(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int): String = {
+    val out = Tables.cachePath(dir, s"kmeans_index_k$k")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.registerAll(spark, dir)
+      kmSweepViews(spark, Seq(k))
+      spark.sql(
+        s"""SELECT a.vec_id, e.embedding, a.cell
+           |FROM (SELECT vec_id, cid AS cell FROM v23k${k}_b3
+           |      WHERE rn = 1) a
+           |JOIN embeddings e ON e.vec_id = a.vec_id""".stripMargin)
+        .write.format("columnfile").partitionBy("cell")
+        .mode("overwrite").save(out)
+    }
+    out
+  }
+
+  private[graft] def kmSweepRouterPath(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int): String = {
+    val out = Tables.cachePath(dir, s"kmeans_router_k$k")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.registerAll(spark, dir)
+      kmSweepViews(spark, Seq(k))
+      spark.sql(
+        s"""SELECT vec_id AS qid, cid AS pcell, rn AS prank
+           |FROM v23k${k}_b3 WHERE vec_id < 20 AND rn <= 4""".stripMargin)
+        .coalesce(1)
+        .write.format("columnfile").mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** One (K, nprobe) probe over the materialized sweep index: the v20
+    * serving plan with the router filtered to `prank <= nprobe` — the
+    * broadcast router's runtime filter prunes the index scan to the
+    * probed cell directories before any I/O.
+    */
+  private[graft] def kmSweepProbeDF(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.read.format("columnfile").option("runtimeFiltering", "false")
+      .load(kmSweepRouterPath(spark, dir, k))
+      .where(s"qid < 20 AND prank <= $nprobe")
+      .selectExpr("qid", "pcell")
+      .createOrReplaceTempView(s"pareto_probe_k$k")
+    spark.read.format("columnfile").load(kmSweepIndexPath(spark, dir, k))
+      .createOrReplaceTempView(s"pareto_idx_k$k")
+    spark.sql(
+      s"""WITH ${ivfIndexedTopkCtes(s"pareto_probe_k$k", s"pareto_idx_k$k")}
+         |SELECT qid, nid, cos FROM ivtopk WHERE rn <= 5""".stripMargin)
+  }
+
   /** The v20 probe chain in oracle SQL: the training chain to k2, the
     * final ranking b3 serving both assignment (rn = 1) and probes
     * (rn <= 2), then v04's candidate/exact-cosine/top-5 tail. The CTE
