@@ -4939,10 +4939,16 @@ object ExtQueries {
     graft.streaming.ClassifierAdmit.perDocScores(df, weights)
       .write.format("columnfile").partitionBy("cls")
       .mode("overwrite").save(s"$routes/batch=$id")
-    val admitted = df.join(
-      sp.read.format("columnfile").load(s"$routes/batch=$id")
-        .where("cls = 1").select("doc_id"),
-      "doc_id")
+    // A batch can admit nothing (all rejected, or only no-word docs,
+    // which get no verdict at all) — then the cls=1 route directory
+    // does not exist and there is nothing to read back.
+    val admitted =
+      if (!new java.io.File(s"$routes/batch=$id/cls=1").isDirectory)
+        df.limit(0)
+      else df.join(
+        sp.read.format("columnfile").load(s"$routes/batch=$id")
+          .where("cls = 1").select("doc_id"),
+        "doc_id")
     p22EncodeBatch(admitted.selectExpr("doc_id", "lang", "text"), mps)
       .write.format("columnfile").partitionBy("split", "lang")
       .mode("overwrite").save(s"$delta/batch=$id")

@@ -1227,6 +1227,11 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ExtQueries.p25ProcessBatch(df, id, routes, delta, mps, weights)
     run(all.where("doc_id <= 2"), 0L)
     run(all.where("doc_id >= 3"), 1L)
+    // a batch that admits NOTHING (one rejected doc + one wordless doc
+    // that gets no verdict at all): the admit route dir never exists,
+    // and the delta must simply gain an empty batch dir
+    run(Seq((5L, "en", "bad bad bad bad"), (6L, "en", "  "))
+      .toDF("doc_id", "lang", "text"), 2L)
     val ddl = "shard BIGINT, doc_id BIGINT, btoks BIGINT, rn BIGINT, " +
       "bin BIGINT, toks ARRAY<BIGINT>, split STRING, lang STRING"
     def deltaRows() = graft.queries.Tables
