@@ -19,6 +19,12 @@ object Bench {
       // are session-wide here, never flipped per-query.
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // Subset-key co-partitioning (correct: equal full keys => equal
+      // subset keys => co-located) — lets a join keyed on
+      // (partition col, data col) consume two key-grouped scans
+      // directly; with the scan's validated `orderedBy` report the SMJ
+      // then plans zero exchanges AND zero sorts (q75).
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -71,6 +71,9 @@ object Verify {
       // flipped these mid-run).
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // subset-key co-partitioning for the ordered merge join (q75);
+      // see Bench.newSession for why this is correct
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // variant shred rewrite (q69) — a pure optimization; results are
       // identical in sessions without the extension
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")

@@ -364,6 +364,10 @@ object CoreQueries {
     // Storage-partitioned join (zero-shuffle co-located join).
     spjJoin,
 
+    // Ordered merge join: the scan's validated orderedBy report
+    // consumed by a real SMJ — zero exchanges AND zero sorts.
+    orderedJoin,
+
     // Partition-grouped metadata-only aggregates.
     groupedAggPushdown,
 
@@ -574,6 +578,63 @@ object CoreQueries {
            |FROM cf_li_flag l
            |JOIN cf_flagdim d ON l.l_returnflag = d.flag
            |GROUP BY l.l_returnflag, d.label""".stripMargin)
+    }, Some(oracle))
+  }
+
+  /** q75: ORDERED storage-partitioned merge join — the scan's validated
+    * `orderedBy` report consumed by a real join. Two doc-ordered
+    * columnfile tables (per-doc stats + per-doc metadata, both bucketed
+    * by b = doc_id % 8 with one data file per bucket dir, sorted by
+    * doc_id — exactly what cfSort/compaction write) merge-join on
+    * (b, doc_id) with ZERO shuffle exchanges (storage-partitioned join
+    * on the bucket key) and ZERO SortExec nodes (the reported
+    * (b, doc_id) per-partition order satisfies the SMJ's requirement) —
+    * the reference's merge economics (tools/columnfile-sort.cc:337-342:
+    * `--merge` trusts pre-sorted runs, never re-sorts). The plan shape
+    * is pinned in StoragePartitionedJoinSpec; the oracle recomputes the
+    * join over the raw parquet, so the bucket/sort/report plumbing must
+    * lose or duplicate nothing.
+    */
+  private def orderedJoin: Q = {
+    val oracle =
+      """SELECT m.lang AS l, COUNT(*) AS n_docs,
+        |  CAST(SUM(s.dl) AS BIGINT) AS dl_sum,
+        |  COUNT(DISTINCT s.fp) AS n_fp
+        |FROM (SELECT doc_id, length(text) AS dl, md5(text) AS fp
+        |      FROM documents) s
+        |JOIN (SELECT doc_id, lang FROM documents) m
+        |  ON s.doc_id = m.doc_id
+        |GROUP BY m.lang""".stripMargin
+    Q("q75_cf_ordered_join", (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val stats = Tables.cachePath(dir, "docstats_by_b")
+      if (!new java.io.File(stats, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "documents")
+          .selectExpr("doc_id % 8 AS b", "doc_id",
+            "length(text) AS dl", "md5(text) AS fp")
+          .repartition(col("b")).sortWithinPartitions("doc_id")
+          .write.format("columnfile").partitionBy("b")
+          .mode("overwrite").save(stats)
+      }
+      val meta = Tables.cachePath(dir, "docmeta_by_b")
+      if (!new java.io.File(meta, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "documents")
+          .selectExpr("doc_id % 8 AS b", "doc_id", "lang")
+          .repartition(col("b")).sortWithinPartitions("doc_id")
+          .write.format("columnfile").partitionBy("b")
+          .mode("overwrite").save(meta)
+      }
+      spark.read.format("columnfile").option("orderedBy", "doc_id")
+        .load(stats).createOrReplaceTempView("cf_docstats_b")
+      spark.read.format("columnfile").option("orderedBy", "doc_id")
+        .load(meta).createOrReplaceTempView("cf_docmeta_b")
+      spark.sql(
+        """SELECT /*+ MERGE(s) */ m.lang AS l, COUNT(*) AS n_docs,
+          |  CAST(SUM(s.dl) AS BIGINT) AS dl_sum,
+          |  COUNT(DISTINCT s.fp) AS n_fp
+          |FROM cf_docstats_b s
+          |JOIN cf_docmeta_b m ON s.b = m.b AND s.doc_id = m.doc_id
+          |GROUP BY m.lang""".stripMargin)
     }, Some(oracle))
   }
 

@@ -75,6 +75,9 @@ object ExtQueries {
     def toBlob(s: String): String
     /** 3-word shingles of word array `w` (guarded size >= 3). */
     def shingles3(w: String): String
+    /** k-word shingles of word array `w` (guarded size >= k) — the
+      * WIDTH-generalized shingles3, for the d25 width sweep. */
+    def shinglesK(w: String, k: Int): String
     /** word 2-grams of word array `w` (guarded size >= 2). */
     def grams2(w: String): String
     /** char codes of string expr `s`, in index order, as BIGINTs */
@@ -202,6 +205,9 @@ object ExtQueries {
     def shingles3(w: String) =
       s"transform(sequence(0, size($w) - 3), " +
         s"i -> concat(get($w, i), ' ', get($w, i+1), ' ', get($w, i+2)))"
+    def shinglesK(w: String, k: Int) =
+      s"transform(sequence(0, size($w) - $k), i -> concat(" +
+        (0 until k).map(j => s"get($w, i+$j)").mkString(", ' ', ") + "))"
     def grams2(w: String) =
       s"transform(sequence(0, size($w) - 2), " +
         s"i -> concat(get($w, i), ' ', get($w, i+1)))"
@@ -267,6 +273,9 @@ object ExtQueries {
     def toBlob(s: String) = s"encode($s)"
     def shingles3(w: String) =
       s"list_transform(range(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])"
+    def shinglesK(w: String, k: Int) =
+      s"list_transform(range(1, len($w) - ${k - 2}), i -> " +
+        (0 until k).map(j => s"$w[i+$j]").mkString(" || ' ' || ") + ")"
     def grams2(w: String) =
       s"list_transform(range(1, len($w)), i -> $w[i] || ' ' || $w[i+1])"
     def charCodes(s: String) =
@@ -3090,7 +3099,13 @@ object ExtQueries {
     * restricted candidate self-join per geometry, and the recall
     * readout against the shared exact-Jaccard ground truth.
     */
-  private def lshBandSweepBody(d: Dial, sig: String, hs: String): String = {
+  /** The sweep's geometry CTEs over signature relation `sig`: gex0
+    * (per-geometry exploded band keys, boundaries aligned) and gex
+    * (the production-capped relation). ONE spelling shared by d22's
+    * recall sweep and d26's Pareto surface, so the two can never
+    * diverge on what a candidate is (v24/v25's shared-pass rule,
+    * applied to the dedup family). */
+  private def lshGexCtes(d: Dial, sig: String, hs: String): String = {
     val (_, mRef) = minhashSigParts(d, hs)
     val geoms = Seq(2, 4, 8).map { b =>
       val arr = d match {
@@ -3100,15 +3115,22 @@ object ExtQueries {
       s"""SELECT doc_id, CAST($b AS BIGINT) AS bands, bk
          |FROM $sig ${d.explode(arr, "bk")}""".stripMargin
     }
-    s"""${jaccardGtCtes(d, hs)},
-       |gex0 AS (${geoms.mkString("\n  UNION ALL ")}),
+    s"""gex0 AS (${geoms.mkString("\n  UNION ALL ")}),
        |gex AS (SELECT doc_id, bands, bk FROM (
        |    SELECT doc_id, bands, bk,
        |      COUNT(*) OVER (PARTITION BY bands, bk) AS bn
        |    FROM gex0) x
-       |  WHERE bn <= $HotBucketCap),
+       |  WHERE bn <= $HotBucketCap)""".stripMargin
+  }
+
+  /** d22's readout over capped geometry relation `gex` (a name, so
+    * the Spark side can pass a CACHED view — the self-join otherwise
+    * recomputes the window-capped explode on both sides; measured
+    * ~11% of the query at 100× when d26 landed the cache first). */
+  private def lshBandSweepBody(d: Dial, gex: String, hs: String): String = {
+    s"""${jaccardGtCtes(d, hs)},
        |gcand AS (SELECT DISTINCT a.bands, a.doc_id AS qid, b.doc_id AS nid
-       |  FROM gex a JOIN gex b ON a.bands = b.bands AND a.bk = b.bk
+       |  FROM $gex a JOIN $gex b ON a.bands = b.bands AND a.bk = b.bk
        |    AND b.doc_id <> a.doc_id
        |  WHERE a.doc_id < 40)
        |SELECT CAST(bs.bands AS BIGINT) AS bands,
@@ -3157,7 +3179,8 @@ object ExtQueries {
       val (sigSelect, _) = minhashSigParts(d, "hs")
       s"""WITH hs AS (${minhashHsSql(d)}),
          |sig AS ($sigSelect),
-         |${lshBandSweepBody(d, "sig", "hs")}""".stripMargin
+         |${lshGexCtes(d, "sig", "hs")},
+         |${lshBandSweepBody(d, "gex", "hs")}""".stripMargin
     }
     Q("d22_lsh_band_sweep", (spark, dir) => {
       Tables.registerAll(spark, dir)
@@ -3166,14 +3189,126 @@ object ExtQueries {
   }
 
   /** Spark side of d22 over whatever documents relation is registered
-    * (fixture-testable); hs and the signature each materialized once. */
+    * (fixture-testable); hs, the signature, AND the capped gex
+    * relation each materialized once (the gex cache is d26's
+    * measured ~11% win, back-ported). */
   private def lshBandSweepDF(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
     val hs = cacheOnce(spark.sql(minhashHsSql(SparkD)))
     hs.createOrReplaceTempView("d22_hs")
     val (sigSelect, _) = minhashSigParts(SparkD, "d22_hs")
     cacheOnce(spark.sql(sigSelect)).createOrReplaceTempView("d22_sig")
-    spark.sql("WITH " + lshBandSweepBody(SparkD, "d22_sig", "d22_hs"))
+    cacheOnce(spark.sql(
+      s"WITH ${lshGexCtes(SparkD, "d22_sig", "d22_hs")} " +
+        "SELECT doc_id, bands, bk FROM gex"))
+      .createOrReplaceTempView("d22_gex")
+    spark.sql("WITH " + lshBandSweepBody(SparkD, "d22_gex", "d22_hs"))
+  }
+
+  // ------------------------------------------------ LSH Pareto (d26)
+
+  /** The d26 body over capped geometry relation `gex` and hash-set
+    * relation `hs`: d22's recall readout JOINED with the two cost
+    * columns a deployment budgets against, both computed from the
+    * SAME gex relation — n_emit (per-bucket pair emissions,
+    * Σ n·(n−1)/2 over bucket populations: the shuffle/compare volume
+    * the band join pays, computed from ONE aggregate with no pair
+    * stage at all) and n_cand (corpus-wide DISTINCT candidate pairs:
+    * the Jaccard verifications d03's pair stage actually runs).
+    * LEFT JOIN + COALESCE so a bucketless geometry still reads 0.
+    */
+  private def lshParetoBody(d: Dial, gex: String, hs: String): String = {
+    s"""${jaccardGtCtes(d, hs)},
+       |gcand AS (SELECT DISTINCT a.bands, a.doc_id AS qid, b.doc_id AS nid
+       |  FROM $gex a JOIN $gex b ON a.bands = b.bands AND a.bk = b.bk
+       |    AND b.doc_id <> a.doc_id
+       |  WHERE a.doc_id < 40),
+       |gemit AS (SELECT bands,
+       |    CAST(SUM(${d.intDiv("(bn * (bn - 1))", "2")}) AS BIGINT)
+       |      AS n_emit
+       |  FROM (SELECT bands, bk, COUNT(*) AS bn FROM $gex
+       |        GROUP BY bands, bk) t
+       |  GROUP BY bands),
+       |gpairs AS (SELECT bands, COUNT(*) AS n_cand FROM (
+       |    SELECT DISTINCT a.bands, a.doc_id AS i, b.doc_id AS j
+       |    FROM $gex a JOIN $gex b ON a.bands = b.bands AND a.bk = b.bk
+       |      AND a.doc_id < b.doc_id) p
+       |  GROUP BY bands)
+       |SELECT r.bands, r.thr, r.n_true, r.n_hit,
+       |  COALESCE(e.n_emit, 0) AS n_emit,
+       |  COALESCE(p.n_cand, 0) AS n_cand
+       |FROM (
+       |  SELECT CAST(bs.bands AS BIGINT) AS bands,
+       |    CAST(lv.thr AS BIGINT) AS thr,
+       |    COUNT(*) AS n_true,
+       |    CAST(SUM(CASE WHEN c.nid IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit
+       |  FROM jgt g
+       |  CROSS JOIN (VALUES (2), (4), (8)) AS bs(bands)
+       |  CROSS JOIN (VALUES (500), (600), (700), (800), (900)) AS lv(thr)
+       |  LEFT JOIN gcand c ON c.bands = bs.bands AND c.qid = g.qid
+       |    AND c.nid = g.nid
+       |  WHERE g.jpm >= lv.thr
+       |  GROUP BY bs.bands, lv.thr) r
+       |LEFT JOIN gemit e ON e.bands = r.bands
+       |LEFT JOIN gpairs p ON p.bands = r.bands""".stripMargin
+  }
+
+  /** d26: the LSH PARETO SURFACE — v25's discipline applied to the
+    * dedup family: d22's band-geometry recall curves JOINED with the
+    * measured COST of each geometry, so the recall dial and its price
+    * sit in one relation (more bands pull the S-curve left AND
+    * multiply the candidate volume — the trade is the surface). Both
+    * cost columns come from the SAME capped gex relation the recall
+    * legs read ([[lshGexCtes]], one spelling with d22), so the sweep
+    * and the Pareto surface can never diverge on what a candidate
+    * is: n_emit is the bucket-population pair count (Σ n·(n−1)/2 —
+    * ONE hash aggregate, no pair stage), n_cand the corpus-wide
+    * distinct candidate pairs (exactly what d03's verify stage would
+    * Jaccard-check at that geometry). In the uncapped regime both
+    * cost columns are monotone non-decreasing in bands (aligned
+    * boundaries: a coarse-band match implies all its fine sub-bands
+    * match), spec-asserted alongside the recall nesting.
+    *
+    * 100 TB shape: one signature pass (shared CTE spelling), one
+    * window-capped explode (2+4+8 keys/doc), one aggregate for
+    * n_emit, and the capped band self-join for n_cand — the same
+    * cost class as running d03 at the three geometries, which is
+    * exactly what the surface prices.
+    */
+  private def lshParetoQ: Q = {
+    val oracle = {
+      val d = DuckD
+      val (sigSelect, _) = minhashSigParts(d, "hs")
+      s"""WITH hs AS (${minhashHsSql(d)}),
+         |sig AS ($sigSelect),
+         |${lshGexCtes(d, "sig", "hs")},
+         |${lshParetoBody(d, "gex", "hs")}""".stripMargin
+    }
+    Q("d26_lsh_pareto", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      lshParetoDF(spark)
+    }, Some(oracle))
+  }
+
+  /** Spark side of d26 over whatever documents relation is registered
+    * (fixture-testable). hs, the signature, AND the capped gex
+    * relation each materialized once — the gex cache means the
+    * candidate self-join, the emission aggregate, and the distinct-
+    * pair count all read one materialization of the window (d03's
+    * round-7 double-Exchange lesson, applied three ways).
+    */
+  private def lshParetoDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val hs = cacheOnce(spark.sql(minhashHsSql(SparkD)))
+    hs.createOrReplaceTempView("d26_hs")
+    val (sigSelect, _) = minhashSigParts(SparkD, "d26_hs")
+    cacheOnce(spark.sql(sigSelect)).createOrReplaceTempView("d26_sig")
+    cacheOnce(spark.sql(
+      s"WITH ${lshGexCtes(SparkD, "d26_sig", "d26_hs")} " +
+        "SELECT doc_id, bands, bk FROM gex"))
+      .createOrReplaceTempView("d26_gex")
+    spark.sql("WITH " + lshParetoBody(SparkD, "d26_gex", "d26_hs"))
   }
 
   // ------------------------------------------- SemDeDup tau sweep (d23)
@@ -3460,6 +3595,151 @@ object ExtQueries {
     cacheOnce(spark.sql(simhashSql(SparkD)))
       .createOrReplaceTempView("d24_s")
     spark.sql("WITH " + simhashSweepBody(SparkD, "d24_s"))
+  }
+
+  // ------------------------------------------ shingle-width sweep (d25)
+
+  /** The sweep's shingle widths. 3 is the production d03 geometry; 2
+    * and 5 bracket it (C4-style loose matching below, Gopher-style
+    * strict n-gram matching above). */
+  private val D25Widths = Seq(2, 3, 5)
+
+  /** Width-k distinct shingle polyhash set over `from` — minhashHsSql
+    * with the width made a dial. Both dialects use the same generic
+    * lambda + rollHash spelling (the k=3 row of the sweep therefore
+    * measures the same geometry as d03, but through the generic
+    * spelling — parity within the sweep is what matters).
+    */
+  private def shingleHsKSql(d: Dial, k: Int,
+      from: String = "documents"): String = {
+    val hset = d.distinct(
+      d.transform(d.shinglesK(d.split("text"), k), "s", d.rollHash("s")))
+    s"""SELECT doc_id, $hset AS hset
+       |FROM $from WHERE ${d.size(d.split("text"))} >= $k""".stripMargin
+  }
+
+  /** d03's production band machinery (16-hash signature, 4 bands x 4
+    * rows, hot-bucket cap) over hash-set relation `hs`, with every CTE
+    * name prefixed by `tag` so three widths can coexist in one
+    * statement. Ends in `<tag>ex` — the capped (doc_id, bk) relation.
+    */
+  private def bandCtesTagged(d: Dial, hs: String, tag: String): String = {
+    val (sigSelect, mRef) = minhashSigParts(d, hs)
+    val bandExprs = (0 until 4).map { k =>
+      val ms = (0 until 4).map(r => d.str(mRef(4 * k + r)))
+      s"concat('$k:', ${ms.mkString(", ',', ")})"
+    }
+    val bandsArr = d match {
+      case SparkD => s"array(${bandExprs.mkString(", ")})"
+      case DuckD  => s"[${bandExprs.mkString(", ")}]"
+    }
+    s"""${tag}sig AS ($sigSelect),
+       |${tag}ex0 AS (SELECT doc_id, bk
+       |  FROM ${tag}sig ${d.explode(bandsArr, "bk")}),
+       |${tag}ex AS (SELECT doc_id, bk FROM (
+       |    SELECT doc_id, bk, COUNT(*) OVER (PARTITION BY bk) AS bn
+       |    FROM ${tag}ex0) x
+       |  WHERE bn <= $HotBucketCap)""".stripMargin
+  }
+
+  /** The d25 sweep body over per-width hash-set relations `hsOf(k)`
+    * and capped band relations `exOf(k)`: per width, the bounded-
+    * sample exact-Jaccard-at-width-k ground truth (the similarity
+    * DEFINITION moves with the width — that is the dial) scored
+    * against the production LSH candidates recomputed at that width,
+    * as per-threshold hit histograms. Within one width the threshold
+    * levels nest (a higher thr filters a subset), so n_true and n_hit
+    * are monotone non-increasing in thr by construction; ACROSS
+    * widths nothing nests, and that non-nesting is the measurement.
+    */
+  private def shingleWidthSweepBody(d: Dial, hsOf: Int => String,
+      exOf: Int => String): String = {
+    val perK = D25Widths.map { k =>
+      val hs = hsOf(k)
+      val jpm = d.intDiv(
+        s"(1000 * ${d.size(d.intersect("q.hset", "h.hset"))})",
+        d.size(d.distinct(d.concatArr("q.hset", "h.hset"))))
+      s"""qs$k AS (SELECT doc_id, hset FROM $hs WHERE doc_id < 40
+         |  ORDER BY doc_id LIMIT 40),
+         |jgt$k AS (SELECT qid, nid, jpm FROM (
+         |    SELECT q.doc_id AS qid, h.doc_id AS nid, $jpm AS jpm
+         |    FROM qs$k q CROSS JOIN $hs h WHERE h.doc_id <> q.doc_id) x
+         |  WHERE jpm >= 500),
+         |jcand$k AS (SELECT DISTINCT a.doc_id AS qid, b.doc_id AS nid
+         |  FROM ${exOf(k)} a JOIN ${exOf(k)} b
+         |    ON a.bk = b.bk AND b.doc_id <> a.doc_id
+         |  WHERE a.doc_id < 40)""".stripMargin
+    }.mkString(",\n")
+    val reads = D25Widths.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS width, CAST(lv.thr AS BIGINT) AS thr,
+         |  COUNT(*) AS n_true,
+         |  CAST(SUM(CASE WHEN c.nid IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit
+         |FROM jgt$k g
+         |CROSS JOIN (VALUES (500), (700), (900)) AS lv(thr)
+         |LEFT JOIN jcand$k c ON c.qid = g.qid AND c.nid = g.nid
+         |WHERE g.jpm >= lv.thr
+         |GROUP BY lv.thr""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$perK
+       |SELECT width, thr, n_true, n_hit FROM (
+       |$reads) u""".stripMargin
+  }
+
+  /** d25: the SHINGLE-WIDTH sweep — d22/d23/d24's tuning-curve
+    * discipline on the text family's REMAINING dial, the shingle
+    * width k itself. Unlike the band sweep (which tunes the catch
+    * rate at a FIXED similarity definition), moving k moves the
+    * DEFINITION: wider shingles demand longer exact word runs, so a
+    * pair that is 900‰-similar at k=2 can fall below 500‰ at k=5.
+    * For k in {2, 3, 5}, the exact Jaccard-at-width-k ground truth
+    * on the d21 bounded sample is scored against d03's production
+    * LSH geometry (16-hash signature, 4x4 bands, hot-bucket caps)
+    * recomputed over the width-k shingle sets — per (width, thr):
+    * n_true (how many pairs the definition admits) and n_hit (how
+    * many the candidate generator catches). The deployment reading:
+    * pick the k whose n_true matches the dup notion you mean, then
+    * check the LSH catch rate holds at your threshold.
+    *
+    * 100 TB shape: three corpus-linear hash passes (one per width —
+    * the shingle sets genuinely differ, so unlike d22 the signature
+    * pass cannot be shared; the honest cost is 3x d03's scan), each
+    * followed by the same capped band machinery; ground truth is
+    * sample x corpus BY CONTRACT (LIMIT-40 identity, machine-checked
+    * BNLJ bound in InventoryPlanSpec).
+    */
+  private def shingleWidthSweepQ: Q = {
+    val oracle = {
+      val d = DuckD
+      val ctes = D25Widths.map { k =>
+        s"hs$k AS (${shingleHsKSql(d, k)}),\n${bandCtesTagged(d, s"hs$k", s"w$k")}"
+      }.mkString(",\n")
+      s"""WITH $ctes,
+         |${shingleWidthSweepBody(d, k => s"hs$k", k => s"w${k}ex")}""".stripMargin
+    }
+    Q("d25_shingle_width_sweep", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      shingleWidthSweepDF(spark)
+    }, Some(oracle))
+  }
+
+  /** Spark side of d25 over whatever documents relation is registered
+    * (fixture-testable); each width's hash-set scan and capped band
+    * relation materialized once (cached views — the self-join and the
+    * ground-truth join then read the cache, the d03/d21 discipline).
+    */
+  private def shingleWidthSweepDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    D25Widths.foreach { k =>
+      cacheOnce(spark.sql(shingleHsKSql(SparkD, k)))
+        .createOrReplaceTempView(s"d25_hs$k")
+      cacheOnce(spark.sql(
+        s"WITH ${bandCtesTagged(SparkD, s"d25_hs$k", s"w$k")} " +
+          s"SELECT doc_id, bk FROM w${k}ex"))
+        .createOrReplaceTempView(s"d25_ex$k")
+    }
+    spark.sql("WITH " + shingleWidthSweepBody(SparkD,
+      k => s"d25_hs$k", k => s"d25_ex$k"))
   }
 
   // ---------------------------------------------------------------- multimodal
@@ -6162,6 +6442,10 @@ object ExtQueries {
     // same BM25 answer (oracle is t07's full-corpus SQL).
     indexCompactPolicyQ,
     streamIvfMaintain,
+    // p24's size trigger on the VECTOR-index LSM: the third family on
+    // the same measured dial; either branch serves v05's exact
+    // IVF answer (oracle is the full IVF SQL).
+    ivfCompactPolicyQ,
     // Line-level exact dedup (C4/RefinedWeb sub-document pass):
     // duplicated 10-word lines removed corpus-wide, checksummed rewrite.
     lineDedup,
@@ -6188,6 +6472,14 @@ object ExtQueries {
     // {2, 4, 8} bands scored against exact hamming ground truth —
     // the guarantee-vs-candidate-volume trade, measured.
     simhashSweepQ,
+    // The shingle-WIDTH sweep: the similarity definition's own dial,
+    // k in {2, 3, 5}, each width's exact ground truth scored against
+    // the production LSH geometry recomputed at that width.
+    shingleWidthSweepQ,
+    // The LSH Pareto surface: d22's recall curves joined with each
+    // geometry's measured candidate cost, from ONE shared capped
+    // band relation (v25's discipline for the dedup family).
+    lshParetoQ,
     // Online near-dup detection (streaming MinHash-LSH band state).
     streamNearDup,
     dialect("v06_ann_cap_report", annCapReportSql),
@@ -6465,6 +6757,10 @@ object ExtQueries {
         : org.apache.spark.sql.DataFrame = semTauSweepDF(spark)
     def simhashSweep(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = simhashSweepDF(spark)
+    def shingleWidthSweep(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = shingleWidthSweepDF(spark)
+    def lshPareto(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = lshParetoDF(spark)
     /** t16's merge picks (r = 1, 2, 3) trained over an arbitrary
       * documents-shaped view — the spec's inline recompute. */
     def mergePairsOver(spark: org.apache.spark.sql.SparkSession,
@@ -6510,6 +6806,8 @@ object ExtQueries {
       indexCompactPolicyDF(spark, dir)
     def streamIvfIndex(spark: org.apache.spark.sql.SparkSession,
         dir: String): Unit = streamIvfIndexViews(spark, dir)
+    def ivfPolicyIndex(spark: org.apache.spark.sql.SparkSession,
+        dir: String): String = ivfPolicyIndexView(spark, dir)
     def kmeansTrain(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = kmTrainDF(spark)
     /** Row count of the shared exact ANN ground truth ([[kmGtCte]]
@@ -8171,6 +8469,89 @@ object ExtQueries {
           .selectExpr("vec_id", "embedding", "CAST(cell AS INT) AS cell"))
         .createOrReplaceTempView("q68_idx")
       ()
+  }
+
+  /** q68's LSM merge, built once per cache dir: ivf_base ∪ ivf_delta
+    * rewritten as ONE cell-partitioned table (vec_id-ordered within
+    * cells for chunk min/max skip) — the q67/p23 repack applied to the
+    * vector index. Shared by v26's fired branch so "compacted" means
+    * exactly one thing for this family too. Requires q68's base/delta
+    * dirs (callers run [[streamIvfIndexViews]] first).
+    */
+  private def ivfCompactedPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val base = Tables.cachePath(dir, "ivf_base_even")
+    val delta = Tables.cachePath(dir, "ivf_delta")
+    val compacted = Tables.cachePath(dir, "ivf_compacted")
+    if (!new java.io.File(compacted, "_SUCCESS").exists()) {
+      spark.read.format("columnfile").load(base)
+        .selectExpr("vec_id", "embedding", "CAST(cell AS INT) AS cell")
+        .union(Tables.loadBatchDirs(spark, delta,
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, cell INT")
+          .selectExpr("vec_id", "embedding", "CAST(cell AS INT) AS cell"))
+        .repartition(org.apache.spark.sql.functions.col("cell"))
+        .sortWithinPartitions("vec_id")
+        .write.format("columnfile").partitionBy("cell")
+        .mode("overwrite").save(compacted)
+    }
+    compacted
+  }
+
+  /** v26: POLICY-driven compaction of the VECTOR-index LSM — the
+    * third and last family onto [[p24ShouldCompact]]'s measured dial
+    * (text index q74, tokenized shards p24, IVF here): when q68's
+    * delta data bytes reach 25% of the base's, run the cell-repack
+    * and serve the probe from ONE cell-partitioned table (every
+    * delta vector inside the cell prune); below the trigger, serve
+    * q68's base ∪ delta (pruned base + scanned batch-dir tail) and
+    * skip the rewrite. The probe is LAYOUT-INVARIANT by q68's
+    * convergence gate (base ∪ delta ≡ full rebuild, row for row), so
+    * the oracle — v05's full IVF SQL — hash-matches WHICHEVER branch
+    * fires; the policy changes only cost, never content (both-branch
+    * equality spec-pinned on planted delta-light/delta-heavy
+    * fixtures, like q74's). On the driver corpora the odd-vecs delta
+    * ≈ the base, so the trigger fires and the compacted branch
+    * serves. Reference economics: tools/columnfile-sort.cc:374-387 —
+    * merge batches fire on a size bound, not unconditionally.
+    */
+  private def ivfCompactPolicyQ: Q = Q("v26_ivf_compact_policy",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      ivfCompactPolicyDF(spark, dir)
+    }, Some(ivfSearchSql(DuckD)))
+
+  /** v26's index-selection half over whatever `embeddings` relation
+    * is registered: runs q68's maintenance, reads the real delta/base
+    * byte ratio, and returns the view the probe should serve from —
+    * `q68_idx` (base ∪ delta) below the trigger, `v26_idx` (the
+    * repack) when it fires. Split out (router-free) so the
+    * branch-switch invariance is testable on planted fixtures
+    * (a delta-light corpus serves the union, a delta-heavy one fires
+    * the repack; both views must hold the full rebuild's rows).
+    */
+  private def ivfPolicyIndexView(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    streamIvfIndexViews(spark, dir)
+    val base = Tables.cachePath(dir, "ivf_base_even")
+    val delta = Tables.cachePath(dir, "ivf_delta")
+    if (p24ShouldCompact(p24DataBytes(base), p24DataBytes(delta))) {
+      spark.read.format("columnfile").load(ivfCompactedPath(spark, dir))
+        .selectExpr("vec_id", "embedding", "CAST(cell AS INT) AS cell")
+        .createOrReplaceTempView("v26_idx")
+      "v26_idx"
+    } else "q68_idx"
+  }
+
+  private def ivfCompactPolicyDF(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val idxView = ivfPolicyIndexView(spark, dir)
+    spark.read.format("columnfile").option("runtimeFiltering", "false")
+      .load(ivfRouterPath(spark, dir))
+      .where("qid < 20").createOrReplaceTempView("v26_probe")
+    spark.sql(
+      s"""WITH ${ivfIndexedTopkCtes("v26_probe", idxView)}
+         |SELECT qid, nid, cos FROM ivtopk WHERE rn <= 5""".stripMargin)
   }
 
   private def ivfIndexed: Q = Q("v05_knn_ivf_indexed", (spark, dir) => {

@@ -134,7 +134,14 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // d24's sweep: the LIMIT-40 signature sample (exact hamming
     // ground truth by contract) and the 3-row/5-row VALUES
     // geometry/threshold relations.
-    "d24_simhash_band_sweep" -> 40L)
+    "d24_simhash_band_sweep" -> 40L,
+    // d25's width sweep: three LIMIT-40 per-width doc samples (exact
+    // Jaccard-at-k ground truth by contract) and the 3-row VALUES
+    // threshold relations.
+    "d25_shingle_width_sweep" -> 40L,
+    // d26's Pareto surface: d22's bounds exactly (shared gex
+    // spelling — LIMIT-40 sample, VALUES geometry/threshold rows).
+    "d26_lsh_pareto" -> 40L)
 
   /** Static upper bound on a physical subtree's row count, derived
     * from shape alone — the machine check behind the BNLJ allowlist

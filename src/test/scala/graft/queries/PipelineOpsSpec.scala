@@ -968,6 +968,47 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v7 == l1cell, s"vec 7 in cell $v7, label-1 cell is $l1cell")
   }
 
+  test("v26: the size trigger picks the IVF branch from real " +
+    "delta/base bytes, and either branch holds the full rebuild") {
+    val sp = spark; import sp.implicits._
+    def e(i: Int, v: Double): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = v.toFloat; a
+    }
+    def run(vecs: Seq[(Long, Long, Array[Float])])
+        : (String, Boolean) = {
+      val fixdir = java.nio.file.Files
+        .createTempDirectory("v26fix").toFile.getAbsolutePath
+      vecs.toDF("vec_id", "label", "embedding")
+        .createOrReplaceTempView("embeddings")
+      val view = ExtQueries.TestSql.ivfPolicyIndex(spark, fixdir)
+      // whichever branch fired, the served view must hold exactly the
+      // full rebuild's (vec_id, cell) assignment — the policy can
+      // change only cost, never content
+      val got = spark.sql(s"SELECT vec_id, cell FROM $view")
+        .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+      val want = spark.sql(ExtQueries.TestSql.ivfAssignAllSql)
+        .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+      assert(got.length == want.length && got.toSet == want.toSet,
+        s"$view diverged: ${got.sorted.toSeq} vs ${want.sorted.toSeq}")
+      val fired = new java.io.File(graft.queries.Tables
+        .cachePath(fixdir, "ivf_compacted"), "_SUCCESS").exists()
+      (view, fired)
+    }
+    // delta-light: 40 even vectors vs ONE odd — the delta stays under
+    // 25% of the base, the rewrite is skipped, the union view serves
+    val (lightView, lightFired) = run(
+      (0 until 40).map(i => (2L * i, 0L, e(0, 1.0 + 0.001 * i))) :+
+        ((1L, 1L, e(1, 1.0))))
+    assert(!lightFired, "delta-light corpus should not fire the trigger")
+    assert(lightView == "q68_idx")
+    // delta-heavy: two even vectors vs ten odd — fires, repack serves
+    val (heavyView, heavyFired) = run(
+      Seq((0L, 0L, e(0, 1.0)), (2L, 0L, e(0, 1.01))) ++
+        (0 until 10).map(i => (2L * i + 1L, 1L, e(1, 1.0 + 0.001 * i))))
+    assert(heavyFired, "delta-heavy corpus should fire the trigger")
+    assert(heavyView == "v26_idx")
+  }
+
   test("t07/BM25 family: a sub-milli average doc length is floored, " +
     "not divided by zero") {
     val sp = spark; import sp.implicits._
@@ -1401,6 +1442,54 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d26: the Pareto surface carries d22's exact recall cells plus " +
+    "cost columns that are monotone in bands (uncapped) and constant " +
+    "across thresholds") {
+    val sp = spark; import sp.implicits._
+    // d22's uncapped fixture verbatim — the recall half of the
+    // surface must read exactly what d22 reads (shared gex spelling)
+    val x8 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val y9 = (1 to 9).map(i => s"y$i").mkString(" ")
+    Seq(
+      (1L, "a b c d e f g h i j k l", "en"),
+      (2L, "a b c d e f g h i j k l", "en"),
+      (3L, s"pa pb $x8 pc pd", "en"),
+      (4L, s"ra rb $x8 rc rd", "en"),
+      (5L, s"ua ub $y9 uc", "en"),
+      (6L, s"va vb $y9 vc", "en"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val d22rows = ExtQueries.TestSql.lshBandSweep(spark).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val rows = ExtQueries.TestSql.lshPareto(spark).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(rows.keySet == d22rows.keySet)
+    for (((b, t), (nt, nh, emit, cand)) <- rows) {
+      // recall cells identical to d22's (one candidate spelling)
+      assert((nt, nh) == d22rows((b, t)),
+        s"(b=$b, thr=$t): recall diverged from d22")
+      // the identical pair collides in some band of every geometry,
+      // so every geometry has at least one candidate pair, and
+      // emissions dominate distinct pairs by construction
+      assert(cand >= 1L && emit >= cand, s"(b=$b, thr=$t): $emit/$cand")
+    }
+    for (b <- Seq(2L, 4L, 8L)) {
+      // cost is a per-geometry property: constant across thresholds
+      assert(Seq(500L, 600L, 700L, 800L, 900L)
+        .map(t => (rows((b, t))._3, rows((b, t))._4)).distinct.size == 1,
+        s"b=$b: cost varies with thr")
+    }
+    // uncapped: aligned boundaries nest candidates, and a coarse-band
+    // collision implies >= 2 fine-band collisions — both cost columns
+    // monotone non-decreasing in bands
+    val emits = Seq(2L, 4L, 8L).map(b => rows((b, 500L))._3)
+    val cands = Seq(2L, 4L, 8L).map(b => rows((b, 500L))._4)
+    assert(emits == emits.sorted, s"emissions not monotone: $emits")
+    assert(cands == cands.sorted, s"candidates not monotone: $cands")
+  }
+
   test("d24: the pigeonhole guarantee is exact (B bands never miss a " +
     "pair at hamming <= B-1), hits are monotone in bands (uncapped), " +
     "and ground truth is geometry-invariant") {
@@ -1440,6 +1529,49 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val curve = Seq(2L, 4L, 8L).map(b => rows((b, t))._2)
       assert(curve == curve.sorted,
         s"thr=$t: hits not monotone in bands: $curve")
+    }
+  }
+
+  test("d25: the width dial moves the similarity DEFINITION — a " +
+    "rotated pair is a near-dup at k=2/3 and vanishes at k=5; " +
+    "identical docs survive every width; thresholds nest per width") {
+    val sp = spark; import sp.implicits._
+    // docs 0/1 share every word in rotated order: bigram Jaccard
+    // 6/8 = 750 permille, trigram 4/8 = 500, 5-gram 0/8 = 0 — the
+    // planted pair crosses thr=500 between k=3 and k=5 and thr=700
+    // between k=2 and k=3. Docs 2/3 are identical (1000 at every
+    // width, disjoint vocab). Doc 4 is under every width's guard.
+    Seq(
+      (0L, "a b c d e f g h", "en"),
+      (1L, "e f g h a b c d", "en"),
+      (2L, "p q r s t u v w", "en"),
+      (3L, "p q r s t u v w", "en"),
+      (4L, "z", "en"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val rows = ExtQueries.TestSql.shingleWidthSweep(spark).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // ground truth counts BOTH directions of each unordered pair
+    // (the sample holds all docs): identical pair = 2 rows always;
+    // the rotated pair's 2 rows appear exactly where its width-k
+    // Jaccard clears the threshold
+    assert(rows((2L, 500L))._1 == 4L && rows((2L, 700L))._1 == 4L &&
+      rows((2L, 900L))._1 == 2L, s"k=2 curve: $rows")
+    assert(rows((3L, 500L))._1 == 4L && rows((3L, 700L))._1 == 2L,
+      s"k=3 curve: $rows")
+    assert(Seq(500L, 700L, 900L).forall(t => rows((5L, t))._1 == 2L),
+      s"k=5 curve: $rows")
+    for (k <- Seq(2L, 3L, 5L)) {
+      // per width, thresholds filter a subset: monotone non-increasing
+      val curve = Seq(500L, 700L, 900L).map(t => rows((k, t))._1)
+      assert(curve == curve.sorted.reverse,
+        s"k=$k: n_true not monotone in thr: $curve")
+      // hits bounded by truth, and the identical pair (equal
+      // signatures => every band shared) is always caught
+      Seq(500L, 700L, 900L).foreach { t =>
+        val (nt, nh) = rows((k, t))
+        assert(nh <= nt && nh >= 2L, s"(k=$k, thr=$t): $nh/$nt")
+      }
     }
   }
 

@@ -23,6 +23,7 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
@@ -170,6 +171,27 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ex = intercept[Exception] { bad.orderBy("id").collect() }
     assert(messages(ex).exists(_.contains("NOT satisfied")),
       s"wrong-order declaration should fail loudly: $ex")
+  }
+
+  test("q75 merge-joins two ordered cf tables with zero exchanges " +
+    "and zero sorts below the join") {
+    val df = graft.SparkEntry
+      .queries("q75_cf_ordered_join")(spark, "/root/testdata/sf0.001")
+    val exec = df.queryExecution.executedPlan
+    val p = exec.toString
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    // the SMJ consumes the two scans directly: no exchange, no sort —
+    // the scan-reported (b, doc_id) order and the key-grouped bucket
+    // partitioning satisfy the join's requirements end to end
+    val belowJoin = p.linesIterator
+      .dropWhile(l => !l.contains("SortMergeJoin")).mkString("\n")
+    assert(!belowJoin.contains("Exchange"),
+      s"expected a storage-partitioned (shuffle-free) join:\n$p")
+    val sorts = exec.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.isEmpty,
+      s"scan-reported ordering should elide the SMJ sorts:\n$p")
+    assert(df.collect().map(_.getLong(1)).sum > 0)
   }
 
   test("non-partitioned scans still plan and join normally") {
