@@ -3189,20 +3189,18 @@ object ExtQueries {
   }
 
   /** Spark side of d22 over whatever documents relation is registered
-    * (fixture-testable); hs, the signature, AND the capped gex
-    * relation each materialized once (the gex cache is d26's
-    * measured ~11% win, back-ported). */
+    * (fixture-testable); hs and the signature each materialized once,
+    * gex an inline CTE (the r17-adjudicated shape — see
+    * [[simhashSweepDF]] for why a CACHED gex view is not safe in this
+    * statement). */
   private def lshBandSweepDF(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
     val hs = cacheOnce(spark.sql(minhashHsSql(SparkD)))
     hs.createOrReplaceTempView("d22_hs")
     val (sigSelect, _) = minhashSigParts(SparkD, "d22_hs")
     cacheOnce(spark.sql(sigSelect)).createOrReplaceTempView("d22_sig")
-    cacheOnce(spark.sql(
-      s"WITH ${lshGexCtes(SparkD, "d22_sig", "d22_hs")} " +
-        "SELECT doc_id, bands, bk FROM gex"))
-      .createOrReplaceTempView("d22_gex")
-    spark.sql("WITH " + lshBandSweepBody(SparkD, "d22_gex", "d22_hs"))
+    spark.sql("WITH " + lshGexCtes(SparkD, "d22_sig", "d22_hs") + ",\n" +
+      lshBandSweepBody(SparkD, "gex", "d22_hs"))
   }
 
   // ------------------------------------------------ LSH Pareto (d26)
@@ -3292,11 +3290,15 @@ object ExtQueries {
   }
 
   /** Spark side of d26 over whatever documents relation is registered
-    * (fixture-testable). hs, the signature, AND the capped gex
-    * relation each materialized once — the gex cache means the
-    * candidate self-join, the emission aggregate, and the distinct-
-    * pair count all read one materialization of the window (d03's
-    * round-7 double-Exchange lesson, applied three ways).
+    * (fixture-testable). hs and the signature cached once; the capped
+    * gex relation materialized with `localCheckpoint()` — the body
+    * references it five times (candidate self-join, emission
+    * aggregate, distinct-pair count), and a CACHED view at that
+    * fan-out is the 3+-reference substitution trap ([[simhashSweepDF]]
+    * — observed as a misbound native hash expression). The checkpoint
+    * cuts the lineage to a leaf with fresh attribute ids, so every
+    * reference reads one materialization of the window — d03's
+    * round-7 double-Exchange lesson, applied three ways.
     */
   private def lshParetoDF(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
@@ -3304,9 +3306,10 @@ object ExtQueries {
     hs.createOrReplaceTempView("d26_hs")
     val (sigSelect, _) = minhashSigParts(SparkD, "d26_hs")
     cacheOnce(spark.sql(sigSelect)).createOrReplaceTempView("d26_sig")
-    cacheOnce(spark.sql(
+    spark.sql(
       s"WITH ${lshGexCtes(SparkD, "d26_sig", "d26_hs")} " +
-        "SELECT doc_id, bands, bk FROM gex"))
+        "SELECT doc_id, bands, bk FROM gex")
+      .localCheckpoint()
       .createOrReplaceTempView("d26_gex")
     spark.sql("WITH " + lshParetoBody(SparkD, "d26_gex", "d26_hs"))
   }
@@ -3520,7 +3523,11 @@ object ExtQueries {
     * (uncapped), so the (bands=B, thr<=B-1) cells must read
     * n_hit == n_true — spec-asserted.
     */
-  private def simhashSweepBody(d: Dial, s: String): String = {
+  /** d24/d27's shared geometry CTEs over signature relation `s`: sx0
+    * (aligned pigeonhole band values per geometry) and sx (the
+    * production-capped relation). ONE spelling for the sweep and the
+    * Pareto surface — the d26 rule for the hamming family. */
+  private def simhashSxCtes(d: Dial, s: String): String = {
     val geoms = Seq(2, 4, 8).flatMap { b =>
       val w = 32 / b
       (0 until b).map { k =>
@@ -3531,6 +3538,19 @@ object ExtQueries {
            |    AS bv FROM $s""".stripMargin
       }
     }
+    s"""sx0 AS (${geoms.mkString("\n  UNION ALL ")}),
+       |sx AS (SELECT doc_id, bands, band, bv FROM (
+       |    SELECT doc_id, bands, band, bv,
+       |      COUNT(*) OVER (PARTITION BY bands, band, bv) AS bn
+       |    FROM sx0) x
+       |  WHERE bn <= $HotBucketCap)""".stripMargin
+  }
+
+  /** The hamming ground truth + sample-restricted candidate CTEs
+    * shared by d24 and d27, over signature relation `s` and capped
+    * geometry relation `sx` (a name, so the Spark side passes a
+    * cached view). */
+  private def simhashGtCandCtes(d: Dial, s: String, sx: String): String =
     s"""qs AS (SELECT doc_id, simhash FROM $s WHERE doc_id < 40
        |  ORDER BY doc_id LIMIT 40),
        |hgt AS (SELECT qid, nid, ham FROM (
@@ -3538,16 +3558,13 @@ object ExtQueries {
        |      bit_count(${d.xor("q.simhash", "h.simhash")}) AS ham
        |    FROM qs q CROSS JOIN $s h WHERE h.doc_id <> q.doc_id) x
        |  WHERE ham <= 7),
-       |sx0 AS (${geoms.mkString("\n  UNION ALL ")}),
-       |sx AS (SELECT doc_id, bands, band, bv FROM (
-       |    SELECT doc_id, bands, band, bv,
-       |      COUNT(*) OVER (PARTITION BY bands, band, bv) AS bn
-       |    FROM sx0) x
-       |  WHERE bn <= $HotBucketCap),
        |scan AS (SELECT DISTINCT a.bands, a.doc_id AS qid, b.doc_id AS nid
-       |  FROM sx a JOIN sx b ON a.bands = b.bands AND a.band = b.band
+       |  FROM $sx a JOIN $sx b ON a.bands = b.bands AND a.band = b.band
        |    AND a.bv = b.bv AND b.doc_id <> a.doc_id
-       |  WHERE a.doc_id < 40)
+       |  WHERE a.doc_id < 40)""".stripMargin
+
+  private def simhashSweepBody(d: Dial, s: String, sx: String): String = {
+    s"""${simhashGtCandCtes(d, s, sx)}
        |SELECT CAST(bs.bands AS BIGINT) AS bands,
        |  CAST(lv.thr AS BIGINT) AS thr,
        |  COUNT(*) AS n_true,
@@ -3580,7 +3597,8 @@ object ExtQueries {
     val oracle = {
       val d = DuckD
       s"""WITH s AS (${simhashSql(d)}),
-         |${simhashSweepBody(d, "s")}""".stripMargin
+         |${simhashSxCtes(d, "s")},
+         |${simhashSweepBody(d, "s", "sx")}""".stripMargin
     }
     Q("d24_simhash_band_sweep", (spark, dir) => {
       Tables.registerAll(spark, dir)
@@ -3589,12 +3607,109 @@ object ExtQueries {
   }
 
   /** Spark side of d24 over whatever documents relation is registered
-    * (fixture-testable); the signature materialized once. */
+    * (fixture-testable); the signature materialized once, the capped
+    * sx relation an inline CTE (the r17-adjudicated statement shape —
+    * CACHING sx here mis-binds nondeterministically: a cached view
+    * whose plan contains another cached view pushes the statement
+    * into the 3+-reference substitution trap, observed as
+    * `graft_simhash31` rebound onto the long simhash column in the
+    * d27 spec's session). */
   private def simhashSweepDF(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
     cacheOnce(spark.sql(simhashSql(SparkD)))
       .createOrReplaceTempView("d24_s")
-    spark.sql("WITH " + simhashSweepBody(SparkD, "d24_s"))
+    spark.sql("WITH " + simhashSxCtes(SparkD, "d24_s") + ",\n" +
+      simhashSweepBody(SparkD, "d24_s", "sx"))
+  }
+
+  /** The d27 body: d24's recall readout joined with the hamming
+    * family's cost columns from the SAME capped sx relation — n_emit
+    * (Σ n·(n−1)/2 over (bands, band, bv) bucket populations, one
+    * aggregate, no pair stage) and n_cand (corpus-wide distinct
+    * candidate pairs — what d05's verify stage would hamming-check
+    * at that geometry). */
+  private def simhashParetoBody(d: Dial, s: String, sx: String): String = {
+    s"""${simhashGtCandCtes(d, s, sx)},
+       |semit AS (SELECT bands,
+       |    CAST(SUM(${d.intDiv("(bn * (bn - 1))", "2")}) AS BIGINT)
+       |      AS n_emit
+       |  FROM (SELECT bands, band, bv, COUNT(*) AS bn FROM $sx
+       |        GROUP BY bands, band, bv) t
+       |  GROUP BY bands),
+       |spairs AS (SELECT bands, COUNT(*) AS n_cand FROM (
+       |    SELECT DISTINCT a.bands, a.doc_id AS i, b.doc_id AS j
+       |    FROM $sx a JOIN $sx b ON a.bands = b.bands AND a.band = b.band
+       |      AND a.bv = b.bv AND a.doc_id < b.doc_id) p
+       |  GROUP BY bands)
+       |SELECT r.bands, r.thr, r.n_true, r.n_hit,
+       |  COALESCE(e.n_emit, 0) AS n_emit,
+       |  COALESCE(p.n_cand, 0) AS n_cand
+       |FROM (
+       |  SELECT CAST(bs.bands AS BIGINT) AS bands,
+       |    CAST(lv.thr AS BIGINT) AS thr,
+       |    COUNT(*) AS n_true,
+       |    CAST(SUM(CASE WHEN c.nid IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit
+       |  FROM hgt g
+       |  CROSS JOIN (VALUES (2), (4), (8)) AS bs(bands)
+       |  CROSS JOIN (VALUES (0), (1), (3), (5), (7)) AS lv(thr)
+       |  LEFT JOIN scan c ON c.bands = CAST(bs.bands AS BIGINT)
+       |    AND c.qid = g.qid AND c.nid = g.nid
+       |  WHERE g.ham <= lv.thr
+       |  GROUP BY bs.bands, lv.thr) r
+       |LEFT JOIN semit e ON e.bands = r.bands
+       |LEFT JOIN spairs p ON p.bands = r.bands""".stripMargin
+  }
+
+  /** d27: the SimHash PARETO SURFACE — d26's recall-AND-price rule on
+    * the hamming family: d24's band-geometry recall curves joined
+    * with each geometry's measured candidate cost, both computed
+    * from the SAME capped sx relation ([[simhashSxCtes]], one
+    * spelling with d24), so the sweep and the surface can never
+    * diverge on what a candidate is. The deployment reading pairs
+    * the pigeonhole guarantee with its price: more bands can never
+    * miss at hamming ≤ B−1 AND multiply the bucket collisions you
+    * pay to verify. Uncapped, both cost columns are monotone
+    * non-decreasing in bands (aligned boundaries), spec-asserted.
+    * 100 TB shape: one signature pass, one capped 14-key explode,
+    * one aggregate for n_emit, the capped band self-join for n_cand
+    * — the cost class of running d05 at the three geometries, which
+    * is what the surface prices.
+    */
+  private def simhashParetoQ: Q = {
+    val oracle = {
+      val d = DuckD
+      s"""WITH s AS (${simhashSql(d)}),
+         |${simhashSxCtes(d, "s")},
+         |${simhashParetoBody(d, "s", "sx")}""".stripMargin
+    }
+    Q("d27_simhash_pareto", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      simhashParetoDF(spark)
+    }, Some(oracle))
+  }
+
+  /** Spark side of d27; the signature cached once, the capped sx
+    * relation materialized with `localCheckpoint()` — NOT just
+    * cached: the body references sx five times (candidate self-join,
+    * emission aggregate, distinct-pair count), and five inlined
+    * copies of the signature-view lineage both drive Spark 4.1's
+    * InlineCTE into a StackOverflow and trip the 3+-reference
+    * cache-substitution misbinding (the round-10 gotcha, observed
+    * here as `graft_simhash31` rebound onto the long simhash
+    * column). The checkpoint cuts the lineage to a LogicalRDD with
+    * fresh attribute ids, so every reference is a leaf — t19's
+    * iterated-chain discipline applied to a wide fan-out. */
+  private def simhashParetoDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    cacheOnce(spark.sql(simhashSql(SparkD)))
+      .createOrReplaceTempView("d27_s")
+    spark.sql(
+      s"WITH ${simhashSxCtes(SparkD, "d27_s")} " +
+        "SELECT doc_id, bands, band, bv FROM sx")
+      .localCheckpoint()
+      .createOrReplaceTempView("d27_sx")
+    spark.sql("WITH " + simhashParetoBody(SparkD, "d27_s", "d27_sx"))
   }
 
   // ------------------------------------------ shingle-width sweep (d25)
@@ -6480,6 +6595,10 @@ object ExtQueries {
     // geometry's measured candidate cost, from ONE shared capped
     // band relation (v25's discipline for the dedup family).
     lshParetoQ,
+    // The SimHash Pareto surface: the pigeonhole guarantee priced —
+    // d24's recall curves joined with each geometry's candidate cost
+    // from the same capped sx relation.
+    simhashParetoQ,
     // Online near-dup detection (streaming MinHash-LSH band state).
     streamNearDup,
     dialect("v06_ann_cap_report", annCapReportSql),
@@ -6761,6 +6880,8 @@ object ExtQueries {
         : org.apache.spark.sql.DataFrame = shingleWidthSweepDF(spark)
     def lshPareto(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = lshParetoDF(spark)
+    def simhashPareto(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = simhashParetoDF(spark)
     /** t16's merge picks (r = 1, 2, 3) trained over an arbitrary
       * documents-shaped view — the spec's inline recompute. */
     def mergePairsOver(spark: org.apache.spark.sql.SparkSession,

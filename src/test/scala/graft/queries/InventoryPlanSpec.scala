@@ -141,7 +141,10 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d25_shingle_width_sweep" -> 40L,
     // d26's Pareto surface: d22's bounds exactly (shared gex
     // spelling — LIMIT-40 sample, VALUES geometry/threshold rows).
-    "d26_lsh_pareto" -> 40L)
+    "d26_lsh_pareto" -> 40L,
+    // d27's Pareto surface: d24's bounds exactly (shared sx
+    // spelling — LIMIT-40 signature sample, VALUES rows).
+    "d27_simhash_pareto" -> 40L)
 
   /** Static upper bound on a physical subtree's row count, derived
     * from shape alone — the machine check behind the BNLJ allowlist

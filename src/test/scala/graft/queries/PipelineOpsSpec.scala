@@ -1575,6 +1575,50 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("d27: the SimHash Pareto surface carries d24's exact recall " +
+    "cells plus cost columns monotone in bands (uncapped) and " +
+    "constant across thresholds") {
+    val sp = spark; import sp.implicits._
+    // d24's fixture verbatim — the recall half must read exactly what
+    // d24 reads (shared sx spelling)
+    val x8 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val y9 = (1 to 9).map(i => s"y$i").mkString(" ")
+    Seq(
+      (1L, "a b c d e f g h i j k l", "en"),
+      (2L, "a b c d e f g h i j k l", "en"),
+      (3L, s"pa pb $x8 pc pd", "en"),
+      (4L, s"ra rb $x8 rc rd", "en"),
+      (5L, s"ua ub $y9 uc", "en"),
+      (6L, s"va vb $y9 vc", "en"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val d24rows = ExtQueries.TestSql.simhashSweep(spark).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val rows = ExtQueries.TestSql.simhashPareto(spark).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(rows.keySet == d24rows.keySet)
+    for (((b, t), (nt, nh, emit, cand)) <- rows) {
+      assert((nt, nh) == d24rows((b, t)),
+        s"(b=$b, thr=$t): recall diverged from d24")
+      // the identical pair shares every band, so every geometry has
+      // candidates, and emissions dominate distinct pairs
+      assert(cand >= 1L && emit >= cand, s"(b=$b, thr=$t): $emit/$cand")
+    }
+    for (b <- Seq(2L, 4L, 8L)) {
+      assert(Seq(0L, 1L, 3L, 5L, 7L)
+        .map(t => (rows((b, t))._3, rows((b, t))._4)).distinct.size == 1,
+        s"b=$b: cost varies with thr")
+    }
+    // uncapped: aligned pigeonhole boundaries nest candidates and
+    // multiply collisions — both cost columns monotone in bands
+    val emits = Seq(2L, 4L, 8L).map(b => rows((b, 0L))._3)
+    val cands = Seq(2L, 4L, 8L).map(b => rows((b, 0L))._4)
+    assert(emits == emits.sorted, s"emissions not monotone: $emits")
+    assert(cands == cands.sorted, s"candidates not monotone: $cands")
+  }
+
   test("d23: tau-sweep counts nest and flip at BOTH adjacent levels; " +
     "ground truth is method-invariant; drop volume tracks the dial") {
     val sp = spark; import sp.implicits._
