@@ -6770,6 +6770,10 @@ object ExtQueries {
     hybridBm25Vec,
     // v05 = v04 over a materialized cell-partitioned index (same oracle).
     ivfIndexed,
+    // Metadata-filtered ANN: the category predicate pushed into the
+    // metadata-carrying index scan, underneath the cell prune, and
+    // applied BEFORE the top-k window.
+    knnFiltered,
     // k-means (Lloyd) training of the coarse quantizer: deterministic
     // min-hash init, 3 exact-integer rounds, per-round checksums.
     kmeansTrainQ,
@@ -6882,6 +6886,19 @@ object ExtQueries {
         : org.apache.spark.sql.DataFrame = lshParetoDF(spark)
     def simhashPareto(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = simhashParetoDF(spark)
+    /** v27 over an inline probe relation (no router cache needed):
+      * registers v27_probe from the assignment chain, then runs the
+      * filtered body against the fixture's embeddings view. */
+    def knnFiltered(spark: org.apache.spark.sql.SparkSession,
+        dir: String): org.apache.spark.sql.DataFrame = {
+      spark.sql(
+        s"""WITH ${ivfCommonCtes(SparkD)}
+           |SELECT vec_id AS qid, clabel AS pcell
+           |FROM best WHERE vec_id < 20 AND rn <= 2""".stripMargin)
+        .createOrReplaceTempView("v27_probe")
+      knnFilteredBodyDF(spark, dir)
+    }
+    final val v27Label: Int = V27Label
     /** t16's merge picks (r = 1, 2, 3) trained over an arbitrary
       * documents-shaped view — the spec's inline recompute. */
     def mergePairsOver(spark: org.apache.spark.sql.SparkSession,
@@ -8418,6 +8435,125 @@ object ExtQueries {
         .mode("overwrite").save(out)
     }
     out
+  }
+
+  /** The filtered-search category (embeddings.label value). `final`
+    * without a type annotation = compile-time constant — referenced
+    * from oracle SQL built during `val all` init (the r15 rule). */
+  private final val V27Label = 7
+
+  /** The index table EXTENDED with the filterable metadata column —
+    * v05's cell-partitioned layout plus `label`, which is what makes
+    * scan-level filtered search possible (the predicate pushes into
+    * the index scan instead of joining a side table). Built once per
+    * cache dir. */
+  private[graft] def ivfIndexMetaPath(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    // no registerAll here: callers register `embeddings` (the Q's run
+    // function via Tables.registerAll, the fixture spec via a temp
+    // view) — the q68 discipline that keeps the builder testable
+    val out = Tables.cachePath(dir, "ivf_index_meta")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      spark.sql(
+        s"""WITH ${ivfCommonCtes(SparkD)},
+           |a AS (SELECT vec_id, clabel AS cell FROM best WHERE rn = 1)
+           |SELECT a.vec_id, e.label, e.embedding, a.cell
+           |FROM a JOIN embeddings e ON e.vec_id = a.vec_id""".stripMargin)
+        .write.format("columnfile").partitionBy("cell")
+        .mode("overwrite").save(out)
+    }
+    out
+  }
+
+  /** v27: metadata-FILTERED ANN search — the "retrieve within a
+    * category" shape every production vector store serves (filter:
+    * label = $V27Label, then top-5 by cosine per query). The engine
+    * story is the COMPOSITION: the index table carries the metadata
+    * column ([[ivfIndexMetaPath]]), so the category predicate is a
+    * STATIC filter on the index scan — pushed into the columnfile
+    * reader (PushedFilters + chunk min/max skip) UNDERNEATH the
+    * cell-partition pruning the router join already does; candidates
+    * are filtered before the cosine work and the top-k window, not
+    * after (a post-top-k filter would return < k results and be
+    * WRONG — the fixture spec plants exactly that trap). Oracle:
+    * the inline IVF chain with the same predicate on the neighbor
+    * side. Scale shape: v05's — nprobe directories per query, the
+    * filter only shrinks what the scan returns.
+    */
+  private def knnFiltered: Q = {
+    val oracle = {
+      val d = DuckD
+      s"""WITH ${ivfCommonCtes(d)},
+         |assign AS (SELECT vec_id, clabel FROM best WHERE rn = 1),
+         |probe AS (SELECT vec_id AS qid, clabel AS pcell
+         |  FROM best WHERE vec_id < 20 AND rn <= 2),
+         |cand AS (SELECT p.qid, a.vec_id AS nid
+         |  FROM probe p JOIN assign a ON a.clabel = p.pcell
+         |  WHERE a.vec_id <> p.qid),
+         |fpairs AS (SELECT c.qid, c.nid,
+         |    ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
+         |      AS cos
+         |  FROM cand c
+         |  JOIN emb q ON q.vec_id = c.qid
+         |  JOIN emb n ON n.vec_id = c.nid
+         |  WHERE n.label = $V27Label),
+         |ftopk AS (SELECT qid, nid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+         |      AS rn
+         |  FROM fpairs)
+         |SELECT qid, nid, cos FROM ftopk WHERE rn <= 5""".stripMargin
+    }
+    Q("v27_knn_filtered", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      knnFilteredDF(spark, dir)
+    }, Some(oracle))
+  }
+
+  /** v27's Spark side over whatever `embeddings` relation is
+    * registered (fixture-testable): the v05 probe plan with the
+    * category predicate applied as a static filter on the
+    * metadata-carrying index scan. */
+  private def knnFilteredDF(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    spark.read.format("columnfile").option("runtimeFiltering", "false")
+      .load(ivfRouterPath(spark, dir))
+      .where("qid < 20").createOrReplaceTempView("v27_probe")
+    knnFilteredBodyDF(spark, dir)
+  }
+
+  /** v27's probe body over an already-registered `v27_probe` view —
+    * split out so the fixture spec can feed an inline probe relation
+    * (the router cache needs a parquet-backed dir). */
+  private def knnFilteredBodyDF(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    spark.read.format("columnfile").load(ivfIndexMetaPath(spark, dir))
+      .where(s"label = $V27Label")
+      .createOrReplaceTempView("v27_idx")
+    spark.sql(
+      s"""WITH ivq AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${SparkD.dot("embedding", "embedding")}) AS enorm
+         |  FROM embeddings WHERE vec_id < 20),
+         |ivn AS (
+         |  SELECT vec_id, cell, embedding,
+         |    sqrt(${SparkD.dot("embedding", "embedding")}) AS enorm
+         |  FROM v27_idx),
+         |ivpairs AS (
+         |  SELECT /*+ BROADCAST(p) */ p.qid, n.vec_id AS nid,
+         |    ${SparkD.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
+         |      AS cos
+         |  FROM v27_probe p
+         |  JOIN ivn n ON n.cell = p.pcell
+         |  JOIN ivq q ON q.vec_id = p.qid
+         |  WHERE n.vec_id <> p.qid),
+         |ivtopk AS (
+         |  SELECT qid, nid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+         |      AS rn
+         |  FROM ivpairs)
+         |SELECT qid, nid, cos FROM ivtopk WHERE rn <= 5""".stripMargin)
   }
 
   /** v05: IVF probe search over the MATERIALIZED index — the production

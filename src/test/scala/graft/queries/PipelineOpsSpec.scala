@@ -1009,6 +1009,40 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(heavyView == "v26_idx")
   }
 
+  test("v27: the category filter applies BEFORE the top-k window — " +
+    "globally-nearer off-category vectors are excluded, on-category " +
+    "ones fill the full k") {
+    val sp = spark; import sp.implicits._
+    def e(i: Int, v: Double): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = v.toFloat; a
+    }
+    def mix(a: Double, b: Double): Array[Float] = {
+      val arr = Array.fill(64)(0.0f)
+      arr(0) = a.toFloat; arr(1) = b.toFloat; arr
+    }
+    val fixdir = java.nio.file.Files
+      .createTempDirectory("v27fix").toFile.getAbsolutePath
+    // query 0 points at e0. Vectors 30/31 (label 3) are EXACT
+    // e0-direction — globally the nearest (cos = 1). The label-7
+    // vectors 40/41/42 are slightly off-axis (cos < 1). A filter
+    // applied AFTER the top-k would return label-3 rows (wrong) or
+    // nothing; the correct filtered top-k is exactly {40, 41, 42}.
+    Seq(
+      (0L, 3L, e(0, 1.0)),
+      (30L, 3L, e(0, 1.02)), (31L, 3L, e(0, 1.01)),
+      (40L, 7L, mix(0.9, 0.1)), (41L, 7L, mix(0.9, 0.12)),
+      (42L, 7L, mix(0.88, 0.1)))
+      .toDF("vec_id", "label", "embedding")
+      .createOrReplaceTempView("embeddings")
+    val got = ExtQueries.TestSql.knnFiltered(spark, fixdir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val q0 = got.filter(_._1 == 0L).map(_._2).toSet
+    assert(q0 == Set(40L, 41L, 42L),
+      s"filtered top-k for q0 should be the label-7 set, got $q0")
+    assert(!got.map(_._2).toSet.exists(Set(30L, 31L)),
+      s"off-category vectors leaked through the filter: ${got.toSeq}")
+  }
+
   test("t07/BM25 family: a sub-milli average doc length is floored, " +
     "not divided by zero") {
     val sp = spark; import sp.implicits._

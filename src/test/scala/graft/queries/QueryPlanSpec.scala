@@ -59,6 +59,15 @@ class QueryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected runtime filter into the cf scan:\n$p")
   }
 
+  test("v27 pushes the category predicate into the index scan") {
+    val p = plan("v27_knn_filtered")
+    // the label filter reaches the metadata-carrying index scan's
+    // pushed-filter list — candidates are pruned at the reader,
+    // underneath the cell-partition pruning the router join drives
+    assert(p.contains("EqualTo(label,7)"),
+      s"expected the category predicate pushed into the scan:\n$p")
+  }
+
   test("q22 pushes filters into the scan (visible in scan description)") {
     val p = plan("q22_cf_filter_pushdown")
     assert(p.contains("PushedFilters: [") && p.contains("GreaterThan"),
