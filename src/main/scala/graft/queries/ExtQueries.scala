@@ -3173,6 +3173,34 @@ object ExtQueries {
     * harness costs one bounded pass over relations the dedup family
     * already builds.
     */
+  /** d03's production pair pipeline at band geometry `bands` — the
+    * wall-clock twin of d26's cost columns, run by
+    * [[graft.BenchParetoDedup]]: hash sets → signature → `bands`-way
+    * band explode (aligned boundaries, d22's spelling) → hot-bucket
+    * cap → pair self-join → Jaccard-verified pairs ≥ 0.5. hs/sig and
+    * the capped band relation each materialized once per call
+    * (d03's own round-7 discipline; geometry-tagged ex view so the
+    * three geometries coexist in one session). Callers register
+    * `documents` first.
+    */
+  private[graft] def lshGeomPairsDF(
+      spark: org.apache.spark.sql.SparkSession, bands: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val hs = cacheOnce(spark.sql(minhashHsSql(SparkD)))
+    hs.createOrReplaceTempView("bp_hs")
+    val (sigSelect, mRef) = minhashSigParts(SparkD, "bp_hs")
+    cacheOnce(spark.sql(sigSelect)).createOrReplaceTempView("bp_sig")
+    val arr = s"array(${minhashBandExprs(SparkD, mRef, bands).mkString(", ")})"
+    val ex = spark.sql(
+      s"""SELECT doc_id, bk FROM (
+         |  SELECT doc_id, bk, COUNT(*) OVER (PARTITION BY bk) AS bn
+         |  FROM (SELECT doc_id, bk FROM bp_sig
+         |        ${SparkD.explode(arr, "bk")}) e) x
+         |WHERE bn <= $HotBucketCap""".stripMargin)
+    cacheOnce(ex).createOrReplaceTempView(s"bp_ex$bands")
+    spark.sql(minhashPairsFrom(SparkD, s"bp_ex$bands", "bp_hs"))
+  }
+
   private def lshBandSweepQ: Q = {
     val oracle = {
       val d = DuckD

@@ -1009,6 +1009,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(heavyView == "v26_idx")
   }
 
+  test("BenchParetoDedup's 4x4 cell runs d03's exact pair set (the " +
+    "timed shape IS the production query)") {
+    val sp = spark; import sp.implicits._
+    val x8 = (1 to 8).map(i => s"x$i").mkString(" ")
+    Seq(
+      (1L, "a b c d e f g h i j k l", "en"),
+      (2L, "a b c d e f g h i j k l", "en"),
+      (3L, s"pa pb $x8 pc pd", "en"),
+      (4L, s"ra rb $x8 rc rd", "en"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val geom = ExtQueries.lshGeomPairsDF(spark, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prod = ExtQueries.TestSql.minhashPairs(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(geom == prod,
+      s"4x4 geometry cell diverged from d03: $geom vs $prod")
+    assert(geom.contains((1L, 2L)))
+  }
+
   test("v27: the category filter applies BEFORE the top-k window — " +
     "globally-nearer off-category vectors are excluded, on-category " +
     "ones fill the full k") {
