@@ -31,7 +31,7 @@ QUERIES = ",".join(
      "p09_", "p10_", "p11_", "p12_", "p13_", "p14_", "p15_", "p16_",
      "p17_", "p18_", "p19_", "p20_", "p21_", "p22_", "p23_", "p24_",
      "p25_", "p26_"] +
-    [f"v{i:02d}_" for i in range(1, 28)] +
+    [f"v{i:02d}_" for i in range(1, 29)] +
     ["m01_", "m02_", "m03_", "m04_", "m05_", "m06_", "m07_", "m08_"] +
     # events-based batch family: time-series agg, sessionization twin,
     # as-of/range/interval/salted joins, funnel (ties + boundaries are

@@ -6589,6 +6589,10 @@ object ExtQueries {
     // the same measured dial; either branch serves v05's exact
     // IVF answer (oracle is the full IVF SQL).
     ivfCompactPolicyQ,
+    // The vector refresh capstone: dedup-at-ingest admission with
+    // physical routing -> frozen-model assignment -> policy-served
+    // layout -> probe; one oracle over base ∪ admitted only.
+    vectorRefreshQ,
     // Line-level exact dedup (C4/RefinedWeb sub-document pass):
     // duplicated 10-word lines removed corpus-wide, checksummed rewrite.
     lineDedup,
@@ -6974,6 +6978,8 @@ object ExtQueries {
         dir: String): Unit = streamIvfIndexViews(spark, dir)
     def ivfPolicyIndex(spark: org.apache.spark.sql.SparkSession,
         dir: String): String = ivfPolicyIndexView(spark, dir)
+    def vectorRefreshIndex(spark: org.apache.spark.sql.SparkSession,
+        dir: String): Unit = vectorRefreshIndexView(spark, dir)
     def kmeansTrain(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = kmTrainDF(spark)
     /** Row count of the shared exact ANN ground truth ([[kmGtCte]]
@@ -8689,6 +8695,40 @@ object ExtQueries {
     * delta assignment == full rebuild) is testable on planted
     * fixtures; registers `q68_idx` (the maintained union index).
     */
+  /** q68's even-id cell-partitioned base index, built once per cache
+    * dir over the registered `embeddings` relation — shared by q68,
+    * v26's policy, and v28's refresh capstone (one spelling of what
+    * "the base" means for the vector LSM). */
+  private def ivfEvenBasePath(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val base = Tables.cachePath(dir, "ivf_base_even")
+    if (!new java.io.File(base, "_SUCCESS").exists()) {
+      spark.sql(
+        s"""WITH ${ivfCommonCtes(SparkD)},
+           |a AS (SELECT vec_id, clabel AS cell FROM best WHERE rn = 1)
+           |SELECT a.vec_id, e.embedding, a.cell
+           |FROM a JOIN embeddings e ON e.vec_id = a.vec_id
+           |WHERE a.vec_id % 2 = 0""".stripMargin)
+        .write.format("columnfile").partitionBy("cell")
+        .mode("overwrite").save(base)
+    }
+    base
+  }
+
+  /** The odd-id arrival stream source (one doc-ordered cf file),
+    * built once per cache dir — shared by q68 and v28. */
+  private def ivfStreamSrcPath(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val src = Tables.cachePath(dir, "embeddings_ivf_stream")
+    if (!new java.io.File(src, "_SUCCESS").exists()) {
+      spark.table("embeddings").where("vec_id % 2 = 1")
+        .selectExpr("vec_id", "embedding")
+        .repartition(1).sortWithinPartitions("vec_id")
+        .write.format("columnfile").mode("overwrite").save(src)
+    }
+    src
+  }
+
   private def streamIvfIndexViews(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
       // the fixed centroid model — the same relation the oracle's
@@ -8697,24 +8737,8 @@ object ExtQueries {
       cacheOnce(spark.sql(
         s"WITH ${ivfCommonCtes(SparkD)} SELECT clabel, centroid, cnorm FROM cent"))
         .createOrReplaceTempView("q68_cent")
-      val base = Tables.cachePath(dir, "ivf_base_even")
-      if (!new java.io.File(base, "_SUCCESS").exists()) {
-        spark.sql(
-          s"""WITH ${ivfCommonCtes(SparkD)},
-             |a AS (SELECT vec_id, clabel AS cell FROM best WHERE rn = 1)
-             |SELECT a.vec_id, e.embedding, a.cell
-             |FROM a JOIN embeddings e ON e.vec_id = a.vec_id
-             |WHERE a.vec_id % 2 = 0""".stripMargin)
-          .write.format("columnfile").partitionBy("cell")
-          .mode("overwrite").save(base)
-      }
-      val src = Tables.cachePath(dir, "embeddings_ivf_stream")
-      if (!new java.io.File(src, "_SUCCESS").exists()) {
-        spark.table("embeddings").where("vec_id % 2 = 1")
-          .selectExpr("vec_id", "embedding")
-          .repartition(1).sortWithinPartitions("vec_id")
-          .write.format("columnfile").mode("overwrite").save(src)
-      }
+      val base = ivfEvenBasePath(spark, dir)
+      val src = ivfStreamSrcPath(spark, dir)
       val out = Tables.cachePath(dir, "ivf_delta")
       if (!Tables.batchOutputComplete(out)) {
         Tables.resetBatchOutput(out)
@@ -8825,6 +8849,178 @@ object ExtQueries {
         .createOrReplaceTempView("v26_idx")
       "v26_idx"
     } else "q68_idx"
+  }
+
+  /** v28: the VECTOR corpus-refresh capstone — p25's end-to-end
+    * composition on the embedding side, closing the symmetry (text
+    * capstone p25 : vector capstone here). Arriving vectors →
+    * ADMISSION (non-degenerate AND not an exact duplicate of a BASE
+    * vector — dedup-at-ingest, the d01 discipline at the stream
+    * boundary) with PHYSICAL routing (`partitionBy(adm)` under
+    * batchId-keyed exactly-once dirs, q71's pattern) → ONLY the
+    * admit directory's vectors assigned to cells against the FIXED
+    * centroid model and appended as batch-local delta shards (q68's
+    * assignment spelling) → v26's size policy picks the serving
+    * layout (union vs cell-repack) → v05's probe serves top-5 from
+    * it. ONE oracle covers the whole chain: the inline IVF SQL over
+    * base ∪ admitted vectors only — a wrong verdict, a leaked
+    * duplicate, a dropped batch, or a content-changing policy branch
+    * all break the hash. The assignment reads BACK the routed admit
+    * directory rather than re-filtering (p25's structural property:
+    * a rejected vector cannot reach a cell). The duplicate check is
+    * a stream-static anti-join against the cached base vectors
+    * (array-equality key; both engines agree that -0.0 = 0.0
+    * elementwise, probed); queries themselves stay unrestricted —
+    * production lets you search with any vector, only the INDEX is
+    * deduplicated.
+    */
+  private def vectorRefreshQ: Q = {
+    val oracle = {
+      val d = DuckD
+      s"""WITH ${ivfCommonCtes(d)},
+         |adm AS (
+         |  SELECT vec_id FROM emb WHERE vec_id % 2 = 0
+         |  UNION ALL
+         |  SELECT o.vec_id FROM emb o WHERE o.vec_id % 2 = 1
+         |    AND NOT EXISTS (SELECT 1 FROM emb b
+         |      WHERE b.vec_id % 2 = 0 AND b.embedding = o.embedding)),
+         |assign AS (SELECT b.vec_id, b.clabel FROM best b
+         |  JOIN adm a ON a.vec_id = b.vec_id WHERE b.rn = 1),
+         |probe AS (SELECT vec_id AS qid, clabel AS pcell
+         |  FROM best WHERE vec_id < 20 AND rn <= 2),
+         |cand AS (SELECT p.qid, a.vec_id AS nid
+         |  FROM probe p JOIN assign a ON a.clabel = p.pcell
+         |  WHERE a.vec_id <> p.qid),
+         |pairs AS (SELECT c.qid, c.nid,
+         |    ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
+         |      AS cos
+         |  FROM cand c JOIN emb q ON q.vec_id = c.qid
+         |  JOIN emb n ON n.vec_id = c.nid),
+         |topk AS (SELECT qid, nid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+         |      AS rn
+         |  FROM pairs)
+         |SELECT qid, nid, cos FROM topk WHERE rn <= 5""".stripMargin
+    }
+    Q("v28_vector_refresh", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      vectorRefreshDF(spark, dir)
+    }, Some(oracle))
+  }
+
+  /** v28's body over whatever `embeddings` relation is registered —
+    * fixture-testable (router-free probes come from the registered
+    * relation; the routed/delta dirs key off `dir`). */
+  private def vectorRefreshDF(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    vectorRefreshIndexView(spark, dir)
+    spark.read.format("columnfile").option("runtimeFiltering", "false")
+      .load(ivfRouterPath(spark, dir))
+      .where("qid < 20").createOrReplaceTempView("v28_probe")
+    spark.sql(
+      s"""WITH ${ivfIndexedTopkCtes("v28_probe", "v28_idx")}
+         |SELECT qid, nid, cos FROM ivtopk WHERE rn <= 5""".stripMargin)
+  }
+
+  /** The refresh chain through the serving-layout decision: routes
+    * arrivals, builds the admitted delta, applies v26's policy, and
+    * registers `v28_idx` (the served index view). Split out so the
+    * spec can drive planted fixtures without the router. */
+  private def vectorRefreshIndexView(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    cacheOnce(spark.sql(
+      s"WITH ${ivfCommonCtes(SparkD)} SELECT clabel, centroid, cnorm FROM cent"))
+      .createOrReplaceTempView("v28_cent")
+    val base = ivfEvenBasePath(spark, dir)
+    // base vectors for the dup anti-join — registered BEFORE the
+    // stream starts (the foreachBatch clone copies the registry)
+    cacheOnce(spark.read.format("columnfile").load(base)
+      .selectExpr("embedding")).createOrReplaceTempView("v28_basevec")
+    val src = ivfStreamSrcPath(spark, dir)
+    val route = Tables.cachePath(dir, "v28_route")
+    val delta = Tables.cachePath(dir, "v28_delta")
+    if (!Tables.batchOutputComplete(route)) {
+      Tables.resetBatchOutput(route)
+      Tables.resetBatchOutput(delta)
+      val schema = spark.read.format("columnfile").load(src).schema
+      val q = spark.readStream.format("columnfile").schema(schema)
+        .load(src)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.createOrReplaceTempView("v28_batch")
+          // verdict + PHYSICAL routing (exactly-once per batch)
+          df.sparkSession.sql(
+            s"""SELECT vec_id, embedding,
+               |  CASE WHEN ${SparkD.dot("embedding", "embedding")} > 0
+               |    AND NOT EXISTS (SELECT 1 FROM v28_basevec b
+               |      WHERE b.embedding = v28_batch.embedding)
+               |  THEN 1 ELSE 0 END AS adm
+               |FROM v28_batch""".stripMargin)
+            .write.format("columnfile").partitionBy("adm")
+            .mode("overwrite").save(s"$route/batch=$id")
+          // assignment READS BACK the routed admit directory — a
+          // rejected vector structurally cannot reach a cell. A batch
+          // may admit nothing (all dups/degenerate): the adm=1 dir
+          // then never exists and the delta skips the batch.
+          val admDir = new java.io.File(s"$route/batch=$id/adm=1")
+          if (admDir.exists()) {
+            // load the batch ROOT (the schema sidecar lives there;
+            // a subdir load would lose column names) and prune to
+            // the admit directory — p25's read-back spelling
+            df.sparkSession.read.format("columnfile")
+              .load(s"$route/batch=$id").where("adm = 1")
+              .selectExpr("vec_id", "embedding")
+              .createOrReplaceTempView("v28_admitted")
+            df.sparkSession.sql(
+              s"""SELECT vec_id, embedding, cell FROM (
+                 |  SELECT a.vec_id, a.embedding, c.clabel AS cell,
+                 |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 |      ${SparkD.dot("a.embedding", "c.centroid")} /
+                 |        (a.enorm * c.cnorm) DESC, c.clabel) AS rn
+                 |  FROM (SELECT vec_id, embedding,
+                 |          sqrt(${SparkD.dot("embedding", "embedding")})
+                 |            AS enorm
+                 |        FROM v28_admitted) a
+                 |  CROSS JOIN v28_cent c) x
+                 |WHERE rn = 1""".stripMargin)
+              .write.format("columnfile")
+              .mode("overwrite").save(s"$delta/batch=$id")
+          }
+          ()
+        }
+        .option("checkpointLocation", route + "_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Tables.markBatchOutputComplete(delta)
+      Tables.markBatchOutputComplete(route)
+    }
+    // v26's serving-layout dial on THIS family's base/delta
+    val served =
+      if (p24ShouldCompact(p24DataBytes(base), p24DataBytes(delta))) {
+        val compacted = Tables.cachePath(dir, "v28_compacted")
+        if (!new java.io.File(compacted, "_SUCCESS").exists()) {
+          spark.read.format("columnfile").load(base)
+            .selectExpr("vec_id", "embedding", "CAST(cell AS INT) AS cell")
+            .union(Tables.loadBatchDirs(spark, delta,
+                "vec_id BIGINT, embedding ARRAY<FLOAT>, cell INT")
+              .selectExpr("vec_id", "embedding", "CAST(cell AS INT) AS cell"))
+            .repartition(org.apache.spark.sql.functions.col("cell"))
+            .sortWithinPartitions("vec_id")
+            .write.format("columnfile").partitionBy("cell")
+            .mode("overwrite").save(compacted)
+        }
+        spark.read.format("columnfile").load(compacted)
+          .selectExpr("vec_id", "embedding", "CAST(cell AS INT) AS cell")
+      } else {
+        spark.read.format("columnfile").load(base)
+          .selectExpr("vec_id", "embedding", "CAST(cell AS INT) AS cell")
+          .union(Tables.loadBatchDirs(spark, delta,
+              "vec_id BIGINT, embedding ARRAY<FLOAT>, cell INT")
+            .selectExpr("vec_id", "embedding", "CAST(cell AS INT) AS cell"))
+      }
+    served.createOrReplaceTempView("v28_idx")
   }
 
   private def ivfCompactPolicyDF(

@@ -1062,6 +1062,51 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"off-category vectors leaked through the filter: ${got.toSeq}")
   }
 
+  test("v28: a duplicate-of-base arrival is physically routed to " +
+    "adm=0 and never reaches a cell; admitted arrivals land in the " +
+    "full rebuild's cells; degenerate vectors are rejected") {
+    val sp = spark; import sp.implicits._
+    def e(i: Int, v: Double): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = v.toFloat; a
+    }
+    val fixdir = java.nio.file.Files
+      .createTempDirectory("v28fix").toFile.getAbsolutePath
+    // evens -> base; odds arrive. Vec 7 duplicates base vec 2
+    // EXACTLY (the dedup-at-ingest target); vec 9 is the zero vector
+    // (degenerate); vecs 1/11 are genuine new arrivals.
+    val vecs =
+      Seq((0L, 0L, e(0, 1.0)), (2L, 0L, e(0, 1.02)),
+        (10L, 1L, e(1, 1.0)), (12L, 1L, e(1, 1.02))) ++
+      Seq((1L, 0L, e(0, 1.05)), (7L, 0L, e(0, 1.02)),
+        (9L, 0L, Array.fill(64)(0.0f)), (11L, 1L, e(1, 1.05)))
+    vecs.toDF("vec_id", "label", "embedding")
+      .createOrReplaceTempView("embeddings")
+    ExtQueries.TestSql.vectorRefreshIndex(spark, fixdir)
+    val idx = spark.sql("SELECT vec_id, cell FROM v28_idx")
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+    val ids = idx.map(_._1).toSet
+    // the duplicate and the zero vector are OUT; everything else IN
+    assert(ids == Set(0L, 2L, 10L, 12L, 1L, 11L),
+      s"served index ids: $ids")
+    // admitted arrivals carry the full rebuild's cell assignment
+    val want = spark.sql(ExtQueries.TestSql.ivfAssignAllSql)
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+      .toMap
+    assert(idx.toMap.get(1L) == want.get(1L) &&
+      idx.toMap.get(11L) == want.get(11L), s"cells: ${idx.toSeq}")
+    // and the rejection is PHYSICAL: the route dir holds vec 7 and 9
+    // under adm=0, vec 1 and 11 under adm=1
+    val route = graft.queries.Tables.cachePath(fixdir, "v28_route")
+    val routed = spark.read.format("columnfile")
+      .load(new java.io.File(route).listFiles()
+        .filter(_.isDirectory).map(_.getPath).toIndexedSeq: _*)
+      .selectExpr("vec_id", "adm")
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+      .toMap
+    assert(routed == Map(1L -> 1L, 7L -> 0L, 9L -> 0L, 11L -> 1L),
+      s"routes: $routed")
+  }
+
   test("t07/BM25 family: a sub-milli average doc length is floored, " +
     "not divided by zero") {
     val sp = spark; import sp.implicits._
