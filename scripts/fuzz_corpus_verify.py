@@ -32,7 +32,8 @@ QUERIES = ",".join(
      "p17_", "p18_", "p19_", "p20_", "p21_", "p22_", "p23_", "p24_",
      "p25_", "p26_"] +
     [f"v{i:02d}_" for i in range(1, 29)] +
-    ["m01_", "m02_", "m03_", "m04_", "m05_", "m06_", "m07_", "m08_"] +
+    ["m01_", "m02_", "m03_", "m04_", "m05_", "m06_", "m07_", "m08_",
+     "m09_"] +
     # events-based batch family: time-series agg, sessionization twin,
     # as-of/range/interval/salted joins, funnel (ties + boundaries are
     # where tie-break discipline would crack)

@@ -6852,6 +6852,9 @@ object ExtQueries {
     // Perceptual-hash (dHash) image near-dup through the real PGM
     // container parse + exact box-downsample; pigeonhole band join.
     imageDhashDedup,
+    // The image band-geometry sweep: d24's discipline on the visual
+    // family — every near-dup family now carries a tuning curve.
+    imageBandSweepQ,
     // m04's bounded twin: exact-dup images collapse by raster digest,
     // band join over representatives, pairs carry member counts.
     imageDhashCollapsed,
@@ -6980,6 +6983,8 @@ object ExtQueries {
         dir: String): String = ivfPolicyIndexView(spark, dir)
     def vectorRefreshIndex(spark: org.apache.spark.sql.SparkSession,
         dir: String): Unit = vectorRefreshIndexView(spark, dir)
+    def imageBandSweep(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = imageBandSweepDF(spark)
     def kmeansTrain(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = kmTrainDF(spark)
     /** Row count of the shared exact ANN ground truth ([[kmGtCte]]
@@ -7291,6 +7296,113 @@ object ExtQueries {
        |  FROM dd),
        |${m04Body(DuckD, "h")}""".stripMargin
   })
+
+  /** The m09 sweep body over band relation `h` (doc_id, b0..b3 — the
+    * four 16-bit dHash bands). Geometry band values DERIVE from those
+    * four columns with ALIGNED boundaries (2-band = 32-bit pairs,
+    * 8-band = 8-bit halves; every coarse boundary is a fine one), so
+    * candidate sets nest exactly as in d24 — and because both
+    * dialects derive from the same h columns, the derivation itself
+    * cannot diverge. */
+  private def imageBandSweepBody(d: Dial, h: String): String = {
+    val geoms: Seq[String] =
+      (0 until 2).map(k =>
+        s"SELECT doc_id, CAST(2 AS BIGINT) AS bands, $k AS band, " +
+          s"(b${2 * k} + b${2 * k + 1} * 65536) AS bv FROM $h") ++
+      (0 until 4).map(k =>
+        s"SELECT doc_id, CAST(4 AS BIGINT) AS bands, $k AS band, " +
+          s"b$k AS bv FROM $h") ++
+      (0 until 8).map { k =>
+        val src = s"b${k / 2}"
+        val half =
+          if (k % 2 == 0) s"($src % 256)" else d.intDiv(src, "256")
+        s"SELECT doc_id, CAST(8 AS BIGINT) AS bands, $k AS band, " +
+          s"$half AS bv FROM $h"
+      }
+    val ham = (0 until 4)
+      .map(t => s"bit_count(${d.xor(s"q.b$t", s"y.b$t")})").mkString(" + ")
+    s"""qs AS (SELECT * FROM $h WHERE doc_id < 40
+       |  ORDER BY doc_id LIMIT 40),
+       |hgt AS (SELECT qid, nid, ham FROM (
+       |    SELECT q.doc_id AS qid, y.doc_id AS nid,
+       |      CAST($ham AS BIGINT) AS ham
+       |    FROM qs q CROSS JOIN $h y WHERE y.doc_id <> q.doc_id) x
+       |  WHERE ham <= 7),
+       |sx0 AS (${geoms.mkString("\n  UNION ALL ")}),
+       |sx AS (SELECT doc_id, bands, band, bv FROM (
+       |    SELECT doc_id, bands, band, bv,
+       |      COUNT(*) OVER (PARTITION BY bands, band, bv) AS bn
+       |    FROM sx0) x
+       |  WHERE bn <= $HotBucketCap),
+       |scan AS (SELECT DISTINCT a.bands, a.doc_id AS qid, b.doc_id AS nid
+       |  FROM sx a JOIN sx b ON a.bands = b.bands AND a.band = b.band
+       |    AND a.bv = b.bv AND b.doc_id <> a.doc_id
+       |  WHERE a.doc_id < 40)
+       |SELECT CAST(bs.bands AS BIGINT) AS bands,
+       |  CAST(lv.thr AS BIGINT) AS thr,
+       |  COUNT(*) AS n_true,
+       |  CAST(SUM(CASE WHEN c.nid IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit
+       |FROM hgt g
+       |CROSS JOIN (VALUES (2), (4), (8)) AS bs(bands)
+       |CROSS JOIN (VALUES (0), (1), (3), (7)) AS lv(thr)
+       |LEFT JOIN scan c ON c.bands = CAST(bs.bands AS BIGINT)
+       |  AND c.qid = g.qid AND c.nid = g.nid
+       |WHERE g.ham <= lv.thr
+       |GROUP BY bs.bands, lv.thr""".stripMargin
+  }
+
+  /** m09: the IMAGE band-geometry sweep — d24's discipline on the
+    * visual near-dup family, so every near-dup family in the engine
+    * (MinHash d22, SimHash d24, shingle width d25, image dHash here)
+    * carries a measured tuning curve. The 64-bit dHash splits into
+    * {2, 4, 8} aligned bands (32/16/8 bits — 4×16 is m04's
+    * production geometry), each geometry's capped candidates scored
+    * against EXACT hamming ground truth (XOR popcount over the four
+    * band columns) on the LIMIT-40 sample at thresholds
+    * {0, 1, 3, 7}. The pigeonhole guarantee is per-geometry: B bands
+    * can NEVER miss a pair at hamming ≤ B−1 (uncapped) —
+    * spec-asserted on the planted image families, whose one-pixel
+    * perturbations bound every within-group pair at hamming ≤ 4 (a
+    * pixel touches one 2×2 grid cell → at most 2 gradient bits).
+    * Spark computes the bands through the REAL decode seam
+    * (PGM parse → box-downsample → gradient pack); the oracle
+    * recomputes them closed-form — the sweep re-proves the decode at
+    * every geometry it derives.
+    */
+  private def imageBandSweepQ: Q = {
+    val oracle = {
+      val bands = (0 until 4)
+        .map(t => s"CAST(${m04BandExpr(DuckD, t)} AS BIGINT) AS b$t")
+        .mkString(",\n    ")
+      s"""WITH dd AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS r
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    $bands
+         |  FROM dd),
+         |${imageBandSweepBody(DuckD, "h")}""".stripMargin
+    }
+    Q("m09_image_band_sweep", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      imageBandSweepDF(spark)
+    }, Some(oracle))
+  }
+
+  /** Spark side of m09 over whatever documents relation is registered
+    * (fixture-testable); the decode-seam band relation materialized
+    * once (m04's discipline). */
+  private def imageBandSweepDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val sp = spark; import sp.implicits._
+    val ids = spark.table("documents").select("doc_id").as[Long]
+    val payloads = ids.map(id => (id, plantedPgm(id)))
+      .toDF("doc_id", "payload")
+    cacheOnce(graft.multimodal.MultimodalOps
+      .dhashBands(payloads, "payload")
+      .select("doc_id", "b0", "b1", "b2", "b3"))
+      .createOrReplaceTempView("m09_h")
+    spark.sql("WITH " + imageBandSweepBody(SparkD, "m09_h"))
+  }
 
   /** The ~124-bit content-digest fold over a BIGINT byte-list
     * expression — the closed-form twin of

@@ -144,7 +144,10 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d26_lsh_pareto" -> 40L,
     // d27's Pareto surface: d24's bounds exactly (shared sx
     // spelling — LIMIT-40 signature sample, VALUES rows).
-    "d27_simhash_pareto" -> 40L)
+    "d27_simhash_pareto" -> 40L,
+    // m09's image sweep: the LIMIT-40 band-relation sample (exact
+    // hamming ground truth by contract) and the VALUES rows.
+    "m09_image_band_sweep" -> 40L)
 
   /** Static upper bound on a physical subtree's row count, derived
     * from shape alone — the machine check behind the BNLJ allowlist

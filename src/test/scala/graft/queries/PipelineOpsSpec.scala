@@ -1717,6 +1717,42 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cands == cands.sorted, s"candidates not monotone: $cands")
   }
 
+  test("m09: the image band sweep keeps d24's guarantees — pigeonhole " +
+    "exact on guaranteed cells, hits monotone in bands, ground truth " +
+    "geometry-invariant") {
+    val sp = spark; import sp.implicits._
+    // two planted image families (doc_id div 5 groups): within a
+    // group every doc perturbs ONE pixel of the base raster, so every
+    // within-group pair sits at hamming <= 4 (a pixel touches one 2x2
+    // grid cell -> at most 2 gradient bits) — the thr=7 cells are
+    // populated BY CONSTRUCTION of the plant, whatever the exact
+    // distances come out to be
+    ((0L to 4L) ++ (10L to 14L)).map(i => (i, s"doc$i", "en"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val rows = ExtQueries.TestSql.imageBandSweep(spark).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val thrs = Seq(0L, 1L, 3L, 7L)
+    for (b <- Seq(2L, 4L, 8L); t <- thrs) {
+      val (nt, nh) = rows.getOrElse((b, t), (0L, 0L))
+      assert(nh <= nt, s"(b=$b, thr=$t): $nh > $nt")
+      // pigeonhole: <= B-1 differing bits cannot touch all B bands
+      if (t <= b - 1 && nt > 0)
+        assert(nh == nt, s"pigeonhole broken at (b=$b, thr=$t): $nh/$nt")
+    }
+    // the plant guarantees pairs at hamming <= 4: thr=7 is populated
+    assert(Seq(2L, 4L, 8L).forall(b => rows.get((b, 7L)).exists(_._1 >= 2L)),
+      s"thr=7 cells unexpectedly empty: $rows")
+    for (t <- thrs) {
+      val cells = Seq(2L, 4L, 8L).map(b => rows.getOrElse((b, t), (0L, 0L)))
+      assert(cells.map(_._1).distinct.size == 1,
+        s"thr=$t: ground truth varies by geometry")
+      val curve = cells.map(_._2)
+      assert(curve == curve.sorted,
+        s"thr=$t: hits not monotone in bands: $curve")
+    }
+  }
+
   test("d23: tau-sweep counts nest and flip at BOTH adjacent levels; " +
     "ground truth is method-invariant; drop volume tracks the dial") {
     val sp = spark; import sp.implicits._
