@@ -15,9 +15,10 @@ import org.apache.spark.sql.SparkSession
   *
   * The shared hash-set/signature materializations are charged to an
   * untimed warm-up (they are geometry-invariant — one signature pass
-  * serves every geometry, d22's scale shape); each timed cell pays
-  * its own band explode, cap window, and pair join — exactly the
-  * marginal cost of choosing that geometry.
+  * serves every geometry, d22's scale shape); each timed cell drops
+  * its geometry's cached band relation first (`freshExplode`) and so
+  * pays its own band explode, cap window, and pair join — exactly
+  * the marginal cost of choosing that geometry.
   */
 object BenchParetoDedup {
 
@@ -41,7 +42,8 @@ object BenchParetoDedup {
     refs.foreach(r => SparkEntry.queries(r)(spark, sfDir).count())
     val cells = Bands.map { b =>
       s"bands$b" -> timeMin2(() =>
-        { ExtQueries.lshGeomPairsDF(spark, b).count(); () })
+        { ExtQueries.lshGeomPairsDF(spark, b, freshExplode = true)
+            .count(); () })
     }
     val refRows = refs.map { r =>
       r -> timeMin2(() => { SparkEntry.queries(r)(spark, sfDir).count(); () })

@@ -3182,9 +3182,17 @@ object ExtQueries {
     * (d03's own round-7 discipline; geometry-tagged ex view so the
     * three geometries coexist in one session). Callers register
     * `documents` first.
+    *
+    * `freshExplode=true` (the bench's timed runs) first drops any
+    * cached copy of this geometry's capped band relation, so the run
+    * pays the explode + cap window ONCE into a fresh cache before the
+    * pair join reads it — the true marginal cost of the geometry.
+    * Without it, a prior call's cache makes a timed run measure only
+    * the pair self-join.
     */
   private[graft] def lshGeomPairsDF(
-      spark: org.apache.spark.sql.SparkSession, bands: Int)
+      spark: org.apache.spark.sql.SparkSession, bands: Int,
+      freshExplode: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     val hs = cacheOnce(spark.sql(minhashHsSql(SparkD)))
     hs.createOrReplaceTempView("bp_hs")
@@ -3197,6 +3205,7 @@ object ExtQueries {
          |  FROM (SELECT doc_id, bk FROM bp_sig
          |        ${SparkD.explode(arr, "bk")}) e) x
          |WHERE bn <= $HotBucketCap""".stripMargin)
+    if (freshExplode) ex.unpersist(blocking = true)
     cacheOnce(ex).createOrReplaceTempView(s"bp_ex$bands")
     spark.sql(minhashPairsFrom(SparkD, s"bp_ex$bands", "bp_hs"))
   }
@@ -8892,18 +8901,16 @@ object ExtQueries {
       ()
   }
 
-  /** q68's LSM merge, built once per cache dir: ivf_base ∪ ivf_delta
-    * rewritten as ONE cell-partitioned table (vec_id-ordered within
-    * cells for chunk min/max skip) — the q67/p23 repack applied to the
-    * vector index. Shared by v26's fired branch so "compacted" means
-    * exactly one thing for this family too. Requires q68's base/delta
-    * dirs (callers run [[streamIvfIndexViews]] first).
+  /** The IVF-family LSM merge, built once per output dir: base ∪
+    * batchId-keyed delta rewritten as ONE cell-partitioned table
+    * (vec_id-ordered within cells for chunk min/max skip) — the
+    * q67/p23 repack applied to the vector index. ONE spelling shared
+    * by v26's fired branch (q68's base/delta) AND v28's refresh
+    * capstone (its own delta), so "compacted" means exactly one thing
+    * for this family.
     */
   private def ivfCompactedPath(spark: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
-    val base = Tables.cachePath(dir, "ivf_base_even")
-    val delta = Tables.cachePath(dir, "ivf_delta")
-    val compacted = Tables.cachePath(dir, "ivf_compacted")
+      base: String, delta: String, compacted: String): String = {
     if (!new java.io.File(compacted, "_SUCCESS").exists()) {
       spark.read.format("columnfile").load(base)
         .selectExpr("vec_id", "embedding", "CAST(cell AS INT) AS cell")
@@ -8956,7 +8963,9 @@ object ExtQueries {
     val base = Tables.cachePath(dir, "ivf_base_even")
     val delta = Tables.cachePath(dir, "ivf_delta")
     if (p24ShouldCompact(p24DataBytes(base), p24DataBytes(delta))) {
-      spark.read.format("columnfile").load(ivfCompactedPath(spark, dir))
+      spark.read.format("columnfile")
+        .load(ivfCompactedPath(spark, base, delta,
+          Tables.cachePath(dir, "ivf_compacted")))
         .selectExpr("vec_id", "embedding", "CAST(cell AS INT) AS cell")
         .createOrReplaceTempView("v26_idx")
       "v26_idx"
@@ -9108,21 +9117,12 @@ object ExtQueries {
       Tables.markBatchOutputComplete(delta)
       Tables.markBatchOutputComplete(route)
     }
-    // v26's serving-layout dial on THIS family's base/delta
+    // v26's serving-layout dial on THIS family's base/delta; the fired
+    // branch reuses [[ivfCompactedPath]] so the repack has ONE spelling
     val served =
       if (p24ShouldCompact(p24DataBytes(base), p24DataBytes(delta))) {
-        val compacted = Tables.cachePath(dir, "v28_compacted")
-        if (!new java.io.File(compacted, "_SUCCESS").exists()) {
-          spark.read.format("columnfile").load(base)
-            .selectExpr("vec_id", "embedding", "CAST(cell AS INT) AS cell")
-            .union(Tables.loadBatchDirs(spark, delta,
-                "vec_id BIGINT, embedding ARRAY<FLOAT>, cell INT")
-              .selectExpr("vec_id", "embedding", "CAST(cell AS INT) AS cell"))
-            .repartition(org.apache.spark.sql.functions.col("cell"))
-            .sortWithinPartitions("vec_id")
-            .write.format("columnfile").partitionBy("cell")
-            .mode("overwrite").save(compacted)
-        }
+        val compacted = ivfCompactedPath(spark, base, delta,
+          Tables.cachePath(dir, "v28_compacted"))
         spark.read.format("columnfile").load(compacted)
           .selectExpr("vec_id", "embedding", "CAST(cell AS INT) AS cell")
       } else {

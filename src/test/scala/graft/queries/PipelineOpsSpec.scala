@@ -975,7 +975,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val a = Array.fill(64)(0.0f); a(i) = v.toFloat; a
     }
     def run(vecs: Seq[(Long, Long, Array[Float])])
-        : (String, Boolean) = {
+        : (String, Boolean, Long, Long) = {
       val fixdir = java.nio.file.Files
         .createTempDirectory("v26fix").toFile.getAbsolutePath
       vecs.toDF("vec_id", "label", "embedding")
@@ -992,17 +992,30 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$view diverged: ${got.sorted.toSeq} vs ${want.sorted.toSeq}")
       val fired = new java.io.File(graft.queries.Tables
         .cachePath(fixdir, "ivf_compacted"), "_SUCCESS").exists()
-      (view, fired)
+      // the branch choice must rest on real payload bytes, not on
+      // per-file format overhead (headers/sidecars): assert the
+      // measured ratio itself sits FAR from the 25% trigger, so a
+      // format-overhead change surfaces here as a named margin
+      // failure instead of silently flipping the branch under test
+      val baseB = ExtQueries.p24DataBytes(
+        graft.queries.Tables.cachePath(fixdir, "ivf_base_even"))
+      val deltaB = ExtQueries.p24DataBytes(
+        graft.queries.Tables.cachePath(fixdir, "ivf_delta"))
+      (view, fired, baseB, deltaB)
     }
-    // delta-light: 40 even vectors vs ONE odd — the delta stays under
-    // 25% of the base, the rewrite is skipped, the union view serves
-    val (lightView, lightFired) = run(
-      (0 until 40).map(i => (2L * i, 0L, e(0, 1.0 + 0.001 * i))) :+
+    // delta-light: 200 even vectors vs ONE odd — the delta (one tiny
+    // file) stays far under 25% of the base even counting per-file
+    // overhead, the rewrite is skipped, the union view serves
+    val (lightView, lightFired, lb, ld) = run(
+      (0 until 200).map(i => (2L * i, 0L, e(0, 1.0 + 0.001 * i))) :+
         ((1L, 1L, e(1, 1.0))))
     assert(!lightFired, "delta-light corpus should not fire the trigger")
     assert(lightView == "q68_idx")
+    assert(ld * 100 < lb * 15,
+      s"delta-light margin too thin: delta=$ld base=$lb bytes — " +
+        "the 25% trigger would flip on modest format-overhead drift")
     // delta-heavy: two even vectors vs ten odd — fires, repack serves
-    val (heavyView, heavyFired) = run(
+    val (heavyView, heavyFired, _, _) = run(
       Seq((0L, 0L, e(0, 1.0)), (2L, 0L, e(0, 1.01))) ++
         (0 until 10).map(i => (2L * i + 1L, 1L, e(1, 1.0 + 0.001 * i))))
     assert(heavyFired, "delta-heavy corpus should fire the trigger")
