@@ -368,6 +368,15 @@ object CoreQueries {
     // consumed by a real SMJ — zero exchanges AND zero sorts.
     orderedJoin,
 
+    // Self-describing order: the same sort-free merge join with NO
+    // read option — the write-side sortedBy stamp is discovered and
+    // validated by the scan itself.
+    selfDescribingJoin,
+
+    // Composite-key ordered merge join: the multi-column validated
+    // prefix chain serves a 3-key SMJ sort-free.
+    compositeOrderedJoin,
+
     // Partition-grouped metadata-only aggregates.
     groupedAggPushdown,
 
@@ -635,6 +644,130 @@ object CoreQueries {
           |FROM cf_docstats_b s
           |JOIN cf_docmeta_b m ON s.b = m.b AND s.doc_id = m.doc_id
           |GROUP BY m.lang""".stripMargin)
+    }, Some(oracle))
+  }
+
+  /** q76: q75's sort-free merge join with NO `orderedBy` read option —
+    * the write stamps its own sort order (`sortedBy=doc_id` →
+    * [[graft.spark.SortOrderStamp]]) and the scan DISCOVERS it,
+    * re-proves it from chunk stats, and reports the (b, doc_id)
+    * per-partition order by itself. This is the reference's
+    * self-describing sorted output (tools/columnfile-sort.cc:337-342:
+    * `--merge` trusts its own sorted runs with no extra flags) made
+    * durable: a consumer who knows nothing about the table's history
+    * still gets the zero-exchange zero-sort plan q75 needs an explicit
+    * option for. The oracle recomputes the join over raw parquet, so
+    * discovery must lose or duplicate nothing; the zero-sort plan
+    * shape is pinned in StoragePartitionedJoinSpec.
+    */
+  private def selfDescribingJoin: Q = {
+    val oracle =
+      """SELECT m.lang AS l, COUNT(*) AS n_docs,
+        |  CAST(SUM(s.dl) AS BIGINT) AS dl_sum,
+        |  COUNT(DISTINCT s.fp) AS n_fp
+        |FROM (SELECT doc_id, length(text) AS dl, md5(text) AS fp
+        |      FROM documents) s
+        |JOIN (SELECT doc_id, lang FROM documents) m
+        |  ON s.doc_id = m.doc_id
+        |GROUP BY m.lang""".stripMargin
+    Q("q76_cf_selfdescribing_join", (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val stats = Tables.cachePath(dir, "docstats_sd")
+      if (!new java.io.File(stats, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "documents")
+          .selectExpr("doc_id % 8 AS b", "doc_id",
+            "length(text) AS dl", "md5(text) AS fp")
+          .repartition(col("b")).sortWithinPartitions("doc_id")
+          .write.format("columnfile").partitionBy("b")
+          .option("sortedBy", "doc_id")
+          .mode("overwrite").save(stats)
+      }
+      val meta = Tables.cachePath(dir, "docmeta_sd")
+      if (!new java.io.File(meta, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "documents")
+          .selectExpr("doc_id % 8 AS b", "doc_id", "lang")
+          .repartition(col("b")).sortWithinPartitions("doc_id")
+          .write.format("columnfile").partitionBy("b")
+          .option("sortedBy", "doc_id")
+          .mode("overwrite").save(meta)
+      }
+      // NO orderedBy option on either read: discovery alone
+      spark.read.format("columnfile").load(stats)
+        .createOrReplaceTempView("cf_docstats_sd")
+      spark.read.format("columnfile").load(meta)
+        .createOrReplaceTempView("cf_docmeta_sd")
+      spark.sql(
+        """SELECT /*+ MERGE(s) */ m.lang AS l, COUNT(*) AS n_docs,
+          |  CAST(SUM(s.dl) AS BIGINT) AS dl_sum,
+          |  COUNT(DISTINCT s.fp) AS n_fp
+          |FROM cf_docstats_sd s
+          |JOIN cf_docmeta_sd m ON s.b = m.b AND s.doc_id = m.doc_id
+          |GROUP BY m.lang""".stripMargin)
+    }, Some(oracle))
+  }
+
+  /** q77: COMPOSITE-KEY ordered merge join — the multi-column validated
+    * prefix chain ([[graft.spark.ColumnFileScan]]) serving a 3-key SMJ
+    * sort-free. Two per-document SEGMENT relations (two rows per doc:
+    * front/back half lengths vs a deterministic tag), both bucketed by
+    * b = doc_id % 8, one file per bucket sorted by (doc_id, seg) and
+    * stamped `sortedBy=doc_id,seg`; the scan proves the chain (doc_id
+    * strictly increases across chunk boundaries, or stays constant
+    * while seg chains) and reports (b, doc_id, seg) — the reference's
+    * whole-row lexicographic sort order (columnfile-sort.cc:343-370:
+    * col0, then col1, ...) finally recoverable past the first key. The
+    * join then needs no sort and no exchange on either side. Oracle
+    * recomputes both relations from raw parquet.
+    */
+  private def compositeOrderedJoin: Q = {
+    val oracle =
+      """WITH sl AS (SELECT doc_id, seg,
+        |    CASE WHEN seg = 0 THEN length(text) // 2
+        |         ELSE length(text) - length(text) // 2 END AS plen
+        |  FROM documents CROSS JOIN (VALUES (0), (1)) s(seg)),
+        |sm AS (SELECT doc_id, seg, (doc_id * 2 + seg) % 7 AS tag
+        |  FROM documents CROSS JOIN (VALUES (0), (1)) s(seg))
+        |SELECT m.tag AS tag, COUNT(*) AS n_seg,
+        |  CAST(SUM(l.plen) AS BIGINT) AS plen_sum
+        |FROM sl l JOIN sm m ON l.doc_id = m.doc_id AND l.seg = m.seg
+        |GROUP BY m.tag""".stripMargin
+    Q("q77_cf_composite_ordered_join", (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val sl = Tables.cachePath(dir, "docseg_len_by_b")
+      if (!new java.io.File(sl, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "documents")
+          .selectExpr("doc_id % 8 AS b", "doc_id",
+            "explode(array(0L, 1L)) AS seg", "length(text) AS dl")
+          .selectExpr("b", "doc_id", "seg",
+            "CASE WHEN seg = 0 THEN dl DIV 2 ELSE dl - dl DIV 2 END AS plen")
+          .repartition(col("b")).sortWithinPartitions("doc_id", "seg")
+          .write.format("columnfile").partitionBy("b")
+          .option("sortedBy", "doc_id,seg")
+          .mode("overwrite").save(sl)
+      }
+      val sm = Tables.cachePath(dir, "docseg_tag_by_b")
+      if (!new java.io.File(sm, "_SUCCESS").exists()) {
+        Tables.t(spark, dir, "documents")
+          .selectExpr("doc_id % 8 AS b", "doc_id",
+            "explode(array(0L, 1L)) AS seg")
+          .selectExpr("b", "doc_id", "seg",
+            "(doc_id * 2 + seg) % 7 AS tag")
+          .repartition(col("b")).sortWithinPartitions("doc_id", "seg")
+          .write.format("columnfile").partitionBy("b")
+          .option("sortedBy", "doc_id,seg")
+          .mode("overwrite").save(sm)
+      }
+      spark.read.format("columnfile").load(sl)
+        .createOrReplaceTempView("cf_docseg_len")
+      spark.read.format("columnfile").load(sm)
+        .createOrReplaceTempView("cf_docseg_tag")
+      spark.sql(
+        """SELECT /*+ MERGE(l) */ m.tag AS tag, COUNT(*) AS n_seg,
+          |  CAST(SUM(l.plen) AS BIGINT) AS plen_sum
+          |FROM cf_docseg_len l
+          |JOIN cf_docseg_tag m ON l.b = m.b AND l.doc_id = m.doc_id
+          |  AND l.seg = m.seg
+          |GROUP BY m.tag""".stripMargin)
     }, Some(oracle))
   }
 

@@ -8920,6 +8920,9 @@ object ExtQueries {
         .repartition(org.apache.spark.sql.functions.col("cell"))
         .sortWithinPartitions("vec_id")
         .write.format("columnfile").partitionBy("cell")
+        // self-describing order: readers discover the per-cell vec_id
+        // sort (validated from chunk stats) with no read option
+        .option("sortedBy", "vec_id")
         .mode("overwrite").save(compacted)
     }
     compacted
@@ -10195,6 +10198,8 @@ object ExtQueries {
         .repartition(org.apache.spark.sql.functions.col("tb"))
         .sortWithinPartitions("doc_id")
         .write.format("columnfile").partitionBy("tb")
+        // self-describing order (see ivfCompactedPath)
+        .option("sortedBy", "doc_id")
         .mode("overwrite").save(compacted)
     }
     compacted

@@ -173,6 +173,12 @@ object ChunkStatsIndex {
     * value in a column shares the column's scale, so unscaled order is
     * value order. Wider decimals carry no stats (safe fallback).
     */
+  /** Whether a leaf of this type carries (min, max) range stats — the
+    * precondition for a write-side `sortedBy` stamp on the column to be
+    * read-side provable at all. */
+  private[graft] def statsCapable(dt: DataType): Boolean =
+    family(dt).isDefined
+
   private def family(dt: DataType): Option[Char] = dt match {
     case IntegerType | LongType | ShortType | ByteType | DateType |
          TimestampType | TimestampNTZType | BooleanType => Some('l')

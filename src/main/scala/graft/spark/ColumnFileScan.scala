@@ -263,113 +263,213 @@ class ColumnFileScan(
     *     them per partition — always reported, no option needed. This
     *     alone removes both SortExec nodes from a storage-partitioned
     *     sort-merge join on the partition column.
-    *  2. A `orderedBy=<col>` read option declares one DATA column
-    *     sorted ascending within the physical layout (what cfSort,
-    *     compaction, and the doc-ordered index writers produce). The
-    *     declaration is VALIDATED against the chunk-stats sidecars
-    *     before it is reported — a wrong declaration fails the query
-    *     loudly at planning, never returns wrong results:
+    *  2. DATA-column order, from either of two equivalent declarations
+    *     that the physical layout is sorted lexicographically by a
+    *     column list (what cfSort, compaction, and the doc-ordered
+    *     index writers produce):
+    *       - an `orderedBy=<c1>[,<c2>...]` read option, or
+    *       - the table's own `_sort_order.json` stamp
+    *         ([[SortOrderStamp]], published by writes carrying
+    *         `sortedBy=...`) — SELF-DESCRIBING order, discovered with
+    *         no read option (`orderedBy=none` opts out).
+    *     Either way the declaration is VALIDATED against the
+    *     chunk-stats sidecars before anything is reported — a wrong or
+    *     stale declaration fails the query loudly at planning, never
+    *     returns wrong results:
     *       - every chunk of every data file must carry (min, max)
-    *         stats for the column with ZERO nulls (null placement is
-    *         not provable from range stats), and consecutive chunks
-    *         must satisfy prev.max <= next.min (file-internal order);
+    *         stats for the leading column with ZERO nulls (null
+    *         placement is not provable from range stats), and
+    *         consecutive chunks must satisfy prev.max <= next.min
+    *         (file-internal order);
+    *       - columns past the first are reported only as far as the
+    *         chunk stats can PROVE the lexicographic chain: at every
+    *         consecutive chunk pair, either some earlier column
+    *         strictly increases across the boundary (later columns
+    *         are then unconstrained there), or every earlier column is
+    *         constant-and-equal across both chunks and the next
+    *         column's ranges chain. The report is the longest provable
+    *         prefix — a file sorted on c1 only gets exactly the
+    *         1-column report (reporting LESS order is always safe:
+    *         Spark just keeps its sort);
     *       - splits are file-internal chunk ranges in chunk order, so
     *         per-split order follows from file order for UNPARTITIONED
     *         tables; for key-grouped tables Spark CONCATENATES a key's
     *         splits, so each key directory must hold exactly one data
     *         file small enough to plan as one split.
-    *     If the declared column is pruned from the output no claim is
-    *     made (nothing to order by), and validation is skipped.
+    *     Pruned columns cut the claim at the first column missing from
+    *     the output (nothing to order by there); if the leading column
+    *     is pruned no claim is made and validation is skipped.
     */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
     val outCols = requiredSchema.fieldNames.toSet
     val partPrefix = partitionCols.filter(outCols.contains)
-    val dataCols = orderedByCols match {
-      case Seq(c) if outCols.contains(c) => validateOrderedBy(c); Seq(c)
-      case Seq() => Seq.empty
-      case Seq(c) => Seq.empty // declared but pruned from output
-      case many => throw new IllegalArgumentException(
-        s"columnfile: orderedBy supports exactly one column " +
-          s"(chunk range stats prove monotonicity of one key), got: " +
-          many.mkString(","))
-    }
+    val (declaredCols, explicit) = orderedByCols
+    val visible = declaredCols.takeWhile(outCols.contains)
+    val dataCols =
+      if (visible.isEmpty) Seq.empty
+      else validateOrderedBy(visible, explicit)
     (partPrefix ++ dataCols).map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
   }
 
-  private def orderedByCols: Seq[String] =
-    Option(options.get("orderedBy")).toSeq
-      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-
-  /** Prove the `orderedBy` declaration from the chunk-stats sidecars or
-    * refuse it — see [[outputOrdering]]. The layout reads are the same
-    * memoized per-file sidecar reads planning does anyway.
+  /** The declared sort columns and whether they came from an explicit
+    * read option (`none` disables any claim) or were discovered from
+    * the table's own stamp. Multiple load roots must ALL be stamped to
+    * make a discovered claim — the common prefix of their lists (a
+    * concat of differently-sorted tables is still per-file sorted by
+    * the shared prefix, which the per-file validation then proves or
+    * refutes as usual).
     */
-  private def validateOrderedBy(col: String): Unit = {
-    if (partitionCols.contains(col)) throw new IllegalArgumentException(
-      s"columnfile: orderedBy column '$col' is a partition column — " +
-        "partition-column ordering is reported automatically")
+  private def orderedByCols: (Seq[String], Boolean) =
+    Option(options.get("orderedBy")) match {
+      case Some(s) if s.trim.equalsIgnoreCase("none") => (Seq.empty, true)
+      case Some(s) =>
+        (s.split(",").map(_.trim).filter(_.nonEmpty).toSeq, true)
+      case None =>
+        val stamps = paths.map(p =>
+          SortOrderStamp.read(conf, new Path(p)))
+        if (stamps.isEmpty || stamps.exists(_.isEmpty)) (Seq.empty, false)
+        else (stamps.map(_.get).reduce((a, b) =>
+          a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1)), false)
+    }
+
+  /** Prove the declared column list from the chunk-stats sidecars:
+    * returns the longest provable prefix — see [[outputOrdering]]. The
+    * layout reads are the same memoized per-file sidecar reads
+    * planning does anyway.
+    *
+    * Failure policy: a CONTRADICTED claim (chunk ranges out of order on
+    * the leading column, a column the schema no longer has) fails
+    * loudly in both modes — a stale stamp or wrong option must never be
+    * ignored into silence. An UNPROVABLE-but-uncontradicted claim
+    * (nulls, missing ranges) and a layout that cannot safely serve it
+    * (multi-file key dirs, files past maxPartitionBytes — Spark would
+    * concatenate splits) fail only an EXPLICIT `orderedBy` option (the
+    * reader asked for something the table can't give); a discovered
+    * stamp downgrades to no claim, because the stamp may be perfectly
+    * truthful and merely unexploitable — reporting less order is always
+    * safe.
+    */
+  private def validateOrderedBy(
+      cols: Seq[String], declared: Boolean): Seq[String] = {
+    cols.find(partitionCols.contains).foreach { c =>
+      throw new IllegalArgumentException(
+        s"columnfile: orderedBy column '$c' is a partition column — " +
+          "partition-column ordering is reported automatically")
+    }
     val partSet = partitionCols.toSet
     val dataSchema = StructType(tableSchema.fields.filterNot(f => partSet(f.name)))
     val leaves = CellCodec.flatten(dataSchema)
-    val ord = leaves.indexWhere(_.name == col)
-    if (ord < 0) throw new IllegalArgumentException(
-      s"columnfile: orderedBy column '$col' not found in the data schema")
+    val ords = cols.map { c =>
+      val ord = leaves.indexWhere(_.name == c)
+      if (ord < 0) throw new IllegalArgumentException(
+        s"columnfile: orderedBy column '$c' not found in the data schema")
+      ord
+    }
     def lohi(r: ChunkStatsIndex.Range): (Any, Any) = r match {
       case ChunkStatsIndex.LongRange(lo, hi) => (lo, hi)
       case ChunkStatsIndex.DoubleRange(lo, hi) => (lo, hi)
       case ChunkStatsIndex.StringRange(lo, hi) => (lo, hi)
     }
-    def leq(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: Long, y: Long) => x <= y
-      case (x: Double, y: Double) => x <= y
-      case (x: String, y: String) => x <= y
-      case _ => false
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None
     }
+    def leq(a: Any, b: Any): Boolean = cmp(a, b).exists(_ <= 0)
+    def lt(a: Any, b: Any): Boolean = cmp(a, b).exists(_ < 0)
+    def eqv(a: Any, b: Any): Boolean = cmp(a, b).contains(0)
     val files = ColumnFileDataSource.listDataFilesWithRoots(conf, paths, useManifest)
     val maxBytes = Option(options.get("maxPartitionBytes"))
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
     def fail(st: org.apache.hadoop.fs.FileStatus, why: String): Nothing =
       throw new IllegalArgumentException(
-        s"columnfile: orderedBy=$col declaration is NOT satisfied by " +
-          s"${st.getPath}: $why (write the table doc-ordered — cfSort / " +
-          "compaction — or drop the option)")
+        s"columnfile: orderedBy=${cols.head} declaration is NOT " +
+          s"satisfied by ${st.getPath}: $why (write the table " +
+          "doc-ordered — cfSort / compaction — or drop the " +
+          "option/stamp)")
+    // the claim is the minimum provable prefix across every chunk and
+    // chunk boundary of every file; provable == 0 means no claim (and,
+    // for an explicit option, a loud failure at the first such cut)
+    var provable = cols.length
     files.foreach { case (_, st) =>
-      val layout = chunkLayout(st)
-      var prevHi: Option[Any] = None
-      var bytes = 0L
-      layout.zipWithIndex.foreach { case ((_, size, stOpt), i) =>
-        bytes += size
-        val ss = stOpt.getOrElse(fail(st,
-          s"chunk $i has no stats sidecar entry"))
-        val (rOpt, nulls) = ss.cols.getOrElse(ord,
-          fail(st, s"chunk $i carries no stats for '$col'"))
-        if (nulls > 0) fail(st,
-          s"chunk $i has $nulls nulls in '$col' — null placement is " +
-            "not provable from range stats")
-        val r = rOpt.getOrElse(fail(st, s"chunk $i has no range for '$col'"))
-        val (lo, hi) = lohi(r)
-        prevHi.foreach { ph =>
-          if (!leq(ph, lo)) fail(st,
-            s"chunk ${i - 1}.max > chunk $i.min ($ph > $lo) — the file " +
-              "is not sorted by this column")
+      if (provable > 0) {
+        val layout = chunkLayout(st)
+        // prevRanges(k) = chunk i-1's (lo, hi) for declared column k
+        var prevRanges: Array[(Any, Any)] = null
+        var bytes = 0L
+        layout.zipWithIndex.foreach { case ((_, size, stOpt), i) =>
+          if (provable > 0) {
+            bytes += size
+            val ss = stOpt.getOrElse(fail(st,
+              s"chunk $i has no stats sidecar entry"))
+            val ranges = new Array[(Any, Any)](provable)
+            var k = 0
+            while (k < provable) {
+              val col = cols(k)
+              def cut(why: String): Unit =
+                if (k == 0 && declared) fail(st, why) else provable = k
+              ss.cols.get(ords(k)) match {
+                case None => cut(s"chunk $i carries no stats for '$col'")
+                case Some((_, nulls)) if nulls > 0 => cut(
+                  s"chunk $i has $nulls nulls in '$col' — null " +
+                    "placement is not provable from range stats")
+                case Some((None, _)) =>
+                  cut(s"chunk $i has no range for '$col'")
+                case Some((Some(r), _)) => ranges(k) = lohi(r)
+              }
+              k += 1
+            }
+            if (prevRanges != null && provable > 0) {
+              // longest prefix whose lexicographic chain this boundary
+              // proves: descend while earlier columns are
+              // constant-equal across BOTH chunks; a strict increase
+              // proves the whole remaining prefix; the last column
+              // needs only <=
+              var m = 0
+              var decided = false
+              while (!decided && m < provable) {
+                val (plo, phi) = prevRanges(m)
+                val (nlo, nhi) = ranges(m)
+                if (lt(phi, nlo)) { m = provable; decided = true }
+                else if (eqv(plo, phi) && eqv(phi, nlo) &&
+                  eqv(nlo, nhi)) m += 1
+                else { if (leq(phi, nlo)) m += 1; decided = true }
+              }
+              // a CONTRADICTED leading column is a refuted claim: loud
+              // in both modes — a stale stamp must never be silence
+              if (m == 0) fail(st,
+                s"chunk ${i - 1}.max > chunk $i.min " +
+                  s"(${prevRanges(0)._2} > ${ranges(0)._1}) — the " +
+                  s"file is not sorted by '${cols.head}'")
+              provable = math.min(provable, m)
+            }
+            if (provable > 0)
+              prevRanges = java.util.Arrays.copyOf(ranges, provable)
+          }
         }
-        prevHi = Some(hi)
+        if (provable > 0 && partitionCols.nonEmpty && bytes > maxBytes) {
+          if (declared) fail(st,
+            s"file is $bytes bytes > maxPartitionBytes=$maxBytes: a " +
+              s"key-grouped partition would concatenate multiple splits")
+          else provable = 0
+        }
       }
-      if (partitionCols.nonEmpty && bytes > maxBytes) fail(st,
-        s"file is $bytes bytes > maxPartitionBytes=$maxBytes: a " +
-          "key-grouped partition would concatenate multiple splits")
     }
-    if (partitionCols.nonEmpty) {
+    if (provable > 0 && partitionCols.nonEmpty) {
       val byDir = files.groupBy(_._2.getPath.getParent.toString)
       byDir.find(_._2.length > 1).foreach { case (dir, fs) =>
-        throw new IllegalArgumentException(
-          s"columnfile: orderedBy=$col needs exactly one data file per " +
-            s"partition directory (Spark concatenates a key's splits in " +
-            s"unspecified order); $dir has ${fs.length} — compact it")
+        if (declared) throw new IllegalArgumentException(
+          s"columnfile: orderedBy=${cols.head} needs exactly one data " +
+            s"file per partition directory (Spark concatenates a key's " +
+            s"splits in unspecified order); $dir has ${fs.length} — " +
+            "compact it")
+        else provable = 0
       }
     }
+    cols.take(provable)
   }
 
   private def allFilters: Array[Filter] = filters ++ runtimeFilters

@@ -190,6 +190,10 @@ final class ColumnFileStreamingWrite(
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (partitionCols.nonEmpty)
       PartitionLayout.write(conf.conf, dir, partitionCols)
+    // streamed epochs append files with no sort claim: drop any prior
+    // table-level sort-order stamp so a compacted-then-streamed-into
+    // table can never advertise an order its tail doesn't satisfy
+    SortOrderStamp.clear(conf.conf, dir)
     fs.create(new Path(dir, "_SUCCESS"), true).close()
     pruneEpochs(fs, epochId)
   }

@@ -265,6 +265,46 @@ class ColumnFileWrite(
     names
   }
 
+  /** `sortedBy=c1[,c2...]`: the writer's declaration that every data
+    * file it publishes holds rows sorted lexicographically by the
+    * listed data columns (what `orderBy`/`sortWithinPartitions` on the
+    * written frame produces). Commit publishes it as the table's
+    * [[SortOrderStamp]], making the order SELF-DESCRIBING: readers get
+    * the scan's validated per-partition ordering report — and the
+    * sort-free merge joins it enables — with no read option. The scan
+    * re-proves the claim from chunk stats at every read, so a lying
+    * declaration fails reads loudly rather than serving wrong order.
+    * Writes WITHOUT the option clear any existing stamp (their files
+    * carry no claim). Fail-fast checks here: columns must be leaves of
+    * the written data schema, not partition columns (reported
+    * automatically), and of stats-capable types (otherwise no reader
+    * could ever validate the claim).
+    */
+  private val sortedCols: Seq[String] = {
+    val names = Option(options.get("sortedBy")).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    if (names.nonEmpty) {
+      val leaves = CellCodec.flatten(
+        StructType(storedSchema.fields.filterNot(f => partitionCols.contains(f.name))))
+      names.foreach { n =>
+        if (partitionCols.contains(n))
+          throw new IllegalArgumentException(
+            s"columnfile: sortedBy column $n is a partition column — " +
+              "partition-column ordering is reported automatically")
+        val leaf = leaves.find(_.name == n).getOrElse(
+          throw new IllegalArgumentException(
+            s"columnfile: sortedBy column $n is not a leaf of the " +
+              s"written schema"))
+        if (!ChunkStatsIndex.statsCapable(leaf.dataType))
+          throw new IllegalArgumentException(
+            s"columnfile: sortedBy column $n (${leaf.dataType.sql}) " +
+              "carries no range stats — the order claim could never be " +
+              "validated at read time")
+      }
+    }
+    names
+  }
+
   override def toBatch: BatchWrite = this
 
   /** Streaming sink (`writeStream.format("columnfile")`): append-mode
@@ -336,6 +376,34 @@ class ColumnFileWrite(
       val removed = deleteOverwritten(fs, dir, committedFiles)
       ManifestFile.replace(conf, dir, removed, committed)
     } else ManifestFile.append(conf, dir, committed)
+    // Sort-order stamp maintenance. A write WITHOUT sortedBy clears any
+    // prior stamp (its files carry no claim). With sortedBy: a full
+    // overwrite stamps its own claim (the table IS this commit's
+    // files); an append/partial overwrite may only NARROW an existing
+    // claim to the common prefix — never extend one onto prior files
+    // this commit did not write and cannot vouch for. A claim-less
+    // table accepts a fresh claim only when the post-commit manifest
+    // shows this commit's files are ALL the files. (Every claim is
+    // still independently re-proved from chunk stats at read time.)
+    val effectiveStamp: Seq[String] =
+      if (sortedCols.isEmpty) Seq.empty
+      else if (truncateFirst) sortedCols
+      else {
+        val prior =
+          try SortOrderStamp.read(conf, dir) catch { case _: Exception => None }
+        prior match {
+          case Some(prev) => prev.zip(sortedCols)
+            .takeWhile { case (a, b) => a == b }.map(_._1)
+          case None =>
+            val tableIsThisCommit = ManifestFile.read(conf, dir)
+              .exists(_.map(_.rel).toSet ==
+                committedFiles.map(f =>
+                  ManifestFile.relativize(dir, new Path(f))).toSet)
+            if (tableIsThisCommit) sortedCols else Seq.empty
+        }
+      }
+    if (effectiveStamp.nonEmpty) SortOrderStamp.write(conf, dir, effectiveStamp)
+    else SortOrderStamp.clear(conf, dir)
     fs.create(new Path(dir, "_SUCCESS"), true).close()
   }
 

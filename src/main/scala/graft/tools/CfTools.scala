@@ -77,12 +77,24 @@ object CfTools {
     df.orderBy(sortCols: _*)
   }
 
-  def writeSorted(df: DataFrame, output: String, compression: String = "lz4"): Unit =
-    df.write.mode("overwrite").format("columnfile")
+  /** `keys` (the sort's own key list; all columns when the sort ran
+    * key-less) are stamped into the table's `_sort_order.json` so the
+    * output is SELF-DESCRIBING: downstream merge consumers get the
+    * scan's validated ordering report — and sort-free merge joins —
+    * with no read option, exactly the reference economics where sorted
+    * output is trusted by its own `--merge` (columnfile-sort.cc:337-342).
+    * Stamp-capable keys only (stats-backed leaf columns); pass Nil to
+    * skip stamping.
+    */
+  def writeSorted(df: DataFrame, output: String, compression: String = "lz4",
+                  keys: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("columnfile")
       .option("compression", compression)
       // reference sort uses 128 MiB chunks (columnfile-sort.cc:34)
       .option("targetChunkBytes", (128L * 1024 * 1024).toString)
-      .save(output)
+    (if (keys.nonEmpty) w.option("sortedBy", keys.mkString(","))
+     else w).save(output)
+  }
 
   /** Compaction: rewrite a table's many small files into
     * ceil(totalBytes / targetFileBytes) files with large chunks — the
@@ -123,12 +135,19 @@ object CfTools {
       } else in.repartition(nFiles)
     if (sortWithinBy.nonEmpty)
       df = df.sortWithinPartitions(sortWithinBy.map(col): _*)
-    df.write.mode("overwrite").format("columnfile")
+    // a sorted compaction knows exactly what order it wrote — stamp it
+    // (stats-capable prefix) so consumers discover the order with no
+    // read option; a Z-ORDER rewrite clusters but does not sort any
+    // single column, so it makes no claim
+    val stamp = sortWithinBy.takeWhile(c => graft.spark.ChunkStatsIndex
+      .statsCapable(df.schema(c).dataType))
+    val w = df.write.mode("overwrite").format("columnfile")
       .option("compression", compression)
       .option("targetChunkBytes", targetChunkBytes.toString)
       .option("dictionary", dictionary.toString)
       .option("bitpack", bitpack.toString)
-      .save(output)
+    (if (stamp.nonEmpty) w.option("sortedBy", stamp.mkString(","))
+     else w).save(output)
   }
 
   /** Z-value (Morton interleave) of several integer columns: bit j of
@@ -251,12 +270,18 @@ object CfTools {
         opts.collectFirst { case ("compression", v) => v }.getOrElse("lz4"))
     case "sort" :: rest =>
       val (opts, inputs) = parse(rest)
-      val df = sort(spark, inputs,
-        keys = opts.collect { case ("keys", v) => v.split(",").toSeq }.flatten)
+      val keys = opts.collect { case ("keys", v) => v.split(",").toSeq }.flatten
+      val df = sort(spark, inputs, keys)
+      // stamp the sort's effective key list (all columns when key-less),
+      // cut to the stats-capable prefix a reader could ever validate
+      val effKeys = (if (keys.nonEmpty) keys else df.columns.toSeq)
+        .takeWhile(c => graft.spark.ChunkStatsIndex
+          .statsCapable(df.schema(c).dataType))
       writeSorted(df,
         opts.collectFirst { case ("output", v) => v }
           .getOrElse(throw new IllegalArgumentException("--output required")),
-        opts.collectFirst { case ("compression", v) => v }.getOrElse("lz4"))
+        opts.collectFirst { case ("compression", v) => v }.getOrElse("lz4"),
+        keys = effKeys)
     case other =>
       throw new IllegalArgumentException(s"usage: cat|sort ... (got $other)")
   }

@@ -194,6 +194,36 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().map(_.getLong(1)).sum > 0)
   }
 
+  private def assertMergeNoSortNoExchange(
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val exec = df.queryExecution.executedPlan
+    val p = exec.toString
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    val belowJoin = p.linesIterator
+      .dropWhile(l => !l.contains("SortMergeJoin")).mkString("\n")
+    assert(!belowJoin.contains("Exchange"),
+      s"expected a storage-partitioned (shuffle-free) join:\n$p")
+    assert(exec.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+      s"scan-reported ordering should elide the SMJ sorts:\n$p")
+  }
+
+  test("q76 merge-joins two SELF-DESCRIBING ordered tables (no read " +
+    "option) with zero exchanges and zero sorts") {
+    val df = graft.SparkEntry
+      .queries("q76_cf_selfdescribing_join")(spark, "/root/testdata/sf0.001")
+    assertMergeNoSortNoExchange(df)
+    assert(df.collect().map(_.getLong(1)).sum > 0)
+  }
+
+  test("q77 merge-joins on a COMPOSITE key (b, doc_id, seg) with zero " +
+    "exchanges and zero sorts — the validated multi-column prefix") {
+    val df = graft.SparkEntry
+      .queries("q77_cf_composite_ordered_join")(spark, "/root/testdata/sf0.001")
+    assertMergeNoSortNoExchange(df)
+    assert(df.collect().map(_.getLong(1)).sum > 0)
+  }
+
   test("non-partitioned scans still plan and join normally") {
     val sp = spark; import sp.implicits._
     val dir = Files.createTempDirectory("cf-spj-c").toString
@@ -202,5 +232,131 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t = spark.read.format("columnfile").load(dir)
     assert(t.join(t.select(col("id").as("id2")), col("id") === col("id2"))
       .count() == 100)
+  }
+
+  private def sortsIn(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }.length
+
+  /** One sorted file per append: per-file (g const, id asc), several
+    * chunks each — the multi-file shape a grouped compaction writes. */
+  private def writeSortedByGid(dir: String, scrambleId: Boolean): Unit = {
+    val sp = spark; import sp.implicits._
+    for (g <- 0 until 4) {
+      val rows = (0 until 1200)
+        .map(i => (g.toLong,
+          (if (scrambleId) (i * 7919) % 1200 else i).toLong, s"val$g-$i"))
+        .toDF("g", "id", "v").coalesce(1)
+      // scramble mode keeps input order: g constant (sorted trivially),
+      // id genuinely out of order across chunk boundaries
+      (if (scrambleId) rows else rows.sortWithinPartitions("g", "id"))
+        .write.format("columnfile")
+        .option("sortedBy", if (scrambleId) "g" else "g,id")
+        .option("targetChunkBytes", "4096")
+        .mode(if (g == 0) "overwrite" else "append").save(dir)
+    }
+  }
+
+  test("self-describing sort order: a sortedBy write stamps the table, " +
+    "a plain reader discovers the composite order and plans zero " +
+    "sorts; an unstamped append clears the claim") {
+    val dir = Files.createTempDirectory("cf-stamp-a").toString
+    writeSortedByGid(dir, scrambleId = false)
+    // NO read option: the stamp + chunk-stats validation alone report
+    // the (g, id) per-partition order
+    val q = spark.read.format("columnfile").load(dir)
+      .where("id >= 3").sortWithinPartitions("g", "id")
+    assert(sortsIn(q) == 0,
+      s"discovered (g, id) order should elide the per-partition sort:\n" +
+        q.queryExecution.executedPlan)
+    assert(q.count() == 4 * 1197)
+    // orderedBy=none opts out: same consumer pays a real sort — the
+    // discovery, not some other rewrite, removed it above
+    val optOut = spark.read.format("columnfile")
+      .option("orderedBy", "none").load(dir)
+      .where("id >= 3").sortWithinPartitions("g", "id")
+    assert(sortsIn(optOut) > 0)
+    // an append WITHOUT sortedBy clears the stamp: readers lose the
+    // claim (and pay the sort) instead of failing on unsorted tails
+    val sp = spark; import sp.implicits._
+    Seq((9L, 5L, "tail")).toDF("g", "id", "v")
+      .write.format("columnfile").mode("append").save(dir)
+    val after = spark.read.format("columnfile").load(dir)
+      .sortWithinPartitions("g", "id")
+    assert(sortsIn(after) > 0,
+      "unstamped append must drop the discovered ordering")
+  }
+
+  test("multi-column orderedBy reports the longest PROVABLE prefix: " +
+    "a file sorted on g only serves exactly the 1-column report") {
+    val dir = Files.createTempDirectory("cf-stamp-b").toString
+    // per-file: g constant, id deliberately scrambled across chunk
+    // boundaries; stamped (honestly) as sorted by g alone
+    writeSortedByGid(dir, scrambleId = true)
+    // an explicit 2-column declaration downgrades to the provable
+    // 1-column prefix: (g) elides its sort, (g, id) cannot
+    val gOnly = spark.read.format("columnfile")
+      .option("orderedBy", "g,id").load(dir).sortWithinPartitions("g")
+    assert(sortsIn(gOnly) == 0,
+      s"provable prefix (g) should satisfy the g sort:\n" +
+        gOnly.queryExecution.executedPlan)
+    val gid = spark.read.format("columnfile")
+      .option("orderedBy", "g,id").load(dir).sortWithinPartitions("g", "id")
+    assert(sortsIn(gid) > 0,
+      "the unprovable id leg must NOT be reported")
+    // discovery path reads the honest 1-column stamp the write left
+    val disc = spark.read.format("columnfile").load(dir)
+      .sortWithinPartitions("g")
+    assert(sortsIn(disc) == 0)
+  }
+
+  test("a hand-edited (stale) stamp fails loudly at planning, never " +
+    "serves wrong order") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-stamp-c").toString
+    // unsorted table, several chunks
+    (0 until 5000).map(i => (((i * 7919) % 5000).toLong, s"v$i"))
+      .toDF("id", "v")
+      .coalesce(1).write.format("columnfile")
+      .option("targetChunkBytes", "4096")
+      .mode("overwrite").save(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_sort_order.json"),
+      """{"cols":["id"]}""".getBytes("UTF-8"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val ex = intercept[Exception] {
+      spark.read.format("columnfile").load(dir).orderBy("id").collect()
+    }
+    assert(messages(ex).exists(_.contains("NOT satisfied")),
+      s"stale stamp should fail loudly: $ex")
+  }
+
+  test("an append with a narrower sortedBy narrows the stamp to the " +
+    "common prefix instead of lying about prior files") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-stamp-d").toString
+    writeSortedByGid(dir, scrambleId = false) // stamp: (g, id)
+    assert(SortOrderStamp.read(
+      spark.sessionState.newHadoopConf(),
+      new org.apache.hadoop.fs.Path(dir)).contains(Seq("g", "id")))
+    Seq((8L, 0L, "t0"), (8L, 1L, "t1")).toDF("g", "id", "v")
+      .coalesce(1).sortWithinPartitions("g")
+      .write.format("columnfile").option("sortedBy", "g")
+      .mode("append").save(dir)
+    assert(SortOrderStamp.read(
+      spark.sessionState.newHadoopConf(),
+      new org.apache.hadoop.fs.Path(dir)).contains(Seq("g")))
+    // and a sortedBy append onto an UNSTAMPED multi-file table makes
+    // no claim (prior files are not vouched for)
+    val dir2 = Files.createTempDirectory("cf-stamp-e").toString
+    Seq((1L, "a")).toDF("id", "v").write.format("columnfile")
+      .mode("overwrite").save(dir2)
+    Seq((2L, "b")).toDF("id", "v").write.format("columnfile")
+      .option("sortedBy", "id").mode("append").save(dir2)
+    assert(SortOrderStamp.read(
+      spark.sessionState.newHadoopConf(),
+      new org.apache.hadoop.fs.Path(dir2)).isEmpty)
   }
 }
