@@ -46,7 +46,8 @@ final class ColumnFileStreamingWrite(
     // stored schema and each task's writer appends the derived leaves
     // (ShredAppend) to the narrower incoming rows of shredBaseJson
     shredBaseJson: String = null,
-    shredSpecs: Seq[(Int, String, String)] = Seq.empty)
+    shredSpecs: Seq[(Int, String, String)] = Seq.empty,
+    shredLenient: Boolean = false)
     extends StreamingWrite {
 
   private def dir = new Path(path)
@@ -59,7 +60,7 @@ final class ColumnFileStreamingWrite(
       conf, partitionCols, dictionary, bitpack, bloomCols)
     if (shredSpecs.isEmpty) inner
     else new ShredAppendingStreamingWriterFactory(inner, shredBaseJson,
-      shredSpecs)
+      shredSpecs, shredLenient)
   }
 
   private def epochMarker(epochId: Long): Path =

@@ -305,6 +305,25 @@ class ColumnFileWrite(
     names
   }
 
+  /** `shredMode=strict|lenient`: what a failing shred derivation does.
+    * Strict (default) fails the task — batch parity, and the q72
+    * batch/stream equivalence contract. Lenient writes a NULL leaf and
+    * counts it in the `cfShredLenientNulls` write metric — the escape
+    * hatch for streams facing occasional malformed documents (see the
+    * [[ShredAppend]] poison-pill caveat).
+    */
+  private val shredLenient: Boolean =
+    Option(options.get("shredMode")).map(_.toLowerCase(java.util.Locale.ROOT)) match {
+      case None | Some("strict") => false
+      case Some("lenient") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"columnfile: shredMode must be 'strict' or 'lenient', got '$other'")
+    }
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new ShredAppend.LenientNullsMetric)
+
   override def toBatch: BatchWrite = this
 
   /** Streaming sink (`writeStream.format("columnfile")`): append-mode
@@ -334,7 +353,8 @@ class ColumnFileWrite(
       targetChunkBytes, new SerializableHadoopConf(conf), partitionCols,
       dictionaryEncode, keepEpochs, bitpackEncode, bloomCols,
       shredBaseJson = if (shredSpecs.isEmpty) null else schema.json,
-      shredSpecs = shredSpecs.map { case (i, p, dt) => (i, p, dt.json) })
+      shredSpecs = shredSpecs.map { case (i, p, dt) => (i, p, dt.json) },
+      shredLenient = shredLenient)
   }
 
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
@@ -349,7 +369,7 @@ class ColumnFileWrite(
     val shredded =
       if (shredSpecs.isEmpty) inner
       else new ShredAppendingWriterFactory(inner, schema.json,
-        shredSpecs.map { case (i, p, dt) => (i, p, dt.json) })
+        shredSpecs.map { case (i, p, dt) => (i, p, dt.json) }, shredLenient)
     if (rowProjection.isEmpty) shredded
     else new ProjectingWriterFactory(shredded, rowProjection, schema.json)
   }
@@ -523,11 +543,12 @@ class ProjectingWriterFactory(
 class ShredAppendingWriterFactory(
     inner: DataWriterFactory,
     baseSchemaJson: String,
-    specs: Seq[(Int, String, String)])
+    specs: Seq[(Int, String, String)],
+    lenient: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     ShredAppend.writer(inner.createWriter(partitionId, taskId),
-      baseSchemaJson, specs)
+      baseSchemaJson, specs, lenient)
 }
 
 /** The streaming twin: same row transform, epoch-aware factory — the
@@ -538,12 +559,13 @@ class ShredAppendingWriterFactory(
 class ShredAppendingStreamingWriterFactory(
     inner: org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory,
     baseSchemaJson: String,
-    specs: Seq[(Int, String, String)])
+    specs: Seq[(Int, String, String)],
+    lenient: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     ShredAppend.writer(inner.createWriter(partitionId, taskId, epochId),
-      baseSchemaJson, specs)
+      baseSchemaJson, specs, lenient)
 }
 
 /** The shared shred row transform: per spec, the STRICT
@@ -551,23 +573,39 @@ class ShredAppendingStreamingWriterFactory(
   * incoming row, appended as the trailing columns the inner writer's
   * extended schema declares.
   *
-  * POISON-PILL CAVEAT (streaming): `failOnError = true` is deliberate
-  * batch parity — a row whose variant is missing the shredded path, or
-  * whose value does not cast to the declared leaf type, fails the
-  * write task exactly as the batch writer would. In a `writeStream`
-  * sink, though, the failed micro-batch is RETRIED from the checkpoint
-  * and replays the same rows, so one malformed document wedges the
-  * stream permanently (batch fails once; the stream fails forever).
-  * Diagnose via the stream's exception (the variant_get error names
-  * the path); remediate by fixing/dropping the row upstream or by
-  * shredding a pre-validated derived column. A lenient
-  * write-NULL-on-error mode is intentionally NOT offered: a silent
-  * NULL leaf would diverge from the batch-written table the q72 gate
-  * proves equivalence against.
+  * POISON-PILL CAVEAT (streaming): strict mode's `failOnError = true`
+  * is deliberate batch parity — a row whose variant is missing the
+  * shredded path, or whose value does not cast to the declared leaf
+  * type, fails the write task exactly as the batch writer would. In a
+  * `writeStream` sink, though, the failed micro-batch is RETRIED from
+  * the checkpoint and replays the same rows, so one malformed document
+  * wedges the stream permanently (batch fails once; the stream fails
+  * forever). Diagnose via the stream's exception (the variant_get
+  * error names the path); remediate by fixing/dropping the row
+  * upstream, by shredding a pre-validated derived column — or by
+  * opting into `shredMode=lenient`: a failing derivation then writes a
+  * NULL leaf and bumps the `cfShredLenientNulls` write metric (the
+  * permissive-scan discipline applied to the write side: never silent,
+  * always counted). Lenient is OPT-IN because a NULL leaf diverges
+  * from what a strict batch write of the same rows would produce (it
+  * would fail) — the q72 batch/stream equivalence gate holds in strict
+  * mode; under lenient the metric is the audit trail. The base row is
+  * stored unchanged either way, so a lenient leaf can always be
+  * re-derived once the reader-side path/type question is settled.
   */
 object ShredAppend {
+  final val LenientNulls = "cfShredLenientNulls"
+
+  final class LenientNullsMetric
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = LenientNulls
+    override def description(): String =
+      "shred leaves written as NULL under shredMode=lenient"
+  }
+
   def writer(delegate: DataWriter[InternalRow], baseSchemaJson: String,
-      specs: Seq[(Int, String, String)]): DataWriter[InternalRow] = {
+      specs: Seq[(Int, String, String)],
+      lenient: Boolean = false): DataWriter[InternalRow] = {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
     import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
     import org.apache.spark.sql.types.{StringType, VariantType}
@@ -583,6 +621,7 @@ object ShredAppend {
         timeZoneId = Some("UTC"))
     }
     new DataWriter[InternalRow] {
+      private var lenientNulls = 0L
       override def write(row: InternalRow): Unit = {
         val values = new Array[Any](base.length + exprs.length)
         var i = 0
@@ -592,12 +631,24 @@ object ShredAppend {
         }
         var j = 0
         while (j < exprs.length) {
-          values(base.length + j) = exprs(j).eval(row)
+          values(base.length + j) =
+            if (!lenient) exprs(j).eval(row)
+            else try exprs(j).eval(row) catch {
+              case scala.util.control.NonFatal(_) =>
+                lenientNulls += 1; null
+            }
           j += 1
         }
         delegate.write(
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values))
       }
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        delegate.currentMetricsValues() :+
+          new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+            override def name(): String = LenientNulls
+            override def value(): Long = lenientNulls
+          }
       override def commit(): WriterCommitMessage = delegate.commit()
       override def abort(): Unit = delegate.abort()
       override def close(): Unit = delegate.close()

@@ -332,4 +332,78 @@ class StreamingSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back2.where("v_price = variant_get(v, '$.price', 'bigint')")
       .count() == 800)
   }
+
+  test("shredMode=lenient: a poison derivation writes a counted NULL " +
+    "leaf; strict (default) fails the task") {
+    // one poison row: price is a string that cannot cast to bigint
+    val df = spark.sql(
+      """SELECT id, parse_json(CASE WHEN id = 1 THEN '{"price":"oops"}'
+        |  ELSE concat('{"price":', id, '}') END) AS v
+        |FROM range(3)""".stripMargin)
+    // copy INSIDE the RDD: the scan's iterator reuses its row buffer
+    val rows = df.queryExecution.toRdd.map(_.copy()).collect()
+    val leafJson = org.apache.spark.sql.types.LongType.json
+    val recorded = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    def recorder() = new org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      override def write(r: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        { recorded += r; () }
+      override def commit() = null
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+    // strict: the poison row fails the write (batch parity)
+    val strict = ShredAppend.writer(recorder(), df.schema.json,
+      Seq((1, "$.price", leafJson)))
+    strict.write(rows(0))
+    intercept[Exception] { strict.write(rows(1)) }
+    // lenient: NULL leaf, counted in the task metric
+    recorded.clear()
+    val lenient = ShredAppend.writer(recorder(), df.schema.json,
+      Seq((1, "$.price", leafJson)), lenient = true)
+    rows.foreach(lenient.write)
+    assert(recorded.length == 3)
+    assert(recorded(1).isNullAt(2), "poison leaf should be NULL")
+    assert(recorded(0).getLong(2) == 0L && recorded(2).getLong(2) == 2L)
+    val m = lenient.currentMetricsValues()
+      .find(_.name == ShredAppend.LenientNulls)
+    assert(m.exists(_.value == 1L),
+      s"expected cfShredLenientNulls=1, got ${m.map(_.value)}")
+
+    // end to end: the strict stream WEDGES on the poison batch; the
+    // lenient stream drains it, with the NULL leaf in the table
+    val src = Files.createTempDirectory("cf-sink-psrc").toString
+    spark.sql(
+      """SELECT id, parse_json(CASE WHEN id = 7 THEN '{"price":"oops"}'
+        |  ELSE concat('{"price":', id, '}') END) AS v
+        |FROM range(20)""".stripMargin)
+      .write.format("columnfile").mode("overwrite").save(src)
+    val schema = spark.read.format("columnfile").load(src).schema
+    def drain(sink: String, ckpt: String, mode: Option[String]): Unit = {
+      val w = spark.readStream.format("columnfile").schema(schema).load(src)
+        .writeStream.format("columnfile")
+        .option("shred", "v:$.price:bigint")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+      val q = mode.fold(w)(m => w.option("shredMode", m)).start()
+      q.awaitTermination()
+    }
+    val exStrict = intercept[Exception] {
+      drain(Files.createTempDirectory("cf-sink-pout1").toString,
+        Files.createTempDirectory("cf-sink-pckpt1").toString, None)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(exStrict).nonEmpty)
+    val sinkL = Files.createTempDirectory("cf-sink-pout2").toString
+    drain(sinkL, Files.createTempDirectory("cf-sink-pckpt2").toString,
+      Some("lenient"))
+    val back = spark.read.format("columnfile").load(sinkL)
+    assert(back.count() == 20)
+    assert(back.where("v_price IS NULL").count() == 1)
+    assert(back.where("id = 7 AND v_price IS NULL").count() == 1)
+    assert(back.where("v_price = id").count() == 19)
+  }
 }
