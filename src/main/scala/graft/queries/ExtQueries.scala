@@ -6864,6 +6864,9 @@ object ExtQueries {
     // The image band-geometry sweep: d24's discipline on the visual
     // family — every near-dup family now carries a tuning curve.
     imageBandSweepQ,
+    // The image Pareto surface: d26's recall-AND-price rule on m09's
+    // curve — every near-dup family now carries a priced surface.
+    imageParetoQ,
     // m04's bounded twin: exact-dup images collapse by raster digest,
     // band join over representatives, pairs carry member counts.
     imageDhashCollapsed,
@@ -6994,6 +6997,8 @@ object ExtQueries {
         dir: String): Unit = vectorRefreshIndexView(spark, dir)
     def imageBandSweep(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = imageBandSweepDF(spark)
+    def imagePareto(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = imageParetoDF(spark)
     def kmeansTrain(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = kmTrainDF(spark)
     /** Row count of the shared exact ANN ground truth ([[kmGtCte]]
@@ -7313,7 +7318,28 @@ object ExtQueries {
     * candidate sets nest exactly as in d24 — and because both
     * dialects derive from the same h columns, the derivation itself
     * cannot diverge. */
-  private def imageBandSweepBody(d: Dial, h: String): String = {
+  /** Exact-hamming ground truth for the image family on the LIMIT-40
+    * sample (XOR popcount over the four 16-bit dHash band columns of
+    * `h`). Shared by m09's sweep and m10's Pareto surface. */
+  private def imageGtCtes(d: Dial, h: String): String = {
+    val ham = (0 until 4)
+      .map(t => s"bit_count(${d.xor(s"q.b$t", s"y.b$t")})").mkString(" + ")
+    s"""qs AS (SELECT * FROM $h WHERE doc_id < 40
+       |  ORDER BY doc_id LIMIT 40),
+       |hgt AS (SELECT qid, nid, ham FROM (
+       |    SELECT q.doc_id AS qid, y.doc_id AS nid,
+       |      CAST($ham AS BIGINT) AS ham
+       |    FROM qs q CROSS JOIN $h y WHERE y.doc_id <> q.doc_id) x
+       |  WHERE ham <= 7)""".stripMargin
+  }
+
+  /** The capped {2, 4, 8}-geometry image band relation over `h`:
+    * aligned splits of the four 16-bit dHash bands (an 8-band match
+    * implies its 4-band parent matches), production HotBucketCap per
+    * (bands, band, bv) bucket. ONE spelling feeds m09's sweep, m10's
+    * Pareto surface, and both oracles — the surface and the pipeline
+    * cannot diverge on what a candidate is. */
+  private def imageSxCtes(d: Dial, h: String): String = {
     val geoms: Seq[String] =
       (0 until 2).map(k =>
         s"SELECT doc_id, CAST(2 AS BIGINT) AS bands, $k AS band, " +
@@ -7328,23 +7354,19 @@ object ExtQueries {
         s"SELECT doc_id, CAST(8 AS BIGINT) AS bands, $k AS band, " +
           s"$half AS bv FROM $h"
       }
-    val ham = (0 until 4)
-      .map(t => s"bit_count(${d.xor(s"q.b$t", s"y.b$t")})").mkString(" + ")
-    s"""qs AS (SELECT * FROM $h WHERE doc_id < 40
-       |  ORDER BY doc_id LIMIT 40),
-       |hgt AS (SELECT qid, nid, ham FROM (
-       |    SELECT q.doc_id AS qid, y.doc_id AS nid,
-       |      CAST($ham AS BIGINT) AS ham
-       |    FROM qs q CROSS JOIN $h y WHERE y.doc_id <> q.doc_id) x
-       |  WHERE ham <= 7),
-       |sx0 AS (${geoms.mkString("\n  UNION ALL ")}),
+    s"""sx0 AS (${geoms.mkString("\n  UNION ALL ")}),
        |sx AS (SELECT doc_id, bands, band, bv FROM (
        |    SELECT doc_id, bands, band, bv,
        |      COUNT(*) OVER (PARTITION BY bands, band, bv) AS bn
        |    FROM sx0) x
-       |  WHERE bn <= $HotBucketCap),
-       |scan AS (SELECT DISTINCT a.bands, a.doc_id AS qid, b.doc_id AS nid
-       |  FROM sx a JOIN sx b ON a.bands = b.bands AND a.band = b.band
+       |  WHERE bn <= $HotBucketCap)""".stripMargin
+  }
+
+  /** m09's recall readout over ground truth `hgt` and capped band
+    * relation `sx`. */
+  private def imageSweepReadout(d: Dial, sx: String): String =
+    s"""scan AS (SELECT DISTINCT a.bands, a.doc_id AS qid, b.doc_id AS nid
+       |  FROM $sx a JOIN $sx b ON a.bands = b.bands AND a.band = b.band
        |    AND a.bv = b.bv AND b.doc_id <> a.doc_id
        |  WHERE a.doc_id < 40)
        |SELECT CAST(bs.bands AS BIGINT) AS bands,
@@ -7359,7 +7381,53 @@ object ExtQueries {
        |  AND c.qid = g.qid AND c.nid = g.nid
        |WHERE g.ham <= lv.thr
        |GROUP BY bs.bands, lv.thr""".stripMargin
-  }
+
+  private def imageBandSweepBody(d: Dial, h: String): String =
+    s"""${imageGtCtes(d, h)},
+       |${imageSxCtes(d, h)},
+       |${imageSweepReadout(d, "sx")}""".stripMargin
+
+  /** m10's Pareto tail over `hgt` and `sx`: m09's recall cells JOINED
+    * with d26's two cost columns, both computed from the SAME capped
+    * band relation the recall legs read — n_emit (Σ n·(n−1)/2 over
+    * (bands, band, bv) bucket populations: the band join's
+    * shuffle/compare volume, ONE aggregate, no pair stage) and n_cand
+    * (corpus-wide DISTINCT candidate pairs: the hamming verifications
+    * m04's verify stage would run at that geometry). */
+  private def imageParetoTail(d: Dial, sx: String): String =
+    s"""gcand AS (SELECT DISTINCT a.bands, a.doc_id AS qid, b.doc_id AS nid
+       |  FROM $sx a JOIN $sx b ON a.bands = b.bands AND a.band = b.band
+       |    AND a.bv = b.bv AND b.doc_id <> a.doc_id
+       |  WHERE a.doc_id < 40),
+       |gemit AS (SELECT bands,
+       |    CAST(SUM(${d.intDiv("(bn * (bn - 1))", "2")}) AS BIGINT)
+       |      AS n_emit
+       |  FROM (SELECT bands, band, bv, COUNT(*) AS bn FROM $sx
+       |        GROUP BY bands, band, bv) t
+       |  GROUP BY bands),
+       |gpairs AS (SELECT bands, COUNT(*) AS n_cand FROM (
+       |    SELECT DISTINCT a.bands, a.doc_id AS i, b.doc_id AS j
+       |    FROM $sx a JOIN $sx b ON a.bands = b.bands AND a.band = b.band
+       |      AND a.bv = b.bv AND a.doc_id < b.doc_id) p
+       |  GROUP BY bands)
+       |SELECT r.bands, r.thr, r.n_true, r.n_hit,
+       |  COALESCE(e.n_emit, 0) AS n_emit,
+       |  COALESCE(p.n_cand, 0) AS n_cand
+       |FROM (
+       |  SELECT CAST(bs.bands AS BIGINT) AS bands,
+       |    CAST(lv.thr AS BIGINT) AS thr,
+       |    COUNT(*) AS n_true,
+       |    CAST(SUM(CASE WHEN c.nid IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit
+       |  FROM hgt g
+       |  CROSS JOIN (VALUES (2), (4), (8)) AS bs(bands)
+       |  CROSS JOIN (VALUES (0), (1), (3), (7)) AS lv(thr)
+       |  LEFT JOIN gcand c ON c.bands = CAST(bs.bands AS BIGINT)
+       |    AND c.qid = g.qid AND c.nid = g.nid
+       |  WHERE g.ham <= lv.thr
+       |  GROUP BY bs.bands, lv.thr) r
+       |LEFT JOIN gemit e ON e.bands = r.bands
+       |LEFT JOIN gpairs p ON p.bands = r.bands""".stripMargin
 
   /** m09: the IMAGE band-geometry sweep — d24's discipline on the
     * visual near-dup family, so every near-dup family in the engine
@@ -7402,15 +7470,88 @@ object ExtQueries {
     * once (m04's discipline). */
   private def imageBandSweepDF(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
+    cacheOnce(imageBandRelation(spark)).createOrReplaceTempView("m09_h")
+    spark.sql("WITH " + imageBandSweepBody(SparkD, "m09_h"))
+  }
+
+  /** The decode-seam band relation over the registered documents view
+    * (planted PGM payloads → real raster parse → four 16-bit dHash
+    * bands) — one spelling for m09 and m10. */
+  private def imageBandRelation(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
     val sp = spark; import sp.implicits._
     val ids = spark.table("documents").select("doc_id").as[Long]
     val payloads = ids.map(id => (id, plantedPgm(id)))
       .toDF("doc_id", "payload")
-    cacheOnce(graft.multimodal.MultimodalOps
+    graft.multimodal.MultimodalOps
       .dhashBands(payloads, "payload")
-      .select("doc_id", "b0", "b1", "b2", "b3"))
-      .createOrReplaceTempView("m09_h")
-    spark.sql("WITH " + imageBandSweepBody(SparkD, "m09_h"))
+      .select("doc_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** m10: the IMAGE PARETO SURFACE — d26/d27's recall-AND-price rule
+    * applied to the visual near-dup family, closing the priced-surface
+    * symmetry: every text near-dup family (MinHash d26, SimHash d27)
+    * AND the image family now carry a surface where the recall dial
+    * and its cost sit in one relation. m09's recall cells (exact
+    * hamming ground truth vs each geometry's capped candidates) are
+    * JOINED with the two cost columns a deployment budgets against,
+    * both computed from the SAME capped band relation the recall legs
+    * read ([[imageSxCtes]] — one spelling with m09): n_emit is the
+    * bucket-population pair count (ONE hash aggregate, no pair
+    * stage), n_cand the corpus-wide distinct candidate pairs (exactly
+    * what m04's hamming-verify stage would run at that geometry). In
+    * the uncapped regime both cost columns are monotone non-decreasing
+    * in bands: the splits are ALIGNED (a 32-bit band is its two 16-bit
+    * sub-bands concatenated), so a coarse-geometry band match forces
+    * both sub-band matches at the finer geometry — candidate sets nest
+    * coarse ⊆ fine, and shorter bands only ADD collisions. More bands
+    * buy recall (the left-shifted S-curve m09 measures) at a candidate
+    * volume the surface now prices, spec-asserted alongside m09's
+    * recall nesting.
+    *
+    * 100 TB shape: one decode pass (the band relation is the thing
+    * m04 already builds), one window-capped explode (2+4+8 = 14 keys
+    * per image), one aggregate for n_emit, and the capped band
+    * self-join for n_cand — the same cost class as running m04 at the
+    * three geometries, which is exactly what the surface prices.
+    */
+  private def imageParetoQ: Q = {
+    val oracle = {
+      val bands = (0 until 4)
+        .map(t => s"CAST(${m04BandExpr(DuckD, t)} AS BIGINT) AS b$t")
+        .mkString(",\n    ")
+      s"""WITH dd AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS r
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    $bands
+         |  FROM dd),
+         |${imageGtCtes(DuckD, "h")},
+         |${imageSxCtes(DuckD, "h")},
+         |${imageParetoTail(DuckD, "sx")}""".stripMargin
+    }
+    Q("m10_image_pareto", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      imageParetoDF(spark)
+    }, Some(oracle))
+  }
+
+  /** Spark side of m10 over whatever documents relation is registered
+    * (fixture-testable). The band relation cached once; the capped sx
+    * relation materialized with `localCheckpoint()` — the Pareto tail
+    * references it five times (candidate self-join ×2, emission
+    * aggregate, distinct-pair count ×2), the 3+-reference cached-view
+    * substitution trap d26 documented ([[lshParetoDF]]). */
+  private def imageParetoDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    cacheOnce(imageBandRelation(spark)).createOrReplaceTempView("m10_h")
+    spark.sql(
+      s"WITH ${imageSxCtes(SparkD, "m10_h")} " +
+        "SELECT doc_id, bands, band, bv FROM sx")
+      .localCheckpoint()
+      .createOrReplaceTempView("m10_sx")
+    spark.sql(
+      s"""WITH ${imageGtCtes(SparkD, "m10_h")},
+         |${imageParetoTail(SparkD, "m10_sx")}""".stripMargin)
   }
 
   /** The ~124-bit content-digest fold over a BIGINT byte-list

@@ -147,7 +147,10 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d27_simhash_pareto" -> 40L,
     // m09's image sweep: the LIMIT-40 band-relation sample (exact
     // hamming ground truth by contract) and the VALUES rows.
-    "m09_image_band_sweep" -> 40L)
+    "m09_image_band_sweep" -> 40L,
+    // m10's Pareto surface: m09's bounds exactly (shared sx
+    // spelling — LIMIT-40 sample, VALUES geometry/threshold rows).
+    "m10_image_pareto" -> 40L)
 
   /** Static upper bound on a physical subtree's row count, derived
     * from shape alone — the machine check behind the BNLJ allowlist

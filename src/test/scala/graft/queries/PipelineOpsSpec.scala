@@ -1766,6 +1766,48 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("m10: the image Pareto surface carries m09's exact recall " +
+    "cells plus cost columns constant across thresholds and monotone " +
+    "in bands (uncapped)") {
+    val sp = spark; import sp.implicits._
+    // m09's planted-family fixture verbatim — the recall half of the
+    // surface must read exactly what m09 reads (shared sx spelling)
+    ((0L to 4L) ++ (10L to 14L)).map(i => (i, s"doc$i", "en"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val m09rows = ExtQueries.TestSql.imageBandSweep(spark).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val rows = ExtQueries.TestSql.imagePareto(spark).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(rows.keySet == m09rows.keySet, s"cells: ${rows.keySet}")
+    for (((b, t), (nt, nh, emit, cand)) <- rows) {
+      // recall cells identical to m09's (one candidate spelling)
+      assert((nt, nh) == m09rows((b, t)),
+        s"(b=$b, thr=$t): recall diverged from m09")
+      // emissions dominate distinct pairs by construction
+      assert(emit >= cand, s"(b=$b, thr=$t): $emit < $cand")
+    }
+    for (b <- Seq(2L, 4L, 8L)) {
+      // cost is a per-geometry property: constant across thresholds
+      assert(rows.keySet.filter(_._1 == b).toSeq
+        .map(k => (rows(k)._3, rows(k)._4)).distinct.size == 1,
+        s"b=$b: cost varies with thr")
+    }
+    // uncapped (10-doc fixture, every bucket far below HotBucketCap):
+    // aligned band splits nest candidates coarse ⊆ fine and shorter
+    // bands only add collisions — both cost columns monotone in bands
+    val someThr = rows.keySet.map(_._2).head
+    val emits = Seq(2L, 4L, 8L).map(b => rows((b, someThr))._3)
+    val cands = Seq(2L, 4L, 8L).map(b => rows((b, someThr))._4)
+    assert(emits == emits.sorted, s"emissions not monotone: $emits")
+    assert(cands == cands.sorted, s"candidates not monotone: $cands")
+    // the planted one-pixel families guarantee within-group near-dups:
+    // the fine geometry must surface at least one candidate pair
+    assert(rows((8L, someThr))._4 >= 1L, s"no candidates at 8 bands")
+  }
+
   test("d23: tau-sweep counts nest and flip at BOTH adjacent levels; " +
     "ground truth is method-invariant; drop volume tracks the dial") {
     val sp = spark; import sp.implicits._
