@@ -6835,6 +6835,9 @@ object ExtQueries {
     // The grid as a PARETO surface: candidate COST beside recall per
     // (K, nprobe) cell — the table both dials are actually placed from.
     kmeansParetoQ,
+    // The surface CONSUMED: a recall-floor policy argmin-picks the
+    // cheapest qualifying (K, nprobe) cell and serves the probe at it.
+    recallPolicyQ,
     // t17: lexical retrieval over the MATERIALIZED inverted text
     // index (build-once/scan-many; term-bucket partition pruning).
     // v14_hybrid_indexed is RETIRED from the serving surface (r15):
@@ -6999,6 +7002,21 @@ object ExtQueries {
         : org.apache.spark.sql.DataFrame = imageBandSweepDF(spark)
     def imagePareto(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = imageParetoDF(spark)
+    /** The ann rows of ONE forced (k, nprobe) cell — v29's serve leg
+      * without the policy, for the spec's pick-vs-serve equality. */
+    def kmCellAnn(spark: org.apache.spark.sql.SparkSession,
+        k: Long, nprobe: Long): org.apache.spark.sql.DataFrame = {
+      val ks = Seq(KmSweepA, KmSweepB, KmSweepC)
+      kmSweepViews(spark, ks)
+      spark.sql(
+        s"""WITH cands AS (${ks.map(kk =>
+             kmGridPairs(SparkD, s"v23k${kk}_b3", kk))
+             .mkString("\n  UNION ALL ")}),
+           |${kmParetoCtes(SparkD)}
+           |SELECT qid, nid FROM ann
+           |WHERE k = $k AND nprobe = $nprobe""".stripMargin)
+    }
+    val recallPolicyFloorPm: Long = RecallPolicyFloorPm
     def kmeansTrain(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = kmTrainDF(spark)
     /** Row count of the shared exact ANN ground truth ([[kmGtCte]]
@@ -9890,6 +9908,11 @@ object ExtQueries {
   private final val KmSweepB = 8
   private final val KmSweepC = 16
 
+  /** v29's recall floor, permille (recall@5 >= 0.5 over the probe
+    * sample). Compile-time constant: referenced from oracle SQL built
+    * during `val all` init (the r15 rule). */
+  private final val RecallPolicyFloorPm = 500
+
   /** One trained chain of the sweep as CTE text, CTE names prefixed
     * `sw{k}_`: init at K=k, two centroid updates, the final ranking
     * b3 (assignment rn=1 + probes rn<=2) — v19's exact spellings with
@@ -10097,7 +10120,7 @@ object ExtQueries {
     * the probe would score — the work dial) beside the total recalled
     * neighbors and fixed-point recall@5 over the 20-query sample; the
     * ks × lv cross frame keeps zero-candidate cells. */
-  private def kmParetoTail(d: Dial): String = {
+  private def kmParetoCtes(d: Dial): String = {
     val ks = s"(VALUES ($KmSweepA), ($KmSweepB), ($KmSweepC)) AS ks(k)"
     val lv = "(VALUES (1), (2), (4)) AS lv(nprobe)"
     s"""costs AS (SELECT c.k, lv.nprobe, COUNT(*) AS n_cand
@@ -10117,16 +10140,43 @@ object ExtQueries {
        |  FROM gt CROSS JOIN $ks CROSS JOIN $lv
        |  LEFT JOIN ann ON ann.k = ks.k AND ann.nprobe = lv.nprobe
        |    AND ann.qid = gt.qid AND ann.nid = gt.nid
-       |  GROUP BY ks.k, lv.nprobe)
-       |SELECT CAST(ce.k AS BIGINT) AS k,
-       |  CAST(ce.nprobe AS BIGINT) AS nprobe,
-       |  CAST(COALESCE(co.n_cand, 0) AS BIGINT) AS n_cand,
-       |  ce.n_hit,
-       |  CAST(${d.intDiv("(1000 * ce.n_hit)", "ce.n_truth")} AS BIGINT)
-       |    AS recall_pm
-       |FROM cells ce LEFT JOIN costs co
-       |  ON co.k = ce.k AND co.nprobe = ce.nprobe""".stripMargin
+       |  GROUP BY ks.k, lv.nprobe),
+       |surface AS (SELECT CAST(ce.k AS BIGINT) AS k,
+       |    CAST(ce.nprobe AS BIGINT) AS nprobe,
+       |    CAST(COALESCE(co.n_cand, 0) AS BIGINT) AS n_cand,
+       |    ce.n_hit,
+       |    CAST(${d.intDiv("(1000 * ce.n_hit)", "ce.n_truth")} AS BIGINT)
+       |      AS recall_pm
+       |  FROM cells ce LEFT JOIN costs co
+       |    ON co.k = ce.k AND co.nprobe = ce.nprobe)""".stripMargin
   }
+
+  private def kmParetoTail(d: Dial): String =
+    s"""${kmParetoCtes(d)}
+       |SELECT k, nprobe, n_cand, n_hit, recall_pm FROM surface""".stripMargin
+
+  /** v29's policy tail downstream of v25's surface: the pick is IN the
+    * relational chain (one deterministic ORDER BY ... LIMIT 1), so the
+    * oracle hash-gates the pick AND the served probe together — a
+    * wrong argmin, a wrong fallback, or a serve at any other cell all
+    * break the hash. Cheapest cell meeting the recall floor; when no
+    * cell does (degenerate fixture/fuzzer corpora), the highest-recall
+    * cell, cheapest first — the policy always serves SOMETHING, and
+    * which thing is spec-pinned. */
+  private def kmPolicyTail(d: Dial): String =
+    s"""${kmParetoCtes(d)},
+       |pick AS (SELECT k, nprobe FROM (
+       |    SELECT k, nprobe, n_cand, recall_pm,
+       |      CASE WHEN recall_pm >= $RecallPolicyFloorPm THEN 0 ELSE 1 END
+       |        AS missed
+       |    FROM surface) s
+       |  ORDER BY missed,
+       |    CASE WHEN missed = 0 THEN n_cand ELSE -recall_pm END,
+       |    k, nprobe
+       |  LIMIT 1)
+       |SELECT CAST(a.k AS BIGINT) AS k, CAST(a.nprobe AS BIGINT) AS nprobe,
+       |  a.qid, a.nid
+       |FROM ann a JOIN pick p ON a.k = p.k AND a.nprobe = p.nprobe""".stripMargin
 
   /** v25: the grid as a PARETO SURFACE — v24 reads only recall; the
     * placement decision trades recall against PROBE COST, and the
@@ -10158,6 +10208,48 @@ object ExtQueries {
              kmGridPairs(SparkD, s"v23k${k}_b3", k))
              .mkString("\n  UNION ALL ")}),
            |${kmParetoTail(SparkD)}""".stripMargin)
+    }, Some(oracle))
+  }
+
+  /** v29: the RECALL-TARGET SERVING POLICY — the measured surfaces
+    * finally CONSUMED by a decision, closing the last verdict tier:
+    * v25 produces the (K, nprobe) recall-vs-cost surface, and nothing
+    * picked a cell from it; v29 is p24's "policy changes cost, never
+    * content" pattern applied to the tuning dials. Given a recall
+    * floor ($RecallPolicyFloorPm permille @5), the policy picks the
+    * CHEAPEST cell meeting it (argmin n_cand, ties broken (k, nprobe)
+    * ascending — both dials deterministic), falling back to the
+    * highest-recall-cheapest cell when no cell qualifies (degenerate
+    * corpora), and SERVES the probe at exactly that setting. The pick
+    * is relational (ORDER BY ... LIMIT 1 inside the query), so ONE
+    * oracle hash-gates the whole chain: surface → argmin → served
+    * top-5. Content DOES vary across cells (recall is the dial), so
+    * the gate is precisely that the served rows are the picked cell's
+    * rows — a wrong argmin is a different result set and a hash miss.
+    *
+    * 100 TB shape: the surface is v24/v25's one widest-probe pass per
+    * K over the sample-by-contract probe set (every build side
+    * LIMIT-bounded, machine-checked 20); the pick reads the 9-row
+    * surface; the serve is a filter of the already-ranked pass. A
+    * deployment would persist the surface and re-run only the serve —
+    * here the whole chain is one auditable statement.
+    */
+  private def recallPolicyQ: Q = {
+    val ks = Seq(KmSweepA, KmSweepB, KmSweepC)
+    val oracle =
+      s"""WITH kemb AS (${kmEmbSql(DuckD)}),
+         |${ks.map(k => kmSweepChain(DuckD, k)).mkString(",\n")},
+         |cands AS (${ks.map(k => kmGridPairs(DuckD, s"sw${k}_b3", k))
+                       .mkString("\n  UNION ALL ")}),
+         |${kmPolicyTail(DuckD)}""".stripMargin
+    Q("v29_recall_policy", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      kmSweepViews(spark, ks)
+      spark.sql(
+        s"""WITH cands AS (${ks.map(k =>
+             kmGridPairs(SparkD, s"v23k${k}_b3", k))
+             .mkString("\n  UNION ALL ")}),
+           |${kmPolicyTail(SparkD)}""".stripMargin)
     }, Some(oracle))
   }
 

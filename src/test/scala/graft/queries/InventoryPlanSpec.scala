@@ -125,6 +125,9 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     "d22_lsh_band_sweep" -> 40L,
     // v25's Pareto surface: v24's bounds exactly (shared pairs pass).
     "v25_kmeans_pareto" -> 20L,
+    // v29's policy: v25's bounds exactly (shared pairs pass; the pick
+    // is a LIMIT-1 subquery over the 9-row surface).
+    "v29_recall_policy" -> 20L,
     // d23's tau sweep: the LIMIT-20 vector sample cross-joined with
     // the corpus (ground truth by contract), the 3-row VALUES tau
     // relations, the ORDER BY clabel LIMIT 64 label centroids and

@@ -1766,6 +1766,38 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("v29: the policy pick IS the surface's argmin under the recall " +
+    "floor, and the served rows are exactly that cell's top-5") {
+    val dir = "/root/testdata/sf0.001"
+    val floor = ExtQueries.TestSql.recallPolicyFloorPm
+    val surface = graft.SparkEntry.queries("v25_kmeans_pareto")(spark, dir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(4)))) // (k, nprobe) -> (n_cand, recall_pm)
+    // the policy's contract, recomputed independently: cheapest cell
+    // meeting the floor, (k, nprobe)-ascending ties; else the
+    // highest-recall cell, cheapest first
+    val qualifying = surface.filter(_._2._2 >= floor)
+    val pick =
+      if (qualifying.nonEmpty)
+        qualifying.minBy { case ((k, np), (cand, _)) => (cand, k, np) }._1
+      else
+        surface.minBy { case ((k, np), (cand, pm)) => (-pm, cand, k, np) }._1
+    assert(qualifying.nonEmpty,
+      s"sf0.001 surface should have a qualifying cell: ${surface.toSeq}")
+    val served = graft.SparkEntry.queries("v29_recall_policy")(spark, dir)
+      .collect().map(r =>
+        ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    assert(served.nonEmpty, "policy served nothing")
+    assert(served.map(_._1).distinct.toSeq == Seq(pick),
+      s"policy picked ${served.map(_._1).distinct.toSeq}, argmin is $pick")
+    // and the served rows are EXACTLY the picked cell's top-5 set
+    val want = ExtQueries.TestSql.kmCellAnn(spark, pick._1, pick._2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served.map(_._2).toSet == want,
+      s"served ${served.length} rows diverge from cell $pick's ann")
+  }
+
   test("m10: the image Pareto surface carries m09's exact recall " +
     "cells plus cost columns constant across thresholds and monotone " +
     "in bands (uncapped)") {
