@@ -3351,6 +3351,114 @@ object ExtQueries {
     spark.sql("WITH " + lshParetoBody(SparkD, "d26_gex", "d26_hs"))
   }
 
+  /** d28's policy tail over the capped geometry relation `gex` and
+    * hash-set relation `hs` — v29's recall-floor argmin applied to the
+    * DEDUP dial: cheapest band geometry whose measured recall at the
+    * production threshold (J >= 0.5, the d03 verify bar) meets the
+    * floor, fewest-bands tie-break; highest-recall-cheapest fallback;
+    * an empty ground truth reads as vacuously-met (nothing to recall).
+    * The SERVE leg is d03's production pair pipeline run at exactly
+    * the picked geometry, from the SAME gex relation the surface
+    * measured — pick and serve cannot diverge on what a candidate is,
+    * and ONE oracle hash-gates surface → argmin → verified pairs.
+    */
+  private def lshPolicyTail(d: Dial, gex: String, hs: String): String =
+    s"""${jaccardGtCtes(d, hs)},
+       |gcand AS (SELECT DISTINCT a.bands, a.doc_id AS qid, b.doc_id AS nid
+       |  FROM $gex a JOIN $gex b ON a.bands = b.bands AND a.bk = b.bk
+       |    AND b.doc_id <> a.doc_id
+       |  WHERE a.doc_id < 40),
+       |gpairs AS (SELECT bands, COUNT(*) AS n_cand FROM (
+       |    SELECT DISTINCT a.bands, a.doc_id AS i, b.doc_id AS j
+       |    FROM $gex a JOIN $gex b ON a.bands = b.bands AND a.bk = b.bk
+       |      AND a.doc_id < b.doc_id) p
+       |  GROUP BY bands),
+       |srec0 AS (SELECT bs.bands, COUNT(*) AS n_true,
+       |    CAST(SUM(CASE WHEN c.nid IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit
+       |  FROM jgt g
+       |  CROSS JOIN (VALUES (2), (4), (8)) AS bs(bands)
+       |  LEFT JOIN gcand c ON c.bands = bs.bands AND c.qid = g.qid
+       |    AND c.nid = g.nid
+       |  WHERE g.jpm >= $DedupPolicyThrPm
+       |  GROUP BY bs.bands),
+       |srec AS (SELECT bs.bands, COALESCE(r.n_true, 0) AS n_true,
+       |    COALESCE(r.n_hit, 0) AS n_hit
+       |  FROM (VALUES (2), (4), (8)) AS bs(bands)
+       |  LEFT JOIN srec0 r ON r.bands = bs.bands),
+       |pick AS (SELECT bands FROM (
+       |    SELECT s.bands, COALESCE(p.n_cand, 0) AS n_cand, s.n_true,
+       |      s.n_hit,
+       |      CASE WHEN s.n_true = 0
+       |          OR s.n_hit * 1000 >= s.n_true * $DedupPolicyFloorPm
+       |        THEN 0 ELSE 1 END AS missed
+       |    FROM srec s LEFT JOIN gpairs p ON p.bands = s.bands) x
+       |  ORDER BY missed,
+       |    CASE WHEN missed = 0 THEN n_cand
+       |      ELSE -${d.intDiv("(1000 * n_hit)", "n_true")} END,
+       |    bands
+       |  LIMIT 1),
+       |pex AS (SELECT g.doc_id, g.bk FROM $gex g
+       |  JOIN pick p ON g.bands = p.bands)
+       |SELECT CAST(p.bands AS BIGINT) AS bands, j.i, j.j
+       |FROM pick p CROSS JOIN (${minhashPairsFrom(d, "pex", hs)}) j""".stripMargin
+
+  /** d28: the BAND-GEOMETRY SERVING POLICY — d26's surface consumed,
+    * the dedup twin of v29 (every measured surface in the engine now
+    * feeds a decision or is the decision's audit trail): pick the
+    * cheapest {2, 4, 8}-band geometry meeting the recall floor at the
+    * production J >= 0.5 bar, then run d03's verified-pair pipeline at
+    * that geometry. On the driver corpora the 4×4 geometry already
+    * reads recall 1000 permille on the planted families, so the pick
+    * lands wherever the candidate counts say — and the oracle
+    * recomputes the identical argmin, so a divergent pick is a hash
+    * miss, not a silent different-but-plausible answer.
+    *
+    * 100 TB shape: d26's one signature pass + capped 14-key explode,
+    * two bucket aggregates for the surface, a LIMIT-1 pick, and ONE
+    * geometry's pair join (the serve) — strictly cheaper than running
+    * all three geometries' pair stages, which is what a surface-less
+    * deployment tuning by hand would do.
+    */
+  private def lshPolicyQ: Q = {
+    val oracle = {
+      val d = DuckD
+      val (sigSelect, _) = minhashSigParts(d, "hs")
+      s"""WITH hs AS (${minhashHsSql(d)}),
+         |sig AS ($sigSelect),
+         |${lshGexCtes(d, "sig", "hs")},
+         |${lshPolicyTail(d, "gex", "hs")}""".stripMargin
+    }
+    Q("d28_band_policy", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      lshPolicyDF(spark)
+    }, Some(oracle))
+  }
+
+  /** Spark side of d28 (fixture-testable): hs/sig cached once, the
+    * capped gex relation materialized with `localCheckpoint()` — the
+    * tail references it five times, d26's 3+-reference substitution
+    * trap. */
+  private def lshPolicyDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val hs = cacheOnce(spark.sql(minhashHsSql(SparkD)))
+    hs.createOrReplaceTempView("d28_hs")
+    val (sigSelect, _) = minhashSigParts(SparkD, "d28_hs")
+    cacheOnce(spark.sql(sigSelect)).createOrReplaceTempView("d28_sig")
+    spark.sql(
+      s"WITH ${lshGexCtes(SparkD, "d28_sig", "d28_hs")} " +
+        "SELECT doc_id, bands, bk FROM gex")
+      .localCheckpoint()
+      .createOrReplaceTempView("d28_gex")
+    spark.sql("WITH " + lshPolicyTail(SparkD, "d28_gex", "d28_hs"))
+  }
+
+  /** d28's dials — compile-time constants (the r15 rule): the recall
+    * floor and the ground-truth threshold (the production J >= 0.5
+    * verify bar, permille). */
+  private final val DedupPolicyFloorPm = 500
+  private final val DedupPolicyThrPm = 500
+
   // ------------------------------------------- SemDeDup tau sweep (d23)
 
   /** The d23 sweep body over `drep` (vec_id, embedding, enorm —
@@ -6636,6 +6744,9 @@ object ExtQueries {
     // geometry's measured candidate cost, from ONE shared capped
     // band relation (v25's discipline for the dedup family).
     lshParetoQ,
+    // The LSH surface CONSUMED: a recall-floor policy argmin-picks the
+    // cheapest band geometry and serves d03's pairs at it (v29's twin).
+    lshPolicyQ,
     // The SimHash Pareto surface: the pigeonhole guarantee priced —
     // d24's recall curves joined with each geometry's candidate cost
     // from the same capped sx relation.
@@ -6934,6 +7045,10 @@ object ExtQueries {
         : org.apache.spark.sql.DataFrame = shingleWidthSweepDF(spark)
     def lshPareto(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = lshParetoDF(spark)
+    def lshPolicy(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = lshPolicyDF(spark)
+    val dedupPolicyFloorPm: Long = DedupPolicyFloorPm
+    val dedupPolicyThrPm: Long = DedupPolicyThrPm
     def simhashPareto(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = simhashParetoDF(spark)
     /** v27 over an inline probe relation (no router cache needed):

@@ -145,6 +145,9 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // d26's Pareto surface: d22's bounds exactly (shared gex
     // spelling — LIMIT-40 sample, VALUES geometry/threshold rows).
     "d26_lsh_pareto" -> 40L,
+    // d28's policy: d26's bounds exactly (shared gex spelling; the
+    // pick is a LIMIT-1 subquery over the 3-row surface).
+    "d28_band_policy" -> 40L,
     // d27's Pareto surface: d24's bounds exactly (shared sx
     // spelling — LIMIT-40 signature sample, VALUES rows).
     "d27_simhash_pareto" -> 40L,

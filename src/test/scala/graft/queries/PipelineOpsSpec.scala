@@ -1798,6 +1798,50 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"served ${served.length} rows diverge from cell $pick's ann")
   }
 
+  test("d28: the band policy's pick is d26's argmin at the production " +
+    "threshold, and the served pairs are d03's pairs at that geometry") {
+    val sp = spark; import sp.implicits._
+    // d26's uncapped fixture verbatim — the policy must read the same
+    // surface d26 publishes
+    val x8 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val y9 = (1 to 9).map(i => s"y$i").mkString(" ")
+    Seq(
+      (1L, "a b c d e f g h i j k l", "en"),
+      (2L, "a b c d e f g h i j k l", "en"),
+      (3L, s"pa pb $x8 pc pd", "en"),
+      (4L, s"ra rb $x8 rc rd", "en"),
+      (5L, s"ua ub $y9 uc", "en"),
+      (6L, s"va vb $y9 vc", "en"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("documents")
+    val thr = ExtQueries.TestSql.dedupPolicyThrPm
+    val floor = ExtQueries.TestSql.dedupPolicyFloorPm
+    // the contract, recomputed independently from d26's surface
+    val surface = ExtQueries.TestSql.lshPareto(spark).collect()
+      .filter(_.getLong(1) == thr)
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getLong(5))))
+      .toMap // bands -> (n_true, n_hit, n_cand)
+    val qualifying = surface.filter { case (_, (nt, nh, _)) =>
+      nt == 0L || nh * 1000 >= nt * floor }
+    val pick =
+      if (qualifying.nonEmpty)
+        qualifying.minBy { case (b, (_, _, cand)) => (cand, b) }._1
+      else surface.minBy { case (b, (nt, nh, cand)) =>
+        (-(1000 * nh) / nt, cand, b) }._1
+    val served = ExtQueries.TestSql.lshPolicy(spark).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    assert(served.nonEmpty, "policy served nothing on a dup-rich fixture")
+    assert(served.map(_._1).distinct.toSeq == Seq(pick),
+      s"policy picked ${served.map(_._1).distinct.toSeq}, argmin is $pick")
+    // served pairs == d03's production pairs at the picked geometry
+    val want = ExtQueries.lshGeomPairsDF(spark, pick.toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served.map(_._2).toSet == want,
+      s"served pairs diverge from d03@$pick: ${served.map(_._2).toSet} " +
+        s"vs $want")
+    // the identical planted pair is always served
+    assert(served.map(_._2).contains((1L, 2L)))
+  }
+
   test("m10: the image Pareto surface carries m09's exact recall " +
     "cells plus cost columns constant across thresholds and monotone " +
     "in bands (uncapped)") {
