@@ -5495,6 +5495,219 @@ object ExtQueries {
     ()
   }
 
+  /** One p27 micro-batch: the JOINT admission gate — score the
+    * arriving text against the frozen classifier AND probe the
+    * arriving image against the frozen seen-image band index
+    * (`p27_idx`, registered before the stream starts), route each doc
+    * physically by the combined verdict (`partitionBy(adm)`; adm = 1
+    * iff text cls = 1 AND image verdict 'new'), and encode ONLY what
+    * the admit directory contains (the read-back discipline: a doc
+    * rejected by EITHER gate structurally cannot reach a shard). The
+    * routed rows carry both per-gate verdicts (cls, verdict) for
+    * audit. Both writes are batchId-keyed overwrites — replay
+    * idempotence as in p25. Package-visible for the spec's proofs.
+    */
+  private[graft] def p27ProcessBatch(
+      df: org.apache.spark.sql.DataFrame, id: Long,
+      routes: String, delta: String, mps: Seq[String],
+      weights: org.apache.spark.sql.DataFrame): Unit = {
+    val sp = df.sparkSession
+    // cache the per-batch decode: the vd chain reads the arrival
+    // relation 3x (probes + scored + vd) — the d16/q64 class
+    val arr = graft.multimodal.MultimodalOps.dhashBands(df, "payload")
+      .select("doc_id", "b0", "b1", "b2", "b3", "pdigest").cache()
+    arr.createOrReplaceTempView("p27_arr")
+    try {
+      sp.sql(s"WITH ${m06VdCtes(SparkD, "p27_idx", "p27_arr")} " +
+          "SELECT doc_id, verdict FROM vd")
+        .createOrReplaceTempView("p27_imgvd")
+      graft.streaming.ClassifierAdmit.perDocScores(df, weights)
+        .createOrReplaceTempView("p27_txt")
+      df.createOrReplaceTempView("p27_batch")
+      // LEFT join the text verdicts (a wordless doc gets no score row
+      // -> rejected); INNER join the image verdicts (every arrival
+      // carries a payload and gets one)
+      sp.sql(
+        """SELECT b.doc_id, b.lang, b.text,
+          |  COALESCE(t.cls, 0) AS cls, i.verdict,
+          |  CASE WHEN COALESCE(t.cls, 0) = 1 AND i.verdict = 'new'
+          |    THEN 1 ELSE 0 END AS adm
+          |FROM p27_batch b
+          |LEFT JOIN p27_txt t ON t.doc_id = b.doc_id
+          |JOIN p27_imgvd i ON i.doc_id = b.doc_id""".stripMargin)
+        .write.format("columnfile").partitionBy("adm")
+        .mode("overwrite").save(s"$routes/batch=$id")
+      val admitted =
+        if (!new java.io.File(s"$routes/batch=$id/adm=1").isDirectory)
+          df.limit(0).selectExpr("doc_id", "lang", "text")
+        else sp.read.format("columnfile").load(s"$routes/batch=$id")
+          .where("adm = 1").selectExpr("doc_id", "lang", "text")
+      p22EncodeBatch(admitted, mps)
+        .write.format("columnfile").partitionBy("split", "lang")
+        .mode("overwrite").save(s"$delta/batch=$id")
+    } finally { arr.unpersist(); () }
+  }
+
+  /** p27's body over whatever tables are registered (fixture-testable):
+    * text-admitted even base, frozen seen-image index over the base's
+    * images, the odd half streamed through the joint gate, p24's
+    * policy on the serving layout, p21's readout.
+    */
+  private def multimodalRefreshDF(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val sp = spark; import sp.implicits._
+    val mps = p22MergePairs(spark, dir)
+    val weights = cacheOnce(spark.read.format("columnfile")
+      .load(t19WeightsPath(spark, dir)))
+    // the curated base: text-admitted EVEN docs (the corpus p25 would
+    // have built), batch-encoded through the same frozen artifacts
+    def admEven = {
+      val evens = spark.table("documents").where("doc_id % 2 = 0")
+      evens.join(
+        broadcast(graft.streaming.ClassifierAdmit
+          .perDocScores(evens, weights)
+          .where("cls = 1").select("doc_id")),
+        "doc_id")
+    }
+    val base = Tables.cachePath(dir, "p27_base")
+    if (!new java.io.File(base, "_SUCCESS").exists()) {
+      p22EncodeBatch(admEven.selectExpr("doc_id", "lang", "text"), mps)
+        .write.format("columnfile").partitionBy("split", "lang")
+        .mode("overwrite").save(base)
+    }
+    // the frozen seen-image index: the BASE corpus's images collapsed
+    // by raster digest (q64's spelling) — registered BEFORE the stream
+    // starts (the foreachBatch clone copies the registry)
+    admEven.select("doc_id").as[Long]
+      .map(i => (i, plantedPgm(i))).toDF("doc_id", "payload")
+      .createOrReplaceTempView("p27_basepayloads")
+    graft.multimodal.MultimodalOps
+      .dhashBands(spark.table("p27_basepayloads"), "payload")
+      .select("doc_id", "b0", "b1", "b2", "b3", "pdigest")
+      .createOrReplaceTempView("p27_h")
+    cacheOnce(spark.sql(
+      """SELECT MIN(doc_id) AS rep, MIN(b0) AS b0, MIN(b1) AS b1,
+        |  MIN(b2) AS b2, MIN(b3) AS b3, pdigest
+        |FROM p27_h GROUP BY pdigest""".stripMargin))
+      .createOrReplaceTempView("p27_idx")
+    // the odd half arrives as a stream of (text + image payload) docs
+    val src = Tables.cachePath(dir, "p27_doc_image_stream")
+    if (!new java.io.File(src, "_SUCCESS").exists()) {
+      spark.table("documents").where("doc_id % 2 = 1")
+        .selectExpr("doc_id", "lang", "text")
+        .as[(Long, String, String)]
+        .map(t => (t._1, t._2, t._3, plantedPgm(t._1)))
+        .toDF("doc_id", "lang", "text", "payload")
+        .repartition(1).sortWithinPartitions("doc_id")
+        .write.format("columnfile").mode("overwrite").save(src)
+    }
+    val routes = Tables.cachePath(dir, "p27_routes")
+    val delta = Tables.cachePath(dir, "p27_delta")
+    if (!Tables.batchOutputComplete(delta)) {
+      Tables.resetBatchOutput(delta)
+      Tables.resetBatchOutput(routes)
+      val schema = spark.read.format("columnfile").load(src).schema
+      val q = spark.readStream.format("columnfile").schema(schema)
+        .load(src)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          p27ProcessBatch(df, id, routes, delta, mps, weights)
+        }
+        .option("checkpointLocation", delta + "_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Tables.markBatchOutputComplete(routes)
+      Tables.markBatchOutputComplete(delta)
+    }
+    val cols = Seq("split", "lang", "shard", "doc_id", "btoks", "rn",
+      "bin", "toks")
+    val union = spark.read.format("columnfile").load(base)
+      .selectExpr(cols: _*)
+      .union(Tables.loadBatchDirs(spark, delta,
+        "shard BIGINT, doc_id BIGINT, btoks BIGINT, rn BIGINT, " +
+          "bin BIGINT, toks ARRAY<BIGINT>, split STRING, lang STRING")
+        .selectExpr(cols: _*))
+    // p24's dial decides the serving layout; content is invariant
+    val serving =
+      if (p24ShouldCompact(p24DataBytes(base), p24DataBytes(delta))) {
+        val compacted = Tables.cachePath(dir, "p27_compacted")
+        if (!new java.io.File(compacted, "_SUCCESS").exists()) {
+          p23Repack(union)
+            .write.format("columnfile").partitionBy("split", "lang")
+            .mode("overwrite").save(compacted)
+        }
+        spark.read.format("columnfile").load(compacted)
+      } else union
+    serving.createOrReplaceTempView("p27_shards")
+    spark.sql("WITH " + p21Body(SparkD, "p27_shards"))
+  }
+
+  /** p27: the MULTIMODAL corpus-refresh capstone — p25's text refresh
+    * and v28's vector refresh completed into the third symmetry:
+    * arriving documents carry an IMAGE PAYLOAD alongside their text,
+    * and admission requires BOTH frozen gates — the learned text
+    * classifier (q70/t19's weight table) AND image novelty against
+    * the seen-image band index (q64/m06's verdict: not an exact or
+    * near dup of any base image at hamming <= 3). The joint verdict
+    * routes physically per batch (one `partitionBy(adm)` write — the
+    * two gates cannot diverge under replay), and the shard encode
+    * reads back the admit directory, so a doc rejected by EITHER gate
+    * structurally cannot reach a shard. ONE oracle hash-matches the
+    * whole chain: p21's consumer SQL over exactly the jointly-admitted
+    * set (base = text-admitted evens; stream = odds passing text AND
+    * image gates), recomputing classifier, bands, digests, and verdict
+    * chain in closed form — a wrong verdict from either gate, a leaked
+    * rejection, a dropped batch, or a content-changing policy branch
+    * all break the hash.
+    *
+    * 100 TB design: per-batch work is O(batch) — one decode-seam pass
+    * + band probe against the KB-sized collapsed rep index (broadcast
+    * join), one broadcast score join against the <= 1024-row model,
+    * one per-task routed fan-out, one map-side encode; no state store,
+    * nothing rescans the base. The read side pays p24's measured
+    * union-vs-repack dial like every LSM family here.
+    */
+  private def multimodalRefreshQ: Q = {
+    val oracle = {
+      val d = DuckD
+      val bands = (0 until 4)
+        .map(t => s"CAST(${m04BandExpr(d, t)} AS BIGINT) AS b$t")
+        .mkString(",\n    ")
+      s"""WITH w0 AS (${bpeVocabSql(d)}),
+         |${bpeRound(d, 1, "w0")},
+         |${bpeRound(d, 2, "w1")},
+         |${bpeRound(d, 3, "w2")},
+         |tadm AS (SELECT doc_id FROM (${t20PerDocSql(d)}) s WHERE cls = 1),
+         |idd AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS r
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    $bands,
+         |    ${m04PixDigestExpr(d)} AS pdigest
+         |  FROM idd),
+         |idx AS (SELECT MIN(h.doc_id) AS rep, MIN(b0) AS b0,
+         |    MIN(b1) AS b1, MIN(b2) AS b2, MIN(b3) AS b3, pdigest
+         |  FROM h JOIN tadm ON tadm.doc_id = h.doc_id
+         |  WHERE h.doc_id % 2 = 0 GROUP BY pdigest),
+         |arr AS (SELECT doc_id, b0, b1, b2, b3, pdigest FROM h
+         |  WHERE doc_id % 2 = 1),
+         |${m06VdCtes(d, "idx", "arr")},
+         |adm AS (SELECT t.doc_id FROM tadm t WHERE t.doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT v.doc_id FROM vd v JOIN tadm t ON t.doc_id = v.doc_id
+         |  WHERE v.verdict = 'new'),
+         |admdocs AS (SELECT dd.doc_id, dd.lang, dd.text
+         |  FROM documents dd JOIN adm ON adm.doc_id = dd.doc_id),
+         |${p20EncodeBody(d, "admdocs")},
+         |${p21Body(d, "pb")}""".stripMargin
+    }
+    Q("p27_multimodal_refresh", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      multimodalRefreshDF(spark, dir)
+    }, Some(oracle))
+  }
+
   /** p25: the STREAMING CORPUS-REFRESH capstone — the round's routing
     * and LSM pieces composed end-to-end in ONE pipeline, the shape a
     * production corpus actually runs nightly: documents ARRIVE as a
@@ -6857,6 +7070,10 @@ object ExtQueries {
     // frozen-tokenizer delta shards, the size policy picking the
     // serving layout — one oracle over the whole chain.
     corpusRefreshQ,
+    // The MULTIMODAL refresh capstone: arriving text+image docs pass
+    // BOTH frozen gates (learned classifier AND seen-image band index)
+    // before sharding; one oracle over the jointly-admitted set.
+    multimodalRefreshQ,
     // Weighted priority sampling (exact-integer w/u priorities) with
     // the Horvitz-Thompson estimate reported against exact totals.
     dialect("p19_priority_sample", prioritySampleSql),
@@ -8027,7 +8244,15 @@ object ExtQueries {
     * line). Shared verbatim by the Spark stream readout side and the
     * closed-form oracle.
     */
-  private def m06Body(d: Dial, idx: String, arr: String): String = {
+  /** The per-arrival image verdict CTE chain over the rep index `idx`
+    * (rep, b0..b3, pdigest) and arrival relation `arr` (doc_id,
+    * b0..b3, pdigest): band-probe candidates, best match per arrival,
+    * verdict new/dup/exact — factored out of [[m06Body]] so q64's
+    * readout and p27's joint admission gate consume ONE spelling of
+    * what "seen image" means. Ends with `vd(doc_id, verdict, ham,
+    * mrep)`.
+    */
+  private def m06VdCtes(d: Dial, idx: String, arr: String): String = {
     val probesIdx = d match {
       case SparkD =>
         s"""SELECT rep, pr.t AS t, pr.bv AS bv FROM $idx
@@ -8078,12 +8303,15 @@ object ExtQueries {
        |      AS ham,
        |    COALESCE(CASE WHEN best.hamming <= 3 THEN best.rep END, -1)
        |      AS mrep
-       |  FROM $arr a LEFT JOIN best ON a.doc_id = best.doc_id)
+       |  FROM $arr a LEFT JOIN best ON a.doc_id = best.doc_id)""".stripMargin
+  }
+
+  private def m06Body(d: Dial, idx: String, arr: String): String =
+    s"""${m06VdCtes(d, idx, arr)}
        |SELECT verdict, ham AS hamming, COUNT(*) AS n_arrivals,
        |  CAST(SUM(((doc_id % $P) * 31 + (mrep % $P + 1)) % $P) % $P
        |    AS BIGINT) AS checksum
        |FROM vd GROUP BY verdict, ham""".stripMargin
-  }
 
   /** q64: streaming image-dedup ADMISSION — "have we seen this image?"
     * at ingest, the multimodal member of the batch-derived-relation

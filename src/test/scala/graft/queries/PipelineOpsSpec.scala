@@ -1412,6 +1412,82 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(consumerCols(ExtQueries.p23Repack(union)) == consumerCols(union))
   }
 
+  test("p27: a doc rejected by EITHER gate (text classifier OR " +
+    "seen-image index) never reaches a shard, and batch replay " +
+    "changes nothing") {
+    val sp = spark; import sp.implicits._
+    import graft.multimodal.MultimodalOps
+    val bucketOf = (w: String) =>
+      spark.sql(s"SELECT graft_polyhash('$w') % 1024").head().getLong(0)
+    val (bGood, bBad) = (bucketOf("good"), bucketOf("bad"))
+    assume(bGood != bBad)
+    val weights = Seq((bGood, 10L), (bBad, -20L)).toDF("bucket", "w")
+    val mps = Seq("o o", "go od", "")
+    // images: A rises left-to-right (dHash bits all 1), N falls (all
+    // 0) — hamming 64 apart, so N is 'new' against an A-only index;
+    // A' perturbs ONE pixel of A (near dup, hamming <= 2)
+    def px(f: Int => Int): Array[Byte] =
+      (0 until 288).map(i => (f(i) % 251).toByte).toArray
+    val imgA = MultimodalOps.pgmBytes(18, 16, px(i => (i % 18) * 13))
+    val imgN = MultimodalOps.pgmBytes(18, 16, px(i => 250 - (i % 18) * 13))
+    val imgA2 = {
+      val p = px(i => (i % 18) * 13); p(40) = (p(40) + 90).toByte
+      MultimodalOps.pgmBytes(18, 16, p)
+    }
+    // the frozen seen-image index: image A under rep 100
+    MultimodalOps.dhashBands(
+        Seq((100L, imgA)).toDF("doc_id", "payload"), "payload")
+      .select("doc_id", "b0", "b1", "b2", "b3", "pdigest")
+      .createOrReplaceTempView("p27fix_h")
+    spark.sql(
+      """SELECT MIN(doc_id) AS rep, MIN(b0) AS b0, MIN(b1) AS b1,
+        |  MIN(b2) AS b2, MIN(b3) AS b3, pdigest
+        |FROM p27fix_h GROUP BY pdigest""".stripMargin)
+      .createOrReplaceTempView("p27_idx")
+    val all = Seq(
+      (1L, "en", "good good good", imgN), // both gates pass  -> admit
+      (2L, "en", "bad bad", imgN),        // text reject      -> out
+      (3L, "en", "good good good", imgA), // image exact dup  -> out
+      (4L, "en", "good good", imgA2))     // image near dup   -> out
+      .toDF("doc_id", "lang", "text", "payload")
+    val root = java.nio.file.Files
+      .createTempDirectory("p27fix").toString
+    val routes = s"$root/routes"
+    val delta = s"$root/delta"
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      ExtQueries.p27ProcessBatch(df, id, routes, delta, mps, weights)
+    run(all.where("doc_id <= 2"), 0L)
+    run(all.where("doc_id >= 3"), 1L)
+    val ddl = "shard BIGINT, doc_id BIGINT, btoks BIGINT, rn BIGINT, " +
+      "bin BIGINT, toks ARRAY<BIGINT>, split STRING, lang STRING"
+    def deltaRows() = graft.queries.Tables
+      .loadBatchDirs(spark, delta, ddl)
+      .selectExpr("split", "lang", "shard", "doc_id", "btoks", "rn",
+        "bin", "toks")
+      .collect().map(_.toString).sorted.toSeq
+    val once = deltaRows()
+    // ONLY the doc passing BOTH gates reached a shard — the encode
+    // consumes the jointly-routed admit DIRECTORY
+    val shardDocs = graft.queries.Tables.loadBatchDirs(spark, delta, ddl)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shardDocs == Set(1L), shardDocs.toString)
+    // the routed audit trail records WHICH gate rejected each doc
+    val verdicts = spark.read.format("columnfile").load(s"$routes/batch=0")
+      .unionByName(
+        spark.read.format("columnfile").load(s"$routes/batch=1"))
+      .selectExpr("doc_id", "cls", "verdict", "adm")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getAs[Number](3).longValue))
+      .toMap
+    assert(verdicts(1L) == ((1L, "new", 1L)), verdicts(1L).toString)
+    assert(verdicts(2L)._1 == 0L && verdicts(2L)._3 == 0L)
+    assert(verdicts(3L) == ((1L, "exact", 0L)), verdicts(3L).toString)
+    assert(verdicts(4L) == ((1L, "dup", 0L)), verdicts(4L).toString)
+    // REPLAY batch 0: both routes and delta overwrite atomically
+    run(all.where("doc_id <= 2"), 0L)
+    assert(deltaRows() == once, "replay changed the shard artifact")
+  }
+
   test("p26: the portable tokenizer derives ONLY from the registry " +
     "corpus — a poisoned serving corpus cannot change a fresh build — " +
     "and the encode consumes exactly the frozen merges") {
