@@ -25,15 +25,15 @@ REPO = os.path.dirname(BASE)
 # families are exercised by the main gate; re-running them per corpus
 # would dominate the runtime without adding dialect coverage)
 QUERIES = ",".join(
-    [f"d{i:02d}_" for i in range(1, 28)] +
+    [f"d{i:02d}_" for i in range(1, 29)] +
     [f"t{i:02d}_" for i in range(1, 22)] +
     ["p01_", "p02_", "p03_", "p04_", "p05_", "p06_", "p07_", "p08_",
      "p09_", "p10_", "p11_", "p12_", "p13_", "p14_", "p15_", "p16_",
      "p17_", "p18_", "p19_", "p20_", "p21_", "p22_", "p23_", "p24_",
-     "p25_", "p26_"] +
-    [f"v{i:02d}_" for i in range(1, 29)] +
+     "p25_", "p26_", "p27_"] +
+    [f"v{i:02d}_" for i in range(1, 30)] +
     ["m01_", "m02_", "m03_", "m04_", "m05_", "m06_", "m07_", "m08_",
-     "m09_"] +
+     "m09_", "m10_"] +
     # events-based batch family: time-series agg, sessionization twin,
     # as-of/range/interval/salted joins, funnel (ties + boundaries are
     # where tie-break discipline would crack)
@@ -41,7 +41,8 @@ QUERIES = ",".join(
     # streaming index maintenance: documents-based, and the empty/
     # whitespace-text docs fuzzed corpora plant are exactly its
     # dl-row-without-postings edge
-    ["q66_", "q67_", "q68_", "q70_", "q71_", "q73_", "q74_", "q75_"] +
+    ["q66_", "q67_", "q68_", "q70_", "q71_", "q73_", "q74_", "q75_",
+     "q76_", "q77_"] +
     # relational shared-SQL family over fuzzed lineitem/orders: the
     # integer-cents discipline's ROUND(double) is the divergence
     # surface (Spark rounds the decimal string, DuckDB the binary

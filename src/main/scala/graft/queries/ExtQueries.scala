@@ -3357,12 +3357,13 @@ object ExtQueries {
     * production threshold (J >= 0.5, the d03 verify bar) meets the
     * floor, fewest-bands tie-break; highest-recall-cheapest fallback;
     * an empty ground truth reads as vacuously-met (nothing to recall).
-    * The SERVE leg is d03's production pair pipeline run at exactly
-    * the picked geometry, from the SAME gex relation the surface
-    * measured — pick and serve cannot diverge on what a candidate is,
-    * and ONE oracle hash-gates surface → argmin → verified pairs.
+    * The SERVE leg ([[lshPolicyServe]]) is d03's production pair
+    * pipeline run at exactly the picked geometry, from the SAME gex
+    * relation the surface measured — pick and serve cannot diverge on
+    * what a candidate is, and ONE oracle hash-gates surface → argmin
+    * → verified pairs. This builder ends at `pick`.
     */
-  private def lshPolicyTail(d: Dial, gex: String, hs: String): String =
+  private def lshPolicyPickCtes(d: Dial, gex: String, hs: String): String =
     s"""${jaccardGtCtes(d, hs)},
        |gcand AS (SELECT DISTINCT a.bands, a.doc_id AS qid, b.doc_id AS nid
        |  FROM $gex a JOIN $gex b ON a.bands = b.bands AND a.bk = b.bk
@@ -3397,11 +3398,24 @@ object ExtQueries {
        |    CASE WHEN missed = 0 THEN n_cand
        |      ELSE -${d.intDiv("(1000 * n_hit)", "n_true")} END,
        |    bands
-       |  LIMIT 1),
-       |pex AS (SELECT g.doc_id, g.bk FROM $gex g
-       |  JOIN pick p ON g.bands = p.bands)
+       |  LIMIT 1)""".stripMargin
+
+  /** d28's serve leg: d03's pair pipeline at the picked geometry, from
+    * the same capped `gex` relation the surface measured. `pick` is a
+    * 1-row relation (k CTE in the oracle; a localCheckpoint leaf on
+    * the Spark side — referenced twice, and inlining it would re-run
+    * the whole surface a second time). */
+  private def lshPolicyServe(d: Dial, gex: String, hs: String,
+      pick: String): String =
+    s"""pex AS (SELECT g.doc_id, g.bk FROM $gex g
+       |  JOIN $pick p ON g.bands = p.bands)
        |SELECT CAST(p.bands AS BIGINT) AS bands, j.i, j.j
-       |FROM pick p CROSS JOIN (${minhashPairsFrom(d, "pex", hs)}) j""".stripMargin
+       |FROM $pick p CROSS JOIN (${minhashPairsFrom(d, "pex", hs)}) j""".stripMargin
+
+  /** d28's whole chain as ONE statement — the oracle's shape. */
+  private def lshPolicyTail(d: Dial, gex: String, hs: String): String =
+    s"""${lshPolicyPickCtes(d, gex, hs)},
+       |${lshPolicyServe(d, gex, hs, "pick")}""".stripMargin
 
   /** d28: the BAND-GEOMETRY SERVING POLICY — d26's surface consumed,
     * the dedup twin of v29 (every measured surface in the engine now
@@ -3450,7 +3464,16 @@ object ExtQueries {
         "SELECT doc_id, bands, bk FROM gex")
       .localCheckpoint()
       .createOrReplaceTempView("d28_gex")
-    spark.sql("WITH " + lshPolicyTail(SparkD, "d28_gex", "d28_hs"))
+    // the 1-row pick is a second leaf: the serve references it twice,
+    // and inlining would re-run the whole surface (measured 1.8x d26
+    // at 10x before the split)
+    spark.sql(
+      s"WITH ${lshPolicyPickCtes(SparkD, "d28_gex", "d28_hs")} " +
+        "SELECT bands FROM pick")
+      .localCheckpoint()
+      .createOrReplaceTempView("d28_pick")
+    spark.sql(
+      s"WITH ${lshPolicyServe(SparkD, "d28_gex", "d28_hs", "d28_pick")}")
   }
 
   /** d28's dials — compile-time constants (the r15 rule): the recall
@@ -10463,19 +10486,27 @@ object ExtQueries {
     * the probe would score — the work dial) beside the total recalled
     * neighbors and fixed-point recall@5 over the 20-query sample; the
     * ks × lv cross frame keeps zero-candidate cells. */
-  private def kmParetoCtes(d: Dial): String = {
+  /** The ranked/top-5 legs over candidate relation `cands` — shared by
+    * v25's surface and v29's serve so "the served rows" and "the
+    * priced rows" have one spelling. */
+  private def kmRankedAnnCtes(cands: String): String = {
+    val lv = "(VALUES (1), (2), (4)) AS lv(nprobe)"
+    s"""ranked AS (SELECT c.k, lv.nprobe, c.qid, c.nid,
+       |    ROW_NUMBER() OVER (PARTITION BY c.k, lv.nprobe, c.qid
+       |      ORDER BY c.cos DESC, c.nid) AS rn
+       |  FROM $cands c CROSS JOIN $lv
+       |  WHERE c.min_prank <= lv.nprobe),
+       |ann AS (SELECT k, nprobe, qid, nid FROM ranked WHERE rn <= 5)""".stripMargin
+  }
+
+  private def kmParetoCtes(d: Dial, cands: String = "cands"): String = {
     val ks = s"(VALUES ($KmSweepA), ($KmSweepB), ($KmSweepC)) AS ks(k)"
     val lv = "(VALUES (1), (2), (4)) AS lv(nprobe)"
     s"""costs AS (SELECT c.k, lv.nprobe, COUNT(*) AS n_cand
-       |  FROM cands c CROSS JOIN $lv
+       |  FROM $cands c CROSS JOIN $lv
        |  WHERE c.min_prank <= lv.nprobe
        |  GROUP BY c.k, lv.nprobe),
-       |ranked AS (SELECT c.k, lv.nprobe, c.qid, c.nid,
-       |    ROW_NUMBER() OVER (PARTITION BY c.k, lv.nprobe, c.qid
-       |      ORDER BY c.cos DESC, c.nid) AS rn
-       |  FROM cands c CROSS JOIN $lv
-       |  WHERE c.min_prank <= lv.nprobe),
-       |ann AS (SELECT k, nprobe, qid, nid FROM ranked WHERE rn <= 5),
+       |${kmRankedAnnCtes(cands)},
        |${kmGtCte(d, "kemb")},
        |cells AS (SELECT ks.k, lv.nprobe,
        |    CAST(COUNT(ann.nid) AS BIGINT) AS n_hit,
@@ -10498,17 +10529,13 @@ object ExtQueries {
     s"""${kmParetoCtes(d)}
        |SELECT k, nprobe, n_cand, n_hit, recall_pm FROM surface""".stripMargin
 
-  /** v29's policy tail downstream of v25's surface: the pick is IN the
-    * relational chain (one deterministic ORDER BY ... LIMIT 1), so the
-    * oracle hash-gates the pick AND the served probe together — a
-    * wrong argmin, a wrong fallback, or a serve at any other cell all
-    * break the hash. Cheapest cell meeting the recall floor; when no
-    * cell does (degenerate fixture/fuzzer corpora), the highest-recall
-    * cell, cheapest first — the policy always serves SOMETHING, and
-    * which thing is spec-pinned. */
-  private def kmPolicyTail(d: Dial): String =
-    s"""${kmParetoCtes(d)},
-       |pick AS (SELECT k, nprobe FROM (
+  /** v29's argmin over the surface — `pick(k, nprobe)`: cheapest cell
+    * meeting the recall floor; when no cell does (degenerate
+    * fixture/fuzzer corpora), the highest-recall cell, cheapest first
+    * — the policy always serves SOMETHING, and which thing is
+    * spec-pinned. */
+  private def kmPolicyPickCte: String =
+    s"""pick AS (SELECT k, nprobe FROM (
        |    SELECT k, nprobe, n_cand, recall_pm,
        |      CASE WHEN recall_pm >= $RecallPolicyFloorPm THEN 0 ELSE 1 END
        |        AS missed
@@ -10516,7 +10543,27 @@ object ExtQueries {
        |  ORDER BY missed,
        |    CASE WHEN missed = 0 THEN n_cand ELSE -recall_pm END,
        |    k, nprobe
-       |  LIMIT 1)
+       |  LIMIT 1)""".stripMargin
+
+  /** v29's serve leg over candidate relation `cands` and pick relation
+    * `pick` (1 row). */
+  private def kmPolicyServe(cands: String, pick: String): String =
+    s"""${kmRankedAnnCtes(cands)}
+       |SELECT CAST(a.k AS BIGINT) AS k, CAST(a.nprobe AS BIGINT) AS nprobe,
+       |  a.qid, a.nid
+       |FROM ann a JOIN $pick p ON a.k = p.k AND a.nprobe = p.nprobe""".stripMargin
+
+  /** v29's whole chain as ONE statement (the oracle's shape): the pick
+    * is IN the relational chain (one deterministic ORDER BY ... LIMIT
+    * 1), so the oracle hash-gates the pick AND the served probe
+    * together — a wrong argmin, a wrong fallback, or a serve at any
+    * other cell all break the hash. (The Spark side splits the same
+    * CTEs at two localCheckpoint leaves — cands and pick — because the
+    * 1-row pick is referenced from the serve and would otherwise
+    * inline the whole surface lineage a second time.) */
+  private def kmPolicyTail(d: Dial): String =
+    s"""${kmParetoCtes(d)},
+       |$kmPolicyPickCte
        |SELECT CAST(a.k AS BIGINT) AS k, CAST(a.nprobe AS BIGINT) AS nprobe,
        |  a.qid, a.nid
        |FROM ann a JOIN pick p ON a.k = p.k AND a.nprobe = p.nprobe""".stripMargin
@@ -10588,11 +10635,23 @@ object ExtQueries {
     Q("v29_recall_policy", (spark, dir) => {
       Tables.registerAll(spark, dir)
       kmSweepViews(spark, ks)
+      // two localCheckpoint leaves: cands (read by costs + ranked +
+      // the serve) and the 1-row pick (whose lineage is the whole
+      // surface — inlined twice otherwise: measured 2.8x v25 at 10x)
       spark.sql(
-        s"""WITH cands AS (${ks.map(k =>
+        s"""SELECT * FROM (${ks.map(k =>
              kmGridPairs(SparkD, s"v23k${k}_b3", k))
-             .mkString("\n  UNION ALL ")}),
-           |${kmPolicyTail(SparkD)}""".stripMargin)
+             .mkString("\n  UNION ALL ")}) c""".stripMargin)
+        .localCheckpoint()
+        .createOrReplaceTempView("v29_cands")
+      spark.sql(
+        s"""WITH ${kmParetoCtes(SparkD, "v29_cands")},
+           |$kmPolicyPickCte
+           |SELECT k, nprobe FROM pick""".stripMargin)
+        .localCheckpoint()
+        .createOrReplaceTempView("v29_pick")
+      spark.sql(
+        s"WITH ${kmPolicyServe("v29_cands", "v29_pick")}")
     }, Some(oracle))
   }
 
