@@ -45,9 +45,15 @@ object Bench {
     // the warm-up, so the timed passes measure steady-state execution —
     // how a long-lived cluster behaves.
     inventory.foreach { case (name, fn) =>
+      // progress line per query: a wedged warm-up is diagnosable from
+      // the log tail instead of a jstack session
+      System.err.println(s"[bench-warmup] $name ...")
+      val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); () }
       catch { case e: Throwable =>
         System.err.println(s"[bench-warmup] $name failed: ${e.getMessage}") }
+      System.err.println(f"[bench-warmup] $name done " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     def timedPass(): Map[String, Double] = inventory.map { case (name, fn) =>
       val t0 = System.nanoTime()

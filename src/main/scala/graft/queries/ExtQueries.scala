@@ -10398,16 +10398,22 @@ object ExtQueries {
     * cosines computed once, then the 3-row VALUES level relation fans
     * the ranking out per (nprobe, qid) with `min_prank <= nprobe` as
     * the only per-level work. */
-  /** One model's widest-probe candidate pairs with best probe rank and
-    * exact cosine — the ONE pass per K that both the grid's recall
-    * (v24) and the Pareto surface's cost column (v25) read. */
-  private def kmGridPairs(d: Dial, b3r: String, k: Int): String =
+  /** One model's candidate pairs with best probe rank and exact cosine
+    * — the ONE pass per K that the grid's recall (v24), the Pareto
+    * surface's cost column (v25), and v29's serve read. `maxPrank`
+    * bounds the probe width: the sweeps need the widest setting (4,
+    * levels become filters); v29's serve passes the PICKED nprobe so
+    * it scans only that cell set — a candidate with min_prank <= np
+    * is reachable within the first np probes by definition, so the
+    * narrowed pass returns exactly the wide pass filtered. */
+  private def kmGridPairs(d: Dial, b3r: String, k: Int,
+      maxPrank: Int = 4): String =
     s"""SELECT CAST($k AS BIGINT) AS k, c.qid, c.nid, c.min_prank,
        |  ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
        |    AS cos
        |FROM (SELECT p4.qid, a.vec_id AS nid, MIN(p4.prank) AS min_prank
        |      FROM (SELECT vec_id AS qid, cid AS pcell, rn AS prank
-       |            FROM $b3r WHERE vec_id < 20 AND rn <= 4) p4
+       |            FROM $b3r WHERE vec_id < 20 AND rn <= $maxPrank) p4
        |      JOIN (SELECT vec_id, cid FROM $b3r WHERE rn = 1) a
        |        ON a.cid = p4.pcell
        |      WHERE a.vec_id <> p4.qid
@@ -10534,33 +10540,28 @@ object ExtQueries {
     * fixture/fuzzer corpora), the highest-recall cell, cheapest first
     * — the policy always serves SOMETHING, and which thing is
     * spec-pinned. */
-  private def kmPolicyPickCte: String =
+  private def kmPolicyPickCte: String = kmPolicyPickCteOver("surface")
+
+  private def kmPolicyPickCteOver(surface: String): String =
     s"""pick AS (SELECT k, nprobe FROM (
        |    SELECT k, nprobe, n_cand, recall_pm,
        |      CASE WHEN recall_pm >= $RecallPolicyFloorPm THEN 0 ELSE 1 END
        |        AS missed
-       |    FROM surface) s
+       |    FROM $surface) s
        |  ORDER BY missed,
        |    CASE WHEN missed = 0 THEN n_cand ELSE -recall_pm END,
        |    k, nprobe
        |  LIMIT 1)""".stripMargin
 
-  /** v29's serve leg over candidate relation `cands` and pick relation
-    * `pick` (1 row). */
-  private def kmPolicyServe(cands: String, pick: String): String =
-    s"""${kmRankedAnnCtes(cands)}
-       |SELECT CAST(a.k AS BIGINT) AS k, CAST(a.nprobe AS BIGINT) AS nprobe,
-       |  a.qid, a.nid
-       |FROM ann a JOIN $pick p ON a.k = p.k AND a.nprobe = p.nprobe""".stripMargin
-
   /** v29's whole chain as ONE statement (the oracle's shape): the pick
     * is IN the relational chain (one deterministic ORDER BY ... LIMIT
     * 1), so the oracle hash-gates the pick AND the served probe
     * together — a wrong argmin, a wrong fallback, or a serve at any
-    * other cell all break the hash. (The Spark side splits the same
-    * CTEs at two localCheckpoint leaves — cands and pick — because the
-    * 1-row pick is referenced from the serve and would otherwise
-    * inline the whole surface lineage a second time.) */
+    * other cell all break the hash. (The Spark side instead reads the
+    * 1-row pick on the driver — the q74/v26 bounded-policy-read class
+    * — and serves only the picked K/nprobe: inlining the pick into
+    * the serve would re-run the whole surface, and checkpointing the
+    * shared cands relation is a ~100M-row trap at 100×.) */
   private def kmPolicyTail(d: Dial): String =
     s"""${kmParetoCtes(d)},
        |$kmPolicyPickCte
@@ -10635,23 +10636,41 @@ object ExtQueries {
     Q("v29_recall_policy", (spark, dir) => {
       Tables.registerAll(spark, dir)
       kmSweepViews(spark, ks)
-      // two localCheckpoint leaves: cands (read by costs + ranked +
-      // the serve) and the 1-row pick (whose lineage is the whole
-      // surface — inlined twice otherwise: measured 2.8x v25 at 10x)
-      spark.sql(
-        s"""SELECT * FROM (${ks.map(k =>
+      // The pick is a bounded 1-row POLICY read on the driver (the
+      // q74/v26 class: the decision is driver-side, the data never
+      // is) — materializing the shared cands relation instead is a
+      // scale trap: at 100x it is a ~100M-row float-carrying
+      // checkpoint, while v25 only ever aggregates it in a pipeline.
+      // One v25-class pass computes the surface and the argmin; the
+      // serve then re-ranks ONLY the picked K's candidate pass at the
+      // picked level — strictly less work than the surface itself.
+      // materialize the 9-row surface once (cacheOnce — the artifact a
+      // deployment persists); pick and serve then consult it instead
+      // of re-running the surface chain per consumer
+      cacheOnce(spark.sql(
+        s"""WITH cands AS (${ks.map(k =>
              kmGridPairs(SparkD, s"v23k${k}_b3", k))
-             .mkString("\n  UNION ALL ")}) c""".stripMargin)
-        .localCheckpoint()
-        .createOrReplaceTempView("v29_cands")
+             .mkString("\n  UNION ALL ")}),
+           |${kmParetoTail(SparkD)}""".stripMargin))
+        .createOrReplaceTempView("v29_surface")
+      val pick = spark.sql(
+        s"""WITH ${kmPolicyPickCteOver("v29_surface")}
+           |SELECT k, nprobe FROM pick""".stripMargin).collect().head
+      val (pk, pnp) = (pick.getLong(0), pick.getLong(1))
+      // serve ONE level: the lv cross of kmRankedAnnCtes collapsed to
+      // the picked literal (3x less window volume; the spec pins this
+      // single-level spelling row-for-row against kmCellAnn's
+      // three-level one, so they cannot diverge)
       spark.sql(
-        s"""WITH ${kmParetoCtes(SparkD, "v29_cands")},
-           |$kmPolicyPickCte
-           |SELECT k, nprobe FROM pick""".stripMargin)
-        .localCheckpoint()
-        .createOrReplaceTempView("v29_pick")
-      spark.sql(
-        s"WITH ${kmPolicyServe("v29_cands", "v29_pick")}")
+        s"""WITH cands AS (${kmGridPairs(SparkD, s"v23k${pk}_b3",
+             pk.toInt, maxPrank = pnp.toInt)}),
+           |ranked AS (SELECT c.k, c.qid, c.nid,
+           |    ROW_NUMBER() OVER (PARTITION BY c.qid
+           |      ORDER BY c.cos DESC, c.nid) AS rn
+           |  FROM cands c WHERE c.min_prank <= $pnp)
+           |SELECT CAST(k AS BIGINT) AS k, CAST($pnp AS BIGINT) AS nprobe,
+           |  qid, nid
+           |FROM ranked WHERE rn <= 5""".stripMargin)
     }, Some(oracle))
   }
 
