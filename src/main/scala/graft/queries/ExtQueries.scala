@@ -3471,6 +3471,10 @@ object ExtQueries {
       s"WITH ${lshPolicyPickCtes(SparkD, "d28_gex", "d28_hs")} " +
         "SELECT bands FROM pick")
       .localCheckpoint()
+      // semantic no-op (the pick IS one row): gives the checkpoint
+      // leaf a GlobalLimit identity so the BNLJ gate's machine-checked
+      // bound can SEE the serve's broadcast side is 1 row
+      .limit(1)
       .createOrReplaceTempView("d28_pick")
     spark.sql(
       s"WITH ${lshPolicyServe(SparkD, "d28_gex", "d28_hs", "d28_pick")}")
