@@ -3395,9 +3395,9 @@ object ExtQueries {
        |        THEN 0 ELSE 1 END AS missed
        |    FROM srec s LEFT JOIN gpairs p ON p.bands = s.bands) x
        |  ORDER BY missed,
-       |    CASE WHEN missed = 0 THEN n_cand
+       |    CASE WHEN missed = 0 THEN 0
        |      ELSE -${d.intDiv("(1000 * n_hit)", "n_true")} END,
-       |    bands
+       |    n_cand, bands
        |  LIMIT 1)""".stripMargin
 
   /** d28's serve leg: d03's pair pipeline at the picked geometry, from
@@ -10553,8 +10553,8 @@ object ExtQueries {
        |        AS missed
        |    FROM $surface) s
        |  ORDER BY missed,
-       |    CASE WHEN missed = 0 THEN n_cand ELSE -recall_pm END,
-       |    k, nprobe
+       |    CASE WHEN missed = 0 THEN 0 ELSE -recall_pm END,
+       |    n_cand, k, nprobe
        |  LIMIT 1)""".stripMargin
 
   /** v29's whole chain as ONE statement (the oracle's shape): the pick

@@ -274,8 +274,12 @@ class ColumnFileScan(
     *         no read option (`orderedBy=none` opts out).
     *     Either way the declaration is VALIDATED against the
     *     chunk-stats sidecars before anything is reported — a wrong or
-    *     stale declaration fails the query loudly at planning, never
-    *     returns wrong results:
+    *     stale declaration whose chunk ranges contradict it fails the
+    *     query loudly at planning. (Range stats can only refute
+    *     INTER-chunk disorder; intra-chunk order is verified at WRITE
+    *     time by [[SortedWriteCheck]], the one place rows are seen in
+    *     sequence — the two layers together are the trust model, see
+    *     [[SortOrderStamp]].) The validation rules:
     *       - every chunk of every data file must carry (min, max)
     *         stats for the leading column with ZERO nulls (null
     *         placement is not provable from range stats), and
@@ -300,7 +304,13 @@ class ColumnFileScan(
     *     the output (nothing to order by there); if the leading column
     *     is pruned no claim is made and validation is skipped.
     */
-  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+  // memoized (lazy val): Spark may call outputOrdering() several times
+  // during planning, and the stamp discovery + boundary-chain validation
+  // behind it cost metadata reads — one resolution per Scan instance
+  // (the Scan is scoped to a single query; runtime-filter re-planning
+  // only ever DROPS files, and a claim validated over all files holds
+  // over any subset, so the memo stays sound)
+  private lazy val computedOrdering: Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
     val outCols = requiredSchema.fieldNames.toSet
     val partPrefix = partitionCols.filter(outCols.contains)
@@ -312,6 +322,9 @@ class ColumnFileScan(
     (partPrefix ++ dataCols).map(c =>
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
   }
+
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    computedOrdering
 
   /** The declared sort columns and whether they came from an explicit
     * read option (`none` disables any claim) or were discovered from
@@ -327,8 +340,20 @@ class ColumnFileScan(
       case Some(s) =>
         (s.split(",").map(_.trim).filter(_.nonEmpty).toSeq, true)
       case None =>
-        val stamps = paths.map(p =>
-          SortOrderStamp.read(conf, new Path(p)))
+        // manifest-first under useManifest: the claim rides
+        // _manifest.json (one read planning does anyway — zero extra
+        // metadata RPCs, and atomic with the file set); a legacy
+        // manifest without the claim key, or a walk-mode read, falls
+        // back to the _sort_order.json sidecar
+        val stamps = paths.map { p =>
+          val root = new Path(p)
+          val fromManifest =
+            if (useManifest) ManifestFile.readOrder(conf, root) else None
+          fromManifest match {
+            case Some(order) => if (order.isEmpty) None else Some(order)
+            case None => SortOrderStamp.read(conf, root)
+          }
+        }
         if (stamps.isEmpty || stamps.exists(_.isEmpty)) (Seq.empty, false)
         else (stamps.map(_.get).reduce((a, b) =>
           a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1)), false)
@@ -375,7 +400,12 @@ class ColumnFileScan(
     def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
       case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
       case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
-      case (x: String, y: String) => Some(x.compareTo(y))
+      // UTF-8 byte order (utf8Cmp), NOT String.compareTo: Spark orders
+      // strings by UTF-8 bytes, and UTF-16 code-unit order diverges for
+      // supplementary characters vs U+E000..U+FFFF — a truthfully
+      // sorted table must never be falsely rejected (or a lying one
+      // falsely validated) by comparing in the wrong ordering
+      case (x: String, y: String) => Some(ChunkStatsIndex.utf8Cmp(x, y))
       case _ => None
     }
     def leq(a: Any, b: Any): Boolean = cmp(a, b).exists(_ <= 0)

@@ -183,6 +183,14 @@ final class ColumnFileStreamingWrite(
           s"columnfile sink: $fin missing after publish; failing commit " +
             "so the epoch retries")
     }
+    // streamed epochs append files with no sort claim: drop any prior
+    // table-level sort-order stamp so a compacted-then-streamed-into
+    // table can never advertise an order its tail doesn't satisfy.
+    // Cleared BEFORE the manifest append (the batch commit's crash
+    // discipline): every crash window leaves the table claim-less, and
+    // the manifest append below drops the manifest-carried claim
+    // atomically with the new files (the default empty sort order).
+    SortOrderStamp.clear(conf.conf, dir)
     ManifestFile.append(conf.conf, dir,
       pairs.map(_._2).map(ManifestFile.entryFor(conf.conf, dir, _)))
     // atomic: this rewrite happens every epoch, racing any concurrent
@@ -191,10 +199,6 @@ final class ColumnFileStreamingWrite(
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (partitionCols.nonEmpty)
       PartitionLayout.write(conf.conf, dir, partitionCols)
-    // streamed epochs append files with no sort claim: drop any prior
-    // table-level sort-order stamp so a compacted-then-streamed-into
-    // table can never advertise an order its tail doesn't satisfy
-    SortOrderStamp.clear(conf.conf, dir)
     fs.create(new Path(dir, "_SUCCESS"), true).close()
     pruneEpochs(fs, epochId)
   }

@@ -265,20 +265,29 @@ class ColumnFileWrite(
     names
   }
 
-  /** `sortedBy=c1[,c2...]`: the writer's declaration that every data
+  /** `sortedBy=c1[,c2...]`: the writer's VERIFIED claim that every data
     * file it publishes holds rows sorted lexicographically by the
     * listed data columns (what `orderBy`/`sortWithinPartitions` on the
-    * written frame produces). Commit publishes it as the table's
-    * [[SortOrderStamp]], making the order SELF-DESCRIBING: readers get
-    * the scan's validated per-partition ordering report — and the
-    * sort-free merge joins it enables — with no read option. The scan
-    * re-proves the claim from chunk stats at every read, so a lying
-    * declaration fails reads loudly rather than serving wrong order.
-    * Writes WITHOUT the option clear any existing stamp (their files
-    * carry no claim). Fail-fast checks here: columns must be leaves of
-    * the written data schema, not partition columns (reported
-    * automatically), and of stats-capable types (otherwise no reader
-    * could ever validate the claim).
+    * written frame produces). Each DataWriter compares every row's
+    * sort tuple to its predecessor's as it streams ([[SortedWriteCheck]]
+    * — O(cols) per row, NULLS FIRST) and FAILS the task on the first
+    * out-of-order row, so the claim is checked at the only point the
+    * rows are seen in order — including INTRA-chunk order, which no
+    * reader could ever prove from chunk range stats. Commit publishes
+    * the verified claim as the table's [[SortOrderStamp]], making the
+    * order SELF-DESCRIBING: readers get the scan's per-partition
+    * ordering report — and the sort-free merge joins it enables — with
+    * no read option; the scan additionally refutes inter-chunk
+    * contradictions (a hand-edited or stale stamp) from chunk stats at
+    * planning. Writes WITHOUT the option clear any existing stamp
+    * (their files carry no claim). Fail-fast checks here: columns must
+    * be leaves of the written data schema, not partition columns
+    * (reported automatically), and of stats-capable types (otherwise no
+    * reader could ever validate the claim).
+    *
+    * Reference economics: `columnfile-sort.cc:337-342` `--merge` trusts
+    * runs its OWN sorter produced; write-time verification is how this
+    * engine earns the same trust with arbitrary upstream writers.
     */
   private val sortedCols: Seq[String] = {
     val names = Option(options.get("sortedBy")).toSeq
@@ -365,7 +374,7 @@ class ColumnFileWrite(
     val inner = new ColumnFileWriterFactory(
       path, storedSchema.json, compression, targetChunkBytes,
       UUID.randomUUID().toString, new SerializableHadoopConf(conf),
-      partitionCols, dictionaryEncode, bitpackEncode, bloomCols)
+      partitionCols, dictionaryEncode, bitpackEncode, bloomCols, sortedCols)
     val shredded =
       if (shredSpecs.isEmpty) inner
       else new ShredAppendingWriterFactory(inner, schema.json,
@@ -391,39 +400,55 @@ class ColumnFileWrite(
     }
     val committed = committedFiles.map(f =>
       ManifestFile.entryFor(conf, dir, new Path(f)))
-    if (truncateFirst) ManifestFile.write(conf, dir, committed)
-    else if (overwriteFilters.nonEmpty || dynamicOverwrite) {
-      val removed = deleteOverwritten(fs, dir, committedFiles)
-      ManifestFile.replace(conf, dir, removed, committed)
-    } else ManifestFile.append(conf, dir, committed)
     // Sort-order stamp maintenance. A write WITHOUT sortedBy clears any
-    // prior stamp (its files carry no claim). With sortedBy: a full
+    // prior claim (its files carry no claim). With sortedBy (rows
+    // WRITE-VERIFIED in order upstream — see SortedWriteCheck): a full
     // overwrite stamps its own claim (the table IS this commit's
     // files); an append/partial overwrite may only NARROW an existing
     // claim to the common prefix — never extend one onto prior files
     // this commit did not write and cannot vouch for. A claim-less
     // table accepts a fresh claim only when the post-commit manifest
-    // shows this commit's files are ALL the files. (Every claim is
-    // still independently re-proved from chunk stats at read time.)
-    val effectiveStamp: Seq[String] =
+    // shows this commit's files are ALL the files.
+    //
+    // Crash/race discipline (r19 advice): the sidecar stamp is CLEARED
+    // before the manifest commit and rewritten after it, so every crash
+    // window leaves walk-readers claim-less (conservative, always safe)
+    // rather than under a stale claim over files the stamp does not
+    // describe. Manifest readers never see even that window: the claim
+    // rides IN _manifest.json, atomic with the file set it describes.
+    val priorStamp: Option[Seq[String]] =
+      if (sortedCols.isEmpty || truncateFirst) None
+      else
+        // strict: a transient existence-check failure propagates (and
+        // fails the commit for retry) instead of silently reading as
+        // "no stamp" and clearing a correct claim; only a genuinely
+        // malformed stamp reads as claim-less — it is invalid either
+        // way and the clear below is its documented repair
+        try SortOrderStamp.read(conf, dir, strict = true)
+        catch { case _: IllegalArgumentException => None }
+    SortOrderStamp.clear(conf, dir)
+    val committedRels = committedFiles.map(f =>
+      ManifestFile.relativize(dir, new Path(f))).toSet
+    def stampFor(merged: Seq[ManifestFile.Entry]): Seq[String] =
       if (sortedCols.isEmpty) Seq.empty
       else if (truncateFirst) sortedCols
-      else {
-        val prior =
-          try SortOrderStamp.read(conf, dir) catch { case _: Exception => None }
-        prior match {
-          case Some(prev) => prev.zip(sortedCols)
-            .takeWhile { case (a, b) => a == b }.map(_._1)
-          case None =>
-            val tableIsThisCommit = ManifestFile.read(conf, dir)
-              .exists(_.map(_.rel).toSet ==
-                committedFiles.map(f =>
-                  ManifestFile.relativize(dir, new Path(f))).toSet)
-            if (tableIsThisCommit) sortedCols else Seq.empty
-        }
+      else priorStamp match {
+        case Some(prev) => prev.zip(sortedCols)
+          .takeWhile { case (a, b) => a == b }.map(_._1)
+        case None =>
+          if (merged.map(_.rel).toSet == committedRels) sortedCols
+          else Seq.empty
       }
+    val effectiveStamp: Seq[String] =
+      if (truncateFirst) {
+        val s = stampFor(committed)
+        ManifestFile.write(conf, dir, committed, s)
+        s
+      } else if (overwriteFilters.nonEmpty || dynamicOverwrite) {
+        val removed = deleteOverwritten(fs, dir, committedFiles)
+        ManifestFile.replace(conf, dir, removed, committed, stampFor)
+      } else ManifestFile.append(conf, dir, committed, stampFor)
     if (effectiveStamp.nonEmpty) SortOrderStamp.write(conf, dir, effectiveStamp)
-    else SortOrderStamp.clear(conf, dir)
     fs.create(new Path(dir, "_SUCCESS"), true).close()
   }
 
@@ -666,19 +691,115 @@ class ColumnFileWriterFactory(
     partitionCols: Seq[String] = Seq.empty,
     dictionary: Boolean = false,
     bitpack: Boolean = false,
-    bloomCols: Seq[String] = Seq.empty)
+    bloomCols: Seq[String] = Seq.empty,
+    sortedCols: Seq[String] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val fileName = f"part-$partitionId%05d-$jobId$taskId%d${ColumnFileDataSource.FileExtension}"
     if (partitionCols.isEmpty) {
       new ColumnFileDataWriter(new Path(dir, fileName), schema, compression,
-        targetChunkBytes, conf.conf, dictionary, bitpack, bloomCols)
+        targetChunkBytes, conf.conf, dictionary, bitpack, bloomCols, sortedCols)
     } else {
       new ColumnFilePartitionedDataWriter(new Path(dir), fileName, schema,
         partitionCols, compression, targetChunkBytes, conf.conf, dictionary,
-        bitpack, bloomCols)
+        bitpack, bloomCols, sortedCols)
     }
+  }
+}
+
+/** Write-time verification of a `sortedBy` claim, per data FILE (the
+  * unit the stamp describes): each row's sort-column tuple must be >=
+  * its predecessor's in the engine's ordering — long family by value
+  * (decimals as unscaled, booleans false<true), double family IEEE
+  * with NaN greatest and -0.0 == 0.0 (Spark's total order), strings by
+  * UTF-8 bytes (ChunkStatsIndex.utf8Cmp semantics — the cell IS the
+  * UTF-8 encoding), NULLS FIRST (Spark's ascending default; the scan's
+  * validation independently refuses null-bearing chunks, so nulls
+  * under a claim are legal to WRITE but never exploited at read).
+  * O(cols) per row; fails the task — not the commit — on the first
+  * violation, so a lying declaration never publishes a stamp.
+  */
+private[spark] final class SortedWriteCheck(
+    leaves: IndexedSeq[CellCodec.Leaf],
+    cols: Seq[String],
+    file: String) {
+  import org.apache.spark.sql.types._
+
+  private val ords: Array[Int] = cols.map { c =>
+    val i = leaves.indexWhere(_.name == c)
+    require(i >= 0, s"columnfile: sortedBy column $c is not a leaf of the stored schema")
+    i
+  }.toArray
+  private val types: Array[DataType] = ords.map(i => leaves(i).dataType)
+
+  // previous row's normalized sort tuple (null element = SQL NULL)
+  private var prev: Array[Any] = null
+  private var rowNo: Long = 0L
+
+  /** Decode a cell into the comparable the stats families use. */
+  private def norm(k: Int, cell: Array[Byte]): Any = types(k) match {
+    case StringType => cell // UTF-8 bytes; compared unsigned
+    case LongType | TimestampType | TimestampNTZType =>
+      CellCodec.decode(types(k), cell).asInstanceOf[Long]
+    case IntegerType | DateType =>
+      CellCodec.decode(types(k), cell).asInstanceOf[Int].toLong
+    case ShortType => CellCodec.decode(types(k), cell).asInstanceOf[Short].toLong
+    case ByteType  => CellCodec.decode(types(k), cell).asInstanceOf[Byte].toLong
+    case BooleanType =>
+      if (CellCodec.decode(types(k), cell).asInstanceOf[Boolean]) 1L else 0L
+    case d: DecimalType if d.precision <= 18 =>
+      CellCodec.decode(types(k), cell)
+        .asInstanceOf[org.apache.spark.sql.types.Decimal].toUnscaledLong
+    case DoubleType =>
+      val v = CellCodec.decode(types(k), cell).asInstanceOf[Double]
+      if (v == 0.0) 0.0 else v
+    case FloatType =>
+      val v = CellCodec.decode(types(k), cell).asInstanceOf[Float].toDouble
+      if (v == 0.0) 0.0 else v
+    case other => throw new IllegalStateException(
+      s"columnfile: sortedBy on non-stats-capable type $other") // unreachable: gated at build()
+  }
+
+  /** NULLS FIRST; NaN greatest (Spark's ordering). */
+  private def cmpOne(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _)    => -1
+    case (_, null)    => 1
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) =>
+      if (x.isNaN && y.isNaN) 0
+      else if (x.isNaN) 1
+      else if (y.isNaN) -1
+      else java.lang.Double.compare(x, y)
+    case (x: Array[Byte], y: Array[Byte]) =>
+      java.util.Arrays.compareUnsigned(x, y)
+    case _ => throw new IllegalStateException("columnfile: sort tuple type mix")
+  }
+
+  def check(cells: Array[Array[Byte]]): Unit = {
+    val cur = new Array[Any](ords.length)
+    var k = 0
+    while (k < ords.length) {
+      val cell = cells(ords(k))
+      cur(k) = if (cell == null) null else norm(k, cell)
+      k += 1
+    }
+    if (prev != null) {
+      var k = 0
+      var c = 0
+      while (c == 0 && k < ords.length) {
+        c = cmpOne(prev(k), cur(k))
+        if (c > 0) throw new IllegalStateException(
+          s"columnfile: sortedBy=${cols.mkString(",")} violated in $file " +
+            s"at row $rowNo: column '${cols(k)}' decreases " +
+            "(rows are not sorted as declared) — sort the written frame " +
+            "(orderBy / sortWithinPartitions) or drop the sortedBy option")
+        k += 1
+      }
+    }
+    prev = cur
+    rowNo += 1
   }
 }
 
@@ -699,7 +820,8 @@ class ColumnFilePartitionedDataWriter(
     conf: Configuration,
     dictionary: Boolean = false,
     bitpack: Boolean = false,
-    bloomCols: Seq[String] = Seq.empty)
+    bloomCols: Seq[String] = Seq.empty,
+    sortedCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
 
   private val partFields: Seq[(Int, org.apache.spark.sql.types.StructField)] =
@@ -718,7 +840,7 @@ class ColumnFilePartitionedDataWriter(
     val w = writers.getOrElseUpdate(rel, {
       new ColumnFileDataWriter(
         new Path(new Path(root, rel), fileName), dataSchema, compression,
-        targetChunkBytes, conf, dictionary, bitpack, bloomCols)
+        targetChunkBytes, conf, dictionary, bitpack, bloomCols, sortedCols)
     })
     val values = new Array[Any](dataOrdinals.length)
     var i = 0
@@ -753,10 +875,16 @@ class ColumnFileDataWriter(
     conf: Configuration,
     dictionary: Boolean = false,
     bitpack: Boolean = false,
-    bloomCols: Seq[String] = Seq.empty)
+    bloomCols: Seq[String] = Seq.empty,
+    sortedCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
 
   private val leaves = CellCodec.flatten(schema)
+  // sortedBy write-time verification: rows are seen here in task order,
+  // the ONE place intra-chunk order can ever be checked
+  private val sortCheck: SortedWriteCheck =
+    if (sortedCols.isEmpty) null
+    else new SortedWriteCheck(leaves, sortedCols, file.toString)
   private val fs = file.getFileSystem(conf)
   private val stream = fs.create(file, true)
   private val writer = new ColumnFileWriter(stream, compression)
@@ -786,6 +914,7 @@ class ColumnFileDataWriter(
 
   override def write(row: InternalRow): Unit = {
     val cells = CellCodec.shred(schema, leaves, row)
+    if (sortCheck != null) sortCheck.check(cells)
     var i = 0
     while (i < cells.length) {
       if (cells(i) == null) writer.putNull(i) else writer.put(i, cells(i))

@@ -63,12 +63,22 @@ object ManifestFile {
     * reader racing a commit, or a crash mid-write, sees either the old
     * manifest or the new one — never a torn file that silently degrades
     * `useManifest` planning back to the directory walk.
+    *
+    * `sortOrder` is the table's sort-order claim ([[SortOrderStamp]]
+    * semantics), carried IN the manifest so `useManifest` readers get
+    * stamp discovery with zero extra metadata RPCs, and so the claim is
+    * atomic with the file set it describes (no stale-stamp crash
+    * window for manifest readers). Always emitted — an empty list is an
+    * AUTHORITATIVE "no claim" that overrides any stray sidecar stamp.
     */
-  def write(conf: Configuration, root: Path, entries: Seq[Entry]): Unit = {
+  def write(conf: Configuration, root: Path, entries: Seq[Entry],
+            sortOrder: Seq[String] = Seq.empty): Unit = {
     val fs = root.getFileSystem(conf)
-    val body = entries.sortBy(_.rel)
+    val files = entries.sortBy(_.rel)
       .map(e => s"""["${esc(e.rel)}",${e.len},${e.mtime}]""")
-      .mkString("{\"files\":[", ",", "]}")
+      .mkString("[", ",", "]")
+    val sort = sortOrder.map(c => "\"" + esc(c) + "\"").mkString("[", ",", "]")
+    val body = s"""{"files":$files,"sort":$sort}"""
     AtomicFile.publish(fs, new Path(root, Name), body.getBytes(UTF_8))
   }
 
@@ -76,14 +86,27 @@ object ManifestFile {
     // ANY failure — missing, unreadable (e.g. a checksum mismatch after
     // an out-of-band overwrite), malformed — reads as absent: planning
     // falls back to the directory walk rather than failing the query
-    try {
-      val fs = root.getFileSystem(conf)
-      val p = new Path(root, Name)
-      if (!fs.exists(p)) return None
+    try readRaw(conf, root).map(parseFull(_)._1)
+    catch { case _: Exception => None }
+  }
+
+  /** The manifest-carried sort-order claim. `None` = manifest absent,
+    * unreadable, or written before the claim rode the manifest (legacy
+    * shape) — the caller falls back to the `_sort_order.json` sidecar;
+    * `Some(Seq.empty)` = an authoritative "no claim".
+    */
+  def readOrder(conf: Configuration, root: Path): Option[Seq[String]] =
+    try readRaw(conf, root).flatMap(parseFull(_)._2)
+    catch { case _: Exception => None }
+
+  private def readRaw(conf: Configuration, root: Path): Option[String] = {
+    val fs = root.getFileSystem(conf)
+    val p = new Path(root, Name)
+    if (!fs.exists(p)) None
+    else {
       val in = fs.open(p)
-      val s = try new String(in.readAllBytes(), UTF_8) finally in.close()
-      Some(parse(s))
-    } catch { case _: Exception => None }
+      Some(try new String(in.readAllBytes(), UTF_8) finally in.close())
+    }
   }
 
   /** Merge `added` into the existing manifest (append-style commits);
@@ -96,11 +119,12 @@ object ManifestFile {
     * readers silently miss the table's older data. The walk runs once
     * per such commit and the table is manifest-complete afterwards.
     */
-  def append(conf: Configuration, root: Path, added: Seq[Entry]): Unit =
+  def append(conf: Configuration, root: Path, added: Seq[Entry],
+             sortOrder: Seq[Entry] => Seq[String] = _ => Seq.empty): Seq[String] =
     commit(conf, root)(prior =>
       (prior.map(e => e.rel -> e) ++ added.map(e => e.rel -> e))
         .toMap.values.toSeq)(
-      manifest => added.forall(manifest.contains))
+      manifest => added.forall(manifest.contains))(sortOrder)
 
   /** Overwrite-commit maintenance: drop `removedRels`, merge `added`.
     * Bootstraps from a walk exactly like [[append]] when no readable
@@ -108,28 +132,34 @@ object ManifestFile {
     * victims, so it reflects the post-overwrite truth.
     */
   def replace(conf: Configuration, root: Path,
-              removedRels: Seq[String], added: Seq[Entry]): Unit = {
+              removedRels: Seq[String], added: Seq[Entry],
+              sortOrder: Seq[Entry] => Seq[String] = _ => Seq.empty): Seq[String] = {
     val removed = removedRels.toSet
     commit(conf, root)(prior =>
       (prior.filterNot(e => removed.contains(e.rel))
         .map(e => e.rel -> e) ++ added.map(e => e.rel -> e))
         .toMap.values.toSeq)(
       manifest => added.forall(manifest.contains) &&
-        manifest.forall(e => !removed.contains(e.rel)))
+        manifest.forall(e => !removed.contains(e.rel)))(sortOrder)
   }
 
   /** One fenced, validated read-merge-publish cycle (see the class doc's
     * concurrency section): lock → read-or-walk prior → merge → publish →
     * re-read and check this commit's effect survived; a clobbered commit
-    * re-merges from the latest manifest.
+    * re-merges from the latest manifest. `sortOrder` computes the
+    * manifest-carried claim from the merged file set (atomic with it);
+    * the claim actually published is returned so the caller can mirror
+    * it to the walk-readers' sidecar stamp.
     */
   private def commit(conf: Configuration, root: Path)
       (merge: Seq[Entry] => Seq[Entry])
-      (intact: Seq[Entry] => Boolean): Unit = withLock(conf, root) {
+      (intact: Seq[Entry] => Boolean)
+      (sortOrder: Seq[Entry] => Seq[String]): Seq[String] = withLock(conf, root) {
     val fs = root.getFileSystem(conf)
     val p = new Path(root, Name)
     var attempt = 0
     var done = false
+    var stamped: Seq[String] = Seq.empty
     while (!done) {
       attempt += 1
       val prior: Seq[Entry] =
@@ -143,8 +173,10 @@ object ManifestFile {
       // On a fence-degraded filesystem (local check-then-create) two
       // committers can still collide inside the publish itself — a
       // failed rename is just another conflict to retry, not fatal.
+      val merged = merge(prior)
+      stamped = sortOrder(merged)
       val published =
-        try { write(conf, root, merge(prior)); true }
+        try { write(conf, root, merged, stamped); true }
         catch { case _: java.io.IOException => false }
       done = published && read(conf, root).exists(intact)
       if (!done && attempt >= MaxCommitAttempts)
@@ -155,6 +187,7 @@ object ManifestFile {
       if (!done)
         Thread.sleep(1L + scala.util.Random.nextInt(20).toLong)
     }
+    stamped
   }
 
   /** Mutual exclusion for manifest maintenance, two layers:
@@ -243,47 +276,71 @@ object ManifestFile {
       (root, new FileStatus(e.len, false, 1, 0, e.mtime, new Path(root, e.rel)))
     }
 
-  // minimal strict parser for the exact shape write() emits
-  private def parse(s: String): Seq[Entry] = {
+  /** Minimal strict parser for the shapes write() emits: the current
+    * files+sort form, and the legacy (pre-claim) files-only form — a
+    * legacy manifest parses with `sort = None` so readers fall back to
+    * the sidecar stamp instead of dropping a truthful claim.
+    */
+  private def parseFull(s: String): (Seq[Entry], Option[Seq[String]]) = {
     val t = s.trim
-    require(t.startsWith("{\"files\":[") && t.endsWith("]}"), "bad manifest")
-    val body = t.stripPrefix("{\"files\":[").stripSuffix("]}").trim
-    if (body.isEmpty) return Seq.empty
-    val out = Seq.newBuilder[Entry]
-    var i = 0
-    while (i < body.length) {
-      require(body(i) == '[', "bad manifest entry")
-      i += 1
-      require(body(i) == '"', "bad manifest entry")
-      i += 1
+    require(t.startsWith("{\"files\":["), "bad manifest")
+    var i = "{\"files\":[".length
+    def parseString(): String = {
+      require(t(i) == '"', "bad manifest string"); i += 1
       val sb = new StringBuilder
-      while (body(i) != '"') {
-        if (body(i) == '\\') {
+      while (t(i) != '"') {
+        if (t(i) == '\\') {
           i += 1
-          body(i) match {
+          t(i) match {
             case '"'  => sb += '"'
             case '\\' => sb += '\\'
             case 'u' =>
-              sb += Integer.parseInt(body.substring(i + 1, i + 5), 16).toChar
+              sb += Integer.parseInt(t.substring(i + 1, i + 5), 16).toChar
               i += 4
             case other => sb += other
           }
-        } else sb += body(i)
+        } else sb += t(i)
         i += 1
       }
       i += 1 // closing quote
-      require(body(i) == ',', "bad manifest entry")
-      val endLen = body.indexOf(',', i + 1)
-      val len = body.substring(i + 1, endLen).trim.toLong
-      val endNum = body.indexOf(']', endLen + 1)
-      val mtime = body.substring(endLen + 1, endNum).trim.toLong
-      out += Entry(sb.toString, len, mtime)
-      i = endNum + 1
-      if (i < body.length) {
-        require(body(i) == ',', "bad manifest separator")
-        i += 1
+      sb.toString
+    }
+    val out = Seq.newBuilder[Entry]
+    if (t(i) == ']') i += 1
+    else {
+      var more = true
+      while (more) {
+        require(t(i) == '[', "bad manifest entry"); i += 1
+        val rel = parseString()
+        require(t(i) == ',', "bad manifest entry")
+        val endLen = t.indexOf(',', i + 1)
+        val len = t.substring(i + 1, endLen).trim.toLong
+        val endNum = t.indexOf(']', endLen + 1)
+        val mtime = t.substring(endLen + 1, endNum).trim.toLong
+        out += Entry(rel, len, mtime)
+        i = endNum + 1
+        if (t(i) == ',') i += 1
+        else { require(t(i) == ']', "bad manifest separator"); i += 1; more = false }
       }
     }
-    out.result()
+    val sort: Option[Seq[String]] =
+      if (t.startsWith("}", i)) None // legacy files-only manifest
+      else {
+        require(t.startsWith(",\"sort\":[", i), "bad manifest tail")
+        i += ",\"sort\":[".length
+        val cols = Seq.newBuilder[String]
+        if (t(i) == ']') i += 1
+        else {
+          var more = true
+          while (more) {
+            cols += parseString()
+            if (t(i) == ',') i += 1
+            else { require(t(i) == ']', "bad sort separator"); i += 1; more = false }
+          }
+        }
+        require(t.startsWith("}", i), "bad manifest end")
+        Some(cols.result())
+      }
+    (out.result(), sort)
   }
 }

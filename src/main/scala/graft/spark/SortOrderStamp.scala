@@ -16,15 +16,32 @@ import org.apache.hadoop.fs.Path
   * pre-sorted runs and never re-sorts); this stamp is that contract
   * made durable at the table root instead of implicit in a pipeline.
   *
-  * Trust model: the stamp is a DECLARATION, not a proof — the scan
-  * passes it through the same chunk-stats validation as an explicit
-  * `orderedBy` read option ([[ColumnFileScan]]), so a stale or
-  * hand-edited stamp fails the query loudly at planning and can never
-  * serve wrongly-ordered rows. Writers keep it truthful mechanically:
-  * a batch commit with `sortedBy=...` publishes the stamp; ANY other
-  * commit to the table (batch append/overwrite without the option, any
-  * streaming epoch) clears it, because the new files carry no sort
-  * claim. `orderedBy=none` lets a reader opt out of discovery.
+  * Trust model, two layers with distinct strengths:
+  *
+  *  1. WRITER-VERIFIED AT PUBLISH: the `sortedBy` DataWriter compares
+  *     every row's sort-column tuple to its predecessor's and fails
+  *     the task on the first out-of-order row ([[SortedWriteCheck]]),
+  *     so a stamp this engine publishes is a verified fact about the
+  *     rows it wrote — including intra-chunk order, which no reader
+  *     can prove from chunk stats.
+  *  2. SCAN-REFUTED ON CONTRADICTION: the scan passes the stamp
+  *     through the same chunk-stats validation as an explicit
+  *     `orderedBy` read option ([[ColumnFileScan]]); a stale or
+  *     hand-edited stamp whose chunk ranges contradict the claim
+  *     fails the query loudly at planning. This layer can only refute
+  *     INTER-chunk disorder — a hand-forged stamp over a
+  *     single-chunk file is beyond what range stats can check, which
+  *     is exactly why layer 1 verifies at the only point the rows are
+  *     seen in order.
+  *
+  * Writers keep the stamp truthful mechanically: a batch commit with
+  * `sortedBy=...` publishes the (verified) stamp; ANY other commit to
+  * the table (batch append/overwrite without the option, any streaming
+  * epoch) clears it, because the new files carry no sort claim.
+  * `orderedBy=none` lets a reader opt out of discovery. The claim also
+  * rides `_manifest.json` ([[ManifestFile]]) atomically with the file
+  * set, so `useManifest` readers discover it with zero extra metadata
+  * RPCs; this sidecar file serves directory-walk readers.
   */
 object SortOrderStamp {
 
@@ -57,11 +74,20 @@ object SortOrderStamp {
     * unreadable/malformed stamp throws — a hand-mangled declaration
     * must fail loudly, not silently degrade every consumer to paying
     * avoidable sorts.
+    *
+    * `strict=true` (the write path) also lets a TRANSIENT existence-
+    * check failure propagate: a committer that misread "stamp absent"
+    * off an IO blip would silently clear a correct claim (r19 advice).
+    * Readers keep the lenient default — "no stamp" merely means no
+    * ordering report, which is always safe.
     */
-  def read(conf: Configuration, root: Path): Option[Seq[String]] = {
+  def read(conf: Configuration, root: Path,
+           strict: Boolean = false): Option[Seq[String]] = {
     val fs = root.getFileSystem(conf)
     val p = new Path(root, Name)
-    val exists = try fs.exists(p) catch { case _: Exception => false }
+    val exists =
+      if (strict) fs.exists(p)
+      else try fs.exists(p) catch { case _: Exception => false }
     if (!exists) return None
     val in = fs.open(p)
     val s = try new String(in.readAllBytes(), UTF_8) finally in.close()

@@ -202,6 +202,61 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
       sinkEntries.forall(!_.rel.startsWith(".")), sinkEntries.toString)
   }
 
+  test("the sort-order claim rides the manifest: useManifest readers " +
+    "discover it with zero non-manifest metadata reads, and a legacy " +
+    "files-only manifest falls back to the sidecar stamp") {
+    val sp = spark; import sp.implicits._
+    def sortsIn(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }.length
+    val dir = Files.createTempDirectory("cf-manifest-sort").toString
+    (0 until 3000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.format("columnfile").option("sortedBy", "id")
+      .option("targetChunkBytes", "4096").mode("overwrite").save(dir)
+    val conf = new Configuration()
+    val root = new Path(dir)
+    assert(ManifestFile.readOrder(conf, root).contains(Seq("id")),
+      "the commit must embed the verified claim in the manifest")
+    // delete the sidecar stamp: the manifest ALONE must carry the claim
+    // for useManifest readers — proof that planning a stamped manifest
+    // table does zero non-manifest metadata RPCs
+    assert(new java.io.File(dir, SortOrderStamp.Name).delete())
+    val viaManifest = spark.read.format("columnfile")
+      .option("useManifest", "true").load(dir).sortWithinPartitions("id")
+    assert(sortsIn(viaManifest) == 0,
+      s"manifest-carried claim should elide the sort:\n" +
+        viaManifest.queryExecution.executedPlan)
+    assert(viaManifest.count() == 3000)
+    // a walk-mode reader consults only the (deleted) sidecar: no claim,
+    // real sort — the manifest, not a stray sidecar read, carried it
+    val walked = spark.read.format("columnfile").load(dir)
+      .sortWithinPartitions("id")
+    assert(sortsIn(walked) > 0)
+    // LEGACY manifest (round-19 shape, files only) + sidecar stamp:
+    // discovery falls back to the sidecar instead of dropping a
+    // truthful claim
+    val mf = new java.io.File(dir, ManifestFile.Name)
+    val body = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    val legacy = body.replaceAll(""","sort":\[[^]]*\]""", "")
+    assert(legacy != body, "fixture: manifest should have carried a claim")
+    java.nio.file.Files.write(mf.toPath, legacy.getBytes("UTF-8"))
+    SortOrderStamp.write(conf, root, Seq("id"))
+    val viaLegacy = spark.read.format("columnfile")
+      .option("useManifest", "true").load(dir).sortWithinPartitions("id")
+    assert(sortsIn(viaLegacy) == 0,
+      "legacy manifest must fall back to the sidecar stamp")
+    // an unstamped append clears the claim in BOTH carriers atomically
+    Seq((99999L, "tail")).toDF("id", "v")
+      .write.format("columnfile").mode("append").save(dir)
+    assert(ManifestFile.readOrder(conf, root).contains(Seq.empty),
+      "the manifest claim must read as authoritative no-claim")
+    assert(SortOrderStamp.read(conf, root).isEmpty)
+    val after = spark.read.format("columnfile")
+      .option("useManifest", "true").load(dir).sortWithinPartitions("id")
+    assert(sortsIn(after) > 0)
+  }
+
   test("streaming source can plan triggers from the manifest alone") {
     val sp = spark; import sp.implicits._
     val src = Files.createTempDirectory("cf-manifest-stsrc").toString

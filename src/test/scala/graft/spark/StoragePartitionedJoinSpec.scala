@@ -333,6 +333,74 @@ class StoragePartitionedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stale stamp should fail loudly: $ex")
   }
 
+  test("a lying sortedBy fails AT WRITE TIME on the first out-of-order " +
+    "row — single-chunk files included (r19 verdict: the stamp is a " +
+    "verified fact, not a declaration)") {
+    val sp = spark; import sp.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    // unsorted rows, default chunk size => ONE chunk per file: chunk
+    // range stats have no boundary to refute, so before write-time
+    // verification this table would stamp and serve a zero-sort merge
+    // join over unsorted rows
+    val dir = Files.createTempDirectory("cf-wverify-a").toString
+    val ex = intercept[Exception] {
+      (0 until 100).map(i => (((i * 37) % 100).toLong, s"v$i"))
+        .toDF("id", "v").coalesce(1)
+        .write.format("columnfile").option("sortedBy", "id")
+        .mode("overwrite").save(dir)
+    }
+    assert(messages(ex).exists(m =>
+      m.contains("sortedBy=id violated") && m.contains("'id' decreases")),
+      s"lying sortedBy must fail the write: $ex")
+    assert(SortOrderStamp.read(conf,
+      new org.apache.hadoop.fs.Path(dir)).isEmpty,
+      "a failed write must not publish a stamp")
+    // the same rows sorted write fine and publish the verified stamp
+    val ok = Files.createTempDirectory("cf-wverify-b").toString
+    (0 until 100).map(i => (((i * 37) % 100).toLong, s"v$i"))
+      .toDF("id", "v").coalesce(1).sortWithinPartitions("id")
+      .write.format("columnfile").option("sortedBy", "id")
+      .mode("overwrite").save(ok)
+    assert(SortOrderStamp.read(conf,
+      new org.apache.hadoop.fs.Path(ok)).contains(Seq("id")))
+    // multi-column: the violating COLUMN is named (g constant, id
+    // decreasing => 'id' is the refuted leg)
+    val dir2 = Files.createTempDirectory("cf-wverify-c").toString
+    val ex2 = intercept[Exception] {
+      Seq((1L, 5L), (1L, 3L)).toDF("g", "id").coalesce(1)
+        .write.format("columnfile").option("sortedBy", "g,id")
+        .mode("overwrite").save(dir2)
+    }
+    assert(messages(ex2).exists(_.contains("'id' decreases")), ex2.toString)
+  }
+
+  test("write-time sortedBy verification orders NULLS FIRST (Spark's " +
+    "ascending default): null-then-value verifies, value-then-null fails") {
+    val sp = spark; import sp.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val okDir = Files.createTempDirectory("cf-wverify-n1").toString
+    Seq[(java.lang.Long, String)]((null, "a"), (1L, "b"), (2L, "c"))
+      .toDF("id", "v").coalesce(1)
+      .write.format("columnfile").option("sortedBy", "id")
+      .mode("overwrite").save(okDir)
+    assert(SortOrderStamp.read(conf,
+      new org.apache.hadoop.fs.Path(okDir)).contains(Seq("id")))
+    val badDir = Files.createTempDirectory("cf-wverify-n2").toString
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val ex = intercept[Exception] {
+      Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"))
+        .toDF("id", "v").coalesce(1)
+        .write.format("columnfile").option("sortedBy", "id")
+        .mode("overwrite").save(badDir)
+    }
+    assert(messages(ex).exists(_.contains("violated")), ex.toString)
+  }
+
   test("an append with a narrower sortedBy narrows the stamp to the " +
     "common prefix instead of lying about prior files") {
     val sp = spark; import sp.implicits._
