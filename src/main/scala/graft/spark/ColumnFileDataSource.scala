@@ -278,10 +278,22 @@ class ColumnFileTable(
     tableSchema: StructType,
     conf: Configuration,
     partitionCols: Seq[String] = Seq.empty)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"columnfile ${paths.mkString(",")}"
   override def schema(): StructType = tableSchema
+
+  /** `DELETE FROM t WHERE ...` — see [[ColumnFileDelete]]: partition
+    * truncate when the predicate is partition-complete, stats-directed
+    * distributed chunk-rewrite on unpartitioned tables; anything else
+    * is rejected here (analysis time), never approximated.
+    */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    ColumnFileDelete.canDelete(filters, tableSchema, partitionCols)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    ColumnFileDelete.delete(paths, tableSchema, conf, partitionCols, filters)
 
   override def partitioning(): Array[Transform] =
     partitionCols.map(c =>

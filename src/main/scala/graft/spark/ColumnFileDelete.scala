@@ -1,0 +1,223 @@
+package graft.spark
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** Row-level DELETE for columnfile tables
+  * (`SupportsDelete.deleteWhere`) — the takedown primitive a
+  * training-data pipeline needs (opt-out requests, license
+  * revocations): files are immutable, so deletion is either file
+  * truncation or the reference's recompress-copy rewrite
+  * (tools/columnfile-cat.cc:328-341 — read, drop, rewrite), never an
+  * in-place mutation.
+  *
+  * Two plans, chosen from the predicate:
+  *
+  *  1. PARTITION TRUNCATE — every conjunct is exactly decidable from
+  *     partition values alone ([[PartitionFilterEval]], the INSERT
+  *     OVERWRITE contract): matching files are deleted outright; no
+  *     row is read. The table's sort-order claim survives (removing
+  *     whole files cannot break per-file order).
+  *  2. STATS-DIRECTED CHUNK-REWRITE (unpartitioned tables) — the
+  *     chunk-stats sidecars first prove which files CANNOT hold a
+  *     matching row (min/max + Bloom, the scan's own pruning); only
+  *     the affected files are rewritten, by a DISTRIBUTED Spark job
+  *     (read survivors → write fresh files), so a selective delete
+  *     over doc-ordered data rewrites a handful of files out of
+  *     thousands — at 100 TB the rewrite cost tracks the delete's
+  *     selectivity, not the table size. The rewrite drops the
+  *     sort-order claim (rewritten files are new, unvouched files —
+  *     conservative; the next compaction re-stamps).
+  *
+  * Anything else — a row-level predicate on a PARTITIONED table, a
+  * predicate outside the translatable filter algebra — is rejected at
+  * `canDeleteWhere`, loudly: bulk takedowns on partitioned LSM state
+  * propagate through the family's next compaction instead (the
+  * takedown relation anti-joined at the repack — see q78).
+  *
+  * DELETE keeps rows whose predicate is FALSE or NULL (SQL semantics:
+  * only TRUE rows are removed) — the keep filter is
+  * `NOT coalesce(pred, false)`.
+  *
+  * Reader visibility: same discipline as INSERT OVERWRITE — new files
+  * land first, victims are deleted at the end, and the manifest
+  * replace is atomic, so `useManifest` readers see the old or the new
+  * table; walk readers racing the commit can observe the overlap
+  * window (the file-store trade; a catalog commit protocol is the
+  * upgrade path).
+  */
+object ColumnFileDelete {
+
+  /** v1 Filter -> Column, for the rewrite's keep-filter. Names resolve
+    * against the scan's output (nested fields dotted, like pushdown).
+    */
+  private[spark] def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case Or(l, r)  => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case Not(c)    => toColumn(c).map(not)
+    case AlwaysTrue()  => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+
+  private def partitionComplete(filters: Array[Filter],
+      partitionCols: Seq[String], schema: StructType): Boolean =
+    partitionCols.nonEmpty &&
+      filters.forall(f =>
+        PartitionFilterEval.supported(f, partitionCols.toSet, schema))
+
+  private def truncateAll(filters: Array[Filter]): Boolean =
+    filters.isEmpty || filters.forall(_ == AlwaysTrue())
+
+  def canDelete(filters: Array[Filter], schema: StructType,
+      partitionCols: Seq[String]): Boolean =
+    truncateAll(filters) ||
+      partitionComplete(filters, partitionCols, schema) ||
+      (partitionCols.isEmpty && filters.forall(f => toColumn(f).isDefined))
+
+  def delete(paths: Seq[String], schema: StructType, conf: Configuration,
+      partitionCols: Seq[String], filters: Array[Filter]): Unit = {
+    if (!canDelete(filters, schema, partitionCols))
+      throw new UnsupportedOperationException(
+        s"columnfile: DELETE predicate [${filters.mkString(", ")}] is " +
+          "neither partition-complete nor a rewritable row filter on an " +
+          "unpartitioned table — route bulk takedowns through the " +
+          "table's compaction (takedown anti-join) instead")
+    paths.foreach { p =>
+      val root = new Path(p)
+      val fs = root.getFileSystem(conf)
+      if (truncateAll(filters) ||
+          partitionComplete(filters, partitionCols, schema))
+        truncatePlan(fs, root, conf, schema, partitionCols, filters)
+      else rewritePlan(fs, root, conf, schema, filters)
+    }
+  }
+
+  /** Plan 1: whole-file victims from exact partition-value evaluation
+    * (or a full truncate). No data is read; the sort claim survives.
+    */
+  private def truncatePlan(fs: FileSystem, root: Path, conf: Configuration,
+      schema: StructType, partitionCols: Seq[String],
+      filters: Array[Filter]): Unit = {
+    val partSchema = StructType(partitionCols.map(c => schema(c)))
+    val files = ColumnFileDataSource
+      .listDataFilesWithRoots(conf, Seq(root.toString), useManifest = false)
+    val victims = files.filter { case (r, st) =>
+      truncateAll(filters) || {
+        val raw = PartitionLayout.valuesFor(r, st.getPath, partitionCols)
+        val values: Map[String, Any] = partitionCols.zipWithIndex.map {
+          case (c, i) =>
+            c -> PartitionLayout.parse(partSchema.fields(i).dataType, raw(i))
+        }.toMap
+        PartitionFilterEval.matches(filters.toSeq, values, partSchema)
+      }
+    }
+    if (victims.isEmpty) return
+    val removedRels = victims.map { case (_, st) =>
+      deleteDataFile(fs, st.getPath)
+      ManifestFile.relativize(root, st.getPath)
+    }
+    // whole-file deletion preserves any sort-order claim: per-file
+    // order is untouched and one-file-per-key-dir can only stay true
+    val prior = try SortOrderStamp.read(conf, root)
+      catch { case _: IllegalArgumentException => None }
+    ManifestFile.replace(conf, root, removedRels, Seq.empty,
+      _ => prior.getOrElse(Seq.empty))
+    ()
+  }
+
+  /** Plan 2: stats-directed distributed rewrite of exactly the files
+    * that might hold a matching row.
+    */
+  private def rewritePlan(fs: FileSystem, root: Path, conf: Configuration,
+      schema: StructType, filters: Array[Filter]): Unit = {
+    val leaves = CellCodec.flatten(schema)
+    val leafIndex = leaves.zipWithIndex.map { case (l, i) => (l.name, i) }.toMap
+    val leafType = leaves.map(l => (l.name, l.dataType)).toMap
+    val evaluable = filters.filter(f => FilterEval.evaluable(f, schema))
+    val files = ColumnFileDataSource
+      .listDataFilesWithRoots(conf, Seq(root.toString), useManifest = false)
+      .map(_._2)
+    // a file is provably untouched iff EVERY chunk has sidecar stats
+    // and some conjunct proves the chunk empty (conjunct false => the
+    // whole AND is false for every row of the chunk)
+    val affected = ColumnFileDataSource.mapFilesParallel(files) { st =>
+      val untouched = evaluable.nonEmpty &&
+        (ChunkStatsIndex.readWithLen(conf, st.getPath) match {
+          case Some((len, ss)) if len == st.getLen && ss.nonEmpty =>
+            ss.forall(cs => evaluable.exists(f =>
+              ChunkStatsIndex.provesEmpty(f, cs, leafIndex, leafType)))
+          case _ => false // no/stale sidecar: must rewrite
+        })
+      if (untouched) None else Some(st)
+    }.flatten
+    if (affected.isEmpty) return
+
+    val spark = SparkSession.active
+    val cond = filters.flatMap(toColumn).reduce(_ && _)
+    val keep = not(coalesce(cond, lit(false)))
+    val tmp = new Path(root,
+      s".delete-tmp-${java.util.UUID.randomUUID().toString}")
+    val pathsJson = affected
+      .map(st => "\"" + st.getPath.toString + "\"")
+      .mkString("[", ",", "]")
+    spark.read.format("columnfile").schema(schema)
+      .option("paths", pathsJson).load()
+      .filter(keep)
+      .write.format("columnfile").mode("overwrite").save(tmp.toString)
+
+    // publish: move the rewritten data files (and their stats sidecars)
+    // into the table root, delete the victims, then swap the manifest
+    // atomically — the INSERT OVERWRITE discipline
+    val moved = fs.listStatus(tmp)
+      .filter(_.getPath.getName.endsWith(ColumnFileDataSource.FileExtension))
+      .map { st =>
+        val dest = new Path(root, st.getPath.getName)
+        if (!fs.rename(st.getPath, dest))
+          throw new java.io.IOException(
+            s"columnfile: DELETE could not publish ${st.getPath} -> $dest")
+        val side = new Path(tmp, "." + st.getPath.getName + ChunkStatsIndex.Suffix)
+        if (fs.exists(side))
+          fs.rename(side, new Path(root, side.getName))
+        ManifestFile.entryFor(conf, root, dest)
+      }.toSeq
+    val removedRels = affected.map { st =>
+      deleteDataFile(fs, st.getPath)
+      ManifestFile.relativize(root, st.getPath)
+    }
+    // rewritten files carry no sort claim: clear it (sidecar first —
+    // the batch commit's crash discipline), conservatively and loudly
+    // re-earnable by the next sortedBy compaction
+    SortOrderStamp.clear(conf, root)
+    ManifestFile.replace(conf, root, removedRels, moved)
+    try { fs.delete(tmp, true); () } catch { case _: Exception => }
+  }
+
+  /** fs.delete can fail by returning false — fail the operation rather
+    * than leave a deleted row visible to walk readers (the overwrite
+    * path's rule). */
+  private def deleteDataFile(fs: FileSystem, p: Path): Unit = {
+    if (!fs.delete(p, false) && fs.exists(p))
+      throw new java.io.IOException(
+        s"columnfile: DELETE failed to remove $p; aborting before the " +
+          "manifest update")
+    val sidecar = new Path(p.getParent, "." + p.getName + ChunkStatsIndex.Suffix)
+    try { fs.delete(sidecar, false); () } catch { case _: Exception => }
+  }
+}

@@ -1,0 +1,175 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Row-level DELETE (`SupportsDelete.deleteWhere`): partition truncate
+  * for partition-complete predicates, stats-directed distributed
+  * chunk-rewrite on unpartitioned tables (the reference's
+  * recompress-copy shape, tools/columnfile-cat.cc:328-341), loud
+  * rejection otherwise.
+  */
+class DeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]").appName("delete-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def dataFiles(dir: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) Seq(f)
+      else Seq.empty
+    walk(new java.io.File(dir))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+  }
+
+  test("partition-complete DELETE truncates exactly the matching " +
+    "partitions' files; untouched files stay byte-identical") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-del-part").toString
+    spark.sql("DROP TABLE IF EXISTS cfdel_p")
+    spark.sql(
+      s"CREATE TABLE cfdel_p (id BIGINT, v STRING, lang STRING) " +
+        s"USING columnfile PARTITIONED BY (lang) OPTIONS (path '$dir')")
+    spark.sql(
+      "INSERT INTO cfdel_p SELECT id, concat('v', id), " +
+        "concat('l', id % 3) FROM range(300)")
+    val before = dataFiles(dir)
+    val untouched = before.filterNot(_._1.contains("lang=l1"))
+    spark.sql("DELETE FROM cfdel_p WHERE lang = 'l1'")
+    val after = dataFiles(dir)
+    assert(untouched.toSet.subsetOf(after.toSet),
+      "non-matching partitions must keep their exact files")
+    assert(!after.keys.exists(_.contains("lang=l1")))
+    assert(spark.table("cfdel_p").count() == 200)
+    assert(spark.table("cfdel_p").where("lang = 'l1'").count() == 0)
+    // manifest swapped atomically with the deletion
+    assert(spark.read.format("columnfile").option("useManifest", "true")
+      .load(dir).count() == 200)
+  }
+
+  test("row-level DELETE on an unpartitioned table is a STATS-DIRECTED " +
+    "rewrite: provably-unaffected files are not touched, matching rows " +
+    "are gone, NULL-predicate rows are kept") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-del-row").toString
+    // doc-ordered, many small files => chunk stats prove most files
+    // untouched by an id-range delete
+    (0 until 10).foreach { k =>
+      (k * 100 until (k + 1) * 100)
+        .map(i => (i.toLong, if (i % 10 == 0) null else s"v$i"))
+        .toDF("id", "v").coalesce(1).sortWithinPartitions("id")
+        .write.format("columnfile")
+        .mode(if (k == 0) "overwrite" else "append").save(dir)
+    }
+    spark.sql("DROP TABLE IF EXISTS cfdel_r")
+    spark.sql(s"CREATE TABLE cfdel_r (id BIGINT, v STRING) " +
+      s"USING columnfile OPTIONS (path '$dir')")
+    val before = dataFiles(dir)
+    // delete ids [250, 340): touches exactly the files holding 200-299
+    // and 300-399
+    spark.sql("DELETE FROM cfdel_r WHERE id >= 250 AND id < 340")
+    val after = dataFiles(dir)
+    val survivors = before.filter { case (p, m) =>
+      after.get(p).contains(m) }
+    assert(survivors.size == 8,
+      s"stats should prove 8 of 10 files untouched; survived: " +
+        s"${survivors.size}")
+    assert(spark.table("cfdel_r").count() == 1000 - 90)
+    assert(spark.table("cfdel_r").where("id >= 250 AND id < 340").count() == 0)
+    assert(spark.table("cfdel_r").where("id = 249").count() == 1)
+    assert(spark.table("cfdel_r").where("id = 340").count() == 1)
+    // NULL-predicate rows survive (SQL DELETE removes only TRUE rows)
+    spark.sql("DELETE FROM cfdel_r WHERE v < 'v1'")
+    assert(spark.table("cfdel_r").where("v IS NULL").count() > 0,
+      "rows where the predicate is NULL must be kept")
+    // manifest readers see the post-delete table
+    assert(spark.read.format("columnfile").option("useManifest", "true")
+      .load(dir).count() == spark.table("cfdel_r").count())
+  }
+
+  test("DELETE without WHERE truncates the table") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-del-all").toString
+    (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.format("columnfile").mode("overwrite").save(dir)
+    spark.sql("DROP TABLE IF EXISTS cfdel_t")
+    spark.sql(s"CREATE TABLE cfdel_t (id BIGINT, v STRING) " +
+      s"USING columnfile OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM cfdel_t")
+    assert(spark.table("cfdel_t").count() == 0)
+    assert(dataFiles(dir).isEmpty)
+  }
+
+  test("a row-level predicate on a PARTITIONED table is rejected " +
+    "loudly at analysis, never approximated") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-del-rej").toString
+    spark.sql("DROP TABLE IF EXISTS cfdel_rej")
+    spark.sql(
+      s"CREATE TABLE cfdel_rej (id BIGINT, lang STRING) " +
+        s"USING columnfile PARTITIONED BY (lang) OPTIONS (path '$dir')")
+    spark.sql("INSERT INTO cfdel_rej SELECT id, concat('l', id % 2) " +
+      "FROM range(20)")
+    val ex = intercept[Exception] {
+      spark.sql("DELETE FROM cfdel_rej WHERE id = 7")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).nonEmpty)
+    assert(spark.table("cfdel_rej").count() == 20, "no partial delete")
+  }
+
+  test("sort-order claims: preserved by partition truncate, cleared " +
+    "by a row-level rewrite") {
+    val sp = spark; import sp.implicits._
+    val conf = new Configuration()
+    // partition truncate preserves the claim (whole-file victims)
+    val dirA = Files.createTempDirectory("cf-del-sa").toString
+    for (g <- 0 until 3) {
+      (0 until 200).map(i => (s"g$g", i.toLong)).toDF("g", "id")
+        .coalesce(1).sortWithinPartitions("id")
+        .write.format("columnfile").partitionBy("g")
+        .option("sortedBy", "id")
+        .mode(if (g == 0) "overwrite" else "append").save(dirA)
+    }
+    assert(SortOrderStamp.read(conf, new Path(dirA)).contains(Seq("id")))
+    ColumnFileDelete.delete(Seq(dirA),
+      spark.read.format("columnfile").load(dirA).schema, conf, Seq("g"),
+      Array(org.apache.spark.sql.sources.EqualTo("g", "g1")))
+    assert(SortOrderStamp.read(conf, new Path(dirA)).contains(Seq("id")),
+      "whole-file deletion must keep the verified claim")
+    assert(ManifestFile.readOrder(conf, new Path(dirA)).contains(Seq("id")))
+    assert(spark.read.format("columnfile").load(dirA).count() == 400)
+    // row-level rewrite clears it (rewritten files carry no claim)
+    val dirB = Files.createTempDirectory("cf-del-sb").toString
+    (0 until 500).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.format("columnfile").option("sortedBy", "id")
+      .mode("overwrite").save(dirB)
+    assert(SortOrderStamp.read(conf, new Path(dirB)).contains(Seq("id")))
+    ColumnFileDelete.delete(Seq(dirB),
+      spark.read.format("columnfile").load(dirB).schema, conf, Seq.empty,
+      Array(org.apache.spark.sql.sources.EqualTo("id", 17L)))
+    assert(SortOrderStamp.read(conf, new Path(dirB)).isEmpty,
+      "a rewrite must drop the claim (conservative)")
+    assert(ManifestFile.readOrder(conf, new Path(dirB)).contains(Seq.empty))
+    assert(spark.read.format("columnfile").load(dirB).count() == 499)
+  }
+}
