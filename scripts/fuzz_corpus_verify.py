@@ -42,7 +42,7 @@ QUERIES = ",".join(
     # whitespace-text docs fuzzed corpora plant are exactly its
     # dl-row-without-postings edge
     ["q66_", "q67_", "q68_", "q70_", "q71_", "q73_", "q74_", "q75_",
-     "q76_", "q77_"] +
+     "q76_", "q77_", "q78_"] +
     # relational shared-SQL family over fuzzed lineitem/orders: the
     # integer-cents discipline's ROUND(double) is the divergence
     # surface (Spark rounds the decimal string, DuckDB the binary

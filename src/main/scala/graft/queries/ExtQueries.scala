@@ -5011,11 +5011,17 @@ object ExtQueries {
        |${p20PackCtes(d, "pd")}""".stripMargin
   }
 
-  private def p20ShardBody(d: Dial, w0: String): String =
+  /** `docs` parameterizes WHICH documents are encoded (q78's takedown
+    * complement); the tokenizer itself — w0 and the merge rounds —
+    * always trains on the FULL corpus: a takedown removes data from
+    * the artifact, never retrains the frozen model.
+    */
+  private def p20ShardBody(d: Dial, w0: String,
+      docs: String = "documents"): String =
     s"""${bpeRound(d, 1, w0)},
        |${bpeRound(d, 2, "w1")},
        |${bpeRound(d, 3, "w2")},
-       |${p20EncodeBody(d, "documents")}""".stripMargin
+       |${p20EncodeBody(d, docs)}""".stripMargin
 
   /** The per-(split, lang) rollup both sides compute — Spark from the
     * READ-BACK shards (stored rn/bin/toks), the oracle from the
@@ -6950,6 +6956,11 @@ object ExtQueries {
     // physical routing -> frozen-model assignment -> policy-served
     // layout -> probe; one oracle over base ∪ admitted only.
     vectorRefreshQ,
+    // Takedown propagation: the opt-out relation anti-joined at all
+    // three families' compactions (+ SupportsDelete's eager rewrite on
+    // the delta); one oracle over the complement corpus gates a BM25
+    // probe, the shard checksums, and an IVF top-5 at once.
+    takedownCompactQ,
     // Line-level exact dedup (C4/RefinedWeb sub-document pass):
     // duplicated 10-word lines removed corpus-wide, checksummed rewrite.
     lineDedup,
@@ -11011,6 +11022,227 @@ object ExtQueries {
         .createOrReplaceTempView("q66_dl")
       spark.sql("WITH " + bm25Body(SparkD, "q66_tf", "q66_dl",
         nFrom = "q66_dl"))
+  }
+
+  // ------------------------------- takedown propagation (q78)
+
+  /** q78's takedown set — compile-time constants (the r15 rule: both
+    * reachable from `val all` oracle SQL). Two legs, exercising BOTH
+    * deletion mechanisms: the contiguous id RANGE [100, 140) — a
+    * batch/source revocation — is applied EAGERLY through
+    * `SupportsDelete.deleteWhere`'s stats-directed rewrite on the
+    * unpartitioned delta; the MODULO leg (id % 31 = 7 — scattered
+    * opt-out requests) rides the takedown RELATION anti-joined at each
+    * family's compaction. Each leg is gated: a broken deleteWhere
+    * leaves range rows from the delta in the served index; a broken
+    * anti-join leaves modulo rows (or base-side range rows) — either
+    * is a hash miss against the complement-corpus oracle.
+    */
+  private final val TdLo = 100
+  private final val TdHi = 140
+  private def tdPred(id: String): String =
+    s"(($id >= $TdLo AND $id < $TdHi) OR $id % 31 = 7)"
+
+  /** q78: TAKEDOWN PROPAGATION through all three LSM index families —
+    * the pipeline half of row-level delete (an opt-out or license
+    * revocation is not done when the raw doc dies; its postings,
+    * token shards, and vectors live on in derived state until a
+    * rewrite). A materialized takedown relation (the opt-out queue)
+    * is anti-joined at each family's COMPACTION — q67's text-index
+    * repack, p23's shard repack, v26's IVF cell repack — so a deleted
+    * doc leaves `inv_base`'s postings, the p20 shards, and the IVF
+    * cells on the next fired repack; the eligible range leg is
+    * additionally deleted EAGERLY from the text delta via
+    * [[graft.spark.ColumnFileDelete]] (the API path). ONE oracle
+    * hash-gates all three families at once: a BM25 probe, the shard
+    * rollup (pack + token-fold checksums), and an IVF top-5 probe,
+    * each recomputed relationally over the COMPLEMENT corpus — a row
+    * that survives anywhere (wrong anti-join, broken rewrite, stale
+    * dl/N statistics) breaks the hash. The tokenizer and the centroid
+    * model stay FROZEN (trained on the full corpus before the
+    * takedown): a takedown removes data from artifacts, never
+    * retrains models — so old and new shards stay in one id space.
+    *
+    * 100 TB shape: the takedown relation is a broadcast-scale
+    * anti-join build side at each repack (opt-out queues are small);
+    * the eager delete's rewrite cost tracks the range's selectivity
+    * via chunk-stats file pruning, not table size; everything else is
+    * the families' existing compaction I/O — takedown rides rewrites
+    * that were already scheduled.
+    */
+  private def takedownCompactQ: Q = {
+    val oracle = {
+      val d = DuckD
+      s"""WITH td AS (SELECT doc_id AS id FROM documents
+         |  WHERE ${tdPred("doc_id")}),
+         |tf0 AS (${bm25TfSql(d)}),
+         |dl0 AS (${bm25DlSql(d)}),
+         |tfq AS (SELECT t.* FROM tf0 t
+         |  WHERE NOT EXISTS (SELECT 1 FROM td WHERE td.id = t.doc_id)),
+         |dlq AS (SELECT l.* FROM dl0 l
+         |  WHERE NOT EXISTS (SELECT 1 FROM td WHERE td.id = l.doc_id)),
+         |inv_out AS (WITH ${bm25Body(d, "tfq", "dlq", nFrom = "dlq")}),
+         |w0 AS (${bpeVocabSql(d)}),
+         |docs78 AS (SELECT * FROM documents WHERE NOT ${tdPred("doc_id")}),
+         |${p20ShardBody(d, "w0", docs = "docs78")},
+         |shard_out AS (${p20RollupSql(d, "pb")}),
+         |${ivfCommonCtes(d)},
+         |assign AS (SELECT vec_id, clabel FROM best
+         |  WHERE rn = 1 AND NOT ${tdPred("vec_id")}),
+         |probe AS (SELECT vec_id AS qid, clabel AS pcell
+         |  FROM best WHERE vec_id < 20 AND rn <= 2),
+         |cand AS (SELECT p.qid, a.vec_id AS nid
+         |  FROM probe p JOIN assign a ON a.clabel = p.pcell
+         |  WHERE a.vec_id <> p.qid),
+         |vpairs AS (SELECT c.qid, c.nid,
+         |    ${d.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm) AS cos
+         |  FROM cand c
+         |  JOIN emb q ON q.vec_id = c.qid
+         |  JOIN emb n ON n.vec_id = c.nid),
+         |vtopk AS (SELECT qid, nid,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |  FROM vpairs),
+         |ivf_out AS (SELECT qid, nid, rn FROM vtopk WHERE rn <= 5)
+         |SELECT * FROM (
+         |  SELECT 'inv' AS family, CAST(doc_id AS VARCHAR) AS k,
+         |    score AS v1, n_terms AS v2, CAST(0 AS BIGINT) AS v3,
+         |    CAST(0 AS BIGINT) AS v4, CAST(0 AS BIGINT) AS v5,
+         |    CAST(0 AS BIGINT) AS v6
+         |  FROM inv_out
+         |  UNION ALL
+         |  SELECT 'shard', split || '/' || l, n_docs, n_shards, n_bins,
+         |    total_btoks, pack_checksum, tok_checksum
+         |  FROM shard_out
+         |  UNION ALL
+         |  SELECT 'ivf', CAST(qid AS VARCHAR) || ':' || CAST(rn AS VARCHAR),
+         |    nid, rn, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM ivf_out) u
+         |ORDER BY family, k""".stripMargin
+    }
+    Q("q78_takedown_compact", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      takedownCompactDF(spark, dir)
+    }, Some(oracle))
+  }
+
+  /** q78's Spark body over whatever relations are registered — split
+    * out so the resurrection spec can drive maintain → takedown-compact
+    * → maintain-again → compact-again on planted fixtures.
+    */
+  private[graft] def takedownCompactDF(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sessionState.newHadoopConf()
+    // the three families' maintained state (cached, idempotent —
+    // shared with q66/q67, p22/p23, q68/v26)
+    streamIndexMaintainDF(spark, dir)
+    streamIvfIndexViews(spark, dir)
+    // the takedown relation — materialized once (production: the
+    // opt-out queue is its own table, not a predicate)
+    val td = Tables.cachePath(dir, "q78_takedown")
+    if (!new java.io.File(td, "_SUCCESS").exists()) {
+      spark.table("documents").where(tdPred("doc_id"))
+        .selectExpr("doc_id AS id").coalesce(1)
+        .write.format("columnfile").mode("overwrite").save(td)
+    }
+    val tdDF = spark.read.format("columnfile").load(td)
+
+    // FAMILY 1 (text index). Eager leg: recompress-copy q66's delta,
+    // then SupportsDelete's stats-directed rewrite removes the range
+    // ids — the API path, gated because the compaction below anti-joins
+    // only the MODULO leg on the delta side.
+    val delta78 = Tables.cachePath(dir, "q78_inv_delta")
+    val tdDone = new java.io.File(delta78, "_TAKEDOWN")
+    if (!tdDone.exists()) {
+      val src = spark.read.format("columnfile")
+        .load(Tables.cachePath(dir, "inv_delta_post"))
+      src.write.format("columnfile").mode("overwrite").save(delta78)
+      graft.spark.ColumnFileDelete.delete(Seq(delta78),
+        spark.read.format("columnfile").load(delta78).schema, conf,
+        Seq.empty,
+        Array(
+          org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", TdLo.toLong),
+          org.apache.spark.sql.sources.LessThan("doc_id", TdHi.toLong)))
+      assert(tdDone.createNewFile())
+    }
+    val invCompact = Tables.cachePath(dir, "q78_inv_compacted")
+    if (!new java.io.File(invCompact, "_SUCCESS").exists()) {
+      val base = spark.read.format("columnfile")
+        .load(Tables.cachePath(dir, "inv_base_even"))
+        .selectExpr("doc_id", "w", "tf", "CAST(tb AS INT) AS tb")
+      val delta = spark.read.format("columnfile").load(delta78)
+        .selectExpr("doc_id", "w", "tf", "CAST(tb AS INT) AS tb")
+      base.join(tdDF, base("doc_id") === tdDF("id"), "left_anti")
+        .union(delta.join(tdDF.where("id % 31 = 7"),
+          delta("doc_id") === tdDF("id"), "left_anti"))
+        .repartition(col("tb")).sortWithinPartitions("doc_id")
+        .write.format("columnfile").partitionBy("tb")
+        .option("sortedBy", "doc_id")
+        .mode("overwrite").save(invCompact)
+    }
+    val termTbs = BmTermSeq.map(t => invTb(s"'$t'")).mkString(", ")
+    spark.read.format("columnfile").load(invCompact)
+      .where(s"w IN $BmTerms AND tb IN ($termTbs)")
+      .selectExpr("doc_id", "w", "tf")
+      .createOrReplaceTempView("q78_tf")
+    val dlAll = spark.table("q66_dl")
+    dlAll.join(tdDF, dlAll("doc_id") === tdDF("id"), "left_anti")
+      .createOrReplaceTempView("q78_dl")
+    val inv = spark.sql("WITH " + bm25Body(SparkD, "q78_tf", "q78_dl",
+      nFrom = "q78_dl"))
+
+    // FAMILY 2 (tokenized shards): p23's repack with the takedown
+    // anti-joined — windows recompute over the survivors, so the
+    // compacted artifact equals the complement corpus's full rebuild.
+    val shards78 = Tables.cachePath(dir, "q78_shards_compacted")
+    if (!new java.io.File(shards78, "_SUCCESS").exists()) {
+      val union = p22UnionDF(spark, dir)
+      p23Repack(union.join(tdDF, union("doc_id") === tdDF("id"), "left_anti"))
+        .write.format("columnfile").partitionBy("split", "lang")
+        .mode("overwrite").save(shards78)
+    }
+    spark.read.format("columnfile").load(shards78)
+      .createOrReplaceTempView("q78_shards")
+    val shard = spark.sql(p20RollupSql(SparkD, "q78_shards"))
+
+    // FAMILY 3 (IVF): the cell repack with the takedown anti-joined;
+    // the router (query workload) stays UNRESTRICTED — only the index
+    // is taken down, production still searches with any vector.
+    val ivf78 = Tables.cachePath(dir, "q78_ivf_compacted")
+    if (!new java.io.File(ivf78, "_SUCCESS").exists()) {
+      val idx = spark.table("q68_idx")
+      idx.join(tdDF, idx("vec_id") === tdDF("id"), "left_anti")
+        .repartition(col("cell")).sortWithinPartitions("vec_id")
+        .write.format("columnfile").partitionBy("cell")
+        .option("sortedBy", "vec_id")
+        .mode("overwrite").save(ivf78)
+    }
+    spark.read.format("columnfile").load(ivf78)
+      .selectExpr("vec_id", "embedding", "CAST(cell AS INT) AS cell")
+      .createOrReplaceTempView("q78_idx")
+    spark.read.format("columnfile").option("runtimeFiltering", "false")
+      .load(ivfRouterPath(spark, dir))
+      .where("qid < 20").createOrReplaceTempView("q78_probe")
+    val ivf = spark.sql(
+      s"""WITH ${ivfIndexedTopkCtes("q78_probe", "q78_idx")}
+         |SELECT qid, nid, rn FROM ivtopk WHERE rn <= 5""".stripMargin)
+
+    inv.selectExpr("'inv' AS family", "CAST(doc_id AS STRING) AS k",
+        "score AS v1", "n_terms AS v2", "CAST(0 AS BIGINT) AS v3",
+        "CAST(0 AS BIGINT) AS v4", "CAST(0 AS BIGINT) AS v5",
+        "CAST(0 AS BIGINT) AS v6")
+      .union(shard.selectExpr("'shard' AS family",
+        "concat(split, '/', l) AS k", "n_docs AS v1", "n_shards AS v2",
+        "n_bins AS v3", "total_btoks AS v4", "pack_checksum AS v5",
+        "tok_checksum AS v6"))
+      .union(ivf.selectExpr("'ivf' AS family",
+        "concat(CAST(qid AS STRING), ':', CAST(rn AS STRING)) AS k",
+        "nid AS v1", "rn AS v2", "CAST(0 AS BIGINT) AS v3",
+        "CAST(0 AS BIGINT) AS v4", "CAST(0 AS BIGINT) AS v5",
+        "CAST(0 AS BIGINT) AS v6"))
+      .orderBy("family", "k")
   }
 
   /** v15: the hybrid retrieval EVALUATION restructured for scale —

@@ -23,8 +23,13 @@ class DeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[2]").appName("delete-spec")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.VectorFunctions.register(
+      spark.sessionState.functionRegistry)
+    graft.functions.TextHashFunctions.register(
+      spark.sessionState.functionRegistry)
   }
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
@@ -134,6 +139,57 @@ class DeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
         Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).nonEmpty)
     assert(spark.table("cfdel_rej").count() == 20, "no partial delete")
+  }
+
+  test("q78 takedown survives maintain -> compact -> serve: no " +
+    "taken-down id in any family's compacted artifact, and a re-upload " +
+    "in a later delta cannot resurrect it through the next compaction") {
+    val sp = spark; import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def tdPred(id: String) =
+      s"(($id >= 100 AND $id < 140) OR $id % 31 = 7)"
+    // run the real pipeline (builds the three families' maintained
+    // state, applies the takedown, compacts, probes)
+    graft.queries.Tables.registerAll(spark, dir)
+    val out = graft.queries.ExtQueries.takedownCompactDF(spark, dir)
+    assert(out.count() > 0)
+    // the takedown did real work: the PRE-takedown maintained state
+    // held taken-down ids in every family
+    val preInv = spark.read.format("columnfile")
+      .load(graft.queries.Tables.cachePath(dir, "inv_base_even"))
+    assert(preInv.where(tdPred("doc_id")).count() > 0)
+    assert(spark.table("q68_idx").where(tdPred("vec_id")).count() > 0)
+    // ...and no compacted artifact holds a single one
+    val artifacts = Seq(
+      ("q78_inv_compacted", "doc_id"),
+      ("q78_shards_compacted", "doc_id"),
+      ("q78_ivf_compacted", "vec_id"))
+    artifacts.foreach { case (name, idCol) =>
+      val t = spark.read.format("columnfile")
+        .load(graft.queries.Tables.cachePath(dir, name))
+      assert(t.where(tdPred(idCol)).count() == 0,
+        s"$name resurrects taken-down ids")
+      assert(t.count() > 0, s"$name must still hold the complement")
+    }
+    // RESURRECTION leg: a later maintenance wave re-uploads a
+    // taken-down doc's postings; the next compaction anti-joins the
+    // DURABLE takedown relation, so the doc stays gone while the
+    // wave's legitimate rows land
+    val td = spark.read.format("columnfile")
+      .load(graft.queries.Tables.cachePath(dir, "q78_takedown"))
+    val compacted = spark.read.format("columnfile")
+      .load(graft.queries.Tables.cachePath(dir, "q78_inv_compacted"))
+      .selectExpr("doc_id", "w", "tf", "CAST(tb AS INT) AS tb")
+    val reupload = Seq(
+      (100L, "hash", 1L, 0), // taken-down id arriving again
+      (9001L, "hash", 2L, 0) // a legitimate new doc
+    ).toDF("doc_id", "w", "tf", "tb")
+    val wave2 = compacted.union(reupload)
+    val compact2 = wave2.join(td, wave2("doc_id") === td("id"), "left_anti")
+    assert(compact2.where("doc_id = 100").count() == 0,
+      "a re-upload must not resurrect a taken-down doc")
+    assert(compact2.where("doc_id = 9001").count() == 1,
+      "legitimate wave-2 rows must land")
   }
 
   test("sort-order claims: preserved by partition truncate, cleared " +
