@@ -25,7 +25,7 @@ REPO = os.path.dirname(BASE)
 # families are exercised by the main gate; re-running them per corpus
 # would dominate the runtime without adding dialect coverage)
 QUERIES = ",".join(
-    [f"d{i:02d}_" for i in range(1, 29)] +
+    [f"d{i:02d}_" for i in range(1, 30)] +
     [f"t{i:02d}_" for i in range(1, 22)] +
     ["p01_", "p02_", "p03_", "p04_", "p05_", "p06_", "p07_", "p08_",
      "p09_", "p10_", "p11_", "p12_", "p13_", "p14_", "p15_", "p16_",

@@ -3486,6 +3486,87 @@ object ExtQueries {
   private final val DedupPolicyFloorPm = 500
   private final val DedupPolicyThrPm = 500
 
+  /** d29: d28's serve leg on the BOUNDED pair contract (r19 verdict
+    * task 5) — same surface, same argmin pick, but the serve emits the
+    * d12-class COLLAPSED answer: exact-duplicate texts collapse to a
+    * representative, the picked geometry's pair pipeline runs over the
+    * representatives' band rows only, and each verified rep pair
+    * carries both groups' member counts (raw pairs recoverable as
+    * ni x nj). d28's raw serve is output-bound ~n^2 under replica
+    * cliques (adjudicated: 77.8 s at 100x vs the surface's 13.5 s);
+    * this twin's output is bounded by DISTINCT texts at ANY
+    * duplication factor — the production serving contract when the
+    * corpus carries heavy duplication. The rep restriction applies to
+    * the SAME capped gex relation the surface measured (pick and serve
+    * still cannot diverge on what a candidate is); collapse-first
+    * ordering for the surface itself is d12/d16's separate, already-
+    * shipped pipeline.
+    */
+  private def lshPolicyCollapsedQ: Q = {
+    val oracle = {
+      val d = DuckD
+      val (sigSelect, _) = minhashSigParts(d, "hs")
+      s"""WITH hs AS (${minhashHsSql(d)}),
+         |sig AS ($sigSelect),
+         |${lshGexCtes(d, "sig", "hs")},
+         |${lshPolicyPickCtes(d, "gex", "hs")},
+         |grp AS (SELECT md5(text) AS dg, MIN(doc_id) AS rep,
+         |    COUNT(*) AS members
+         |  FROM documents GROUP BY md5(text)),
+         |pexr AS (SELECT g.doc_id, g.bk FROM gex g
+         |  JOIN pick p ON g.bands = p.bands
+         |  JOIN grp r ON r.rep = g.doc_id)
+         |SELECT CAST(p.bands AS BIGINT) AS bands, j.i, j.j,
+         |  CAST(gi.members AS BIGINT) AS ni, CAST(gj.members AS BIGINT) AS nj
+         |FROM pick p CROSS JOIN (${minhashPairsFrom(d, "pexr", "hs")}) j
+         |JOIN grp gi ON gi.rep = j.i
+         |JOIN grp gj ON gj.rep = j.j""".stripMargin
+    }
+    Q("d29_band_policy_collapsed", (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      lshPolicyCollapsedDF(spark)
+    }, Some(oracle))
+  }
+
+  /** Spark side of d29: d28's exact view discipline (hs/sig cached,
+    * gex checkpointed, the 1-row pick checkpointed with a limit(1)
+    * identity for the BNLJ gate), plus the collapse relations.
+    */
+  private def lshPolicyCollapsedDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    val hs = cacheOnce(spark.sql(minhashHsSql(SparkD)))
+    hs.createOrReplaceTempView("d29_hs")
+    val (sigSelect, _) = minhashSigParts(SparkD, "d29_hs")
+    cacheOnce(spark.sql(sigSelect)).createOrReplaceTempView("d29_sig")
+    spark.sql(
+      s"WITH ${lshGexCtes(SparkD, "d29_sig", "d29_hs")} " +
+        "SELECT doc_id, bands, bk FROM gex")
+      .localCheckpoint()
+      .createOrReplaceTempView("d29_gex")
+    spark.sql(
+      s"WITH ${lshPolicyPickCtes(SparkD, "d29_gex", "d29_hs")} " +
+        "SELECT bands FROM pick")
+      .localCheckpoint()
+      .limit(1) // GlobalLimit identity for the BNLJ bound gate (d28's move)
+      .createOrReplaceTempView("d29_pick")
+    cacheOnce(spark.sql(
+      """SELECT md5(text) AS dg, MIN(doc_id) AS rep, COUNT(*) AS members
+        |FROM documents GROUP BY md5(text)""".stripMargin))
+      .createOrReplaceTempView("d29_grp")
+    spark.sql(
+      """SELECT g.doc_id, g.bk FROM d29_gex g
+        |JOIN d29_pick p ON g.bands = p.bands
+        |JOIN d29_grp r ON r.rep = g.doc_id""".stripMargin)
+      .createOrReplaceTempView("d29_pexr")
+    spark.sql(
+      s"""SELECT CAST(p.bands AS BIGINT) AS bands, j.i, j.j,
+         |  CAST(gi.members AS BIGINT) AS ni, CAST(gj.members AS BIGINT) AS nj
+         |FROM d29_pick p
+         |CROSS JOIN (${minhashPairsFrom(SparkD, "d29_pexr", "d29_hs")}) j
+         |JOIN d29_grp gi ON gi.rep = j.i
+         |JOIN d29_grp gj ON gj.rep = j.j""".stripMargin)
+  }
+
   // ------------------------------------------- SemDeDup tau sweep (d23)
 
   /** The d23 sweep body over `drep` (vec_id, embedding, enorm —
@@ -6998,6 +7079,10 @@ object ExtQueries {
     // The LSH surface CONSUMED: a recall-floor policy argmin-picks the
     // cheapest band geometry and serves d03's pairs at it (v29's twin).
     lshPolicyQ,
+    // d28's serve on the BOUNDED contract: the picked geometry's pairs
+    // collapsed to representatives + member multiplicities (d12's
+    // class) — output bounded by distinct texts under any duplication.
+    lshPolicyCollapsedQ,
     // The SimHash Pareto surface: the pigeonhole guarantee priced —
     // d24's recall curves joined with each geometry's candidate cost
     // from the same capped sx relation.

@@ -145,6 +145,10 @@ class InventoryPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // d26's Pareto surface: d22's bounds exactly (shared gex
     // spelling — LIMIT-40 sample, VALUES geometry/threshold rows).
     "d26_lsh_pareto" -> 40L,
+    // d29's collapsed serve: d28's bounds exactly (same gex/pick
+    // spelling; the extra collapse joins are equi-joins, the only BNLJ
+    // is the 1-row checkpointed pick crossed into the serve).
+    "d29_band_policy_collapsed" -> 40L,
     // d28's policy: d26's bounds exactly (shared gex spelling; the
     // pick is a LIMIT-1 subquery over the 3-row surface).
     "d28_band_policy" -> 40L,
