@@ -7387,6 +7387,8 @@ object ExtQueries {
         : org.apache.spark.sql.DataFrame = lshParetoDF(spark)
     def lshPolicy(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.sql.DataFrame = lshPolicyDF(spark)
+    def lshPolicyCollapsed(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.sql.DataFrame = lshPolicyCollapsedDF(spark)
     val dedupPolicyFloorPm: Long = DedupPolicyFloorPm
     val dedupPolicyThrPm: Long = DedupPolicyThrPm
     def simhashPareto(spark: org.apache.spark.sql.SparkSession)

@@ -1918,6 +1918,56 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served.map(_._2).contains((1L, 2L)))
   }
 
+  test("d29: the collapsed serve picks d28's geometry, emits rep pairs " +
+    "with member multiplicities, and stays bounded under a replica " +
+    "clique where d28's raw serve is quadratic") {
+    val sp = spark; import sp.implicits._
+    // a 5-doc exact-replica clique (the ~n^2 raw-serve case) plus one
+    // genuine near-dup pair of distinct texts
+    val x8 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val clique = (1L to 5L).map(i => (i, "a b c d e f g h i j k l", "en"))
+    val near = Seq(
+      (6L, s"pa pb $x8 pc pd", "en"),
+      (7L, s"ra rb $x8 rc rd", "en"))
+    (clique ++ near).toDF("doc_id", "text", "lang")
+      .createOrReplaceTempView("documents")
+    val raw = ExtQueries.TestSql.lshPolicy(spark).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    val collapsed = ExtQueries.TestSql.lshPolicyCollapsed(spark).collect()
+      .map(r => (r.getLong(0),
+        ((r.getLong(1), r.getLong(2)), (r.getLong(3), r.getLong(4)))))
+    // the raw serve pays the clique: all C(5,2)=10 within-clique pairs
+    val rawPairs = raw.map(_._2).toSet
+    assert((1L to 5L).combinations(2).map(c => (c(0), c(1)))
+      .forall(rawPairs.contains), s"raw serve missing clique pairs: $rawPairs")
+    val pick = raw.map(_._1).distinct.toSeq
+    assert(pick.size == 1)
+    // the CONTRACT, recomputed independently: d03's pairs at the picked
+    // geometry restricted to representative endpoints (reps here:
+    // 1 = the clique's min id, 6, 7), each with the groups' sizes —
+    // the rep restriction commutes with the self-join because the
+    // hot-bucket cap is computed on the same full gex either way
+    val members = Map(1L -> 5L, 6L -> 1L, 7L -> 1L)
+    val want = ExtQueries.lshGeomPairsDF(spark, pick.head.toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (i, j) => members.contains(i) && members.contains(j) }
+      .map { case (i, j) => ((i, j), (members(i), members(j))) }
+      .toMap
+    val colPairs = collapsed.map(_._2).toMap
+    assert(colPairs == want,
+      s"collapsed serve diverges from the rep-restricted contract: " +
+        s"$colPairs vs $want")
+    // same pick whenever the collapsed serve has rows to carry it
+    if (collapsed.nonEmpty)
+      assert(collapsed.map(_._1).distinct.toSeq == pick)
+    // bounded: the clique contributes NO pairs (one representative),
+    // so the collapsed answer strictly undercuts the raw one
+    assert(!colPairs.keySet.exists { case (i, j) => i <= 5 && j <= 5 },
+      s"collapsed serve emits within-clique pairs: ${colPairs.keySet}")
+    assert(collapsed.size < raw.size,
+      s"collapsed (${collapsed.size}) must undercut raw (${raw.size})")
+  }
+
   test("m10: the image Pareto surface carries m09's exact recall " +
     "cells plus cost columns constant across thresholds and monotone " +
     "in bands (uncapped)") {
