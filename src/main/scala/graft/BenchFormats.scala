@@ -35,6 +35,17 @@ object BenchFormats {
     ensure(cfPacked) { li.write.format("columnfile")
       .option("dictionary", "true").option("bitpack", "true")
       .mode("overwrite").save(cfPacked) }
+    // full encodings + a WRITE-VERIFIED sort stamp: prices what the
+    // self-describing order costs a reader that never exploits it —
+    // every scan of a stamped table runs stamp discovery + chunk-stats
+    // validation at planning (memoized per scan since r20, and carried
+    // by the manifest for useManifest readers)
+    val cfStamped = s"$base/cf_stamped"
+    ensure(cfStamped) { li.orderBy("l_orderkey")
+      .write.format("columnfile")
+      .option("dictionary", "true").option("bitpack", "true")
+      .option("sortedBy", "l_orderkey")
+      .mode("overwrite").save(cfStamped) }
 
     def table(path: String): DataFrame =
       if (path == pq) spark.read.parquet(path)
@@ -60,7 +71,7 @@ object BenchFormats {
         df.filter(col("l_returnflag") === "R").count()))
 
     val formats = Seq("parquet" -> pq, "cf_lz4" -> cf, "cf_dict" -> cfDict,
-      "cf_packed" -> cfPacked)
+      "cf_packed" -> cfPacked, "cf_stamped" -> cfStamped)
     // warm-up
     formats.foreach { case (_, p) => queries.foreach(q => q._2(table(p))) }
     def pass(): Map[(String, String), Double] =
