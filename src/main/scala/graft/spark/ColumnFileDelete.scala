@@ -134,11 +134,15 @@ object ColumnFileDelete {
       ManifestFile.relativize(root, st.getPath)
     }
     // whole-file deletion preserves any sort-order claim: per-file
-    // order is untouched and one-file-per-key-dir can only stay true
-    val prior = try SortOrderStamp.read(conf, root)
+    // order is untouched and one-file-per-key-dir can only stay true.
+    // The prior claim comes from the prior manifest UNDER the lock
+    // (the racing-committer discipline); the sidecar read covers only
+    // legacy files-only manifests.
+    val sidecarPrior = try SortOrderStamp.read(conf, root)
       catch { case _: IllegalArgumentException => None }
     ManifestFile.replace(conf, root, removedRels, Seq.empty,
-      _ => prior.getOrElse(Seq.empty))
+      (_, manifestPrior) =>
+        manifestPrior.orElse(sidecarPrior).getOrElse(Seq.empty))
     ()
   }
 

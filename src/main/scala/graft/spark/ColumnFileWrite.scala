@@ -429,19 +429,27 @@ class ColumnFileWrite(
     SortOrderStamp.clear(conf, dir)
     val committedRels = committedFiles.map(f =>
       ManifestFile.relativize(dir, new Path(f))).toSet
-    def stampFor(merged: Seq[ManifestFile.Entry]): Seq[String] =
+    // The prior claim consulted for narrowing is the PRIOR MANIFEST's,
+    // read under the manifest lock (racing committers therefore cannot
+    // interleave: a concurrent claim-clearing append lands either
+    // before this read — narrowing against the cleared claim — or
+    // after this commit's publish, clearing it wholesale). The sidecar
+    // read above covers only legacy tables whose manifest predates the
+    // claim key.
+    def stampFor(merged: Seq[ManifestFile.Entry],
+        manifestPrior: Option[Seq[String]]): Seq[String] =
       if (sortedCols.isEmpty) Seq.empty
       else if (truncateFirst) sortedCols
-      else priorStamp match {
-        case Some(prev) => prev.zip(sortedCols)
+      else manifestPrior.orElse(priorStamp) match {
+        case Some(prev) if prev.nonEmpty => prev.zip(sortedCols)
           .takeWhile { case (a, b) => a == b }.map(_._1)
-        case None =>
+        case _ =>
           if (merged.map(_.rel).toSet == committedRels) sortedCols
           else Seq.empty
       }
     val effectiveStamp: Seq[String] =
       if (truncateFirst) {
-        val s = stampFor(committed)
+        val s = stampFor(committed, None)
         ManifestFile.write(conf, dir, committed, s)
         s
       } else if (overwriteFilters.nonEmpty || dynamicOverwrite) {

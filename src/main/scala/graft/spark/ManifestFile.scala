@@ -120,7 +120,8 @@ object ManifestFile {
     * per such commit and the table is manifest-complete afterwards.
     */
   def append(conf: Configuration, root: Path, added: Seq[Entry],
-             sortOrder: Seq[Entry] => Seq[String] = _ => Seq.empty): Seq[String] =
+             sortOrder: (Seq[Entry], Option[Seq[String]]) => Seq[String] =
+               (_, _) => Seq.empty): Seq[String] =
     commit(conf, root)(prior =>
       (prior.map(e => e.rel -> e) ++ added.map(e => e.rel -> e))
         .toMap.values.toSeq)(
@@ -133,7 +134,8 @@ object ManifestFile {
     */
   def replace(conf: Configuration, root: Path,
               removedRels: Seq[String], added: Seq[Entry],
-              sortOrder: Seq[Entry] => Seq[String] = _ => Seq.empty): Seq[String] = {
+              sortOrder: (Seq[Entry], Option[Seq[String]]) => Seq[String] =
+                (_, _) => Seq.empty): Seq[String] = {
     val removed = removedRels.toSet
     commit(conf, root)(prior =>
       (prior.filterNot(e => removed.contains(e.rel))
@@ -147,14 +149,19 @@ object ManifestFile {
     * concurrency section): lock → read-or-walk prior → merge → publish →
     * re-read and check this commit's effect survived; a clobbered commit
     * re-merges from the latest manifest. `sortOrder` computes the
-    * manifest-carried claim from the merged file set (atomic with it);
-    * the claim actually published is returned so the caller can mirror
-    * it to the walk-readers' sidecar stamp.
+    * manifest-carried claim from (merged file set, PRIOR manifest's
+    * claim) — the prior claim is read UNDER the lock from the same
+    * manifest the merge read, so racing committers cannot interleave a
+    * stale claim over files another commit just added (`None` = legacy
+    * files-only manifest or no manifest; the caller may then consult
+    * the sidecar stamp it read before its own clear). The claim
+    * actually published is returned so the caller can mirror it to the
+    * walk-readers' sidecar stamp.
     */
   private def commit(conf: Configuration, root: Path)
       (merge: Seq[Entry] => Seq[Entry])
       (intact: Seq[Entry] => Boolean)
-      (sortOrder: Seq[Entry] => Seq[String]): Seq[String] = withLock(conf, root) {
+      (sortOrder: (Seq[Entry], Option[Seq[String]]) => Seq[String]): Seq[String] = withLock(conf, root) {
     val fs = root.getFileSystem(conf)
     val p = new Path(root, Name)
     var attempt = 0
@@ -162,19 +169,25 @@ object ManifestFile {
     var stamped: Seq[String] = Seq.empty
     while (!done) {
       attempt += 1
-      val prior: Seq[Entry] =
-        if (fs.exists(p)) read(conf, root) match {
-          case Some(entries) => entries
-          case None => // present but unreadable: rebuild from the truth
+      val priorParsed: Option[(Seq[Entry], Option[Seq[String]])] =
+        if (fs.exists(p))
+          try readRaw(conf, root).map(parseFull)
+          catch { case _: Exception => None }
+        else None
+      val priorOrder: Option[Seq[String]] = priorParsed.flatMap(_._2)
+      val prior: Seq[Entry] = priorParsed match {
+        case Some((entries, _)) => entries
+        case None =>
+          if (fs.exists(p)) { // present but unreadable: rebuild from the truth
             try { fs.delete(p, false); () } catch { case _: Exception => }
-            walkEntries(conf, root)
-        }
-        else walkEntries(conf, root)
+          }
+          walkEntries(conf, root)
+      }
       // On a fence-degraded filesystem (local check-then-create) two
       // committers can still collide inside the publish itself — a
       // failed rename is just another conflict to retry, not fatal.
       val merged = merge(prior)
-      stamped = sortOrder(merged)
+      stamped = sortOrder(merged, priorOrder)
       val published =
         try { write(conf, root, merged, stamped); true }
         catch { case _: java.io.IOException => false }

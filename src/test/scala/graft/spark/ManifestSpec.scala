@@ -257,6 +257,43 @@ class ManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortsIn(after) > 0)
   }
 
+  test("the manifest's claim is authoritative over a stray sidecar " +
+    "stamp: a sortedBy append onto a manifest-cleared table cannot " +
+    "resurrect a claim over files it did not write") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-manifest-stray").toString
+    val conf = new Configuration()
+    val root = new Path(dir)
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.format("columnfile").option("sortedBy", "id")
+      .mode("overwrite").save(dir)
+    // a plain append clears the claim in both carriers...
+    (0 until 50).map(i => (((i * 13) % 50).toLong, s"u$i")).toDF("id", "v")
+      .coalesce(1).write.format("columnfile").mode("append").save(dir)
+    assert(ManifestFile.readOrder(conf, root).contains(Seq.empty))
+    // ...simulate the racing-committer leftover: a stray sidecar stamp
+    // reappears (hand-edit / interleaved clear) while the manifest's
+    // authoritative no-claim stands
+    SortOrderStamp.write(conf, root, Seq("id"))
+    // a sortedBy append must consult the MANIFEST's prior claim (read
+    // under the commit lock), not the stray sidecar: the table holds
+    // unvouched unsorted files, so no claim may be published
+    (200 until 220).map(i => (i.toLong, s"w$i")).toDF("id", "v")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.format("columnfile").option("sortedBy", "id")
+      .mode("append").save(dir)
+    assert(ManifestFile.readOrder(conf, root).contains(Seq.empty),
+      "the stray sidecar must not resurrect a claim through the append")
+    assert(SortOrderStamp.read(conf, root).isEmpty,
+      "the commit must clear the stray sidecar, not republish it")
+    // and the reader pays its sort (no false zero-sort plan)
+    val q = spark.read.format("columnfile").load(dir)
+      .sortWithinPartitions("id")
+    assert(q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }.nonEmpty)
+  }
+
   test("streaming source can plan triggers from the manifest alone") {
     val sp = spark; import sp.implicits._
     val src = Files.createTempDirectory("cf-manifest-stsrc").toString
