@@ -33,11 +33,22 @@ import org.apache.spark.sql.types.StructType
   *     sort-order claim (rewritten files are new, unvouched files —
   *     conservative; the next compaction re-stamps).
   *
-  * Anything else — a row-level predicate on a PARTITIONED table, a
-  * predicate outside the translatable filter algebra — is rejected at
-  * `canDeleteWhere`, loudly: bulk takedowns on partitioned LSM state
-  * propagate through the family's next compaction instead (the
-  * takedown relation anti-joined at the repack — see q78).
+  *  3. PARTITIONED ROW-LEVEL — each top-level conjunct must reference
+  *     either only partition columns (evaluated exactly, per file,
+  *     from its directory values: any FALSE/UNKNOWN conjunct makes
+  *     the whole AND un-satisfiable for every row of the file —
+  *     untouched) or only data columns (the rewrite's keep filter);
+  *     surviving files get plan 2's stats-directed rewrite per
+  *     partition directory, rewritten files landing back in their
+  *     directory. A conjunct MIXING partition and data columns (e.g.
+  *     `lang = 'l1' OR id = 3`) is not per-file decidable and is
+  *     rejected.
+  *
+  * Anything else — a predicate outside the translatable filter
+  * algebra, a mixed conjunct — is rejected at `canDeleteWhere`,
+  * loudly: bulk takedowns against relations (id sets too large for a
+  * predicate) propagate through the family's next compaction instead
+  * (the takedown relation anti-joined at the repack — see q78).
   *
   * DELETE keeps rows whose predicate is FALSE or NULL (SQL semantics:
   * only TRUE rows are removed) — the keep filter is
@@ -85,27 +96,60 @@ object ColumnFileDelete {
   private def truncateAll(filters: Array[Filter]): Boolean =
     filters.isEmpty || filters.forall(_ == AlwaysTrue())
 
+  /** Per-conjunct classification for partitioned row-level deletes:
+    * (partition-only conjuncts, data-only conjuncts), or None when a
+    * conjunct mixes the two (not per-file decidable) or is outside the
+    * supported algebra.
+    */
+  private def splitConjuncts(filters: Array[Filter],
+      partitionCols: Seq[String], schema: StructType)
+      : Option[(Array[Filter], Array[Filter])] = {
+    val partSet = partitionCols.toSet
+    val part = Array.newBuilder[Filter]
+    val data = Array.newBuilder[Filter]
+    val ok = filters.forall { f =>
+      val refs = f.references.toSet
+      if (refs.subsetOf(partSet)) {
+        part += f
+        PartitionFilterEval.supported(f, partSet, schema)
+      } else if (refs.intersect(partSet).isEmpty && toColumn(f).isDefined) {
+        data += f; true
+      } else false
+    }
+    if (ok) Some((part.result(), data.result())) else None
+  }
+
   def canDelete(filters: Array[Filter], schema: StructType,
       partitionCols: Seq[String]): Boolean =
     truncateAll(filters) ||
       partitionComplete(filters, partitionCols, schema) ||
-      (partitionCols.isEmpty && filters.forall(f => toColumn(f).isDefined))
+      (partitionCols.isEmpty && filters.forall(f => toColumn(f).isDefined)) ||
+      (partitionCols.nonEmpty &&
+        splitConjuncts(filters, partitionCols, schema).isDefined)
 
   def delete(paths: Seq[String], schema: StructType, conf: Configuration,
       partitionCols: Seq[String], filters: Array[Filter]): Unit = {
     if (!canDelete(filters, schema, partitionCols))
       throw new UnsupportedOperationException(
         s"columnfile: DELETE predicate [${filters.mkString(", ")}] is " +
-          "neither partition-complete nor a rewritable row filter on an " +
-          "unpartitioned table — route bulk takedowns through the " +
-          "table's compaction (takedown anti-join) instead")
+          "not per-file decidable plus rewritable (a conjunct mixes " +
+          "partition and data columns, or falls outside the filter " +
+          "algebra) — route bulk takedowns through the table's " +
+          "compaction (takedown anti-join) instead")
     paths.foreach { p =>
       val root = new Path(p)
       val fs = root.getFileSystem(conf)
       if (truncateAll(filters) ||
           partitionComplete(filters, partitionCols, schema))
         truncatePlan(fs, root, conf, schema, partitionCols, filters)
-      else rewritePlan(fs, root, conf, schema, filters)
+      else if (partitionCols.isEmpty)
+        rewritePlan(fs, root, conf, schema, filters)
+      else {
+        val Some((partFs, dataFs)) =
+          splitConjuncts(filters, partitionCols, schema)
+        rewritePartitionedPlan(fs, root, conf, schema, partitionCols,
+          partFs, dataFs)
+      }
     }
   }
 
@@ -211,6 +255,88 @@ object ColumnFileDelete {
     SortOrderStamp.clear(conf, root)
     ManifestFile.replace(conf, root, removedRels, moved)
     try { fs.delete(tmp, true); () } catch { case _: Exception => }
+  }
+
+  /** Plan 3: partitioned row-level — plan 2's stats-directed rewrite
+    * applied per partition directory. A file is a rewrite candidate
+    * iff every partition conjunct is exactly TRUE on its directory
+    * values (a FALSE or UNKNOWN conjunct makes the AND unsatisfiable
+    * for every row the file holds) and the data conjuncts are not
+    * refuted by its chunk stats. Stored data never carries partition
+    * columns, so the rewrite reads and writes the DATA schema, and
+    * rewritten files land back in their own partition directory.
+    */
+  private def rewritePartitionedPlan(fs: FileSystem, root: Path,
+      conf: Configuration, schema: StructType, partitionCols: Seq[String],
+      partFs: Array[Filter], dataFs: Array[Filter]): Unit = {
+    val partSet = partitionCols.toSet
+    val partSchema = StructType(partitionCols.map(c => schema(c)))
+    val dataSchema = StructType(schema.fields.filterNot(f => partSet(f.name)))
+    val leaves = CellCodec.flatten(dataSchema)
+    val leafIndex = leaves.zipWithIndex.map { case (l, i) => (l.name, i) }.toMap
+    val leafType = leaves.map(l => (l.name, l.dataType)).toMap
+    val evaluable = dataFs.filter(f => FilterEval.evaluable(f, dataSchema))
+    val files = ColumnFileDataSource
+      .listDataFilesWithRoots(conf, Seq(root.toString), useManifest = false)
+    val affected = ColumnFileDataSource.mapFilesParallel(files) {
+      case (r, st) =>
+        val raw = PartitionLayout.valuesFor(r, st.getPath, partitionCols)
+        val values: Map[String, Any] = partitionCols.zipWithIndex.map {
+          case (c, i) =>
+            c -> PartitionLayout.parse(partSchema.fields(i).dataType, raw(i))
+        }.toMap
+        if (!PartitionFilterEval.matches(partFs.toSeq, values, partSchema))
+          None
+        else {
+          val untouched = evaluable.nonEmpty &&
+            (ChunkStatsIndex.readWithLen(conf, st.getPath) match {
+              case Some((len, ss)) if len == st.getLen && ss.nonEmpty =>
+                ss.forall(cs => evaluable.exists(f =>
+                  ChunkStatsIndex.provesEmpty(f, cs, leafIndex, leafType)))
+              case _ => false
+            })
+          if (untouched) None else Some(st)
+        }
+    }.flatten
+    if (affected.isEmpty) return
+
+    val spark = SparkSession.active
+    val cond = dataFs.flatMap(toColumn).reduce(_ && _)
+    val keep = not(coalesce(cond, lit(false)))
+    val moved = affected.groupBy(_.getPath.getParent.toString).toSeq
+      .sortBy(_._1).flatMap { case (_, sts) =>
+        val dir = sts.head.getPath.getParent
+        val tmp = new Path(root,
+          s".delete-tmp-${java.util.UUID.randomUUID().toString}")
+        val pathsJson = sts.map(st => "\"" + st.getPath.toString + "\"")
+          .mkString("[", ",", "]")
+        spark.read.format("columnfile").schema(dataSchema)
+          .option("paths", pathsJson).load()
+          .filter(keep)
+          .write.format("columnfile").mode("overwrite").save(tmp.toString)
+        val mv = fs.listStatus(tmp)
+          .filter(_.getPath.getName.endsWith(ColumnFileDataSource.FileExtension))
+          .map { st =>
+            val dest = new Path(dir, st.getPath.getName)
+            if (!fs.rename(st.getPath, dest))
+              throw new java.io.IOException(
+                s"columnfile: DELETE could not publish ${st.getPath} -> $dest")
+            val side = new Path(tmp,
+              "." + st.getPath.getName + ChunkStatsIndex.Suffix)
+            if (fs.exists(side))
+              fs.rename(side, new Path(dir, side.getName))
+            ManifestFile.entryFor(conf, root, dest)
+          }.toSeq
+        try { fs.delete(tmp, true); () } catch { case _: Exception => }
+        mv
+      }
+    val removedRels = affected.map { st =>
+      deleteDataFile(fs, st.getPath)
+      ManifestFile.relativize(root, st.getPath)
+    }
+    SortOrderStamp.clear(conf, root)
+    ManifestFile.replace(conf, root, removedRels, moved)
+    ()
   }
 
   /** fs.delete can fail by returning false — fail the operation rather

@@ -121,24 +121,55 @@ class DeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dataFiles(dir).isEmpty)
   }
 
-  test("a row-level predicate on a PARTITIONED table is rejected " +
-    "loudly at analysis, never approximated") {
+  test("partitioned row-level DELETE: partition conjuncts prune " +
+    "directories exactly, data conjuncts rewrite only stats-admitted " +
+    "files in place; a MIXED conjunct is rejected loudly") {
     val sp = spark; import sp.implicits._
-    val dir = Files.createTempDirectory("cf-del-rej").toString
-    spark.sql("DROP TABLE IF EXISTS cfdel_rej")
+    val dir = Files.createTempDirectory("cf-del-prow").toString
+    spark.sql("DROP TABLE IF EXISTS cfdel_prow")
     spark.sql(
-      s"CREATE TABLE cfdel_rej (id BIGINT, lang STRING) " +
+      s"CREATE TABLE cfdel_prow (id BIGINT, v STRING, lang STRING) " +
         s"USING columnfile PARTITIONED BY (lang) OPTIONS (path '$dir')")
-    spark.sql("INSERT INTO cfdel_rej SELECT id, concat('l', id % 2) " +
-      "FROM range(20)")
+    // per (lang, block): one doc-ordered file => chunk stats admit
+    // exactly the file holding the deleted range
+    for (l <- 0 until 2; k <- 0 until 5) {
+      (k * 100 until (k + 1) * 100)
+        .map(i => (i.toLong, s"v$i", s"l$l")).toDF("id", "v", "lang")
+        .coalesce(1).sortWithinPartitions("id")
+        .write.format("columnfile").partitionBy("lang")
+        .mode("append").save(dir)
+    }
+    val before = dataFiles(dir)
+    spark.sql(
+      "DELETE FROM cfdel_prow WHERE lang = 'l1' AND id >= 250 AND id < 340")
+    val after = dataFiles(dir)
+    // l0 untouched entirely; l1's files outside [200,400) untouched
+    val survivors = before.filter { case (p, m) => after.get(p).contains(m) }
+    assert(before.keys.filter(_.contains("lang=l0"))
+      .forall(survivors.contains), "l0 must be untouched")
+    assert(survivors.count(_._1.contains("lang=l1")) == 3,
+      s"stats should prove 3 of 5 l1 files untouched; survived " +
+        s"${survivors.count(_._1.contains("lang=l1"))}")
+    assert(spark.table("cfdel_prow").count() == 1000 - 90)
+    assert(spark.table("cfdel_prow")
+      .where("lang = 'l1' AND id >= 250 AND id < 340").count() == 0)
+    assert(spark.table("cfdel_prow")
+      .where("lang = 'l0' AND id >= 250 AND id < 340").count() == 90,
+      "the other partition keeps its rows")
+    // rewritten rows stay in their partition directory; manifest
+    // readers see the post-delete table
+    assert(spark.read.format("columnfile").option("useManifest", "true")
+      .load(dir).where("lang = 'l1'").count() == 500 - 90)
+    // a conjunct MIXING partition and data columns is not per-file
+    // decidable: rejected with zero partial effects
     val ex = intercept[Exception] {
-      spark.sql("DELETE FROM cfdel_rej WHERE id = 7")
+      spark.sql("DELETE FROM cfdel_prow WHERE lang = 'l0' OR id = 450")
     }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e =>
         Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).nonEmpty)
-    assert(spark.table("cfdel_rej").count() == 20, "no partial delete")
+    assert(spark.table("cfdel_prow").count() == 910, "no partial delete")
   }
 
   test("q78 takedown survives maintain -> compact -> serve: no " +
