@@ -11175,7 +11175,8 @@ object ExtQueries {
          |shard_out AS (${p20RollupSql(d, "pb")}),
          |${ivfCommonCtes(d)},
          |assign AS (SELECT vec_id, clabel FROM best
-         |  WHERE rn = 1 AND NOT ${tdPred("vec_id")}),
+         |  WHERE rn = 1
+         |    AND NOT EXISTS (SELECT 1 FROM td WHERE td.id = vec_id)),
          |probe AS (SELECT vec_id AS qid, clabel AS pcell
          |  FROM best WHERE vec_id < 20 AND rn <= 2),
          |cand AS (SELECT p.qid, a.vec_id AS nid

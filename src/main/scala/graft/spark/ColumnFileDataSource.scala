@@ -269,7 +269,7 @@ class ColumnFileDataSource extends TableProvider with DataSourceRegister {
     val cols =
       if (requested.nonEmpty) requested
       else ColumnFileDataSource.partitionCols(conf, paths)
-    new ColumnFileTable(paths, schema, conf, cols)
+    new ColumnFileTable(paths, schema, conf, cols, options)
   }
 }
 
@@ -277,7 +277,8 @@ class ColumnFileTable(
     paths: Seq[String],
     tableSchema: StructType,
     conf: Configuration,
-    partitionCols: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty,
+    tableOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -293,7 +294,10 @@ class ColumnFileTable(
     ColumnFileDelete.canDelete(filters, tableSchema, partitionCols)
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    ColumnFileDelete.delete(paths, tableSchema, conf, partitionCols, filters)
+    ColumnFileDelete.delete(paths, tableSchema, conf, partitionCols, filters,
+      // the table's own creation options ride into the rewrite so a
+      // delete re-applies the table's encodings/blooms/compression
+      tableOptions.asCaseSensitiveMap.asScala.toMap)
 
   override def partitioning(): Array[Transform] =
     partitionCols.map(c =>

@@ -127,8 +127,17 @@ object ColumnFileDelete {
       (partitionCols.nonEmpty &&
         splitConjuncts(filters, partitionCols, schema).isDefined)
 
+  /** Write options a rewrite re-applies to the files it produces, so a
+    * delete does not silently strip the table's encodings, blooms,
+    * compression, or chunk sizing (the catalog table passes its own
+    * creation options through).
+    */
+  private val RewriteOpts = Seq(
+    "compression", "dictionary", "bitpack", "bloom", "targetChunkBytes")
+
   def delete(paths: Seq[String], schema: StructType, conf: Configuration,
-      partitionCols: Seq[String], filters: Array[Filter]): Unit = {
+      partitionCols: Seq[String], filters: Array[Filter],
+      writeOpts: Map[String, String] = Map.empty): Unit = {
     if (!canDelete(filters, schema, partitionCols))
       throw new UnsupportedOperationException(
         s"columnfile: DELETE predicate [${filters.mkString(", ")}] is " +
@@ -142,13 +151,13 @@ object ColumnFileDelete {
       if (truncateAll(filters) ||
           partitionComplete(filters, partitionCols, schema))
         truncatePlan(fs, root, conf, schema, partitionCols, filters)
-      else if (partitionCols.isEmpty)
-        rewritePlan(fs, root, conf, schema, filters)
       else {
-        val Some((partFs, dataFs)) =
-          splitConjuncts(filters, partitionCols, schema)
-        rewritePartitionedPlan(fs, root, conf, schema, partitionCols,
-          partFs, dataFs)
+        val (partFs, dataFs) =
+          if (partitionCols.isEmpty) (Array.empty[Filter], filters)
+          else splitConjuncts(filters, partitionCols, schema).get
+        rewrite(fs, root, conf, schema, partitionCols, partFs, dataFs,
+          writeOpts.view.filterKeys(k =>
+            RewriteOpts.exists(_.equalsIgnoreCase(k))).toMap)
       }
     }
   }
@@ -190,85 +199,43 @@ object ColumnFileDelete {
     ()
   }
 
-  /** Plan 2: stats-directed distributed rewrite of exactly the files
-    * that might hold a matching row.
+  /** Plans 2/3: stats-directed distributed rewrite of exactly the
+    * files that might hold a matching row, grouped by partition
+    * directory (an unpartitioned table is the one-group case).
+    *
+    * Admission: a file is a rewrite candidate iff every partition
+    * conjunct is exactly TRUE on its directory values (a FALSE or
+    * UNKNOWN conjunct makes the AND unsatisfiable for every row the
+    * file holds) and the data conjuncts are not refuted by its chunk
+    * stats. Stored data never carries partition columns, so the
+    * rewrite reads and writes the DATA schema and rewritten files land
+    * back in their own partition directory.
+    *
+    * Listing is the DIRECTORY TRUTH (never the manifest): a takedown
+    * must reach matching rows wherever they physically live, including
+    * orphan files a crashed commit left outside the manifest; the
+    * final manifest replace then heals such orphans' surviving rows
+    * into the manifest (the same walk-bootstrap philosophy as
+    * [[ManifestFile.append]] — a listing that silently missed data
+    * files would be worse than one that surfaces them).
+    *
+    * One Spark job for all groups: each group's files are read with a
+    * group ordinal attached and the kept rows are written
+    * `partitionBy` that ordinal into a dot-tmp directory, whose
+    * per-group outputs are then renamed into the real partition
+    * directories — N scattered directories cost one job, not N.
+    *
+    * Crash discipline: the sort claim (sidecar) is cleared BEFORE any
+    * new file is published — rewritten files carry no order claim, and
+    * a crash anywhere in the publish leaves the table claim-less
+    * rather than under a stale claim over unsorted rewritten rows; the
+    * final manifest replace clears the manifest-carried claim (and
+    * re-clears the sidecar mirror) under the commit lock.
     */
-  private def rewritePlan(fs: FileSystem, root: Path, conf: Configuration,
-      schema: StructType, filters: Array[Filter]): Unit = {
-    val leaves = CellCodec.flatten(schema)
-    val leafIndex = leaves.zipWithIndex.map { case (l, i) => (l.name, i) }.toMap
-    val leafType = leaves.map(l => (l.name, l.dataType)).toMap
-    val evaluable = filters.filter(f => FilterEval.evaluable(f, schema))
-    val files = ColumnFileDataSource
-      .listDataFilesWithRoots(conf, Seq(root.toString), useManifest = false)
-      .map(_._2)
-    // a file is provably untouched iff EVERY chunk has sidecar stats
-    // and some conjunct proves the chunk empty (conjunct false => the
-    // whole AND is false for every row of the chunk)
-    val affected = ColumnFileDataSource.mapFilesParallel(files) { st =>
-      val untouched = evaluable.nonEmpty &&
-        (ChunkStatsIndex.readWithLen(conf, st.getPath) match {
-          case Some((len, ss)) if len == st.getLen && ss.nonEmpty =>
-            ss.forall(cs => evaluable.exists(f =>
-              ChunkStatsIndex.provesEmpty(f, cs, leafIndex, leafType)))
-          case _ => false // no/stale sidecar: must rewrite
-        })
-      if (untouched) None else Some(st)
-    }.flatten
-    if (affected.isEmpty) return
-
-    val spark = SparkSession.active
-    val cond = filters.flatMap(toColumn).reduce(_ && _)
-    val keep = not(coalesce(cond, lit(false)))
-    val tmp = new Path(root,
-      s".delete-tmp-${java.util.UUID.randomUUID().toString}")
-    val pathsJson = affected
-      .map(st => "\"" + st.getPath.toString + "\"")
-      .mkString("[", ",", "]")
-    spark.read.format("columnfile").schema(schema)
-      .option("paths", pathsJson).load()
-      .filter(keep)
-      .write.format("columnfile").mode("overwrite").save(tmp.toString)
-
-    // publish: move the rewritten data files (and their stats sidecars)
-    // into the table root, delete the victims, then swap the manifest
-    // atomically — the INSERT OVERWRITE discipline
-    val moved = fs.listStatus(tmp)
-      .filter(_.getPath.getName.endsWith(ColumnFileDataSource.FileExtension))
-      .map { st =>
-        val dest = new Path(root, st.getPath.getName)
-        if (!fs.rename(st.getPath, dest))
-          throw new java.io.IOException(
-            s"columnfile: DELETE could not publish ${st.getPath} -> $dest")
-        val side = new Path(tmp, "." + st.getPath.getName + ChunkStatsIndex.Suffix)
-        if (fs.exists(side))
-          fs.rename(side, new Path(root, side.getName))
-        ManifestFile.entryFor(conf, root, dest)
-      }.toSeq
-    val removedRels = affected.map { st =>
-      deleteDataFile(fs, st.getPath)
-      ManifestFile.relativize(root, st.getPath)
-    }
-    // rewritten files carry no sort claim: clear it (sidecar first —
-    // the batch commit's crash discipline), conservatively and loudly
-    // re-earnable by the next sortedBy compaction
-    SortOrderStamp.clear(conf, root)
-    ManifestFile.replace(conf, root, removedRels, moved)
-    try { fs.delete(tmp, true); () } catch { case _: Exception => }
-  }
-
-  /** Plan 3: partitioned row-level — plan 2's stats-directed rewrite
-    * applied per partition directory. A file is a rewrite candidate
-    * iff every partition conjunct is exactly TRUE on its directory
-    * values (a FALSE or UNKNOWN conjunct makes the AND unsatisfiable
-    * for every row the file holds) and the data conjuncts are not
-    * refuted by its chunk stats. Stored data never carries partition
-    * columns, so the rewrite reads and writes the DATA schema, and
-    * rewritten files land back in their own partition directory.
-    */
-  private def rewritePartitionedPlan(fs: FileSystem, root: Path,
+  private def rewrite(fs: FileSystem, root: Path,
       conf: Configuration, schema: StructType, partitionCols: Seq[String],
-      partFs: Array[Filter], dataFs: Array[Filter]): Unit = {
+      partFs: Array[Filter], dataFs: Array[Filter],
+      writeOpts: Map[String, String]): Unit = {
     val partSet = partitionCols.toSet
     val partSchema = StructType(partitionCols.map(c => schema(c)))
     val dataSchema = StructType(schema.fields.filterNot(f => partSet(f.name)))
@@ -278,66 +245,89 @@ object ColumnFileDelete {
     val evaluable = dataFs.filter(f => FilterEval.evaluable(f, dataSchema))
     val files = ColumnFileDataSource
       .listDataFilesWithRoots(conf, Seq(root.toString), useManifest = false)
+    // a file is provably untouched iff EVERY chunk has sidecar stats
+    // and some data conjunct proves the chunk empty (conjunct false =>
+    // the whole AND is false for every row of the chunk)
     val affected = ColumnFileDataSource.mapFilesParallel(files) {
       case (r, st) =>
-        val raw = PartitionLayout.valuesFor(r, st.getPath, partitionCols)
-        val values: Map[String, Any] = partitionCols.zipWithIndex.map {
-          case (c, i) =>
-            c -> PartitionLayout.parse(partSchema.fields(i).dataType, raw(i))
-        }.toMap
-        if (!PartitionFilterEval.matches(partFs.toSeq, values, partSchema))
-          None
+        val partTrue = partFs.isEmpty || {
+          val raw = PartitionLayout.valuesFor(r, st.getPath, partitionCols)
+          val values: Map[String, Any] = partitionCols.zipWithIndex.map {
+            case (c, i) =>
+              c -> PartitionLayout.parse(partSchema.fields(i).dataType, raw(i))
+          }.toMap
+          PartitionFilterEval.matches(partFs.toSeq, values, partSchema)
+        }
+        if (!partTrue) None
         else {
           val untouched = evaluable.nonEmpty &&
             (ChunkStatsIndex.readWithLen(conf, st.getPath) match {
               case Some((len, ss)) if len == st.getLen && ss.nonEmpty =>
                 ss.forall(cs => evaluable.exists(f =>
                   ChunkStatsIndex.provesEmpty(f, cs, leafIndex, leafType)))
-              case _ => false
+              case _ => false // no/stale sidecar: must rewrite
             })
           if (untouched) None else Some(st)
         }
     }.flatten
     if (affected.isEmpty) return
 
+    // claim cleared BEFORE any publish (see the crash discipline above)
+    SortOrderStamp.clear(conf, root)
+
     val spark = SparkSession.active
     val cond = dataFs.flatMap(toColumn).reduce(_ && _)
     val keep = not(coalesce(cond, lit(false)))
-    val moved = affected.groupBy(_.getPath.getParent.toString).toSeq
-      .sortBy(_._1).flatMap { case (_, sts) =>
-        val dir = sts.head.getPath.getParent
-        val tmp = new Path(root,
-          s".delete-tmp-${java.util.UUID.randomUUID().toString}")
-        val pathsJson = sts.map(st => "\"" + st.getPath.toString + "\"")
-          .mkString("[", ",", "]")
-        spark.read.format("columnfile").schema(dataSchema)
-          .option("paths", pathsJson).load()
-          .filter(keep)
-          .write.format("columnfile").mode("overwrite").save(tmp.toString)
-        val mv = fs.listStatus(tmp)
+    val grpCol = "__cf_delete_grp"
+    require(!dataSchema.fieldNames.contains(grpCol),
+      s"columnfile: DELETE rewrite helper column $grpCol collides")
+    val groups: Seq[(Path, Seq[org.apache.hadoop.fs.FileStatus])] =
+      affected.groupBy(_.getPath.getParent.toString).toSeq.sortBy(_._1)
+        .map { case (_, sts) => (sts.head.getPath.getParent, sts) }
+    val tmp = new Path(root,
+      s".delete-tmp-${java.util.UUID.randomUUID().toString}")
+    groups.zipWithIndex.map { case ((_, sts), gi) =>
+      val pathsJson = sts.map(st => "\"" + st.getPath.toString + "\"")
+        .mkString("[", ",", "]")
+      spark.read.format("columnfile").schema(dataSchema)
+        .option("paths", pathsJson).load()
+        .filter(keep)
+        .withColumn(grpCol, lit(gi))
+    }.reduce(_ union _)
+      .write.format("columnfile").options(writeOpts)
+      .partitionBy(grpCol).mode("overwrite").save(tmp.toString)
+
+    // publish: move the rewritten data files (and their stats sidecars)
+    // into their partition directories, delete the victims, then swap
+    // the manifest atomically — the INSERT OVERWRITE discipline
+    val moved = groups.zipWithIndex.flatMap { case ((dir, _), gi) =>
+      val grpDir = new Path(tmp, s"$grpCol=$gi")
+      val out =
+        if (!fs.exists(grpDir)) Seq.empty // group kept no rows
+        else fs.listStatus(grpDir)
           .filter(_.getPath.getName.endsWith(ColumnFileDataSource.FileExtension))
           .map { st =>
             val dest = new Path(dir, st.getPath.getName)
             if (!fs.rename(st.getPath, dest))
               throw new java.io.IOException(
                 s"columnfile: DELETE could not publish ${st.getPath} -> $dest")
-            val side = new Path(tmp,
+            val side = new Path(grpDir,
               "." + st.getPath.getName + ChunkStatsIndex.Suffix)
             if (fs.exists(side))
               fs.rename(side, new Path(dir, side.getName))
             ManifestFile.entryFor(conf, root, dest)
           }.toSeq
-        try { fs.delete(tmp, true); () } catch { case _: Exception => }
-        mv
-      }
+      out
+    }
     val removedRels = affected.map { st =>
       deleteDataFile(fs, st.getPath)
       ManifestFile.relativize(root, st.getPath)
     }
-    SortOrderStamp.clear(conf, root)
-    ManifestFile.replace(conf, root, removedRels, moved)
-    ()
+    ManifestFile.replace(conf, root, removedRels, moved,
+      mirrorSidecar = true)
+    try { fs.delete(tmp, true); () } catch { case _: Exception => }
   }
+
 
   /** fs.delete can fail by returning false — fail the operation rather
     * than leave a deleted row visible to walk readers (the overwrite

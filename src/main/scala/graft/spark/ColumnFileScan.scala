@@ -326,6 +326,39 @@ class ColumnFileScan(
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     computedOrdering
 
+  /** ONE manifest snapshot per Scan under `useManifest`: the
+    * discovered claim, the files the validator proves it over, and the
+    * files planning schedules must all come from the SAME manifest
+    * version — reading them separately lets a racing commit interleave
+    * (a claim from version N paired with version N+1's file set, whose
+    * new single-chunk unsorted files chunk-range validation cannot
+    * refute). `None` per root = manifest absent/unreadable: that root
+    * falls back to the directory walk + sidecar stamp, exactly like a
+    * walk-mode read.
+    */
+  private lazy val manifestPin
+      : Map[String, Option[(Seq[ManifestFile.Entry], Option[Seq[String]])]] =
+    if (!useManifest) Map.empty
+    else paths.map(p => p -> ManifestFile.readFull(conf, new Path(p))).toMap
+
+  /** The scan's file listing — pinned to [[manifestPin]]'s snapshot
+    * under `useManifest` (same zero-length filter and ordering as
+    * [[ColumnFileDataSource.listDataFilesWithRoots]]).
+    */
+  private def listFiles(): Seq[(Path, org.apache.hadoop.fs.FileStatus)] =
+    if (!useManifest)
+      ColumnFileDataSource.listDataFilesWithRoots(conf, paths)
+    else paths.flatMap { p =>
+      val root = new Path(p)
+      manifestPin(p) match {
+        case Some((entries, _)) =>
+          val fs = root.getFileSystem(conf)
+          ManifestFile.statuses(fs.makeQualified(root), entries)
+        case None =>
+          ColumnFileDataSource.listDataFilesWithRoots(conf, Seq(p))
+      }
+    }.filter(_._2.getLen > 0).sortBy(_._2.getPath.toString)
+
   /** The declared sort columns and whether they came from an explicit
     * read option (`none` disables any claim) or were discovered from
     * the table's own stamp. Multiple load roots must ALL be stamped to
@@ -341,14 +374,15 @@ class ColumnFileScan(
         (s.split(",").map(_.trim).filter(_.nonEmpty).toSeq, true)
       case None =>
         // manifest-first under useManifest: the claim rides
-        // _manifest.json (one read planning does anyway — zero extra
-        // metadata RPCs, and atomic with the file set); a legacy
-        // manifest without the claim key, or a walk-mode read, falls
-        // back to the _sort_order.json sidecar
+        // _manifest.json, taken from the SAME pinned snapshot the
+        // validator and planner list files from — zero extra metadata
+        // RPCs AND atomic with the file set; a legacy manifest without
+        // the claim key, or a walk-mode read, falls back to the
+        // _sort_order.json sidecar
         val stamps = paths.map { p =>
           val root = new Path(p)
-          val fromManifest =
-            if (useManifest) ManifestFile.readOrder(conf, root) else None
+          val fromManifest: Option[Seq[String]] =
+            if (useManifest) manifestPin(p).flatMap(_._2) else None
           fromManifest match {
             case Some(order) => if (order.isEmpty) None else Some(order)
             case None => SortOrderStamp.read(conf, root)
@@ -411,7 +445,7 @@ class ColumnFileScan(
     def leq(a: Any, b: Any): Boolean = cmp(a, b).exists(_ <= 0)
     def lt(a: Any, b: Any): Boolean = cmp(a, b).exists(_ < 0)
     def eqv(a: Any, b: Any): Boolean = cmp(a, b).contains(0)
-    val files = ColumnFileDataSource.listDataFilesWithRoots(conf, paths, useManifest)
+    val files = listFiles()
     val maxBytes = Option(options.get("maxPartitionBytes"))
       .map(_.toLong).getOrElse(128L * 1024 * 1024)
     def fail(st: org.apache.hadoop.fs.FileStatus, why: String): Nothing =
@@ -553,8 +587,7 @@ class ColumnFileScan(
     Option(options.get("useManifest")).exists(_.toBoolean)
 
   override def estimateStatistics(): Statistics = {
-    val files = ColumnFileDataSource
-      .listDataFilesWithRoots(conf, paths, useManifest).map(_._2)
+    val files = listFiles().map(_._2)
     val layouts = ColumnFileDataSource.mapFilesParallel(files)(chunkLayout)
     val bytes = layouts.iterator.flatten.map(_._2).sum
     val rowsKnown = layouts.iterator.flatten.forall(_._3.isDefined)
@@ -638,7 +671,7 @@ class ColumnFileScan(
     val partLeafIndex = partitionCols.zipWithIndex.toMap
     val partBounds = allFilters.flatMap(f =>
       FilterEval.bind(f, partSchema, partLeafIndex))
-    val files = ColumnFileDataSource.listDataFilesWithRoots(conf, paths, useManifest)
+    val files = listFiles()
     // Per-file metadata resolution + chunk pruning runs on the parallel
     // pool; the final packing is sequential so partition order stays
     // deterministic.

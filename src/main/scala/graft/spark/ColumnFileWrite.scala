@@ -447,16 +447,21 @@ class ColumnFileWrite(
           if (merged.map(_.rel).toSet == committedRels) sortedCols
           else Seq.empty
       }
-    val effectiveStamp: Seq[String] =
-      if (truncateFirst) {
-        val s = stampFor(committed, None)
-        ManifestFile.write(conf, dir, committed, s)
-        s
-      } else if (overwriteFilters.nonEmpty || dynamicOverwrite) {
-        val removed = deleteOverwritten(fs, dir, committedFiles)
-        ManifestFile.replace(conf, dir, removed, committed, stampFor)
-      } else ManifestFile.append(conf, dir, committed, stampFor)
-    if (effectiveStamp.nonEmpty) SortOrderStamp.write(conf, dir, effectiveStamp)
+    // append/replace mirror the sidecar INSIDE the manifest lock (a
+    // post-lock mirror could interleave with a racing committer's
+    // clear and resurrect a stale claim — see ManifestFile.commit);
+    // the truncate path owns a freshly-wiped directory, so it writes
+    // its own sidecar after the plain manifest publish.
+    if (truncateFirst) {
+      val s = stampFor(committed, None)
+      ManifestFile.write(conf, dir, committed, s)
+      if (s.nonEmpty) SortOrderStamp.write(conf, dir, s)
+    } else if (overwriteFilters.nonEmpty || dynamicOverwrite) {
+      val removed = deleteOverwritten(fs, dir, committedFiles)
+      ManifestFile.replace(conf, dir, removed, committed, stampFor,
+        mirrorSidecar = true)
+    } else ManifestFile.append(conf, dir, committed, stampFor,
+      mirrorSidecar = true)
     fs.create(new Path(dir, "_SUCCESS"), true).close()
   }
 

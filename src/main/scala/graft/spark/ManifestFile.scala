@@ -99,6 +99,18 @@ object ManifestFile {
     try readRaw(conf, root).flatMap(parseFull(_)._2)
     catch { case _: Exception => None }
 
+  /** ONE-read snapshot of (file entries, sort-order claim): a reader
+    * that needs both must take them from the same manifest version —
+    * separate reads let a racing commit interleave, pairing an old
+    * claim with a newer file set it does not describe. `None` =
+    * absent/unreadable (fall back to the walk + sidecar); the inner
+    * claim is `None` for legacy files-only manifests.
+    */
+  def readFull(conf: Configuration, root: Path)
+      : Option[(Seq[Entry], Option[Seq[String]])] =
+    try readRaw(conf, root).map(parseFull)
+    catch { case _: Exception => None }
+
   private def readRaw(conf: Configuration, root: Path): Option[String] = {
     val fs = root.getFileSystem(conf)
     val p = new Path(root, Name)
@@ -121,11 +133,12 @@ object ManifestFile {
     */
   def append(conf: Configuration, root: Path, added: Seq[Entry],
              sortOrder: (Seq[Entry], Option[Seq[String]]) => Seq[String] =
-               (_, _) => Seq.empty): Seq[String] =
+               (_, _) => Seq.empty,
+             mirrorSidecar: Boolean = false): Seq[String] =
     commit(conf, root)(prior =>
       (prior.map(e => e.rel -> e) ++ added.map(e => e.rel -> e))
         .toMap.values.toSeq)(
-      manifest => added.forall(manifest.contains))(sortOrder)
+      manifest => added.forall(manifest.contains))(sortOrder, mirrorSidecar)
 
   /** Overwrite-commit maintenance: drop `removedRels`, merge `added`.
     * Bootstraps from a walk exactly like [[append]] when no readable
@@ -135,14 +148,15 @@ object ManifestFile {
   def replace(conf: Configuration, root: Path,
               removedRels: Seq[String], added: Seq[Entry],
               sortOrder: (Seq[Entry], Option[Seq[String]]) => Seq[String] =
-                (_, _) => Seq.empty): Seq[String] = {
+                (_, _) => Seq.empty,
+              mirrorSidecar: Boolean = false): Seq[String] = {
     val removed = removedRels.toSet
     commit(conf, root)(prior =>
       (prior.filterNot(e => removed.contains(e.rel))
         .map(e => e.rel -> e) ++ added.map(e => e.rel -> e))
         .toMap.values.toSeq)(
       manifest => added.forall(manifest.contains) &&
-        manifest.forall(e => !removed.contains(e.rel)))(sortOrder)
+        manifest.forall(e => !removed.contains(e.rel)))(sortOrder, mirrorSidecar)
   }
 
   /** One fenced, validated read-merge-publish cycle (see the class doc's
@@ -161,7 +175,8 @@ object ManifestFile {
   private def commit(conf: Configuration, root: Path)
       (merge: Seq[Entry] => Seq[Entry])
       (intact: Seq[Entry] => Boolean)
-      (sortOrder: (Seq[Entry], Option[Seq[String]]) => Seq[String]): Seq[String] = withLock(conf, root) {
+      (sortOrder: (Seq[Entry], Option[Seq[String]]) => Seq[String],
+       mirrorSidecar: Boolean = false): Seq[String] = withLock(conf, root) {
     val fs = root.getFileSystem(conf)
     val p = new Path(root, Name)
     var attempt = 0
@@ -199,6 +214,16 @@ object ManifestFile {
             "the commit or serialize the writers")
       if (!done)
         Thread.sleep(1L + scala.util.Random.nextInt(20).toLong)
+    }
+    // Mirror the published claim to the walk-readers' sidecar stamp
+    // UNDER THE SAME LOCK: written after the lock releases, two racing
+    // committers could interleave (A publishes claim, B clears and
+    // appends unsorted files, A's late sidecar write resurrects a
+    // claim over B's unvouched files). Inside the lock the sidecar can
+    // never disagree with the manifest it mirrors.
+    if (mirrorSidecar) {
+      if (stamped.nonEmpty) SortOrderStamp.write(conf, root, stamped)
+      else SortOrderStamp.clear(conf, root)
     }
     stamped
   }
