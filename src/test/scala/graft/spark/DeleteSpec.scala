@@ -172,6 +172,38 @@ class DeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("cfdel_prow").count() == 910, "no partial delete")
   }
 
+  test("a rewrite re-applies the table's own creation options: the " +
+    "rewritten files keep their per-chunk blooms instead of being " +
+    "silently stripped to defaults") {
+    val sp = spark; import sp.implicits._
+    val dir = Files.createTempDirectory("cf-del-opts").toString
+    spark.sql("DROP TABLE IF EXISTS cfdel_opts")
+    spark.sql(
+      s"CREATE TABLE cfdel_opts (id BIGINT, v STRING) USING columnfile " +
+        s"OPTIONS (path '$dir', bloom 'id', dictionary 'true')")
+    // seed the table through the path API WITH the options (catalog
+    // INSERT option propagation is a separate concern; the delete must
+    // preserve whatever the files carry)
+    (0 until 2000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.format("columnfile").option("bloom", "id")
+      .option("dictionary", "true").mode("overwrite").save(dir)
+    val conf = new Configuration()
+    def bloomed(d: String): Boolean = {
+      val files = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(ColumnFileDataSource.FileExtension))
+      files.nonEmpty && files.forall { f =>
+        ChunkStatsIndex.readWithLen(conf,
+          new Path(f.getAbsolutePath)).exists(_._2.forall(_.blooms.nonEmpty))
+      }
+    }
+    assert(bloomed(dir), "fixture: seed files must carry blooms")
+    spark.sql("DELETE FROM cfdel_opts WHERE id >= 100 AND id < 200")
+    assert(spark.table("cfdel_opts").count() == 1900)
+    assert(bloomed(dir),
+      "rewritten files must keep the table's bloom option")
+  }
+
   test("q78 takedown survives maintain -> compact -> serve: no " +
     "taken-down id in any family's compacted artifact, and a re-upload " +
     "in a later delta cannot resurrect it through the next compaction") {
