@@ -6481,18 +6481,20 @@ object ExtQueries {
   }
 
   /** Registers the training relations as views: design matrix + labels
-    * cached once; each epoch's misclassified set and weight relation
-    * LOCALLY CHECKPOINTED — not merely cached — because every epoch
-    * references the previous weights twice (margin + update), so the
-    * un-cut logical plan doubles per epoch (2^12 analysis trees; the
-    * first draft of this query spun on plan analysis before touching
-    * data). localCheckpoint is the Spark-native iterated-state cut —
-    * the same move MLlib's iterative algorithms make — and its eager
-    * materialization is exactly one epoch's work per call. The oracle
-    * twin cuts the same chain with DuckDB `AS MATERIALIZED` CTEs.
+    * cached once; each epoch's weight relation LOCALLY CHECKPOINTED —
+    * not merely cached — because every epoch references the previous
+    * weights twice (margin + update), so the un-cut logical plan
+    * doubles per epoch (2^12 analysis trees; the first draft of this
+    * query spun on plan analysis before touching data). localCheckpoint
+    * is the Spark-native iterated-state cut — the same move MLlib's
+    * iterative algorithms make — and its eager materialization is
+    * exactly one epoch's work per call. The oracle twin cuts the same
+    * chain with DuckDB `AS MATERIALIZED` CTEs.
     */
   private def t19Views(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sparkContext.setJobDescription("t19: design matrix x")
     cacheOnce(spark.sql(t19XSql(SparkD))).createOrReplaceTempView("t19_x")
+    spark.sparkContext.setJobDescription("t19: teacher labels")
     cacheOnce(spark.sql(t19LabSql(SparkD, "t19_x")))
       .createOrReplaceTempView("t19_lab")
     t19EpochViews(spark)
@@ -6504,36 +6506,80 @@ object ExtQueries {
     */
   private def t19EpochViews(spark: org.apache.spark.sql.SparkSession)
       : Unit = {
+    spark.sparkContext.setJobDescription("t19: w0")
     spark.sql(
       """SELECT bucket, CAST(0 AS BIGINT) AS w
         |FROM (SELECT bucket FROM t19_x GROUP BY bucket) b""".stripMargin)
       .localCheckpoint()
       .createOrReplaceTempView("t19_w0")
+    // ONE checkpointed job per epoch: the misclassified set and its
+    // gradient are CTEs inside the step SQL (each referenced once, so
+    // the per-epoch plan stays linear in size), and only the weight
+    // relation — the state the next epoch actually needs — is
+    // materialized. The previous spelling checkpointed mis_r too: 2x
+    // the sequential job barriers for relations the chain itself never
+    // re-reads (the readout recomputes the counts from the checkpointed
+    // weights in one batch query — see t19ReadoutDF). Exact integer
+    // arithmetic end to end, so recompute == stored, bit for bit.
     for (r <- 1 to T19Epochs) {
+      spark.sparkContext.setJobDescription(s"t19: epoch $r")
       spark.sql(
-        t19MisSql(SparkD, "t19_x", "t19_lab", s"t19_w${r - 1}"))
-        .localCheckpoint()
-        .createOrReplaceTempView(s"t19_mis$r")
-      spark.sql(t19StepSql(SparkD, s"t19_w${r - 1}",
-        s"(${t19GradSql(SparkD, "t19_x", s"t19_mis$r")})", r))
+        s"""WITH mis AS (${t19MisSql(SparkD, "t19_x", "t19_lab",
+              s"t19_w${r - 1}")}),
+           |g AS (${t19GradSql(SparkD, "t19_x", "mis")})
+           |${t19StepSql(SparkD, s"t19_w${r - 1}", "g", r)}""".stripMargin)
         .localCheckpoint()
         .createOrReplaceTempView(s"t19_w$r")
     }
-    spark.sql(
-      t19MisSql(SparkD, "t19_x", "t19_lab", s"t19_w$T19Epochs"))
-      .localCheckpoint()
-      .createOrReplaceTempView(s"t19_mis${T19Epochs + 1}")
+    spark.sparkContext.setJobDescription(null)
   }
 
+  /** The per-epoch readout as ONE query instead of 13 branches of
+    * (1-row COUNT) x (1-row weight checksum) cross joins: the old
+    * spelling planned 26 broadcast-exchange subjobs whose driver-side
+    * spans dominated the readout (~3 s of near-zero-task jobs at
+    * sf0.1). Here every epoch's misclassified COUNT is recomputed from
+    * its checkpointed predecessor weights inside one union (exact
+    * integer margins — recompute == the chain's own mis set, bit for
+    * bit), the weight checksums are a second union over the
+    * checkpointed weight relations, and one tiny step-keyed join pairs
+    * them. Same rows, same schema, ~2 jobs instead of ~26.
+    */
   private def t19ReadoutDF(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
-    val rows = (1 to T19Epochs)
-      .map(r => t19RowSql(r, s"t19_mis$r", s"t19_w$r"))
-      .mkString("\nUNION ALL ")
+    // step r's update count is |{docs misclassified by w_{r-1}}|: stack
+    // the 13 checkpointed weight relations tagged by step, join x ONCE
+    // (the stack is 13 x 1024 rows — broadcast-sized at any corpus
+    // size), aggregate margins per (doc, step), count per step. Exact
+    // integer margins, so this recompute equals the chain's own mis
+    // sets bit for bit.
+    val wall = (1 to T19Epochs + 1).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS step, bucket, w FROM t19_w${r - 1}")
+      .mkString("\n  UNION ALL ")
+    val ws = (1 to T19Epochs + 1).map { r =>
+      val w = s"t19_w${math.min(r, T19Epochs)}"
+      s"""SELECT CAST($r AS BIGINT) AS step,
+         |  CAST(COALESCE(SUM(w), 0) AS BIGINT) AS w_sum,
+         |  CAST(COALESCE(SUM((bucket + 1) * w), 0) AS BIGINT) AS w_ck
+         |FROM $w""".stripMargin
+    }.mkString("\nUNION ALL ")
     spark.sql(
-      s"""$rows
-         |UNION ALL ${t19RowSql(T19Epochs + 1,
-           s"t19_mis${T19Epochs + 1}", s"t19_w$T19Epochs")}""".stripMargin)
+      s"""WITH wall AS (
+         |  $wall),
+         |marg AS (
+         |  SELECT /*+ BROADCAST(ww) */ x.doc_id, ww.step,
+         |    CAST(SUM(x.x * ww.w) AS BIGINT) AS s
+         |  FROM t19_x x JOIN wall ww ON ww.bucket = x.bucket
+         |  GROUP BY x.doc_id, ww.step),
+         |cnt AS (
+         |  SELECT m.step, CAST(COUNT(*) AS BIGINT) AS n_upd
+         |  FROM marg m JOIN t19_lab l ON l.doc_id = m.doc_id
+         |  WHERE l.y * m.s <= 0
+         |  GROUP BY m.step),
+         |ws AS ($ws)
+         |SELECT ws.step, CAST(COALESCE(cnt.n_upd, 0) AS BIGINT) AS n_upd,
+         |  w_sum, w_ck
+         |FROM ws LEFT JOIN cnt ON cnt.step = ws.step""".stripMargin)
   }
 
   private def t19TrainDF(spark: org.apache.spark.sql.SparkSession)
@@ -6763,17 +6809,21 @@ object ExtQueries {
         |FROM (SELECT bucket FROM t19_x GROUP BY bucket) b""".stripMargin)
       .localCheckpoint()
       .createOrReplaceTempView("t21_zw")
+    // one checkpointed job per epoch per chain (mis + gradient folded
+    // into the step SQL — the t19EpochViews move; the mis relations are
+    // never read outside their own epoch here)
     for ((pfx, labRel) <- Seq(("t", "t19_lab"), ("s", "t21_labs"));
          r <- 1 to T19Epochs) {
       val prev = if (r == 1) "t21_zw" else s"t21_${pfx}w${r - 1}"
-      spark.sql(t19MisSql(SparkD, "t21_xtr", labRel, prev))
-        .localCheckpoint()
-        .createOrReplaceTempView(s"t21_${pfx}mis$r")
-      spark.sql(t19StepSql(SparkD, prev,
-        s"(${t19GradSql(SparkD, "t21_xtr", s"t21_${pfx}mis$r")})", r))
+      spark.sparkContext.setJobDescription(s"t21: ${pfx}-chain epoch $r")
+      spark.sql(
+        s"""WITH mis AS (${t19MisSql(SparkD, "t21_xtr", labRel, prev)}),
+           |g AS (${t19GradSql(SparkD, "t21_xtr", "mis")})
+           |${t19StepSql(SparkD, prev, "g", r)}""".stripMargin)
         .localCheckpoint()
         .createOrReplaceTempView(s"t21_${pfx}w$r")
     }
+    spark.sparkContext.setJobDescription(null)
   }
 
   private def t21ReadoutDF(spark: org.apache.spark.sql.SparkSession)
