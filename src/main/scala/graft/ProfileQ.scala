@@ -112,6 +112,45 @@ object ProfileQ {
       val spanSum = recs.map(r => r._2.end - r._2.start).sum / 1000.0
       println(f"  -- jobSpanSum=$spanSum%.3f s, interJobGapSum=${gapTotal / 1000.0}%.3f s " +
         f"(wall - spans - gaps = driver pre/post ${wall - spanSum - gapTotal / 1000.0}%.3f s)")
+      if (sys.env.contains("GRAFT_PROFILE_PLAN")) {
+        // per-operator runtime metrics of the LAST executed plan (the
+        // SQL-tab view): run once more and walk the executed tree,
+        // descending into adaptive stages and reused/subquery trees.
+        val df = fn(spark, sfDir)
+        df.queryExecution.executedPlan.execute().count()
+        import org.apache.spark.sql.execution._
+        import org.apache.spark.sql.execution.adaptive._
+        val seen = new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]()
+        def walk(p: SparkPlan, depth: Int): Unit = {
+          if (seen.containsKey(p)) return
+          seen.put(p, true)
+          val m = p.metrics
+          def v(k: String): String = m.get(k).map(_.value.toString).getOrElse("")
+          val interesting = Seq(
+            "numOutputRows" -> "rows",
+            "time to build hash map total" -> "build",
+            "scan time total" -> "scan",
+            "shuffle bytes written total" -> "sw",
+            "time in aggregation build total" -> "aggT").flatMap {
+            case (k, lbl) => m.get(k).map(s => s"$lbl=${s.value}")
+          }
+          val extra = m.collect {
+            case (k, s) if k.contains("Time") || k.endsWith("time") => s"$k=${s.value}"
+          }.take(3)
+          println("    " + ("  " * depth) + p.nodeName +
+            (if (interesting.nonEmpty || extra.nonEmpty)
+              s" [${(interesting ++ extra).mkString(", ")}]" else ""))
+          val kids = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case s: QueryStageExec => Seq(s.plan)
+            case r: exchange.ReusedExchangeExec => Seq(r.child)
+            case _ => p.children
+          }
+          val subs = p.subqueries
+          (kids ++ subs).foreach(walk(_, depth + 1))
+        }
+        walk(df.queryExecution.executedPlan, 0)
+      }
     }
     spark.stop()
   }
