@@ -11445,7 +11445,11 @@ object ExtQueries {
         Array(
           org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", TdLo.toLong),
           org.apache.spark.sql.sources.LessThan("doc_id", TdHi.toLong)))
-      assert(tdDone.createNewFile())
+      // side effect OUTSIDE the (elidable) assert: under -Xelide-below
+      // the argument is never evaluated and the marker would never land
+      val tdMarked = tdDone.createNewFile()
+      if (!tdMarked) throw new java.io.IOException(
+        s"q78: could not create takedown marker $tdDone")
     }
     val invCompact = Tables.cachePath(dir, "q78_inv_compacted")
     if (!new java.io.File(invCompact, "_SUCCESS").exists()) {

@@ -182,20 +182,29 @@ object ColumnFileDelete {
       }
     }
     if (victims.isEmpty) return
-    val removedRels = victims.map { case (_, st) =>
-      deleteDataFile(fs, st.getPath)
-      ManifestFile.relativize(root, st.getPath)
-    }
     // whole-file deletion preserves any sort-order claim: per-file
     // order is untouched and one-file-per-key-dir can only stay true.
     // The prior claim comes from the prior manifest UNDER the lock
     // (the racing-committer discipline); the sidecar read covers only
-    // legacy files-only manifests.
-    val sidecarPrior = try SortOrderStamp.read(conf, root)
+    // legacy files-only manifests. STRICT read, taken BEFORE anything
+    // is deleted: a malformed stamp reads as no-claim
+    // (IllegalArgumentException), but a transient IO failure aborts
+    // the truncate while the table is still fully intact — it must
+    // neither silently drop a truthful claim nor strand the manifest.
+    val sidecarPrior = try SortOrderStamp.read(conf, root, strict = true)
       catch { case _: IllegalArgumentException => None }
+    val removedRels =
+      victims.map { case (_, st) => ManifestFile.relativize(root, st.getPath) }
+    // Manifest FIRST, physical deletes after: a crash in between leaves
+    // orphaned victim files outside the manifest (walk readers see them
+    // until the next run; a re-run of the same truncate is idempotent
+    // and removes them), whereas the old delete-first order left the
+    // manifest referencing deleted files — manifest readers failed on
+    // open until a later commit healed it.
     ManifestFile.replace(conf, root, removedRels, Seq.empty,
       (_, manifestPrior) =>
         manifestPrior.orElse(sidecarPrior).getOrElse(Seq.empty))
+    victims.foreach { case (_, st) => deleteDataFile(fs, st.getPath) }
     ()
   }
 
@@ -313,8 +322,15 @@ object ColumnFileDelete {
                 s"columnfile: DELETE could not publish ${st.getPath} -> $dest")
             val side = new Path(grpDir,
               "." + st.getPath.getName + ChunkStatsIndex.Suffix)
-            if (fs.exists(side))
-              fs.rename(side, new Path(dir, side.getName))
+            // fail fast like the data-file rename above: a silently
+            // dropped sidecar would publish a data file without its
+            // bloom/stats, stripping the pruning the RewriteOpts
+            // whitelist exists to preserve
+            if (fs.exists(side) &&
+                !fs.rename(side, new Path(dir, side.getName)))
+              throw new java.io.IOException(
+                s"columnfile: DELETE could not publish stats sidecar " +
+                  s"$side -> $dir")
             ManifestFile.entryFor(conf, root, dest)
           }.toSeq
       out
