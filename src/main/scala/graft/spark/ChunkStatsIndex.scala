@@ -574,15 +574,50 @@ object ChunkStatsIndex {
   def write(conf: Configuration, dataFile: Path, chunks: Seq[ChunkStats],
             fileLen: Long = -1L): Unit = {
     val fs = dataFile.getFileSystem(conf)
-    val out = fs.create(new Path(dataFile.getParent,
-      "." + dataFile.getName + Suffix), true)
+    val p = new Path(dataFile.getParent, "." + dataFile.getName + Suffix)
+    val out = fs.create(p, true)
     try out.write(toJson(fileLen, chunks)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // drop any cached parse for this sidecar: the (mtime, len) key
+    // self-invalidates across processes, but an in-process rewrite
+    // within one mtime granule to the same length would alias
+    invalidate(fs.makeQualified(p))
+  }
+
+  /** Drop cached parses for `sidecarPath` (any mtime/len vintage). */
+  private[spark] def invalidate(sidecarPath: Path): Unit = {
+    val s = sidecarPath.toString
+    sidecarCache.synchronized {
+      val it = sidecarCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == s) it.remove()
+    }
   }
 
   def read(conf: Configuration, dataFile: Path): Option[Seq[ChunkStats]] =
     readWithLen(conf, dataFile).map(_._2)
+
+  /** Process-wide parsed-sidecar cache, keyed by (sidecar path, mtime,
+    * length) — the Spark file-listing-cache discipline applied to our
+    * stats sidecars: every Scan instance of every query re-reads one
+    * tiny JSON per data file during planning, and a query that
+    * references a 100-file cell-partitioned table from several scans
+    * paid hundreds of open+parse round-trips per run. The mtime+len
+    * key self-invalidates on any rewrite (writers always replace the
+    * sidecar with the data file); a deleted sidecar misses on the stat.
+    * Entries are immutable after parse. Bounded LRU (access order);
+    * size via SPARK_GRAFT_SIDECAR_CACHE (0 disables).
+    */
+  private val sidecarCacheMax: Int =
+    try sys.env.getOrElse("SPARK_GRAFT_SIDECAR_CACHE", "4096").toInt
+    catch { case _: NumberFormatException => 4096 }
+  private val sidecarCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Option[(Long, Seq[ChunkStats])]](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Option[(Long, Seq[ChunkStats])]])
+          : Boolean = size() > sidecarCacheMax
+    }
 
   /** (recorded fileLen, chunks); fileLen -1 when the sidecar predates
     * offsets. Callers trust chunk offsets only when fileLen matches the
@@ -591,13 +626,26 @@ object ChunkStatsIndex {
   def readWithLen(conf: Configuration, dataFile: Path): Option[(Long, Seq[ChunkStats])] = {
     val fs = dataFile.getFileSystem(conf)
     val p = new Path(dataFile.getParent, "." + dataFile.getName + Suffix)
-    if (!fs.exists(p)) None
+    val st = try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => null }
+    if (st == null) None
     else {
+      // st.getPath is the QUALIFIED path — the same spelling
+      // invalidate() uses, so writer-driven eviction always matches
+      val key = (st.getPath.toString, st.getModificationTime, st.getLen)
+      if (sidecarCacheMax > 0) {
+        val hit = sidecarCache.synchronized(sidecarCache.get(key))
+        if (hit != null) return hit
+      }
       val in = fs.open(p)
-      try Some(fromJsonWithLen(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)))
-      catch { case _: Exception => None } // corrupt stats: just don't prune
-      finally in.close()
+      val parsed =
+        try Some(fromJsonWithLen(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)))
+        catch { case _: Exception => None } // corrupt stats: just don't prune
+        finally in.close()
+      if (sidecarCacheMax > 0)
+        sidecarCache.synchronized(sidecarCache.put(key, parsed))
+      parsed
     }
   }
 
