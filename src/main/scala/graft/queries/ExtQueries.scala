@@ -436,11 +436,31 @@ object ExtQueries {
     * relation each materialized once (cached temp views) — one
     * Generate/Exchange/Window total, self-join reads the cache.
     */
+  /** The shingle-hash-set relation, cached at the session's full
+    * parallelism. The corpus parquet is a single split at bench SFs
+    * (one row group), so the exchange-free scan+project spelling
+    * cached as ONE partition and every downstream pass over the hash
+    * sets — exact-Jaccard ground-truth cross joins, band explodes —
+    * ran single-threaded (a 1.5 s one-task job in d21's profile). The
+    * round-robin repartition (deterministic: sort-before-repartition)
+    * moves raw text once at cache-build time so the shingle hashing
+    * and every later pass use all cores; ONE spelling so every
+    * consumer hits the same plan-keyed cache.
+    */
+  private def minhashHsDF(spark: org.apache.spark.sql.SparkSession,
+      from: String = "documents"): org.apache.spark.sql.DataFrame = {
+    val d = SparkD
+    cacheOnce(spark.table(from)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .where(s"${d.size(d.split("text"))} >= 3")
+      .selectExpr("doc_id", s"${d.shingleHashSet("text")} AS hset"))
+  }
+
   private def minhashPairsDF(spark: org.apache.spark.sql.SparkSession,
       from: String = "documents", tag: String = "mh")
       : org.apache.spark.sql.DataFrame = {
-    val hs = spark.sql(minhashHsSql(SparkD, from))
-    cacheOnce(hs).createOrReplaceTempView(s"${tag}_hs")
+    val hs = minhashHsDF(spark, from)
+    hs.createOrReplaceTempView(s"${tag}_hs")
     val ex = spark.sql(minhashExSql(SparkD, s"${tag}_hs"))
     cacheOnce(ex).createOrReplaceTempView(s"${tag}_ex")
     spark.sql(minhashPairsFrom(SparkD, s"${tag}_ex", s"${tag}_hs"))
@@ -3200,7 +3220,7 @@ object ExtQueries {
   private def dedupRecallDF(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
       // LSH surfaces (shared spellings with d03; cached once)
-      val hs = cacheOnce(spark.sql(minhashHsSql(SparkD)))
+      val hs = minhashHsDF(spark)
       hs.createOrReplaceTempView("d21_hs")
       val ex = cacheOnce(spark.sql(minhashExSql(SparkD, "d21_hs")))
       ex.createOrReplaceTempView("d21_ex")
@@ -3336,7 +3356,7 @@ object ExtQueries {
       spark: org.apache.spark.sql.SparkSession, bands: Int,
       freshExplode: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
-    val hs = cacheOnce(spark.sql(minhashHsSql(SparkD)))
+    val hs = minhashHsDF(spark)
     hs.createOrReplaceTempView("bp_hs")
     val (sigSelect, mRef) = minhashSigParts(SparkD, "bp_hs")
     cacheOnce(spark.sql(sigSelect)).createOrReplaceTempView("bp_sig")
@@ -3374,7 +3394,7 @@ object ExtQueries {
     * statement). */
   private def lshBandSweepDF(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
-    val hs = cacheOnce(spark.sql(minhashHsSql(SparkD)))
+    val hs = minhashHsDF(spark)
     hs.createOrReplaceTempView("d22_hs")
     val (sigSelect, _) = minhashSigParts(SparkD, "d22_hs")
     cacheOnce(spark.sql(sigSelect)).createOrReplaceTempView("d22_sig")
@@ -3481,7 +3501,7 @@ object ExtQueries {
     */
   private def lshParetoDF(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
-    val hs = cacheOnce(spark.sql(minhashHsSql(SparkD)))
+    val hs = minhashHsDF(spark)
     hs.createOrReplaceTempView("d26_hs")
     val (sigSelect, _) = minhashSigParts(SparkD, "d26_hs")
     cacheOnce(spark.sql(sigSelect)).createOrReplaceTempView("d26_sig")
@@ -3597,7 +3617,7 @@ object ExtQueries {
     * trap. */
   private def lshPolicyDF(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
-    val hs = cacheOnce(spark.sql(minhashHsSql(SparkD)))
+    val hs = minhashHsDF(spark)
     hs.createOrReplaceTempView("d28_hs")
     val (sigSelect, _) = minhashSigParts(SparkD, "d28_hs")
     cacheOnce(spark.sql(sigSelect)).createOrReplaceTempView("d28_sig")
@@ -3676,7 +3696,7 @@ object ExtQueries {
     */
   private def lshPolicyCollapsedDF(spark: org.apache.spark.sql.SparkSession)
       : org.apache.spark.sql.DataFrame = {
-    val hs = cacheOnce(spark.sql(minhashHsSql(SparkD)))
+    val hs = minhashHsDF(spark)
     hs.createOrReplaceTempView("d29_hs")
     val (sigSelect, _) = minhashSigParts(SparkD, "d29_hs")
     cacheOnce(spark.sql(sigSelect)).createOrReplaceTempView("d29_sig")
@@ -7434,8 +7454,8 @@ object ExtQueries {
     streamImageDedup,
     dialect("v01_knn_brute", knnBruteSql),
     knnSignLshQ,
-    dialect("v03_knn_ivf_assign", ivfAssignSql),
-    dialect("v04_knn_ivf_search", ivfSearchSql),
+    ivfAssignQ,
+    ivfSearchQ,
     dialect("v07_knn_quantized", knnQuantizedSql),
     // Two-stage retrieval: int8 shortlist -> exact float re-rank.
     dialect("v08_knn_rerank", knnRerankSql),
@@ -7443,12 +7463,12 @@ object ExtQueries {
     // bounded query sample (what the approximation costs).
     annRecallQ,
     // The same harness for the IVF path: what nprobe=2 costs.
-    dialect("v10_ivf_recall", ivfRecallSql),
+    ivfRecallHarnessQ,
     // The nprobe sweep: the recall-vs-nprobe (1/2/4) tuning curve.
-    dialect("v11_ivf_nprobe_sweep", ivfNprobeSweepSql),
+    ivfNprobeSweepQ,
     // Hybrid retrieval: RRF fusion of sign-LSH + IVF, recall per
     // retriever and fused — rank fusion needs no score calibration.
-    dialect("v12_hybrid_rrf_recall", hybridRrfSql),
+    hybridRrfQ,
     // Lexical (BM25) + vector (IVF) hybrid search fused by RRF — the
     // production RAG retrieval stack; output IS the fused result list.
     hybridBm25Vec,
@@ -7673,7 +7693,7 @@ object ExtQueries {
       * recall_pm in v22–v25, derived from the relation itself so specs
       * never hardcode the 20×5 fixture shape. */
     def kmGtCount(spark: org.apache.spark.sql.SparkSession): Long = {
-      cacheOnce(spark.sql(kmEmbSql(SparkD)))
+      kmEmbDF(spark)
         .createOrReplaceTempView("kemb")
       spark.sql(s"WITH ${kmGtCte(SparkD, "kemb")}\n" +
           "SELECT COUNT(*) AS n FROM gt")
@@ -9263,6 +9283,193 @@ object ExtQueries {
   /** v13's query-term relation: each sample doc's distinct non-empty
     * words (bounded: 20 docs' vocabulary at any corpus size).
     */
+  /** The IVF foundation as session views — the pqViews move for the
+    * v03/v04/v10/v11/v12 family, whose dialect SQL re-inlined (and so
+    * re-planned and re-executed) the centroid aggregate, the
+    * normalized-embedding scan, and the per-vector centroid-ranking
+    * window into every reference. `ivf_emb` shares kmEmbDF's cached
+    * plan; `ivf_cent` is a cached 64-row relation; `ivf_best` is a
+    * CHECKPOINTED leaf because every consumer statement references it
+    * twice (assignment + probes) and duplicated window-bearing view
+    * subtrees crash DeduplicateRelations (the pqViews lesson). The
+    * DuckDB oracles keep the full inline spellings — hash-matched.
+    */
+  private def ivfViews(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val d = SparkD
+    kmEmbDF(spark).createOrReplaceTempView("ivf_emb")
+    cacheOnce(spark.sql(
+      s"WITH ${ivfCommonCtes(d)} SELECT clabel, centroid, cnorm FROM cent"))
+      .createOrReplaceTempView("ivf_cent")
+    spark.sql(
+      s"""SELECT e.vec_id, e.label, c.clabel,
+         |  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |    ${d.dot("e.embedding", "c.centroid")} / (e.enorm * c.cnorm)
+         |      DESC, c.clabel) AS rn
+         |FROM ivf_emb e CROSS JOIN ivf_cent c""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("ivf_best")
+  }
+
+  /** The shared 20-query exact ground truth as a checkpointed leaf
+    * (the harness statements also join ivf_emb directly). */
+  private def ivfGtView(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sql(
+      s"""SELECT qid, nid FROM (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${SparkD.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm)
+         |        DESC, n.vec_id) AS rn
+         |  FROM (SELECT * FROM ivf_emb WHERE vec_id < 20
+         |        ORDER BY vec_id LIMIT 20) q
+         |  CROSS JOIN ivf_emb n
+         |  WHERE n.vec_id <> q.vec_id) x
+         |WHERE rn <= 5""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("ivf_gt")
+    ()
+  }
+
+  /** The v04 serve chain over the views (assignment, nprobe=2 probes,
+    * in-cell candidates, exact cosines, ranked topk). */
+  private def ivfServeCtes: String =
+    s"""assign AS (SELECT vec_id, clabel FROM ivf_best WHERE rn = 1),
+       |probe AS (SELECT vec_id AS qid, clabel AS pcell
+       |  FROM ivf_best WHERE vec_id < 20 AND rn <= 2),
+       |cand AS (SELECT p.qid, a.vec_id AS nid
+       |  FROM probe p JOIN assign a ON a.clabel = p.pcell
+       |  WHERE a.vec_id <> p.qid),
+       |pairs AS (SELECT c.qid, c.nid,
+       |    ${SparkD.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm) AS cos
+       |  FROM cand c
+       |  JOIN ivf_emb q ON q.vec_id = c.qid
+       |  JOIN ivf_emb n ON n.vec_id = c.nid),
+       |topk AS (SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |  FROM pairs)""".stripMargin
+
+  private def ivfAssignQ: Q = Q("v03_knn_ivf_assign", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    ivfViews(spark)
+    spark.sql(
+      """SELECT label, clabel AS assigned, COUNT(*) AS n
+        |FROM ivf_best WHERE rn = 1
+        |GROUP BY label, clabel""".stripMargin)
+  }, Some(ivfAssignSql(DuckD)))
+
+  private def ivfSearchQ: Q = Q("v04_knn_ivf_search", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    ivfViews(spark)
+    spark.sql(
+      s"""WITH $ivfServeCtes
+         |SELECT qid, nid, cos FROM topk WHERE rn <= 5""".stripMargin)
+  }, Some(ivfSearchSql(DuckD)))
+
+  private def ivfRecallHarnessQ: Q = Q("v10_ivf_recall", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    ivfViews(spark)
+    ivfGtView(spark)
+    spark.sql(
+      s"""WITH $ivfServeCtes,
+         |ann AS (SELECT qid, nid FROM topk WHERE rn <= 5),
+         |hits AS (SELECT gt.qid, COUNT(ann.nid) AS n_hits
+         |  FROM ivf_gt gt
+         |  LEFT JOIN ann ON gt.qid = ann.qid AND gt.nid = ann.nid
+         |  GROUP BY gt.qid)
+         |SELECT n_hits, COUNT(*) AS n_queries
+         |FROM hits GROUP BY n_hits""".stripMargin)
+  }, Some(ivfRecallSql(DuckD)))
+
+  private def ivfNprobeSweepQ: Q = Q("v11_ivf_nprobe_sweep",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      ivfViews(spark)
+      ivfGtView(spark)
+      val levels = "(VALUES (1), (2), (4)) AS lv(nprobe)"
+      spark.sql(
+        s"""WITH assign AS (SELECT vec_id, clabel FROM ivf_best WHERE rn = 1),
+           |probe4 AS (
+           |  SELECT vec_id AS qid, clabel AS pcell, rn AS prank
+           |  FROM ivf_best WHERE vec_id < 20 AND rn <= 4),
+           |cand AS (
+           |  SELECT p.qid, a.vec_id AS nid, MIN(p.prank) AS min_prank
+           |  FROM probe4 p JOIN assign a ON a.clabel = p.pcell
+           |  WHERE a.vec_id <> p.qid GROUP BY p.qid, a.vec_id),
+           |pairs AS (
+           |  SELECT c.qid, c.nid, c.min_prank,
+           |    ${SparkD.dot("q.embedding", "n.embedding")} / (q.enorm * n.enorm) AS cos
+           |  FROM cand c
+           |  JOIN ivf_emb q ON q.vec_id = c.qid
+           |  JOIN ivf_emb n ON n.vec_id = c.nid),
+           |ranked AS (
+           |  SELECT lv.nprobe, p.qid, p.nid,
+           |    ROW_NUMBER() OVER (PARTITION BY lv.nprobe, p.qid
+           |      ORDER BY p.cos DESC, p.nid) AS rn
+           |  FROM pairs p CROSS JOIN $levels
+           |  WHERE p.min_prank <= lv.nprobe),
+           |ann AS (SELECT nprobe, qid, nid FROM ranked WHERE rn <= 5),
+           |hits AS (SELECT lv.nprobe, gt.qid, COUNT(ann.nid) AS n_hits
+           |  FROM ivf_gt gt CROSS JOIN $levels
+           |  LEFT JOIN ann ON ann.nprobe = lv.nprobe AND gt.qid = ann.qid
+           |    AND gt.nid = ann.nid
+           |  GROUP BY lv.nprobe, gt.qid)
+           |SELECT nprobe, n_hits, COUNT(*) AS n_queries
+           |FROM hits GROUP BY nprobe, n_hits""".stripMargin)
+    }, Some(ivfNprobeSweepSql(DuckD)))
+
+  private def hybridRrfQ: Q = Q("v12_hybrid_rrf_recall", (spark, dir) => {
+    Tables.registerAll(spark, dir)
+    ivfViews(spark)
+    ivfGtView(spark)
+    // both retrievers' ranked lists as checkpointed leaves: each is
+    // referenced 3x by the fusion statement (candidates, scores, and
+    // its own recall row)
+    spark.sql(
+      s"""WITH $ivfServeCtes
+         |SELECT qid, nid, rn AS rank FROM topk WHERE rn <= 5""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("v12_ivfr")
+    cacheOnce(spark.sql(knnSignLshBcSql(SparkD)))
+      .createOrReplaceTempView("v12_bc")
+    spark.sql(
+      s"""SELECT qid, nid,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+         |    AS rank
+         |FROM (${knnSignLshFrom(SparkD, "v12_bc")}) l WHERE qid < 20""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("v12_lshr")
+    val rrf = (r: String) =>
+      s"COALESCE(${SparkD.intDiv("1000000", s"(60 + $r)")}, 0)"
+    spark.sql(
+      s"""WITH rcand AS (SELECT qid, nid FROM v12_ivfr
+         |  UNION SELECT qid, nid FROM v12_lshr),
+         |rscored AS (SELECT c.qid, c.nid,
+         |    ${rrf("i.rank")} + ${rrf("l.rank")} AS score
+         |  FROM rcand c
+         |  LEFT JOIN v12_ivfr i ON c.qid = i.qid AND c.nid = i.nid
+         |  LEFT JOIN v12_lshr l ON c.qid = l.qid AND c.nid = l.nid),
+         |fused AS (SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid)
+         |        AS rn
+         |    FROM rscored) f WHERE rn <= 5),
+         |hl AS (SELECT 'lsh' AS retriever, gt.qid, COUNT(l.nid) AS n_hits
+         |  FROM ivf_gt gt
+         |  LEFT JOIN v12_lshr l ON gt.qid = l.qid AND gt.nid = l.nid
+         |  GROUP BY gt.qid),
+         |hi AS (SELECT 'ivf' AS retriever, gt.qid, COUNT(i.nid) AS n_hits
+         |  FROM ivf_gt gt
+         |  LEFT JOIN v12_ivfr i ON gt.qid = i.qid AND gt.nid = i.nid
+         |  GROUP BY gt.qid),
+         |hf AS (SELECT 'rrf' AS retriever, gt.qid, COUNT(f.nid) AS n_hits
+         |  FROM ivf_gt gt
+         |  LEFT JOIN fused f ON gt.qid = f.qid AND gt.nid = f.nid
+         |  GROUP BY gt.qid),
+         |hits AS (SELECT * FROM hl UNION ALL SELECT * FROM hi
+         |  UNION ALL SELECT * FROM hf)
+         |SELECT retriever, n_hits, COUNT(*) AS n_queries
+         |FROM hits GROUP BY retriever, n_hits""".stripMargin)
+  }, Some(hybridRrfSql(DuckD)))
+
   private def hybridQtSql(d: Dial): String =
     s"""SELECT doc_id AS qid, w FROM (
        |  SELECT doc_id, w
@@ -10025,6 +10232,18 @@ object ExtQueries {
     * `emb` spelling, named kemb so v20's probe chain can coexist with
     * ivfCommonCtes-derived CTEs in one statement.
     */
+  /** The nonzero-embedding relation (kemb), cached once and shared by
+    * every vector-family consumer (ONE spelling => one plan-keyed
+    * cache entry). Deliberately NOT repartitioned like minhashHsDF:
+    * the embedding relation is small per row (64 floats) and its
+    * passes are cheap, so fanning the cache out to 32 partitions
+    * measured SLOWER (per-task constants dominate) — the hs case wins
+    * because shingle-set rows are heavy and its cross joins do real
+    * per-pair array work. */
+  private def kmEmbDF(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame =
+    cacheOnce(spark.sql(kmEmbSql(SparkD)))
+
   private def kmEmbSql(d: Dial): String =
     s"""SELECT vec_id, label, embedding,
        |  sqrt(${d.dot("embedding", "embedding")}) AS enorm
@@ -10130,7 +10349,7 @@ object ExtQueries {
     */
   private def kmTrainViews(spark: org.apache.spark.sql.SparkSession)
       : Unit = {
-    cacheOnce(spark.sql(kmEmbSql(SparkD)))
+    kmEmbDF(spark)
       .createOrReplaceTempView("v19_emb")
     spark.sql(kmSeedSql(SparkD, "v19_emb"))
       .createOrReplaceTempView("v19_k0")
@@ -10552,10 +10771,10 @@ object ExtQueries {
         .where("qid < 20").createOrReplaceTempView("v22_probe")
       spark.read.format("columnfile").load(idxPath)
         .createOrReplaceTempView("v22_idx")
+      kmEmbDF(spark).createOrReplaceTempView("kemb")
       spark.sql(
         s"""WITH ${ivfIndexedTopkCtes("v22_probe", "v22_idx")},
            |ann AS (SELECT qid, nid FROM ivtopk WHERE rn <= 5),
-           |kemb AS (${kmEmbSql(SparkD)}),
            |${kmRecallTail(SparkD, "kemb")}""".stripMargin)
     }, Some(oracle))
   }
@@ -10664,7 +10883,7 @@ object ExtQueries {
     */
   private def kmSweepViews(spark: org.apache.spark.sql.SparkSession,
       ks: Seq[Int]): Unit = {
-    cacheOnce(spark.sql(kmEmbSql(SparkD)))
+    kmEmbDF(spark)
       .createOrReplaceTempView("kemb")
     for (k <- ks) {
       val p = s"v23k${k}_"
