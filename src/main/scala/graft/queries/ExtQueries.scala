@@ -6576,6 +6576,26 @@ object ExtQueries {
        |  GROUP BY x.doc_id) m ON m.doc_id = l.doc_id
        |WHERE l.y * m.s <= 0""".stripMargin
 
+  /** t19's misclassified set with the TEACHER computed inline in the
+    * same margin aggregate — the teacher y is an exact integer
+    * function of the same (doc, bucket, x) rows the margin sums
+    * ([[t19LabSql]]'s s/n over THIS aggregate's groups), so folding it
+    * in removes the per-epoch broadcast join against the label
+    * relation while producing bit-identical rows. Spark-side chain
+    * only; t21 keeps the parameterized [[t19MisSql]] (its scrambled
+    * chain trains against a DIFFERENT label relation).
+    */
+  private def t19MisInlineSql(d: Dial, x: String, w: String): String =
+    s"""SELECT doc_id, y FROM (
+       |  SELECT x.doc_id, CAST(SUM(x.x * w.w) AS BIGINT) AS s,
+       |    CASE WHEN ${d.intDiv(
+            s"CAST(SUM(x.x * (((x.bucket * 2654435761) % $P) % 2001 - 1000)) AS BIGINT)",
+            "CAST(SUM(x.x) AS BIGINT)")} >= 0
+       |      THEN 1 ELSE -1 END AS y
+       |  FROM $x x JOIN $w w ON w.bucket = x.bucket
+       |  GROUP BY x.doc_id) m
+       |WHERE y * s <= 0""".stripMargin
+
   private def t19GradSql(d: Dial, x: String, mis: String): String =
     s"""SELECT x.bucket, CAST(SUM(m.y * x.x) AS BIGINT) AS g
        |FROM $x x JOIN $mis m ON m.doc_id = x.doc_id
@@ -6666,8 +6686,8 @@ object ExtQueries {
     * registered — split out so the spec can train against SCRAMBLED
     * labels (the feature–label link cut while the marginals stay).
     */
-  private def t19EpochViews(spark: org.apache.spark.sql.SparkSession)
-      : Unit = {
+  private def t19EpochViews(spark: org.apache.spark.sql.SparkSession,
+      labRel: Option[String] = None): Unit = {
     spark.sparkContext.setJobDescription("t19: w0")
     spark.sql(
       """SELECT bucket, CAST(0 AS BIGINT) AS w
@@ -6685,9 +6705,15 @@ object ExtQueries {
     // arithmetic end to end, so recompute == stored, bit for bit.
     for (r <- 1 to T19Epochs) {
       spark.sparkContext.setJobDescription(s"t19: epoch $r")
+      // inline teacher by default (no per-epoch label broadcast);
+      // a caller-supplied label relation (the scrambled-label spec
+      // fixture) keeps the parameterized join spelling
+      val mis = labRel match {
+        case None => t19MisInlineSql(SparkD, "t19_x", s"t19_w${r - 1}")
+        case Some(l) => t19MisSql(SparkD, "t19_x", l, s"t19_w${r - 1}")
+      }
       spark.sql(
-        s"""WITH mis AS (${t19MisSql(SparkD, "t19_x", "t19_lab",
-              s"t19_w${r - 1}")}),
+        s"""WITH mis AS ($mis),
            |g AS (${t19GradSql(SparkD, "t19_x", "mis")})
            |${t19StepSql(SparkD, s"t19_w${r - 1}", "g", r)}""".stripMargin)
         .localCheckpoint()
@@ -6707,8 +6733,8 @@ object ExtQueries {
     * checkpointed weight relations, and one tiny step-keyed join pairs
     * them. Same rows, same schema, ~2 jobs instead of ~26.
     */
-  private def t19ReadoutDF(spark: org.apache.spark.sql.SparkSession)
-      : org.apache.spark.sql.DataFrame = {
+  private def t19ReadoutDF(spark: org.apache.spark.sql.SparkSession,
+      labRel: Option[String] = None): org.apache.spark.sql.DataFrame = {
     // step r's update count is |{docs misclassified by w_{r-1}}|: stack
     // the 13 checkpointed weight relations tagged by step, join x ONCE
     // (the stack is 13 x 1024 rows — broadcast-sized at any corpus
@@ -6725,18 +6751,31 @@ object ExtQueries {
          |  CAST(COALESCE(SUM((bucket + 1) * w), 0) AS BIGINT) AS w_ck
          |FROM $w""".stripMargin
     }.mkString("\nUNION ALL ")
+    // teacher inline by default (see t19MisInlineSql); the
+    // caller-supplied-label form joins its relation instead
+    val (ycol, misCond) = labRel match {
+      case None =>
+        (s""",
+           |    CASE WHEN ${SparkD.intDiv(
+              s"CAST(SUM(x.x * (((x.bucket * 2654435761) % $P) % 2001 - 1000)) AS BIGINT)",
+              "CAST(SUM(x.x) AS BIGINT)")} >= 0
+           |      THEN 1 ELSE -1 END AS y""".stripMargin,
+         "FROM marg m\n  WHERE m.y * m.s <= 0")
+      case Some(l) =>
+        ("", s"FROM marg m JOIN $l lb ON lb.doc_id = m.doc_id\n" +
+          "  WHERE lb.y * m.s <= 0")
+    }
     spark.sql(
       s"""WITH wall AS (
          |  $wall),
          |marg AS (
          |  SELECT /*+ BROADCAST(ww) */ x.doc_id, ww.step,
-         |    CAST(SUM(x.x * ww.w) AS BIGINT) AS s
+         |    CAST(SUM(x.x * ww.w) AS BIGINT) AS s$ycol
          |  FROM t19_x x JOIN wall ww ON ww.bucket = x.bucket
          |  GROUP BY x.doc_id, ww.step),
          |cnt AS (
          |  SELECT m.step, CAST(COUNT(*) AS BIGINT) AS n_upd
-         |  FROM marg m JOIN t19_lab l ON l.doc_id = m.doc_id
-         |  WHERE l.y * m.s <= 0
+         |  $misCond
          |  GROUP BY m.step),
          |ws AS ($ws)
          |SELECT ws.step, CAST(COALESCE(cnt.n_upd, 0) AS BIGINT) AS n_upd,
@@ -7738,8 +7777,8 @@ object ExtQueries {
       cacheOnce(spark.sql(t19XSql(SparkD)))
         .createOrReplaceTempView("t19_x")
       lab.createOrReplaceTempView("t19_lab")
-      t19EpochViews(spark)
-      t19ReadoutDF(spark)
+      t19EpochViews(spark, labRel = Some("t19_lab"))
+      t19ReadoutDF(spark, labRel = Some("t19_lab"))
     }
     def kmeansSeedHash(id: Long): Long =
       ((id % 2147483647L) * 2654435761L) % 2147483647L
