@@ -9626,7 +9626,14 @@ object ExtQueries {
       .createOrReplaceTempView("v13_tfq")
     cacheOnce(spark.sql(bm25DlSql(SparkD)))
       .createOrReplaceTempView("v13_dl")
-    spark.sql("WITH " + hybridBody(SparkD, "v13_qt", "v13_tfq", "v13_dl"))
+    // IVF leg from the shared session views (ivfViews) instead of
+    // re-inlining the centroid/assignment chain per run — the fusion
+    // tail and the oracle spelling are unchanged
+    ivfViews(spark)
+    spark.sql(
+      s"""WITH $ivfServeCtes,
+         |ivfr AS (SELECT qid, nid, rn AS rank FROM topk WHERE rn <= 5),
+         |${hybridFusionBody(SparkD, "v13_qt", "v13_tfq", "v13_dl")}""".stripMargin)
   }
 
   private def hybridBm25Vec: Q = Q("v13_hybrid_bm25_vec", (spark, dir) => {
