@@ -61,22 +61,14 @@ object Verify {
       sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Engine-level session settings (SPJ, codegen cache, extensions)
+    // come from GraftSessionDefaults — identical planner settings for
+    // every query regardless of run order (q37 previously flipped SPJ
+    // confs mid-run), and the same session shape as Bench and any
+    // production SparkEntry consumer.
+    val spark = GraftSessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // Storage-partitioned joins on from the start: identical planner
-      // settings for every query, regardless of run order (q37 previously
-      // flipped these mid-run).
-      .config("spark.sql.sources.v2.bucketing.enabled", "true")
-      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-      // subset-key co-partitioning for the ordered merge join (q75);
-      // see Bench.newSession for why this is correct
-      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      // variant shred rewrite (q69) — a pure optimization; results are
-      // identical in sessions without the extension
-      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Clear stale results: a failed query must not leave a previous
