@@ -468,6 +468,43 @@ object ExtQueries {
       df.queryExecution.analyzed.canonicalized, _ => df.localCheckpoint())
   }
 
+  /** Run a view-registration block once per (session, tag, base-table
+    * vintage). cacheOnce/checkpointOnce dedup EXECUTION across
+    * invocations, but every invocation still re-built and re-ANALYZED
+    * each registration statement (`spark.sql` over deeply nested view
+    * texts) — profiled at 1-2+ s of pure driver time per invocation
+    * for the kmeans-grid and semdedup families, with all jobs served
+    * from cache. The key includes the canonicalized plans of the named
+    * base tables, so a fixture/fuzzer run that re-registers
+    * `documents`/`embeddings` (different data OR different path) gets
+    * a full re-registration instead of stale views; steady-state
+    * re-invocations skip straight to the consumer statement. Session-
+    * scoped in-memory state, like the caches.
+    */
+  private val regMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Seq[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]]())
+
+  private def registerOnce(spark: org.apache.spark.sql.SparkSession,
+      tag: String, baseTables: Seq[String])(register: => Unit): Unit = {
+    val perSession = regMemo.synchronized {
+      var m = regMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap()
+        regMemo.put(spark, m)
+      }
+      m
+    }
+    val fp = baseTables.map(t =>
+      spark.table(t).queryExecution.analyzed.canonicalized)
+    if (perSession.get(tag) != fp) {
+      register
+      perSession.put(tag, fp)
+      ()
+    }
+  }
+
   /** Spark-side MinHash pairs with the hash-set scan AND the capped band
     * relation each materialized once (cached temp views) — one
     * Generate/Exchange/Window total, self-join reads the cache.
@@ -2297,7 +2334,8 @@ object ExtQueries {
     * silently lose substitution). The DuckDB oracle keeps the full
     * inline spelling — results are identical by construction.
     */
-  private def pqViews(spark: org.apache.spark.sql.SparkSession): Unit = {
+  private def pqViews(spark: org.apache.spark.sql.SparkSession): Unit =
+      registerOnce(spark, "pqViews", Seq("embeddings")) {
     cacheOnce(spark.sql(
       s"WITH ${pqCtes(SparkD)} SELECT vec_id, label, vm FROM em"))
       .createOrReplaceTempView("pq_em")
@@ -2364,6 +2402,7 @@ object ExtQueries {
     pqViews(spark)
     val cosn = (q: String, n: String) =>
       s"${SparkD.dot(s"$q.embedding", s"$n.embedding")} / ($q.enorm * $n.enorm)"
+    registerOnce(spark, "pqRecallViews", Seq("embeddings")) {
     cacheOnce(spark.sql(
       s"""SELECT vec_id, embedding,
          |  sqrt(${SparkD.dot("embedding", "embedding")}) AS enorm
@@ -2383,6 +2422,7 @@ object ExtQueries {
          |  WHERE n.vec_id <> q.vec_id) x
          |WHERE rn <= 5""".stripMargin))
       .createOrReplaceTempView("pq_gt")
+    }
     val stages = "(VALUES ('adc'), ('rerank')) AS st(stage)"
     spark.sql(
       s"""WITH qs AS (SELECT vec_id AS qid, vm AS qm FROM pq_em
@@ -3897,6 +3937,7 @@ object ExtQueries {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     kmTrainViews(spark)
+    registerOnce(spark, "semTauSweepViews", Seq("embeddings")) {
     val grp = cacheOnce(spark.sql(
       """SELECT embedding, MIN(vec_id) AS rep, COUNT(*) AS members
         |FROM embeddings GROUP BY embedding""".stripMargin))
@@ -3931,8 +3972,13 @@ object ExtQueries {
         .groupBy(col("j"))
         .agg(max(expr("graft_dot(xe, ye) / (xn * yn)")).as("mcos"))
     }
-    maxCos(asg).createOrReplaceTempView("d23_cdrop")
-    maxCos(asgl).createOrReplaceTempView("d23_ldrop")
+    // the two pair passes are the query's dominant executor job
+    // (within-cell cosine MAX per rep — 7-9 s of task CPU per pass at
+    // sf0.1); cacheOnce so a shared session pays each once, the same
+    // discipline as the cached assignments they read
+    cacheOnce(maxCos(asg)).createOrReplaceTempView("d23_cdrop")
+    cacheOnce(maxCos(asgl)).createOrReplaceTempView("d23_ldrop")
+    }
     spark.sql(
       s"""WITH scand AS (SELECT a.vec_id AS qid, b.vec_id AS nid
          |  FROM d23_asg a JOIN d23_asg b ON a.clabel = b.clabel
@@ -9359,7 +9405,8 @@ object ExtQueries {
     * subtrees crash DeduplicateRelations (the pqViews lesson). The
     * DuckDB oracles keep the full inline spellings — hash-matched.
     */
-  private def ivfViews(spark: org.apache.spark.sql.SparkSession): Unit = {
+  private def ivfViews(spark: org.apache.spark.sql.SparkSession): Unit =
+      registerOnce(spark, "ivfViews", Seq("embeddings")) {
     val d = SparkD
     kmEmbDF(spark).createOrReplaceTempView("ivf_emb")
     cacheOnce(spark.sql(
@@ -9376,7 +9423,8 @@ object ExtQueries {
 
   /** The shared 20-query exact ground truth as a checkpointed leaf
     * (the harness statements also join ivf_emb directly). */
-  private def ivfGtView(spark: org.apache.spark.sql.SparkSession): Unit = {
+  private def ivfGtView(spark: org.apache.spark.sql.SparkSession): Unit =
+      registerOnce(spark, "ivfGtView", Seq("embeddings")) {
     checkpointOnce(spark.sql(
       s"""SELECT qid, nid FROM (
          |  SELECT q.vec_id AS qid, n.vec_id AS nid,
@@ -9486,6 +9534,7 @@ object ExtQueries {
     // both retrievers' ranked lists as checkpointed leaves: each is
     // referenced 3x by the fusion statement (candidates, scores, and
     // its own recall row)
+    registerOnce(spark, "v12Views", Seq("embeddings")) {
     checkpointOnce(spark.sql(
       s"""WITH $ivfServeCtes
          |SELECT qid, nid, rn AS rank FROM topk WHERE rn <= 5""".stripMargin))
@@ -9498,6 +9547,7 @@ object ExtQueries {
          |    AS rank
          |FROM (${knnSignLshFrom(SparkD, "v12_bc")}) l WHERE qid < 20""".stripMargin))
       .createOrReplaceTempView("v12_lshr")
+    }
     val rrf = (r: String) =>
       s"COALESCE(${SparkD.intDiv("1000000", s"(60 + $r)")}, 0)"
     spark.sql(
@@ -10416,7 +10466,7 @@ object ExtQueries {
     * index build, and the spec fixtures.
     */
   private def kmTrainViews(spark: org.apache.spark.sql.SparkSession)
-      : Unit = {
+      : Unit = registerOnce(spark, "kmTrainViews", Seq("embeddings")) {
     kmEmbDF(spark)
       .createOrReplaceTempView("v19_emb")
     spark.sql(kmSeedSql(SparkD, "v19_emb"))
@@ -10933,12 +10983,20 @@ object ExtQueries {
          |${kmSweepTail(DuckD)}""".stripMargin
     Q("v23_kmeans_k_sweep", (spark, dir) => {
       Tables.registerAll(spark, dir)
-      kmSweepViews(spark, ks)
+      // histograms read from the shared cached surfaces: v23's
+      // nprobe=2 serve IS km_ann's nprobe=2 slice (the candidate set
+      // and ranking are one spelling — the equality the grid spec
+      // already pins); the oracle keeps the inline per-K kmSweepAnn
+      kmGridSurfaceViews(spark, ks)
+      val ksRel = s"(VALUES ($KmSweepA), ($KmSweepB), ($KmSweepC)) AS ks(k)"
       spark.sql(
-        s"""WITH ann AS (${ks.map(k =>
-             kmSweepAnn(SparkD, s"v23k${k}_b3", k))
-             .mkString("\n  UNION ALL ")}),
-           |${kmSweepTail(SparkD)}""".stripMargin)
+        s"""SELECT k, n_hits, COUNT(*) AS n_queries FROM (
+           |  SELECT ks.k, gt.qid, COUNT(ann.nid) AS n_hits
+           |  FROM km_gt gt CROSS JOIN $ksRel
+           |  LEFT JOIN (SELECT k, qid, nid FROM km_ann WHERE nprobe = 2) ann
+           |    ON ann.k = ks.k AND ann.qid = gt.qid AND ann.nid = gt.nid
+           |  GROUP BY ks.k, gt.qid) h
+           |GROUP BY k, n_hits""".stripMargin)
     }, Some(oracle))
   }
 
@@ -10950,7 +11008,8 @@ object ExtQueries {
     * cache.
     */
   private def kmSweepViews(spark: org.apache.spark.sql.SparkSession,
-      ks: Seq[Int]): Unit = {
+      ks: Seq[Int]): Unit = registerOnce(spark,
+      s"kmSweepViews:${ks.mkString(",")}", Seq("embeddings")) {
     kmEmbDF(spark)
       .createOrReplaceTempView("kemb")
     for (k <- ks) {
@@ -10970,6 +11029,75 @@ object ExtQueries {
       cacheOnce(spark.sql(kmRankSql(SparkD, "kemb", s"${p}k2")))
         .createOrReplaceTempView(s"${p}b3")
     }
+  }
+
+  /** The grid family's SHARED SMALL SURFACES as cached views — built
+    * once per session over the cached per-K rankings, consumed by
+    * v23/v24/v25/v29 (one spelling, one plan-keyed cache entry each):
+    *
+    *  - `km_gt` (~100 rows): the exact ground truth every harness
+    *    scores against (was re-inlined — one 20 x corpus window pass
+    *    PER INVOCATION of each consumer);
+    *  - `km_ann` (<= 900 rows): the widest-probe pass's top-5 per
+    *    (K, nprobe, query) — v24's recall numerator, v25's n_hit,
+    *    v29's serve rows, and (at nprobe=2) v23's histograms, which
+    *    the specs already pin equal;
+    *  - `km_costs` (9 rows): candidates per grid cell.
+    *
+    * `cands` itself is deliberately NEVER materialized (the r19 trap:
+    * a ~100M-row float-carrying relation at 100x) — each surface
+    * aggregates it in a pipeline; what gets cached is only the
+    * aggregated rows. The DuckDB oracles keep the full inline
+    * spellings.
+    */
+  private def kmGridSurfaceViews(spark: org.apache.spark.sql.SparkSession,
+      ks: Seq[Int]): Unit = {
+    kmSweepViews(spark, ks)
+    registerOnce(spark, s"kmGridSurfaces:${ks.mkString(",")}",
+      Seq("embeddings")) {
+    cacheOnce(spark.sql(
+      s"WITH ${kmGtCte(SparkD, "kemb")} SELECT qid, nid FROM gt"))
+      .createOrReplaceTempView("km_gt")
+    val cands = ks.map(k => kmGridPairs(SparkD, s"v23k${k}_b3", k))
+      .mkString("\n  UNION ALL ")
+    cacheOnce(spark.sql(
+      s"""WITH cands AS ($cands),
+         |${kmRankedAnnCtes("cands")}
+         |SELECT k, nprobe, qid, nid FROM ann""".stripMargin))
+      .createOrReplaceTempView("km_ann")
+    cacheOnce(spark.sql(
+      s"""WITH cands AS ($cands)
+         |SELECT c.k, lv.nprobe, COUNT(*) AS n_cand
+         |FROM cands c CROSS JOIN (VALUES (1), (2), (4)) AS lv(nprobe)
+         |WHERE c.min_prank <= lv.nprobe
+         |GROUP BY c.k, lv.nprobe""".stripMargin))
+      .createOrReplaceTempView("km_costs")
+    }
+  }
+
+  /** The v25/v29 surface statement over the shared cached views —
+    * cells (recall numerators from km_gt x km_ann) joined to km_costs;
+    * identical rows to the oracle's inline kmParetoCtes spelling.
+    */
+  private def kmSurfaceOverViewsSql: String = {
+    val ks = s"(VALUES ($KmSweepA), ($KmSweepB), ($KmSweepC)) AS ks(k)"
+    val lv = "(VALUES (1), (2), (4)) AS lv(nprobe)"
+    s"""WITH cells AS (SELECT ks.k, lv.nprobe,
+       |    CAST(COUNT(ann.nid) AS BIGINT) AS n_hit,
+       |    CAST(COUNT(*) AS BIGINT) AS n_truth
+       |  FROM km_gt gt CROSS JOIN $ks CROSS JOIN $lv
+       |  LEFT JOIN km_ann ann ON ann.k = ks.k AND ann.nprobe = lv.nprobe
+       |    AND ann.qid = gt.qid AND ann.nid = gt.nid
+       |  GROUP BY ks.k, lv.nprobe),
+       |surface AS (SELECT CAST(ce.k AS BIGINT) AS k,
+       |    CAST(ce.nprobe AS BIGINT) AS nprobe,
+       |    CAST(COALESCE(co.n_cand, 0) AS BIGINT) AS n_cand,
+       |    ce.n_hit,
+       |    CAST(${SparkD.intDiv("(1000 * ce.n_hit)", "ce.n_truth")} AS BIGINT)
+       |      AS recall_pm
+       |  FROM cells ce LEFT JOIN km_costs co
+       |    ON co.k = ce.k AND co.nprobe = ce.nprobe)
+       |SELECT k, nprobe, n_cand, n_hit, recall_pm FROM surface""".stripMargin
   }
 
   /** One model's served top-5 AT EVERY nprobe LEVEL from its ranking
@@ -11059,12 +11187,22 @@ object ExtQueries {
          |${kmGridTail(DuckD)}""".stripMargin
     Q("v24_kmeans_grid", (spark, dir) => {
       Tables.registerAll(spark, dir)
-      kmSweepViews(spark, ks)
+      // the grid read from the shared cached surfaces (one widest-probe
+      // pass per session, km_ann/km_gt) — the oracle keeps the inline
+      // per-K spelling, and the rows are identical by construction
+      // (kmGridAnn's per-K (nprobe, qid) windows == kmRankedAnnCtes'
+      // (k, nprobe, qid) windows over the union)
+      kmGridSurfaceViews(spark, ks)
+      val ksRel = s"(VALUES ($KmSweepA), ($KmSweepB), ($KmSweepC)) AS ks(k)"
+      val lvRel = "(VALUES (1), (2), (4)) AS lv(nprobe)"
       spark.sql(
-        s"""WITH ann AS (${ks.map(k =>
-             kmGridAnn(SparkD, s"v23k${k}_b3", k))
-             .mkString("\n  UNION ALL ")}),
-           |${kmGridTail(SparkD)}""".stripMargin)
+        s"""SELECT k, nprobe, n_hits, COUNT(*) AS n_queries FROM (
+           |  SELECT ks.k, lv.nprobe, gt.qid, COUNT(ann.nid) AS n_hits
+           |  FROM km_gt gt CROSS JOIN $ksRel CROSS JOIN $lvRel
+           |  LEFT JOIN km_ann ann ON ann.k = ks.k AND ann.nprobe = lv.nprobe
+           |    AND ann.qid = gt.qid AND ann.nid = gt.nid
+           |  GROUP BY ks.k, lv.nprobe, gt.qid) h
+           |GROUP BY k, nprobe, n_hits""".stripMargin)
     }, Some(oracle))
   }
 
@@ -11174,12 +11312,11 @@ object ExtQueries {
          |${kmParetoTail(DuckD)}""".stripMargin
     Q("v25_kmeans_pareto", (spark, dir) => {
       Tables.registerAll(spark, dir)
-      kmSweepViews(spark, ks)
-      spark.sql(
-        s"""WITH cands AS (${ks.map(k =>
-             kmGridPairs(SparkD, s"v23k${k}_b3", k))
-             .mkString("\n  UNION ALL ")}),
-           |${kmParetoTail(SparkD)}""".stripMargin)
+      // surface read from the shared cached views (km_gt/km_ann/
+      // km_costs — one grid pass per session); the oracle keeps the
+      // inline kmParetoTail spelling
+      kmGridSurfaceViews(spark, ks)
+      spark.sql(kmSurfaceOverViewsSql)
     }, Some(oracle))
   }
 
@@ -11216,42 +11353,29 @@ object ExtQueries {
          |${kmPolicyTail(DuckD)}""".stripMargin
     Q("v29_recall_policy", (spark, dir) => {
       Tables.registerAll(spark, dir)
-      kmSweepViews(spark, ks)
       // The pick is a bounded 1-row POLICY read on the driver (the
       // q74/v26 class: the decision is driver-side, the data never
       // is) — materializing the shared cands relation instead is a
       // scale trap: at 100x it is a ~100M-row float-carrying
-      // checkpoint, while v25 only ever aggregates it in a pipeline.
-      // One v25-class pass computes the surface and the argmin; the
-      // serve then re-ranks ONLY the picked K's candidate pass at the
-      // picked level — strictly less work than the surface itself.
-      // materialize the 9-row surface once (cacheOnce — the artifact a
-      // deployment persists); pick and serve then consult it instead
-      // of re-running the surface chain per consumer
-      cacheOnce(spark.sql(
-        s"""WITH cands AS (${ks.map(k =>
-             kmGridPairs(SparkD, s"v23k${k}_b3", k))
-             .mkString("\n  UNION ALL ")}),
-           |${kmParetoTail(SparkD)}""".stripMargin))
+      // checkpoint. The surface and the serve now both read the
+      // shared cached grid views (km_gt/km_ann/km_costs — one
+      // widest-probe pass per session, cands aggregated in a
+      // pipeline): the 9-row surface is cached (the artifact a
+      // deployment persists), and the serve is a FILTER of km_ann at
+      // the picked cell — the spec pins the single-cell rows against
+      // kmCellAnn's independent recompute, so pick and serve cannot
+      // diverge on what a served row is.
+      kmGridSurfaceViews(spark, ks)
+      cacheOnce(spark.sql(kmSurfaceOverViewsSql))
         .createOrReplaceTempView("v29_surface")
       val pick = spark.sql(
         s"""WITH ${kmPolicyPickCteOver("v29_surface")}
            |SELECT k, nprobe FROM pick""".stripMargin).collect().head
       val (pk, pnp) = (pick.getLong(0), pick.getLong(1))
-      // serve ONE level: the lv cross of kmRankedAnnCtes collapsed to
-      // the picked literal (3x less window volume; the spec pins this
-      // single-level spelling row-for-row against kmCellAnn's
-      // three-level one, so they cannot diverge)
       spark.sql(
-        s"""WITH cands AS (${kmGridPairs(SparkD, s"v23k${pk}_b3",
-             pk.toInt, maxPrank = pnp.toInt)}),
-           |ranked AS (SELECT c.k, c.qid, c.nid,
-           |    ROW_NUMBER() OVER (PARTITION BY c.qid
-           |      ORDER BY c.cos DESC, c.nid) AS rn
-           |  FROM cands c WHERE c.min_prank <= $pnp)
-           |SELECT CAST(k AS BIGINT) AS k, CAST($pnp AS BIGINT) AS nprobe,
+        s"""SELECT CAST(k AS BIGINT) AS k, CAST(nprobe AS BIGINT) AS nprobe,
            |  qid, nid
-           |FROM ranked WHERE rn <= 5""".stripMargin)
+           |FROM km_ann WHERE k = $pk AND nprobe = $pnp""".stripMargin)
     }, Some(oracle))
   }
 
